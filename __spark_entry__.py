@@ -1,38 +1,674 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` maps
+operator names (SURVEY.md §2 inventory + extension stratum) to
+(spark, sf_dir) → DataFrame callables; ``oracle_sql()`` gives the DuckDB
+equivalent for each. Column names/aliases match on both sides; raw JSON
+text is never compared (FIXTURES.md canonicalization rule) — queries emit
+extracted/typed columns.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from couch_to_postgres_spark.extensions import dedup as X_dedup
+from couch_to_postgres_spark.extensions import similarity as X_sim
+from couch_to_postgres_spark.extensions import text as X_text
+from couch_to_postgres_spark.extensions.multimodal import attach_binary
+from couch_to_postgres_spark.functions.json import (
+    json_agg,
+    json_get,
+    json_get_typed,
+    json_keys,
+    json_object_set_key,
+    json_to_recordset,
+)
+from couch_to_postgres_spark.operators import query as Q
+from couch_to_postgres_spark.operators.cdc import apply_changes
+from couch_to_postgres_spark.operators.mirror import docs_mirror
+from couch_to_postgres_spark.session import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# helpers shared by several queries
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _derived_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic change batch derived from `documents` (FIXTURES.md §2):
+    doc_id%10==0 → delete; ==1 → new-rev update (+1000 chars); ==2 → replay
+    of the current rev (must NOOP); ==3 → brand-new doc id 'n<doc_id>'."""
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 10
+    deleted = m == 0
+    new_id = F.when(m == 3, F.concat(F.lit("n"), F.col("doc_id").cast("string"))).otherwise(
+        F.col("doc_id").cast("string")
+    )
+    rev = F.when(m == 1, F.concat(F.lit("2-"), F.md5("text"))).otherwise(
+        F.concat(F.lit("1-"), F.md5("text"))
+    )
+    n_chars = F.when(m == 1, F.col("n_chars") + 1000).otherwise(F.col("n_chars"))
+    doc = F.to_json(
+        F.struct(
+            F.col("doc_id"),
+            rev.alias("_rev"),
+            F.col("text"),
+            F.col("lang"),
+            F.col("source"),
+            n_chars.alias("n_chars"),
+        )
+    )
+    return d.filter(m <= 3).select(
+        F.col("doc_id").alias("seq"),
+        new_id.alias("id"),
+        deleted.alias("deleted"),
+        F.when(deleted, F.lit(None).cast("string")).otherwise(doc).alias("doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (reference README.md:102-111,142-155): projection +
+    LIKE + numeric CAST filter + ORDER BY over the couch-mirror table."""
+    return Q.flagship(docs_mirror(spark, SF0001))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def b01_point_lookup(spark, sf_dir):
+        return Q.point_lookup(docs_mirror(spark, sf_dir), "123")
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def b02_projection(spark, sf_dir):
+        m = docs_mirror(spark, sf_dir)
+        return m.select(
+            "id",
+            json_get("doc", "lang").alias("lang"),
+            json_get("doc", "source").alias("source"),
+        )
+
+    def b05_flagship(spark, sf_dir):
+        return Q.flagship(docs_mirror(spark, sf_dir))
+
+    def b08_ordering_pitfall(spark, sf_dir):
+        return Q.ordering_pitfall(docs_mirror(spark, sf_dir))
+
+    def b09_distinct(spark, sf_dir):
+        m = docs_mirror(spark, sf_dir)
+        return m.select(
+            json_get("doc", "lang").alias("lang"),
+            json_get("doc", "source").alias("source"),
+        ).distinct()
+
+    def b10_group_count(spark, sf_dir):
+        return Q.group_count(docs_mirror(spark, sf_dir), "lang")
+
+    def b11_having(spark, sf_dir):
+        # value threshold scales with table size: sf0.001→500 docs (~7 langs)
+        return Q.group_count_having(docs_mirror(spark, sf_dir), "source", 0)
+
+    def b13_chunks(spark, sf_dir):
+        return Q.row_number_chunks(docs_mirror(spark, sf_dir), 50)
+
+    def b14_key_expansion(spark, sf_dir):
+        return Q.key_expansion(docs_mirror(spark, sf_dir), "lang")
+
+    def b15_json_to_recordset(spark, sf_dir):
+        m = docs_mirror(spark, sf_dir)
+        # build a JSON array-of-objects per row, then expand to a rowset
+        arr = F.to_json(
+            F.array(
+                F.struct(
+                    F.col("id").alias("key"),
+                    json_get("doc", "lang").alias("value"),
+                )
+            )
+        )
+        rec = json_to_recordset(arr, "key string, value string")
+        return m.select(F.inline(rec))
+
+    def b16_json_agg(spark, sf_dir):
+        m = docs_mirror(spark, sf_dir)
+        return m.groupBy(json_get("doc", "lang").alias("lang")).agg(
+            json_agg(F.col("id")).alias("ids_json")
+        )
+
+    def b17_set_key(spark, sf_dir):
+        m = docs_mirror(spark, sf_dir)
+        mutated = m.withColumn(
+            "doc", json_object_set_key("doc", "flag", json_get("doc", "lang"))
+        )
+        return mutated.select(
+            "id",
+            json_get("doc", "flag").alias("flag"),
+            json_get_typed("doc", "n_chars", "long").alias("n_chars"),
+        )
+
+    def b19_arith(spark, sf_dir):
+        m = docs_mirror(spark, sf_dir)
+        v = json_get_typed("doc", "n_chars", "double")
+        return m.select("id", (v + 50).cast("long").cast("string").alias("bumped"))
+
+    def b20_union_all(spark, sf_dir):
+        m = docs_mirror(spark, sf_dir)
+        lang = json_get("doc", "lang")
+        a = m.filter(lang == "en").select("id", lang.alias("lang"))
+        b = m.filter(lang == "de").select("id", lang.alias("lang"))
+        return a.unionAll(b)
+
+    def b21_coalesce(spark, sf_dir):
+        m = docs_mirror(spark, sf_dir)
+        return m.select(
+            "id", F.coalesce(json_get("doc", "missing"), F.lit("{}")).alias("miss")
+        )
+
+    def b23_flatmap_emit(spark, sf_dir):
+        # couch view map fn: for (w in words) emit(w, null); _count reduce
+        m = docs_mirror(spark, sf_dir)
+        words = F.split(json_get("doc", "text"), " ")
+        return (
+            m.select(F.explode(words).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("value"))
+        )
+
+    def b26_update_where(spark, sf_dir):
+        return Q.update_where(docs_mirror(spark, sf_dir), "n_chars")
+
+    def b27_insert(spark, sf_dir):
+        m = docs_mirror(spark, sf_dir).select(
+            "id", json_get("doc", "lang").alias("lang")
+        )
+        new_rows = spark.createDataFrame(
+            [("ins1", "xx"), ("ins2", "yy")], "id string, lang string"
+        )
+        return m.unionAll(new_rows)
+
+    def b29_count(spark, sf_dir):
+        return docs_mirror(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+
+    def a05_cdc_merge(spark, sf_dir):
+        mirror = docs_mirror(spark, sf_dir, with_rev=True)
+        changes = _derived_changes(spark, sf_dir)
+        merged = apply_changes(mirror, changes)
+        return merged.select(
+            "id",
+            json_get("doc", "_rev").alias("rev"),
+            json_get_typed("doc", "n_chars", "long").alias("n_chars"),
+        )
+
+    def a07_type_filter(spark, sf_dir):
+        m = docs_mirror(spark, sf_dir)
+        src = json_get("doc", "source")
+        return m.filter(src != "src0").select("id", src.alias("source"))
+
+    def a17_bulk_chunks(spark, sf_dir):
+        m = docs_mirror(spark, sf_dir)
+        rn = F.row_number().over(Window.orderBy("id"))
+        return (
+            m.withColumn("chunk", ((rn - F.lit(1)) / F.lit(50)).cast("long") + 1)
+            .groupBy("chunk")
+            .agg(
+                F.count(F.lit(1)).alias("docs_in_chunk"),
+                json_agg(F.concat(F.lit('"'), F.col("id"), F.lit('"'))).alias("payload"),
+            )
+        )
+
+    def a18_filtered_subset(spark, sf_dir):
+        return Q.filtered_subset(docs_mirror(spark, sf_dir), "source", "src1")
+
+    def a19_reconciliation(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        m = docs_mirror(spark, sf_dir)
+        return (
+            d.agg(F.count(F.lit(1)).alias("source_count"))
+            .crossJoin(m.agg(F.count(F.lit(1)).alias("mirror_count")))
+            .select(
+                "source_count",
+                "mirror_count",
+                (F.col("source_count") - F.col("mirror_count")).alias("diff"),
+            )
+        )
+
+    def x_dedup_exact(spark, sf_dir):
+        return X_dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+    def x_dedup_minhash(spark, sf_dir):
+        return X_dedup.minhash_candidate_pairs(_docs(spark, sf_dir), num_bands=4)
+
+    def x_dedup_jaccard(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        pairs = X_dedup.minhash_candidate_pairs(d, num_bands=4)
+        j = X_dedup.ngram_jaccard(d, pairs)
+        return j.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+    def x_simhash(spark, sf_dir):
+        return X_dedup.simhash16(_docs(spark, sf_dir))
+
+    def x_embed_neardup(spark, sf_dir):
+        pairs = X_dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.5)
+        return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+    def x_ann_topk(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        return X_sim.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+    def x_ann_topk_blocked(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        return X_sim.cosine_topk_blocked(e.filter(F.col("vec_id") < 20), e, k=5)
+
+    def x_text_features(spark, sf_dir):
+        return X_text.text_features(_docs(spark, sf_dir))
+
+    def x_quality_filter(spark, sf_dir):
+        return X_text.quality_filter(_docs(spark, sf_dir))
+
+    def x_lang_id(spark, sf_dir):
+        return X_text.language_score(_docs(spark, sf_dir))
+
+    def x_fingerprint(spark, sf_dir):
+        return X_text.fingerprint(_docs(spark, sf_dir))
+
+    def x_multimodal_meta(spark, sf_dir):
+        return attach_binary(_docs(spark, sf_dir)).select(
+            "asset_id", "media_type", "n_bytes", "content_md5"
+        )
+
+    return {
+        "b01_point_lookup": b01_point_lookup,
+        "b02_projection": b02_projection,
+        "b05_flagship": b05_flagship,
+        "b08_ordering_pitfall": b08_ordering_pitfall,
+        "b09_distinct": b09_distinct,
+        "b10_group_count": b10_group_count,
+        "b11_having": b11_having,
+        "b13_chunks": b13_chunks,
+        "b14_key_expansion": b14_key_expansion,
+        "b15_json_to_recordset": b15_json_to_recordset,
+        "b16_json_agg": b16_json_agg,
+        "b17_set_key": b17_set_key,
+        "b19_arith": b19_arith,
+        "b20_union_all": b20_union_all,
+        "b21_coalesce": b21_coalesce,
+        "b23_flatmap_emit": b23_flatmap_emit,
+        "b26_update_where": b26_update_where,
+        "b27_insert": b27_insert,
+        "b29_count": b29_count,
+        "a05_cdc_merge": a05_cdc_merge,
+        "a07_type_filter": a07_type_filter,
+        "a17_bulk_chunks": a17_bulk_chunks,
+        "a18_filtered_subset": a18_filtered_subset,
+        "a19_reconciliation": a19_reconciliation,
+        "x_dedup_exact": x_dedup_exact,
+        "x_dedup_minhash": x_dedup_minhash,
+        "x_dedup_jaccard": x_dedup_jaccard,
+        "x_simhash": x_simhash,
+        "x_embed_neardup": x_embed_neardup,
+        "x_ann_topk": x_ann_topk,
+        "x_ann_topk_blocked": x_ann_topk_blocked,
+        "x_text_features": x_text_features,
+        "x_quality_filter": x_quality_filter,
+        "x_lang_id": x_lang_id,
+        "x_fingerprint": x_fingerprint,
+        "x_multimodal_meta": x_multimodal_meta,
+    }
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+# word-shingle builder shared by the dedup oracles (3-word shingles,
+# mirroring extensions.dedup.word_shingles)
+_SHINGLES = """
+shingled AS (
+    SELECT doc_id, s.shingle
+    FROM words, UNNEST(
+        CASE WHEN len(ws) >= 3
+             THEN [array_to_string(ws[i:i+2], ' ')
+                   FOR i IN generate_series(1, len(ws) - 2)]
+             ELSE []::VARCHAR[] END
+    ) AS s(shingle)
+)
+"""
+
+_WORDS = """
+words AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+    FROM documents
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "b01_point_lookup": """
+            SELECT CAST(doc_id AS VARCHAR) AS id, lang, n_chars
+            FROM documents WHERE doc_id = 123
+        """,
+        "b02_projection": """
+            SELECT CAST(doc_id AS VARCHAR) AS id, lang, source FROM documents
+        """,
+        "b05_flagship": """
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CAST(n_chars AS VARCHAR) AS myvar_text,
+                   CAST(n_chars AS DOUBLE) AS myvar_num
+            FROM documents
+            WHERE CAST(doc_id AS VARCHAR) LIKE '1%' AND n_chars > 50
+        """,
+        "b08_ordering_pitfall": """
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CAST(n_chars AS VARCHAR) AS v_text,
+                   n_chars AS v_num,
+                   ROW_NUMBER() OVER (ORDER BY CAST(n_chars AS VARCHAR), CAST(doc_id AS VARCHAR))
+                       AS rank_text,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, CAST(doc_id AS VARCHAR))
+                       AS rank_num
+            FROM documents
+        """,
+        "b09_distinct": "SELECT DISTINCT lang, source FROM documents",
+        "b10_group_count": """
+            SELECT lang, count(*) AS value FROM documents GROUP BY lang
+        """,
+        "b11_having": """
+            WITH tbl AS (SELECT source, count(*) AS value FROM documents GROUP BY source)
+            SELECT source, value FROM tbl WHERE value > 0
+        """,
+        "b13_chunks": """
+            WITH numbered AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+                FROM documents
+            )
+            SELECT ((rn - 1) // 50) + 1 AS chunk, count(*) AS docs_in_chunk
+            FROM numbered GROUP BY 1
+        """,
+        "b14_key_expansion": """
+            SELECT DISTINCT lang AS type, k.key
+            FROM documents,
+                 UNNEST(['doc_id','text','lang','source','n_chars']) AS k(key)
+        """,
+        "b15_json_to_recordset": """
+            SELECT CAST(doc_id AS VARCHAR) AS key, lang AS value FROM documents
+        """,
+        "b16_json_agg": """
+            SELECT lang,
+                   '[' || array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') || ']'
+                       AS ids_json
+            FROM documents GROUP BY lang
+        """,
+        "b17_set_key": """
+            SELECT CAST(doc_id AS VARCHAR) AS id, lang AS flag, n_chars FROM documents
+        """,
+        "b19_arith": """
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CAST(CAST(n_chars + 50 AS BIGINT) AS VARCHAR) AS bumped
+            FROM documents
+        """,
+        "b20_union_all": """
+            SELECT CAST(doc_id AS VARCHAR) AS id, lang FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) AS id, lang FROM documents WHERE lang = 'de'
+        """,
+        "b21_coalesce": """
+            SELECT CAST(doc_id AS VARCHAR) AS id, '{}' AS miss FROM documents
+        """,
+        "b23_flatmap_emit": """
+            SELECT w.word, count(*) AS value
+            FROM documents, UNNEST(string_split(text, ' ')) AS w(word)
+            WHERE w.word <> ''
+            GROUP BY w.word
+        """,
+        "b26_update_where": """
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN n_chars < 200 THEN n_chars + 50 ELSE n_chars END AS n_chars
+            FROM documents
+        """,
+        "b27_insert": """
+            SELECT CAST(doc_id AS VARCHAR) AS id, lang FROM documents
+            UNION ALL SELECT * FROM (VALUES ('ins1','xx'), ('ins2','yy')) v(id, lang)
+        """,
+        "b29_count": "SELECT count(*) AS n FROM documents",
+        "a05_cdc_merge": """
+            -- expected post-merge mirror: %10==0 deleted, %10==1 rev-2 +1000,
+            -- %10==3 additionally inserted as 'n<doc_id>', others unchanged
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN doc_id % 10 = 1 THEN '2-' || md5(text)
+                        ELSE '1-' || md5(text) END AS rev,
+                   CASE WHEN doc_id % 10 = 1 THEN n_chars + 1000
+                        ELSE n_chars END AS n_chars
+            FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT 'n' || CAST(doc_id AS VARCHAR) AS id,
+                   '1-' || md5(text) AS rev, n_chars
+            FROM documents WHERE doc_id % 10 = 3
+        """,
+        "a07_type_filter": """
+            SELECT CAST(doc_id AS VARCHAR) AS id, source
+            FROM documents WHERE source <> 'src0'
+        """,
+        "a17_bulk_chunks": """
+            WITH numbered AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+                FROM documents
+            )
+            SELECT ((rn - 1) // 50) + 1 AS chunk,
+                   count(*) AS docs_in_chunk,
+                   '[' || array_to_string(list_sort(list('"' || id || '"')), ',') || ']'
+                       AS payload
+            FROM numbered GROUP BY 1
+        """,
+        "a18_filtered_subset": """
+            SELECT CAST(doc_id AS VARCHAR) AS id, source
+            FROM documents WHERE source = 'src1'
+        """,
+        "a19_reconciliation": """
+            SELECT count(*) AS source_count, count(*) AS mirror_count,
+                   0 AS diff
+            FROM documents
+        """,
+        "x_dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "x_dedup_minhash": f"""
+            WITH {_WORDS}, {_SHINGLES},
+            banded AS (
+                SELECT doc_id, b.band, shingle
+                FROM shingled, UNNEST([0,1,2,3]) AS b(band)
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS signature
+                FROM banded GROUP BY doc_id, band
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.signature = b.signature
+             AND a.doc_id < b.doc_id
+        """,
+        "x_dedup_jaccard": f"""
+            WITH {_WORDS}, {_SHINGLES},
+            banded AS (
+                SELECT doc_id, b.band, shingle
+                FROM shingled, UNNEST([0,1,2,3]) AS b(band)
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS signature
+                FROM banded GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.signature = b.signature
+                 AND a.doc_id < b.doc_id
+            ),
+            sets_ AS (
+                SELECT doc_id, list_distinct(list(shingle)) AS sh
+                FROM shingled GROUP BY doc_id
+            )
+            SELECT p.id_a, p.id_b,
+                   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+            FROM pairs p
+            JOIN sets_ sa ON sa.doc_id = p.id_a
+            JOIN sets_ sb ON sb.doc_id = p.id_b
+        """,
+        "x_simhash": f"""
+            WITH {_WORDS},
+            wordrows AS (
+                SELECT doc_id, md5(w.word) AS h
+                FROM words, UNNEST(ws) AS w(word)
+            ),
+            bits AS (
+                SELECT doc_id, j.j,
+                       sum((strpos('0123456789abcdef', substr(h, j.j + 1, 1)) - 1) % 2 * 2 - 1)
+                           AS s
+                FROM wordrows, UNNEST(generate_series(0, 15)) AS j(j)
+                GROUP BY doc_id, j.j
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "x_embed_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(a.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])))), 4)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))))
+                  >= 0.5
+        """,
+        "x_ann_topk": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[]))
+                             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                      CAST(q.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                      CAST(c.embedding AS DOUBLE[])))), 4)
+                           AS cosine_r
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 5
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_r DESC, neighbor_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "x_ann_topk_blocked": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[]))
+                             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                      CAST(q.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                      CAST(c.embedding AS DOUBLE[])))), 4)
+                           AS cosine_r
+                FROM embeddings q JOIN embeddings c
+                  ON q.label = c.label AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < 20
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_r DESC, neighbor_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "x_text_features": """
+            WITH words AS (
+                SELECT doc_id, text, n_chars,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            )
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(ws) AS n_words,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                   round(CAST(length(text) AS DOUBLE) / greatest(len(ws), 1), 4)
+                       AS chars_per_word,
+                   round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                              AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
+                   round(CAST(len(list_filter(ws, w -> lower(w) IN
+                              ('the','a','of','and','to','in','is','on','for','with')))
+                              AS DOUBLE) / greatest(len(ws), 1), 4) AS stopword_ratio
+            FROM words
+        """,
+        "x_quality_filter": """
+            WITH words AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            )
+            SELECT doc_id, len(ws) AS n_words,
+                   round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                              AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio
+            FROM words
+            WHERE len(ws) >= 5
+              AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1) <= 0.3
+        """,
+        "x_lang_id": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(CAST(len(list_filter(ws, w -> lower(w) IN
+                              ('the','a','of','and','to','in','is','on','for','with')))
+                              AS DOUBLE) / greatest(len(ws), 1), 4) AS stopword_ratio,
+                   (CAST(len(list_filter(ws, w -> lower(w) IN
+                              ('the','a','of','and','to','in','is','on','for','with')))
+                              AS DOUBLE) / greatest(len(ws), 1)) >= 0.05 AS english_like
+            FROM words
+        """,
+        "x_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5,
+                   substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8)
+                       AS fp_bucket
+            FROM documents
+        """,
+        "x_multimodal_meta": """
+            SELECT doc_id AS asset_id, 'application/fake' AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents
+        """,
+    }

@@ -1,0 +1,243 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are built-in ``pyspark.sql.functions`` (JVM, codegen). Hash
+functions are md5-based so the DuckDB oracle can reproduce them bit-for-bit
+(Spark ``xxhash64``/``hash`` have no DuckDB equivalent; md5 exists in both).
+
+Scale design (100 TB):
+
+* exact dedup is one hash-aggregate on ``md5(text)`` — partial aggregation
+  map-side, one shuffle on the 128-bit digest (uniform keys, no skew);
+* MinHash LSH shuffles only ``(band, signature)`` pairs — b×n rows of a few
+  bytes each, not the documents; candidate verification joins back to the
+  corpus by id (broadcast when the candidate set is small);
+* SimHash is an embarrassingly-parallel per-row fold — no shuffle at all
+  until the final bucket grouping on the fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct content,
+    with the kept (minimum) id and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct ``text_col`` value."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Sliding word n-grams as an array<string> — pure JVM higher-order
+    functions (split → transform(sequence) → slice → concat_ws), no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(c, " "), lambda w: w != F.lit(""))
+    k = F.size(words) - F.lit(n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-(doc, band) MinHash signature.
+
+    Band ``b``'s hash permutation is ``md5(b || ':' || shingle)`` and the
+    signature is the lexicographic minimum digest — a valid min-wise hash
+    family, chosen over Spark's ``MinHashLSH`` (mllib) because it is
+    (a) exactly reproducible in the DuckDB oracle and (b) pure DataFrame
+    (explode → groupBy(min)), so partial aggregation keeps the shuffle at
+    one 32-byte row per (doc, band).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    banded = shingled.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"),
+        "shingle",
+    )
+    return (
+        banded.groupBy(id_col, "band")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws(":", F.col("band").cast("string"), F.col("shingle")))
+            ).alias("signature")
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate near-duplicate pairs: docs sharing a (band, signature)
+    bucket (bands of one row each — high recall; callers verify candidates
+    with :func:`ngram_jaccard` or exact compare).
+
+    The self-join is on (band, signature) — uniformly-distributed 128-bit
+    buckets, so the shuffle is skew-free by construction; the pair set
+    (not the corpus) is the only thing materialized.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_bands, shingle_n)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.band") == F.col("b.band"),
+                F.col("a.signature") == F.col("b.signature"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (id_a, id_b):
+    |A∩B| / |A∪B| over distinct word shingles. Join-by-id then set math via
+    array functions — candidates only, never all pairs."""
+    sets_ = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    j = (
+        pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def _hex_nibble(c: Column) -> Column:
+    """hex char → int via position arithmetic (portable to the oracle:
+    identical instr/strpos expression in DuckDB — no engine-specific conv)."""
+    return F.instr(F.lit(HEX), c) - 1
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash fingerprint per document.
+
+    Bit ``j`` (j=0..15) is the majority vote of the low bit of hex nibble
+    ``j`` of ``md5(word)`` across the document's words (+1/-1 fold, sign).
+    16 bits is the oracle-checkable variant; :mod:`tests` also property-test
+    that identical texts collide and near-identical texts are hamming-close.
+    No shuffle: per-row aggregate over the exploded words happens via
+    higher-order functions inside the row.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    hashes = F.transform(words, lambda w: F.md5(w))
+
+    def bit_sum(j: int) -> Column:
+        # sum over words of (2*bit_j - 1); bit_j = nibble_j & 1
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + (_hex_nibble(F.substring(h, j + 1, 1)) % 2) * 2
+            - 1,
+        )
+
+    fp = None
+    for j in range(16):
+        term = F.when(bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return df.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_bucket_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup buckets: fingerprints shared by >1 doc (exact-collision
+    variant; hamming-radius probing is the multi-table extension)."""
+    return (
+        simhash16(df, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("bucket_size") > 1)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    ``block_col`` is the coarse partitioner (IVF-style): pairs are only
+    scored within a block, turning the O(n²) cross join into Σ O(n_b²).
+    At 100 TB the block key would come from a trained coarse quantizer; the
+    blocking join itself is the same plan. ``block_col=None`` brute-forces.
+    """
+    v = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *([F.col(block_col)] if block_col else []),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    on = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    if block_col:
+        on.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, on=on)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

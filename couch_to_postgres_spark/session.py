@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local test runs use ``local[$SPARK_GRAFT_CPUS]``; the same configs are the
+ones we would ship for a 1000-executor cluster run (AQE on, skew-join on,
+partition coalescing on) — only the master URL and memory sizing change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "couch-to-postgres-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Scale notes (100 TB design):
+
+    * AQE is on so runtime stats re-plan shuffles: partition coalescing
+      collapses the tail of small post-shuffle partitions, and the skew-join
+      splitter handles hot keys (e.g. one giant CouchDB feed) without manual
+      salting in the common case.
+    * ``spark.sql.shuffle.partitions`` defaults to the core count locally;
+      on a real cluster AQE's coalescing makes a high initial value cheap,
+      so we set 2×cores there via ``extra_conf``.
+    * Arrow is enabled so every Pandas-UDF crossing is vectorized.
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Load one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

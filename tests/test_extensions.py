@@ -1,0 +1,150 @@
+"""Extension-stratum tests: dedup (exact/minhash/simhash/embedding),
+similarity search, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions import dedup as D
+from couch_to_postgres_spark.extensions import similarity as S
+from couch_to_postgres_spark.extensions import text as T
+from couch_to_postgres_spark.extensions.multimodal import (
+    FEATURE_SCHEMA,
+    attach_binary,
+    decode_image_stub,
+    extract_features,
+    fake_decode_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def planted(spark, docs):
+    """documents plus an exact dup of doc 0 and a near-dup (one word
+    changed) with high ids."""
+    base = docs.limit(0)
+    d0 = docs.filter(F.col("doc_id") == 0).first()
+    near = d0["text"].split(" ")
+    near[len(near) // 2] = "XXREPLACEDXX"
+    extra = spark.createDataFrame(
+        [
+            (100000, d0["text"], d0["lang"], d0["source"], d0["n_chars"]),
+            (100001, " ".join(near), d0["lang"], d0["source"], d0["n_chars"]),
+        ],
+        schema=base.schema,
+    )
+    return docs.unionByName(extra)
+
+
+def test_exact_dedup(spark, docs):
+    aug = planted(spark, docs)
+    deduped = D.exact_dedup(aug)
+    assert deduped.count() == aug.count() - 1  # one exact dup removed
+    assert deduped.filter(F.col("doc_id") == 100000).count() == 0  # min id kept
+
+
+def test_minhash_finds_planted_neardup(spark, docs):
+    aug = planted(spark, docs)
+    pairs = D.minhash_candidate_pairs(aug, num_bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100000) in got  # exact dup always collides
+    assert (0, 100001) in got  # near dup shares most shingles
+
+
+def test_jaccard_scores(spark, docs):
+    aug = planted(spark, docs)
+    pairs = D.minhash_candidate_pairs(aug, num_bands=4)
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard(aug, pairs).collect()
+    }
+    assert j[(0, 100000)] == 1.0
+    assert 0.5 < j[(0, 100001)] < 1.0
+
+
+def test_simhash_properties(spark, docs):
+    aug = planted(spark, docs)
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash16(aug).collect()}
+    assert fp[0] == fp[100000]  # identical text → identical fingerprint
+    ham = bin(fp[0] ^ fp[100001]).count("1")
+    assert ham <= 6  # near-identical text → hamming-close
+    assert 0 <= min(fp.values()) and max(fp.values()) < (1 << 16)
+
+
+def test_embedding_neardup_self(spark, emb):
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = D.embedding_neardup_pairs(emb.unionByName(dup), threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100000) in got
+
+
+def test_topk_planted_duplicate_is_rank1(spark, emb):
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    top = S.cosine_topk(corpus.filter(F.col("vec_id") == 0), corpus, k=3)
+    first = top.filter(F.col("rank") == 1).head()
+    assert first["neighbor_id"] == 100000  # the exact copy is nearest
+
+
+def test_topk_shapes(spark, emb):
+    out = S.cosine_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    per_q = {q: sorted(r["rank"] for r in rows if r["query_id"] == q) for q in (0, 1, 2)}
+    assert all(v == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_blocked_topk_stays_in_block(spark, emb):
+    out = S.cosine_topk_blocked(emb.filter(F.col("vec_id") < 10), emb, k=3)
+    joined = (
+        out.join(emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql")), "query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")), "neighbor_id")
+    )
+    assert joined.filter(F.col("ql") != F.col("nl")).count() == 0
+
+
+def test_text_features_sane(spark, docs):
+    feats = T.text_features(docs).head()
+    assert feats["n_words"] > 0
+    assert feats["n_tokens"] >= feats["n_words"] - 1
+    assert 0.0 <= feats["punct_ratio"] <= 1.0
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World", "en", "s", 11), (2, "hello world", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fps = {r["doc_id"]: r["fp_md5"] for r in T.fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+
+
+def test_multimodal_plumbing(spark, docs):
+    assets = attach_binary(docs.limit(100))
+    assert [f.name for f in assets.schema.fields] == [
+        "asset_id", "media_type", "payload", "n_bytes", "content_md5",
+    ]
+    feats = extract_features(assets, batch_budget_bytes=1 << 12)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 100
+    sample = assets.filter(F.col("asset_id") == rows[0]["asset_id"]).head()
+    expect = fake_decode_features(bytes(sample["payload"]))
+    assert (rows[0]["feat_mean"], rows[0]["feat_first"]) == expect
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"bytes")
