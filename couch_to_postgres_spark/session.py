@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # driver-generated parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp type — read as long (ns since epoch) and convert
+        # on demand (see nanos_to_timestamp)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -57,3 +61,11 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver-generated parquet table (TESTDATA.md)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def nanos_to_timestamp(col):
+    """Convert a nanosAsLong-read TIMESTAMP(NANOS) column to a Spark
+    timestamp (microsecond precision)."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros((col / 1000).cast("long"))

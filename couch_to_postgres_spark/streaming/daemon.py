@@ -1,0 +1,188 @@
+"""Multi-feed daemon (SURVEY.md §2A A10-A15): feed discovery, watchdogs,
+HTTP control plane — the reference's bin/daemon.js re-expressed over
+Spark's StreamingQueryManager.
+
+The reference's control plane is a Postgres table
+``since_checkpoints(pgtable, since, enabled)`` polled every 60 s
+(bin/daemon.js:96-165). Here the registry is a JSON file (engine config —
+the `since` high-water mark itself lives in each query's
+``checkpointLocation``, which is Spark's offset log); flipping
+``enabled`` stops the feed on the next watchdog pass exactly like the
+reference's disable flow (bin/daemon.js:174-186).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from dataclasses import asdict, dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from couch_to_postgres_spark.operators.mirror import sanitize_table_name
+from couch_to_postgres_spark.streaming.pipeline import follow, mirror_doc_count
+
+
+@dataclass
+class FeedConfig:
+    """One feed row of the registry (the since_checkpoints analog,
+    reference README.md:273-279)."""
+
+    name: str  # couch database name (may contain '-')
+    changes_path: str  # change-log directory (file source) for this feed
+    enabled: bool = True
+
+    @property
+    def table(self) -> str:
+        return sanitize_table_name(self.name)
+
+
+def load_registry(path: str) -> list[FeedConfig]:
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [FeedConfig(**row) for row in json.load(f)]
+
+
+def save_registry(path: str, feeds: list[FeedConfig]) -> None:
+    with open(path, "w") as f:
+        json.dump([asdict(fc) for fc in feeds], f, indent=2)
+
+
+def set_feed_enabled(path: str, name: str, enabled: bool) -> None:
+    """The `UPDATE since_checkpoints SET enabled=...` control operation
+    (daemon-README.md:116-133)."""
+    feeds = load_registry(path)
+    for fc in feeds:
+        if fc.name == name:
+            fc.enabled = enabled
+    save_registry(path, feeds)
+
+
+class Daemon:
+    """One engine instance per enabled feed; watchdog reaps disabled feeds.
+
+    Maps to the reference: findFeeds (bin/daemon.js:96-165) →
+    :meth:`find_feeds`; feedsWatchdog/reaperCheck (bin/daemon.js:168-215) →
+    :meth:`watchdog`; `/_status` (bin/daemon.js:264-309) → :meth:`status`
+    (served by :func:`serve_control_plane`). Postgres-death recovery
+    (A12) is subsumed by Spark's task retry + restart-from-checkpoint:
+    :meth:`watchdog` restarts any enabled feed whose query died.
+    """
+
+    def __init__(self, spark: SparkSession, registry_path: str, data_root: str):
+        self.spark = spark
+        self.registry_path = registry_path
+        self.data_root = data_root
+        self.queries: dict[str, object] = {}  # feed name -> StreamingQuery
+
+    def mirror_path(self, fc: FeedConfig) -> str:
+        return os.path.join(self.data_root, "mirrors", fc.table + ".parquet")
+
+    def checkpoint_path(self, fc: FeedConfig) -> str:
+        return os.path.join(self.data_root, "checkpoints", fc.table)
+
+    def find_feeds(self, trigger: dict | None = None) -> list[str]:
+        """Start one streaming query per enabled registry feed not already
+        running (A10). Mirror/checkpoint dirs are created on demand (A13).
+        Returns the feed names started."""
+        started = []
+        for fc in load_registry(self.registry_path):
+            if not fc.enabled or fc.name in self.queries:
+                continue
+            q = self.queries.get(fc.name)
+            os.makedirs(os.path.dirname(self.mirror_path(fc)), exist_ok=True)
+            q = follow(
+                self.spark,
+                changes_path=fc.changes_path,
+                mirror_path=self.mirror_path(fc),
+                checkpoint_path=self.checkpoint_path(fc),
+                trigger=trigger,
+                query_name=f"feed:{fc.name}",
+            )
+            self.queries[fc.name] = q
+            started.append(fc.name)
+        return started
+
+    def watchdog(self, trigger: dict | None = None) -> dict:
+        """One supervision pass: stop feeds disabled/missing in the
+        registry (A11), restart enabled feeds whose query died (A12),
+        start newly-enabled feeds. Returns what it did."""
+        registry = {fc.name: fc for fc in load_registry(self.registry_path)}
+        stopped, restarted = [], []
+        for name, q in list(self.queries.items()):
+            fc = registry.get(name)
+            if fc is None or not fc.enabled:
+                q.stop()
+                del self.queries[name]
+                stopped.append(name)
+            elif not q.isActive:
+                del self.queries[name]
+                restarted.append(name)
+        started = self.find_feeds(trigger=trigger)
+        return {"stopped": stopped, "restarted": restarted, "started": started}
+
+    def status(self) -> dict:
+        """The `/_status` payload (bin/daemon.js:282-301): per-feed alive
+        flag, streaming progress, and mirror doc count."""
+        out = {}
+        for fc in load_registry(self.registry_path):
+            q = self.queries.get(fc.name)
+            alive = bool(q is not None and q.isActive)
+            progress = q.lastProgress if q is not None else None
+            out[fc.name] = {
+                "enabled": fc.enabled,
+                "alive": alive,
+                "table": fc.table,
+                "doc_count": mirror_doc_count(self.spark, self.mirror_path(fc)),
+                "last_progress": {
+                    k: progress.get(k)
+                    for k in ("batchId", "numInputRows", "timestamp")
+                }
+                if progress
+                else None,
+            }
+        return out
+
+    def await_all(self) -> None:
+        for q in self.queries.values():
+            q.awaitTermination()
+
+    def stop_all(self) -> None:
+        for q in list(self.queries.values()):
+            q.stop()
+        self.queries.clear()
+
+
+def serve_control_plane(daemon: Daemon, port: int = 0) -> tuple[ThreadingHTTPServer, int]:
+    """HTTP control plane (A15): GET /_status → daemon.status() JSON;
+    GET /_watchdog → run one watchdog pass; GET /_finder → find_feeds.
+    Returns (server, bound_port); server runs on a daemon thread."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path == "/_status":
+                payload = daemon.status()
+            elif self.path == "/_watchdog":
+                payload = daemon.watchdog()
+            elif self.path == "/_finder":
+                payload = {"started": daemon.find_feeds()}
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # silence request logging
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, server.server_address[1]

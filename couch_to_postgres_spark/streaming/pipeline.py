@@ -1,0 +1,118 @@
+"""The streaming replication pipeline (SURVEY.md §3 entry point 1,
+build-plan Stage 4): change stream → idempotent merge → parquet mirror.
+
+Spark shape of the reference lifecycle::
+
+    read_change_stream(...)                      # A1 source, A2 rate limit
+      .writeStream.foreachBatch(merge)           # A3-A7 via operators.cdc
+      .option("checkpointLocation", ...)         # A8/A9 checkpointer
+      .trigger(...)                              # cadence (20 s / availableNow)
+
+Delivery is at-least-once (offsets commit after the batch, like the
+reference's trailing `since` checkpoint, lib/index.js:62-94); the
+rev-aware merge makes replays no-ops, so the mirror state is effectively
+exactly-once — the same argument the reference makes (lib/index.js:110-128).
+
+Mirror persistence is pure parquet with an atomic directory swap
+(write to ``<path>.tmp`` → rename). Where Delta/Iceberg is available the
+same ``apply_changes`` output feeds ``MERGE INTO`` instead; nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from couch_to_postgres_spark.operators.cdc import apply_changes
+from couch_to_postgres_spark.operators.mirror import MIRROR_SCHEMA
+from couch_to_postgres_spark.sources.changes import read_change_stream
+
+
+def read_mirror(spark: SparkSession, mirror_path: str) -> DataFrame:
+    """Current mirror state; empty mirror when the table doesn't exist yet
+    (auto-creation parity: bin/daemon.js:233-262)."""
+    if os.path.exists(mirror_path):
+        return spark.read.parquet(mirror_path)
+    return spark.createDataFrame([], MIRROR_SCHEMA)
+
+
+def upsert_mirror(
+    spark: SparkSession,
+    mirror_path: str,
+    batch: DataFrame,
+    type_filter: str | None = None,
+    map_hook: Callable[[Column], Column] | None = None,
+) -> None:
+    """Merge one change batch into the parquet mirror, atomically.
+
+    The rewritten mirror lands in ``<path>.tmp`` and is swapped in with a
+    rename, so a crash mid-write leaves the old state intact; replaying the
+    batch after restart converges (idempotent merge). At 100 TB the swap
+    becomes a partition-level operation on a table format (Delta MERGE) —
+    the merge plan itself (broadcast-anti-join, no mirror shuffle) is
+    unchanged.
+    """
+    current = read_mirror(spark, mirror_path)
+    merged = apply_changes(current, batch, type_filter=type_filter, map_hook=map_hook)
+    tmp = mirror_path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = mirror_path + ".old"
+    if os.path.exists(mirror_path):
+        os.rename(mirror_path, old)
+    os.rename(tmp, mirror_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def follow(
+    spark: SparkSession,
+    changes_path: str,
+    mirror_path: str,
+    checkpoint_path: str,
+    type_filter: str | None = None,
+    map_hook: Callable[[Column], Column] | None = None,
+    max_files_per_trigger: int | None = None,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Start one feed's replication query (the `engine.follow(db)` API —
+    the reference's `new PostgresCouchDB(...).start()`,
+    bin/daemon.js:120-129).
+
+    ``trigger`` defaults to ``availableNow`` (drain-and-stop, the batch
+    catch-up mode); pass ``{"processingTime": "20 seconds"}`` for the
+    reference's steady-state cadence (lib/index.js:63).
+    """
+    stream = read_change_stream(spark, changes_path, max_files_per_trigger)
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        upsert_mirror(
+            batch.sparkSession,
+            mirror_path,
+            batch,
+            type_filter=type_filter,
+            map_hook=map_hook,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def mirror_doc_count(spark: SparkSession, mirror_path: str) -> int:
+    """A19 reconciliation helper: replica cardinality."""
+    return read_mirror(spark, mirror_path).count()

@@ -1,0 +1,185 @@
+"""Streaming pipeline fault/semantics tests (SURVEY.md §5 technique 4):
+checkpoint resume, duplicate-delivery replay → NOOP, delete propagation,
+rate limiting, multi-feed daemon + watchdog + HTTP control plane."""
+
+import json
+import shutil
+import tempfile
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.operators.cdc import latest_changes
+from couch_to_postgres_spark.sources.changes import (
+    changes_from_events,
+    read_change_stream,
+    write_change_log,
+)
+from couch_to_postgres_spark.streaming.daemon import (
+    Daemon,
+    FeedConfig,
+    save_registry,
+    serve_control_plane,
+    set_feed_enabled,
+)
+from couch_to_postgres_spark.streaming.pipeline import (
+    follow,
+    mirror_doc_count,
+    read_mirror,
+    upsert_mirror,
+)
+
+
+@pytest.fixture
+def tmp(request):
+    d = tempfile.mkdtemp(prefix="cdc_stream_")
+    request.addfinalizer(lambda: shutil.rmtree(d, ignore_errors=True))
+    return d
+
+
+def expected_state(changes):
+    """Ground truth: per-key latest change, deletions removed."""
+    latest = latest_changes(changes)
+    return {
+        r["id"]: r["doc"]
+        for r in latest.filter(~F.col("deleted")).collect()
+    }
+
+
+def mirror_state(spark, path):
+    return {r["id"]: r["doc"] for r in read_mirror(spark, path).collect()}
+
+
+def test_follow_end_to_end_with_deletes(spark, sf_dir, tmp):
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    write_change_log(changes, f"{tmp}/log")
+    q = follow(spark, f"{tmp}/log", f"{tmp}/mirror", f"{tmp}/ckpt")
+    q.awaitTermination(120)
+    assert mirror_state(spark, f"{tmp}/mirror") == expected_state(changes)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp):
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    first = changes.filter(F.col("seq") < 600)
+    rest = changes.filter(F.col("seq") >= 600)
+
+    write_change_log(first, f"{tmp}/log")
+    q = follow(spark, f"{tmp}/log", f"{tmp}/mirror", f"{tmp}/ckpt")
+    q.awaitTermination(120)
+    assert mirror_state(spark, f"{tmp}/mirror") == expected_state(first)
+
+    # restart from the same checkpoint after more changes arrive
+    write_change_log(rest, f"{tmp}/log")
+    q2 = follow(spark, f"{tmp}/log", f"{tmp}/mirror", f"{tmp}/ckpt")
+    q2.awaitTermination(120)
+    assert mirror_state(spark, f"{tmp}/mirror") == expected_state(changes)
+    # resumed run saw only the new files: batch numbering continues (no
+    # batch 0 replay). numInputRows counts 2× the rows because the merge
+    # plan scans the batch twice (upserts + touched-keys anti-join side).
+    batch_ids = {p["batchId"] for p in q2.recentProgress}
+    assert 0 not in batch_ids
+    rows_second_run = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert rows_second_run <= 2 * rest.count()
+
+
+def test_duplicate_delivery_replay_is_noop(spark, sf_dir, tmp):
+    """At-least-once: replaying the whole feed against a caught-up mirror
+    must not change it (rev-compare idempotence, lib/index.js:110-128)."""
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    write_change_log(changes, f"{tmp}/log")
+    q = follow(spark, f"{tmp}/log", f"{tmp}/mirror", f"{tmp}/ckpt")
+    q.awaitTermination(120)
+    before = mirror_state(spark, f"{tmp}/mirror")
+    # fresh checkpoint → the file source replays everything from seq 0
+    q2 = follow(spark, f"{tmp}/log", f"{tmp}/mirror", f"{tmp}/ckpt2")
+    q2.awaitTermination(120)
+    assert mirror_state(spark, f"{tmp}/mirror") == before
+
+
+def test_rate_limiting_batches(spark, sf_dir, tmp):
+    """maxFilesPerTrigger bounds per-batch admission (A2 backpressure)."""
+    changes = changes_from_events(spark, sf_dir, delete_type="error")
+    write_change_log(changes, f"{tmp}/log", num_files=4)
+    q = follow(
+        spark, f"{tmp}/log", f"{tmp}/mirror", f"{tmp}/ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 4  # one file per micro-batch
+
+
+def test_count_reconciliation_after_stream(spark, sf_dir, tmp):
+    """A19: replica cardinality equals source cardinality (post-deletes)."""
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    write_change_log(changes, f"{tmp}/log")
+    q = follow(spark, f"{tmp}/log", f"{tmp}/mirror", f"{tmp}/ckpt")
+    q.awaitTermination(120)
+    assert mirror_doc_count(spark, f"{tmp}/mirror") == len(expected_state(changes))
+
+
+def test_upsert_mirror_atomic_layout(spark, sf_dir, tmp):
+    """No .tmp/.old residue after a merge; mirror readable throughout."""
+    import os
+
+    changes = changes_from_events(spark, sf_dir, delete_type="error")
+    upsert_mirror(spark, f"{tmp}/mirror", changes)
+    upsert_mirror(spark, f"{tmp}/mirror", changes)  # second merge on top
+    assert not os.path.exists(f"{tmp}/mirror.tmp")
+    assert not os.path.exists(f"{tmp}/mirror.old")
+    assert read_mirror(spark, f"{tmp}/mirror").count() > 0
+
+
+def make_two_feed_registry(spark, sf_dir, tmp):
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    write_change_log(changes.filter(F.col("id").cast("long") < 8), f"{tmp}/log_a")
+    write_change_log(changes.filter(F.col("id").cast("long") >= 8), f"{tmp}/log_b")
+    feeds = [
+        FeedConfig(name="feed-alpha", changes_path=f"{tmp}/log_a"),
+        FeedConfig(name="feed-beta", changes_path=f"{tmp}/log_b"),
+    ]
+    save_registry(f"{tmp}/registry.json", feeds)
+    return changes
+
+
+def test_daemon_multi_feed_and_watchdog(spark, sf_dir, tmp):
+    changes = make_two_feed_registry(spark, sf_dir, tmp)
+    d = Daemon(spark, f"{tmp}/registry.json", f"{tmp}/data")
+    started = d.find_feeds()
+    assert sorted(started) == ["feed-alpha", "feed-beta"]
+    d.await_all()
+
+    st = d.status()
+    # hyphenated couch names sanitized to table names (A14)
+    assert st["feed-alpha"]["table"] == "feed_alpha"
+    total = st["feed-alpha"]["doc_count"] + st["feed-beta"]["doc_count"]
+    assert total == len(expected_state(changes))
+
+    # disable one feed → watchdog reaps it (A11); the availableNow queries
+    # have already terminated, so the other is restarted (A12 analog)
+    set_feed_enabled(f"{tmp}/registry.json", "feed-alpha", False)
+    result = d.watchdog()
+    assert "feed-alpha" in result["stopped"]
+    assert "feed-beta" in result["restarted"] or "feed-beta" in result["started"]
+    d.await_all()
+    d.stop_all()
+
+
+def test_control_plane_http(spark, sf_dir, tmp):
+    make_two_feed_registry(spark, sf_dir, tmp)
+    d = Daemon(spark, f"{tmp}/registry.json", f"{tmp}/data")
+    d.find_feeds()
+    d.await_all()
+    server, port = serve_control_plane(d)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/_status") as r:
+            st = json.loads(r.read())
+        assert set(st) == {"feed-alpha", "feed-beta"}
+        assert st["feed-beta"]["doc_count"] > 0
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/_watchdog") as r:
+            wd = json.loads(r.read())
+        assert set(wd) == {"stopped", "restarted", "started"}
+    finally:
+        server.shutdown()
+        d.stop_all()

@@ -1,0 +1,152 @@
+"""Writeback sink tests (A16-A18) against a real local HTTP server that
+records requests — the full executor→HTTP path with the stdlib transport."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.operators.mirror import docs_mirror
+from couch_to_postgres_spark.sinks.writeback import (
+    filtered_rereplication,
+    writeback_bulk,
+    writeback_single_put,
+)
+from couch_to_postgres_spark.sources.couchdb import CouchClient, poll_changes_to_rows
+
+
+class RecordingCouch:
+    """Tiny in-memory CouchDB-ish server: records _bulk_docs and PUT
+    bodies; serves a canned _changes feed."""
+
+    def __init__(self):
+        self.bulk_batches: list[list[dict]] = []
+        self.puts: list[tuple[str, dict]] = []
+        self.changes_pages: list[dict] = []
+        self.lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _read_body(self):
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n)) if n else None
+
+            def _reply(self, obj, status=201):
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):  # noqa: N802
+                if self.path.endswith("/_bulk_docs"):
+                    docs = self._read_body()["docs"]
+                    with outer.lock:
+                        outer.bulk_batches.append(docs)
+                    self._reply([{"ok": True, "id": d.get("_id")} for d in docs])
+                else:
+                    self._reply({"error": "not_found"}, 404)
+
+            def do_PUT(self):  # noqa: N802
+                doc_id = self.path.rsplit("/", 1)[-1]
+                with outer.lock:
+                    outer.puts.append((doc_id, self._read_body()))
+                self._reply({"ok": True, "id": doc_id})
+
+            def do_GET(self):  # noqa: N802
+                if "/_changes" in self.path:
+                    with outer.lock:
+                        page = (
+                            outer.changes_pages.pop(0)
+                            if outer.changes_pages
+                            else {"results": [], "last_seq": 0}
+                        )
+                    self._reply(page, 200)
+                else:
+                    self._reply({"doc_count": 0}, 200)
+
+            def log_message(self, *args):
+                pass
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.server.server_address[1]
+        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+
+    @property
+    def url(self):
+        return f"http://127.0.0.1:{self.port}"
+
+    def close(self):
+        self.server.shutdown()
+
+
+@pytest.fixture
+def couch():
+    c = RecordingCouch()
+    yield c
+    c.close()
+
+
+def test_bulk_writeback_chunks(spark, sf_dir, couch):
+    mirror = docs_mirror(spark, sf_dir).coalesce(2)  # 500 docs, 2 partitions
+    chunks = writeback_bulk(mirror, couch.url, "target", chunk_size=50)
+    assert chunks == len(couch.bulk_batches)
+    sizes = [len(b) for b in couch.bulk_batches]
+    assert all(s <= 50 for s in sizes)
+    assert sum(sizes) == 500
+    seen = {str(d["doc_id"]) for b in couch.bulk_batches for d in b}
+    assert len(seen) == 500
+
+
+def test_bulk_chunk_size_clamped_to_reference_bounds(spark, sf_dir, couch):
+    """Chunk 1000 timed out in the reference (README.md:530): clamp to 500."""
+    mirror = docs_mirror(spark, sf_dir).coalesce(1)
+    writeback_bulk(mirror, couch.url, "target", chunk_size=5000)
+    assert max(len(b) for b in couch.bulk_batches) == 500
+
+
+def test_single_put_writeback(spark, sf_dir, couch):
+    mirror = docs_mirror(spark, sf_dir).filter(F.col("id").cast("long") < 20)
+    n = writeback_single_put(mirror, couch.url, "target")
+    assert n == 20 and len(couch.puts) == 20
+    ids = {doc_id for doc_id, _ in couch.puts}
+    assert ids == {str(i) for i in range(20)}
+
+
+def test_filtered_rereplication(spark, sf_dir, couch):
+    """A18: only the WHERE-subset reaches the new database."""
+    mirror = docs_mirror(spark, sf_dir)
+    expected = mirror.filter(
+        F.get_json_object("doc", "$.source") == "src1"
+    ).count()
+    filtered_rereplication(mirror, "source", "src1", couch.url, "newdb")
+    sent = sum(len(b) for b in couch.bulk_batches)
+    assert sent == expected > 0
+    assert all(d["source"] == "src1" for b in couch.bulk_batches for d in b)
+
+
+def test_changes_polling_client(couch):
+    """A1 over HTTP: drain paged _changes into CHANGES_SCHEMA rows."""
+    couch.changes_pages = [
+        {
+            "results": [
+                {"seq": 1, "id": "a", "doc": {"_id": "a", "_rev": "1-x", "v": 1}},
+                {"seq": 2, "id": "b", "deleted": True},
+            ],
+            "last_seq": 2,
+        },
+        {
+            "results": [
+                {"seq": 3, "id": "a", "doc": {"_id": "a", "_rev": "2-y", "v": 2}}
+            ],
+            "last_seq": 3,
+        },
+    ]
+    client = CouchClient(couch.url)
+    rows, last_seq = poll_changes_to_rows(client, "db", since=0, limit=2)
+    assert last_seq == 3 and len(rows) == 3
+    assert rows[0][:3] == (1, "a", False) and json.loads(rows[0][3])["v"] == 1
+    assert rows[1][:3] == (2, "b", True) and rows[1][3] is None
+    assert rows[2][:3] == (3, "a", False)
