@@ -121,6 +121,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value threshold scales with table size: sf0.001→500 docs (~7 langs)
         return Q.group_count_having(docs_mirror(spark, sf_dir), "source", 0)
 
+    def b12_cte_pipeline(spark, sf_dir):
+        # the README's 3-stage WITH pipeline (newdocs → chunked →
+        # chunked_newdocs, README.md:513-528): filter, chunk, aggregate
+        m = docs_mirror(spark, sf_dir)
+        newdocs = m.filter(json_get_typed("doc", "n_chars", "long") > 250)
+        rn = F.row_number().over(Window.orderBy("id"))
+        chunked = newdocs.withColumn(
+            "chunk", ((rn - F.lit(1)) / F.lit(20)).cast("long") + 1
+        )
+        return chunked.groupBy("chunk").agg(
+            F.count(F.lit(1)).alias("docs_in_chunk"),
+            F.min("id").alias("first_id"),
+        )
+
     def b13_chunks(spark, sf_dir):
         return Q.row_number_chunks(docs_mirror(spark, sf_dir), 50)
 
@@ -158,6 +172,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             json_get_typed("doc", "n_chars", "long").alias("n_chars"),
         )
 
+    def b18_string_fns(spark, sf_dir):
+        # string_agg / || concat / COALESCE scalar surface (README.md:361,344)
+        m = docs_mirror(spark, sf_dir)
+        lang = json_get("doc", "lang")
+        return m.groupBy(lang.alias("lang")).agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("id"))).alias("id_list"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
     def b19_arith(spark, sf_dir):
         m = docs_mirror(spark, sf_dir)
         v = json_get_typed("doc", "n_chars", "double")
@@ -185,6 +208,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("word") != "")
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("value"))
+        )
+
+    def b25_view_projection(spark, sf_dir):
+        # couch temp view emit(doc._id, doc.myvar) (README.md:162-172)
+        m = docs_mirror(spark, sf_dir)
+        return m.select(
+            F.col("id").alias("key"),
+            json_get("doc", "n_chars").alias("value"),
         )
 
     def b26_update_where(spark, sf_dir):
@@ -245,6 +276,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def e01_props_extract(spark, sf_dir):
+        # dynamic-field extraction from the events props JSON column
+        ev = load_table(spark, sf_dir, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+
+    def e02_type_counts(spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+
+    def e03_user_activity(spark, sf_dir):
+        # per-user rollup over the nanos-timestamp column (read as long)
+        # ts is TIMESTAMP(NANOS) parquet, read as long ns (nanosAsLong);
+        # compare at µs precision — DuckDB reads the same column as µs
+        ev = load_table(spark, sf_dir, "events")
+        return ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # integer `div`, not `/1000`: ts ≈ 1.7e18 exceeds double's 2^53
+            # exact-integer range, so float division is off by ±1 µs
+            F.expr("max(ts) div 1000").alias("max_ts_us"),
+            F.expr("min(ts) div 1000").alias("min_ts_us"),
+        )
+
+    def e04_mirror_roundtrip(spark, sf_dir):
+        # events → json mirror → typed extraction back out (to_json/
+        # get_json_object round trip over long/double/nested-json fields)
+        from couch_to_postgres_spark.operators.mirror import events_mirror
+
+        m = events_mirror(spark, sf_dir)
+        return m.select(
+            "id",
+            json_get_typed("doc", "value", "double").alias("value"),
+            F.get_json_object(json_get("doc", "props"), "$.k")
+            .cast("long")
+            .alias("props_k"),
+        ).filter(F.col("value") > 150)
+
+    def j01_orders_by_nation(spark, sf_dir):
+        # Spark-native extension: the joins the reference only speculates
+        # about (README.md:664) come free — dims broadcast under AQE
+        cust = load_table(spark, sf_dir, "customer")
+        nat = load_table(spark, sf_dir, "nation")
+        orders = load_table(spark, sf_dir, "orders")
+        return (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+
+    def j02_lineitem_pricing(spark, sf_dir):
+        # TPC-H Q1 essentials: partial-agg-friendly wide aggregation
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.filter(F.col("l_quantity") < 48)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
     def x_dedup_exact(spark, sf_dir):
         return X_dedup.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -261,7 +366,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return X_dedup.simhash16(_docs(spark, sf_dir))
 
     def x_embed_neardup(spark, sf_dir):
-        pairs = X_dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.5)
+        # block_col=None: the synthetic labels are not cosine clusters, so
+        # blocking would test nothing; brute force with a threshold the
+        # data actually crosses (max pairwise cosine ≈ 0.51)
+        pairs = X_dedup.embedding_neardup_pairs(
+            _emb(spark, sf_dir), threshold=0.4, block_col=None
+        )
         return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
     def x_ann_topk(spark, sf_dir):
@@ -297,15 +407,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b09_distinct": b09_distinct,
         "b10_group_count": b10_group_count,
         "b11_having": b11_having,
+        "b12_cte_pipeline": b12_cte_pipeline,
         "b13_chunks": b13_chunks,
         "b14_key_expansion": b14_key_expansion,
         "b15_json_to_recordset": b15_json_to_recordset,
         "b16_json_agg": b16_json_agg,
         "b17_set_key": b17_set_key,
+        "b18_string_fns": b18_string_fns,
         "b19_arith": b19_arith,
         "b20_union_all": b20_union_all,
         "b21_coalesce": b21_coalesce,
         "b23_flatmap_emit": b23_flatmap_emit,
+        "b25_view_projection": b25_view_projection,
         "b26_update_where": b26_update_where,
         "b27_insert": b27_insert,
         "b29_count": b29_count,
@@ -314,6 +427,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_bulk_chunks": a17_bulk_chunks,
         "a18_filtered_subset": a18_filtered_subset,
         "a19_reconciliation": a19_reconciliation,
+        "e01_props_extract": e01_props_extract,
+        "e02_type_counts": e02_type_counts,
+        "e03_user_activity": e03_user_activity,
+        "e04_mirror_roundtrip": e04_mirror_roundtrip,
+        "j01_orders_by_nation": j01_orders_by_nation,
+        "j02_lineitem_pricing": j02_lineitem_pricing,
         "x_dedup_exact": x_dedup_exact,
         "x_dedup_minhash": x_dedup_minhash,
         "x_dedup_jaccard": x_dedup_jaccard,
@@ -389,6 +508,17 @@ def oracle_sql() -> dict[str, str]:
             WITH tbl AS (SELECT source, count(*) AS value FROM documents GROUP BY source)
             SELECT source, value FROM tbl WHERE value > 0
         """,
+        "b12_cte_pipeline": """
+            WITH newdocs AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id FROM documents WHERE n_chars > 250
+            ),
+            chunked AS (
+                SELECT id, ((ROW_NUMBER() OVER (ORDER BY id) - 1) // 20) + 1 AS chunk
+                FROM newdocs
+            )
+            SELECT chunk, count(*) AS docs_in_chunk, min(id) AS first_id
+            FROM chunked GROUP BY chunk
+        """,
         "b13_chunks": """
             WITH numbered AS (
                 SELECT CAST(doc_id AS VARCHAR) AS id,
@@ -415,6 +545,13 @@ def oracle_sql() -> dict[str, str]:
         "b17_set_key": """
             SELECT CAST(doc_id AS VARCHAR) AS id, lang AS flag, n_chars FROM documents
         """,
+        "b18_string_fns": """
+            SELECT lang,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY CAST(doc_id AS VARCHAR)) AS id_list,
+                   count(*) AS n
+            FROM documents GROUP BY lang
+        """,
         "b19_arith": """
             SELECT CAST(doc_id AS VARCHAR) AS id,
                    CAST(CAST(n_chars + 50 AS BIGINT) AS VARCHAR) AS bumped
@@ -433,6 +570,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, UNNEST(string_split(text, ' ')) AS w(word)
             WHERE w.word <> ''
             GROUP BY w.word
+        """,
+        "b25_view_projection": """
+            SELECT CAST(doc_id AS VARCHAR) AS key,
+                   CAST(n_chars AS VARCHAR) AS value
+            FROM documents
         """,
         "b26_update_where": """
             SELECT CAST(doc_id AS VARCHAR) AS id,
@@ -482,6 +624,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS source_count, count(*) AS mirror_count,
                    0 AS diff
             FROM documents
+        """,
+        "e01_props_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "e02_type_counts": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "e03_user_activity": """
+            SELECT user_id, count(*) AS n_events,
+                   max(epoch_us(ts)) AS max_ts_us,
+                   min(epoch_us(ts)) AS min_ts_us
+            FROM events GROUP BY user_id
+        """,
+        "e04_mirror_roundtrip": """
+            SELECT CAST(event_id AS VARCHAR) AS id, value,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+            FROM events WHERE value > 150
+        """,
+        "j01_orders_by_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "j02_lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_quantity < 48
+            GROUP BY l_returnflag, l_linestatus
         """,
         "x_dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
@@ -558,14 +738,13 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                                   CAST(b.embedding AS DOUBLE[])))), 4)
                        AS cosine
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                            CAST(a.embedding AS DOUBLE[])))
                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[]))))
-                  >= 0.5
+                  >= 0.4
         """,
         "x_ann_topk": """
             WITH sims AS (

@@ -65,7 +65,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
 def nanos_to_timestamp(col):
     """Convert a nanosAsLong-read TIMESTAMP(NANOS) column to a Spark
-    timestamp (microsecond precision)."""
+    timestamp (microsecond precision). Integer `div`, not `/1000`: ns
+    values ≈ 1.7e18 exceed double's 2^53 exact range, so float division
+    would be off by ±1 µs."""
     from pyspark.sql import functions as F
 
-    return F.timestamp_micros((col / 1000).cast("long"))
+    us = F.floor(col.cast("decimal(38,0)") / 1000).cast("long")
+    return F.timestamp_micros(us)
