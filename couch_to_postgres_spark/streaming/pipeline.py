@@ -59,9 +59,18 @@ def upsert_mirror(
     unchanged.
     """
     current = read_mirror(spark, mirror_path)
-    merged = apply_changes(current, batch, type_filter=type_filter, map_hook=map_hook)
-    tmp = mirror_path + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    # Persist the batch: apply_changes references it twice (touched-key
+    # anti-join side + upsert union side); without this the whole
+    # batch-dedup window computes twice per merge.
+    batch = batch.persist()
+    try:
+        merged = apply_changes(
+            current, batch, type_filter=type_filter, map_hook=map_hook
+        )
+        tmp = mirror_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+    finally:
+        batch.unpersist()
     old = mirror_path + ".old"
     if os.path.exists(mirror_path):
         os.rename(mirror_path, old)

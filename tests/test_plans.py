@@ -1,0 +1,91 @@
+"""Scale-property tests: the plan shapes we rely on at 100 TB, asserted.
+
+Each test pins a physical-plan property that would silently regress
+otherwise: predicate pushdown into parquet, column pruning, broadcast of
+small sides, and the no-mirror-shuffle CDC merge.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.operators import query as Q
+from couch_to_postgres_spark.operators.cdc import apply_changes
+from couch_to_postgres_spark.operators.mirror import CHANGES_SCHEMA, docs_mirror
+from couch_to_postgres_spark.plans.inspect import (
+    executed_plan,
+    has_broadcast_hash_join,
+    pushed_filters,
+    scan_read_schema,
+)
+from couch_to_postgres_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def stored_mirror(spark, sf_dir, tmp_path_factory):
+    """A materialized mirror parquet — the deployment shape queries run
+    against (replication output is stored state)."""
+    path = str(tmp_path_factory.mktemp("plans") / "mirror.parquet")
+    docs_mirror(spark, sf_dir).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, stored_mirror):
+    df = stored_mirror.filter(F.col("id") == "123").select("id")
+    pf = pushed_filters(df)
+    assert any("id" in f and "123" in f for f in pf), pf
+
+
+def test_prefix_like_pushes_to_scan(spark, stored_mirror):
+    df = stored_mirror.filter(F.col("id").like("1%"))
+    pf = pushed_filters(df)
+    assert any("StringStartsWith" in f or "startsWith" in f.lower() for f in pf), pf
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(df)
+    assert schemas and all(
+        "l_orderkey" in s and "l_extendedprice" not in s for s in schemas
+    ), schemas
+
+
+def test_join_broadcasts_small_dim(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    # 150-row customer is far under the broadcast threshold
+    assert has_broadcast_hash_join(joined)
+
+
+def test_cdc_merge_never_shuffles_mirror(spark, stored_mirror):
+    changes = spark.createDataFrame([(1, "42", False, '{"_rev":"9-z"}')], CHANGES_SCHEMA)
+    merged = apply_changes(stored_mirror, changes)
+    plan = executed_plan(merged)
+    # the mirror flows through a broadcast anti-join (no exchange on its
+    # side); if broadcast regressed to sort-merge, BOTH sides would gain
+    # hashpartitioning exchanges (3+), so pin the count at ≤2 — the two
+    # allowed ones are the changes-side window dedup (small side)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
+    ]
+    assert len(shuffles) <= 2, shuffles
+
+
+def test_group_count_uses_partial_aggregation(spark, stored_mirror):
+    df = Q.group_count(stored_mirror, "lang")
+    plan = executed_plan(df)
+    # two HashAggregate phases (partial map-side + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_flagship_single_scan_no_shuffle(spark, stored_mirror):
+    """Filter+project+sort pipeline: the only wide op is the final sort."""
+    df = Q.flagship(stored_mirror)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan  # sort uses range part.
