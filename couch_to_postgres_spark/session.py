@@ -50,6 +50,10 @@ def get_spark(
         # nanos timestamp type — read as long (ns since epoch) and convert
         # on demand (see nanos_to_timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
