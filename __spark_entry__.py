@@ -318,6 +318,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("props_k"),
         ).filter(F.col("value") > 150)
 
+    def e05_windowed_counts(spark, sf_dir):
+        # tumbling 6h event-time windows keyed by engine-neutral bucket id
+        # (ns-epoch div window; avoids Spark-vs-DuckDB window origin rules)
+        ev = load_table(spark, sf_dir, "events")
+        return ev.groupBy(
+            F.expr("ts div 21600000000000").alias("bucket_id"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+
+    def e06_sessionize(spark, sf_dir):
+        from couch_to_postgres_spark.streaming.windows import sessionize_batch
+
+        ev = load_table(spark, sf_dir, "events")
+        return sessionize_batch(ev, gap_minutes=60).select(
+            "user_id",
+            F.col("session_no").cast("long").alias("session_no"),
+            "n_events",
+            "session_start_us",
+            "session_end_us",
+        )
+
     def j01_orders_by_nation(spark, sf_dir):
         # Spark-native extension: the joins the reference only speculates
         # about (README.md:664) come free — dims broadcast under AQE
@@ -355,6 +378,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def x_dedup_minhash(spark, sf_dir):
         return X_dedup.minhash_candidate_pairs(_docs(spark, sf_dir), num_bands=4)
+
+    def x_dedup_minhash_banded(spark, sf_dir):
+        # b=4 bands × r=2 rows: per-band collision needs both min-hashes to
+        # agree (precision knob engaged)
+        return X_dedup.minhash_candidate_pairs(
+            _docs(spark, sf_dir), num_bands=4, rows_per_band=2
+        )
 
     def x_dedup_jaccard(spark, sf_dir):
         d = _docs(spark, sf_dir)
@@ -431,10 +461,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e02_type_counts": e02_type_counts,
         "e03_user_activity": e03_user_activity,
         "e04_mirror_roundtrip": e04_mirror_roundtrip,
+        "e05_windowed_counts": e05_windowed_counts,
+        "e06_sessionize": e06_sessionize,
         "j01_orders_by_nation": j01_orders_by_nation,
         "j02_lineitem_pricing": j02_lineitem_pricing,
         "x_dedup_exact": x_dedup_exact,
         "x_dedup_minhash": x_dedup_minhash,
+        "x_dedup_minhash_banded": x_dedup_minhash_banded,
         "x_dedup_jaccard": x_dedup_jaccard,
         "x_simhash": x_simhash,
         "x_embed_neardup": x_embed_neardup,
@@ -646,6 +679,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
             FROM events WHERE value > 150
         """,
+        "e05_windowed_counts": """
+            SELECT epoch_us(ts) // 21600000000 AS bucket_id, event_type,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "e06_sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 3600000000 THEN 1
+                            ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING)
+                           AS session_no
+                FROM marked
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   count(*) AS n_events,
+                   min(epoch_us(ts)) AS session_start_us,
+                   max(epoch_us(ts)) AS session_end_us
+            FROM numbered GROUP BY user_id, session_no
+        """,
         "j01_orders_by_nation": """
             SELECT n_name, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS revenue
@@ -678,6 +739,27 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, band,
                        min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS signature
                 FROM banded GROUP BY doc_id, band
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.signature = b.signature
+             AND a.doc_id < b.doc_id
+        """,
+        "x_dedup_minhash_banded": f"""
+            WITH {_WORDS}, {_SHINGLES},
+            hashed AS (
+                SELECT doc_id, h.hash_i, shingle
+                FROM shingled, UNNEST([0,1,2,3,4,5,6,7]) AS h(hash_i)
+            ),
+            minhashes AS (
+                SELECT doc_id, hash_i,
+                       min(md5(CAST(hash_i AS VARCHAR) || ':' || shingle)) AS mh
+                FROM hashed GROUP BY doc_id, hash_i
+            ),
+            sigs AS (
+                SELECT doc_id, CAST(hash_i // 2 AS INT) AS band,
+                       array_to_string(list_sort(list(mh)), '|') AS signature
+                FROM minhashes GROUP BY doc_id, CAST(hash_i // 2 AS INT)
             )
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sigs a JOIN sigs b

@@ -63,32 +63,41 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_bands: int = 8,
     shingle_n: int = 3,
+    rows_per_band: int = 1,
 ) -> DataFrame:
-    """Per-(doc, band) MinHash signature.
+    """Per-(doc, band) MinHash signature with b bands × r rows.
 
-    Band ``b``'s hash permutation is ``md5(b || ':' || shingle)`` and the
-    signature is the lexicographic minimum digest — a valid min-wise hash
-    family, chosen over Spark's ``MinHashLSH`` (mllib) because it is
-    (a) exactly reproducible in the DuckDB oracle and (b) pure DataFrame
-    (explode → groupBy(min)), so partial aggregation keeps the shuffle at
-    one 32-byte row per (doc, band).
+    Hash function ``i`` (i = band*r+row) is ``md5(i || ':' || shingle)``
+    and its min-hash is the lexicographic minimum digest — a valid
+    min-wise family, chosen over Spark's ``MinHashLSH`` (mllib) because it
+    is (a) exactly reproducible in the DuckDB oracle and (b) pure
+    DataFrame (explode → groupBy(min)), so partial aggregation keeps the
+    shuffle at one small row per (doc, hash fn). A band's signature is the
+    concatenation of its r min-hashes: docs collide on a band iff all r
+    agree (P ≈ s^r per band — ``rows_per_band`` is the precision knob,
+    ``num_bands`` the recall knob).
     """
     shingled = df.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )
-    banded = shingled.select(
+    k = num_bands * rows_per_band
+    hashed = shingled.select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_i"),
         "shingle",
     )
+    minhashes = hashed.groupBy(id_col, "hash_i").agg(
+        F.min(
+            F.md5(F.concat_ws(":", F.col("hash_i").cast("string"), F.col("shingle")))
+        ).alias("mh")
+    )
     return (
-        banded.groupBy(id_col, "band")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws(":", F.col("band").cast("string"), F.col("shingle")))
-            ).alias("signature")
+        minhashes.withColumn(
+            "band", (F.col("hash_i") / F.lit(rows_per_band)).cast("int")
         )
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("mh"))).alias("signature"))
     )
 
 
@@ -98,16 +107,19 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     num_bands: int = 8,
     shingle_n: int = 3,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """LSH candidate near-duplicate pairs: docs sharing a (band, signature)
-    bucket (bands of one row each — high recall; callers verify candidates
-    with :func:`ngram_jaccard` or exact compare).
+    bucket. Callers verify candidates with :func:`ngram_jaccard` or exact
+    compare.
 
-    The self-join is on (band, signature) — uniformly-distributed 128-bit
+    The self-join is on (band, signature) — uniformly-distributed digest
     buckets, so the shuffle is skew-free by construction; the pair set
     (not the corpus) is the only thing materialized.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_bands, shingle_n)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_bands, shingle_n, rows_per_band
+    )
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (

@@ -1,0 +1,83 @@
+"""Event-time operators for event streams (extension stratum — the
+reference has no event-time semantics, SURVEY.md §2 scope fence; these are
+the Structured Streaming capabilities a training-data pipeline needs on
+top: windowed aggregation with late-data handling, and gap sessionization).
+
+Batch and streaming share one definition: the batch form is the oracle for
+the streaming form (same groupBy(window(...)) expression tree), so tests
+can assert stream≡batch on a drained feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.session import nanos_to_timestamp
+
+
+def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """ns-long ts (nanosAsLong parquet) → proper event-time column."""
+    return events.withColumn("event_time", nanos_to_timestamp(F.col(ts_col)))
+
+
+def windowed_type_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts per event type. With ``watermark`` set (on a
+    streaming DataFrame) late rows beyond the bound are dropped and window
+    state is reclaimed — the knob that keeps unbounded streams at bounded
+    state. Works identically on batch DataFrames (watermark is a no-op
+    there), which is how tests oracle it."""
+    df = with_event_time(events, ts_col)
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark("event_time", watermark)
+    return (
+        df.groupBy(F.window("event_time", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization, batch form: a new session starts when the
+    gap to the previous event of the same key exceeds ``gap_minutes``.
+    Classic lag + running-sum window pipeline — one shuffle on the key,
+    then two window passes over the same partitioning (Spark reuses the
+    sort). Returns per-session rollups."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+    marked = events.withColumn(
+        "new_session",
+        (
+            F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap_ns)
+        ).cast("int"),
+    ).withColumn(
+        "session_no",
+        F.sum(F.coalesce(F.col("new_session"), F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return marked.groupBy(key_col, "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(f"min({ts_col}) div 1000").alias("session_start_us"),
+        F.expr(f"max({ts_col}) div 1000").alias("session_end_us"),
+    )
