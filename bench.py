@@ -34,6 +34,10 @@ from couch_to_postgres_spark.operators import query as Q  # noqa: E402
 from couch_to_postgres_spark.operators.cdc import apply_changes  # noqa: E402
 from couch_to_postgres_spark.operators.mirror import docs_mirror  # noqa: E402
 from couch_to_postgres_spark.session import get_spark, load_table  # noqa: E402
+from couch_to_postgres_spark.streaming.windows import (  # noqa: E402
+    sessionize_batch,
+    windowed_type_counts,
+)
 
 
 def lineitem_mirror(spark, sf_dir):
@@ -112,6 +116,39 @@ def main() -> None:
         lambda: X_sim.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5).collect(),
     )
     bench("q_text_features", lambda: X_text.text_features(docs).count())
+
+    ev = load_table(spark, sf_dir, "events")
+    bench(
+        "q_windowed_counts",
+        lambda: windowed_type_counts(ev, "6 hours").collect(),
+    )
+    bench("q_sessionize", lambda: sessionize_batch(ev, 60).count())
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    bench(
+        "q_join_nation",
+        lambda: orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+        .collect(),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bench(
+        "q_lineitem_pricing",
+        lambda: li.filter(F.col("l_quantity") < 48)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .collect(),
+    )
 
     total = round(sum(timings.values()), 3)
     # change-apply throughput vs the reference's 626 docs/s tuned sync

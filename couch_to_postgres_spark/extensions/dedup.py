@@ -77,27 +77,49 @@ def minhash_signatures(
     agree (P ≈ s^r per band — ``rows_per_band`` is the precision knob,
     ``num_bands`` the recall knob).
     """
+    # Plan shape, measured at sf0.1 (5k docs × ~90 shingles, k=4):
+    # explode the shingles ONCE (not ×k hash fns) and compute all k
+    # min-hashes as parallel codegen'd aggregates of one groupBy(id) —
+    # partial aggregation collapses map-side to ~1 row/doc/partition, so
+    # the exchange carries |docs| skinny rows. Alternatives measured
+    # slower: explode×k (k× the shuffle rows, 4.5 s), and pure
+    # higher-order-function array_min/transform with no shuffle at all
+    # (20 s — HOF lambdas are interpreted, not codegen'd, and
+    # CollapseProject re-inlines the shingle build per hash fn).
+    k = num_bands * rows_per_band
     shingled = df.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )
-    k = num_bands * rows_per_band
-    hashed = shingled.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_i"),
-        "shingle",
+    mins = shingled.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(
+                f"mh{i}"
+            )
+            for i in range(k)
+        ]
     )
-    minhashes = hashed.groupBy(id_col, "hash_i").agg(
-        F.min(
-            F.md5(F.concat_ws(":", F.col("hash_i").cast("string"), F.col("shingle")))
-        ).alias("mh")
-    )
-    return (
-        minhashes.withColumn(
-            "band", (F.col("hash_i") / F.lit(rows_per_band)).cast("int")
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.array(
+                        *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+                    )
+                ),
+            ).alias("signature"),
         )
-        .groupBy(id_col, "band")
-        .agg(F.concat_ws("|", F.sort_array(F.collect_list("mh"))).alias("signature"))
+        for b in range(num_bands)
+    ]
+    return (
+        mins.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bs"))
+        .select(
+            id_col,
+            F.col("bs.band").alias("band"),
+            F.col("bs.signature").alias("signature"),
+        )
     )
 
 
