@@ -408,6 +408,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _emb(spark, sf_dir)
         return X_sim.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
+    def x_ann_ivf(spark, sf_dir):
+        # IVF (KMeans coarse quantizer + nprobe cell probing); no SQL
+        # oracle — KMeans isn't expressible in DuckDB, so the driver
+        # records the weaker rows-only check; recall vs brute force is
+        # asserted in tests/test_ann.py
+        from couch_to_postgres_spark.extensions.ann import ivf_topk, train_centroids
+
+        e = _emb(spark, sf_dir)
+        cents = train_centroids(e, n_cells=8)
+        return ivf_topk(e.filter(F.col("vec_id") < 10), e, cents, k=5, nprobe=4)
+
     def x_ann_topk_blocked(spark, sf_dir):
         e = _emb(spark, sf_dir)
         return X_sim.cosine_topk_blocked(e.filter(F.col("vec_id") < 20), e, k=5)
@@ -472,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash": x_simhash,
         "x_embed_neardup": x_embed_neardup,
         "x_ann_topk": x_ann_topk,
+        "x_ann_ivf": x_ann_ivf,
         "x_ann_topk_blocked": x_ann_topk_blocked,
         "x_text_features": x_text_features,
         "x_quality_filter": x_quality_filter,

@@ -1,0 +1,123 @@
+"""IVF approximate nearest neighbor search — the 100 TB scale path for
+embedding similarity.
+
+Build: train coarse centroids with ``pyspark.ml`` KMeans (public Spark
+MLlib) on a sample, assign every corpus vector to its nearest centroid
+(one broadcast of the centroid matrix, numpy-vectorized per Arrow batch),
+and store the corpus partitioned by ``cell``.
+
+Search: for each query, score only the ``nprobe`` nearest cells'
+vectors — the candidate join carries (query × probed-cell) pairs instead
+of (query × corpus), cutting scored pairs by ~n_cells/nprobe while the
+per-cell layout keeps scans partition-pruned.
+
+Exact baseline for recall measurement: ``similarity.cosine_topk``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """KMeans coarse quantizer. Returns the centroid matrix (small —
+    n_cells × dim — safe to broadcast)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(ml_df)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector its ``nprobe`` nearest centroid ids (cosine).
+    One row per (vector, probed cell); ``nprobe=1`` for corpus layout,
+    >1 for query-side probing. Vectorized numpy per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def _nearest_fn(vecs):
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cnorm.T  # (batch × n_cells)
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.tolist() for row in top])
+
+    _nearest = F.pandas_udf(_nearest_fn, ArrayType(IntegerType()))
+
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_nearest(F.col(vec_col))).alias(out_col),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score queries only against vectors in their
+    ``nprobe`` nearest cells. Same output shape as
+    ``similarity.cosine_topk`` (query_id, neighbor_id, rank)."""
+    from pyspark.sql import Window
+
+    from couch_to_postgres_spark.extensions.similarity import _as_double, _dot, _norm
+
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    c = corpus_cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        "cell",
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        "cell",
+    ).withColumn("qn", _norm(F.col("qv")))
+    sim = (
+        F.broadcast(q)
+        .join(c, on=["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cosine_r"),
+        )
+        # a (query, neighbor) pair can surface via several probed cells
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,83 @@
+"""IVF ANN: recall vs brute force, cell-assignment sanity, simhash64
+properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.ann import assign_cells, ivf_topk, train_centroids
+from couch_to_postgres_spark.extensions.dedup import hamming64, simhash64
+from couch_to_postgres_spark.extensions.similarity import cosine_topk
+from couch_to_postgres_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return train_centroids(emb, n_cells=8)
+
+
+def test_centroid_shape(centroids, emb):
+    dim = len(emb.head()["embedding"])
+    assert len(centroids) == 8 and all(len(c) == dim for c in centroids)
+
+
+def test_assign_cells_covers_corpus(emb, centroids):
+    assigned = assign_cells(emb, centroids)
+    assert assigned.count() == emb.count()  # nprobe=1 → one cell each
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells.issubset(set(range(8)))
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb, centroids):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    # full probing (nprobe = n_cells) must reproduce brute force exactly
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, emb, centroids, k=5, nprobe=8).collect()
+    }
+    assert full == exact
+    # partial probing trades recall for work; random gaussian-ish data is
+    # the worst case for IVF, so the bar is modest
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, emb, centroids, k=5, nprobe=4).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_simhash64_properties(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    d0 = docs.first()
+    near_words = d0["text"].split(" ")
+    near_words[len(near_words) // 2] = "XXREPLACEDXX"
+    extra = spark.createDataFrame(
+        [
+            (900000, d0["text"], d0["lang"], d0["source"], d0["n_chars"]),
+            (900001, " ".join(near_words), d0["lang"], d0["source"], d0["n_chars"]),
+        ],
+        schema=docs.schema,
+    )
+    fp = {
+        r["doc_id"]: r["simhash64"]
+        for r in simhash64(docs.unionByName(extra)).collect()
+    }
+    assert fp[d0["doc_id"]] == fp[900000]  # identical text
+    near_dist = bin((fp[d0["doc_id"]] ^ fp[900001]) & (2**64 - 1)).count("1")
+    assert near_dist <= 12  # near-identical → hamming-close
+    other = [i for i in fp if i not in (d0["doc_id"], 900000, 900001)][0]
+    far_dist = bin((fp[d0["doc_id"]] ^ fp[other]) & (2**64 - 1)).count("1")
+    assert far_dist > near_dist  # unrelated docs are farther
+
+
+def test_hamming64_column(spark):
+    df = spark.createDataFrame([(0b1011, 0b0011)], "a long, b long")
+    assert df.select(hamming64(F.col("a"), F.col("b")).alias("h")).head()["h"] == 1

@@ -36,9 +36,13 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
+# non-SQL-expressible ops (driver records the weaker rows-only check)
+NO_ORACLE = {"x_ann_ivf"}
+
+
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
-    assert missing == set(), f"queries without oracle: {missing}"
+    assert missing == NO_ORACLE, f"queries without oracle: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
