@@ -105,6 +105,29 @@ def main() -> None:
         apply_changes(mirror, changes, broadcast_changes=False).count()
 
     bench("q_cdc_apply", cdc_apply)
+
+    def cdc_incremental() -> None:
+        """Steady-state micro-batch: 1000 updates against the stored 600k
+        mirror via the partitioned selective-rewrite path."""
+        from couch_to_postgres_spark.streaming.partitioned import (
+            upsert_partitioned_mirror,
+            write_partitioned_mirror,
+        )
+
+        part_path = os.path.join(tmp, "part_mirror")
+        if not os.path.exists(part_path):
+            write_partitioned_mirror(big_mirror, part_path, 64)
+        batch = big_mirror.limit(1000).select(
+            F.monotonically_increasing_id().alias("seq"),
+            "id",
+            F.lit(False).alias("deleted"),
+            "doc",
+        )
+        upsert_partitioned_mirror(spark, part_path, batch, 64)
+
+    # prepare outside the timer (layout cost is the one-time initial load)
+    cdc_incremental()
+    bench("q_cdc_incremental", cdc_incremental)
     bench(
         "q_dedup_minhash",
         lambda: X_dedup.minhash_candidate_pairs(docs, num_bands=4).count(),
