@@ -146,6 +146,33 @@ class Daemon:
             }
         return out
 
+    def run_supervisor(
+        self,
+        poll_seconds: float = 50.0,
+        trigger: dict | None = None,
+        stop_event: threading.Event | None = None,
+    ) -> threading.Thread:
+        """Continuous supervision: the reference's feedsWatchdog interval
+        loop (bin/daemon.js:191, 50 s cadence). Runs find_feeds +
+        watchdog every ``poll_seconds`` on a daemon thread until
+        ``stop_event`` is set. Returns the thread (and the event is
+        attached as ``thread.stop_event`` when created here)."""
+        ev = stop_event or threading.Event()
+
+        def _loop() -> None:
+            while not ev.is_set():
+                try:
+                    self.watchdog(trigger=trigger)
+                except Exception:  # noqa: BLE001 — supervision must outlive
+                    pass  # transient registry/query races; retry next cycle
+                if ev.wait(poll_seconds):
+                    break
+
+        t = threading.Thread(target=_loop, daemon=True)
+        t.stop_event = ev  # type: ignore[attr-defined]
+        t.start()
+        return t
+
     def await_all(self) -> None:
         for q in self.queries.values():
             q.awaitTermination()

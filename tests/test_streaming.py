@@ -166,6 +166,51 @@ def test_daemon_multi_feed_and_watchdog(spark, sf_dir, tmp):
     d.stop_all()
 
 
+def test_daemon_continuous_supervision(spark, sf_dir, tmp):
+    """processingTime feeds under a live supervisor: changes arriving
+    after start are picked up; disabling a feed stops it within one
+    supervision cycle; re-enabling restarts it from its checkpoint."""
+    import time
+
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    first = changes.filter(F.col("seq") < 500)
+    rest = changes.filter(F.col("seq") >= 500)
+    write_change_log(first, f"{tmp}/log_live")
+    save_registry(
+        f"{tmp}/registry.json",
+        [FeedConfig(name="live-feed", changes_path=f"{tmp}/log_live")],
+    )
+    d = Daemon(spark, f"{tmp}/registry.json", f"{tmp}/data")
+    sup = d.run_supervisor(
+        poll_seconds=2, trigger={"processingTime": "1 seconds"}
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and d.status().get("live-feed", {}).get(
+            "doc_count", 0
+        ) < len(expected_state(first)):
+            time.sleep(1)
+        assert d.status()["live-feed"]["doc_count"] == len(expected_state(first))
+
+        # late-arriving changes are absorbed by the running query
+        write_change_log(rest, f"{tmp}/log_live")
+        deadline = time.time() + 60
+        target = len(expected_state(changes))
+        while time.time() < deadline and d.status()["live-feed"]["doc_count"] != target:
+            time.sleep(1)
+        assert d.status()["live-feed"]["doc_count"] == target
+
+        # disable → the supervisor reaps the feed within ~one cycle
+        set_feed_enabled(f"{tmp}/registry.json", "live-feed", False)
+        deadline = time.time() + 30
+        while time.time() < deadline and d.status()["live-feed"]["alive"]:
+            time.sleep(1)
+        assert not d.status()["live-feed"]["alive"]
+    finally:
+        sup.stop_event.set()
+        d.stop_all()
+
+
 def test_control_plane_http(spark, sf_dir, tmp):
     make_two_feed_registry(spark, sf_dir, tmp)
     d = Daemon(spark, f"{tmp}/registry.json", f"{tmp}/data")
