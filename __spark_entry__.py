@@ -117,6 +117,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def b10_group_count(spark, sf_dir):
         return Q.group_count(docs_mirror(spark, sf_dir), "lang")
 
+    def b10v_group_count_variant(spark, sf_dir):
+        # same semantics/oracle as b10, through the VariantType path
+        from couch_to_postgres_spark.operators.variant import (
+            group_count_variant,
+            to_variant,
+        )
+
+        return group_count_variant(to_variant(docs_mirror(spark, sf_dir)), "lang")
+
+    def b14v_key_expansion_variant(spark, sf_dir):
+        from couch_to_postgres_spark.operators.variant import (
+            key_expansion_variant,
+            to_variant,
+        )
+
+        return key_expansion_variant(to_variant(docs_mirror(spark, sf_dir)), "lang")
+
     def b11_having(spark, sf_dir):
         # value threshold scales with table size: sf0.001→500 docs (~7 langs)
         return Q.group_count_having(docs_mirror(spark, sf_dir), "source", 0)
@@ -447,10 +464,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b08_ordering_pitfall": b08_ordering_pitfall,
         "b09_distinct": b09_distinct,
         "b10_group_count": b10_group_count,
+        "b10v_group_count_variant": b10v_group_count_variant,
         "b11_having": b11_having,
         "b12_cte_pipeline": b12_cte_pipeline,
         "b13_chunks": b13_chunks,
         "b14_key_expansion": b14_key_expansion,
+        "b14v_key_expansion_variant": b14v_key_expansion_variant,
         "b15_json_to_recordset": b15_json_to_recordset,
         "b16_json_agg": b16_json_agg,
         "b17_set_key": b17_set_key,
@@ -548,6 +567,14 @@ def oracle_sql() -> dict[str, str]:
         "b09_distinct": "SELECT DISTINCT lang, source FROM documents",
         "b10_group_count": """
             SELECT lang, count(*) AS value FROM documents GROUP BY lang
+        """,
+        "b10v_group_count_variant": """
+            SELECT lang, count(*) AS value FROM documents GROUP BY lang
+        """,
+        "b14v_key_expansion_variant": """
+            SELECT DISTINCT lang AS type, k.key
+            FROM documents,
+                 UNNEST(['doc_id','text','lang','source','n_chars']) AS k(key)
         """,
         "b11_having": """
             WITH tbl AS (SELECT source, count(*) AS value FROM documents GROUP BY source)

@@ -92,6 +92,25 @@ def main() -> None:
     )
     bench("q_flagship", lambda: Q.flagship(docs_mirror(spark, sf_dir)).collect())
 
+    # variant-stored mirror: parse-once layout (the jsonb analog)
+    from couch_to_postgres_spark.operators.variant import (
+        group_count_variant,
+        key_expansion_variant,
+        write_variant_mirror,
+    )
+
+    vpath = os.path.join(tmp, "variant_mirror.parquet")
+    write_variant_mirror(big_mirror, vpath)
+    vmirror = spark.read.parquet(vpath)
+    bench(
+        "q_group_count_variant",
+        lambda: group_count_variant(vmirror, "l_returnflag").collect(),
+    )
+    bench(
+        "q_key_expansion_variant",
+        lambda: key_expansion_variant(vmirror, "l_returnflag").collect(),
+    )
+
     def cdc_apply() -> None:
         """Bulk change-apply: every lineitem doc arrives as an insert change
         against an empty mirror — the reference's initial-full-sync shape."""
