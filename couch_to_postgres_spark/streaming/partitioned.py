@@ -120,6 +120,46 @@ def upsert_partitioned_mirror(
         batch.unpersist()
 
 
+def bucket_file_counts(path: str) -> dict[int, int]:
+    """Parquet file count per bucket directory (the small-file metric)."""
+    out: dict[int, int] = {}
+    if not os.path.exists(path):
+        return out
+    for entry in os.listdir(path):
+        if entry.startswith("bucket="):
+            b = int(entry.split("=", 1)[1])
+            d = os.path.join(path, entry)
+            out[b] = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    return out
+
+
+def compact_mirror(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 4,
+    target_files: int = 1,
+) -> list[int]:
+    """Maintenance: rewrite buckets whose file count exceeds the
+    threshold into ``target_files`` files each (atomic per-bucket swap).
+    Run periodically/off-peak — micro-batch merges append small files to
+    touched buckets, and scan cost degrades with file count long before
+    it degrades with data size. Returns the compacted bucket ids."""
+    todo = [
+        b for b, n in bucket_file_counts(path).items() if n > max_files_per_bucket
+    ]
+    for b in sorted(todo):
+        src = os.path.join(path, f"bucket={b}")
+        tmp = src + ".compact"
+        spark.read.parquet(src).coalesce(target_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = src + ".old"
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old, ignore_errors=True)
+    return sorted(todo)
+
+
 def follow_partitioned(
     spark: SparkSession,
     changes_path: str,

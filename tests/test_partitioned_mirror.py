@@ -103,6 +103,32 @@ def test_streaming_follow_partitioned(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_compaction(spark, sf_dir, tmp_path):
+    from couch_to_postgres_spark.streaming.partitioned import (
+        bucket_file_counts,
+        compact_mirror,
+    )
+
+    mirror_path = str(tmp_path / "pmirror")
+    base = docs_mirror(spark, sf_dir)
+    write_partitioned_mirror(base, mirror_path, 4)
+    # fragment one bucket: append-mode writes simulate accumulated batches
+    frag = base.limit(40).withColumn(
+        "bucket", F.lit(2)
+    )
+    for _ in range(6):
+        frag.write.mode("append").partitionBy("bucket").parquet(mirror_path)
+    before_rows = read_partitioned_mirror(spark, mirror_path).count()
+    assert bucket_file_counts(mirror_path)[2] > 4
+
+    compacted = compact_mirror(spark, mirror_path, max_files_per_bucket=4)
+    assert compacted == [2]
+    counts = bucket_file_counts(mirror_path)
+    assert counts[2] == 1
+    # data preserved bit-for-bit (row count + sample equality)
+    assert read_partitioned_mirror(spark, mirror_path).count() == before_rows
+
+
 def test_empty_batch_noop(spark, sf_dir, tmp_path):
     mirror_path = str(tmp_path / "pmirror")
     write_partitioned_mirror(docs_mirror(spark, sf_dir), mirror_path, N_BUCKETS)
