@@ -34,11 +34,34 @@ from couch_to_postgres_spark.operators.mirror import MIRROR_SCHEMA
 from couch_to_postgres_spark.sources.changes import read_change_stream
 
 
+CURRENT_LINK = "current"
+KEEP_VERSIONS = 2
+
+
+def _current_version(mirror_path: str) -> str | None:
+    """Resolve the live version directory, or None when empty mirror.
+    Supports the legacy flat layout (parquet files directly at the path)."""
+    link = os.path.join(mirror_path, CURRENT_LINK)
+    if os.path.islink(link) or os.path.exists(link):
+        return os.path.realpath(link)
+    if os.path.exists(mirror_path) and any(
+        f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(mirror_path)
+    ):
+        return mirror_path  # legacy flat layout
+    return None
+
+
 def read_mirror(spark: SparkSession, mirror_path: str) -> DataFrame:
     """Current mirror state; empty mirror when the table doesn't exist yet
-    (auto-creation parity: bin/daemon.js:233-262)."""
-    if os.path.exists(mirror_path):
-        return spark.read.parquet(mirror_path)
+    (auto-creation parity: bin/daemon.js:233-262).
+
+    MVCC reads: the ``current`` symlink is resolved to its immutable
+    version directory BEFORE planning, so a concurrent merge swapping the
+    link never yanks files out from under a running scan — old versions
+    are retained for ``KEEP_VERSIONS`` swaps."""
+    version = _current_version(mirror_path)
+    if version is not None:
+        return spark.read.parquet(version)
     return spark.createDataFrame([], MIRROR_SCHEMA)
 
 
@@ -49,15 +72,21 @@ def upsert_mirror(
     type_filter: str | None = None,
     map_hook: Callable[[Column], Column] | None = None,
 ) -> None:
-    """Merge one change batch into the parquet mirror, atomically.
+    """Merge one change batch into the parquet mirror, atomically and
+    MVCC-safe for concurrent readers.
 
-    The rewritten mirror lands in ``<path>.tmp`` and is swapped in with a
-    rename, so a crash mid-write leaves the old state intact; replaying the
-    batch after restart converges (idempotent merge). At 100 TB the swap
-    becomes a partition-level operation on a table format (Delta MERGE) —
-    the merge plan itself (broadcast-anti-join, no mirror shuffle) is
+    The merged state lands in a fresh immutable version directory
+    (``v-<n>``); the ``current`` symlink is swapped atomically (symlink
+    rename); older versions are garbage-collected after ``KEEP_VERSIONS``
+    swaps so in-flight readers of the previous version finish cleanly.
+    A crash mid-write leaves the old version live; replaying the batch
+    after restart converges (idempotent merge). At 100 TB the same scheme
+    is what table formats (Delta/Iceberg) do with manifest files — the
+    merge plan itself (broadcast-anti-join, no mirror shuffle) is
     unchanged.
     """
+    import time
+
     current = read_mirror(spark, mirror_path)
     # Persist the batch: apply_changes references it twice (touched-key
     # anti-join side + upsert union side); without this the whole
@@ -67,15 +96,29 @@ def upsert_mirror(
         merged = apply_changes(
             current, batch, type_filter=type_filter, map_hook=map_hook
         )
-        tmp = mirror_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        os.makedirs(mirror_path, exist_ok=True)
+        version_name = f"v-{time.time_ns()}"
+        version_dir = os.path.join(mirror_path, version_name)
+        merged.write.mode("overwrite").parquet(version_dir)
     finally:
         batch.unpersist()
-    old = mirror_path + ".old"
-    if os.path.exists(mirror_path):
-        os.rename(mirror_path, old)
-    os.rename(tmp, mirror_path)
-    shutil.rmtree(old, ignore_errors=True)
+    # atomic publish: rename of a symlink replaces it in one step
+    link = os.path.join(mirror_path, CURRENT_LINK)
+    tmp_link = os.path.join(mirror_path, f".{CURRENT_LINK}.{version_name}")
+    os.symlink(version_name, tmp_link)
+    os.replace(tmp_link, link)
+    # GC old versions (keep the most recent KEEP_VERSIONS for readers)
+    versions = sorted(
+        (d for d in os.listdir(mirror_path) if d.startswith("v-")), reverse=True
+    )
+    for stale in versions[KEEP_VERSIONS:]:
+        shutil.rmtree(os.path.join(mirror_path, stale), ignore_errors=True)
+    # migrate-away cleanup: drop legacy flat-layout files at the top level
+    for f in os.listdir(mirror_path):
+        if f.endswith(".parquet") or f == "_SUCCESS":
+            p = os.path.join(mirror_path, f)
+            if os.path.isfile(p):
+                os.remove(p)
 
 
 def follow(

@@ -119,15 +119,22 @@ def test_count_reconciliation_after_stream(spark, sf_dir, tmp):
     assert mirror_doc_count(spark, f"{tmp}/mirror") == len(expected_state(changes))
 
 
-def test_upsert_mirror_atomic_layout(spark, sf_dir, tmp):
-    """No .tmp/.old residue after a merge; mirror readable throughout."""
+def test_upsert_mirror_mvcc_layout(spark, sf_dir, tmp):
+    """Versioned layout: 'current' symlink, bounded version retention,
+    reads resolve to an immutable version dir (safe under concurrent
+    swaps)."""
     import os
 
     changes = changes_from_events(spark, sf_dir, delete_type="error")
-    upsert_mirror(spark, f"{tmp}/mirror", changes)
-    upsert_mirror(spark, f"{tmp}/mirror", changes)  # second merge on top
-    assert not os.path.exists(f"{tmp}/mirror.tmp")
-    assert not os.path.exists(f"{tmp}/mirror.old")
+    for _ in range(3):
+        upsert_mirror(spark, f"{tmp}/mirror", changes)
+    link = f"{tmp}/mirror/current"
+    assert os.path.islink(link)
+    versions = [d for d in os.listdir(f"{tmp}/mirror") if d.startswith("v-")]
+    assert len(versions) == 2  # KEEP_VERSIONS
+    assert os.path.realpath(link).startswith(
+        os.path.realpath(f"{tmp}/mirror")
+    )
     assert read_mirror(spark, f"{tmp}/mirror").count() > 0
 
 
