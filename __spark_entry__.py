@@ -158,6 +158,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def b14_key_expansion(spark, sf_dir):
         return Q.key_expansion(docs_mirror(spark, sf_dir), "lang")
 
+    def b14b_json_each(spark, sf_dir):
+        # json_each (reference README.md:363): row per (key, value-as-text)
+        m = docs_mirror(spark, sf_dir)
+        kv = F.explode(F.from_json("doc", "map<string,string>"))
+        return m.select("id", kv.alias("key", "value"))
+
     def b15_json_to_recordset(spark, sf_dir):
         m = docs_mirror(spark, sf_dir)
         # build a JSON array-of-objects per row, then expand to a rowset
@@ -449,6 +455,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_lang_id(spark, sf_dir):
         return X_text.language_score(_docs(spark, sf_dir))
 
+    def x_redact(spark, sf_dir):
+        # PII-style scrubbing: numeric-run redaction + token-boundary-safe
+        # normalization (the pipeline op before publishing training text)
+        d = _docs(spark, sf_dir)
+        red = F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>")
+        return d.select(
+            "doc_id",
+            F.md5(red).alias("redacted_md5"),
+            F.length(red).alias("redacted_len"),
+        )
+
+    def x_length_quantiles(spark, sf_dir):
+        # corpus length profile: exact percentiles of n_chars per lang
+        d = _docs(spark, sf_dir)
+        return d.groupBy("lang").agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+            F.max("n_chars").alias("mx"),
+        )
+
     def x_fingerprint(spark, sf_dir):
         return X_text.fingerprint(_docs(spark, sf_dir))
 
@@ -470,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b13_chunks": b13_chunks,
         "b14_key_expansion": b14_key_expansion,
         "b14v_key_expansion_variant": b14v_key_expansion_variant,
+        "b14b_json_each": b14b_json_each,
         "b15_json_to_recordset": b15_json_to_recordset,
         "b16_json_agg": b16_json_agg,
         "b17_set_key": b17_set_key,
@@ -507,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_features": x_text_features,
         "x_quality_filter": x_quality_filter,
         "x_lang_id": x_lang_id,
+        "x_redact": x_redact,
+        "x_length_quantiles": x_length_quantiles,
         "x_fingerprint": x_fingerprint,
         "x_multimodal_meta": x_multimodal_meta,
     }
@@ -604,6 +633,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT lang AS type, k.key
             FROM documents,
                  UNNEST(['doc_id','text','lang','source','n_chars']) AS k(key)
+        """,
+        "b14b_json_each": """
+            SELECT CAST(d.doc_id AS VARCHAR) AS id, kv.key,
+                   CASE kv.key
+                        WHEN 'doc_id' THEN CAST(d.doc_id AS VARCHAR)
+                        WHEN 'text' THEN d.text
+                        WHEN 'lang' THEN d.lang
+                        WHEN 'source' THEN d.source
+                        WHEN 'n_chars' THEN CAST(d.n_chars AS VARCHAR)
+                   END AS value
+            FROM documents d,
+                 UNNEST(['doc_id','text','lang','source','n_chars']) AS kv(key)
         """,
         "b15_json_to_recordset": """
             SELECT CAST(doc_id AS VARCHAR) AS key, lang AS value FROM documents
@@ -957,6 +998,19 @@ def oracle_sql() -> dict[str, str]:
                               ('the','a','of','and','to','in','is','on','for','with')))
                               AS DOUBLE) / greatest(len(ws), 1)) >= 0.05 AS english_like
             FROM words
+        """,
+        "x_redact": """
+            SELECT doc_id,
+                   md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5,
+                   length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_len
+            FROM documents
+        """,
+        "x_length_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   max(n_chars) AS mx
+            FROM documents GROUP BY lang
         """,
         "x_fingerprint": """
             SELECT doc_id,
