@@ -147,6 +147,28 @@ def main() -> None:
     # prepare outside the timer (layout cost is the one-time initial load)
     cdc_incremental()
     bench("q_cdc_incremental", cdc_incremental)
+
+    def stream_catchup() -> None:
+        """BASELINE comparable #4: streaming catch-up — drain a change log
+        of |events| rows through the checkpointed pipeline into a mirror."""
+        from couch_to_postgres_spark.sources.changes import (
+            changes_from_events,
+            write_change_log,
+        )
+        from couch_to_postgres_spark.streaming.pipeline import follow
+
+        log_dir = os.path.join(tmp, "catchup_log")
+        if not os.path.exists(log_dir):
+            write_change_log(changes_from_events(spark, sf_dir), log_dir, num_files=8)
+        q = follow(
+            spark,
+            log_dir,
+            os.path.join(tmp, "catchup_mirror"),
+            os.path.join(tmp, f"catchup_ckpt_{time.time_ns()}"),
+        )
+        q.awaitTermination(300)
+
+    bench("q_stream_catchup", stream_catchup)
     bench(
         "q_dedup_minhash",
         lambda: X_dedup.minhash_candidate_pairs(docs, num_bands=4).count(),
@@ -204,6 +226,11 @@ def main() -> None:
         "lineitem_docs": n_lineitem,
         "cdc_docs_per_sec": round(n_lineitem / timings["q_cdc_apply"], 1)
         if timings.get("q_cdc_apply")
+        else None,
+        "stream_changes_per_sec": round(
+            load_table(spark, sf_dir, "events").count() / timings["q_stream_catchup"], 1
+        )
+        if timings.get("q_stream_catchup")
         else None,
     }
     shutil.rmtree(tmp, ignore_errors=True)

@@ -81,6 +81,85 @@ def fake_decode_features(payload: bytes) -> tuple[int, int]:
     return (sum(payload) // len(payload), payload[0])
 
 
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Placeholder for a real image resize (no image libs in container).
+    STUB — intentionally unimplemented."""
+    raise NotImplementedError("image resize requires an image library")
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: truncate/cycle payload to width×height
+    bytes (keeps batch shapes and byte budgets honest in tests)."""
+    target = max(1, width * height)
+    if not payload:
+        return b"\x00" * target
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def frame_sample(
+    assets: DataFrame, every_n_bytes: int = 64, frame_bytes: int = 16
+) -> DataFrame:
+    """Frame sampling over an opaque video-like payload: emit one row per
+    sampled frame (byte-window) with its offset. The Spark-side shape of
+    video frame extraction — explode to (asset, frame_no) granularity with
+    payload slices; a real decoder replaces the byte-window kernel.
+    JVM-side: sequence + transform + substring on binary, no Python."""
+    n_frames = F.greatest(
+        (F.col("n_bytes") / F.lit(every_n_bytes)).cast("int"), F.lit(1)
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.struct(
+            i.alias("frame_no"),
+            (i * every_n_bytes).alias("offset"),
+            F.substring(
+                F.col("payload"), i * every_n_bytes + 1, frame_bytes
+            ).alias("frame"),
+        ),
+    )
+    return assets.select(
+        "asset_id", F.explode(frames).alias("f")
+    ).select(
+        "asset_id",
+        F.col("f.frame_no").alias("frame_no"),
+        F.col("f.offset").alias("offset"),
+        F.col("f.frame").alias("frame"),
+        F.octet_length("f.frame").cast("long").alias("frame_bytes"),
+    )
+
+
+def resize_assets(
+    assets: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Resize pass via mapInPandas (Arrow-batched); uses fake_resize —
+    swap in a real decoder+resizer without touching the plumbing."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def _kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = [fake_resize(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": resized,
+                    "n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return assets.mapInPandas(_kernel, out_schema)
+
+
 def extract_features(assets: DataFrame, batch_budget_bytes: int = 64 << 20) -> DataFrame:
     """Decode/feature-extract pass over asset payloads via ``mapInPandas``.
 

@@ -148,3 +148,39 @@ def test_multimodal_plumbing(spark, docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"bytes")
+
+
+def test_frame_sampling(spark, docs):
+    from couch_to_postgres_spark.extensions.multimodal import frame_sample
+
+    assets = attach_binary(docs.limit(10))
+    frames = frame_sample(assets, every_n_bytes=64, frame_bytes=16)
+    rows = frames.collect()
+    n = {r["asset_id"] for r in rows}
+    assert len(n) == 10
+    # frame counts proportional to payload size; offsets stride correctly
+    one = sorted(
+        (r for r in rows if r["asset_id"] == rows[0]["asset_id"]),
+        key=lambda r: r["frame_no"],
+    )
+    assert [r["offset"] for r in one] == [i * 64 for i in range(len(one))]
+    assert all(1 <= r["frame_bytes"] <= 16 for r in one)
+
+
+def test_resize_assets(spark, docs):
+    from couch_to_postgres_spark.extensions.multimodal import (
+        fake_resize,
+        resize_assets,
+        resize_stub,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"x", 4, 4)
+    assets = attach_binary(docs.limit(20))
+    resized = resize_assets(assets, width=8, height=8).collect()
+    assert len(resized) == 20
+    assert all(r["n_bytes"] == 64 for r in resized)
+    sample = assets.filter(F.col("asset_id") == resized[0]["asset_id"]).head()
+    assert bytes(resized[0]["payload"]) == fake_resize(
+        bytes(sample["payload"]), 8, 8
+    )
