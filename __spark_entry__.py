@@ -442,6 +442,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = train_centroids(e, n_cells=8)
         return ivf_topk(e.filter(F.col("vec_id") < 10), e, cents, k=5, nprobe=4)
 
+    def x_ann_lsh(spark, sf_dir):
+        # hyperplane-LSH bucketing with md5-derived deterministic planes —
+        # the LSH-bucketed ANN scale path, exactly reproducible in SQL
+        pairs = X_sim.lsh_candidate_pairs(_emb(spark, sf_dir), n_planes=8)
+        return pairs
+
     def x_ann_topk_blocked(spark, sf_dir):
         e = _emb(spark, sf_dir)
         return X_sim.cosine_topk_blocked(e.filter(F.col("vec_id") < 20), e, k=5)
@@ -530,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_embed_neardup": x_embed_neardup,
         "x_ann_topk": x_ann_topk,
         "x_ann_ivf": x_ann_ivf,
+        "x_ann_lsh": x_ann_lsh,
         "x_ann_topk_blocked": x_ann_topk_blocked,
         "x_text_features": x_text_features,
         "x_quality_filter": x_quality_filter,
@@ -544,6 +551,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
+
+def _hexval8_sql(expr: str) -> str:
+    """DuckDB SQL for int value of the first 8 hex chars of md5(expr)
+    (Spark side uses conv(substring(md5,1,8),16,10))."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    return f"({terms})"
+
 
 # word-shingle builder shared by the dedup oracles (3-word shingles,
 # mirroring extensions.dedup.word_shingles)
@@ -928,6 +945,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "x_ann_lsh": f"""
+            WITH planes AS (
+                SELECT bb.b, jj.j,
+                       {_hexval8_sql("bb.b || ':' || jj.j")} / 4294967296.0 - 0.5 AS w
+                FROM (SELECT unnest(generate_series(0, 7)) AS b) bb,
+                     (SELECT unnest(generate_series(0, 63)) AS j) jj
+            ),
+            vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            comps AS (
+                SELECT e.vec_id, p.b, sum(e.v[p.j + 1] * p.w) AS dot
+                FROM vecs e, planes p
+                GROUP BY e.vec_id, p.b
+            ),
+            codes AS (
+                SELECT vec_id,
+                       CAST(sum(CASE WHEN dot > 0 THEN (1 << b) ELSE 0 END) AS BIGINT)
+                           AS bucket
+                FROM comps GROUP BY vec_id
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket
+            FROM codes a JOIN codes b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         """,
         "x_ann_topk_blocked": """
             WITH sims AS (

@@ -73,6 +73,80 @@ def cosine_topk(
     )
 
 
+def hyperplane_lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket code per vector (SimHash for
+    embeddings): bit b = sign(v · h_b), where plane h_b's component j is a
+    deterministic pseudo-random value derived from md5(b:j) — reproducible
+    bit-for-bit in the SQL oracle (no RNG state). Cosine-similar vectors
+    collide with probability 1 − θ/π per bit.
+
+    Scale path: bucket code is computed row-local (no shuffle); the
+    candidate join groups by an 8-bit code — 256 uniform buckets.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    dim = len(emb.select(vec_col).head()[0])
+    # plane matrix precomputed driver-side (constants), broadcast in the
+    # UDF closure; md5-derived so the SQL oracle reproduces it exactly
+    planes = np.array(
+        [
+            [
+                int(hashlib.md5(f"{b}:{j}".encode()).hexdigest()[:8], 16)
+                / float(16**8)
+                - 0.5
+                for j in range(dim)
+            ]
+            for b in range(n_planes)
+        ]
+    )
+    weights = np.ascontiguousarray(planes.T)  # (dim × n_planes)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def _code_fn(vecs):
+        m = np.asarray([np.asarray(x, dtype=np.float64) for x in vecs])
+        bits = (m @ weights) > 0  # (batch × n_planes)
+        return pd.Series((bits @ powers).astype(np.int64))
+
+    _code = F.pandas_udf(_code_fn, LongType())
+    return emb.select(
+        F.col(id_col),
+        _code(F.col(vec_col).cast("array<double>")).alias("bucket"),
+    )
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs sharing an LSH bucket code (verify with exact
+    cosine on the candidates — the LSH-bucketed ANN scale path)."""
+    codes = hyperplane_lsh_buckets(emb, n_planes, id_col, vec_col)
+    a, b = codes.alias("a"), codes.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.bucket").alias("bucket"),
+        )
+    )
+
+
 def cosine_topk_blocked(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1,0 +1,113 @@
+"""Robustness corners: malformed JSON docs and unicode/escaping-heavy
+content must flow through merge, query, writeback, and round trip without
+corruption or crashes."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.functions.json import (
+    json_get,
+    json_keys,
+    json_object_set_key,
+    json_object_set_key_udf,
+)
+from couch_to_postgres_spark.operators.cdc import apply_changes
+from couch_to_postgres_spark.operators.mirror import CHANGES_SCHEMA, MIRROR_SCHEMA
+from couch_to_postgres_spark.sinks.writeback import writeback_bulk
+from tests.test_writeback import RecordingCouch
+
+TRICKY = [
+    ("quotes", 'He said "hi" and \\ backslash'),
+    ("unicode", "héllo wörld — ünïcode ✓ 日本語 🎉"),
+    ("newlines", "line1\nline2\ttabbed\rcarriage"),
+    ("json_inside", '{"nested": "looks like json"}'),
+    ("empty", ""),
+    ("slashes", "a/b\\c//d"),
+]
+
+
+@pytest.fixture(scope="module")
+def tricky_mirror(spark):
+    rows = [
+        (k, json.dumps({"_id": k, "_rev": "1-r", "text": v}, separators=(",", ":")))
+        for k, v in TRICKY
+    ]
+    return spark.createDataFrame(rows, MIRROR_SCHEMA)
+
+
+def test_unicode_extraction_round_trip(spark, tricky_mirror):
+    got = {
+        r["id"]: r["t"]
+        for r in tricky_mirror.select(
+            "id", json_get("doc", "text").alias("t")
+        ).collect()
+    }
+    # empty string extracts as '' (or None via JSON path); normalize
+    for k, v in TRICKY:
+        assert got[k] == v or (v == "" and got[k] in ("", None)), (k, got[k])
+
+
+def test_set_key_preserves_tricky_values(spark, tricky_mirror):
+    out = tricky_mirror.withColumn(
+        "doc", json_object_set_key("doc", "tag", F.lit("x"))
+    )
+    for r in out.collect():
+        parsed = json.loads(r["doc"])  # stays valid JSON
+        assert parsed["tag"] == "x"
+    out2 = tricky_mirror.withColumn(
+        "doc", json_object_set_key_udf("doc", F.lit("tag"), F.lit("x"))
+    )
+    originals = dict(TRICKY)
+    for r in out2.collect():
+        parsed = json.loads(r["doc"])
+        assert parsed["text"] == originals[r["id"]]
+
+
+def test_malformed_docs_dont_crash_queries(spark):
+    rows = [
+        ("good", '{"_id":"good","_rev":"1-a","v":"1"}'),
+        ("broken", "this is not json {"),
+        ("nullish", None),
+        ("number", "42"),
+        ("arr", "[1,2,3]"),
+    ]
+    m = spark.createDataFrame(rows, MIRROR_SCHEMA)
+    got = {
+        r["id"]: r["v"] for r in m.select("id", json_get("doc", "v").alias("v")).collect()
+    }
+    assert got["good"] == "1"
+    assert got["broken"] is None and got["nullish"] is None
+    keys = {
+        r["id"]: r["k"] for r in m.select("id", json_keys("doc").alias("k")).collect()
+    }
+    assert keys["good"] == ["_id", "_rev", "v"]
+    assert keys["arr"] is None  # non-object → no keys, no crash
+
+
+def test_malformed_docs_through_merge(spark):
+    mirror = spark.createDataFrame(
+        [("a", '{"_id":"a","_rev":"1-a"}')], MIRROR_SCHEMA
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "b", False, "not json at all"),
+            (2, "a", False, '{"_id":"a","_rev":"2-b"}'),
+        ],
+        CHANGES_SCHEMA,
+    )
+    out = {r["id"]: r["doc"] for r in apply_changes(mirror, changes).collect()}
+    assert out["b"] == "not json at all"  # stored opaque, like jsonb-less text
+    assert '"2-b"' in out["a"]
+
+
+def test_unicode_writeback_payloads(spark, tricky_mirror):
+    couch = RecordingCouch()
+    try:
+        writeback_bulk(tricky_mirror.coalesce(1), couch.url, "t", chunk_size=50)
+        sent = {d["_id"]: d["text"] for b in couch.bulk_batches for d in b}
+        for k, v in TRICKY:
+            assert sent[k] == v  # byte-faithful through HTTP + JSON
+    finally:
+        couch.close()
