@@ -70,6 +70,76 @@ def test_windowed_counts_stream_equals_batch(spark, events, events_stream_dir):
     assert got == batch
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 1h watermark: an event arriving a
+    micro-batch later but 10h behind event time lands beyond the watermark
+    and is dropped — the bounded-state guarantee (batch mode would count
+    it; streaming must not)."""
+    import json as _json
+    import os
+
+    base_ns = 1_700_000_000_000_000_000
+    hour_ns = 3_600 * 1_000_000_000
+
+    def ev(event_id, hours, etype="click"):
+        return {
+            "event_id": event_id,
+            "ts": base_ns + int(hours * hour_ns),
+            "user_id": 1,
+            "event_type": etype,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    d = tmp_path / "late"
+    os.makedirs(d)
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_file(name, batch):
+        p = d / name
+        with open(p, "w") as f:
+            f.writelines(_json.dumps(e) + "\n" for e in batch)
+
+    def run(table):
+        emitted = []
+
+        def _capture(batch, _eid):
+            emitted.extend(
+                (r["window_start"].isoformat(), r["n"]) for r in batch.collect()
+            )
+
+        stream = spark.readStream.schema(schema).json(str(d))
+        q = (
+            windowed_type_counts(stream, "1 hour", watermark="1 hour")
+            .writeStream.foreachBatch(_capture)
+            .outputMode("update")  # update mode enforces late-row dropping
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return set(emitted)
+
+    # run 1: on-time data through hour 10 → watermark persists at ~hour 9
+    write_file("b0.json", [ev(i, h) for i, h in enumerate([0.1, 0.2, 5.0, 10.0])])
+    first = run("late_run1")
+    assert sum(n for _w, n in first) == 4
+
+    # run 2 from the same checkpoint: one row 10h late, one on time
+    write_file("b1.json", [ev(100, 0.5), ev(101, 10.5)])
+    second = run("late_run2")
+    # the late row's window must receive NO update — it was dropped at
+    # the watermark; the on-time row (hour 10.5) lands in hour-10.0's
+    # window (both fall in the same wall-clock hour) bumping it to 2
+    windows_updated = dict(second)
+    first_window = min(w for w, _n in first)
+    assert first_window not in windows_updated, (first, second)
+    assert list(windows_updated.values()) == [2], second
+
+
 def test_sessionize_batch_properties(spark, events):
     sess = sessionize_batch(events, gap_minutes=60).cache()
     # every event lands in exactly one session
