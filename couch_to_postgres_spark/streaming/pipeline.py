@@ -90,11 +90,20 @@ def upsert_mirror(
     current = read_mirror(spark, mirror_path)
     # Persist the batch: apply_changes references it twice (touched-key
     # anti-join side + upsert union side); without this the whole
-    # batch-dedup window computes twice per merge.
+    # batch-dedup window computes twice per merge. The count both
+    # materializes the cache and sizes the join strategy: micro-batches
+    # broadcast their key set (zero mirror exchange); backfill-sized
+    # batches (> ~1M keys) fall back to shuffled sort-merge + AQE skew
+    # handling rather than OOMing the driver with a giant broadcast.
     batch = batch.persist()
     try:
+        n = batch.count()
         merged = apply_changes(
-            current, batch, type_filter=type_filter, map_hook=map_hook
+            current,
+            batch,
+            type_filter=type_filter,
+            map_hook=map_hook,
+            broadcast_changes=n <= 1_000_000,
         )
         os.makedirs(mirror_path, exist_ok=True)
         version_name = f"v-{time.time_ns()}"
