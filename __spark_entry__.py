@@ -418,6 +418,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_simhash(spark, sf_dir):
         return X_dedup.simhash16(_docs(spark, sf_dir))
 
+    def x_near_dedup(spark, sf_dir):
+        # full pipeline: LSH candidates → exact-jaccard verify →
+        # connected-component clustering → keep min-id representative
+        deduped = X_dedup.near_dedup(
+            _docs(spark, sf_dir), jaccard_threshold=0.6, num_bands=4
+        )
+        return deduped.select("doc_id")
+
     def x_embed_neardup(spark, sf_dir):
         # block_col=None: the synthetic labels are not cosine clusters, so
         # blocking would test nothing; brute force with a threshold the
@@ -533,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_minhash_banded": x_dedup_minhash_banded,
         "x_dedup_jaccard": x_dedup_jaccard,
         "x_simhash": x_simhash,
+        "x_near_dedup": x_near_dedup,
         "x_embed_neardup": x_embed_neardup,
         "x_ann_topk": x_ann_topk,
         "x_ann_ivf": x_ann_ivf,
@@ -890,6 +899,54 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN sets_ sa ON sa.doc_id = p.id_a
             JOIN sets_ sb ON sb.doc_id = p.id_b
+        """,
+        "x_near_dedup": f"""
+            WITH RECURSIVE {_WORDS}, {_SHINGLES},
+            banded AS (
+                SELECT doc_id, b.band, shingle
+                FROM shingled, UNNEST([0,1,2,3]) AS b(band)
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS signature
+                FROM banded GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.signature = b.signature
+                 AND a.doc_id < b.doc_id
+            ),
+            sets_ AS (
+                SELECT doc_id, list_distinct(list(shingle)) AS sh
+                FROM shingled GROUP BY doc_id
+            ),
+            verified AS (
+                SELECT p.id_a, p.id_b
+                FROM pairs p
+                JOIN sets_ sa ON sa.doc_id = p.id_a
+                JOIN sets_ sb ON sb.doc_id = p.id_b
+                WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM verified
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM verified
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+                SELECT src AS node, least(src, min(dst)) AS cluster
+                FROM reach GROUP BY src
+            ),
+            drop_ids AS (SELECT node FROM clusters WHERE node <> cluster)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN drop_ids x ON d.doc_id = x.node
+            WHERE x.node IS NULL
         """,
         "x_simhash": f"""
             WITH {_WORDS},

@@ -282,6 +282,82 @@ def simhash_bucket_dups(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame, id_col: str = "doc_id", max_iterations: int = 10
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs via distributed
+    min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; converges in
+    O(cluster diameter) rounds (dup clusters are shallow — typically ≤3).
+
+    Returns (id, cluster) where cluster = min id of the component. Each
+    round is one join + one aggregation over the PAIR set (not the
+    corpus) — at 100 TB the pair set is orders of magnitude smaller than
+    the data, and iteration count is bounded by diameter, not size.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("cluster"))
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The end-to-end near-dedup pipeline: MinHash LSH candidates →
+    exact n-gram Jaccard verification → connected-component clustering →
+    keep the min-id representative of each duplicate cluster.
+
+    Returns ``df`` minus non-representative near-duplicates. Every stage
+    is pair-set-proportional after the LSH cut; the corpus itself is
+    touched twice (shingling, final anti-join)."""
+    candidates = minhash_candidate_pairs(df, text_col, id_col, num_bands, shingle_n)
+    verified = ngram_jaccard(df, candidates, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    clusters = dedup_clusters(verified, id_col)
+    drop = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -69,6 +69,33 @@ def test_jaccard_scores(spark, docs):
     assert 0.5 < j[(0, 100001)] < 1.0
 
 
+def test_dedup_clusters_label_propagation(spark):
+    # components: {1,2,3,4} (chain), {10,11}, singleton pairs absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster"] for r in D.dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_near_dedup_end_to_end(spark, docs):
+    aug = planted(spark, docs)
+    # one changed word in a ~25-word doc breaks 3 shingles → jaccard ≈0.7
+    deduped = D.near_dedup(aug, jaccard_threshold=0.6, num_bands=4)
+    ids = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    assert 0 in ids  # representative (min id of its cluster) kept
+    assert 100000 not in ids  # exact dup dropped
+    assert 100001 not in ids  # near dup (1 word changed) dropped
+    # the synthetic corpus contains NATURAL near-dups too (e.g. docs 50,
+    # 82 at jaccard ≈0.95 with doc 0), so ≥2 rows drop but possibly more
+    assert len(ids) <= aug.count() - 2
+    # idempotent: re-running on the deduped corpus removes nothing
+    again = D.near_dedup(deduped, jaccard_threshold=0.6, num_bands=4)
+    assert again.count() == len(ids)
+
+
 def test_simhash_properties(spark, docs):
     aug = planted(spark, docs)
     fp = {r["doc_id"]: r["simhash"] for r in D.simhash16(aug).collect()}
