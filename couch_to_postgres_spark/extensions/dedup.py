@@ -295,16 +295,23 @@ def dedup_clusters(
     corpus) — at 100 TB the pair set is orders of magnitude smaller than
     the data, and iteration count is bounded by diameter, not size.
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # persist the symmetrized edge set: its lineage includes the whole
+    # LSH-candidate + jaccard-verify pipeline, and every propagation round
+    # joins against it — without the persist each round would re-shingle
+    # and re-verify the corpus
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster", F.col("node"))
     )
+    prev = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -319,16 +326,16 @@ def dedup_clusters(
                     F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
                 ).alias("cluster"),
             )
-        )
-        new_labels = new_labels.persist()
+        ).persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .count()
         )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
-        labels = new_labels
+        if prev is not None:
+            prev.unpersist()
+        prev, labels = labels, new_labels
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("cluster"))
