@@ -326,7 +326,14 @@ def dedup_clusters(
                     F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
                 ).alias("cluster"),
             )
-        ).persist()
+            # eager localCheckpoint: materializes this round AND truncates
+            # lineage — without it each round's plan nests the previous
+            # round's twice, growing exponentially until analysis OOMs
+            # (the standard Spark iterative-algorithm idiom; swap for
+            # reliable checkpoint(dir) on a real cluster for fault
+            # tolerance across executor loss)
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -80,6 +80,48 @@ def test_dedup_clusters_label_propagation(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_matches_union_find(spark):
+    # seeded random graph vs a driver-side union-find oracle: the
+    # distributed min-label propagation must produce exactly the
+    # (node -> component-min) map for arbitrary topologies, not just
+    # the shallow chains dup clusters usually form
+    import random
+
+    rng = random.Random(7)
+    edge_list = list(
+        {
+            (a, b)
+            for a, b in (
+                sorted((rng.randrange(200), rng.randrange(200)))
+                for _ in range(140)
+            )
+            if a != b
+        }
+    )
+    pairs = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in D.dedup_clusters(pairs, max_iterations=40).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # attaching the larger root under the smaller keeps each tree's root
+    # at the component minimum — the same representative the Spark side picks
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for e in edge_list for n in e}
+    assert got == want
+
+
 def test_near_dedup_end_to_end(spark, docs):
     aug = planted(spark, docs)
     # one changed word in a ~25-word doc breaks 3 shingles → jaccard ≈0.7

@@ -89,3 +89,25 @@ def test_flagship_single_scan_no_shuffle(spark, stored_mirror):
     plan = executed_plan(df)
     assert plan.count("Scan parquet") == 1
     assert "Exchange hashpartitioning" not in plan  # sort uses range part.
+
+
+def test_near_dedup_corpus_side_never_shuffles(spark, sf_dir):
+    """The near-dedup final stage is corpus LEFT ANTI drop-set: the drop
+    set (non-representative dup ids, tiny relative to the corpus) must
+    broadcast, leaving the corpus side shuffle-free — at 100 TB the corpus
+    is the only side that can't move."""
+    from couch_to_postgres_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.near_dedup(docs, jaccard_threshold=0.6, num_bands=4)
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # no hashpartitioning exchange may touch the documents scan subtree:
+    # every shuffle in this plan belongs to the (already-computed, cached)
+    # drop-set lineage, not the corpus
+    corpus_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "documents" in ln
+    ]
+    assert corpus_shuffles == [], corpus_shuffles
