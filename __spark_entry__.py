@@ -492,6 +492,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_fingerprint(spark, sf_dir):
         return X_text.fingerprint(_docs(spark, sf_dir))
 
+    def x_hash_split(spark, sf_dir):
+        return X_text.hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+    def x_top_tokens(spark, sf_dir):
+        return X_text.top_tokens(_docs(spark, sf_dir), k=20)
+
     def x_multimodal_meta(spark, sf_dir):
         return attach_binary(_docs(spark, sf_dir)).select(
             "asset_id", "media_type", "n_bytes", "content_md5"
@@ -553,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_redact": x_redact,
         "x_length_quantiles": x_length_quantiles,
         "x_fingerprint": x_fingerprint,
+        "x_hash_split": x_hash_split,
+        "x_top_tokens": x_top_tokens,
         "x_multimodal_meta": x_multimodal_meta,
     }
 
@@ -1117,6 +1125,21 @@ def oracle_sql() -> dict[str, str]:
                    substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8)
                        AS fp_bucket
             FROM documents
+        """,
+        "x_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                             < 'cccc'
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM documents
+        """,
+        "x_top_tokens": f"""
+            WITH {_WORDS}
+            SELECT w.word AS token, count(*) AS cnt
+            FROM words, UNNEST(ws) AS w(word)
+            GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 20
         """,
         "x_multimodal_meta": """
             SELECT doc_id AS asset_id, 'application/fake' AS media_type,

@@ -93,3 +93,44 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         h.alias("fp_md5"),
         F.substring(h, 1, 8).alias("fp_bucket"),
     )
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    salt: str = "split1",
+) -> DataFrame:
+    """Deterministic, reproducible train/eval split by md5 bucket.
+
+    The split key is ``md5(salt || ':' || id)``; a row is *train* iff its
+    first 4 hex chars fall below ``floor(train_frac * 16^4)``. Unlike
+    ``df.sample``/``randomSplit`` this is stable across runs, partitionings
+    and engines (same rows land in the same split on any cluster size —
+    and in the DuckDB oracle), and changing ``salt`` re-rolls the split.
+    Pure map, no shuffle."""
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    thr = format(int(train_frac * 65536), "04x")
+    return df.withColumn(
+        "split",
+        F.when(F.substring(key, 1, 4) < F.lit(thr), F.lit("train")).otherwise(
+            F.lit("eval")
+        ),
+    )
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-level token frequency top-k with a total deterministic order
+    (count desc, token asc).
+
+    Plan shape at scale: explode → partial map-side count → one shuffle of
+    (token, partial-count) → TakeOrderedAndProject (per-partition top-k
+    merged on the driver) — the full sorted histogram is never
+    materialized or globally sorted."""
+    words = _words(text_col)
+    return (
+        df.select(F.explode(words).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )

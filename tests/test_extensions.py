@@ -253,3 +253,27 @@ def test_resize_assets(spark, docs):
     assert bytes(resized[0]["payload"]) == fake_resize(
         bytes(sample["payload"]), 8, 8
     )
+
+
+def test_hash_split_deterministic_and_proportional(spark, docs):
+    a = {r["doc_id"]: r["split"] for r in T.hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in T.hash_split(docs).collect()}
+    assert a == b  # stable across runs (unlike randomSplit)
+    frac = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.7 < frac < 0.9  # 500 docs at 0.8 target
+    # different salt re-rolls membership but keeps the proportion
+    c = {r["doc_id"]: r["split"] for r in T.hash_split(docs, salt="v2").collect()}
+    assert c != a
+    frac2 = sum(1 for s in c.values() if s == "train") / len(c)
+    assert 0.7 < frac2 < 0.9
+
+
+def test_top_tokens_order_and_k(spark, docs):
+    rows = T.top_tokens(docs, k=10).collect()
+    assert len(rows) == 10
+    counts = [r["cnt"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # ties broken by token ascending
+    for x, y in zip(rows, rows[1:]):
+        if x["cnt"] == y["cnt"]:
+            assert x["token"] < y["token"]
