@@ -498,6 +498,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_top_tokens(spark, sf_dir):
         return X_text.top_tokens(_docs(spark, sf_dir), k=20)
 
+    def x_pack(spark, sf_dir):
+        # sequence packing: global token offsets via distributed prefix scan
+        return X_text.pack_documents(_docs(spark, sf_dir), budget=256)
+
+    def x_contamination(spark, sf_dir):
+        # benchmark decontamination: eval-vs-train shingle overlap
+        d = X_text.hash_split(_docs(spark, sf_dir))
+        return X_text.contamination(
+            d.filter(F.col("split") == "train"),
+            d.filter(F.col("split") == "eval"),
+        )
+
     def x_multimodal_meta(spark, sf_dir):
         return attach_binary(_docs(spark, sf_dir)).select(
             "asset_id", "media_type", "n_bytes", "content_md5"
@@ -561,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fingerprint": x_fingerprint,
         "x_hash_split": x_hash_split,
         "x_top_tokens": x_top_tokens,
+        "x_pack": x_pack,
+        "x_contamination": x_contamination,
         "x_multimodal_meta": x_multimodal_meta,
     }
 
@@ -1140,6 +1154,68 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 20
+        """,
+        "x_pack": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), pref AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS tok_start
+                FROM toks
+            )
+            SELECT doc_id, n_tokens, tok_start,
+                   tok_start // 256 AS pack_id,
+                   tok_start % 256 AS pack_offset,
+                   ((tok_start + greatest(n_tokens, 1) - 1) // 256)
+                       - (tok_start // 256) + 1 AS n_packs
+            FROM pref
+        """,
+        "x_contamination": """
+            WITH split AS (
+                SELECT doc_id, text,
+                       CASE WHEN substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                                 < 'cccc'
+                            THEN 'train' ELSE 'eval' END AS split
+                FROM documents
+            ),
+            words AS (
+                SELECT doc_id, split,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM split
+            ),
+            shingled AS (
+                SELECT doc_id, split, s.shingle
+                FROM words, UNNEST(
+                    CASE WHEN len(ws) >= 3
+                         THEN [array_to_string(ws[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(ws) - 2)]
+                         ELSE []::VARCHAR[] END
+                ) AS s(shingle)
+            ),
+            eval_sh AS (
+                SELECT DISTINCT doc_id, shingle FROM shingled WHERE split = 'eval'
+            ),
+            train_sh AS (
+                SELECT DISTINCT shingle FROM shingled WHERE split = 'train'
+            ),
+            eval_docs AS (SELECT doc_id FROM split WHERE split = 'eval')
+            SELECT e.doc_id,
+                   CAST(count(es.shingle) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(sum(CASE WHEN ts.shingle IS NOT NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_overlap,
+                   round(CAST(COALESCE(sum(CASE WHEN ts.shingle IS NOT NULL
+                                                THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                         / greatest(count(es.shingle), 1), 4) AS overlap_frac
+            FROM eval_docs e
+            LEFT JOIN eval_sh es ON e.doc_id = es.doc_id
+            LEFT JOIN train_sh ts ON es.shingle = ts.shingle
+            GROUP BY e.doc_id
         """,
         "x_multimodal_meta": """
             SELECT doc_id AS asset_id, 'application/fake' AS media_type,

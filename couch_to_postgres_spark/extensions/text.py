@@ -8,7 +8,7 @@ corpus pass needs (pure map over partitions, pushdown-friendly).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[A-Za-z0-9]+"
@@ -115,6 +115,123 @@ def hash_split(
         F.when(F.substring(key, 1, 4) < F.lit(thr), F.lit("train")).otherwise(
             F.lit("eval")
         ),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 256,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Sequence packing: lay the corpus tokens end-to-end in ``id_col``
+    order and cut packs of ``budget`` tokens (the concat-and-chunk layout a
+    training loader consumes). Emits per document::
+
+        (id, n_tokens, tok_start, pack_id, pack_offset, n_packs)
+
+    where ``tok_start`` is the document's global token offset, ``pack_id``
+    the pack its first token lands in, ``pack_offset`` the position inside
+    that pack, and ``n_packs`` how many packs the document spans.
+
+    The global running sum is a **distributed prefix scan**, not a global
+    sort: ids bucket into ``num_buckets`` uniform ranges (deterministic —
+    no sampled boundaries), each bucket computes its local running sum in
+    parallel, and the tiny per-bucket totals (``num_buckets`` rows) come to
+    the driver to form bucket offsets that broadcast back. A naive
+    ``Window.orderBy(id)`` would funnel 100 TB through ONE task; this plan
+    keeps every stage ``num_buckets``-wide. Zero-token documents still
+    occupy one logical slot for ``n_packs`` so the value stays positive
+    (and floor-div vs truncating-div never disagree: all operands ≥ 0).
+    """
+    toks = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    spark = df.sparkSession
+    out_schema = (
+        f"{id_col} long, n_tokens long, tok_start long, "
+        "pack_id long, pack_offset long, n_packs long"
+    )
+    bounds = toks.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return spark.createDataFrame([], out_schema)
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(1, -(-(hi - lo + 1) // num_buckets))  # ceil div
+    bucketed = toks.withColumn(
+        "bucket", F.expr(f"({id_col} - {lo}) div {span}")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "local_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    totals = sorted(
+        bucketed.groupBy("bucket").agg(F.sum("n_tokens").alias("tot")).collect(),
+        key=lambda r: r["bucket"],
+    )
+    offsets, run = [], 0
+    for r in totals:
+        offsets.append((int(r["bucket"]), run))
+        run += int(r["tot"])
+    off = spark.createDataFrame(offsets, "bucket long, bucket_start long")
+    start = F.col("local_start") + F.col("bucket_start")
+    return (
+        local.join(F.broadcast(off), "bucket")
+        .select(F.col(id_col), "n_tokens", start.alias("tok_start"))
+        .withColumn("pack_id", F.expr(f"tok_start div {budget}"))
+        .withColumn("pack_offset", F.col("tok_start") % budget)
+        .withColumn(
+            "n_packs",
+            F.expr(f"(tok_start + greatest(n_tokens, 1) - 1) div {budget}")
+            - F.col("pack_id")
+            + F.lit(1),
+        )
+    )
+
+
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination check: for each eval document, what
+    fraction of its word ``shingle_n``-grams also appears anywhere in the
+    training corpus. Emits ``(id, n_shingles, n_overlap, overlap_frac)``.
+
+    Plan shape at scale: both sides explode to distinct shingles, the join
+    shuffles on the shingle string (uniform md5-like key distribution —
+    no hot keys), and the per-doc rollup reuses the eval-side partitioning.
+    The train side collapses to DISTINCT shingles first, so the join input
+    is the vocabulary, not the corpus."""
+    from couch_to_postgres_spark.extensions.dedup import word_shingles
+
+    eval_sh = eval_df.select(
+        F.col(id_col), F.explode_outer(word_shingles(text_col, shingle_n)).alias("shingle")
+    ).distinct()
+    train_sh = (
+        train.select(F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = eval_sh.join(train_sh, "shingle", "left")
+    return joined.groupBy(id_col).agg(
+        F.sum(F.when(F.col("shingle").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_overlap"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            / F.greatest(
+                F.sum(F.when(F.col("shingle").isNotNull(), 1).otherwise(0)), F.lit(1)
+            ),
+            4,
+        ).alias("overlap_frac"),
     )
 
 

@@ -277,3 +277,56 @@ def test_top_tokens_order_and_k(spark, docs):
     for x, y in zip(rows, rows[1:]):
         if x["cnt"] == y["cnt"]:
             assert x["token"] < y["token"]
+
+
+def test_pack_documents_prefix_sum_and_bucket_independence(spark, docs):
+    got = {
+        r["doc_id"]: r
+        for r in T.pack_documents(docs, budget=100, num_buckets=7).collect()
+    }
+    # ground truth: exclusive running sum in doc_id order
+    run = 0
+    for doc_id in sorted(got):
+        r = got[doc_id]
+        assert r["tok_start"] == run
+        assert r["pack_id"] == run // 100
+        assert r["pack_offset"] == run % 100
+        last = run + max(r["n_tokens"], 1) - 1
+        assert r["n_packs"] == last // 100 - run // 100 + 1
+        run += r["n_tokens"]
+    # bucket count is a parallelism knob, never a semantics knob
+    alt = {
+        r["doc_id"]: (r["tok_start"], r["pack_id"], r["pack_offset"])
+        for r in T.pack_documents(docs, budget=100, num_buckets=50).collect()
+    }
+    assert alt == {
+        k: (v["tok_start"], v["pack_id"], v["pack_offset"]) for k, v in got.items()
+    }
+
+
+def test_pack_documents_empty(spark, docs):
+    out = T.pack_documents(docs.limit(0), budget=64)
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "n_tokens", "tok_start", "pack_id", "pack_offset", "n_packs",
+    ]
+
+
+def test_contamination_known_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "a b c x y"),   # shares shingle "a b c" -> 1/3
+            (11, "p q r s t"),   # disjoint vocab -> 0/3
+            (12, "hi"),          # too short for any shingle -> 0 of 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.contamination(train, ev).collect()}
+    assert (got[10]["n_shingles"], got[10]["n_overlap"]) == (3, 1)
+    assert abs(got[10]["overlap_frac"] - 0.3333) < 1e-9
+    assert (got[11]["n_shingles"], got[11]["n_overlap"]) == (3, 0)
+    assert (got[12]["n_shingles"], got[12]["n_overlap"]) == (0, 0)
+    assert got[12]["overlap_frac"] == 0.0
