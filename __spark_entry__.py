@@ -498,6 +498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_top_tokens(spark, sf_dir):
         return X_text.top_tokens(_docs(spark, sf_dir), k=20)
 
+    def x_tfidf(spark, sf_dir):
+        return X_text.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
     def x_pack(spark, sf_dir):
         # sequence packing: global token offsets via distributed prefix scan
         return X_text.pack_documents(_docs(spark, sf_dir), budget=256)
@@ -573,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fingerprint": x_fingerprint,
         "x_hash_split": x_hash_split,
         "x_top_tokens": x_top_tokens,
+        "x_tfidf": x_tfidf,
         "x_pack": x_pack,
         "x_contamination": x_contamination,
         "x_multimodal_meta": x_multimodal_meta,
@@ -1154,6 +1158,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 20
+        """,
+        "x_tfidf": f"""
+            WITH {_WORDS},
+            tok AS (
+                SELECT doc_id, w.word AS token FROM words, UNNEST(ws) AS w(word)
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+            ),
+            dfreq AS (
+                SELECT token, count(DISTINCT doc_id) AS dft FROM tok GROUP BY token
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token,
+                       round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.dft), 4) AS tfidf
+                FROM tf JOIN dfreq USING (token) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT doc_id, token, tfidf,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS INT) AS rank
+                FROM scored
+            )
+            SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 5
         """,
         "x_pack": """
             WITH toks AS (

@@ -202,6 +202,18 @@ def main() -> None:
         .collect(),
     )
     li = load_table(spark, sf_dir, "lineitem")
+    # training-loader layout pass over the big corpus: global token offsets
+    # for every lineitem comment via the distributed prefix scan
+    bench(
+        "q_pack",
+        lambda: X_text.pack_documents(
+            li.select(
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("doc_id"),
+                F.to_json(F.struct(*li.columns)).alias("text"),
+            ),
+            budget=512,
+        ).count(),
+    )
     bench(
         "q_lineitem_pricing",
         lambda: li.filter(F.col("l_quantity") < 48)

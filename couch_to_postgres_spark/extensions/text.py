@@ -118,6 +118,43 @@ def hash_split(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms (tf × ln(N/df), plain variant).
+
+    Plan shape at scale: one shuffle keyed (doc, token) for tf, one keyed
+    token for document frequency (two-phase distinct — partial per-partition
+    dedup before the shuffle), corpus size N broadcast as a 1-row frame so
+    the whole computation stays one declarative plan (no driver-side
+    ``count()`` round-trip), then a per-doc window for top-k.
+
+    Ranking sorts on the ROUNDED score (4 dp, ties → token asc) so the
+    order is reproducible across engines and partitionings — raw
+    floating-point ranking would let ±1 ulp differences reorder ties."""
+    tok = df.select(F.col(id_col), F.explode(_words(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tok.groupBy("token").agg(F.count_distinct(id_col).alias("dft"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dft, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("dft")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tfidf", "rank")
+    )
+
+
 def pack_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -330,3 +330,24 @@ def test_contamination_known_overlap(spark):
     assert (got[11]["n_shingles"], got[11]["n_overlap"]) == (3, 0)
     assert (got[12]["n_shingles"], got[12]["n_overlap"]) == (0, 0)
     assert got[12]["overlap_frac"] == 0.0
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    corpus = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian durian durian")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["token"]): r
+        for r in T.tfidf_top_terms(corpus, k=5).collect()
+    }
+    ln3, ln15 = math.log(3.0), math.log(1.5)
+    assert abs(got[(1, "apple")]["tfidf"] - round(2 * ln3, 4)) < 1e-9
+    assert abs(got[(1, "banana")]["tfidf"] - round(ln15, 4)) < 1e-9
+    assert abs(got[(3, "durian")]["tfidf"] - round(3 * ln3, 4)) < 1e-9
+    # rarer term outranks the shared one within a doc
+    assert got[(2, "cherry")]["rank"] == 1
+    assert got[(2, "banana")]["rank"] == 2
+    assert got[(1, "apple")]["rank"] == 1
