@@ -498,6 +498,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_top_tokens(spark, sf_dir):
         return X_text.top_tokens(_docs(spark, sf_dir), k=20)
 
+    def x_mixture(spark, sf_dir):
+        # corpus mixing: deterministic per-source Bernoulli sampling
+        from couch_to_postgres_spark.extensions.sampling import stratified_sample
+
+        return stratified_sample(
+            _docs(spark, sf_dir), {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+        ).select("doc_id", "source")
+
+    def x_upsample(spark, sf_dir):
+        # corpus mixing: per-source repetition with an epoch column
+        from couch_to_postgres_spark.extensions.sampling import upsample
+
+        return upsample(_docs(spark, sf_dir), {"src0": 3, "src1": 2}).select(
+            "doc_id", "source", "epoch"
+        )
+
     def x_tfidf(spark, sf_dir):
         return X_text.tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
@@ -576,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fingerprint": x_fingerprint,
         "x_hash_split": x_hash_split,
         "x_top_tokens": x_top_tokens,
+        "x_mixture": x_mixture,
+        "x_upsample": x_upsample,
         "x_tfidf": x_tfidf,
         "x_pack": x_pack,
         "x_contamination": x_contamination,
@@ -1158,6 +1176,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 20
+        """,
+        "x_mixture": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE source WHEN 'src0' THEN 'g'
+                              WHEN 'src1' THEN '8000'
+                              WHEN 'src2' THEN '4000'
+                              ELSE '0000' END
+        """,
+        "x_upsample": """
+            SELECT doc_id, source, CAST(e.epoch AS INT) AS epoch
+            FROM documents, UNNEST(generate_series(1,
+                 CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END))
+                 AS e(epoch)
         """,
         "x_tfidf": f"""
             WITH {_WORDS},

@@ -1,0 +1,80 @@
+"""Corpus mixing: deterministic per-source sampling and repetition.
+
+A training-data pipeline rarely consumes a corpus as-is — it *mixes*
+sources at configured rates (downsample the crawl, keep all the books,
+repeat the high-quality slice for several epochs). Both operators here are
+deterministic functions of (id, salt): the same rows are kept on any
+cluster size, any partitioning, any engine — unlike ``df.sample``, which
+is seed-and-partitioning dependent. That determinism is what makes a 100 TB
+mixing run resumable and auditable (and lets DuckDB oracle it bit-for-bit).
+
+Plan shape: the per-source rate table is a tiny broadcast join; the keep
+decision is a pure map (md5 prefix vs threshold) — no shuffle anywhere.
+Repetition is ``explode(sequence(...))`` — row-local, no shuffle, and the
+generated `epoch` column keeps repeated rows distinguishable downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex4_threshold(rate: float) -> str:
+    """First-4-hex-chars threshold for a keep rate in [0, 1]. Rate 1.0 maps
+    to 'g', which sorts above every hex prefix ('f' < 'g' in binary
+    collation) — the 5-char '10000' would sort BELOW 'ffff' and drop rows."""
+    n = int(rate * 65536)
+    if n >= 65536:
+        return "g"
+    return format(max(0, n), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+) -> DataFrame:
+    """Keep each row of group ``g`` with probability ``rates[g]``,
+    deterministically: a row survives iff ``md5(salt ':' id)``'s first 4
+    hex chars fall under the group's threshold. Groups absent from
+    ``rates`` are dropped (rate 0). Changing ``salt`` re-rolls membership
+    without touching the rates."""
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        [(g, _hex4_threshold(r)) for g, r in sorted(rates.items())],
+        f"{group_col} string, thr string",
+    )
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.join(F.broadcast(rates_df), group_col, "left")
+        .filter(F.substring(key, 1, 4) < F.coalesce(F.col("thr"), F.lit("0000")))
+        .drop("thr")
+    )
+
+
+def upsample(
+    df: DataFrame,
+    factors: dict[str, int],
+    group_col: str = "source",
+) -> DataFrame:
+    """Repeat each row of group ``g`` ``factors[g]`` times (default 1),
+    adding an ``epoch`` column 1..factor. Row-local explode — no shuffle;
+    at scale the output inherits the input partitioning, so a skewed
+    factor map (one source x100) should be followed by AQE or an explicit
+    rebalance before the next wide stage."""
+    spark = df.sparkSession
+    f_df = spark.createDataFrame(
+        [(g, int(n)) for g, n in sorted(factors.items())],
+        f"{group_col} string, factor int",
+    )
+    return (
+        df.join(F.broadcast(f_df), group_col, "left")
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(1), F.coalesce(F.col("factor"), F.lit(1)))),
+        )
+        .drop("factor")
+    )

@@ -351,3 +351,47 @@ def test_tfidf_hand_computed(spark):
     assert got[(2, "cherry")]["rank"] == 1
     assert got[(2, "banana")]["rank"] == 2
     assert got[(1, "apple")]["rank"] == 1
+
+
+def test_stratified_sample_rates_and_determinism(spark, docs):
+    from couch_to_postgres_spark.extensions.sampling import stratified_sample
+
+    rates = {"src0": 1.0, "src1": 0.5, "src3": 0.0}
+    a = stratified_sample(docs, rates).select("doc_id", "source").collect()
+    b = stratified_sample(docs, rates).select("doc_id", "source").collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    by_src = {}
+    for r in a:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    n0 = docs.filter(F.col("source") == "src0").count()
+    assert len(by_src.get("src0", set())) == n0  # rate 1.0 keeps ALL rows
+    assert "src3" not in by_src  # rate 0
+    assert "src5" not in by_src  # unlisted -> dropped
+    kept1 = len(by_src.get("src1", set()))
+    n1 = docs.filter(F.col("source") == "src1").count()
+    assert 0 < kept1 < n1  # ~half, strictly between
+    # sampled set is a SUBSET decision per row, so a different salt re-rolls
+    c = stratified_sample(docs, rates, salt="v2").select("doc_id").collect()
+    assert {r["doc_id"] for r in c} != {r["doc_id"] for r in a}
+
+
+def test_upsample_epochs(spark, docs):
+    from couch_to_postgres_spark.extensions.sampling import upsample
+
+    out = upsample(docs, {"src0": 3, "src1": 2}).groupBy("source").count().collect()
+    cnt = {r["source"]: r["count"] for r in out}
+    base = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    assert cnt["src0"] == 3 * base["src0"]
+    assert cnt["src1"] == 2 * base["src1"]
+    assert cnt["src2"] == base["src2"]  # default factor 1
+    epochs = (
+        upsample(docs, {"src0": 3})
+        .filter(F.col("source") == "src0")
+        .groupBy("epoch")
+        .count()
+        .collect()
+    )
+    assert {r["epoch"] for r in epochs} == {1, 2, 3}
