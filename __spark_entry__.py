@@ -498,6 +498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_top_tokens(spark, sf_dir):
         return X_text.top_tokens(_docs(spark, sf_dir), k=20)
 
+    def x_train_pipeline(spark, sf_dir):
+        # the full corpus-prep composition: dedup -> quality -> split -> pack
+        from couch_to_postgres_spark.extensions.corpus import (
+            prepare_training_corpus,
+        )
+
+        return prepare_training_corpus(_docs(spark, sf_dir), budget=256)
+
     def x_mixture(spark, sf_dir):
         # corpus mixing: deterministic per-source Bernoulli sampling
         from couch_to_postgres_spark.extensions.sampling import stratified_sample
@@ -592,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fingerprint": x_fingerprint,
         "x_hash_split": x_hash_split,
         "x_top_tokens": x_top_tokens,
+        "x_train_pipeline": x_train_pipeline,
         "x_mixture": x_mixture,
         "x_upsample": x_upsample,
         "x_tfidf": x_tfidf,
@@ -1176,6 +1185,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 20
+        """,
+        "x_train_pipeline": """
+            WITH dedup AS (
+                SELECT * FROM documents WHERE doc_id IN (
+                    SELECT min(doc_id) FROM documents GROUP BY md5(text))
+            ),
+            qual AS (
+                SELECT * FROM dedup
+                WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 5
+                  AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                           AS DOUBLE) / greatest(length(text), 1) <= 0.3
+            ),
+            train AS (
+                SELECT * FROM qual
+                WHERE substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                      < 'cccc'
+            ),
+            toks AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                           AS n_tokens
+                FROM train
+            ),
+            pref AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS tok_start
+                FROM toks
+            )
+            SELECT doc_id, n_tokens, tok_start,
+                   tok_start // 256 AS pack_id,
+                   tok_start % 256 AS pack_offset,
+                   ((tok_start + greatest(n_tokens, 1) - 1) // 256)
+                       - (tok_start // 256) + 1 AS n_packs
+            FROM pref
         """,
         "x_mixture": """
             SELECT doc_id, source FROM documents

@@ -1,0 +1,51 @@
+"""End-to-end training-corpus preparation: the composition a data pipeline
+actually ships — dedup → quality gate → deterministic split → sequence
+packing — as one declarative plan.
+
+Every stage is an already-oracled operator (`x_dedup_exact`,
+`x_quality_filter`, `x_hash_split`, `x_pack`); this module chains them so
+the full pipeline itself stays one Catalyst plan (stages fuse: the quality
+gate's features never materialize, the split filter is map-side) and is
+verified end-to-end against a single composed DuckDB oracle
+(`x_train_pipeline`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.dedup import exact_dedup
+from couch_to_postgres_spark.extensions.text import (
+    hash_split,
+    pack_documents,
+    quality_filter,
+)
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 256,
+    train_frac: float = 0.8,
+    salt: str = "split1",
+    min_words: int = 5,
+    max_punct_ratio: float = 0.3,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Exact-dedup the corpus, keep documents passing the quality gates,
+    take the deterministic train split, and lay it out as packed sequences
+    (global token offsets at ``budget`` tokens per pack).
+
+    Returns the pack layout frame: ``(id, n_tokens, tok_start, pack_id,
+    pack_offset, n_packs)`` for every kept training document."""
+    deduped = exact_dedup(df, text_col, id_col)
+    kept_ids = quality_filter(
+        deduped, text_col, id_col, min_words, max_punct_ratio
+    ).select(id_col)
+    kept = deduped.join(kept_ids, on=id_col, how="left_semi")
+    train = hash_split(kept, id_col, train_frac, salt).filter(
+        F.col("split") == "train"
+    )
+    return pack_documents(train, text_col, id_col, budget, num_buckets)

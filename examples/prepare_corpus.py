@@ -1,0 +1,71 @@
+"""Worked example: a training-data preparation run over the `documents`
+corpus, Spark-first.
+
+1. near-dedup (MinHash LSH → exact-Jaccard verify → cluster → keep rep),
+2. quality gates (length / punctuation ratios),
+3. benchmark decontamination (shingle overlap of eval against train),
+4. source mixing (deterministic per-source rates) and train/eval split,
+5. sequence packing (global token offsets via distributed prefix scan).
+
+Run: python examples/prepare_corpus.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.corpus import prepare_training_corpus
+from couch_to_postgres_spark.extensions.dedup import near_dedup
+from couch_to_postgres_spark.extensions.sampling import stratified_sample
+from couch_to_postgres_spark.extensions.text import (
+    contamination,
+    hash_split,
+    quality_filter,
+)
+from couch_to_postgres_spark.session import get_spark, load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="prepare_corpus")
+    docs = load_table(spark, sf_dir, "documents")
+    print(f"corpus: {docs.count()} documents")
+
+    # 1. near-dedup: exact + MinHash-LSH-verified clusters, keep one rep each
+    deduped = near_dedup(docs)
+    print(f"after near-dedup: {deduped.count()}")
+
+    # 2. quality gates
+    kept = deduped.join(
+        quality_filter(deduped).select("doc_id"), "doc_id", "left_semi"
+    )
+    print(f"after quality gates: {kept.count()}")
+
+    # 3. split, then measure eval contamination against train
+    split = hash_split(kept)
+    train = split.filter(F.col("split") == "train")
+    ev = split.filter(F.col("split") == "eval")
+    contaminated = contamination(train, ev).filter(F.col("overlap_frac") > 0.5)
+    print(f"eval docs >50% shingle-contaminated by train: {contaminated.count()}")
+
+    # 4. mix sources at configured rates (deterministic, resumable)
+    rates = {s: 1.0 if i % 2 == 0 else 0.5 for i, s in enumerate(
+        sorted(r["source"] for r in train.select("source").distinct().collect())
+    )}
+    mixed = stratified_sample(train, rates)
+    print(f"after mixing {len(rates)} sources: {mixed.count()}")
+
+    # 5. the one-plan composition: dedup -> quality -> split -> pack
+    packed = prepare_training_corpus(docs, budget=256)
+    n_packs = packed.agg(
+        (F.max(F.col("pack_id") + F.col("n_packs")) - 1).alias("n")
+    ).first()["n"]
+    print(f"packed train corpus: {packed.count()} docs into ~{n_packs} packs of 256 tokens")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -395,3 +395,24 @@ def test_upsample_epochs(spark, docs):
         .collect()
     )
     assert {r["epoch"] for r in epochs} == {1, 2, 3}
+
+
+def test_prepare_training_corpus_composition(spark, docs):
+    from couch_to_postgres_spark.extensions.corpus import prepare_training_corpus
+
+    out = {r["doc_id"]: r for r in prepare_training_corpus(docs, budget=100).collect()}
+    # membership == composing the stages independently
+    dd = D.exact_dedup(docs)
+    kept = dd.join(
+        T.quality_filter(dd).select("doc_id"), "doc_id", "left_semi"
+    )
+    expect = {
+        r["doc_id"]
+        for r in T.hash_split(kept).filter(F.col("split") == "train").collect()
+    }
+    assert set(out) == expect and len(out) > 0
+    # pack layout is a valid exclusive prefix sum over the kept train docs
+    run = 0
+    for doc_id in sorted(out):
+        assert out[doc_id]["tok_start"] == run
+        run += out[doc_id]["n_tokens"]

@@ -111,3 +111,43 @@ def test_near_dedup_corpus_side_never_shuffles(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "documents" in ln
     ]
     assert corpus_shuffles == [], corpus_shuffles
+
+
+def test_pack_prefix_scan_never_single_partitions(spark, sf_dir):
+    """The packing prefix scan must not degenerate into a global-order
+    window: no Exchange SinglePartition anywhere, and the bucket-offset
+    join is a broadcast."""
+    from couch_to_postgres_spark.extensions.text import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = pack_documents(docs, budget=128, num_buckets=8)
+    plan = executed_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert has_broadcast_hash_join(df), plan
+
+
+def test_stratified_sample_is_map_side_only(spark, sf_dir):
+    """The mixing filter must stay a broadcast-join map: zero shuffle
+    exchanges over the corpus."""
+    from couch_to_postgres_spark.extensions.sampling import stratified_sample
+    from couch_to_postgres_spark.plans.inspect import num_exchanges
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = stratified_sample(docs, {"src0": 1.0, "src1": 0.5})
+    assert num_exchanges(df) == 0, executed_plan(df)
+    assert has_broadcast_hash_join(df)
+
+
+def test_tfidf_corpus_size_is_broadcast_not_cartesian(spark, sf_dir):
+    """N joins in as a broadcast 1-row frame — a CartesianProduct here
+    would replicate the tf table per partition of n."""
+    from couch_to_postgres_spark.extensions.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = executed_plan(tfidf_top_terms(docs, k=3))
+    assert "CartesianProduct" not in plan, plan
+    # exactly ONE single-partition exchange: the 1-row final agg for N
+    # (fed by map-side partials — num_partitions rows, not the corpus).
+    # The tf/df tables themselves must never gather to one partition.
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
