@@ -498,6 +498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_top_tokens(spark, sf_dir):
         return X_text.top_tokens(_docs(spark, sf_dir), k=20)
 
+    def x_leakage_split(spark, sf_dir):
+        # near-dup clusters move into train/eval as one unit (no leakage)
+        from couch_to_postgres_spark.extensions.corpus import leakage_safe_split
+
+        return leakage_safe_split(
+            _docs(spark, sf_dir), jaccard_threshold=0.6, num_bands=4
+        )
+
     def x_train_pipeline(spark, sf_dir):
         # the full corpus-prep composition: dedup -> quality -> split -> pack
         from couch_to_postgres_spark.extensions.corpus import (
@@ -600,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fingerprint": x_fingerprint,
         "x_hash_split": x_hash_split,
         "x_top_tokens": x_top_tokens,
+        "x_leakage_split": x_leakage_split,
         "x_train_pipeline": x_train_pipeline,
         "x_mixture": x_mixture,
         "x_upsample": x_upsample,
@@ -1185,6 +1194,57 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 20
+        """,
+        "x_leakage_split": f"""
+            WITH RECURSIVE {_WORDS}, {_SHINGLES},
+            banded AS (
+                SELECT doc_id, b.band, shingle
+                FROM shingled, UNNEST([0,1,2,3]) AS b(band)
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS signature
+                FROM banded GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.signature = b.signature
+                 AND a.doc_id < b.doc_id
+            ),
+            sets_ AS (
+                SELECT doc_id, list_distinct(list(shingle)) AS sh
+                FROM shingled GROUP BY doc_id
+            ),
+            verified AS (
+                SELECT p.id_a, p.id_b
+                FROM pairs p
+                JOIN sets_ sa ON sa.doc_id = p.id_a
+                JOIN sets_ sb ON sb.doc_id = p.id_b
+                WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM verified
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM verified
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+                SELECT src AS node, least(src, min(dst)) AS cluster
+                FROM reach GROUP BY src
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(c.cluster, d.doc_id) AS BIGINT) AS cluster_id,
+                   CASE WHEN substr(md5('split1:' ||
+                             CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)), 1, 4)
+                             < 'cccc'
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
         """,
         "x_train_pipeline": """
             WITH dedup AS (

@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from couch_to_postgres_spark.extensions.dedup import exact_dedup
+from couch_to_postgres_spark.extensions.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard,
+)
 from couch_to_postgres_spark.extensions.text import (
     hash_split,
     pack_documents,
@@ -49,3 +54,47 @@ def prepare_training_corpus(
         F.col("split") == "train"
     )
     return pack_documents(train, text_col, id_col, budget, num_buckets)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    salt: str = "split1",
+    jaccard_threshold: float = 0.8,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Train/eval split in which near-duplicate documents can NEVER
+    straddle the boundary — the leakage `hash_split` alone cannot prevent
+    (a near-copy of a training document landing in eval inflates every
+    metric it touches).
+
+    The split key is the document's near-dup CLUSTER representative (min
+    id of its verified-duplicate component; itself for singletons), so an
+    entire duplicate cluster moves as one unit. Emits
+    ``(id, cluster_id, split)``.
+
+    Plan shape: clustering work is pair-set-proportional (LSH cut first);
+    the corpus itself sees one left join against the (small) cluster map
+    plus the map-side md5 threshold."""
+    candidates = minhash_candidate_pairs(
+        df, text_col, id_col, num_bands, shingle_n
+    )
+    verified = ngram_jaccard(df, candidates, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    clusters = dedup_clusters(verified, id_col)
+    withc = df.join(clusters, on=id_col, how="left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster"), F.col(id_col))
+    )
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col("cluster_id").cast("string")))
+    thr = format(int(train_frac * 65536), "04x")
+    return withc.select(
+        F.col(id_col),
+        "cluster_id",
+        F.when(F.substring(key, 1, 4) < F.lit(thr), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )

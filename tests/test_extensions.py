@@ -416,3 +416,28 @@ def test_prepare_training_corpus_composition(spark, docs):
     for doc_id in sorted(out):
         assert out[doc_id]["tok_start"] == run
         run += out[doc_id]["n_tokens"]
+
+
+def test_leakage_safe_split_moves_clusters_whole(spark, docs):
+    from couch_to_postgres_spark.extensions.corpus import leakage_safe_split
+
+    aug = planted(spark, docs)  # exact + near dup of doc 0 at high ids
+    out = {
+        r["doc_id"]: r
+        for r in leakage_safe_split(
+            aug, jaccard_threshold=0.6, num_bands=4
+        ).collect()
+    }
+    assert len(out) == aug.count()
+    # the planted dups share doc 0's cluster AND its split assignment
+    assert out[100000]["cluster_id"] == 0
+    assert out[100001]["cluster_id"] == 0
+    assert out[100000]["split"] == out[0]["split"]
+    assert out[100001]["split"] == out[0]["split"]
+    # a split keyed on the raw ids would have separated them
+    from couch_to_postgres_spark.extensions.text import hash_split
+
+    naive = {
+        r["doc_id"]: r["split"] for r in hash_split(aug).collect()
+    }
+    assert len({naive[0], naive[100000], naive[100001]}) > 1
