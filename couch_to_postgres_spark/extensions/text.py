@@ -182,7 +182,18 @@ def pack_documents(
     occupy one logical slot for ``n_packs`` so the value stays positive
     (and floor-div vs truncating-div never disagree: all operands ≥ 0).
     """
-    toks = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    # Materialize (id, n_tokens) once: the regex tokenizer is the dominant
+    # expression (5.3 s of the ~9 s sf0.1 run; regexp_count A/B'd equal to
+    # size(regexp_extract_all) — the regex engine, not array allocation,
+    # is the cost), and without materialization both the bucket-totals job
+    # and the final layout job re-scan the corpus to recompute it. The
+    # materialized frame is ~16 bytes/doc at any corpus size; wall time at
+    # sf0.1 is a wash, but at 100 TB one corpus scan versus two is the
+    # difference that matters. On a real cluster swap localCheckpoint for
+    # persist(DISK) or a temp table to survive executor loss.
+    toks = df.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens")
+    ).localCheckpoint(eager=True)
     spark = df.sparkSession
     out_schema = (
         f"{id_col} long, n_tokens long, tok_start long, "
