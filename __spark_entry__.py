@@ -498,6 +498,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_top_tokens(spark, sf_dir):
         return X_text.top_tokens(_docs(spark, sf_dir), k=20)
 
+    def a20_view_incremental(spark, sf_dir):
+        # incremental view maintenance: COUNT-per-lang view updated from a
+        # change batch in O(touched) — never a full recompute. Must equal
+        # a fresh GROUP BY over the post-merge mirror (the oracle).
+        from couch_to_postgres_spark.operators.views import (
+            apply_count_delta,
+            count_view_delta,
+        )
+
+        mirror = docs_mirror(spark, sf_dir, with_rev=True)
+        changes = _derived_changes(spark, sf_dir)
+        post = apply_changes(mirror, changes)
+        key = json_get("doc", "lang")
+        view = mirror.groupBy(key.alias("key")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        touched = changes.select("id").distinct()
+        delta = count_view_delta(mirror, post, touched, key)
+        return apply_count_delta(view, delta).select(
+            F.col("key").alias("lang"), "cnt"
+        )
+
     def x_leakage_split(spark, sf_dir):
         # near-dup clusters move into train/eval as one unit (no leakage)
         from couch_to_postgres_spark.extensions.corpus import leakage_safe_split
@@ -608,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fingerprint": x_fingerprint,
         "x_hash_split": x_hash_split,
         "x_top_tokens": x_top_tokens,
+        "a20_view_incremental": a20_view_incremental,
         "x_leakage_split": x_leakage_split,
         "x_train_pipeline": x_train_pipeline,
         "x_mixture": x_mixture,
@@ -1194,6 +1217,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY cnt DESC, token
             LIMIT 20
+        """,
+        "a20_view_incremental": """
+            -- fresh GROUP BY over the post-merge mirror state (what the
+            -- incremental delta path must reproduce exactly)
+            WITH post AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id, lang
+                FROM documents WHERE doc_id % 10 <> 0
+                UNION ALL
+                SELECT 'n' || CAST(doc_id AS VARCHAR) AS id, lang
+                FROM documents WHERE doc_id % 10 = 3
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+            FROM post GROUP BY lang
         """,
         "x_leakage_split": f"""
             WITH RECURSIVE {_WORDS}, {_SHINGLES},

@@ -13,7 +13,8 @@ from __future__ import annotations
 import os
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class MaterializedView:
@@ -55,3 +56,54 @@ class MaterializedView:
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+
+def count_view_delta(
+    pre_mirror: DataFrame,
+    post_mirror: DataFrame,
+    touched_ids: DataFrame,
+    key: Column,
+    id_col: str = "id",
+) -> DataFrame:
+    """O(touched) delta for a COUNT-per-key view between two mirror states.
+
+    Instead of recomputing ``GROUP BY key`` over the whole post-merge
+    mirror, read ONLY the rows whose ids a change batch touched — in both
+    the pre and post states (broadcast semi-joins, the mirror never
+    shuffles) — and emit per-key net counts (−1 per old row, +1 per new
+    row). A replayed batch whose changes already landed nets zero for
+    every key, so delta application inherits the merge's idempotence.
+
+    Returns ``(key, delta)`` with zero-net keys dropped."""
+    minus = pre_mirror.join(
+        F.broadcast(touched_ids), on=id_col, how="left_semi"
+    ).select(key.alias("key"), F.lit(-1).cast("long").alias("d"))
+    plus = post_mirror.join(
+        F.broadcast(touched_ids), on=id_col, how="left_semi"
+    ).select(key.alias("key"), F.lit(1).cast("long").alias("d"))
+    return (
+        minus.unionByName(plus)
+        .groupBy("key")
+        .agg(F.sum("d").alias("delta"))
+        .filter(F.col("delta") != 0)
+    )
+
+
+def apply_count_delta(view: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a ``(key, delta)`` frame into a ``(key, cnt)`` count view.
+    Keys whose count reaches zero disappear (a fresh GROUP BY would not
+    emit them). The join is full-outer over the AGGREGATE (view-sized,
+    not corpus-sized) rowset; at scale both sides hash-partition on key —
+    the view is never scanned more than once and the corpus not at all."""
+    v = view.withColumnRenamed("cnt", "_cnt")
+    return (
+        v.join(delta, on="key", how="full")
+        .select(
+            "key",
+            (
+                F.coalesce(F.col("_cnt"), F.lit(0))
+                + F.coalesce(F.col("delta"), F.lit(0))
+            ).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )

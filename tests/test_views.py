@@ -1,6 +1,8 @@
 """Materialized view-as-table: refresh, registration, equivalence with
 the fresh GROUP BY path (the reference's own oracle, README.md:206-213)."""
 
+from pyspark.sql import functions as F
+
 from couch_to_postgres_spark.operators.mirror import docs_mirror
 from couch_to_postgres_spark.operators.query import group_count
 from couch_to_postgres_spark.operators.views import MaterializedView
@@ -37,3 +39,28 @@ def test_refresh_swaps_atomically(spark, sf_dir, tmp_path):
     assert not os.path.exists(view.path + ".tmp")
     assert not os.path.exists(view.path + ".old")
     assert view.read().count() > 0
+
+
+def test_incremental_count_view_matches_fresh_and_replays(spark, sf_dir):
+    from __spark_entry__ import _derived_changes
+    from couch_to_postgres_spark.functions.json import json_get
+    from couch_to_postgres_spark.operators.cdc import apply_changes
+    from couch_to_postgres_spark.operators.mirror import docs_mirror
+    from couch_to_postgres_spark.operators.views import (
+        apply_count_delta,
+        count_view_delta,
+    )
+
+    mirror = docs_mirror(spark, sf_dir, with_rev=True)
+    changes = _derived_changes(spark, sf_dir)
+    post = apply_changes(mirror, changes)
+    key = json_get("doc", "lang")
+    view = mirror.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    touched = changes.select("id").distinct()
+
+    inc = apply_count_delta(view, count_view_delta(mirror, post, touched, key))
+    fresh = post.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, fresh.collect()))
+
+    # replayed batch after the merge landed: every key nets zero
+    assert count_view_delta(post, post, touched, key).count() == 0
