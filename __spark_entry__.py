@@ -520,6 +520,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("key").alias("lang"), "cnt"
         )
 
+    def a21_view_incremental_sum(spark, sf_dir):
+        # COUNT+SUM view maintained incrementally — the %10==1 updates
+        # change the summed measure (+1000), exercising the old-row
+        # subtraction path, not just insert/delete.
+        from couch_to_postgres_spark.operators.views import (
+            agg_view_delta,
+            apply_agg_delta,
+        )
+
+        mirror = docs_mirror(spark, sf_dir, with_rev=True)
+        changes = _derived_changes(spark, sf_dir)
+        post = apply_changes(mirror, changes)
+        key = json_get("doc", "lang")
+        value = json_get("doc", "n_chars").cast("long")
+        view = mirror.groupBy(key.alias("key")).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(value).alias("total")
+        )
+        touched = changes.select("id").distinct()
+        delta = agg_view_delta(mirror, post, touched, key, value)
+        return apply_agg_delta(view, delta).select(
+            F.col("key").alias("lang"), "cnt", "total"
+        )
+
     def x_leakage_split(spark, sf_dir):
         # near-dup clusters move into train/eval as one unit (no leakage)
         from couch_to_postgres_spark.extensions.corpus import leakage_safe_split
@@ -631,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hash_split": x_hash_split,
         "x_top_tokens": x_top_tokens,
         "a20_view_incremental": a20_view_incremental,
+        "a21_view_incremental_sum": a21_view_incremental_sum,
         "x_leakage_split": x_leakage_split,
         "x_train_pipeline": x_train_pipeline,
         "x_mixture": x_mixture,
@@ -1229,6 +1253,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 10 = 3
             )
             SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+            FROM post GROUP BY lang
+        """,
+        "a21_view_incremental_sum": """
+            WITH post AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id, lang,
+                       CASE WHEN doc_id % 10 = 1 THEN n_chars + 1000
+                            ELSE n_chars END AS n_chars
+                FROM documents WHERE doc_id % 10 <> 0
+                UNION ALL
+                SELECT 'n' || CAST(doc_id AS VARCHAR) AS id, lang, n_chars
+                FROM documents WHERE doc_id % 10 = 3
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(n_chars) AS BIGINT) AS total
             FROM post GROUP BY lang
         """,
         "x_leakage_split": f"""

@@ -89,6 +89,62 @@ def count_view_delta(
     )
 
 
+def agg_view_delta(
+    pre_mirror: DataFrame,
+    post_mirror: DataFrame,
+    touched_ids: DataFrame,
+    key: Column,
+    value: Column,
+    id_col: str = "id",
+) -> DataFrame:
+    """`count_view_delta` generalized to COUNT+SUM views: emits
+    ``(key, d_cnt, d_sum)`` net deltas from the touched rows only. The
+    count rides along because SUM alone can't decide when a key
+    disappears — a key leaves the view when its ROW count reaches zero,
+    not when its sum does."""
+    minus = pre_mirror.join(
+        F.broadcast(touched_ids), on=id_col, how="left_semi"
+    ).select(
+        key.alias("key"),
+        F.lit(-1).cast("long").alias("dc"),
+        (-value).cast("long").alias("ds"),
+    )
+    plus = post_mirror.join(
+        F.broadcast(touched_ids), on=id_col, how="left_semi"
+    ).select(
+        key.alias("key"),
+        F.lit(1).cast("long").alias("dc"),
+        value.cast("long").alias("ds"),
+    )
+    return (
+        minus.unionByName(plus)
+        .groupBy("key")
+        .agg(F.sum("dc").alias("d_cnt"), F.sum("ds").alias("d_sum"))
+        .filter((F.col("d_cnt") != 0) | (F.col("d_sum") != 0))
+    )
+
+
+def apply_agg_delta(view: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge ``(key, d_cnt, d_sum)`` deltas into a ``(key, cnt, total)``
+    view; keys whose row count reaches zero disappear."""
+    v = view.withColumnRenamed("cnt", "_cnt").withColumnRenamed("total", "_total")
+    return (
+        v.join(delta, on="key", how="full")
+        .select(
+            "key",
+            (
+                F.coalesce(F.col("_cnt"), F.lit(0))
+                + F.coalesce(F.col("d_cnt"), F.lit(0))
+            ).alias("cnt"),
+            (
+                F.coalesce(F.col("_total"), F.lit(0))
+                + F.coalesce(F.col("d_sum"), F.lit(0))
+            ).alias("total"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
 def apply_count_delta(view: DataFrame, delta: DataFrame) -> DataFrame:
     """Merge a ``(key, delta)`` frame into a ``(key, cnt)`` count view.
     Keys whose count reaches zero disappear (a fresh GROUP BY would not

@@ -64,3 +64,30 @@ def test_incremental_count_view_matches_fresh_and_replays(spark, sf_dir):
 
     # replayed batch after the merge landed: every key nets zero
     assert count_view_delta(post, post, touched, key).count() == 0
+
+
+def test_incremental_sum_view_handles_updates(spark, sf_dir):
+    from __spark_entry__ import _derived_changes
+    from couch_to_postgres_spark.functions.json import json_get
+    from couch_to_postgres_spark.operators.cdc import apply_changes
+    from couch_to_postgres_spark.operators.views import (
+        agg_view_delta,
+        apply_agg_delta,
+    )
+
+    mirror = docs_mirror(spark, sf_dir, with_rev=True)
+    changes = _derived_changes(spark, sf_dir)
+    post = apply_changes(mirror, changes)
+    key = json_get("doc", "lang")
+    value = json_get("doc", "n_chars").cast("long")
+    view = mirror.groupBy(key.alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(value).alias("total")
+    )
+    touched = changes.select("id").distinct()
+    inc = apply_agg_delta(view, agg_view_delta(mirror, post, touched, key, value))
+    fresh = post.groupBy(key.alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(value).alias("total")
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, fresh.collect()))
+    # replay after the merge landed nets zero deltas
+    assert agg_view_delta(post, post, touched, key, value).count() == 0
