@@ -559,6 +559,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return prepare_training_corpus(_docs(spark, sf_dir), budget=256)
 
+    def x_shuffle(spark, sf_dir):
+        # reproducible global training order (engine/partitioning-stable)
+        from couch_to_postgres_spark.extensions.sampling import (
+            deterministic_shuffle,
+        )
+
+        return deterministic_shuffle(_docs(spark, sf_dir)).select(
+            "doc_id", "shuffle_key"
+        )
+
+    def e07_event_gaps(spark, sf_dir):
+        # per-user inter-event gaps: lag window over event time. Gap is
+        # computed on the TRUNCATED µs values (truncate-then-subtract) so
+        # both engines subtract identical numbers; ordering ties broken by
+        # event_id.
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+            .select("event_id", "user_id", "ts_us", "gap_us")
+        )
+
     def x_mixture(spark, sf_dir):
         # corpus mixing: deterministic per-source Bernoulli sampling
         from couch_to_postgres_spark.extensions.sampling import stratified_sample
@@ -657,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a21_view_incremental_sum": a21_view_incremental_sum,
         "x_leakage_split": x_leakage_split,
         "x_train_pipeline": x_train_pipeline,
+        "x_shuffle": x_shuffle,
+        "e07_event_gaps": e07_event_gaps,
         "x_mixture": x_mixture,
         "x_upsample": x_upsample,
         "x_tfidf": x_tfidf,
@@ -1355,6 +1380,18 @@ def oracle_sql() -> dict[str, str]:
                    ((tok_start + greatest(n_tokens, 1) - 1) // 256)
                        - (tok_start // 256) + 1 AS n_packs
             FROM pref
+        """,
+        "x_shuffle": """
+            SELECT doc_id,
+                   md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
+        """,
+        "e07_event_gaps": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) AS ts_us,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
         """,
         "x_mixture": """
             SELECT doc_id, source FROM documents

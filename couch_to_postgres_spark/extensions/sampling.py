@@ -55,6 +55,22 @@ def stratified_sample(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame, id_col: str = "doc_id", salt: str = "shuf1"
+) -> DataFrame:
+    """Attach the global training-order key ``shuffle_key = md5(salt:id)``.
+    Sorting by it yields the same pseudo-random permutation on any engine,
+    partitioning, or cluster size (``df.orderBy(rand())`` yields none of
+    that). At scale, range-partition on the key's hex prefix and sort
+    within partitions: each output shard is internally ordered and shard
+    boundaries are deterministic — no global sort. Changing ``salt``
+    re-deals the epoch's order."""
+    return df.withColumn(
+        "shuffle_key",
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+    )
+
+
 def upsample(
     df: DataFrame,
     factors: dict[str, int],

@@ -441,3 +441,26 @@ def test_leakage_safe_split_moves_clusters_whole(spark, docs):
         r["doc_id"]: r["split"] for r in hash_split(aug).collect()
     }
     assert len({naive[0], naive[100000], naive[100001]}) > 1
+
+
+def test_deterministic_shuffle_is_a_stable_permutation(spark, docs):
+    from couch_to_postgres_spark.extensions.sampling import deterministic_shuffle
+
+    a = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs).orderBy("shuffle_key").collect()
+    ]
+    b = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs).orderBy("shuffle_key").collect()
+    ]
+    ordered = sorted(a)
+    assert a == b                      # same permutation every run
+    assert sorted(a) == ordered and a != ordered  # a real permutation
+    c = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs, salt="epoch2")
+        .orderBy("shuffle_key")
+        .collect()
+    ]
+    assert c != a                      # new salt re-deals the order
