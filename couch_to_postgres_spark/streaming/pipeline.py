@@ -65,12 +65,60 @@ def read_mirror(spark: SparkSession, mirror_path: str) -> DataFrame:
     return spark.createDataFrame([], MIRROR_SCHEMA)
 
 
+def read_count_view(spark: SparkSession, mirror_path: str, name: str) -> DataFrame:
+    """Current state of a live count view maintained by ``upsert_mirror``
+    (``count_views=...``). Columns ``(key, cnt)``."""
+    return spark.read.parquet(os.path.join(mirror_path, "_views", name))
+
+
+def _update_count_view(
+    spark: SparkSession,
+    mirror_path: str,
+    name: str,
+    key: Column,
+    pre: DataFrame,
+    post: DataFrame,
+    touched: DataFrame,
+) -> None:
+    """Advance one live view by the batch's O(touched) count delta.
+
+    Crash-consistency note (documented, not hidden): the view lands after
+    the mirror's symlink swap, so a crash in between leaves the view one
+    batch behind — and because the replayed merge no-ops, the delta
+    recomputed on replay is zero and does NOT repair it. The repair path
+    is a full rebuild (delete the view dir; next batch bootstraps from the
+    mirror) — the summary-table-plus-periodic-repair pattern. A table
+    format with multi-table transactions (Delta/Iceberg) closes the window
+    by committing mirror and view in one transaction."""
+    from couch_to_postgres_spark.operators.views import (
+        apply_count_delta,
+        count_view_delta,
+    )
+
+    vdir = os.path.join(mirror_path, "_views", name)
+    if os.path.exists(vdir):
+        view = spark.read.parquet(vdir)
+    else:
+        # bootstrap: one full GROUP BY over the PRE state, then the delta
+        # brings it to post — after this, never a full recompute again
+        view = pre.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    new = apply_count_delta(view, count_view_delta(pre, post, touched, key))
+    tmp = vdir + ".tmp"
+    new.write.mode("overwrite").parquet(tmp)  # materializes before the swap
+    old = vdir + ".old"
+    if os.path.exists(vdir):
+        os.rename(vdir, old)
+    os.rename(tmp, vdir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def upsert_mirror(
     spark: SparkSession,
     mirror_path: str,
     batch: DataFrame,
     type_filter: str | None = None,
     map_hook: Callable[[Column], Column] | None = None,
+    count_views: dict[str, Column] | None = None,
 ) -> None:
     """Merge one change batch into the parquet mirror, atomically and
     MVCC-safe for concurrent readers.
@@ -109,13 +157,23 @@ def upsert_mirror(
         version_name = f"v-{time.time_ns()}"
         version_dir = os.path.join(mirror_path, version_name)
         merged.write.mode("overwrite").parquet(version_dir)
+        # atomic publish: rename of a symlink replaces it in one step
+        link = os.path.join(mirror_path, CURRENT_LINK)
+        tmp_link = os.path.join(mirror_path, f".{CURRENT_LINK}.{version_name}")
+        os.symlink(version_name, tmp_link)
+        os.replace(tmp_link, link)
+        if count_views:
+            # live views advance by O(touched) deltas between the pre
+            # state (`current`, already resolved to its immutable version)
+            # and the just-written post version — never a full recompute
+            post = spark.read.parquet(version_dir)
+            touched = batch.select("id").distinct()
+            for name, key in count_views.items():
+                _update_count_view(
+                    spark, mirror_path, name, key, current, post, touched
+                )
     finally:
         batch.unpersist()
-    # atomic publish: rename of a symlink replaces it in one step
-    link = os.path.join(mirror_path, CURRENT_LINK)
-    tmp_link = os.path.join(mirror_path, f".{CURRENT_LINK}.{version_name}")
-    os.symlink(version_name, tmp_link)
-    os.replace(tmp_link, link)
     # GC old versions (keep the most recent KEEP_VERSIONS for readers)
     versions = sorted(
         (d for d in os.listdir(mirror_path) if d.startswith("v-")), reverse=True
@@ -140,6 +198,7 @@ def follow(
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
     query_name: str | None = None,
+    count_views: dict[str, Column] | None = None,
 ) -> StreamingQuery:
     """Start one feed's replication query (the `engine.follow(db)` API —
     the reference's `new PostgresCouchDB(...).start()`,
@@ -158,6 +217,7 @@ def follow(
             batch,
             type_filter=type_filter,
             map_hook=map_hook,
+            count_views=count_views,
         )
 
     writer = (

@@ -235,3 +235,34 @@ def test_control_plane_http(spark, sf_dir, tmp):
     finally:
         server.shutdown()
         d.stop_all()
+
+
+def test_live_count_view_tracks_stream(spark, sf_dir, tmp):
+    """A streamed feed maintains its count view incrementally per batch;
+    after the drain the view equals a fresh GROUP BY over the mirror —
+    including through deletes."""
+    from couch_to_postgres_spark.functions.json import json_get
+    from couch_to_postgres_spark.streaming.pipeline import read_count_view
+
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    write_change_log(changes, f"{tmp}/log", num_files=4)
+    q = follow(
+        spark,
+        f"{tmp}/log",
+        f"{tmp}/mirror",
+        f"{tmp}/ckpt",
+        max_files_per_trigger=1,  # several micro-batches, several deltas
+        count_views={"by_type": json_get("doc", "type")},
+    )
+    q.awaitTermination(180)
+    view = sorted(map(tuple, read_count_view(spark, f"{tmp}/mirror", "by_type").collect()))
+    fresh = sorted(
+        map(
+            tuple,
+            read_mirror(spark, f"{tmp}/mirror")
+            .groupBy(json_get("doc", "type").alias("key"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect(),
+        )
+    )
+    assert view == fresh and len(view) > 0
