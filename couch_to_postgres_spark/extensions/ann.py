@@ -72,6 +72,67 @@ def assign_cells(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Build the IVF index ONCE and persist it: the centroid matrix as a
+    tiny parquet, the corpus written ``partitionBy(cell)`` so query-time
+    probing becomes static partition pruning — probed cells are the only
+    directories read. Amortizes quantizer training and cell assignment
+    across every future query batch (the 'index build' the reference's
+    couch views amortize for aggregation, applied to ANN)."""
+    import os
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_centroids(corpus, n_cells, vec_col, seed)
+    assigned = assign_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    return centroids
+
+
+def ivf_topk_indexed(
+    queries,
+    spark,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index. The probed cell ids are collected from
+    the (small) query side and applied as an ``isin`` filter, so the scan
+    reads ONLY the probed cells' partition directories — O(nprobe/n_cells)
+    of the index regardless of corpus size."""
+    import os
+
+    cents = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    }
+    centroids = [cents[i] for i in sorted(cents)]
+    q_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    probed = sorted(
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
+    )
+    corpus_cells = spark.read.parquet(os.path.join(path, "cells")).filter(
+        F.col("cell").isin(probed)
+    )
+    return _score_probed(q_cells, corpus_cells, k, id_col, vec_col)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -84,17 +145,30 @@ def ivf_topk(
     """Approximate top-k: score queries only against vectors in their
     ``nprobe`` nearest cells. Same output shape as
     ``similarity.cosine_topk`` (query_id, neighbor_id, rank)."""
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    q_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    return _score_probed(q_cells, corpus_cells, k, id_col, vec_col)
+
+
+def _score_probed(
+    q_cells: DataFrame,
+    corpus_cells: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF scoring: broadcast the (small) probed query side into
+    the cell-partitioned corpus, rank per query on rounded cosine."""
     from pyspark.sql import Window
 
     from couch_to_postgres_spark.extensions.similarity import _as_double, _dot, _norm
 
-    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, nprobe=1)
     c = corpus_cells.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
         "cell",
     ).withColumn("cn", _norm(F.col("cv")))
-    q = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+    q = q_cells.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
         "cell",

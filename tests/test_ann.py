@@ -81,3 +81,21 @@ def test_simhash64_properties(spark, sf_dir):
 def test_hamming64_column(spark):
     df = spark.createDataFrame([(0b1011, 0b0011)], "a long, b long")
     assert df.select(hamming64(F.col("a"), F.col("b")).alias("h")).head()["h"] == 1
+
+
+def test_persisted_index_matches_inmemory_and_prunes(spark, emb, centroids, tmp_path):
+    from couch_to_postgres_spark.extensions.ann import build_ivf_index, ivf_topk_indexed
+    from couch_to_postgres_spark.plans.inspect import formatted_plan
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, centroids=centroids)
+    queries = emb.filter(F.col("vec_id") < 10)
+    direct = sorted(
+        map(tuple, ivf_topk(queries, emb, centroids, k=5, nprobe=3).collect())
+    )
+    indexed_df = ivf_topk_indexed(queries, spark, path, k=5, nprobe=3)
+    assert sorted(map(tuple, indexed_df.collect())) == direct
+    # the probed-cell filter must reach the scan as a PARTITION filter:
+    # only the probed cells' directories are read, whatever the corpus size
+    plan = formatted_plan(indexed_df)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200], plan
