@@ -86,11 +86,15 @@ def upsample(
         [(g, int(n)) for g, n in sorted(factors.items())],
         f"{group_col} string, factor int",
     )
+    n = F.coalesce(F.col("factor"), F.lit(1))
+    # factor <= 0 drops the group entirely. The guard matters: Spark's
+    # sequence(1, 0) counts DOWN to [1, 0] — it would emit two epochs,
+    # not zero.
+    epochs = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     return (
         df.join(F.broadcast(f_df), group_col, "left")
-        .withColumn(
-            "epoch",
-            F.explode(F.sequence(F.lit(1), F.coalesce(F.col("factor"), F.lit(1)))),
-        )
+        .withColumn("epoch", F.explode(epochs))
         .drop("factor")
     )

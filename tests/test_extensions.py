@@ -464,3 +464,14 @@ def test_deterministic_shuffle_is_a_stable_permutation(spark, docs):
         .collect()
     ]
     assert c != a                      # new salt re-deals the order
+
+
+def test_upsample_factor_zero_drops_group(spark, docs):
+    from couch_to_postgres_spark.extensions.sampling import upsample
+
+    out = upsample(docs, {"src0": 0, "src1": 2})
+    assert out.filter(F.col("source") == "src0").count() == 0  # not 2x!
+    assert (
+        out.filter(F.col("source") == "src1").count()
+        == 2 * docs.filter(F.col("source") == "src1").count()
+    )
