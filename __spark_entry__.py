@@ -594,9 +594,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus mixing: per-source repetition with an epoch column
         from couch_to_postgres_spark.extensions.sampling import upsample
 
-        return upsample(_docs(spark, sf_dir), {"src0": 3, "src1": 2}).select(
-            "doc_id", "source", "epoch"
-        )
+        # src2 -> 0 pins the drop semantics cross-engine (DuckDB's
+        # generate_series(1,0) is empty; Spark's sequence would descend
+        # without the guard in `upsample`)
+        return upsample(
+            _docs(spark, sf_dir), {"src0": 3, "src1": 2, "src2": 0}
+        ).select("doc_id", "source", "epoch")
 
     def x_tfidf(spark, sf_dir):
         return X_text.tfidf_top_terms(_docs(spark, sf_dir), k=5)
@@ -1404,7 +1407,8 @@ def oracle_sql() -> dict[str, str]:
         "x_upsample": """
             SELECT doc_id, source, CAST(e.epoch AS INT) AS epoch
             FROM documents, UNNEST(generate_series(1,
-                 CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END))
+                 CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                             WHEN 'src2' THEN 0 ELSE 1 END))
                  AS e(epoch)
         """,
         "x_tfidf": f"""
