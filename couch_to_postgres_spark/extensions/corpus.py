@@ -86,7 +86,10 @@ def leakage_safe_split(
         F.col("jaccard") >= jaccard_threshold
     )
     clusters = dedup_clusters(verified, id_col)
-    withc = df.join(clusters, on=id_col, how="left").withColumn(
+    # same stats blindness as near_dedup's drop set: the cluster map exits
+    # localCheckpoint without size stats — broadcast it explicitly so the
+    # corpus side never shuffles
+    withc = df.join(F.broadcast(clusters), on=id_col, how="left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster"), F.col(id_col))
     )
     key = F.md5(F.concat_ws(":", F.lit(salt), F.col("cluster_id").cast("string")))

@@ -372,7 +372,12 @@ def near_dedup(
     )
     clusters = dedup_clusters(verified, id_col)
     drop = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
-    return df.join(drop, on=id_col, how="left_anti")
+    # explicit broadcast: the drop set is pair-set-proportional (tiny vs
+    # the corpus), but it comes out of localCheckpoint as an ExistingRDD
+    # with unknown stats — without the hint the initial plan falls back to
+    # sort-merge and shuffles the corpus (AQE may rescue it at runtime;
+    # the plan shouldn't depend on that)
+    return df.join(F.broadcast(drop), on=id_col, how="left_anti")
 
 
 def embedding_neardup_pairs(
