@@ -601,6 +601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), {"src0": 3, "src1": 2, "src2": 0}
         ).select("doc_id", "source", "epoch")
 
+    def x_corpus_stats(spark, sf_dir):
+        return X_text.corpus_stats(_docs(spark, sf_dir))
+
     def x_tfidf(spark, sf_dir):
         return X_text.tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
@@ -687,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e07_event_gaps": e07_event_gaps,
         "x_mixture": x_mixture,
         "x_upsample": x_upsample,
+        "x_corpus_stats": x_corpus_stats,
         "x_tfidf": x_tfidf,
         "x_pack": x_pack,
         "x_contamination": x_contamination,
@@ -1410,6 +1414,17 @@ def oracle_sql() -> dict[str, str]:
                  CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
                              WHEN 'src2' THEN 0 ELSE 1 END))
                  AS e(epoch)
+        """,
+        "x_corpus_stats": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                        AS BIGINT) AS total_tokens,
+                   round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 4)
+                       AS mean_tokens,
+                   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                       AS n_exact_dups
+            FROM documents GROUP BY source
         """,
         "x_tfidf": f"""
             WITH {_WORDS},

@@ -118,6 +118,29 @@ def hash_split(
     )
 
 
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus report card: document/token volume, mean length,
+    exact-duplicate count — the first pass of any ingestion audit. One
+    scan, one shuffle on the (low-cardinality) source key; the tokenizer
+    runs once per row via the pre-aggregation projection."""
+    t = df.select(
+        F.col(group_col),
+        token_count(text_col).alias("nt"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    return t.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(F.avg("nt"), 4).alias("mean_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("h"))).alias("n_exact_dups"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:

@@ -475,3 +475,15 @@ def test_upsample_factor_zero_drops_group(spark, docs):
         out.filter(F.col("source") == "src1").count()
         == 2 * docs.filter(F.col("source") == "src1").count()
     )
+
+
+def test_corpus_stats_counts_planted_dup(spark, docs):
+    aug = planted(spark, docs)  # adds one exact dup of doc 0
+    src0 = docs.filter(F.col("doc_id") == 0).first()["source"]
+    stats = {r["source"]: r for r in T.corpus_stats(aug).collect()}
+    assert stats[src0]["n_exact_dups"] >= 1
+    base = {r["source"]: r for r in T.corpus_stats(docs).collect()}
+    assert base[src0]["n_exact_dups"] == stats[src0]["n_exact_dups"] - 1
+    # token accounting is self-consistent
+    for s, r in base.items():
+        assert abs(r["mean_tokens"] - round(r["total_tokens"] / r["n_docs"], 4)) < 0.001
