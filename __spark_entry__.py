@@ -582,6 +582,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("event_id", "user_id", "ts_us", "gap_us")
         )
 
+    def e08_asof_last_purchase(spark, sf_dir):
+        # as-of join: each click gains the user's latest purchase time at
+        # or before it (µs domain on both engines; DuckDB native ASOF JOIN
+        # is the oracle)
+        from couch_to_postgres_spark.operators.asof import asof_join
+
+        ev = load_table(spark, sf_dir, "events")
+        us = F.expr("ts div 1000")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", us.alias("ts_us")
+        )
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", us.alias("ts_us")
+        )
+        return asof_join(
+            clicks, purch, ["user_id"], "ts_us", ["ts_us"], suffix="_p"
+        ).select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("ts_us_p").alias("last_purchase_ts_us"),
+        )
+
     def x_mixture(spark, sf_dir):
         # corpus mixing: deterministic per-source Bernoulli sampling
         from couch_to_postgres_spark.extensions.sampling import stratified_sample
@@ -688,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_train_pipeline": x_train_pipeline,
         "x_shuffle": x_shuffle,
         "e07_event_gaps": e07_event_gaps,
+        "e08_asof_last_purchase": e08_asof_last_purchase,
         "x_mixture": x_mixture,
         "x_upsample": x_upsample,
         "x_corpus_stats": x_corpus_stats,
@@ -1399,6 +1423,20 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) - lag(epoch_us(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
             FROM events
+        """,
+        "e08_asof_last_purchase": """
+            WITH clicks AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'click'
+            ),
+            purch AS (
+                SELECT user_id, epoch_us(ts) AS pts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, c.ts_us,
+                   p.pts AS last_purchase_ts_us
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts_us >= p.pts
         """,
         "x_mixture": """
             SELECT doc_id, source FROM documents

@@ -1,0 +1,69 @@
+"""As-of join — the temporal primitive Spark's built-in joins lack: for
+every left row, the single most recent right row (per key) whose time is
+at or before the left row's time.
+
+Implemented Spark-first as the **union + running-last window** plan, not a
+range join: tag both sides, union them, and per key take the last
+non-null right value over the time-ordered window up to the current row.
+
+Why this shape at 100 TB: one shuffle total (hash on the key for the
+window), no key×key range explosion, no per-key loop, and the window is
+`rowsBetween(unboundedPreceding, current)` running-last — Spark evaluates
+it in a single pass per partition without buffering the frame. A naive
+`left.join(right, key & (r.t <= l.t))` + max-per-left-row builds
+|left|×|right-per-key| intermediate pairs; this builds |left|+|right|
+rows, full stop.
+
+Tie rule: a right row AT exactly the left row's time is visible (the
+"or before" of as-of). Encoded in the sort: right rows order before left
+rows at equal times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: ``left`` keeps all its columns; each row gains
+    ``<value_col><suffix>`` from the latest ``right`` row with the same
+    keys and ``right.time <= left.time`` (null when none exists).
+
+    Both frames need ``key_cols`` and ``time_col``; ``value_cols`` are
+    taken from ``right``."""
+    lcols = left.columns
+    l_tagged = left.withColumn("_side", F.lit(1))
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(f"_v_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.select(
+        *key_cols,
+        F.col(time_col),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+    # right (_side=0) sorts before left (_side=1) at equal times, making
+    # same-instant right rows visible to the left row
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(time_col), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(f"_v_{c}", ignorenulls=True).over(w)
+        )
+    return out.filter(F.col("_side") == 1).select(
+        *lcols, *[f"{c}{suffix}" for c in value_cols]
+    )

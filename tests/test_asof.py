@@ -1,0 +1,46 @@
+"""As-of join semantics: latest right row at-or-before each left row, per
+key; null when none; exact-time right rows are visible."""
+
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.operators.asof import asof_join
+
+
+def test_asof_join_hand_cases(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", 100),  # before any right -> null
+            (2, "u1", 200),  # exactly at right(200) -> 200 visible
+            (3, "u1", 450),  # latest right <= 450 is 400
+            (4, "u2", 500),  # u2 has no right rows -> null
+        ],
+        "event_id long, user_id string, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 200, "a"), ("u1", 400, "b"), ("u1", 900, "z"), ("u3", 1, "x")],
+        "user_id string, ts_us long, tag string",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, ["user_id"], "ts_us", ["tag"], suffix="_r"
+        ).collect()
+    }
+    assert out[1]["tag_r"] is None
+    assert out[2]["tag_r"] == "a"   # at-or-before includes the exact tie
+    assert out[3]["tag_r"] == "b"   # latest wins, not first
+    assert out[4]["tag_r"] is None  # key with no right side
+    assert len(out) == 4            # left rows all kept, right rows dropped
+
+
+def test_asof_join_single_shuffle(spark):
+    from couch_to_postgres_spark.plans.inspect import executed_plan
+
+    left = spark.createDataFrame([(1, "u", 5)], "event_id long, user_id string, ts_us long")
+    right = spark.createDataFrame([("u", 3, 9.0)], "user_id string, ts_us long, v double")
+    plan = executed_plan(asof_join(left, right, ["user_id"], "ts_us", ["v"]))
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # one hash shuffle on the key for the window — no range-join explosion
+    assert len(shuffles) == 1, plan
