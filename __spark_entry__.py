@@ -605,6 +605,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("ts_us_p").alias("last_purchase_ts_us"),
         )
 
+    def e09_range_join_purchases(spark, sf_dir):
+        # band join: every (click, purchase) pair of the same user within
+        # 6 hours — bucketed-equality plan, plain inequality-join oracle
+        from couch_to_postgres_spark.operators.asof import range_join
+
+        ev = load_table(spark, sf_dir, "events")
+        us = F.expr("ts div 1000")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", us.alias("ts_us")
+        )
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("p_event_id"), us.alias("ts_us")
+        )
+        six_h_us = 6 * 3600 * 1_000_000
+        return range_join(
+            clicks, purch, ["user_id"], "ts_us", six_h_us, suffix="_p"
+        ).select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("p_event_id_p").alias("purchase_event_id"),
+            F.col("ts_us_p").alias("purchase_ts_us"),
+        )
+
     def x_mixture(spark, sf_dir):
         # corpus mixing: deterministic per-source Bernoulli sampling
         from couch_to_postgres_spark.extensions.sampling import stratified_sample
@@ -712,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_shuffle": x_shuffle,
         "e07_event_gaps": e07_event_gaps,
         "e08_asof_last_purchase": e08_asof_last_purchase,
+        "e09_range_join_purchases": e09_range_join_purchases,
         "x_mixture": x_mixture,
         "x_upsample": x_upsample,
         "x_corpus_stats": x_corpus_stats,
@@ -1437,6 +1462,22 @@ def oracle_sql() -> dict[str, str]:
                    p.pts AS last_purchase_ts_us
             FROM clicks c ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts_us >= p.pts
+        """,
+        "e09_range_join_purchases": """
+            WITH clicks AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'click'
+            ),
+            purch AS (
+                SELECT user_id, event_id AS p_event_id, epoch_us(ts) AS pts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, c.ts_us,
+                   p.p_event_id AS purchase_event_id,
+                   p.pts AS purchase_ts_us
+            FROM clicks c JOIN purch p
+              ON c.user_id = p.user_id
+             AND abs(c.ts_us - p.pts) <= 21600000000
         """,
         "x_mixture": """
             SELECT doc_id, source FROM documents

@@ -25,6 +25,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    tolerance: int,
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs with equal keys and
+    ``|left.time - right.time| <= tolerance`` — the band/interval join.
+
+    Spark-first shape: **bucket the time axis at the tolerance width**.
+    Two rows within ``tolerance`` are at most one bucket apart, so the
+    right side emits (bucket-1, bucket, bucket+1) and the join is plain
+    hash-equality on (keys, bucket) plus the exact band filter. A naive
+    `ON keys AND abs(lt-rt) <= tol` is a key-equality join with a range
+    residual — fine until one key is hot, and never prunable; the bucket
+    form shuffles on (keys, bucket), which also splits hot keys across
+    their time range. Each qualifying pair appears exactly ONCE (the left
+    row has a single bucket; only the right's matching replica joins).
+
+    Assumes non-negative times (integer `div` truncation = floor there).
+    Right's non-key columns come back suffixed."""
+    l_b = left.withColumn("_b", F.expr(f"{time_col} div {tolerance}"))
+    r_sfx = right.select(
+        *key_cols,
+        *[
+            F.col(c).alias(f"{c}{suffix}")
+            for c in right.columns
+            if c not in key_cols
+        ],
+    )
+    r_b = r_sfx.withColumn(
+        "_rb", F.expr(f"{time_col}{suffix} div {tolerance}")
+    ).withColumn(
+        "_b", F.explode(F.array(F.col("_rb") - 1, F.col("_rb"), F.col("_rb") + 1))
+    )
+    return (
+        l_b.join(r_b, on=[*key_cols, "_b"])
+        .filter(
+            F.abs(F.col(time_col) - F.col(f"{time_col}{suffix}")) <= tolerance
+        )
+        .drop("_b", "_rb")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

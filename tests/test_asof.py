@@ -44,3 +44,34 @@ def test_asof_join_single_shuffle(spark):
     ]
     # one hash shuffle on the key for the window — no range-join explosion
     assert len(shuffles) == 1, plan
+
+
+def test_range_join_bucket_boundaries_and_uniqueness(spark):
+    """Pairs straddling bucket boundaries are found; |d| == tolerance is
+    inclusive; each qualifying pair appears exactly once. Cross-checked
+    against the naive O(n*m) join on the same data."""
+    left = spark.createDataFrame(
+        [(i, "u", 100 * i) for i in range(20)],
+        "lid long, user_id string, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [(100 + j, "u", 100 * j + 50) for j in range(20)],
+        "rid long, user_id string, ts_us long",
+    )
+    from couch_to_postgres_spark.operators.asof import range_join
+
+    got = sorted(
+        (r["lid"], r["rid_r"])
+        for r in range_join(left, right, ["user_id"], "ts_us", 150).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in left.alias("l")
+        .join(right.alias("r"), F.expr("l.user_id = r.user_id"))
+        .filter(F.expr("abs(l.ts_us - r.ts_us) <= 150"))
+        .select(F.col("l.lid").alias("lid"), F.col("r.rid").alias("rid"))
+        .collect()
+    )
+    assert got == naive and len(got) == len(set(got)) > 0
+    # inclusive boundary: lid=0 (t=0) pairs with rid=101 (t=150)? |d|=150
+    assert (0, 101) in got
