@@ -186,6 +186,19 @@ def main() -> None:
         "q_ann_topk",
         lambda: X_sim.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5).collect(),
     )
+
+    # the ANN scale path: query a prebuilt IVF index (build outside the
+    # timer — it's the amortized one-time cost, like the couch view build)
+    from couch_to_postgres_spark.extensions.ann import build_ivf_index, ivf_topk_indexed
+
+    ivf_path = os.path.join(tmp, "ivf_index")
+    build_ivf_index(emb, ivf_path)
+    bench(
+        "q_ann_ivf_indexed",
+        lambda: ivf_topk_indexed(
+            emb.filter(F.col("vec_id") < 5), spark, ivf_path, k=5, nprobe=4
+        ).collect(),
+    )
     bench("q_text_features", lambda: X_text.text_features(docs).count())
 
     ev = load_table(spark, sf_dir, "events")
