@@ -648,6 +648,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), {"src0": 3, "src1": 2, "src2": 0}
         ).select("doc_id", "source", "epoch")
 
+    def x_embed_stats(spark, sf_dir):
+        # embedding-table profile: per-label volume, dimensionality, and
+        # mean L2 norm (the pre-flight check before any ANN/dedup run —
+        # unnormalized or zero vectors break cosine math downstream).
+        # Both engines sum squares sequentially in double precision.
+        e = _emb(spark, sf_dir)
+        v = F.col("embedding").cast("array<double>")
+        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return e.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max(F.size("embedding")).alias("dim"),
+            F.round(F.avg(norm), 4).alias("mean_norm"),
+        )
+
     def x_corpus_stats(spark, sf_dir):
         return X_text.corpus_stats(_docs(spark, sf_dir))
 
@@ -739,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e09_range_join_purchases": e09_range_join_purchases,
         "x_mixture": x_mixture,
         "x_upsample": x_upsample,
+        "x_embed_stats": x_embed_stats,
         "x_corpus_stats": x_corpus_stats,
         "x_tfidf": x_tfidf,
         "x_pack": x_pack,
@@ -1493,6 +1508,15 @@ def oracle_sql() -> dict[str, str]:
                  CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
                              WHEN 'src2' THEN 0 ELSE 1 END))
                  AS e(epoch)
+        """,
+        "x_embed_stats": """
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(max(len(embedding)) AS INT) AS dim,
+                   round(avg(sqrt(list_aggregate(
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                       'sum'))), 4) AS mean_norm
+            FROM embeddings GROUP BY label
         """,
         "x_corpus_stats": """
             SELECT source,

@@ -43,7 +43,10 @@ def main() -> None:
     )
     print(f"after quality gates: {kept.count()}")
 
-    # 3. split, then measure eval contamination against train
+    # 3. split, then measure eval contamination against train. For a
+    # leakage-proof split keyed on near-dup cluster representatives, use
+    # corpus.leakage_safe_split (near-duplicates never straddle the
+    # boundary); the id-keyed hash_split here keeps the demo fast.
     split = hash_split(kept)
     train = split.filter(F.col("split") == "train")
     ev = split.filter(F.col("split") == "eval")
