@@ -75,3 +75,42 @@ def test_range_join_bucket_boundaries_and_uniqueness(spark):
     assert got == naive and len(got) == len(set(got)) > 0
     # inclusive boundary: lid=0 (t=0) pairs with rid=101 (t=150)? |d|=150
     assert (0, 101) in got
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+row_st = st.tuples(
+    st.sampled_from(["u1", "u2", "u3"]),     # key
+    st.integers(min_value=0, max_value=50),  # time
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(row_st, min_size=1, max_size=8),
+    rrows=st.lists(row_st, min_size=0, max_size=8),
+)
+def test_asof_join_matches_model(spark, lrows, rrows):
+    """Property: asof_join ≡ the obvious per-row model (max right time
+    <= left time within the key)."""
+    from couch_to_postgres_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "lid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, t) for (k, t) in rrows], "k string, t long, v long"
+    )
+    got = {
+        r["lid"]: r["v_asof"]
+        for r in asof_join(left, right, ["k"], "t", ["v"]).collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cands = [rt for (rk, rt) in rrows if rk == k and rt <= t]
+        assert got[i] == (max(cands) if cands else None), (i, k, t)
