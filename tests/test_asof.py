@@ -114,3 +114,39 @@ def test_asof_join_matches_model(spark, lrows, rrows):
     for i, (k, t) in enumerate(lrows):
         cands = [rt for (rk, rt) in rrows if rk == k and rt <= t]
         assert got[i] == (max(cands) if cands else None), (i, k, t)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(row_st, min_size=1, max_size=8),
+    rrows=st.lists(row_st, min_size=0, max_size=8),
+    tol=st.integers(min_value=1, max_value=20),
+)
+def test_range_join_matches_model(spark, lrows, rrows, tol):
+    """Property: range_join ≡ the naive all-pairs filter, pair-exact
+    (no misses across bucket boundaries, no duplicates)."""
+    from couch_to_postgres_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "lid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [(100 + j, k, t) for j, (k, t) in enumerate(rrows)],
+        "rid long, k string, t long",
+    )
+    got = sorted(
+        (r["lid"], r["rid_r"])
+        for r in range_join(left, right, ["k"], "t", tol).collect()
+    )
+    want = sorted(
+        (i, 100 + j)
+        for i, (lk, lt) in enumerate(lrows)
+        for j, (rk, rt) in enumerate(rrows)
+        if lk == rk and abs(lt - rt) <= tol
+    )
+    assert got == want

@@ -487,3 +487,41 @@ def test_corpus_stats_counts_planted_dup(spark, docs):
     # token accounting is self-consistent
     for s, r in base.items():
         assert abs(r["mean_tokens"] - round(r["total_tokens"] / r["n_docs"], 4)) < 0.001
+
+
+def test_pack_documents_property_random_corpora(spark):
+    """Random sparse ids and texts: the layout is always the exclusive
+    prefix sum in id order, at any bucket count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=-1000, max_value=10_000_000),
+                st.text(alphabet="ab c1.", max_size=12),
+            ),
+            min_size=1,
+            max_size=10,
+            unique_by=lambda r: r[0],
+        ),
+        buckets=st.sampled_from([1, 3, 32]),
+    )
+    def run(rows, buckets):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in T.pack_documents(df, budget=7, num_buckets=buckets).collect()
+        }
+        assert set(got) == {i for i, _ in rows}
+        run_sum = 0
+        for doc_id in sorted(got):
+            assert got[doc_id]["tok_start"] == run_sum, (doc_id, buckets)
+            run_sum += got[doc_id]["n_tokens"]
+
+    run()
