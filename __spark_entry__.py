@@ -629,6 +629,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("ts_us_p").alias("purchase_ts_us"),
         )
 
+    def e10_retention_cohorts(spark, sf_dir):
+        # cohort retention: users bucketed by first-seen day, counted per
+        # week-offset of later activity. Day arithmetic in integer div on
+        # the ns/µs epochs (floors agree across engines for positive ts).
+        ev = load_table(spark, sf_dir, "events")
+        d = ev.select(
+            "user_id", F.expr("ts div 86400000000000").alias("day")
+        )
+        coh = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+        return (
+            d.join(coh, "user_id")
+            .groupBy(
+                "cohort_day",
+                F.expr("(day - cohort_day) div 7").alias("week_offset"),
+            )
+            .agg(F.count_distinct("user_id").alias("n_users"))
+        )
+
     def x_mixture(spark, sf_dir):
         # corpus mixing: deterministic per-source Bernoulli sampling
         from couch_to_postgres_spark.extensions.sampling import stratified_sample
@@ -751,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e07_event_gaps": e07_event_gaps,
         "e08_asof_last_purchase": e08_asof_last_purchase,
         "e09_range_join_purchases": e09_range_join_purchases,
+        "e10_retention_cohorts": e10_retention_cohorts,
         "x_mixture": x_mixture,
         "x_upsample": x_upsample,
         "x_embed_stats": x_embed_stats,
@@ -1493,6 +1512,19 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c JOIN purch p
               ON c.user_id = p.user_id
              AND abs(c.ts_us - p.pts) <= 21600000000
+        """,
+        "e10_retention_cohorts": """
+            WITH d AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+            ),
+            coh AS (
+                SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+            )
+            SELECT c.cohort_day,
+                   CAST((d.day - c.cohort_day) // 7 AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+            FROM d JOIN coh c USING (user_id)
+            GROUP BY 1, 2
         """,
         "x_mixture": """
             SELECT doc_id, source FROM documents
