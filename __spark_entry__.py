@@ -647,6 +647,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count_distinct("user_id").alias("n_users"))
         )
 
+    def e11_funnel(spark, sf_dir):
+        # ordered funnel: users with a signup, a click strictly after it,
+        # and a purchase strictly after that click — each stage anchored
+        # on the previous stage's first qualifying time (not min-per-type,
+        # which would admit out-of-order sequences)
+        ev = load_table(spark, sf_dir, "events")
+        e = ev.select(
+            "user_id", "event_type", F.expr("ts div 1000").alias("t")
+        )
+        s = (
+            e.filter(F.col("event_type") == "signup")
+            .groupBy("user_id")
+            .agg(F.min("t").alias("st"))
+        )
+        c = (
+            e.filter(F.col("event_type") == "click")
+            .join(s, "user_id")
+            .filter(F.col("t") > F.col("st"))
+            .groupBy("user_id")
+            .agg(F.min("t").alias("ct"))
+        )
+        p = (
+            e.filter(F.col("event_type") == "purchase")
+            .join(c, "user_id")
+            .filter(F.col("t") > F.col("ct"))
+            .groupBy("user_id")
+            .agg(F.min("t").alias("pt"))
+        )
+
+        def stage(df, name):
+            return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(name).alias("stage"), "n_users"
+            )
+
+        return (
+            stage(s, "1_signup")
+            .unionByName(stage(c, "2_click_after"))
+            .unionByName(stage(p, "3_purchase_after"))
+        )
+
     def x_mixture(spark, sf_dir):
         # corpus mixing: deterministic per-source Bernoulli sampling
         from couch_to_postgres_spark.extensions.sampling import stratified_sample
@@ -770,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e08_asof_last_purchase": e08_asof_last_purchase,
         "e09_range_join_purchases": e09_range_join_purchases,
         "e10_retention_cohorts": e10_retention_cohorts,
+        "e11_funnel": e11_funnel,
         "x_mixture": x_mixture,
         "x_upsample": x_upsample,
         "x_embed_stats": x_embed_stats,
@@ -1525,6 +1566,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
             FROM d JOIN coh c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "e11_funnel": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+            ),
+            s AS (
+                SELECT user_id, min(t) AS st FROM e
+                WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            c AS (
+                SELECT s.user_id, min(e.t) AS ct
+                FROM s JOIN e ON e.user_id = s.user_id
+                 AND e.event_type = 'click' AND e.t > s.st
+                GROUP BY s.user_id
+            ),
+            p AS (
+                SELECT c.user_id, min(e.t) AS pt
+                FROM c JOIN e ON e.user_id = c.user_id
+                 AND e.event_type = 'purchase' AND e.t > c.ct
+                GROUP BY c.user_id
+            )
+            SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s
+            UNION ALL
+            SELECT '2_click_after', CAST(count(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT '3_purchase_after', CAST(count(*) AS BIGINT) FROM p
         """,
         "x_mixture": """
             SELECT doc_id, source FROM documents
