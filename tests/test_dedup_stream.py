@@ -107,3 +107,16 @@ def test_dedup_stream_end_to_end(spark, paths, tmp_path):
     q.awaitTermination(300)
     got = {r["doc_id"] for r in read_accepted(spark, corpus).collect()}
     assert got == {1, 3}  # 2 dropped as cross-batch exact dup of 1
+
+
+def test_empty_batch_then_real_batch(spark, paths):
+    """An empty micro-batch must not poison the append-only state for
+    subsequent batches (empty parquet appends carry their schema)."""
+    index, corpus = paths
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    s0 = dedup_batch(spark, index, corpus, empty)
+    assert (s0.arrived, s0.accepted) == (0, 0)
+    b = spark.createDataFrame([(1, _doc("solo"))], "doc_id long, text string")
+    s1 = dedup_batch(spark, index, corpus, b, jaccard_threshold=0.6, num_bands=4)
+    assert s1.accepted == 1
+    assert read_accepted(spark, corpus).count() == 1
