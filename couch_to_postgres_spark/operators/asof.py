@@ -48,6 +48,10 @@ def range_join(
 
     Assumes non-negative times (integer `div` truncation = floor there).
     Right's non-key columns come back suffixed."""
+    if tolerance <= 0:
+        # `t div 0` is NULL in Spark SQL — the join would silently return
+        # nothing instead of exact-time matches
+        raise ValueError("range_join tolerance must be a positive integer")
     l_b = left.withColumn("_b", F.expr(f"{time_col} div {tolerance}"))
     r_sfx = right.select(
         *key_cols,

@@ -126,12 +126,16 @@ def agg_view_delta(
 
 def apply_agg_delta(view: DataFrame, delta: DataFrame) -> DataFrame:
     """Merge ``(key, d_cnt, d_sum)`` deltas into a ``(key, cnt, total)``
-    view; keys whose row count reaches zero disappear."""
+    view; keys whose row count reaches zero disappear. Null-safe on the
+    key: docs missing the keyed field group under NULL, and a plain
+    equality join would keep the view's NULL row and the delta's NULL row
+    as two separate rows."""
     v = view.withColumnRenamed("cnt", "_cnt").withColumnRenamed("total", "_total")
+    d = delta.withColumnRenamed("key", "_dkey")
     return (
-        v.join(delta, on="key", how="full")
+        v.join(d, v["key"].eqNullSafe(d["_dkey"]), how="full")
         .select(
-            "key",
+            F.coalesce(F.col("key"), F.col("_dkey")).alias("key"),
             (
                 F.coalesce(F.col("_cnt"), F.lit(0))
                 + F.coalesce(F.col("d_cnt"), F.lit(0))
@@ -149,13 +153,17 @@ def apply_count_delta(view: DataFrame, delta: DataFrame) -> DataFrame:
     """Merge a ``(key, delta)`` frame into a ``(key, cnt)`` count view.
     Keys whose count reaches zero disappear (a fresh GROUP BY would not
     emit them). The join is full-outer over the AGGREGATE (view-sized,
-    not corpus-sized) rowset; at scale both sides hash-partition on key —
-    the view is never scanned more than once and the corpus not at all."""
+    not corpus-sized) rowset, null-safe on the key (docs missing the
+    keyed field group under NULL — plain equality would leave the view's
+    and the delta's NULL rows unmerged); at scale both sides
+    hash-partition on key — the view is never scanned more than once and
+    the corpus not at all."""
     v = view.withColumnRenamed("cnt", "_cnt")
+    d = delta.withColumnRenamed("key", "_dkey")
     return (
-        v.join(delta, on="key", how="full")
+        v.join(d, v["key"].eqNullSafe(d["_dkey"]), how="full")
         .select(
-            "key",
+            F.coalesce(F.col("key"), F.col("_dkey")).alias("key"),
             (
                 F.coalesce(F.col("_cnt"), F.lit(0))
                 + F.coalesce(F.col("delta"), F.lit(0))

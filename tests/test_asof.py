@@ -150,3 +150,13 @@ def test_range_join_matches_model(spark, lrows, rrows, tol):
         if lk == rk and abs(lt - rt) <= tol
     )
     assert got == want
+
+
+def test_range_join_zero_tolerance_rejected(spark):
+    import pytest
+
+    from couch_to_postgres_spark.operators.asof import range_join
+
+    df = spark.createDataFrame([(1, "u", 5)], "lid long, user_id string, ts_us long")
+    with pytest.raises(ValueError, match="tolerance"):
+        range_join(df, df, ["user_id"], "ts_us", 0)

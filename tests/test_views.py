@@ -91,3 +91,16 @@ def test_incremental_sum_view_handles_updates(spark, sf_dir):
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, fresh.collect()))
     # replay after the merge landed nets zero deltas
     assert agg_view_delta(post, post, touched, key, value).count() == 0
+
+
+def test_apply_count_delta_merges_null_keys(spark):
+    """Docs missing the keyed field group under NULL; the view merge must
+    treat NULL as one key, not leave view/delta NULL rows unmerged."""
+    from couch_to_postgres_spark.operators.views import apply_count_delta
+
+    view = spark.createDataFrame([(None, 5), ("a", 2)], "key string, cnt long")
+    delta = spark.createDataFrame(
+        [(None, 3), ("b", 1), ("a", -2)], "key string, delta long"
+    )
+    got = {r["key"]: r["cnt"] for r in apply_count_delta(view, delta).collect()}
+    assert got == {None: 8, "b": 1}  # 'a' reached zero and disappeared
