@@ -687,6 +687,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(stage(p, "3_purchase_after"))
         )
 
+    def j03_segment_top_orders(spark, sf_dir):
+        # TPC-H Q3 shape: top-10 unshipped-revenue orders for one market
+        # segment — dims broadcast, facts join on their keys
+        c = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "MACHINERY"
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+        )
+        li = load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderpriority")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), "l_orderkey")
+            .limit(10)
+        )
+
+    def j04_brand_nation_volume(spark, sf_dir):
+        # multi-broadcast star join: revenue by part brand x supplier nation
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part")
+        s = load_table(spark, sf_dir, "supplier")
+        n = load_table(spark, sf_dir, "nation")
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("p_brand", "n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+
+    def x_chunk(spark, sf_dir):
+        return X_text.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
+
     def x_mixture(spark, sf_dir):
         # corpus mixing: deterministic per-source Bernoulli sampling
         from couch_to_postgres_spark.extensions.sampling import stratified_sample
@@ -781,6 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e05_windowed_counts": e05_windowed_counts,
         "e06_sessionize": e06_sessionize,
         "j01_orders_by_nation": j01_orders_by_nation,
+        "j03_segment_top_orders": j03_segment_top_orders,
+        "j04_brand_nation_volume": j04_brand_nation_volume,
+        "x_chunk": x_chunk,
         "j02_lineitem_pricing": j02_lineitem_pricing,
         "x_dedup_exact": x_dedup_exact,
         "x_dedup_minhash": x_dedup_minhash,
@@ -1592,6 +1642,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT '2_click_after', CAST(count(*) AS BIGINT) FROM c
             UNION ALL
             SELECT '3_purchase_after', CAST(count(*) AS BIGINT) FROM p
+        """,
+        "j03_segment_top_orders": """
+            SELECT l.l_orderkey, o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'MACHINERY'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l.l_orderkey, o.o_orderpriority
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "j04_brand_nation_volume": """
+            SELECT p.p_brand, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY p.p_brand, n.n_name
+        """,
+        "x_chunk": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id,
+                       CAST(s.start // 16 AS BIGINT) AS chunk_id,
+                       ws[s.start + 1 : s.start + 32] AS cw
+                FROM words, UNNEST(
+                    CASE WHEN len(ws) > 0
+                         THEN generate_series(0, len(ws) - 1, 16)
+                         ELSE CAST([] AS BIGINT[]) END
+                ) AS s(start)
+            )
+            SELECT doc_id, chunk_id,
+                   CAST(len(cw) AS INT) AS n_chunk_tokens,
+                   md5(array_to_string(cw, ' ')) AS chunk_md5
+            FROM chunks
         """,
         "x_mixture": """
             SELECT doc_id, source FROM documents

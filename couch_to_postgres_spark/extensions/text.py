@@ -118,6 +118,41 @@ def hash_split(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG/embedding preprocessing
+    layout): chunk ``i`` covers word-tokens ``[i*stride, i*stride+window)``
+    until the document is exhausted. Emits
+    ``(id, chunk_id, n_chunk_tokens, chunk_md5)`` — the md5 stands in for
+    the chunk text so downstream comparisons stay fixed-width.
+
+    Row-local explode, no shuffle: each document expands to
+    ``ceil(n_tokens/stride)`` chunk rows on its own partition. Zero-token
+    documents emit no chunks."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    words = _words(text_col)
+    n = F.size(words)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    w = df.select(
+        F.col(id_col), words.alias("_w"), F.explode(starts).alias("_start")
+    )
+    chunk = F.slice(F.col("_w"), F.col("_start") + 1, window)
+    return w.select(
+        F.col(id_col),
+        F.expr(f"_start div {stride}").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -525,3 +525,23 @@ def test_pack_documents_property_random_corpora(spark):
             run_sum += got[doc_id]["n_tokens"]
 
     run()
+
+
+def test_chunk_documents_overlap_and_clamping(spark):
+    import hashlib
+
+    toks = [f"t{i}" for i in range(40)]
+    df = spark.createDataFrame([(7, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        T.chunk_documents(df, window=32, stride=16).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in rows] == [32, 24, 8]  # tail clamps
+    expect0 = hashlib.md5(" ".join(toks[0:32]).encode()).hexdigest()
+    expect1 = hashlib.md5(" ".join(toks[16:40]).encode()).hexdigest()
+    assert rows[0]["chunk_md5"] == expect0
+    assert rows[1]["chunk_md5"] == expect1
+    # zero-token doc emits nothing
+    empty = spark.createDataFrame([(8, "   ")], "doc_id long, text string")
+    assert T.chunk_documents(empty).count() == 0
