@@ -731,6 +731,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def j05_rollup_revenue(spark, sf_dir):
+        # ROLLUP: per (returnflag, linestatus) revenue plus per-flag and
+        # grand totals in one pass (Spark expands grouping sets; partial
+        # aggregation still applies)
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.rollup("l_returnflag", "l_linestatus").agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+
+    def x_logfreq_score(spark, sf_dir):
+        # unigram log-frequency scoring (the KenLM-perplexity proxy that
+        # needs no model): score = mean ln(corpus_freq/T) over the doc's
+        # tokens — low scores flag rare-token-heavy (often junk) docs.
+        # Corpus totals ride along as a broadcast 1-row frame.
+        d = _docs(spark, sf_dir)
+        tok = d.select("doc_id", F.explode(X_text._words("text")).alias("token"))
+        freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        total = tok.agg(F.count(F.lit(1)).alias("t"))
+        return (
+            tok.join(freq, "token")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.avg(F.log(F.col("cnt") / F.col("t"))), 4
+                ).alias("mean_log_freq"),
+                F.count(F.lit(1)).alias("n_tokens"),
+            )
+        )
+
     def x_chunk(spark, sf_dir):
         return X_text.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
 
@@ -830,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j01_orders_by_nation": j01_orders_by_nation,
         "j03_segment_top_orders": j03_segment_top_orders,
         "j04_brand_nation_volume": j04_brand_nation_volume,
+        "j05_rollup_revenue": j05_rollup_revenue,
+        "x_logfreq_score": x_logfreq_score,
         "x_chunk": x_chunk,
         "j02_lineitem_pricing": j02_lineitem_pricing,
         "x_dedup_exact": x_dedup_exact,
@@ -1667,6 +1702,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY p.p_brand, n.n_name
+        """,
+        "j05_rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "x_logfreq_score": f"""
+            WITH {_WORDS},
+            tok AS (
+                SELECT doc_id, w.word AS token FROM words, UNNEST(ws) AS w(word)
+            ),
+            freq AS (
+                SELECT token, count(*) AS cnt FROM tok GROUP BY token
+            ),
+            total AS (SELECT count(*) AS t FROM tok)
+            SELECT tok.doc_id,
+                   round(avg(ln(CAST(freq.cnt AS DOUBLE) / total.t)), 4)
+                       AS mean_log_freq,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM tok JOIN freq USING (token) CROSS JOIN total
+            GROUP BY tok.doc_id
         """,
         "x_chunk": """
             WITH words AS (
