@@ -764,6 +764,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def e12_pivot_type_counts(spark, sf_dir):
+        # pivot: one row per user, one column per event type. Explicit
+        # value list keeps the plan a single pass (no distinct-values
+        # pre-query) and the output schema stable.
+        ev = load_table(spark, sf_dir, "events")
+        types = ["click", "error", "purchase", "signup", "view"]
+        out = (
+            ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+        )
+        for t in types:
+            out = out.withColumn(
+                f"n_{t}", F.coalesce(F.col(t), F.lit(0)).cast("long")
+            ).drop(t)
+        return out
+
+    def e13_setops_users(spark, sf_dir):
+        # set operations: clickers who never purchased (EXCEPT) and users
+        # who did both (INTERSECT), tagged in one result
+        ev = load_table(spark, sf_dir, "events")
+        clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+        buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        only_click = clickers.exceptAll(buyers).select(
+            "user_id", F.lit("click_only").alias("cohort")
+        )
+        both = clickers.intersect(buyers).select(
+            "user_id", F.lit("click_and_buy").alias("cohort")
+        )
+        return only_click.unionByName(both)
+
     def x_chunk(spark, sf_dir):
         return X_text.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
 
@@ -864,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j03_segment_top_orders": j03_segment_top_orders,
         "j04_brand_nation_volume": j04_brand_nation_volume,
         "j05_rollup_revenue": j05_rollup_revenue,
+        "e12_pivot_type_counts": e12_pivot_type_counts,
+        "e13_setops_users": e13_setops_users,
         "x_logfreq_score": x_logfreq_score,
         "x_chunk": x_chunk,
         "j02_lineitem_pricing": j02_lineitem_pricing,
@@ -1725,6 +1758,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_tokens
             FROM tok JOIN freq USING (token) CROSS JOIN total
             GROUP BY tok.doc_id
+        """,
+        "e12_pivot_type_counts": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "e13_setops_users": """
+            WITH clickers AS (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            ),
+            buyers AS (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            )
+            SELECT user_id, 'click_only' AS cohort
+            FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+            UNION ALL
+            SELECT user_id, 'click_and_buy' AS cohort
+            FROM (SELECT user_id FROM clickers
+                  INTERSECT SELECT user_id FROM buyers)
         """,
         "x_chunk": """
             WITH words AS (
