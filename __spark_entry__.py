@@ -795,6 +795,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return only_click.unionByName(both)
 
+    def j06_exists_discounted(spark, sf_dir):
+        # EXISTS shape: orders having at least one deep-discount line —
+        # left-semi join, the engine's native form of EXISTS
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_discount") >= 0.09
+        )
+        return (
+            o.join(
+                li.select(F.col("l_orderkey").alias("o_orderkey")),
+                "o_orderkey",
+                "left_semi",
+            )
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+
+    def j07_above_avg_price(spark, sf_dir):
+        # scalar-subquery shape: lineitems priced above the corpus average
+        # — the average rides along as a broadcast 1-row frame
+        li = load_table(spark, sf_dir, "lineitem")
+        avg_p = li.agg(F.avg("l_extendedprice").alias("avg_price"))
+        return (
+            li.crossJoin(F.broadcast(avg_p))
+            .filter(F.col("l_extendedprice") > F.col("avg_price"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_above"),
+                F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+            )
+        )
+
     def x_chunk(spark, sf_dir):
         return X_text.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
 
@@ -896,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j04_brand_nation_volume": j04_brand_nation_volume,
         "j05_rollup_revenue": j05_rollup_revenue,
         "e12_pivot_type_counts": e12_pivot_type_counts,
+        "j06_exists_discounted": j06_exists_discounted,
+        "j07_above_avg_price": j07_above_avg_price,
         "e13_setops_users": e13_setops_users,
         "x_logfreq_score": x_logfreq_score,
         "x_chunk": x_chunk,
@@ -1758,6 +1791,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_tokens
             FROM tok JOIN freq USING (token) CROSS JOIN total
             GROUP BY tok.doc_id
+        """,
+        "j06_exists_discounted": """
+            SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09
+            )
+        """,
+        "j07_above_avg_price": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_above,
+                   round(max(l_extendedprice), 4) AS max_price
+            FROM lineitem
+            WHERE l_extendedprice >
+                  (SELECT avg(l_extendedprice) FROM lineitem)
+            GROUP BY l_returnflag
         """,
         "e12_pivot_type_counts": """
             SELECT user_id,
