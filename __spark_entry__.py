@@ -826,6 +826,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def j08_never_discounted(spark, sf_dir):
+        # NOT EXISTS shape: orders with no deep-discount line — left-anti
+        # join, the engine's native form of NOT EXISTS
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_discount") >= 0.09
+        )
+        return (
+            o.join(
+                li.select(F.col("l_orderkey").alias("o_orderkey")),
+                "o_orderkey",
+                "left_anti",
+            )
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+
+    def x_vocab(spark, sf_dir):
+        return X_text.build_vocab(_docs(spark, sf_dir), min_count=3, max_size=200)
+
+    def x_approx_distinct(spark, sf_dir):
+        # HLL sketch vs exact distinct: at 100 TB approx_count_distinct is
+        # the only affordable cardinality pass (no shuffle of distinct
+        # keys — fixed-size sketches merge). The oracle pins the exact
+        # count and a 5% relative-error envelope on the sketch (HLL++ on
+        # xxhash64 is deterministic for a given dataset, so this is a
+        # stable assertion, not a flaky one).
+        li = load_table(spark, sf_dir, "lineitem")
+        agg = li.agg(
+            F.count_distinct("l_orderkey").alias("n_exact"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("_n_approx"),
+        )
+        return agg.select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (
+                F.abs(F.col("_n_approx") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                <= 0.05
+            ).alias("approx_ok"),
+        )
+
     def x_chunk(spark, sf_dir):
         return X_text.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
 
@@ -929,6 +969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_pivot_type_counts": e12_pivot_type_counts,
         "j06_exists_discounted": j06_exists_discounted,
         "j07_above_avg_price": j07_above_avg_price,
+        "j08_never_discounted": j08_never_discounted,
+        "x_vocab": x_vocab,
+        "x_approx_distinct": x_approx_distinct,
         "e13_setops_users": e13_setops_users,
         "x_logfreq_score": x_logfreq_score,
         "x_chunk": x_chunk,
@@ -1808,6 +1851,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_extendedprice >
                   (SELECT avg(l_extendedprice) FROM lineitem)
             GROUP BY l_returnflag
+        """,
+        "j08_never_discounted": """
+            SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+            FROM orders o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09
+            )
+        """,
+        "x_vocab": f"""
+            WITH {_WORDS},
+            tok AS (SELECT w.word AS token FROM words, UNNEST(ws) AS w(word)),
+            hist AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+            total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM hist),
+            kept AS (SELECT * FROM hist WHERE cnt >= 3),
+            ranked AS (
+                SELECT token,
+                       CAST(cnt AS BIGINT) AS cnt,
+                       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+                           AS rank,
+                       round(
+                           CAST(sum(cnt) OVER (
+                               ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING
+                           ) AS DOUBLE) / (SELECT t FROM total),
+                           4
+                       ) AS cum_share
+                FROM kept
+            )
+            SELECT * FROM ranked WHERE rank <= 200
+        """,
+        "x_approx_distinct": """
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+                   true AS approx_ok
+            FROM lineitem
         """,
         "e12_pivot_type_counts": """
             SELECT user_id,

@@ -341,6 +341,51 @@ def contamination(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Vocabulary builder (tokenizer-training / coverage-analysis
+    primitive): corpus token histogram pruned to ``min_count``, ranked
+    (count desc, token asc), with each entry's cumulative share of ALL
+    corpus token mass — so ``cum_share`` at rank *r* answers "what corpus
+    coverage does a size-*r* vocab buy", with pruned-tail tokens still in
+    the denominator.
+
+    Plan shape at scale: explode → partial map-side count → one shuffle on
+    token. The ranking/cumulative window orders globally, which is a
+    single-partition funnel — but it runs over the VOCABULARY (≪ corpus;
+    ~1M rows for web-scale text), never the corpus, and the total token
+    mass rides along as a broadcast 1-row frame instead of a driver
+    round-trip."""
+    words = _words(text_col)
+    hist = (
+        df.select(F.explode(words).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = hist.agg(F.sum("cnt").alias("_total"))
+    order = [F.col("cnt").desc(), F.col("token")]
+    cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        hist.filter(F.col("cnt") >= min_count)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+            F.round(
+                F.sum("cnt").over(cum) / F.col("_total").cast("double"), 4
+            ).alias("cum_share"),
+        )
+    )
+    if max_size is not None:
+        out = out.filter(F.col("rank") <= max_size)
+    return out
+
+
 def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Corpus-level token frequency top-k with a total deterministic order
     (count desc, token asc).

@@ -279,6 +279,37 @@ def test_top_tokens_order_and_k(spark, docs):
             assert x["token"] < y["token"]
 
 
+def test_build_vocab_rank_share_and_pruning(spark, docs):
+    rows = T.build_vocab(docs, min_count=3).orderBy("rank").collect()
+    assert rows, "corpus should yield a non-empty vocab at min_count=3"
+    assert all(r["cnt"] >= 3 for r in rows)
+    # ranks are 1..n dense, ordered by (cnt desc, token asc)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for x, y in zip(rows, rows[1:]):
+        assert x["cnt"] > y["cnt"] or (
+            x["cnt"] == y["cnt"] and x["token"] < y["token"]
+        )
+    # cumulative share is monotone and bounded by 1; the denominator
+    # includes the pruned tail so the kept vocab never reaches 1.0 exactly
+    # unless nothing was pruned
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] <= 1.0
+    # max_size truncates by rank
+    assert T.build_vocab(docs, min_count=3, max_size=5).count() == min(5, len(rows))
+
+
+def test_build_vocab_denominator_counts_pruned_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {r["token"]: r for r in T.build_vocab(df, min_count=2).collect()}
+    # only 'a' survives (4 of 6 total tokens); b and c are pruned but
+    # still count toward the denominator
+    assert set(rows) == {"a"}
+    assert rows["a"]["cum_share"] == pytest.approx(4 / 6, abs=1e-4)
+
+
 def test_pack_documents_prefix_sum_and_bucket_independence(spark, docs):
     got = {
         r["doc_id"]: r
