@@ -842,6 +842,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("o_orderkey", "o_orderstatus", "o_totalprice")
         )
 
+    def e16_click_purchase_pairs(spark, sf_dir):
+        # interval-join (batch form of the stream-stream join in
+        # streaming/windows.interval_join): each click paired with the same
+        # user's purchases within the next hour
+        from couch_to_postgres_spark.streaming.windows import interval_join
+
+        ev = load_table(spark, sf_dir, "events")
+        return interval_join(ev, horizon_minutes=60)
+
+    def e14_moving_avg(spark, sf_dir):
+        # explicit window FRAME spec (ROWS BETWEEN 3 PRECEDING AND CURRENT
+        # ROW): per-supplier trailing average price in (orderkey, linenumber,
+        # partkey) order — partkey included because the synthetic lineitem
+        # has duplicate (orderkey, linenumber) pairs, and a ROWS frame over
+        # a non-total order is nondeterministic. Decimal accumulation —
+        # double sums re-associate differently across engines/partitionings.
+        li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+        price = F.col("l_extendedprice").cast("decimal(18,4)")
+        w = (
+            Window.partitionBy("l_suppkey")
+            .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+            .rowsBetween(-3, 0)
+        )
+        return li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.round(F.avg(price).over(w), 4).cast("double").alias("trailing_avg"),
+        )
+
+    def e15_supplier_ranks(spark, sf_dir):
+        # ranking beyond ROW_NUMBER: dense_rank + ntile quartiles over
+        # per-supplier revenue. Revenue is summed in decimal then rounded
+        # BEFORE ranking so ties (and therefore ranks) agree cross-engine.
+        li = load_table(spark, sf_dir, "lineitem")
+        rev = li.groupBy("l_suppkey").agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        order = [F.col("revenue").desc(), F.col("l_suppkey")]
+        return rev.select(
+            "l_suppkey",
+            "revenue",
+            F.dense_rank().over(Window.orderBy(F.col("revenue").desc())).cast("long").alias("rev_rank"),
+            F.ntile(4).over(Window.orderBy(*order)).cast("long").alias("quartile"),
+        )
+
     def x_vocab(spark, sf_dir):
         return X_text.build_vocab(_docs(spark, sf_dir), min_count=3, max_size=200)
 
@@ -970,6 +1025,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j06_exists_discounted": j06_exists_discounted,
         "j07_above_avg_price": j07_above_avg_price,
         "j08_never_discounted": j08_never_discounted,
+        "e14_moving_avg": e14_moving_avg,
+        "e16_click_purchase_pairs": e16_click_purchase_pairs,
+        "e15_supplier_ranks": e15_supplier_ranks,
         "x_vocab": x_vocab,
         "x_approx_distinct": x_approx_distinct,
         "e13_setops_users": e13_setops_users,
@@ -1859,6 +1917,46 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM lineitem l
                 WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09
             )
+        """,
+        "e16_click_purchase_pairs": """
+            WITH c AS (
+                SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+                FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id, click_id, purchase_id, pus - cus AS gap_us
+            FROM c JOIN p ON c.user_id = p.user_id
+            WHERE pus >= cus AND pus <= cus + 3600000000
+        """,
+        "e14_moving_avg": """
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+                   CAST(round(avg(CAST(l_extendedprice AS DECIMAL(18,4))) OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_orderkey, l_linenumber, l_partkey
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                   ), 4) AS DOUBLE) AS trailing_avg
+            FROM lineitem
+            WHERE l_suppkey <= 20
+        """,
+        "e15_supplier_ranks": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4))
+                               - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                            AS DOUBLE) AS revenue
+                FROM lineitem
+                GROUP BY l_suppkey
+            )
+            SELECT l_suppkey, revenue,
+                   CAST(dense_rank() OVER (ORDER BY revenue DESC) AS BIGINT)
+                       AS rev_rank,
+                   CAST(ntile(4) OVER (ORDER BY revenue DESC, l_suppkey) AS BIGINT)
+                       AS quartile
+            FROM rev
         """,
         "x_vocab": f"""
             WITH {_WORDS},

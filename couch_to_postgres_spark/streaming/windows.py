@@ -50,6 +50,57 @@ def windowed_type_counts(
     )
 
 
+def interval_join(
+    events: DataFrame,
+    horizon_minutes: int = 60,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Click→purchase interval join: pair each click with the same user's
+    purchases landing within ``[click, click + horizon]``. One definition
+    for batch and streams (the batch form is the oracle).
+
+    On a streaming input this is a genuine STREAM-STREAM join: both sides
+    get watermarks and the join condition ranges over the watermarked
+    event-time columns, which is exactly what lets Spark expire buffered
+    join state past ``click_time + horizon + watermark`` — bounded state on
+    unbounded streams. Without the event-time range the state would grow
+    forever. The gap is computed on ``unix_micros`` of the (µs-truncated)
+    event times so it matches an oracle that subtracts ``epoch_us`` values.
+    """
+    df = with_event_time(events, ts_col)
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.col(key_col).alias("_ck"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        F.col(key_col).alias("_pk"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_time").alias("purchase_time"),
+    )
+    if df.isStreaming:
+        clicks = clicks.withWatermark("click_time", watermark)
+        purchases = purchases.withWatermark("purchase_time", watermark)
+    cond = (
+        (F.col("_ck") == F.col("_pk"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("_ck").alias(key_col),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_time") - F.unix_micros("click_time")).alias(
+            "gap_us"
+        ),
+    )
+
+
 def sessionize_batch(
     events: DataFrame,
     gap_minutes: int = 30,

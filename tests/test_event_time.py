@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from couch_to_postgres_spark.session import load_table
 from couch_to_postgres_spark.streaming.stateful import sessionize_stream
 from couch_to_postgres_spark.streaming.windows import (
+    interval_join,
     sessionize_batch,
     windowed_type_counts,
 )
@@ -68,6 +69,40 @@ def test_windowed_counts_stream_equals_batch(spark, events, events_stream_dir):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == batch
+
+
+def test_interval_join_stream_equals_batch(spark, events, events_stream_dir):
+    """Stream-stream self-join (clicks × purchases within 1 h) drained over
+    the file feed must emit exactly the batch join's pairs. Watermarks are
+    generous relative to the feed's disorder, so no state is evicted before
+    its match arrives."""
+    batch = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["gap_us"])
+        for r in interval_join(events, horizon_minutes=60).collect()
+    }
+    assert batch, "fixture should produce at least one click→purchase pair"
+    stream = read_events_stream(spark, events, events_stream_dir)
+    q = (
+        interval_join(stream, horizon_minutes=60, watermark="12 hours")
+        .writeStream.format("memory")
+        .queryName("pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["gap_us"])
+        for r in spark.sql("SELECT * FROM pairs").collect()
+    }
+    assert got == batch
+
+
+def test_interval_join_horizon_zero_and_bounds(spark, events):
+    """Pairs respect the closed interval: gap 0 allowed, gaps beyond the
+    horizon absent; every gap non-negative."""
+    rows = interval_join(events, horizon_minutes=60).collect()
+    assert all(0 <= r["gap_us"] <= 3_600_000_000 for r in rows)
 
 
 def test_watermark_drops_late_data(spark, tmp_path):
