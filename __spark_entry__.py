@@ -897,6 +897,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.ntile(4).over(Window.orderBy(*order)).cast("long").alias("quartile"),
         )
 
+    def x_shards(spark, sf_dir):
+        # manifest of the deterministic training-shard layout (the audit
+        # query run before/after corpus.export_shards writes the files)
+        from couch_to_postgres_spark.extensions.corpus import shard_manifest
+
+        return shard_manifest(_docs(spark, sf_dir), num_shards=8)
+
     def x_vocab(spark, sf_dir):
         return X_text.build_vocab(_docs(spark, sf_dir), min_count=3, max_size=200)
 
@@ -1030,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e15_supplier_ranks": e15_supplier_ranks,
         "x_vocab": x_vocab,
         "x_approx_distinct": x_approx_distinct,
+        "x_shards": x_shards,
         "e13_setops_users": e13_setops_users,
         "x_logfreq_score": x_logfreq_score,
         "x_chunk": x_chunk,
@@ -1978,6 +1986,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept
             )
             SELECT * FROM ranked WHERE rank <= 200
+        """,
+        "x_shards": """
+            WITH a AS (
+                SELECT doc_id, text,
+                       CAST(('0x' || substr(
+                           md5('shard1:' || CAST(doc_id AS VARCHAR)), 1, 8
+                       )) AS BIGINT) % 8 AS shard
+                FROM documents
+            )
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                        AS BIGINT) AS n_tokens,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM a GROUP BY shard
         """,
         "x_approx_distinct": """
             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,

@@ -56,6 +56,84 @@ def prepare_training_corpus(
     return pack_documents(train, text_col, id_col, budget, num_buckets)
 
 
+def assign_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    salt: str = "shard1",
+) -> DataFrame:
+    """Deterministic pseudo-random shard assignment:
+    ``shard = int(md5(salt:id)[:8], 16) % num_shards``, plus the full md5
+    as ``shard_key`` (the in-shard training order). Same contract as the
+    other sampling/split primitives — a pure map of (id, salt), identical
+    on any cluster size, partitioning, or engine, re-dealt by changing
+    ``salt``."""
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    return df.withColumn(
+        "shard", F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % num_shards
+    ).withColumn("shard_key", key)
+
+
+def shard_manifest(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    salt: str = "shard1",
+) -> DataFrame:
+    """Per-shard manifest of the export layout (without writing anything):
+    ``(shard, n_docs, n_tokens, min_id, max_id)``. One scan, one shuffle on
+    the tiny shard key; this is also the post-export audit query — compare
+    it against the same rollup over the written files."""
+    return _manifest_rollup(
+        assign_shards(df, id_col, num_shards, salt), text_col, id_col
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    salt: str = "shard1",
+    max_rows_per_file: int | None = None,
+) -> DataFrame:
+    """Write the corpus as ``num_shards`` deterministic pseudo-random
+    shards (``shard=K/`` directories), each internally ordered by
+    ``shard_key`` — the layout a training loader consumes (shards map to
+    loader workers; the in-shard order is the reproducible training order).
+
+    Plan shape at scale: ONE hash repartition on the shard id (the only
+    shuffle), then ``sortWithinPartitions`` — a per-shard sort, never a
+    global one. ``maxRecordsPerFile`` bounds individual parquet files so a
+    100 TB export yields loader-friendly file sizes regardless of executor
+    count. Returns the manifest of what was written."""
+    assigned = assign_shards(df, id_col, num_shards, salt)
+    writer = (
+        assigned.repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+    writer.parquet(out_dir)
+    spark = df.sparkSession
+    return _manifest_rollup(spark.read.parquet(out_dir), text_col, id_col)
+
+
+def _manifest_rollup(assigned: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from couch_to_postgres_spark.extensions.text import token_count
+
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     text_col: str = "text",
