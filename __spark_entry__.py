@@ -897,6 +897,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.ntile(4).over(Window.orderBy(*order)).cast("long").alias("quartile"),
         )
 
+    def x_rep_signals(spark, sf_dir):
+        return X_text.repetition_signals(_docs(spark, sf_dir))
+
+    def e17_price_histogram(spark, sf_dir):
+        # equi-width histogram (width_bucket shape): 10k-wide price bins
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy(
+                F.expr("CAST(floor(l_extendedprice / 10000) AS BIGINT)").alias(
+                    "bin"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2
+                )
+                .cast("double")
+                .alias("total"),
+            )
+        )
+
+    def x_approx_quantiles(spark, sf_dir):
+        # sketch quantiles vs exact: approx_percentile is the only
+        # affordable percentile pass at 100 TB (fixed-size mergeable
+        # sketches; exact percentile shuffles every value to one task).
+        # The oracle pins the exact values and a 1% relative-error
+        # envelope on the sketch (deterministic for a given dataset).
+        li = load_table(spark, sf_dir, "lineitem")
+        agg = li.agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+            ).alias("ex"),
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("ap"),
+        )
+        ok = F.lit(True)
+        for i in range(3):
+            ok = ok & (
+                F.abs(F.col("ap")[i] - F.col("ex")[i]) / F.col("ex")[i] <= 0.01
+            )
+        return agg.select(
+            F.round(F.col("ex")[0], 2).alias("p50"),
+            F.round(F.col("ex")[1], 2).alias("p90"),
+            F.round(F.col("ex")[2], 2).alias("p99"),
+            ok.alias("approx_ok"),
+        )
+
     def x_shards(spark, sf_dir):
         # manifest of the deterministic training-shard layout (the audit
         # query run before/after corpus.export_shards writes the files)
@@ -1038,6 +1087,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_vocab": x_vocab,
         "x_approx_distinct": x_approx_distinct,
         "x_shards": x_shards,
+        "x_rep_signals": x_rep_signals,
+        "e17_price_histogram": e17_price_histogram,
+        "x_approx_quantiles": x_approx_quantiles,
         "e13_setops_users": e13_setops_users,
         "x_logfreq_score": x_logfreq_score,
         "x_chunk": x_chunk,
@@ -1986,6 +2038,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept
             )
             SELECT * FROM ranked WHERE rank <= 200
+        """,
+        "x_rep_signals": f"""
+            WITH {_WORDS}, {_SHINGLES},
+            tok AS (
+                SELECT doc_id, w.word AS token FROM words, UNNEST(ws) AS w(word)
+            ),
+            tc AS (
+                SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+            ),
+            ws_ AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       count(*) AS n_distinct,
+                       max(c) AS max_c
+                FROM tc GROUP BY doc_id
+            ),
+            ss AS (
+                SELECT doc_id, count(*) AS n_sh,
+                       count(DISTINCT shingle) AS n_dsh
+                FROM shingled GROUP BY doc_id
+            )
+            SELECT ws_.doc_id, n_tokens,
+                   round(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 4)
+                       AS dup_word_frac,
+                   round(CAST(max_c AS DOUBLE) / n_tokens, 4)
+                       AS top_token_share,
+                   round(1 - CAST(n_dsh AS DOUBLE) / n_sh, 4)
+                       AS dup_shingle_frac
+            FROM ws_ LEFT JOIN ss USING (doc_id)
+        """,
+        "e17_price_histogram": """
+            SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS total
+            FROM lineitem GROUP BY bin
+        """,
+        "x_approx_quantiles": """
+            SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+                   true AS approx_ok
+            FROM lineitem
         """,
         "x_shards": """
             WITH a AS (

