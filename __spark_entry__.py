@@ -897,6 +897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.ntile(4).over(Window.orderBy(*order)).cast("long").alias("quartile"),
         )
 
+    def x_bigram_score(spark, sf_dir):
+        return X_text.bigram_logprob_score(_docs(spark, sf_dir))
+
     def x_rep_signals(spark, sf_dir):
         return X_text.repetition_signals(_docs(spark, sf_dir))
 
@@ -1088,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_approx_distinct": x_approx_distinct,
         "x_shards": x_shards,
         "x_rep_signals": x_rep_signals,
+        "x_bigram_score": x_bigram_score,
         "e17_price_histogram": e17_price_histogram,
         "x_approx_quantiles": x_approx_quantiles,
         "e13_setops_users": e13_setops_users,
@@ -2038,6 +2042,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept
             )
             SELECT * FROM ranked WHERE rank <= 200
+        """,
+        "x_bigram_score": f"""
+            WITH {_WORDS},
+            bg AS (
+                SELECT doc_id, b.bg
+                FROM words, UNNEST(
+                    CASE WHEN len(ws) >= 2
+                         THEN [array_to_string(ws[i:i+1], ' ')
+                               FOR i IN generate_series(1, len(ws) - 1)]
+                         ELSE []::VARCHAR[] END
+                ) AS b(bg)
+            ),
+            cbg AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+            cw1 AS (
+                SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c_w1
+                FROM bg GROUP BY w1
+            )
+            SELECT bg.doc_id,
+                   round(avg(ln(CAST(c_bg AS DOUBLE) / c_w1)), 4)
+                       AS mean_bigram_logprob,
+                   CAST(count(*) AS BIGINT) AS n_bigrams
+            FROM bg
+            JOIN cbg USING (bg)
+            JOIN cw1 ON string_split(bg.bg, ' ')[1] = cw1.w1
+            GROUP BY bg.doc_id
         """,
         "x_rep_signals": f"""
             WITH {_WORDS}, {_SHINGLES},

@@ -385,6 +385,45 @@ def repetition_signals(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model scoring (the step up from unigram
+    log-frequency as a perplexity proxy): per document, the mean
+    ``ln P(w2 | w1)`` over its word bigrams, with MLE conditionals from the
+    corpus itself (``C(w1 w2) / C(w1·)``). Fluent text scores near 0;
+    shuffled or degenerate text scores far negative. Documents with no
+    bigram are omitted.
+
+    Plan shape at scale: one explode → bigram-keyed shuffle for the counts
+    (uniform string keys), context counts derived FROM the bigram table
+    (vocabulary-sized, not corpus-sized), then two joins that both carry
+    vocabulary-sized sides. No driver round-trips."""
+    from couch_to_postgres_spark.extensions.dedup import word_shingles
+
+    bg = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, 2)).alias("bg")
+    )
+    c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_w1 = (
+        bg.select(F.split(F.col("bg"), " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w1"))
+    )
+    return (
+        bg.join(c_bg, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(c_w1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(F.log(F.col("c_bg") / F.col("c_w1"))), 4).alias(
+                "mean_bigram_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

@@ -279,6 +279,22 @@ def test_top_tokens_order_and_k(spark, docs):
             assert x["token"] < y["token"]
 
 
+def test_bigram_score_separates_shuffled_text(spark):
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(10)] + [(99, "mat the on sat cat the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.bigram_logprob_score(df).collect()}
+    # every fluent doc shares the same score; the shuffled doc's bigrams
+    # are corpus-rare so its mean logprob is strictly lower
+    fluent_scores = {out[i]["mean_bigram_logprob"] for i in range(10)}
+    assert len(fluent_scores) == 1
+    assert out[99]["mean_bigram_logprob"] < min(fluent_scores)
+    assert out[99]["n_bigrams"] == 5
+    # a doc with fewer than 2 tokens is omitted entirely
+    single = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    assert T.bigram_logprob_score(single).count() == 0
+
+
 def test_repetition_signals_flag_degenerate_docs(spark):
     df = spark.createDataFrame(
         [
