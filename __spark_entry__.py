@@ -956,6 +956,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return shard_manifest(_docs(spark, sf_dir), num_shards=8)
 
+    def j09_cube_revenue(spark, sf_dir):
+        # CUBE grouping sets: revenue over every combination of
+        # (returnflag, linestatus) incl. both margins and the grand total
+        li = load_table(spark, sf_dir, "lineitem")
+        rev = F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (
+                F.lit(1).cast("decimal(18,4)")
+                - F.col("l_discount").cast("decimal(18,4)")
+            )
+        )
+        return (
+            li.cube("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(rev, 2).cast("double").alias("revenue"),
+            )
+        )
+
     def x_vocab(spark, sf_dir):
         return X_text.build_vocab(_docs(spark, sf_dir), min_count=3, max_size=200)
 
@@ -1001,6 +1020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return upsample(
             _docs(spark, sf_dir), {"src0": 3, "src1": 2, "src2": 0}
         ).select("doc_id", "source", "epoch")
+
+    def x_centroids(spark, sf_dir):
+        return X_sim.label_centroids(_emb(spark, sf_dir))
 
     def x_embed_stats(spark, sf_dir):
         # embedding-table profile: per-label volume, dimensionality, and
@@ -1130,6 +1152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_mixture": x_mixture,
         "x_upsample": x_upsample,
         "x_embed_stats": x_embed_stats,
+        "x_centroids": x_centroids,
+        "j09_cube_revenue": j09_cube_revenue,
         "x_corpus_stats": x_corpus_stats,
         "x_tfidf": x_tfidf,
         "x_pack": x_pack,
@@ -2195,6 +2219,24 @@ def oracle_sql() -> dict[str, str]:
                  CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
                              WHEN 'src2' THEN 0 ELSE 1 END))
                  AS e(epoch)
+        """,
+        "j09_cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "x_centroids": """
+            SELECT label,
+                   CAST(t.i - 1 AS BIGINT) AS dim,
+                   round(avg(CAST(embedding[t.i] AS DOUBLE)), 4) + 0.0 AS mean_v
+            FROM embeddings,
+                 UNNEST(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY label, dim
         """,
         "x_embed_stats": """
             SELECT label,

@@ -189,3 +189,28 @@ def cosine_topk_blocked(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid of an embedding column, long format
+    ``(label, dim, mean_v)`` — the class-prototype computation behind
+    nearest-centroid classification and IVF coarse quantizer seeding.
+
+    Plan shape at scale: ``posexplode`` fans each vector to (label, dim)
+    rows, then one hash aggregation over (label, dim) keys — map-side
+    partial averages make the shuffle carry ``labels × dims`` rows
+    (thousands), not ``corpus × dims``. No collect, no UDF; reassemble to
+    array form with ``collect_list`` over dim order only when a consumer
+    needs it."""
+    ex = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    )
+    # `+ 0.0` collapses IEEE -0.0 (a mean of tiny negatives can round to
+    # it) to +0.0 so downstream equality/hashing never sees two zeros
+    return ex.groupBy(label_col, F.col("dim").cast("long").alias("dim")).agg(
+        (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias(
+            "mean_v"
+        )
+    )
