@@ -171,3 +171,53 @@ def test_contamination_never_single_partitions_or_broadcasts_corpus(spark, sf_di
     # it broadcasts the tiny train vocabulary; at corpus scale the same
     # plan degrades gracefully to a shuffle join on the same uniform key.
     assert "shingle" in plan and ("Join" in plan), plan
+
+
+def test_centroids_shuffle_carries_label_dim_keys(spark, sf_dir):
+    """The centroid plan must partial-aggregate map-side and exchange on
+    (label, dim) — never a single partition, never the raw vectors."""
+    from couch_to_postgres_spark.extensions.similarity import label_centroids
+    from couch_to_postgres_spark.plans.inspect import num_exchanges
+
+    df = label_centroids(load_table(spark, sf_dir, "embeddings"))
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "SinglePartition" not in plan
+    assert num_exchanges(df) == 1
+
+
+def test_bigram_score_no_cartesian(spark, sf_dir):
+    """Both LM joins are keyed (bigram / first-word) — a cartesian or
+    nested-loop join here would be corpus × vocabulary."""
+    from couch_to_postgres_spark.extensions.text import bigram_logprob_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = executed_plan(bigram_logprob_score(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_total_is_broadcast_single_row(spark, sf_dir):
+    """build_vocab's corpus-total denominator rides as a broadcast 1-row
+    frame; the ranking window must sit above the (vocab-sized) aggregate,
+    not above the corpus explode."""
+    from couch_to_postgres_spark.extensions.text import build_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = executed_plan(build_vocab(docs, min_count=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # window input is the aggregated histogram: Window appears after the
+    # final HashAggregate in the operator tree (deeper = later lines)
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_shard_manifest_single_shuffle(spark, sf_dir):
+    """Shard rollup: map-side shard assignment (pure md5) + one exchange
+    keyed by shard — the audit query never resorts or double-shuffles."""
+    from couch_to_postgres_spark.extensions.corpus import shard_manifest
+    from couch_to_postgres_spark.plans.inspect import num_exchanges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = shard_manifest(docs, num_shards=8)
+    assert num_exchanges(df) == 1
+    assert "SinglePartition" not in executed_plan(df)
