@@ -5,12 +5,15 @@ corpus, Spark-first.
 2. quality gates (length / punctuation ratios),
 3. benchmark decontamination (shingle overlap of eval against train),
 4. source mixing (deterministic per-source rates) and train/eval split,
-5. sequence packing (global token offsets via distributed prefix scan).
+5. sequence packing (global token offsets via distributed prefix scan),
+6. model-based scoring (bigram LM + repetition signals),
+7. sharded export (deterministic shard layout + manifest audit).
 
 Run: python examples/prepare_corpus.py [sf_dir]
 """
 
 import sys
+import tempfile
 
 sys.path.insert(0, "/root/repo")
 
@@ -66,6 +69,33 @@ def main() -> None:
         (F.max(F.col("pack_id") + F.col("n_packs")) - 1).alias("n")
     ).first()["n"]
     print(f"packed train corpus: {packed.count()} docs into ~{n_packs} packs of 256 tokens")
+
+    # 6. model-based quality: bigram LM score + repetition signals
+    from couch_to_postgres_spark.extensions.text import (
+        bigram_logprob_score,
+        repetition_signals,
+    )
+
+    lm = bigram_logprob_score(mixed)
+    reps = repetition_signals(mixed)
+    junk = lm.filter(F.col("mean_bigram_logprob") < -6).join(
+        reps.filter(F.col("dup_shingle_frac") > 0.3), "doc_id", "full_outer"
+    )
+    print(f"docs flagged by LM score or shingle repetition: {junk.count()}")
+
+    # 7. sharded export: deterministic shard dirs, in-shard training order,
+    # bounded file sizes; the returned manifest audits what landed
+    from couch_to_postgres_spark.extensions.corpus import export_shards
+
+    with tempfile.TemporaryDirectory() as tmp:
+        manifest = export_shards(
+            mixed, f"{tmp}/shards", num_shards=4, max_rows_per_file=10_000
+        )
+        for r in manifest.orderBy("shard").collect():
+            print(
+                f"  shard={r['shard']}: {r['n_docs']} docs, "
+                f"{r['n_tokens']} tokens"
+            )
 
     spark.stop()
 
