@@ -956,6 +956,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return shard_manifest(_docs(spark, sf_dir), num_shards=8)
 
+    def x_compression(spark, sf_dir):
+        # rows-only (no oracle): DuckDB has no zlib scalar. The signal's
+        # semantics are pinned by property tests in test_extensions.
+        return X_text.compression_ratio(_docs(spark, sf_dir))
+
+    def x_salted_agg(spark, sf_dir):
+        # skew-safe two-phase aggregation: hot grouping keys (5 event
+        # types across the whole stream) split into n_salts partial
+        # reducers, then re-summed exactly. Must equal the plain GROUP BY.
+        from couch_to_postgres_spark.operators.skew import salted_count
+
+        ev = load_table(spark, sf_dir, "events")
+        return salted_count(ev, "event_type", "event_type", n_salts=16)
+
     def j09_cube_revenue(spark, sf_dir):
         # CUBE grouping sets: revenue over every combination of
         # (returnflag, linestatus) incl. both margins and the grand total
@@ -1154,6 +1168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_embed_stats": x_embed_stats,
         "x_centroids": x_centroids,
         "j09_cube_revenue": j09_cube_revenue,
+        "x_salted_agg": x_salted_agg,
+        "x_compression": x_compression,
         "x_corpus_stats": x_corpus_stats,
         "x_tfidf": x_tfidf,
         "x_pack": x_pack,
@@ -2219,6 +2235,10 @@ def oracle_sql() -> dict[str, str]:
                  CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
                              WHEN 'src2' THEN 0 ELSE 1 END))
                  AS e(epoch)
+        """,
+        "x_salted_agg": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS value
+            FROM events GROUP BY event_type
         """,
         "j09_cube_revenue": """
             SELECT l_returnflag, l_linestatus,

@@ -98,17 +98,22 @@ def export_shards(
     num_shards: int = 8,
     salt: str = "shard1",
     max_rows_per_file: int | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Write the corpus as ``num_shards`` deterministic pseudo-random
     shards (``shard=K/`` directories), each internally ordered by
     ``shard_key`` — the layout a training loader consumes (shards map to
     loader workers; the in-shard order is the reproducible training order).
+    ``fmt`` is ``parquet`` or ``json`` (JSONL, the common text-corpus
+    interchange format).
 
     Plan shape at scale: ONE hash repartition on the shard id (the only
     shuffle), then ``sortWithinPartitions`` — a per-shard sort, never a
-    global one. ``maxRecordsPerFile`` bounds individual parquet files so a
-    100 TB export yields loader-friendly file sizes regardless of executor
+    global one. ``maxRecordsPerFile`` bounds individual files so a 100 TB
+    export yields loader-friendly file sizes regardless of executor
     count. Returns the manifest of what was written."""
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
     assigned = assign_shards(df, id_col, num_shards, salt)
     writer = (
         assigned.repartition(num_shards, F.col("shard"))
@@ -118,9 +123,9 @@ def export_shards(
     )
     if max_rows_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_rows_per_file)
-    writer.parquet(out_dir)
+    getattr(writer, fmt)(out_dir)
     spark = df.sparkSession
-    return _manifest_rollup(spark.read.parquet(out_dir), text_col, id_col)
+    return _manifest_rollup(getattr(spark.read, fmt)(out_dir), text_col, id_col)
 
 
 def _manifest_rollup(assigned: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -279,6 +279,42 @@ def test_top_tokens_order_and_k(spark, docs):
             assert x["token"] < y["token"]
 
 
+def test_compression_ratio_orders_text_classes(spark):
+    import random
+
+    random.seed(7)
+    noise = " ".join(
+        "".join(random.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+        for _ in range(200)
+    )
+    natural = (
+        "the quick brown fox jumps over the lazy dog and runs far away " * 20
+    )
+    degenerate = "spam " * 240
+    df = spark.createDataFrame(
+        [(1, degenerate), (2, natural), (3, noise), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["compression_ratio"] for r in T.compression_ratio(df).collect()}
+    # repetition compresses hardest, noise barely at all; nulls pass through
+    assert out[1] < out[2] < out[3]
+    assert out[1] < 0.05 and out[3] > 0.5
+    assert out[4] is None
+
+
+def test_export_shards_json_format(spark, docs, tmp_path):
+    from couch_to_postgres_spark.extensions.corpus import export_shards
+
+    out = str(tmp_path / "jshards")
+    manifest = export_shards(docs, out, num_shards=4, fmt="json")
+    assert sum(r["n_docs"] for r in manifest.collect()) == docs.count()
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    with pytest.raises(ValueError):
+        export_shards(docs, out, fmt="csvx")
+
+
 def test_bigram_score_separates_shuffled_text(spark):
     fluent = "the cat sat on the mat"
     rows = [(i, fluent) for i in range(10)] + [(99, "mat the on sat cat the")]
