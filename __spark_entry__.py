@@ -30,7 +30,7 @@ from couch_to_postgres_spark.functions.json import (
 from couch_to_postgres_spark.operators import query as Q
 from couch_to_postgres_spark.operators.cdc import apply_changes
 from couch_to_postgres_spark.operators.mirror import docs_mirror
-from couch_to_postgres_spark.session import load_table
+from couch_to_postgres_spark.session import load_table, ts_micros
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -315,16 +315,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def e03_user_activity(spark, sf_dir):
-        # per-user rollup over the nanos-timestamp column (read as long)
-        # ts is TIMESTAMP(NANOS) parquet, read as long ns (nanosAsLong);
-        # compare at µs precision — DuckDB reads the same column as µs
+        # per-user rollup at µs precision; ts_micros adapts to whichever
+        # physical ts type the driver's parquet writer chose (native
+        # timestamp[us] or TIMESTAMP(NANOS)-as-long), matching DuckDB's
+        # epoch_us(ts) on the oracle side
         ev = load_table(spark, sf_dir, "events")
+        ev = ev.withColumn("_ts_us", ts_micros(ev))
         return ev.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            # integer `div`, not `/1000`: ts ≈ 1.7e18 exceeds double's 2^53
-            # exact-integer range, so float division is off by ±1 µs
-            F.expr("max(ts) div 1000").alias("max_ts_us"),
-            F.expr("min(ts) div 1000").alias("min_ts_us"),
+            F.max("_ts_us").alias("max_ts_us"),
+            F.min("_ts_us").alias("min_ts_us"),
         )
 
     def e04_mirror_roundtrip(spark, sf_dir):
@@ -343,10 +343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def e05_windowed_counts(spark, sf_dir):
         # tumbling 6h event-time windows keyed by engine-neutral bucket id
-        # (ns-epoch div window; avoids Spark-vs-DuckDB window origin rules)
+        # (µs-epoch div window; avoids Spark-vs-DuckDB window origin rules)
         ev = load_table(spark, sf_dir, "events")
+        ev = ev.withColumn("_ts_us", ts_micros(ev))
         return ev.groupBy(
-            F.expr("ts div 21600000000000").alias("bucket_id"), "event_type"
+            F.expr("_ts_us div 21600000000").alias("bucket_id"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
@@ -575,9 +576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both engines subtract identical numbers; ordering ties broken by
         # event_id.
         ev = load_table(spark, sf_dir, "events")
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         return (
-            ev.withColumn("ts_us", F.expr("ts div 1000"))
+            ev.withColumn("ts_us", ts_micros(ev))
             .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
             .select("event_id", "user_id", "ts_us", "gap_us")
         )
@@ -589,7 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from couch_to_postgres_spark.operators.asof import asof_join
 
         ev = load_table(spark, sf_dir, "events")
-        us = F.expr("ts div 1000")
+        us = ts_micros(ev)
         clicks = ev.filter(F.col("event_type") == "click").select(
             "event_id", "user_id", us.alias("ts_us")
         )
@@ -611,7 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from couch_to_postgres_spark.operators.asof import range_join
 
         ev = load_table(spark, sf_dir, "events")
-        us = F.expr("ts div 1000")
+        us = ts_micros(ev)
         clicks = ev.filter(F.col("event_type") == "click").select(
             "event_id", "user_id", us.alias("ts_us")
         )
@@ -632,11 +633,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def e10_retention_cohorts(spark, sf_dir):
         # cohort retention: users bucketed by first-seen day, counted per
         # week-offset of later activity. Day arithmetic in integer div on
-        # the ns/µs epochs (floors agree across engines for positive ts).
+        # the µs epochs (floors agree across engines for positive ts).
         ev = load_table(spark, sf_dir, "events")
         d = ev.select(
-            "user_id", F.expr("ts div 86400000000000").alias("day")
-        )
+            "user_id", ts_micros(ev).alias("_ts_us")
+        ).select("user_id", F.expr("_ts_us div 86400000000").alias("day"))
         coh = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
         return (
             d.join(coh, "user_id")
@@ -654,7 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which would admit out-of-order sequences)
         ev = load_table(spark, sf_dir, "events")
         e = ev.select(
-            "user_id", "event_type", F.expr("ts div 1000").alias("t")
+            "user_id", "event_type", ts_micros(ev).alias("t")
         )
         s = (
             e.filter(F.col("event_type") == "signup")

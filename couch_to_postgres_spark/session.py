@@ -76,3 +76,40 @@ def nanos_to_timestamp(col):
 
     us = F.floor(col.cast("decimal(38,0)") / 1000).cast("long")
     return F.timestamp_micros(us)
+
+
+_TS_TYPES = ("timestamp", "timestamp_ntz", "date")
+
+
+def ts_micros(df, ts_col: str = "ts"):
+    """Epoch-microseconds Column for a timestamp-like column, whatever
+    physical type the parquet writer chose for it:
+
+    * ``timestamp`` / ``timestamp_ntz`` (µs precision) → ``unix_micros``
+      (NTZ is cast through TIMESTAMP under the session's UTC zone, so the
+      wall-clock value IS the epoch value);
+    * ``bigint`` → ns since epoch (TIMESTAMP(NANOS) parquet read under
+      ``spark.sql.legacy.parquet.nanosAsLong``) → integer ``div 1000``
+      (float division would be off by ±1 µs above 2^53).
+
+    Every engine query goes through this (or :func:`event_timestamp`)
+    instead of touching ``ts`` arithmetic directly, so driver-side schema
+    drift between rounds cannot silently skew results.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype in _TS_TYPES:
+        return F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return F.expr(f"`{ts_col}` div 1000")
+
+
+def event_timestamp(df, ts_col: str = "ts"):
+    """Proper TIMESTAMP Column (µs, UTC session zone) from a
+    timestamp-like column; same type-adaptivity as :func:`ts_micros`."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype in _TS_TYPES:
+        return F.col(ts_col).cast("timestamp")
+    return nanos_to_timestamp(F.col(ts_col))

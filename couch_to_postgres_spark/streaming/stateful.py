@@ -6,7 +6,7 @@ express (the built-in ``session_window`` covers plain gap windows; this
 skeleton is where richer per-key logic — cart abandonment, rev-chain
 validation, rate anomaly detection — plugs in).
 
-State is one row per key ``(session_no, start_ts, last_ts, n)``; each
+State is one row per key ``(session_no, start_ts, last_ts, n)`` in epoch-µs; each
 micro-batch folds its rows into the state and emits a rollup row for every
 session it touched (output mode ``update`` — downstream keeps the last row
 per (key, session_no), which tests assert equals the batch oracle
@@ -52,7 +52,7 @@ SESSION_STATE_SCHEMA = StructType(
 )
 
 
-def _session_fold(gap_ns: int):
+def _session_fold(gap_us: int):
     def fold(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -68,9 +68,9 @@ def _session_fold(gap_ns: int):
         # sorting, or cross-chunk order corrupts the session walk
         all_ts: list[int] = []
         for pdf in pdfs:
-            all_ts.extend(int(t) for t in pdf["ts"].tolist())
+            all_ts.extend(int(t) for t in pdf["_ts_us"].tolist())
         for ts in sorted(all_ts):
-            if last_ts is None or ts - last_ts > gap_ns:
+            if last_ts is None or ts - last_ts > gap_us:
                 session_no += 1
                 start_ts, n = ts, 0
             last_ts = ts
@@ -83,8 +83,8 @@ def _session_fold(gap_ns: int):
                     "user_id": [user_id] * len(touched),
                     "session_no": list(touched),
                     "n_events": [v[2] for v in touched.values()],
-                    "session_start_us": [v[0] // 1000 for v in touched.values()],
-                    "session_end_us": [v[1] // 1000 for v in touched.values()],
+                    "session_start_us": [v[0] for v in touched.values()],
+                    "session_end_us": [v[1] for v in touched.values()],
                 }
             )
 
@@ -96,11 +96,16 @@ def sessionize_stream(
     gap_minutes: int = 30,
     key_col: str = "user_id",
 ) -> DataFrame:
-    """Stateful streaming sessionization; input must carry ``ts`` (ns long)
-    and ``key_col``. Emits updated session rollups each micro-batch."""
-    gap_ns = gap_minutes * 60 * 1_000_000_000
+    """Stateful streaming sessionization; input must carry a
+    timestamp-like ``ts`` (native timestamp or ns long — normalized to µs
+    here) and ``key_col``. Emits updated session rollups each micro-batch.
+    State is kept in epoch-µs so it matches the batch oracle exactly."""
+    from couch_to_postgres_spark.session import ts_micros
+
+    events = events.withColumn("_ts_us", ts_micros(events, "ts"))
+    gap_us = gap_minutes * 60 * 1_000_000
     return events.groupBy(key_col).applyInPandasWithState(
-        _session_fold(gap_ns),
+        _session_fold(gap_us),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="update",

@@ -13,12 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from couch_to_postgres_spark.session import nanos_to_timestamp
+from couch_to_postgres_spark.session import event_timestamp
 
 
 def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """ns-long ts (nanosAsLong parquet) → proper event-time column."""
-    return events.withColumn("event_time", nanos_to_timestamp(F.col(ts_col)))
+    """timestamp-like ts (native timestamp or ns-long) → proper event-time
+    column (type-adaptive, see session.event_timestamp)."""
+    return events.withColumn("event_time", event_timestamp(events, ts_col))
 
 
 def windowed_type_counts(
@@ -114,12 +115,15 @@ def sessionize_batch(
     sort). Returns per-session rollups."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(ts_col)
-    gap_ns = gap_minutes * 60 * 1_000_000_000
+    from couch_to_postgres_spark.session import ts_micros
+
+    events = events.withColumn("_ts_us", ts_micros(events, ts_col))
+    w = Window.partitionBy(key_col).orderBy("_ts_us")
+    gap_us = gap_minutes * 60 * 1_000_000
     marked = events.withColumn(
         "new_session",
         (
-            F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap_ns)
+            F.col("_ts_us") - F.lag("_ts_us").over(w) > F.lit(gap_us)
         ).cast("int"),
     ).withColumn(
         "session_no",
@@ -129,6 +133,6 @@ def sessionize_batch(
     )
     return marked.groupBy(key_col, "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.expr(f"min({ts_col}) div 1000").alias("session_start_us"),
-        F.expr(f"max({ts_col}) div 1000").alias("session_end_us"),
+        F.min("_ts_us").alias("session_start_us"),
+        F.max("_ts_us").alias("session_end_us"),
     )

@@ -36,7 +36,9 @@ def events_stream_dir(spark, events, tmp_path_factory):
         path = d / f"batch-{i}.json"
         with open(path, "w") as f:
             for r in chunk:
-                f.write(_json.dumps(r) + "\n")
+                # native-timestamp ts serializes as ISO-8601, which the
+                # schema'd JSON reader parses back to timestamp
+                f.write(_json.dumps(r, default=lambda o: o.isoformat()) + "\n")
         os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
     return str(d)
 
