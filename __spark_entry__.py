@@ -990,6 +990,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def j10_local_supplier_volume(spark, sf_dir):
+        # TPC-H Q5 shape: revenue by nation where the ordering customer
+        # and the supplying supplier sit in the same nation of one region
+        # (reference README.md:664 only speculates about cross-table joins;
+        # this is the canonical warehouse join chain done Spark-native).
+        # Scale strategy: region/nation broadcast unconditionally (tiny
+        # dims); customer/supplier hash-join on their keys; the fact join
+        # lineitem⋈orders shuffles once on orderkey, and AQE upgrades the
+        # dim joins to broadcast at runtime when their post-filter size
+        # allows. The same-nation predicate rides on the supplier join —
+        # no extra shuffle.
+        reg = load_table(spark, sf_dir, "region").filter(F.col("r_regionkey") == 0)
+        nat = load_table(spark, sf_dir, "nation")
+        cust = load_table(spark, sf_dir, "customer")
+        supp = load_table(spark, sf_dir, "supplier")
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        rev = F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (
+                F.lit(1).cast("decimal(18,4)")
+                - F.col("l_discount").cast("decimal(18,4)")
+            )
+        )
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                supp,
+                (F.col("l_suppkey") == F.col("s_suppkey"))
+                & (F.col("c_nationkey") == F.col("s_nationkey")),
+            )
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(rev, 2).cast("double").alias("revenue"),
+            )
+        )
+
+    def j11_price_stats(spark, sf_dir):
+        # statistical aggregates (stddev, correlation) with bitwise
+        # cross-engine determinism: both engines' native stddev/corr use
+        # double accumulators whose partial-agg association differs, so we
+        # derive them from exact DECIMAL power sums (order-free) and a
+        # fixed float formula evaluated identically on both sides. At
+        # scale this is also the cheaper plan: one partial-agg pass, no
+        # second moment shuffle.
+        li = load_table(spark, sf_dir, "lineitem")
+        x = F.col("l_extendedprice").cast("decimal(14,4)")
+        q = F.col("l_quantity").cast("decimal(14,4)")
+        sums = li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(q).cast("double").alias("sq"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(q * q).cast("double").alias("sqq"),
+            F.sum(x * q).cast("double").alias("sxq"),
+        )
+        n, sx, sq = F.col("n"), F.col("sx"), F.col("sq")
+        sxx, sqq, sxq = F.col("sxx"), F.col("sqq"), F.col("sxq")
+        return sums.select(
+            "l_returnflag",
+            n.cast("long").alias("n_items"),
+            F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))), 6).alias(
+                "price_stddev"
+            ),
+            F.round(
+                (n * sxq - sx * sq)
+                / F.sqrt((n * sxx - sx * sx) * (n * sqq - sq * sq)),
+                6,
+            ).alias("qty_price_corr"),
+        )
+
+    def j12_brand_price_quartiles(spark, sf_dir):
+        # exact interpolated quantiles per group: Spark `percentile` ≡
+        # DuckDB `quantile_cont` (sort-based exact path; the mergeable
+        # approx sketch for 100 TB lives in x_approx_quantiles — this is
+        # the small-group exact complement, fine when each group's values
+        # fit one task comfortably)
+        p = load_table(spark, sf_dir, "part")
+        return p.groupBy("p_brand").agg(
+            F.round(F.expr("percentile(p_retailprice, 0.25D)"), 4).alias("q1"),
+            F.round(F.expr("percentile(p_retailprice, 0.5D)"), 4).alias("median"),
+            F.round(F.expr("percentile(p_retailprice, 0.75D)"), 4).alias("q3"),
+        )
+
+    def j13_filtered_agg(spark, sf_dir):
+        # conditional aggregation (SQL FILTER-clause shape): one scan,
+        # several predicated partial aggs — never the self-join rewrite
+        li = load_table(spark, sf_dir, "lineitem")
+        price = F.col("l_extendedprice").cast("decimal(18,4)")
+        return li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+            F.round(F.sum(F.when(F.col("l_discount") == 0, price)), 2)
+            .cast("double")
+            .alias("undiscounted_revenue"),
+            F.round(F.sum(F.when(F.col("l_tax") > 0.05, price)), 2)
+            .cast("double")
+            .alias("high_tax_revenue"),
+        )
+
+    def j14_top_part_per_brand(spark, sf_dir):
+        # arg-max without a window: max_by/arg_max per group. Price ties
+        # exist, so the ordering value is a composite bigint
+        # (price-cents, partkey) — explicit round() before the cast since
+        # Spark truncates double→long while DuckDB rounds.
+        p = load_table(spark, sf_dir, "part")
+        ordv = (
+            F.round(F.col("p_retailprice") * 100).cast("long") * 10_000_000
+            + F.col("p_partkey")
+        )
+        return p.groupBy("p_brand").agg(
+            F.max_by("p_partkey", ordv).alias("top_partkey"),
+            F.max_by("p_name", ordv).alias("top_part_name"),
+            F.round(F.max("p_retailprice"), 2).alias("top_price"),
+        )
+
     def x_vocab(spark, sf_dir):
         return X_text.build_vocab(_docs(spark, sf_dir), min_count=3, max_size=200)
 
@@ -1169,6 +1289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_embed_stats": x_embed_stats,
         "x_centroids": x_centroids,
         "j09_cube_revenue": j09_cube_revenue,
+        "j10_local_supplier_volume": j10_local_supplier_volume,
+        "j11_price_stats": j11_price_stats,
+        "j12_brand_price_quartiles": j12_brand_price_quartiles,
+        "j13_filtered_agg": j13_filtered_agg,
+        "j14_top_part_per_brand": j14_top_part_per_brand,
         "x_salted_agg": x_salted_agg,
         "x_compression": x_compression,
         "x_corpus_stats": x_corpus_stats,
@@ -2250,6 +2375,82 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS revenue
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "j10_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_regionkey = 0
+            GROUP BY n_name
+        """,
+        "j11_price_stats": """
+            WITH sums AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)))
+                            AS DOUBLE) AS sx,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(14,4)))
+                            AS DOUBLE) AS sq,
+                       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,4)) AS DECIMAL(28,4))
+                                * CAST(l_extendedprice AS DECIMAL(14,4)))
+                            AS DOUBLE) AS sxx,
+                       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(14,4)) AS DECIMAL(28,4))
+                                * CAST(l_quantity AS DECIMAL(14,4)))
+                            AS DOUBLE) AS sqq,
+                       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,4)) AS DECIMAL(28,4))
+                                * CAST(l_quantity AS DECIMAL(14,4)))
+                            AS DOUBLE) AS sxq
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n_items,
+                   round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6)
+                       AS price_stddev,
+                   round((n * sxq - sx * sq)
+                         / sqrt((n * sxx - sx * sx) * (n * sqq - sq * sq)),
+                         6) AS qty_price_corr
+            FROM sums
+        """,
+        "j12_brand_price_quartiles": """
+            SELECT p_brand,
+                   round(quantile_cont(p_retailprice, 0.25), 4) AS q1,
+                   round(quantile_cont(p_retailprice, 0.5), 4) AS median,
+                   round(quantile_cont(p_retailprice, 0.75), 4) AS q3
+            FROM part GROUP BY p_brand
+        """,
+        "j13_filtered_agg": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_all,
+                   CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+                       AS n_bulk,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                              FILTER (WHERE l_discount = 0), 2) AS DOUBLE)
+                       AS undiscounted_revenue,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                              FILTER (WHERE l_tax > 0.05), 2) AS DOUBLE)
+                       AS high_tax_revenue
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "j14_top_part_per_brand": """
+            SELECT p_brand,
+                   arg_max(p_partkey,
+                           CAST(round(p_retailprice * 100) AS BIGINT)
+                               * 10000000 + p_partkey) AS top_partkey,
+                   arg_max(p_name,
+                           CAST(round(p_retailprice * 100) AS BIGINT)
+                               * 10000000 + p_partkey) AS top_part_name,
+                   round(max(p_retailprice), 2) AS top_price
+            FROM part GROUP BY p_brand
         """,
         "x_centroids": """
             SELECT label,

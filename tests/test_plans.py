@@ -221,3 +221,42 @@ def test_shard_manifest_single_shuffle(spark, sf_dir):
     df = shard_manifest(docs, num_shards=8)
     assert num_exchanges(df) == 1
     assert "SinglePartition" not in executed_plan(df)
+
+
+def test_q5_shape_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """j10 (TPC-H Q5 shape): region/nation ride as broadcasts, every join
+    is keyed (no cartesian/nested-loop), and aggregation is partial+final."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["j10_local_supplier_volume"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_price_stats_single_pass_no_second_shuffle(spark, sf_dir):
+    """j11: the six power sums come out of ONE partial-agg pass over
+    lineitem with ONE exchange on the group key; the closed-form stddev /
+    corr math is a projection, not another aggregation."""
+    import __spark_entry__ as entry
+
+    from couch_to_postgres_spark.plans.inspect import num_exchanges
+
+    df = entry.queries()["j11_price_stats"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert num_exchanges(df) == 1, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_filtered_agg_single_scan(spark, sf_dir):
+    """j13: all four conditional aggregates share one scan of lineitem —
+    the FILTER-clause shape must never expand to per-predicate self-joins."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["j13_filtered_agg"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
