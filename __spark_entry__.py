@@ -1110,6 +1110,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.max("p_retailprice"), 2).alias("top_price"),
         )
 
+    def e18_window_navigation(spark, sf_dir):
+        # window navigation surface beyond ranking: lead / first_value /
+        # percent_rank / cume_dist over a per-nation total order (acctbal
+        # with suppkey tie-break — relative fns are nondeterministic
+        # without a total order). One shuffle on the partition key.
+        s = load_table(spark, sf_dir, "supplier")
+        w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+        return s.select(
+            "s_suppkey",
+            "s_nationkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.lead("s_suppkey").over(w).alias("next_suppkey"),
+            F.first("s_suppkey").over(w).alias("poorest_suppkey"),
+        )
+
+    def j15_grouping_sets(spark, sf_dir):
+        # explicit GROUPING SETS (not the ROLLUP/CUBE shorthands of
+        # j05/j09): two single-dimension margins + grand total in one
+        # pass, with grouping() flags disambiguating real NULLs. Spark
+        # expands the sets map-side; partial aggs still combine.
+        li = load_table(spark, sf_dir, "lineitem")
+        li.createOrReplaceTempView("li_gs")
+        return spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+            FROM li_gs
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            """
+        )
+
+    def e19_token_arrays(spark, sf_dir):
+        # array higher-order functions over per-doc token arrays:
+        # distinct → sort → join (deterministic layout), plus a lambda
+        # filter. Everything row-local — zero shuffle, whole-stage
+        # codegen end to end.
+        d = _docs(spark, sf_dir)
+        arr = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        return d.select(
+            "doc_id",
+            F.array_join(F.array_sort(arr), "|").alias("vocab"),
+            F.size(arr).alias("n_distinct"),
+            F.size(F.filter(arr, lambda x: F.length(x) > 4)).alias("n_long"),
+        )
+
     def x_vocab(spark, sf_dir):
         return X_text.build_vocab(_docs(spark, sf_dir), min_count=3, max_size=200)
 
@@ -1294,6 +1342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j12_brand_price_quartiles": j12_brand_price_quartiles,
         "j13_filtered_agg": j13_filtered_agg,
         "j14_top_part_per_brand": j14_top_part_per_brand,
+        "j15_grouping_sets": j15_grouping_sets,
+        "e18_window_navigation": e18_window_navigation,
+        "e19_token_arrays": e19_token_arrays,
         "x_salted_agg": x_salted_agg,
         "x_compression": x_compression,
         "x_corpus_stats": x_corpus_stats,
@@ -2451,6 +2502,35 @@ def oracle_sql() -> dict[str, str]:
                                * 10000000 + p_partkey) AS top_part_name,
                    round(max(p_retailprice), 2) AS top_price
             FROM part GROUP BY p_brand
+        """,
+        "j15_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "e18_window_navigation": """
+            SELECT s_suppkey, s_nationkey,
+                   round(percent_rank() OVER w, 6) AS pr,
+                   round(cume_dist() OVER w, 6) AS cd,
+                   lead(s_suppkey) OVER w AS next_suppkey,
+                   first_value(s_suppkey) OVER w AS poorest_suppkey
+            FROM supplier
+            WINDOW w AS (PARTITION BY s_nationkey
+                         ORDER BY s_acctbal, s_suppkey)
+        """,
+        "e19_token_arrays": """
+            SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(
+                       string_split(lower(text), ' '))), '|') AS vocab,
+                   CAST(len(list_distinct(string_split(lower(text), ' ')))
+                        AS INTEGER) AS n_distinct,
+                   CAST(len(list_filter(list_distinct(
+                            string_split(lower(text), ' ')),
+                            x -> strlen(x) > 4)) AS INTEGER) AS n_long
+            FROM documents
         """,
         "x_centroids": """
             SELECT label,
