@@ -1158,6 +1158,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(F.filter(arr, lambda x: F.length(x) > 4)).alias("n_long"),
         )
 
+    def e20_session_window_native(spark, sf_dir):
+        # engine-native gap sessionization (session_window) — same rollup
+        # as e06 but via Spark's built-in merging session windows (same
+        # strict-> boundary: touching windows merge)
+        from couch_to_postgres_spark.streaming.windows import (
+            session_rollup_native,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        return session_rollup_native(ev, gap_minutes=60)
+
     def x_vocab(spark, sf_dir):
         return X_text.build_vocab(_docs(spark, sf_dir), min_count=3, max_size=200)
 
@@ -1343,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j13_filtered_agg": j13_filtered_agg,
         "j14_top_part_per_brand": j14_top_part_per_brand,
         "j15_grouping_sets": j15_grouping_sets,
+        "e20_session_window_native": e20_session_window_native,
         "e18_window_navigation": e18_window_navigation,
         "e19_token_arrays": e19_token_arrays,
         "x_salted_agg": x_salted_agg,
@@ -2510,6 +2522,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(grouping(l_linestatus) AS BIGINT) AS g_status
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "e20_session_window_native": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 3600000000 THEN 1
+                            ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING)
+                           AS session_no
+                FROM marked
+            )
+            SELECT user_id, count(*) AS n_events,
+                   min(epoch_us(ts)) AS session_start_us,
+                   max(epoch_us(ts)) AS session_end_us
+            FROM numbered GROUP BY user_id, session_no
         """,
         "e18_window_navigation": """
             SELECT s_suppkey, s_nationkey,

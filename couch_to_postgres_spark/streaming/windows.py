@@ -102,6 +102,44 @@ def interval_join(
     )
 
 
+def session_rollup_native(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap sessionization via Spark's built-in ``session_window`` — the
+    idiomatic engine-native path (vs the custom stateful walk in
+    streaming/stateful.py, which exists for richer per-key logic). One
+    definition for batch and streams; on a stream the watermark finalizes
+    and evicts closed sessions, so state is bounded by the active-session
+    set, not history.
+
+    Boundary semantics: touching windows MERGE — an inter-event gap
+    exactly equal to ``gap`` stays one session, so a NEW session needs a
+    strictly greater gap. Identical to ``sessionize_batch``'s ``>`` walk
+    (pinned in test_event_time).
+    """
+    df = with_event_time(events, ts_col)
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark("event_time", watermark)
+    return (
+        df.groupBy(
+            F.col(key_col),
+            F.session_window("event_time", f"{gap_minutes} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("event_time")).alias("session_start_us"),
+            F.unix_micros(F.max("event_time")).alias("session_end_us"),
+        )
+        .select(
+            key_col, "n_events", "session_start_us", "session_end_us"
+        )
+    )
+
+
 def sessionize_batch(
     events: DataFrame,
     gap_minutes: int = 30,

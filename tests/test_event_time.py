@@ -219,3 +219,71 @@ def test_stateful_sessionize_equals_batch(spark, events, events_stream_dir):
         for r in got_rows
     }
     assert got == expected
+
+
+def test_session_window_native_stream_equals_batch(
+    spark, events, events_stream_dir
+):
+    """Built-in session_window: the stream drained over the ordered feed
+    (complete mode — session windows reject update; complete keeps all
+    session state and re-emits, so the final table IS the full result)
+    must equal the batch rollup."""
+    from couch_to_postgres_spark.streaming.windows import session_rollup_native
+
+    batch = {
+        (r["user_id"], r["session_start_us"]): (
+            r["n_events"], r["session_end_us"],
+        )
+        for r in session_rollup_native(events, gap_minutes=60).collect()
+    }
+    stream = read_events_stream(spark, events, events_stream_dir)
+    q = (
+        session_rollup_native(stream, gap_minutes=60)
+        .writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start_us"]): (
+            r["n_events"], r["session_end_us"],
+        )
+        for r in spark.sql("SELECT * FROM native_sessions").collect()
+    }
+    assert got == batch
+
+
+def test_session_window_boundary_merges_on_equal_gap(spark):
+    """An inter-event gap EXACTLY equal to the configured gap MERGES
+    (touching windows coalesce): session_window needs a strictly greater
+    gap to split — identical to sessionize_batch's > walk, and one µs
+    more does split. Pinned so the e20 oracle's `>` never drifts."""
+    import datetime as dt
+
+    from couch_to_postgres_spark.streaming.windows import (
+        session_rollup_native,
+        sessionize_batch,
+    )
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def roll(delta):
+        df = spark.createDataFrame(
+            [(1, base), (1, base + delta)], "user_id long, ts timestamp"
+        )
+        return (
+            session_rollup_native(df, gap_minutes=60).collect(),
+            sessionize_batch(df, gap_minutes=60).collect(),
+        )
+
+    native_eq, custom_eq = roll(dt.timedelta(minutes=60))
+    assert len(native_eq) == 1 and len(custom_eq) == 1, (native_eq, custom_eq)
+    native_over, custom_over = roll(
+        dt.timedelta(minutes=60, microseconds=1)
+    )
+    assert len(native_over) == 2 and len(custom_over) == 2, (
+        native_over,
+        custom_over,
+    )
