@@ -416,6 +416,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         j = X_dedup.ngram_jaccard(d, pairs)
         return j.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
+    def x_dedup_editdist(spark, sf_dir):
+        # character-level verify stage: Levenshtein over LSH candidates
+        # (rounded similarity; dist is exact in both engines)
+        d = _docs(spark, sf_dir)
+        pairs = X_dedup.minhash_candidate_pairs(d, num_bands=4)
+        v = X_dedup.edit_distance_verify(d, pairs)
+        return v.select(
+            "id_a", "id_b", "edit_dist", F.round("edit_sim", 4).alias("edit_sim")
+        )
+
     def x_simhash(spark, sf_dir):
         return X_dedup.simhash16(_docs(spark, sf_dir))
 
@@ -1318,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_minhash": x_dedup_minhash,
         "x_dedup_minhash_banded": x_dedup_minhash_banded,
         "x_dedup_jaccard": x_dedup_jaccard,
+        "x_dedup_editdist": x_dedup_editdist,
         "x_simhash": x_simhash,
         "x_near_dedup": x_near_dedup,
         "x_embed_neardup": x_embed_neardup,
@@ -1681,6 +1692,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs a JOIN sigs b
               ON a.band = b.band AND a.signature = b.signature
              AND a.doc_id < b.doc_id
+        """,
+        "x_dedup_editdist": f"""
+            WITH {_WORDS}, {_SHINGLES},
+            banded AS (
+                SELECT doc_id, b.band, shingle
+                FROM shingled, UNNEST([0,1,2,3]) AS b(band)
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS signature
+                FROM banded GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.signature = b.signature
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT p.id_a, p.id_b,
+                   CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
+                   round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                         / greatest(length(da.text), length(db.text)), 4)
+                       AS edit_sim
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.id_a
+            JOIN documents db ON db.doc_id = p.id_b
         """,
         "x_dedup_jaccard": f"""
             WITH {_WORDS}, {_SHINGLES},

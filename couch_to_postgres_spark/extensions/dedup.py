@@ -191,6 +191,45 @@ def ngram_jaccard(
     )
 
 
+def edit_distance_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level verification for candidate pairs: Levenshtein
+    distance plus the normalized similarity ``1 - dist/max(len)``.
+
+    The O(n·m) DP runs JVM-side per pair — affordable precisely because
+    it only ever sees the LSH candidate set, never the quadratic corpus.
+    Texts join back by id (candidate-sized joins), same scale shape as
+    :func:`ngram_jaccard`."""
+    t = df.select(F.col(id_col), F.col(text_col))
+    j = (
+        pairs.join(
+            t.select(
+                F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
+            ),
+            "id_a",
+        ).join(
+            t.select(
+                F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
+            ),
+            "id_b",
+        )
+    )
+    dist = F.levenshtein("_ta", "_tb")
+    longest = F.greatest(F.length("_ta"), F.length("_tb"))
+    return j.select(
+        "id_a",
+        "id_b",
+        dist.alias("edit_dist"),
+        (F.lit(1.0) - dist.cast("double") / longest.cast("double")).alias(
+            "edit_sim"
+        ),
+    )
+
+
 def _hex_nibble(c: Column) -> Column:
     """hex char → int via position arithmetic (portable to the oracle:
     identical instr/strpos expression in DuckDB — no engine-specific conv)."""

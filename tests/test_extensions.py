@@ -69,6 +69,32 @@ def test_jaccard_scores(spark, docs):
     assert 0.5 < j[(0, 100001)] < 1.0
 
 
+def test_edit_distance_verify(spark, docs):
+    aug = planted(spark, docs)
+    pairs = D.minhash_candidate_pairs(aug, num_bands=4)
+    got = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_sim"])
+        for r in D.edit_distance_verify(aug, pairs).collect()
+    }
+    # exact dup: zero distance, similarity exactly 1
+    assert got[(0, 100000)] == (0, 1.0)
+    # near dup: small distance, high similarity
+    dist, sim = got[(0, 100001)]
+    assert dist > 0 and 0.5 < sim < 1.0
+    # lower bound: dist >= |len_a - len_b| for every verified pair
+    rows = D.edit_distance_verify(aug, pairs).join(
+        aug.select(F.col("doc_id").alias("id_a"), F.length("text").alias("la")),
+        "id_a",
+    ).join(
+        aug.select(F.col("doc_id").alias("id_b"), F.length("text").alias("lb")),
+        "id_b",
+    )
+    bad = rows.filter(
+        F.col("edit_dist") < F.abs(F.col("la") - F.col("lb"))
+    ).count()
+    assert bad == 0
+
+
 def test_dedup_clusters_label_propagation(spark):
     # components: {1,2,3,4} (chain), {10,11}, singleton pairs absent
     pairs = spark.createDataFrame(
