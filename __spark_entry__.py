@@ -1182,6 +1182,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_vocab(spark, sf_dir):
         return X_text.build_vocab(_docs(spark, sf_dir), min_count=3, max_size=200)
 
+    def x_encode(spark, sf_dir):
+        # vocabulary application: docs → token-id sequences (ids joined
+        # to a string so the hash compare is layout-stable cross-engine)
+        d = _docs(spark, sf_dir)
+        vocab = X_text.build_vocab(d, min_count=3, max_size=200)
+        enc = X_text.encode_documents(d, vocab)
+        return enc.select(
+            "doc_id",
+            F.array_join(F.col("token_ids"), ",").alias("ids"),
+            "n_unk",
+        )
+
     def x_approx_distinct(spark, sf_dir):
         # HLL sketch vs exact distinct: at 100 TB approx_count_distinct is
         # the only affordable cardinality pass (no shuffle of distinct
@@ -1314,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e16_click_purchase_pairs": e16_click_purchase_pairs,
         "e15_supplier_ranks": e15_supplier_ranks,
         "x_vocab": x_vocab,
+        "x_encode": x_encode,
         "x_approx_distinct": x_approx_distinct,
         "x_shards": x_shards,
         "x_rep_signals": x_rep_signals,
@@ -2308,6 +2321,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept
             )
             SELECT * FROM ranked WHERE rank <= 200
+        """,
+        "x_encode": f"""
+            WITH {_WORDS},
+            tok AS (
+                SELECT doc_id, ws[g.i] AS token, g.i AS pos
+                FROM words, UNNEST(generate_series(1, len(ws))) AS g(i)
+            ),
+            hist AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+            kept AS (SELECT * FROM hist WHERE cnt >= 3),
+            ranked AS (
+                SELECT token,
+                       row_number() OVER (ORDER BY cnt DESC, token) AS rank
+                FROM kept
+            ),
+            vocab AS (SELECT * FROM ranked WHERE rank <= 200),
+            enc AS (
+                SELECT t.doc_id, t.pos,
+                       CAST(COALESCE(v.rank, 0) AS BIGINT) AS tid
+                FROM tok t LEFT JOIN vocab v ON t.token = v.token
+            )
+            SELECT doc_id,
+                   array_to_string(list(tid ORDER BY pos), ',') AS ids,
+                   CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unk
+            FROM enc GROUP BY doc_id
         """,
         "x_bigram_score": f"""
             WITH {_WORDS},

@@ -503,6 +503,44 @@ def build_vocab(
     return out
 
 
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Apply a built vocabulary (:func:`build_vocab` output) to encode each
+    document as its token-id sequence — the text→ids step a training
+    loader consumes. Token id = vocab ``rank`` (1-based); out-of-vocab
+    tokens become ``unk_id`` (0 by default, disjoint from ranks). Emits
+    ``(id, token_ids array<long>, n_unk)``; documents with zero tokens
+    produce no row.
+
+    Plan shape at scale: posexplode → broadcast join against the vocab
+    (vocab ≪ corpus — it always fits) → one shuffle back onto the doc id.
+    Order is restored engine-side by sorting (pos, id) structs, never by
+    assuming collect_list order."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(_words(text_col)).alias("pos", "token"),
+    )
+    enc = toks.join(
+        F.broadcast(vocab.select("token", F.col("rank").alias("_tid"))),
+        "token",
+        "left",
+    ).withColumn("_tid", F.coalesce("_tid", F.lit(unk_id)))
+    return enc.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_tid"))),
+            lambda s: s["_tid"],
+        ).alias("token_ids"),
+        F.sum(
+            F.when(F.col("_tid") == unk_id, 1).otherwise(0)
+        ).alias("n_unk"),
+    )
+
+
 def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Corpus-level token frequency top-k with a total deterministic order
     (count desc, token asc).

@@ -715,3 +715,46 @@ def test_chunk_documents_overlap_and_clamping(spark):
     # zero-token doc emits nothing
     empty = spark.createDataFrame([(8, "   ")], "doc_id long, text string")
     assert T.chunk_documents(empty).count() == 0
+
+
+def test_encode_documents_roundtrip_properties(spark, docs):
+    """Token ids follow vocab ranks; sequence length equals token count;
+    OOV count consistent; order preserved (decode-by-vocab round-trips
+    in-vocab tokens)."""
+    vocab = T.build_vocab(docs, min_count=3, max_size=50).cache()
+    enc = T.encode_documents(docs, vocab).cache()
+    # length: |token_ids| == token count of the doc
+    words = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != F.lit(""))).alias(
+            "n"
+        ),
+    )
+    joined = enc.join(words, "doc_id")
+    assert joined.filter(F.size("token_ids") != F.col("n")).count() == 0
+    # ids in [0, max rank]; n_unk == count of zeros
+    max_rank = vocab.agg(F.max("rank")).first()[0]
+    bad = enc.filter(
+        F.exists(
+            "token_ids", lambda t: (t < 0) | (t > F.lit(int(max_rank)))
+        )
+    ).count()
+    assert bad == 0
+    zeros = enc.select(
+        "doc_id",
+        F.size(F.filter("token_ids", lambda t: t == 0)).alias("z"),
+        "n_unk",
+    )
+    assert zeros.filter(F.col("z") != F.col("n_unk")).count() == 0
+    # decode round-trip: one known doc's in-vocab tokens come back in order
+    sample = docs.orderBy("doc_id").first()
+    v = {r["rank"]: r["token"] for r in vocab.collect()}
+    ids = (
+        enc.filter(F.col("doc_id") == sample["doc_id"])
+        .first()["token_ids"]
+    )
+    toks = [w for w in sample["text"].split(" ") if w != ""]
+    decoded = [v.get(i) for i in ids]
+    assert len(decoded) == len(toks)
+    for got, want in zip(decoded, toks):
+        assert got is None or got == want

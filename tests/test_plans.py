@@ -309,3 +309,19 @@ def test_time_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     assert read_time_range(spark, path, start, end).count() == expected
     with _pytest.raises(Exception):
         spark.read.parquet(path).count()
+
+
+def test_encode_documents_broadcasts_vocab(spark, sf_dir):
+    """x_encode: the vocab side must broadcast (it always fits); the only
+    real exchange carries (doc, pos, tid) rows keyed by doc id — never a
+    single partition."""
+    from couch_to_postgres_spark.extensions.text import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = encode_documents(docs, build_vocab(docs, min_count=3, max_size=200))
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
