@@ -967,6 +967,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return shard_manifest(_docs(spark, sf_dir), num_shards=8)
 
+    def x_semantic_dedup(spark, sf_dir):
+        # SemDeDup-style cluster-scoped embedding dedup; rows-only (no
+        # oracle — KMeans quantizer isn't expressible in DuckDB). Drop
+        # correctness and representative-keeping are pinned in
+        # test_extensions.
+        return X_dedup.semantic_dedup(
+            _emb(spark, sf_dir), n_cells=8, threshold=0.95
+        ).select("vec_id", "label")
+
     def x_compression(spark, sf_dir):
         # rows-only (no oracle): DuckDB has no zlib scalar. The signal's
         # semantics are pinned by property tests in test_extensions.
@@ -1179,6 +1188,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = load_table(spark, sf_dir, "events")
         return session_rollup_native(ev, gap_minutes=60)
 
+    def e21_value_zscore(spark, sf_dir):
+        # per-group normalization (feature-scaling shape): z-score of
+        # event value within its type. Stats from decimal power sums
+        # (order-free, bitwise cross-engine like j11) come back as a
+        # BROADCAST join — zero shuffles of the event corpus, vs one for
+        # the window-function formulation. `+ 0.0` collapses IEEE -0.0.
+        ev = load_table(spark, sf_dir, "events")
+        x = F.col("value").cast("decimal(14,6)")
+        stats = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(x * x).cast("double").alias("sxx"),
+        )
+        n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+        mean = sx / n
+        var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+        return ev.join(F.broadcast(stats), "event_type").select(
+            "event_id",
+            "event_type",
+            (F.round((F.col("value") - mean) / F.sqrt(var), 6) + F.lit(0.0))
+            .alias("z"),
+        )
+
     def x_vocab(spark, sf_dir):
         return X_text.build_vocab(_docs(spark, sf_dir), min_count=3, max_size=200)
 
@@ -1345,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash": x_simhash,
         "x_near_dedup": x_near_dedup,
         "x_embed_neardup": x_embed_neardup,
+        "x_semantic_dedup": x_semantic_dedup,
         "x_ann_topk": x_ann_topk,
         "x_ann_ivf": x_ann_ivf,
         "x_ann_lsh": x_ann_lsh,
@@ -1379,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j14_top_part_per_brand": j14_top_part_per_brand,
         "j15_grouping_sets": j15_grouping_sets,
         "e20_session_window_native": e20_session_window_native,
+        "e21_value_zscore": e21_value_zscore,
         "e18_window_navigation": e18_window_navigation,
         "e19_token_arrays": e19_token_arrays,
         "x_salted_agg": x_salted_agg,
@@ -2619,6 +2653,23 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) AS session_start_us,
                    max(epoch_us(ts)) AS session_end_us
             FROM numbered GROUP BY user_id, session_no
+        """,
+        "e21_value_zscore": """
+            WITH stats AS (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS sx,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(14,6))
+                                     AS DECIMAL(28,6))
+                                * CAST(value AS DECIMAL(14,6)))
+                            AS DOUBLE) AS sxx
+                FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type,
+                   round((value - sx / n)
+                         / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) + 0.0
+                       AS z
+            FROM events e JOIN stats s ON e.event_type = s.event_type
         """,
         "e18_window_navigation": """
             SELECT s_suppkey, s_nationkey,

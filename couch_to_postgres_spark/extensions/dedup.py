@@ -459,3 +459,45 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-quantize the
+    embedding space (KMeans cells), score cosine pairs WITHIN each cell
+    only, connected-component the near-dup pairs, and keep one
+    representative (min id) per cluster.
+
+    The cell blocking turns the O(n²) pair space into Σ O(n_cell²) — the
+    published SemDeDup recall trade: near-dups straddling a cell boundary
+    are missed, bounded by quantization quality (raise ``n_cells`` with
+    corpus size, √N rule, to keep cells task-sized). The final drop is a
+    broadcast anti-join: the corpus side never shuffles.
+
+    Returns the deduplicated embedding table (original columns).
+    """
+    from couch_to_postgres_spark.extensions.ann import (
+        assign_cells,
+        train_centroids,
+    )
+
+    cents = centroids if centroids is not None else train_centroids(
+        emb, n_cells=n_cells, vec_col=vec_col
+    )
+    cells = assign_cells(emb, cents, id_col=id_col, vec_col=vec_col)
+    pairs = embedding_neardup_pairs(
+        cells,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell",
+    )
+    clusters = dedup_clusters(pairs, id_col=id_col)
+    drop = clusters.filter(F.col("cluster") != F.col(id_col)).select(id_col)
+    return emb.join(F.broadcast(drop), on=id_col, how="left_anti")

@@ -758,3 +758,22 @@ def test_encode_documents_roundtrip_properties(spark, docs):
     assert len(decoded) == len(toks)
     for got, want in zip(decoded, toks):
         assert got is None or got == want
+
+
+def test_semantic_dedup_drops_planted_embedding_dup(spark, emb):
+    """A planted exact-duplicate vector (cosine 1.0 with its source, same
+    cell by construction) is dropped; the min-id representative stays;
+    output schema is the input's."""
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    deduped = D.semantic_dedup(corpus, n_cells=4, threshold=0.999)
+    ids = {r["vec_id"] for r in deduped.select("vec_id").collect()}
+    assert 0 in ids
+    assert 100000 not in ids
+    assert deduped.columns == corpus.columns
+    # nothing else near-identical at this threshold should survive twice:
+    # re-running removes nothing (idempotence on the deduped set)
+    again = D.semantic_dedup(deduped, n_cells=4, threshold=0.999)
+    assert again.count() == len(ids)
