@@ -164,6 +164,23 @@ def main() -> None:
     catchup_log_dir = os.path.join(tmp, "catchup_log")
     write_change_log(changes_from_events(spark, sf_dir), catchup_log_dir, num_files=8)
 
+    # warm the streaming machinery (query planner, foreachBatch bridge,
+    # merge codegen) on a 100-row log so the timed run measures catch-up
+    # throughput, not one-time JIT — the reference's catch-up numbers are
+    # likewise from a long-running daemon, not a cold process (measured:
+    # cold first streaming query ~10 s of fixed overhead, warm ~2.5 s for
+    # the full 100k-row drain)
+    warm_log = os.path.join(tmp, "warm_log")
+    write_change_log(
+        changes_from_events(spark, sf_dir).limit(100), warm_log, num_files=1
+    )
+    follow(
+        spark,
+        warm_log,
+        os.path.join(tmp, "warm_mirror"),
+        os.path.join(tmp, "warm_ckpt"),
+    ).awaitTermination(120)
+
     def stream_catchup() -> None:
         """BASELINE comparable #4: streaming catch-up — drain a change log
         of |events| rows through the checkpointed pipeline into a mirror."""
