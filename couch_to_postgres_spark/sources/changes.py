@@ -67,14 +67,28 @@ def read_change_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int | None = None,
+    with_corrupt_column: bool = False,
 ) -> DataFrame:
     """Structured Streaming source over a change-log directory.
 
     ``max_files_per_trigger`` is the admission-control knob — the Spark
     analog of the reference's width-1 queue + pause/resume backpressure
     (lib/index.js:40-43,256-265): it bounds in-flight work per micro-batch.
+
+    ``with_corrupt_column=True`` adds a ``_corrupt_record`` column
+    (PERMISSIVE mode): records that fail JSON parsing arrive as one row
+    with the raw line in that column and NULL data fields, instead of
+    poisoning the feed — the reference's only recourse is a watchdog
+    restart that would crash-loop on a persistent bad record
+    (daemon-README.md failure transcripts); here the pipeline quarantines
+    them (see ``follow(quarantine_path=…)``) and keeps draining.
     """
-    reader = spark.readStream.schema(CHANGES_SCHEMA)
+    schema = CHANGES_SCHEMA
+    if with_corrupt_column:
+        schema = CHANGES_SCHEMA + ", _corrupt_record string"
+    reader = spark.readStream.schema(schema)
+    if with_corrupt_column:
+        reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.json(path)

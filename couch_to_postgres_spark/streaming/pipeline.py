@@ -199,6 +199,7 @@ def follow(
     trigger: dict | None = None,
     query_name: str | None = None,
     count_views: dict[str, Column] | None = None,
+    quarantine_path: str | None = None,
 ) -> StreamingQuery:
     """Start one feed's replication query (the `engine.follow(db)` API —
     the reference's `new PostgresCouchDB(...).start()`,
@@ -207,10 +208,41 @@ def follow(
     ``trigger`` defaults to ``availableNow`` (drain-and-stop, the batch
     catch-up mode); pass ``{"processingTime": "20 seconds"}`` for the
     reference's steady-state cadence (lib/index.js:63).
+
+    ``quarantine_path`` turns on poison-pill handling: change-log records
+    that fail JSON parsing are appended there (dead-letter, with the raw
+    line) and the remaining records merge normally — the feed keeps
+    draining instead of crash-looping on one bad record. At-least-once
+    like the mirror itself: a replayed batch re-appends its corrupt rows,
+    so consumers of the quarantine dedupe on the raw line.
     """
-    stream = read_change_stream(spark, changes_path, max_files_per_trigger)
+    stream = read_change_stream(
+        spark,
+        changes_path,
+        max_files_per_trigger,
+        with_corrupt_column=quarantine_path is not None,
+    )
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
+        if quarantine_path is not None:
+            # keep ALL columns in the quarantine query: Spark's analyzer
+            # rejects any query over a raw JSON scan that references only
+            # _corrupt_record (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+            # parsed columns are NULL on poison rows anyway, and the
+            # persist keeps the JSON parse single-pass across the
+            # quarantine write and the merge
+            batch = batch.persist()
+            bad = batch.filter(F.col("_corrupt_record").isNotNull())
+            if bad.count() > 0:
+                # rename on the way out: a stored JSON file whose only
+                # field is literally `_corrupt_record` would trip the
+                # same analyzer rule for whoever reads the quarantine
+                bad.withColumnRenamed("_corrupt_record", "raw_record").write.mode(
+                    "append"
+                ).json(quarantine_path)
+            batch = batch.filter(F.col("_corrupt_record").isNull()).drop(
+                "_corrupt_record"
+            )
         upsert_mirror(
             batch.sparkSession,
             mirror_path,

@@ -111,3 +111,71 @@ def test_unicode_writeback_payloads(spark, tricky_mirror):
             assert sent[k] == v  # byte-faithful through HTTP + JSON
     finally:
         couch.close()
+
+
+def test_corrupt_change_records_quarantined_not_fatal(spark, tmp_path):
+    """A change log containing unparseable lines drains to completion:
+    good records land in the mirror, poison records land in the
+    quarantine dir with their raw line, nothing crash-loops (the
+    reference's watchdog would restart forever on a persistent bad
+    record, daemon-README failure transcripts)."""
+    import os
+
+    from couch_to_postgres_spark.streaming.pipeline import follow, read_mirror
+
+    log = tmp_path / "log"
+    os.makedirs(log)
+    good = [
+        '{"seq": 1, "id": "a", "deleted": false, "doc": "{\\"_id\\":\\"a\\",\\"_rev\\":\\"1-x\\",\\"v\\":1}"}',
+        '{"seq": 2, "id": "b", "deleted": false, "doc": "{\\"_id\\":\\"b\\",\\"_rev\\":\\"1-y\\",\\"v\\":2}"}',
+    ]
+    poison = ['this is not json at all', '{"seq": oops']
+    with open(log / "batch0.json", "w") as f:
+        f.write("\n".join([good[0], poison[0], good[1], poison[1]]) + "\n")
+
+    q = follow(
+        spark,
+        str(log),
+        str(tmp_path / "mirror"),
+        str(tmp_path / "ckpt"),
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    q.awaitTermination(120)
+
+    mirror_ids = {
+        r["id"] for r in read_mirror(spark, str(tmp_path / "mirror")).collect()
+    }
+    assert mirror_ids == {"a", "b"}
+    quarantined = {
+        r["raw_record"]
+        for r in spark.read.json(str(tmp_path / "quarantine")).collect()
+    }
+    assert quarantined == set(poison)
+
+
+def test_clean_log_produces_no_quarantine_dir(spark, tmp_path):
+    """With quarantine enabled but no corrupt rows, nothing is written to
+    the quarantine path (no empty-append side effects)."""
+    import os
+
+    from couch_to_postgres_spark.session import load_table
+    from couch_to_postgres_spark.sources.changes import (
+        changes_from_events,
+        write_change_log,
+    )
+    from couch_to_postgres_spark.streaming.pipeline import follow, read_mirror
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    write_change_log(
+        changes_from_events(spark, sf_dir), str(tmp_path / "log"), num_files=2
+    )
+    q = follow(
+        spark,
+        str(tmp_path / "log"),
+        str(tmp_path / "mirror"),
+        str(tmp_path / "ckpt"),
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    q.awaitTermination(120)
+    assert read_mirror(spark, str(tmp_path / "mirror")).count() > 0
+    assert not os.path.exists(tmp_path / "quarantine")
