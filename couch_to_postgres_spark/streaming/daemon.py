@@ -139,7 +139,13 @@ class Daemon:
                 "doc_count": mirror_doc_count(self.spark, self.mirror_path(fc)),
                 "last_progress": {
                     k: progress.get(k)
-                    for k in ("batchId", "numInputRows", "timestamp")
+                    for k in (
+                        "batchId",
+                        "numInputRows",
+                        "timestamp",
+                        "inputRowsPerSecond",
+                        "processedRowsPerSecond",
+                    )
                 }
                 if progress
                 else None,
