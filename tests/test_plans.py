@@ -325,3 +325,18 @@ def test_encode_documents_broadcasts_vocab(spark, sf_dir):
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_zscore_corpus_never_shuffles(spark, sf_dir):
+    """e21: the per-type stats ride back as a broadcast join, so the only
+    exchange in the plan is the (tiny) stats aggregation itself — the
+    event corpus is read once and never repartitioned."""
+    import __spark_entry__ as entry
+
+    from couch_to_postgres_spark.plans.inspect import num_exchanges
+
+    df = entry.queries()["e21_value_zscore"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert num_exchanges(df) == 1, plan
+    assert "SinglePartition" not in plan, plan
