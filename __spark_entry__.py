@@ -1071,15 +1071,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         n, sx, sq = F.col("n"), F.col("sx"), F.col("sq")
         sxx, sqq, sxq = F.col("sxx"), F.col("sqq"), F.col("sxq")
+        # greatest(…, 0.0) clamps: a (near-)constant group can produce a
+        # tiny negative variance from float cancellation — Spark's sqrt
+        # returns NaN but DuckDB's sqrt() RAISES, failing the whole oracle
+        # query. Clamp identically on both engines (oracle SQL mirrors it).
         return sums.select(
             "l_returnflag",
             n.cast("long").alias("n_items"),
-            F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))), 6).alias(
-                "price_stddev"
-            ),
+            F.round(
+                F.sqrt(
+                    F.greatest((sxx - sx * sx / n) / (n - F.lit(1.0)), F.lit(0.0))
+                ),
+                6,
+            ).alias("price_stddev"),
             F.round(
                 (n * sxq - sx * sq)
-                / F.sqrt((n * sxx - sx * sx) * (n * sqq - sq * sq)),
+                / F.sqrt(
+                    F.greatest((n * sxx - sx * sx) * (n * sqq - sq * sq), F.lit(0.0))
+                ),
                 6,
             ).alias("qty_price_corr"),
         )
@@ -1203,7 +1212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
         mean = sx / n
-        var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+        # clamped like j11: float cancellation on a constant group must not
+        # go sqrt(-eps) → NaN (Spark) / error (DuckDB oracle)
+        var = F.greatest((sxx - sx * sx / n) / (n - F.lit(1.0)), F.lit(0.0))
         return ev.join(F.broadcast(stats), "event_type").select(
             "event_id",
             "event_type",
@@ -2586,10 +2597,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag,
                    CAST(n AS BIGINT) AS n_items,
-                   round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6)
+                   round(sqrt(greatest((sxx - sx * sx / n) / (n - 1.0), 0.0)), 6)
                        AS price_stddev,
                    round((n * sxq - sx * sq)
-                         / sqrt((n * sxx - sx * sx) * (n * sqq - sq * sq)),
+                         / sqrt(greatest((n * sxx - sx * sx)
+                                         * (n * sqq - sq * sq), 0.0)),
                          6) AS qty_price_corr
             FROM sums
         """,
@@ -2667,7 +2679,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, e.event_type,
                    round((value - sx / n)
-                         / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) + 0.0
+                         / sqrt(greatest((sxx - sx * sx / n) / (n - 1.0), 0.0)),
+                         6) + 0.0
                        AS z
             FROM events e JOIN stats s ON e.event_type = s.event_type
         """,

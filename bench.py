@@ -277,6 +277,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # The artifact states what it measures so rounds stay comparable:
+        # all timings are WARM-process numbers — the JVM, parquet footers,
+        # the materialized mirror page cache, and (since r01) the streaming
+        # machinery (planner + foreachBatch bridge + merge codegen, ~10 s
+        # one-time) are warmed before any timer starts. Matches BASELINE.md,
+        # whose reference numbers come from a long-running daemon and an
+        # OS-cached Postgres table, not a cold process.
+        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; matches BASELINE's long-running-daemon measurement",
         "docs": n_docs,
         "lineitem_docs": n_lineitem,
         "cdc_docs_per_sec": round(n_lineitem / timings["q_cdc_apply"], 1)

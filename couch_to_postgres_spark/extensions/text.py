@@ -520,7 +520,25 @@ def encode_documents(
     Plan shape at scale: posexplode → broadcast join against the vocab
     (vocab ≪ corpus — it always fits) → one shuffle back onto the doc id.
     Order is restored engine-side by sorting (pos, id) structs, never by
-    assuming collect_list order."""
+    assuming collect_list order.
+
+    ``unk_id`` must lie OUTSIDE the vocab's live rank range: ``n_unk``
+    counts tokens whose id equals ``unk_id``, so an unk_id that collides
+    with a real rank would silently conflate that token with OOV in both
+    ``token_ids`` and ``n_unk``. Ranks are 1-based, so the default
+    ``unk_id=0`` can never collide and skips the check (keeps the common
+    path lazy); a positive unk_id is validated eagerly (vocab is small)."""
+    if unk_id >= 1:
+        max_rank_row = vocab.agg(F.max("rank")).first()
+        max_rank = (
+            max_rank_row[0] if max_rank_row and max_rank_row[0] is not None else 0
+        )
+        if unk_id <= max_rank:
+            raise ValueError(
+                f"unk_id={unk_id} collides with live vocab rank range "
+                f"[1, {max_rank}]; pick an id outside it (e.g. 0 or "
+                f"{max_rank + 1}) so n_unk counts only OOV tokens"
+            )
     toks = df.select(
         F.col(id_col),
         F.posexplode(_words(text_col)).alias("pos", "token"),

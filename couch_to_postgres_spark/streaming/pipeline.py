@@ -224,6 +224,7 @@ def follow(
     )
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
+        raw = None
         if quarantine_path is not None:
             # keep ALL columns in the quarantine query: Spark's analyzer
             # rejects any query over a raw JSON scan that references only
@@ -231,7 +232,7 @@ def follow(
             # parsed columns are NULL on poison rows anyway, and the
             # persist keeps the JSON parse single-pass across the
             # quarantine write and the merge
-            batch = batch.persist()
+            raw = batch = batch.persist()
             bad = batch.filter(F.col("_corrupt_record").isNotNull())
             if bad.count() > 0:
                 # rename on the way out: a stored JSON file whose only
@@ -243,14 +244,21 @@ def follow(
             batch = batch.filter(F.col("_corrupt_record").isNull()).drop(
                 "_corrupt_record"
             )
-        upsert_mirror(
-            batch.sparkSession,
-            mirror_path,
-            batch,
-            type_filter=type_filter,
-            map_hook=map_hook,
-            count_views=count_views,
-        )
+        try:
+            upsert_mirror(
+                batch.sparkSession,
+                mirror_path,
+                batch,
+                type_filter=type_filter,
+                map_hook=map_hook,
+                count_views=count_views,
+            )
+        finally:
+            # unpersist the RAW batch: upsert_mirror only unpersists its
+            # own (filtered) child, so without this a processingTime
+            # daemon accumulates one cached batch per epoch — unbounded
+            if raw is not None:
+                raw.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_merge)

@@ -760,6 +760,23 @@ def test_encode_documents_roundtrip_properties(spark, docs):
         assert got is None or got == want
 
 
+def test_encode_documents_rejects_colliding_unk_id(spark, docs):
+    """An unk_id inside the live rank range would silently conflate a real
+    token with OOV in token_ids and n_unk — must raise; ids outside the
+    range (0 default, max_rank+1) are accepted."""
+    import pytest
+
+    vocab = T.build_vocab(docs, min_count=3, max_size=50).cache()
+    max_rank = vocab.agg(F.max("rank")).first()[0]
+    with pytest.raises(ValueError, match="collides"):
+        T.encode_documents(docs, vocab, unk_id=1)
+    with pytest.raises(ValueError, match="collides"):
+        T.encode_documents(docs, vocab, unk_id=int(max_rank))
+    # boundary ids are fine and produce the same sequence lengths
+    ok = T.encode_documents(docs, vocab, unk_id=int(max_rank) + 1)
+    assert ok.filter(F.size("token_ids") == 0).count() == 0
+
+
 def test_semantic_dedup_drops_planted_embedding_dup(spark, emb):
     """A planted exact-duplicate vector (cosine 1.0 with its source, same
     cell by construction) is dropped; the min-id representative stays;
