@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import StringType
 
 MAP_SS = "map<string,string>"
 
@@ -127,28 +127,37 @@ def register_sql_functions(spark: SparkSession) -> None:
     """Register the layer for SQL-string queries, mirroring the reference's
     in-database registration of json_object_set_key (README.md:357-370).
 
-    Each is a thin SQL macro over built-ins, so `spark.sql` users get the
-    same JVM-side plans as the DataFrame API.
+    The flat functions are SQL scalar UDFs (``CREATE FUNCTION … RETURN
+    <expr>``, Spark 4): the body is inlined into the caller's plan as
+    built-in expressions, so ``spark.sql`` strings get the same
+    codegen'd JVM-side plans as the DataFrame API — no ``BatchEvalPython``
+    stage (pinned by test_sql_surface). Only the nested-doc variant stays
+    Python (Arrow-batched pandas UDF), registered under a distinct name.
     """
-    import json as _json
-
-    def _set_key(doc: str | None, key: str, value: str | None) -> str:
-        obj = _json.loads(doc) if doc else {}
-        try:
-            obj[key] = _json.loads(value) if value is not None else None
-        except (ValueError, TypeError):
-            obj[key] = value
-        return _json.dumps(obj, separators=(",", ":"))
-
-    spark.udf.register("json_object_set_key", _set_key, StringType())
-
-    def _keys(doc: str | None) -> list[str] | None:
-        if not doc:
-            return None
-        try:
-            obj = _json.loads(doc)
-        except ValueError:
-            return None
-        return list(obj) if isinstance(obj, dict) else None
-
-    spark.udf.register("json_object_keys_py", _keys, ArrayType(StringType()))
+    # flat upsert: IDENTICAL expression to the DataFrame-API
+    # json_object_set_key above (parse→map_filter→map_concat→to_json)
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION json_object_set_key(
+            doc STRING, key STRING, value STRING)
+        RETURNS STRING
+        RETURN to_json(map_concat(
+            map_filter(from_json(coalesce(doc, '{{}}'), '{MAP_SS}'),
+                       (k, v) -> k != key),
+            map(key, value)))
+        """
+    )
+    # jsonb_object_keys: thin alias over the JVM built-in (kept under the
+    # historical _py name so existing SQL strings keep working)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION json_object_keys_py(doc STRING)
+        RETURNS ARRAY<STRING>
+        RETURN json_object_keys(doc)
+        """
+    )
+    # nested-preserving upsert: the one legitimately-Python entry point
+    spark.udf.register(
+        "json_object_set_key_nested",
+        F.pandas_udf(_set_key_pandas, StringType()),
+    )

@@ -123,15 +123,25 @@ def test_rev_number(spark):
 def test_register_sql_functions(spark):
     register_sql_functions(spark)
     example(spark).createOrReplaceTempView("example")
+    # flat route: values land as JSON strings (same as the DataFrame-API
+    # flat route — typed-on-read recovers the number)
     row = spark.sql(
-        "SELECT json_object_set_key(doc, 'z', '9') AS doc FROM example "
-        "WHERE id = 'test1'"
+        "SELECT json_object_set_key(doc, 'z', '9') AS doc, "
+        "CAST(get_json_object(json_object_set_key(doc, 'z', '9'), '$.z') "
+        "     AS INT) AS z FROM example WHERE id = 'test1'"
     ).head()
-    assert json.loads(row["doc"])["z"] == 9
+    assert json.loads(row["doc"])["z"] == "9"
+    assert row["z"] == 9
     keys = spark.sql(
         "SELECT json_object_keys_py(doc) AS ks FROM example WHERE id='test2'"
     ).head()["ks"]
     assert set(keys) == {"_id", "_rev", "myvar"}
+    # nested route (the one Python entry point): value parses as JSON
+    nrow = spark.sql(
+        "SELECT json_object_set_key_nested(doc, 'd', '{\"n\":1}') AS doc "
+        "FROM example WHERE id = 'test1'"
+    ).head()
+    assert json.loads(nrow["doc"])["d"] == {"n": 1}
 
 
 def test_bulk_payloads_shape(spark):

@@ -49,17 +49,31 @@ def test_group_by_view_equivalence_sql(catalog):
 
 
 def test_json_object_set_key_sql(catalog):
-    """The registered UDF (README.md:357-370) callable from SQL."""
-    row = catalog.sql(
+    """The registered function (README.md:357-370) callable from SQL; the
+    flat route is a SQL scalar UDF inlined to built-ins — the executed plan
+    must contain NO Python stage (same codegen'd plan as the DataFrame API).
+    """
+    df = catalog.sql(
         """
         SELECT json_object_set_key(doc, 'myvar',
                CAST(CAST(get_json_object(doc, '$.myvar') AS int) + 50 AS STRING)) AS doc
         FROM example WHERE id = 'test7'
         """
-    ).head()
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     import json
 
-    assert json.loads(row["doc"])["myvar"] == 60
+    assert json.loads(df.head()["doc"])["myvar"] == "60"
+    # typed-on-read recovers the number (the engine's read idiom)
+    typed = catalog.sql(
+        """
+        SELECT CAST(get_json_object(json_object_set_key(doc, 'myvar', '60'),
+                    '$.myvar') AS INT) AS myvar
+        FROM example WHERE id = 'test7'
+        """
+    ).head()
+    assert typed["myvar"] == 60
 
 
 def test_driver_tables_registered(catalog):
