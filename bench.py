@@ -153,6 +153,40 @@ def main() -> None:
     cdc_incremental()
     bench("q_cdc_incremental", cdc_incremental)
 
+    def cdc_incremental_5x() -> None:
+        """The O(touched) scaling claim, measured: the SAME 1000-update
+        batch against a 5× (≈3M-doc) mirror. If the sink is O(touched),
+        this stays ≈flat vs q_cdc_incremental; the old flat sink grew
+        linearly with mirror size. Bucket count auto-sized from the load
+        (auto_num_buckets), so per-bucket work stays constant too."""
+        from couch_to_postgres_spark.streaming.partitioned import (
+            auto_num_buckets,
+            upsert_partitioned_mirror,
+            write_partitioned_mirror,
+        )
+
+        part_path = os.path.join(tmp, "part_mirror_5x")
+        if not os.path.exists(part_path):
+            big5 = None
+            for i in range(5):
+                rep = big_mirror.select(
+                    F.concat_ws("#", "id", F.lit(str(i))).alias("id"), "doc"
+                )
+                big5 = rep if big5 is None else big5.unionByName(rep)
+            write_partitioned_mirror(
+                big5, part_path, auto_num_buckets(5 * n_lineitem)
+            )
+        batch = big_mirror.limit(1000).select(
+            F.monotonically_increasing_id().alias("seq"),
+            F.concat_ws("#", "id", F.lit("0")).alias("id"),
+            F.lit(False).alias("deleted"),
+            "doc",
+        )
+        upsert_partitioned_mirror(spark, part_path, batch)
+
+    cdc_incremental_5x()
+    bench("q_cdc_incremental_5x", cdc_incremental_5x)
+
     from couch_to_postgres_spark.sources.changes import (
         changes_from_events,
         write_change_log,

@@ -109,7 +109,15 @@ class Daemon:
     def watchdog(self, trigger: dict | None = None) -> dict:
         """One supervision pass: stop feeds disabled/missing in the
         registry (A11), restart enabled feeds whose query died (A12),
-        start newly-enabled feeds. Returns what it did."""
+        start newly-enabled feeds, and compact partitioned mirrors whose
+        buckets accumulated small files (the off-peak maintenance the
+        partitioned sink calls for — serialized against in-flight merges
+        by the per-path lock). Returns what it did."""
+        from couch_to_postgres_spark.streaming.partitioned import (
+            compact_mirror,
+            read_meta,
+        )
+
         registry = {fc.name: fc for fc in load_registry(self.registry_path)}
         stopped, restarted = [], []
         for name, q in list(self.queries.items()):
@@ -122,7 +130,19 @@ class Daemon:
                 del self.queries[name]
                 restarted.append(name)
         started = self.find_feeds(trigger=trigger)
-        return {"stopped": stopped, "restarted": restarted, "started": started}
+        compacted = {}
+        for fc in registry.values():
+            mp = self.mirror_path(fc)
+            if fc.enabled and read_meta(mp) is not None:
+                done = compact_mirror(self.spark, mp)
+                if done:
+                    compacted[fc.name] = done
+        return {
+            "stopped": stopped,
+            "restarted": restarted,
+            "started": started,
+            "compacted": compacted,
+        }
 
     def status(self) -> dict:
         """The `/_status` payload (bin/daemon.js:282-301): per-feed alive

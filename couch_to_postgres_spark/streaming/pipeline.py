@@ -52,13 +52,24 @@ def _current_version(mirror_path: str) -> str | None:
 
 
 def read_mirror(spark: SparkSession, mirror_path: str) -> DataFrame:
-    """Current mirror state; empty mirror when the table doesn't exist yet
-    (auto-creation parity: bin/daemon.js:233-262).
+    """Current mirror state, whatever the layout — the partitioned
+    (bucket=…) default, the flat MVCC version layout, or the legacy flat
+    layout; empty mirror when the table doesn't exist yet (auto-creation
+    parity: bin/daemon.js:233-262).
 
-    MVCC reads: the ``current`` symlink is resolved to its immutable
-    version directory BEFORE planning, so a concurrent merge swapping the
-    link never yanks files out from under a running scan — old versions
-    are retained for ``KEEP_VERSIONS`` swaps."""
+    MVCC reads (flat layout): the ``current`` symlink is resolved to its
+    immutable version directory BEFORE planning, so a concurrent merge
+    swapping the link never yanks files out from under a running scan —
+    old versions are retained for ``KEEP_VERSIONS`` swaps. (The
+    partitioned layout's analog is the atomic per-bucket directory swap.)
+    """
+    from couch_to_postgres_spark.streaming.partitioned import (
+        read_meta,
+        read_partitioned_mirror,
+    )
+
+    if read_meta(mirror_path) is not None:
+        return read_partitioned_mirror(spark, mirror_path)
     version = _current_version(mirror_path)
     if version is not None:
         return spark.read.parquet(version)
@@ -200,10 +211,23 @@ def follow(
     query_name: str | None = None,
     count_views: dict[str, Column] | None = None,
     quarantine_path: str | None = None,
+    sink: str = "partitioned",
+    num_buckets: int | None = None,
 ) -> StreamingQuery:
     """Start one feed's replication query (the `engine.follow(db)` API —
     the reference's `new PostgresCouchDB(...).start()`,
     bin/daemon.js:120-129).
+
+    ``sink`` picks the mirror layout: ``"partitioned"`` (default) merges
+    into the bucket-partitioned mirror — per-batch cost O(touched
+    buckets), the only plan that holds at 100 TB where a steady-state
+    micro-batch touches a sliver of the mirror; ``"flat"`` is the
+    whole-mirror-rewrite MVCC sink, fine for tiny mirrors and kept for
+    them. An existing mirror's layout wins over the argument (a flat
+    mirror keeps merging flat rather than silently forking state).
+    ``num_buckets`` only matters at partitioned bootstrap (None =
+    auto-size from the first batch); afterwards the persisted layout
+    value is authoritative.
 
     ``trigger`` defaults to ``availableNow`` (drain-and-stop, the batch
     catch-up mode); pass ``{"processingTime": "20 seconds"}`` for the
@@ -216,6 +240,8 @@ def follow(
     like the mirror itself: a replayed batch re-appends its corrupt rows,
     so consumers of the quarantine dedupe on the raw line.
     """
+    if sink not in ("partitioned", "flat"):
+        raise ValueError(f"unknown sink {sink!r}: use 'partitioned' or 'flat'")
     stream = read_change_stream(
         spark,
         changes_path,
@@ -224,6 +250,10 @@ def follow(
     )
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
+        from couch_to_postgres_spark.streaming.partitioned import (
+            upsert_partitioned_mirror,
+        )
+
         raw = None
         if quarantine_path is not None:
             # keep ALL columns in the quarantine query: Spark's analyzer
@@ -245,16 +275,38 @@ def follow(
                 "_corrupt_record"
             )
         try:
-            upsert_mirror(
-                batch.sparkSession,
-                mirror_path,
-                batch,
-                type_filter=type_filter,
-                map_hook=map_hook,
-                count_views=count_views,
-            )
+            # layout of an EXISTING mirror wins over the sink argument.
+            # Meta check FIRST: a partitioned write leaves a top-level
+            # _SUCCESS marker that _current_version would misread as the
+            # legacy flat layout.
+            from couch_to_postgres_spark.streaming.partitioned import read_meta
+
+            use_partitioned = sink == "partitioned"
+            if read_meta(mirror_path) is not None:
+                use_partitioned = True
+            elif _current_version(mirror_path) is not None:
+                use_partitioned = False
+            if use_partitioned:
+                upsert_partitioned_mirror(
+                    batch.sparkSession,
+                    mirror_path,
+                    batch,
+                    num_buckets=num_buckets,
+                    type_filter=type_filter,
+                    map_hook=map_hook,
+                    count_views=count_views,
+                )
+            else:
+                upsert_mirror(
+                    batch.sparkSession,
+                    mirror_path,
+                    batch,
+                    type_filter=type_filter,
+                    map_hook=map_hook,
+                    count_views=count_views,
+                )
         finally:
-            # unpersist the RAW batch: upsert_mirror only unpersists its
+            # unpersist the RAW batch: the upsert only unpersists its
             # own (filtered) child, so without this a processingTime
             # daemon accumulates one cached batch per epoch — unbounded
             if raw is not None:

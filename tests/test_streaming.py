@@ -231,7 +231,7 @@ def test_control_plane_http(spark, sf_dir, tmp):
         assert st["feed-beta"]["doc_count"] > 0
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/_watchdog") as r:
             wd = json.loads(r.read())
-        assert set(wd) == {"stopped", "restarted", "started"}
+        assert set(wd) == {"stopped", "restarted", "started", "compacted"}
     finally:
         server.shutdown()
         d.stop_all()
@@ -266,6 +266,82 @@ def test_live_count_view_tracks_stream(spark, sf_dir, tmp):
         )
     )
     assert view == fresh and len(view) > 0
+
+
+def test_follow_default_sink_is_partitioned(spark, sf_dir, tmp):
+    """follow() without sink args lands the mirror in the bucket-
+    partitioned O(touched) layout (meta + bucket dirs), and read_mirror
+    reads it transparently."""
+    import os
+
+    from couch_to_postgres_spark.streaming.partitioned import read_meta
+
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    write_change_log(changes, f"{tmp}/log")
+    q = follow(spark, f"{tmp}/log", f"{tmp}/mirror", f"{tmp}/ckpt")
+    q.awaitTermination(120)
+    assert read_meta(f"{tmp}/mirror") is not None
+    assert any(
+        d.startswith("bucket=") for d in os.listdir(f"{tmp}/mirror")
+    )
+    assert mirror_state(spark, f"{tmp}/mirror") == expected_state(changes)
+
+
+def test_follow_respects_existing_flat_layout(spark, sf_dir, tmp):
+    """A mirror already in the flat MVCC layout keeps merging flat even
+    under the partitioned default — layout continuity beats the argument
+    (no silent state fork)."""
+    import os
+
+    from couch_to_postgres_spark.streaming.partitioned import read_meta
+
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    first = changes.filter(F.col("seq") < 600)
+    rest = changes.filter(F.col("seq") >= 600)
+    # seed a FLAT mirror directly
+    upsert_mirror(spark, f"{tmp}/mirror", first)
+    assert os.path.islink(f"{tmp}/mirror/current")
+    write_change_log(rest, f"{tmp}/log")
+    q = follow(spark, f"{tmp}/log", f"{tmp}/mirror", f"{tmp}/ckpt")
+    q.awaitTermination(120)
+    assert read_meta(f"{tmp}/mirror") is None  # still flat
+    assert mirror_state(spark, f"{tmp}/mirror") == expected_state(changes)
+
+
+def test_watchdog_compacts_fragmented_partitioned_mirror(spark, sf_dir, tmp):
+    """Micro-batch merges fragment touched buckets over time; the daemon
+    watchdog compacts any bucket above the file threshold and reports the
+    feed + bucket ids."""
+    from couch_to_postgres_spark.operators.mirror import docs_mirror
+    from couch_to_postgres_spark.streaming.partitioned import (
+        bucket_file_counts,
+        read_partitioned_mirror,
+        write_partitioned_mirror,
+    )
+
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    write_change_log(changes, f"{tmp}/log")
+    save_registry(
+        f"{tmp}/registry.json",
+        [FeedConfig(name="frag-feed", changes_path=f"{tmp}/log")],
+    )
+    d = Daemon(spark, f"{tmp}/registry.json", f"{tmp}/data")
+    d.find_feeds()
+    d.await_all()
+    mirror = d.mirror_path(FeedConfig(name="frag-feed", changes_path=""))
+    # fragment one bucket the way accumulated micro-batches would
+    frag = docs_mirror(spark, sf_dir).limit(20).withColumn("bucket", F.lit(2))
+    for _ in range(6):
+        frag.write.mode("append").partitionBy("bucket").parquet(mirror)
+    n_before = read_partitioned_mirror(spark, mirror).count()
+    assert bucket_file_counts(mirror)[2] > 4
+
+    result = d.watchdog()
+    d.await_all()
+    d.stop_all()
+    assert result["compacted"].get("frag-feed") == [2]
+    assert max(bucket_file_counts(mirror).values()) <= 4
+    assert read_partitioned_mirror(spark, mirror).count() == n_before
 
 
 def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp):
