@@ -15,21 +15,50 @@ from __future__ import annotations
 import base64
 import json
 import random
+import time
+import urllib.error
 import urllib.request
 from dataclasses import dataclass, field
 from typing import Callable
 
 Transport = Callable[[str, str, bytes | None, dict], tuple[int, bytes]]
 
+#: reference inactivity timeout: follow's inactivity_ms (lib/index.js:248)
+INACTIVITY_MS = 30_000
+
+
+class CouchError(IOError):
+    """HTTP-level CouchDB error with the parsed error/reason payload."""
+
+    def __init__(self, status: int, path: str, error: str | None, reason: str | None):
+        super().__init__(f"{path} -> {status} ({error}: {reason})")
+        self.status = status
+        self.path = path
+        self.error = error
+        self.reason = reason
+
+
+class CouchMissingDatabaseError(CouchError):
+    """The `no_db_file` surface (reference lib/index.js:267-277): the
+    followed database does not exist. NOT retried — the reference emits a
+    hard error instead of backoff-looping, and so do we: the daemon
+    should surface it, not reconnect forever."""
+
 
 def urllib_transport(timeout: float = 30.0) -> Transport:
     """Default HTTP transport (stdlib). 30 s default timeout matches the
-    reference's inactivity_ms (lib/index.js:248)."""
+    reference's inactivity_ms (lib/index.js:248). HTTP error statuses are
+    returned as (status, body) — NOT raised — so the client layer can
+    classify them (no_db_file vs transient) uniformly across transports."""
 
     def _send(method: str, url: str, body: bytes | None, headers: dict) -> tuple[int, bytes]:
         req = urllib.request.Request(url, data=body, headers=headers, method=method)
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            return resp.status, resp.read()
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:  # 4xx/5xx with a response body
+            with e:
+                return e.code, e.read()
 
     return _send
 
@@ -57,7 +86,21 @@ class CouchClient:
     def _get_json(self, path: str) -> dict:
         status, body = self.transport("GET", f"{self.url}{path}", None, self._headers())
         if status >= 400:
-            raise IOError(f"GET {path} -> {status}")
+            error = reason = None
+            try:
+                payload = json.loads(body)
+                error, reason = payload.get("error"), payload.get("reason")
+            except (ValueError, AttributeError):
+                pass
+            # CouchDB's missing-database signature: 404 {"error":
+            # "not_found", "reason": "no_db_file"} (also "Database does
+            # not exist." on newer servers)
+            if status == 404 and (
+                reason == "no_db_file"
+                or (error == "not_found" and reason and "exist" in reason)
+            ):
+                raise CouchMissingDatabaseError(status, path, error, reason)
+            raise CouchError(status, path, error, reason)
         return json.loads(body)
 
     def db_info(self, database: str) -> dict:
@@ -65,12 +108,28 @@ class CouchClient:
         nagios-check_couch_postgres_count:14)."""
         return self._get_json(f"/{database}")
 
-    def changes(self, database: str, since: int = 0, limit: int = 1000) -> dict:
+    def changes(
+        self,
+        database: str,
+        since: int = 0,
+        limit: int = 1000,
+        feed: str | None = None,
+        timeout_ms: int | None = None,
+    ) -> dict:
         """One `_changes` page with docs included (lib/index.js:50-53).
-        Returns {'results': [{seq, id, deleted?, doc}...], 'last_seq': n}."""
-        return self._get_json(
-            f"/{database}/_changes?include_docs=true&since={since}&limit={limit}"
-        )
+        Returns {'results': [{seq, id, deleted?, doc}...], 'last_seq': n}.
+
+        ``feed="longpoll"`` holds the HTTP connection until a change
+        arrives or ``timeout_ms`` elapses (server-side) — steady-state
+        delivery latency becomes change-arrival-bound instead of
+        poll-interval-bound, the reference's continuous-follow property
+        re-expressed for a pull engine."""
+        url = f"/{database}/_changes?include_docs=true&since={since}&limit={limit}"
+        if feed is not None:
+            url += f"&feed={feed}"
+        if timeout_ms is not None:
+            url += f"&timeout={timeout_ms}"
+        return self._get_json(url)
 
     def bulk_docs(self, database: str, docs: list[dict]) -> tuple[int, bytes]:
         """POST /<db>/_bulk_docs — the chunked writeback endpoint
@@ -89,12 +148,49 @@ class CouchClient:
         )
 
 
-def reconnect_backoff_seconds(rng: random.Random | None = None) -> float:
+def reconnect_backoff_seconds(
+    rng: random.Random | None = None,
+    min_s: float = 10.0,
+    max_s: float = 60.0,
+) -> float:
     """Randomized 10-60 s reconnect backoff (lib/index.js:225-229,267-273):
     avoids a thundering herd of executors re-connecting after a CouchDB
-    restart."""
+    restart. ``min_s``/``max_s`` exist for tests and for deployments that
+    tune the window — the default IS the reference's."""
     r = rng or random
-    return 10.0 + r.random() * 50.0
+    return min_s + r.random() * (max_s - min_s)
+
+
+def _changes_page_with_retry(
+    client: CouchClient,
+    database: str,
+    since: int,
+    limit: int,
+    feed: str | None,
+    timeout_ms: int | None,
+    max_attempts: int,
+    backoff_min_s: float,
+    backoff_max_s: float,
+    sleep: Callable[[float], None],
+    rng: random.Random | None,
+) -> dict:
+    """One `_changes` request with the reference's reconnect discipline:
+    transient transport errors back off 10-60 s (randomized) and retry
+    up to ``max_attempts``; a missing database raises immediately
+    (no_db_file is a configuration error, not an outage)."""
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            return client.changes(
+                database, since=since, limit=limit, feed=feed, timeout_ms=timeout_ms
+            )
+        except CouchMissingDatabaseError:
+            raise
+        except (OSError, ValueError):  # connection refused/reset, bad body
+            if attempt >= max_attempts:
+                raise
+            sleep(reconnect_backoff_seconds(rng, backoff_min_s, backoff_max_s))
 
 
 def poll_changes_to_rows(
@@ -103,14 +199,39 @@ def poll_changes_to_rows(
     since: int = 0,
     limit: int = 1000,
     max_pages: int = 100,
+    feed: str | None = None,
+    inactivity_ms: int = INACTIVITY_MS,
+    max_attempts: int = 1,
+    backoff_min_s: float = 10.0,
+    backoff_max_s: float = 60.0,
+    sleep: Callable[[float], None] = time.sleep,
+    rng: random.Random | None = None,
 ) -> tuple[list[tuple], int]:
     """Drain `_changes` pages into CHANGES_SCHEMA tuples
     ``(seq, id, deleted, doc)`` and return (rows, last_seq). The micro-batch
     ingest path: the daemon turns each drain into one batch for
-    ``apply_changes``; `limit` bounds the page (A2 admission control)."""
+    ``apply_changes``; `limit` bounds the page (A2 admission control).
+
+    ``feed="longpoll"`` applies to the FIRST page only: it blocks until a
+    change arrives or ``inactivity_ms`` elapses (the reference's
+    inactivity window, lib/index.js:248); once data is flowing the
+    backlog drains with plain pages at full speed. ``max_attempts`` > 1
+    turns on the 10-60 s randomized reconnect backoff per page request."""
     rows: list[tuple] = []
-    for _ in range(max_pages):
-        page = client.changes(database, since=since, limit=limit)
+    for page_no in range(max_pages):
+        page = _changes_page_with_retry(
+            client,
+            database,
+            since,
+            limit,
+            feed if page_no == 0 else None,
+            inactivity_ms if (feed is not None and page_no == 0) else None,
+            max_attempts,
+            backoff_min_s,
+            backoff_max_s,
+            sleep,
+            rng,
+        )
         results = page.get("results", [])
         for ch in results:
             seq = ch.get("seq")

@@ -49,14 +49,22 @@ def _drain(options: dict, since: int, limit: int, max_pages: int):
     # Imported lazily: this body runs on whatever process evaluates the
     # source (driver for simple stream readers, executors for batch).
     from couch_to_postgres_spark.sources.couchdb import (
+        INACTIVITY_MS,
         CouchClient,
         poll_changes_to_rows,
+        urllib_transport,
     )
 
+    feed = options.get("feed")  # None | "longpoll"
+    inactivity_ms = int(options.get("inactivityms", INACTIVITY_MS))
+    # client-side socket timeout must outlast the server-side longpoll
+    # window or every idle poll dies as a timeout instead of an empty page
+    timeout_s = 30.0 if feed is None else inactivity_ms / 1000.0 + 10.0
     client = CouchClient(
         options["url"],
         username=options.get("username"),
         password=options.get("password"),
+        transport=urllib_transport(timeout=timeout_s),
     )
     return poll_changes_to_rows(
         client,
@@ -64,6 +72,11 @@ def _drain(options: dict, since: int, limit: int, max_pages: int):
         since=since,
         limit=limit,
         max_pages=max_pages,
+        feed=feed,
+        inactivity_ms=inactivity_ms,
+        max_attempts=int(options.get("maxattempts", 1)),
+        backoff_min_s=float(options.get("backoffminseconds", 10.0)),
+        backoff_max_s=float(options.get("backoffmaxseconds", 60.0)),
     )
 
 
@@ -107,7 +120,12 @@ class CouchDBBatchReader(DataSourceReader):
 
 class CouchDBDataSource(DataSource):
     """``format("couchdb")`` — options: url, database, [username,
-    password, since, limit]."""
+    password, since, limit, feed ("longpoll" holds each idle poll open
+    for inactivityMs=30000 — change-arrival-bound latency), maxAttempts
+    (>1 turns on the 10-60 s randomized reconnect backoff;
+    backoffMinSeconds/backoffMaxSeconds tune the window)]. A missing
+    database surfaces as CouchMissingDatabaseError (no_db_file) and is
+    never retried."""
 
     @classmethod
     def name(cls) -> str:

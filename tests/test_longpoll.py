@@ -1,0 +1,174 @@
+"""Continuous/long-poll `_changes` transport (reference lib/index.js:50-53,
+:225-229, :248, :267-277): longpoll blocks until data or the inactivity
+window, transient failures reconnect with the randomized 10-60 s backoff,
+and a missing database (no_db_file) is a hard error, never retried."""
+
+import random
+import threading
+import time
+
+import pytest
+
+from couch_to_postgres_spark.sources.couchdb import (
+    CouchClient,
+    CouchError,
+    CouchMissingDatabaseError,
+    poll_changes_to_rows,
+    reconnect_backoff_seconds,
+)
+from tests.test_writeback import RecordingCouch
+
+
+@pytest.fixture
+def couch():
+    c = RecordingCouch()
+    yield c
+    c.close()
+
+
+PAGE = {
+    "results": [
+        {"seq": 1, "id": "a", "doc": {"_id": "a", "_rev": "1-x", "v": 1}},
+    ],
+    "last_seq": 1,
+}
+
+
+def test_longpoll_waits_out_inactivity_window_when_idle(couch):
+    """An idle feed holds the connection for ~inactivity_ms, then returns
+    an empty page (not an error) — poll cadence becomes server-driven."""
+    client = CouchClient(couch.url)
+    t0 = time.time()
+    rows, last = poll_changes_to_rows(
+        client, "db", since=5, feed="longpoll", inactivity_ms=300
+    )
+    elapsed = time.time() - t0
+    assert rows == [] and last == 5
+    assert elapsed >= 0.25  # actually held, not an instant empty page
+    assert "feed=longpoll" in couch.changes_requests[0]
+    assert "timeout=300" in couch.changes_requests[0]
+
+
+def test_longpoll_returns_as_soon_as_data_arrives(couch):
+    """Data arriving mid-hold releases the poll immediately — delivery is
+    change-arrival-bound, not interval-bound."""
+    client = CouchClient(couch.url)
+
+    def feed_later():
+        time.sleep(0.15)
+        couch.add_page(PAGE)
+
+    threading.Thread(target=feed_later, daemon=True).start()
+    t0 = time.time()
+    rows, last = poll_changes_to_rows(
+        client, "db", since=0, feed="longpoll", inactivity_ms=5000
+    )
+    elapsed = time.time() - t0
+    assert [r[:2] for r in rows] == [(1, "a")] and last == 1
+    assert elapsed < 3.0  # released by data, far before the 5 s window
+
+
+def test_transient_failures_reconnect_with_randomized_backoff(couch):
+    """N transport failures → N randomized sleeps in [min, max), then the
+    drain succeeds and resumes from the same since."""
+    couch.fail_changes = 2
+    couch.changes_pages = [PAGE]
+    sleeps: list[float] = []
+    client = CouchClient(couch.url)
+    rows, last = poll_changes_to_rows(
+        client,
+        "db",
+        since=0,
+        max_attempts=5,
+        backoff_min_s=0.01,
+        backoff_max_s=0.05,
+        sleep=sleeps.append,
+        rng=random.Random(7),
+    )
+    assert [r[:2] for r in rows] == [(1, "a")] and last == 1
+    assert len(sleeps) == 2
+    assert all(0.01 <= s < 0.05 for s in sleeps)
+    # 2 failed + 1 successful + 1 trailing empty page
+    assert len(couch.changes_requests) == 4
+
+
+def test_failures_beyond_max_attempts_raise(couch):
+    couch.fail_changes = 10
+    client = CouchClient(couch.url)
+    with pytest.raises(CouchError):
+        poll_changes_to_rows(
+            client,
+            "db",
+            max_attempts=3,
+            backoff_min_s=0.0,
+            backoff_max_s=0.001,
+            sleep=lambda s: None,
+        )
+    assert len(couch.changes_requests) == 3
+
+
+def test_missing_database_is_hard_error_not_retried(couch):
+    """no_db_file is a configuration error: surface immediately (the
+    reference emits error instead of reconnect-looping) — exactly one
+    request, zero sleeps, even with retries enabled."""
+    couch.missing_db = True
+    sleeps: list[float] = []
+    client = CouchClient(couch.url)
+    with pytest.raises(CouchMissingDatabaseError) as exc:
+        poll_changes_to_rows(
+            client, "db", max_attempts=5, sleep=sleeps.append
+        )
+    assert exc.value.reason == "no_db_file"
+    assert sleeps == []
+    assert len(couch.changes_requests) == 1
+
+
+def test_backoff_window_matches_reference():
+    """Default window is the reference's randomized 10-60 s
+    (lib/index.js:225-229)."""
+    rng = random.Random(3)
+    vals = [reconnect_backoff_seconds(rng) for _ in range(200)]
+    assert all(10.0 <= v < 60.0 for v in vals)
+    assert max(vals) > 40.0 and min(vals) < 20.0  # actually spread
+
+
+def test_datasource_longpoll_with_reconnect_end_to_end(spark, couch, tmp_path):
+    """format("couchdb") with feed=longpoll + maxAttempts: a transient
+    500 on the first poll backs off (sub-second test window) and the
+    stream still lands the rows — resume + backoff through the whole
+    Spark source path."""
+    from couch_to_postgres_spark.sources.couchdb_source import register
+    from couch_to_postgres_spark.streaming.pipeline import (
+        read_mirror,
+        upsert_mirror,
+    )
+
+    register(spark)
+    couch.fail_changes = 1
+    couch.changes_pages = [PAGE]
+    stream = (
+        spark.readStream.format("couchdb")
+        .option("url", couch.url)
+        .option("database", "db")
+        .option("feed", "longpoll")
+        .option("inactivityMs", "500")
+        .option("maxAttempts", "4")
+        .option("backoffMinSeconds", "0.05")
+        .option("backoffMaxSeconds", "0.1")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _eid: upsert_mirror(
+                batch.sparkSession, str(tmp_path / "mirror"), batch
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = {r["id"] for r in read_mirror(spark, str(tmp_path / "mirror")).collect()}
+    assert state == {"a"}
+    # the failed request really happened and was retried
+    assert len(couch.changes_requests) >= 2

@@ -19,13 +19,24 @@ from couch_to_postgres_spark.sources.couchdb import CouchClient, poll_changes_to
 
 class RecordingCouch:
     """Tiny in-memory CouchDB-ish server: records _bulk_docs and PUT
-    bodies; serves a canned _changes feed."""
+    bodies; serves a canned _changes feed. Fault injection for the
+    transport tests: ``fail_changes`` N 500s before success,
+    ``missing_db`` the no_db_file 404, and a real longpoll simulation
+    (feed=longpoll requests hold until a page is added or the request's
+    timeout elapses)."""
 
     def __init__(self):
+        import time as _time
+        import urllib.parse as _parse
+
         self.bulk_batches: list[list[dict]] = []
         self.puts: list[tuple[str, dict]] = []
         self.changes_pages: list[dict] = []
+        self.changes_requests: list[str] = []
+        self.fail_changes = 0
+        self.missing_db = False
         self.lock = threading.Lock()
+        self.data_event = threading.Event()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -58,6 +69,27 @@ class RecordingCouch:
             def do_GET(self):  # noqa: N802
                 if "/_changes" in self.path:
                     with outer.lock:
+                        outer.changes_requests.append(self.path)
+                        if outer.missing_db:
+                            self._reply(
+                                {"error": "not_found", "reason": "no_db_file"},
+                                404,
+                            )
+                            return
+                        if outer.fail_changes > 0:
+                            outer.fail_changes -= 1
+                            self._reply({"error": "internal_error"}, 500)
+                            return
+                    q = _parse.parse_qs(_parse.urlparse(self.path).query)
+                    if q.get("feed") == ["longpoll"]:
+                        timeout_ms = int(q.get("timeout", ["30000"])[0])
+                        deadline = _time.time() + timeout_ms / 1000.0
+                        while _time.time() < deadline:
+                            with outer.lock:
+                                if outer.changes_pages:
+                                    break
+                            outer.data_event.wait(0.02)
+                    with outer.lock:
                         page = (
                             outer.changes_pages.pop(0)
                             if outer.changes_pages
@@ -73,6 +105,12 @@ class RecordingCouch:
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self.port = self.server.server_address[1]
         threading.Thread(target=self.server.serve_forever, daemon=True).start()
+
+    def add_page(self, page: dict) -> None:
+        """Enqueue a page and wake any in-flight longpoll."""
+        with self.lock:
+            self.changes_pages.append(page)
+        self.data_event.set()
 
     @property
     def url(self):
