@@ -25,13 +25,27 @@ def train_centroids(
     n_cells: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    max_sample: int = 100_000,
 ) -> list[list[float]]:
     """KMeans coarse quantizer. Returns the centroid matrix (small —
-    n_cells × dim — safe to broadcast)."""
+    n_cells × dim — safe to broadcast).
+
+    Trains on a SAMPLE when the corpus exceeds ``max_sample`` rows: a
+    coarse quantizer needs the density shape, not every point, and a
+    100 TB corpus must never flow through iterative KMeans — 100k
+    uniformly-sampled vectors pin the centroids to well under the
+    quantization error the nprobe search already absorbs. The count is
+    one cheap metadata-ish pass vs ~10 full passes a full fit costs."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    ml_df = corpus.select(
+    n = corpus.count()
+    sample = (
+        corpus.sample(fraction=min(1.0, max_sample / n), seed=seed)
+        if n > max_sample
+        else corpus
+    )
+    ml_df = sample.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(ml_df)
@@ -123,7 +137,11 @@ def ivf_topk_indexed(
         for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
     }
     centroids = [cents[i] for i in sorted(cents)]
-    q_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    # persist: q_cells feeds BOTH the probed-cell collect and the scoring
+    # join — without it the assignment pandas UDF evaluates twice. Query
+    # side is small by contract (it broadcasts below), so the cache is
+    # cheap and evicts with the session.
+    q_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe).persist()
     probed = sorted(
         r["cell"] for r in q_cells.select("cell").distinct().collect()
     )

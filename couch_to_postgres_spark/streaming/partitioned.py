@@ -1,30 +1,41 @@
-"""Partitioned mirror with selective rewrite — the pure-parquet analog of
-a table-format MERGE, and the layout that makes per-batch cost O(touched
-data) instead of O(mirror). Since round 2 this is the DEFAULT sink of
-``pipeline.follow`` and the Daemon (the flat MVCC sink remains for tiny
-mirrors via ``sink="flat"``).
+"""Partitioned mirror with selective rewrite + merge-on-read deltas — the
+pure-parquet analog of a table-format MERGE, and the layout that makes
+per-batch cost O(batch) instead of O(mirror). Since round 2 this is the
+DEFAULT sink of ``pipeline.follow`` and the Daemon (the flat MVCC sink
+remains for tiny mirrors via ``sink="flat"``).
 
-Layout: the mirror is parquet partitioned by ``bucket = crc32(id) % N``.
-A change batch touches only the buckets its keys hash to, so the merge
+Layout::
 
-1. computes the touched bucket set from the batch (tiny),
-2. reads ONLY those partitions (``bucket IN (…)`` prunes at the
-   directory level — the scan never lists untouched buckets),
-3. merges with ``apply_changes`` (same broadcast-anti-join core),
-4. atomically swaps ONLY the touched ``bucket=…`` directories.
+    <path>/_mirror_meta.json        num_buckets, row accounting
+    <path>/bucket=N/…parquet        base rows (id, doc), crc32(id)%N
+    <path>/_delta/bucket=N/…parquet change rows (epoch, seq, id, deleted, doc)
 
-Untouched partitions are not read, not rewritten, not even stat'd. With N
-sized so a bucket ≈ one executor's comfortable working set, per-batch work
-is |batch|/|mirror|-proportional — the property a 100 TB mirror requires.
-(On Delta/Iceberg the same ``apply_changes`` output feeds MERGE and the
-table format does the file-level surgery; this module is the no-extra-
-dependency equivalent.)
+Two merge strategies, chosen per batch (``mode="auto"``):
+
+* **bucket rewrite** — for large batches: read ONLY the touched buckets
+  (``bucket IN (…)`` prunes at the directory level), merge with
+  ``apply_changes`` (broadcast-anti-join core), atomically swap the
+  touched bucket directories. Untouched partitions are not read, not
+  rewritten, not even stat'd.
+* **delta append** — for steady-state micro-batches: collapse the batch
+  (``latest_changes``) and APPEND it under ``_delta/bucket=…``. Write
+  cost is O(batch) regardless of mirror size — the property bucket
+  rewrite cannot give a small random-key batch, whose keys land in
+  ~min(|batch|, N) buckets and would force a near-full rewrite. This is
+  the merge-on-read pattern of log-structured table formats (Hudi MoR /
+  Paimon): readers resolve base ⊎ delta (per-id latest wins), and
+  compaction folds deltas back into base off the hot path.
+
+Read resolution (``read_partitioned_mirror``): per id, the delta's
+latest ``(epoch, seq)`` row wins over base; deleted rows hide the id.
+Because ``apply_changes`` is last-write-wins by key in feed order, this
+is EXACTLY equivalent to applying the appended batches sequentially —
+replays append duplicate (id, seq) rows that resolve to the same state.
 
 ``num_buckets`` is part of the LAYOUT, not a per-call knob: the bucket
 function must be identical across every merge or lookups silently miss.
-It is therefore persisted in ``_mirror_meta.json`` at layout time and
-resolved from there on every subsequent merge/compaction; callers only
-choose it (or let :func:`auto_num_buckets` size it) at initial load.
+It is persisted in the meta at layout time and resolved from there on
+every subsequent merge/compaction.
 """
 
 from __future__ import annotations
@@ -34,26 +45,38 @@ import math
 import os
 import shutil
 import threading
+import time
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from couch_to_postgres_spark.operators.cdc import apply_changes
+from couch_to_postgres_spark.operators.cdc import apply_changes, latest_changes
 from couch_to_postgres_spark.operators.mirror import MIRROR_SCHEMA
 
 DEFAULT_BUCKETS = 64
 META_FILE = "_mirror_meta.json"
+DELTA_DIR = "_delta"
 #: auto-sizing target: rows per bucket (≈100 MB at ~1 KB/doc — a bucket
 #: one executor rewrites comfortably; at 100 TB the same formula lands on
 #: the 64k-bucket / ~1.5 GB-bucket regime via the upper clamp)
 TARGET_ROWS_PER_BUCKET = 100_000
+#: auto mode: delta-append when rewriting the touched buckets would cost
+#: more than this many times the batch size (write-amplification bound)
+DELTA_WRITE_AMP_THRESHOLD = 20
+#: compaction folds deltas when they exceed this fraction of base rows —
+#: bounds read-side resolution cost AND amortized fold write-amp to
+#: ~1/fraction
+DELTA_FOLD_FRACTION = 0.05
+
+#: delta row shape: change events + append-order epoch
+DELTA_SCHEMA = "epoch long, seq long, id string, deleted boolean, doc string"
 
 # In-process serialization of merge vs compaction per mirror path: the
 # daemon's watchdog compacts on its own thread while foreachBatch merges
-# on the stream thread, and both swap bucket directories. A real
-# multi-driver deployment serializes maintenance through its table format
-# or job scheduler; in one process a lock per path is sufficient.
+# on the stream thread, and both move directories. A real multi-driver
+# deployment serializes maintenance through its table format or job
+# scheduler; in one process a lock per path is sufficient.
 _PATH_LOCKS: dict[str, threading.Lock] = {}
 _PATH_LOCKS_GUARD = threading.Lock()
 
@@ -79,26 +102,26 @@ def auto_num_buckets(n_rows: int) -> int:
     return int(min(65536, max(16, 2 ** math.ceil(math.log2(raw)))))
 
 
-def write_meta(path: str, num_buckets: int) -> None:
+def write_meta(path: str, meta: dict) -> None:
     with open(os.path.join(path, META_FILE), "w") as f:
-        json.dump({"num_buckets": num_buckets}, f)
+        json.dump(meta, f)
 
 
-def read_meta(path: str) -> int | None:
-    """The layout's persisted bucket count, or None for a missing/legacy
-    mirror (legacy = written before meta existed: infer from dirs)."""
+def read_meta(path: str) -> dict | None:
+    """The layout's persisted meta (num_buckets + row accounting), or
+    None for a missing/legacy mirror (legacy = written before meta
+    existed: infer num_buckets from the bucket dirs)."""
     meta = os.path.join(path, META_FILE)
     if os.path.exists(meta):
         with open(meta) as f:
-            return int(json.load(f)["num_buckets"])
+            return json.load(f)
     if os.path.exists(path):
         buckets = [d for d in os.listdir(path) if d.startswith("bucket=")]
         if buckets:
             # pre-meta legacy layout: infer N as max bucket dir + 1 (the
-            # initial full load materializes essentially every bucket, so
-            # the max dir is N-1; post-inference merges persist the meta
-            # via write_partitioned_mirror on the next full rewrite)
-            return max(int(d.split("=", 1)[1]) for d in buckets) + 1
+            # initial full load materializes essentially every bucket)
+            n = max(int(d.split("=", 1)[1]) for d in buckets) + 1
+            return {"num_buckets": n, "total_rows": None, "delta_rows": 0}
     return None
 
 
@@ -106,8 +129,9 @@ def resolve_num_buckets(path: str, requested: int | None) -> int | None:
     """The ONE bucket count for a mirror: the persisted layout value wins;
     a conflicting explicit request is an error (a different bucket fn
     would corrupt the layout); None for a not-yet-existing mirror."""
-    actual = read_meta(path)
-    if actual is not None:
+    meta = read_meta(path)
+    if meta is not None:
+        actual = int(meta["num_buckets"])
         if requested is not None and requested != actual:
             raise ValueError(
                 f"mirror at {path} is laid out with num_buckets={actual}; "
@@ -118,11 +142,28 @@ def resolve_num_buckets(path: str, requested: int | None) -> int | None:
     return requested
 
 
+def _delta_path(path: str) -> str:
+    return os.path.join(path, DELTA_DIR)
+
+
+def _has_delta(path: str) -> bool:
+    d = _delta_path(path)
+    if not os.path.isdir(d):
+        return False
+    for entry in os.listdir(d):
+        sub = os.path.join(d, entry)
+        if entry.startswith("bucket=") and os.path.isdir(sub):
+            if any(f.endswith(".parquet") for f in os.listdir(sub)):
+                return True
+    return False
+
+
 def write_partitioned_mirror(
     mirror: DataFrame, path: str, num_buckets: int = DEFAULT_BUCKETS
 ) -> None:
     """Initial load / full rewrite: lay the mirror out by key-hash bucket
-    and persist the bucket count in the layout meta."""
+    and persist the layout meta. Drops any existing delta log (a full
+    rewrite supersedes it)."""
     (
         mirror.withColumn("bucket", bucket_of(F.col("id"), num_buckets))
         .repartition("bucket")
@@ -130,12 +171,52 @@ def write_partitioned_mirror(
         .partitionBy("bucket")
         .parquet(path)
     )
-    write_meta(path, num_buckets)
+    shutil.rmtree(_delta_path(path), ignore_errors=True)
+    spark = mirror.sparkSession
+    # parquet count() is footer-metadata only — cheap even at scale
+    total = spark.read.parquet(path).count()
+    write_meta(path, {"num_buckets": num_buckets, "total_rows": total, "delta_rows": 0})
+
+
+def _resolve_delta(delta: DataFrame) -> DataFrame:
+    """Collapse the delta log to the latest change per id: append order
+    (epoch) first, feed order (seq) within a batch — the same
+    last-write-wins the sequential merges would have produced. The window
+    shuffles the DELTA only (bounded by the fold threshold), never base."""
+    w = Window.partitionBy("id").orderBy(F.desc("epoch"), F.desc("seq"))
+    return (
+        delta.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _mor_view(
+    spark: SparkSession, path: str, buckets: list[int] | None = None
+) -> DataFrame:
+    """Merge-on-read view of the mirror (optionally restricted to a
+    bucket subset): base rows whose id has no delta entry, plus the
+    delta's live resolved rows. The anti-join's delta side is fold-
+    threshold-bounded and AQE broadcasts it — base never shuffles."""
+    base = spark.read.parquet(path)
+    if buckets is not None:
+        base = base.filter(F.col("bucket").isin(buckets))
+    base = base.drop("bucket")
+    if not _has_delta(path):
+        return base
+    delta = spark.read.parquet(_delta_path(path))
+    if buckets is not None:
+        delta = delta.filter(F.col("bucket").isin(buckets))
+    latest = _resolve_delta(delta.drop("bucket"))
+    live = latest.filter(~F.col("deleted")).select("id", "doc")
+    return base.join(latest.select("id"), on="id", how="left_anti").unionByName(
+        live
+    )
 
 
 def read_partitioned_mirror(spark: SparkSession, path: str) -> DataFrame:
     if os.path.exists(path):
-        return spark.read.parquet(path).drop("bucket")
+        return _mor_view(spark, path)
     return spark.createDataFrame([], MIRROR_SCHEMA)
 
 
@@ -157,7 +238,7 @@ def _update_count_views(
     the WHOLE pre-merge mirror, used only to bootstrap a view that
     doesn't exist yet (it must be the pre state, not post: the delta is
     applied on top, so bootstrapping from post would double-count the
-    batch). Crash window: a crash between the bucket swap and the view
+    batch). Crash window: a crash between the data commit and the view
     swap leaves the view one batch behind; replay nets zero and does NOT
     repair it — the repair is a view-dir delete + bootstrap, same
     contract as the flat sink (pipeline._update_count_view)."""
@@ -171,8 +252,6 @@ def _update_count_views(
         if os.path.exists(vdir):
             view = spark.read.parquet(vdir)
         else:
-            # bootstrap from the PRE state of the whole mirror (one full
-            # GROUP BY, once per view lifetime — afterwards deltas only)
             view = full_pre.groupBy(key.alias("key")).agg(
                 F.count(F.lit(1)).alias("cnt")
             )
@@ -194,18 +273,54 @@ def upsert_partitioned_mirror(
     type_filter: str | None = None,
     map_hook: Callable[[Column], Column] | None = None,
     count_views: dict[str, Column] | None = None,
+    mode: str = "auto",
 ) -> list[int]:
-    """Merge a change batch, rewriting only the touched buckets.
-    Returns the touched bucket ids.
+    """Merge a change batch. Returns the touched bucket ids.
+
+    ``mode``: ``"auto"`` picks delta append when rewriting the touched
+    buckets would exceed ``DELTA_WRITE_AMP_THRESHOLD``× the batch size
+    (the steady-state micro-batch case), bucket rewrite otherwise
+    (backfills, bootstrap); ``"delta"``/``"rewrite"`` force a strategy.
 
     ``num_buckets`` applies only when the mirror doesn't exist yet
     (bootstrap); afterwards the persisted layout value is authoritative
     and a conflicting value raises. ``None`` at bootstrap auto-sizes from
     the batch row count (the initial backfill IS the mirror size)."""
+    if mode not in ("auto", "delta", "rewrite"):
+        raise ValueError(f"unknown mode {mode!r}: use 'auto', 'delta' or 'rewrite'")
     with _path_lock(path):
         return _upsert_locked(
-            spark, path, batch, num_buckets, type_filter, map_hook, count_views
+            spark, path, batch, num_buckets, type_filter, map_hook, count_views, mode
         )
+
+
+def _prepared_batch(
+    batch: DataFrame,
+    type_filter: str | None,
+    map_hook: Callable[[Column], Column] | None,
+) -> DataFrame:
+    """Collapse + filter + hook a change batch ONCE, keeping the change
+    shape (seq, id, deleted, doc) — the form both merge strategies and
+    the delta log share. Mirrors apply_changes' semantics exactly
+    (cdc.py:65-76): filtered-type upserts drop, deletions propagate, the
+    map hook rewrites upsert docs only."""
+    from couch_to_postgres_spark.functions.json import json_get
+
+    latest = latest_changes(batch)
+    if type_filter is not None:
+        latest = latest.filter(
+            F.col("deleted")
+            | (json_get("doc", "type") != F.lit(type_filter))
+            | json_get("doc", "type").isNull()
+        )
+    if map_hook is not None:
+        latest = latest.withColumn(
+            "doc",
+            F.when(~F.col("deleted"), map_hook(F.col("doc"))).otherwise(
+                F.col("doc")
+            ),
+        )
+    return latest
 
 
 def _upsert_locked(
@@ -216,12 +331,15 @@ def _upsert_locked(
     type_filter: str | None,
     map_hook: Callable[[Column], Column] | None,
     count_views: dict[str, Column] | None,
+    mode: str,
 ) -> list[int]:
+    meta = read_meta(path)
     num_buckets = resolve_num_buckets(path, num_buckets)
     batch = batch.persist()
     try:
+        n_batch = batch.count()
         if num_buckets is None:
-            num_buckets = auto_num_buckets(batch.count())
+            num_buckets = auto_num_buckets(n_batch)
         touched = sorted(
             r["bucket"]
             for r in batch.select(
@@ -232,8 +350,7 @@ def _upsert_locked(
         )
         if not touched:
             return []
-        bootstrap = read_meta(path) is None
-        if bootstrap:
+        if meta is None:  # bootstrap: always a full layout write
             merged = apply_changes(
                 spark.createDataFrame([], MIRROR_SCHEMA),
                 batch,
@@ -253,49 +370,156 @@ def _upsert_locked(
                     full_pre=empty,
                 )
             return touched
-        # partition-pruned read: only touched bucket directories are scanned
-        current = (
-            spark.read.parquet(path)
-            .filter(F.col("bucket").isin(touched))
-            .drop("bucket")
-        )
-        merged = apply_changes(
-            current, batch, type_filter=type_filter, map_hook=map_hook
-        ).withColumn("bucket", bucket_of(F.col("id"), num_buckets))
-        staging = path + ".staging"
-        shutil.rmtree(staging, ignore_errors=True)
-        merged.repartition("bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(staging)
-        if count_views:
-            # delta BEFORE the swap: `current` plans over the pre-swap
-            # bucket dirs, which the swap below destroys; full_pre is the
-            # pre-swap whole mirror (only scanned if a view bootstraps)
-            _update_count_views(
+
+        total_rows = meta.get("total_rows")
+        if mode == "auto":
+            if total_rows is None:
+                use_delta = False  # legacy mirror without accounting
+            else:
+                touched_rows_est = total_rows * len(touched) / num_buckets
+                use_delta = (
+                    n_batch * DELTA_WRITE_AMP_THRESHOLD < touched_rows_est
+                )
+        else:
+            use_delta = mode == "delta"
+
+        if use_delta:
+            _append_delta(
                 spark,
                 path,
+                batch,
+                num_buckets,
+                type_filter,
+                map_hook,
                 count_views,
-                pre=current,
-                post=spark.read.parquet(staging).drop("bucket"),
-                touched_ids=batch.select("id").distinct(),
-                full_pre=read_partitioned_mirror(spark, path),
+                touched,
+                meta,
             )
-        # swap only the touched bucket directories
-        for b in touched:
-            src = os.path.join(staging, f"bucket={b}")
-            dst = os.path.join(path, f"bucket={b}")
-            old = dst + ".old"
-            if os.path.exists(dst):
-                os.rename(dst, old)
-            if os.path.exists(src):
-                os.rename(src, dst)
-            else:  # bucket emptied by deletions
-                os.makedirs(dst, exist_ok=True)
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+        else:
+            _rewrite_buckets(
+                spark,
+                path,
+                batch,
+                num_buckets,
+                type_filter,
+                map_hook,
+                count_views,
+                touched,
+                meta,
+            )
         return touched
     finally:
         batch.unpersist()
+
+
+def _append_delta(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    num_buckets: int,
+    type_filter: str | None,
+    map_hook: Callable[[Column], Column] | None,
+    count_views: dict[str, Column] | None,
+    touched: list[int],
+    meta: dict,
+) -> None:
+    """O(batch) merge: append the collapsed batch to the per-bucket delta
+    log. No base file is read or written. ``epoch`` stamps append order
+    so read-side resolution replays batches in sequence."""
+    prepared = _prepared_batch(batch, type_filter, map_hook)
+    # snapshot the PRE view before the append lands new files (Spark
+    # pins the file listing at DataFrame creation)
+    pre = _mor_view(spark, path, touched) if count_views else None
+    full_pre = _mor_view(spark, path) if count_views else None
+    epoch = time.time_ns()
+    rows = prepared.select(
+        F.lit(epoch).alias("epoch"),
+        "seq",
+        "id",
+        "deleted",
+        "doc",
+        bucket_of(F.col("id"), num_buckets).alias("bucket"),
+    )
+    n_appended = rows.count()
+    (
+        rows.repartition("bucket")  # one file per touched bucket, not per task
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(_delta_path(path))
+    )
+    meta["delta_rows"] = int(meta.get("delta_rows") or 0) + n_appended
+    write_meta(path, meta)
+    if count_views:
+        post = apply_changes(pre, batch, type_filter=type_filter, map_hook=map_hook)
+        _update_count_views(
+            spark,
+            path,
+            count_views,
+            pre=pre,
+            post=post,
+            touched_ids=batch.select("id").distinct(),
+            full_pre=full_pre,
+        )
+
+
+def _rewrite_buckets(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    num_buckets: int,
+    type_filter: str | None,
+    map_hook: Callable[[Column], Column] | None,
+    count_views: dict[str, Column] | None,
+    touched: list[int],
+    meta: dict,
+) -> None:
+    """Bucket-rewrite merge: partition-pruned read of the touched buckets
+    (through the MoR view, folding any pending deltas for them), merge,
+    staged write, atomic per-directory swap. Touched buckets' delta dirs
+    are retired by the fold."""
+    current = _mor_view(spark, path, touched)
+    merged = apply_changes(
+        current, batch, type_filter=type_filter, map_hook=map_hook
+    ).withColumn("bucket", bucket_of(F.col("id"), num_buckets))
+    staging = path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(staging)
+    if count_views:
+        # delta BEFORE the swap: `current` plans over the pre-swap
+        # bucket dirs, which the swap below destroys; full_pre is the
+        # pre-swap whole mirror (only scanned if a view bootstraps)
+        _update_count_views(
+            spark,
+            path,
+            count_views,
+            pre=current,
+            post=spark.read.parquet(staging).drop("bucket"),
+            touched_ids=batch.select("id").distinct(),
+            full_pre=_mor_view(spark, path),
+        )
+    # swap only the touched bucket directories; retire their deltas
+    for b in touched:
+        src = os.path.join(staging, f"bucket={b}")
+        dst = os.path.join(path, f"bucket={b}")
+        old = dst + ".old"
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        else:  # bucket emptied by deletions
+            os.makedirs(dst, exist_ok=True)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(_delta_path(path), f"bucket={b}"), ignore_errors=True
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    meta["total_rows"] = spark.read.parquet(path).count()
+    meta["delta_rows"] = (
+        spark.read.parquet(_delta_path(path)).count() if _has_delta(path) else 0
+    )
+    write_meta(path, meta)
 
 
 def bucket_file_counts(path: str) -> dict[int, int]:
@@ -311,21 +535,87 @@ def bucket_file_counts(path: str) -> dict[int, int]:
     return out
 
 
+def _delta_buckets(path: str) -> list[int]:
+    d = _delta_path(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for entry in os.listdir(d):
+        sub = os.path.join(d, entry)
+        if entry.startswith("bucket=") and os.path.isdir(sub):
+            if any(f.endswith(".parquet") for f in os.listdir(sub)):
+                out.append(int(entry.split("=", 1)[1]))
+    return sorted(out)
+
+
+def fold_deltas(
+    spark: SparkSession, path: str, force: bool = False
+) -> list[int]:
+    """Fold the delta log back into base (merge-on-read compaction).
+
+    Runs when the delta exceeds ``DELTA_FOLD_FRACTION`` of base rows (or
+    ``force``): one staged job merges every delta-carrying bucket through
+    the MoR view and swaps those bucket dirs. Keeping the fraction small
+    bounds BOTH read-side resolution cost and the fold's amortized write
+    amplification (~1/fraction). Returns the folded bucket ids.
+
+    Callers must hold the path lock (compact_mirror does)."""
+    meta = read_meta(path)
+    if meta is None:
+        return []
+    buckets = _delta_buckets(path)
+    if not buckets:
+        return []
+    delta_rows = int(meta.get("delta_rows") or 0)
+    total_rows = meta.get("total_rows")
+    if not force and total_rows and delta_rows < total_rows * DELTA_FOLD_FRACTION:
+        return []
+    num_buckets = int(meta["num_buckets"])
+    folded = _mor_view(spark, path, buckets).withColumn(
+        "bucket", bucket_of(F.col("id"), num_buckets)
+    )
+    staging = path + ".folding"
+    shutil.rmtree(staging, ignore_errors=True)
+    folded.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(staging)
+    for b in buckets:
+        src = os.path.join(staging, f"bucket={b}")
+        dst = os.path.join(path, f"bucket={b}")
+        old = dst + ".old"
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        else:  # bucket emptied by deletions
+            os.makedirs(dst, exist_ok=True)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(_delta_path(path), f"bucket={b}"), ignore_errors=True
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    meta["total_rows"] = spark.read.parquet(path).count()
+    meta["delta_rows"] = 0
+    write_meta(path, meta)
+    return buckets
+
+
 def compact_mirror(
     spark: SparkSession,
     path: str,
     max_files_per_bucket: int = 4,
     target_files: int = 1,
+    force_fold: bool = False,
 ) -> list[int]:
-    """Maintenance: rewrite buckets whose file count exceeds the
-    threshold into ``target_files`` files each (atomic per-bucket swap).
-    Run periodically/off-peak — micro-batch merges append small files to
-    touched buckets, and scan cost degrades with file count long before
-    it degrades with data size. The daemon's watchdog calls this every
-    supervision pass (cheap when nothing exceeds the threshold — one
-    listdir). Serialized against concurrent merges via the per-path
-    lock. Returns the compacted bucket ids."""
+    """Maintenance: fold over-threshold deltas into base, then rewrite
+    buckets whose file count exceeds the threshold into ``target_files``
+    files each (atomic per-bucket swap). Run periodically/off-peak — the
+    daemon's watchdog calls this every supervision pass (cheap when
+    nothing exceeds a threshold — one listdir). Serialized against
+    concurrent merges via the per-path lock. Returns the touched bucket
+    ids (folded ∪ compacted)."""
     with _path_lock(path):
+        folded = fold_deltas(spark, path, force=force_fold)
         todo = [
             b
             for b, n in bucket_file_counts(path).items()
@@ -341,7 +631,7 @@ def compact_mirror(
             os.rename(src, old)
             os.rename(tmp, src)
             shutil.rmtree(old, ignore_errors=True)
-        return sorted(todo)
+        return sorted(set(folded) | set(todo))
 
 
 def follow_partitioned(

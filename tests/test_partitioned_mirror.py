@@ -49,7 +49,9 @@ def test_selective_rewrite_correct_and_minimal(spark, sf_dir, tmp_path):
         ],
         CHANGES_SCHEMA,
     )
-    touched = upsert_partitioned_mirror(spark, mirror_path, changes, N_BUCKETS)
+    touched = upsert_partitioned_mirror(
+        spark, mirror_path, changes, N_BUCKETS, mode="rewrite"
+    )
     assert 0 < len(touched) <= 3
 
     # correctness: identical to the full-merge reference implementation
@@ -136,3 +138,168 @@ def test_empty_batch_noop(spark, sf_dir, tmp_path):
     empty = spark.createDataFrame([], CHANGES_SCHEMA)
     assert upsert_partitioned_mirror(spark, mirror_path, empty, N_BUCKETS) == []
     assert file_inventory(mirror_path) == before
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read delta log
+# ---------------------------------------------------------------------------
+
+DELTA_CHANGES = [
+    (1, "3", False, '{"doc_id":3,"_rev":"2-new","n_chars":1}'),  # update
+    (2, "7", True, None),  # delete
+    (3, "newdoc", False, '{"doc_id":-1,"_rev":"1-n","n_chars":2}'),  # insert
+]
+
+
+def test_delta_append_leaves_base_untouched_and_reads_merged(
+    spark, sf_dir, tmp_path
+):
+    """The steady-state path: a small batch appends to _delta — ZERO base
+    files read or written (O(batch), the 100 TB micro-batch property) —
+    and the merge-on-read view equals the full-merge reference."""
+    import os
+
+    from couch_to_postgres_spark.streaming.partitioned import read_meta
+
+    mirror_path = str(tmp_path / "pmirror")
+    base = docs_mirror(spark, sf_dir, with_rev=True)
+    write_partitioned_mirror(base, mirror_path, N_BUCKETS)
+    before = file_inventory(mirror_path)
+
+    changes = spark.createDataFrame(DELTA_CHANGES, CHANGES_SCHEMA)
+    touched = upsert_partitioned_mirror(
+        spark, mirror_path, changes, N_BUCKETS, mode="delta"
+    )
+    assert 0 < len(touched) <= 3
+    # every base file bit-for-bit identical; all new files live in _delta
+    after = {
+        p: v for p, v in file_inventory(mirror_path).items()
+        if not p.startswith("_delta/")
+    }
+    assert after == before
+    assert os.path.isdir(os.path.join(mirror_path, "_delta"))
+    assert read_meta(mirror_path)["delta_rows"] == 3
+
+    expected = state(apply_changes(base, changes))
+    assert state(read_partitioned_mirror(spark, mirror_path)) == expected
+
+
+def test_delta_auto_mode_picks_delta_for_small_batch(spark, sf_dir, tmp_path):
+    """mode='auto' routes a batch whose rewrite would exceed the write-amp
+    threshold to the delta log."""
+    mirror_path = str(tmp_path / "pmirror")
+    write_partitioned_mirror(
+        docs_mirror(spark, sf_dir, with_rev=True), mirror_path, N_BUCKETS
+    )
+    before = file_inventory(mirror_path)
+    changes = spark.createDataFrame(DELTA_CHANGES[:1], CHANGES_SCHEMA)
+    upsert_partitioned_mirror(spark, mirror_path, changes, N_BUCKETS)  # auto
+    base_after = {
+        p: v for p, v in file_inventory(mirror_path).items()
+        if not p.startswith("_delta/")
+    }
+    assert base_after == before  # went to delta, not rewrite
+
+
+def test_delta_replay_and_ordering(spark, sf_dir, tmp_path):
+    """Replaying an appended batch is a state no-op (same (id, seq) rows
+    resolve identically), and a later epoch's update to the same id wins
+    over the earlier one."""
+    mirror_path = str(tmp_path / "pmirror")
+    base = docs_mirror(spark, sf_dir, with_rev=True)
+    write_partitioned_mirror(base, mirror_path, N_BUCKETS)
+    changes = spark.createDataFrame(DELTA_CHANGES, CHANGES_SCHEMA)
+    upsert_partitioned_mirror(spark, mirror_path, changes, N_BUCKETS, mode="delta")
+    snapshot = state(read_partitioned_mirror(spark, mirror_path))
+    # replay the SAME batch (at-least-once delivery)
+    upsert_partitioned_mirror(spark, mirror_path, changes, N_BUCKETS, mode="delta")
+    assert state(read_partitioned_mirror(spark, mirror_path)) == snapshot
+    # a later batch updates doc 3 again — latest epoch wins
+    newer = spark.createDataFrame(
+        [(9, "3", False, '{"doc_id":3,"_rev":"3-newer","n_chars":5}')],
+        CHANGES_SCHEMA,
+    )
+    upsert_partitioned_mirror(spark, mirror_path, newer, N_BUCKETS, mode="delta")
+    got = state(read_partitioned_mirror(spark, mirror_path))
+    assert '"3-newer"' in got["3"]
+    assert "7" not in got  # the delete still hides the base row
+
+
+def test_fold_deltas_restores_pure_base(spark, sf_dir, tmp_path):
+    """Folding merges the delta log into base: _delta drains, state is
+    unchanged, meta accounting resets."""
+    from couch_to_postgres_spark.streaming.partitioned import (
+        compact_mirror,
+        read_meta,
+    )
+
+    mirror_path = str(tmp_path / "pmirror")
+    base = docs_mirror(spark, sf_dir, with_rev=True)
+    write_partitioned_mirror(base, mirror_path, N_BUCKETS)
+    changes = spark.createDataFrame(DELTA_CHANGES, CHANGES_SCHEMA)
+    upsert_partitioned_mirror(spark, mirror_path, changes, N_BUCKETS, mode="delta")
+    expected = state(read_partitioned_mirror(spark, mirror_path))
+
+    folded = compact_mirror(spark, mirror_path, force_fold=True)
+    assert folded  # the delta-carrying buckets were rewritten
+    meta = read_meta(mirror_path)
+    assert meta["delta_rows"] == 0
+    assert not any(
+        p.startswith("_delta/") for p in file_inventory(mirror_path)
+    )
+    assert state(read_partitioned_mirror(spark, mirror_path)) == expected
+
+
+def test_rewrite_after_delta_folds_touched_buckets(spark, sf_dir, tmp_path):
+    """A big (rewrite-path) batch arriving after delta appends merges the
+    pending deltas for its touched buckets — no stale delta rows survive
+    to shadow the rewritten base."""
+    mirror_path = str(tmp_path / "pmirror")
+    base = docs_mirror(spark, sf_dir, with_rev=True)
+    write_partitioned_mirror(base, mirror_path, N_BUCKETS)
+    small = spark.createDataFrame(DELTA_CHANGES, CHANGES_SCHEMA)
+    upsert_partitioned_mirror(spark, mirror_path, small, N_BUCKETS, mode="delta")
+    # bulk rewrite touching every bucket (new rev for every doc)
+    bulk = base.selectExpr(
+        "CAST(id AS LONG) + 1000 AS seq",
+        "id",
+        "false AS deleted",
+        "doc",
+    )
+    upsert_partitioned_mirror(spark, mirror_path, bulk, N_BUCKETS, mode="rewrite")
+    expected = state(apply_changes(apply_changes(base, small), bulk))
+    assert state(read_partitioned_mirror(spark, mirror_path)) == expected
+
+
+def test_delta_path_maintains_count_views(spark, sf_dir, tmp_path):
+    """Count views advance by O(touched) deltas on the append path too:
+    after delta merges the view equals a fresh GROUP BY of the MoR state."""
+    from pyspark.sql import functions as F2
+
+    from couch_to_postgres_spark.functions.json import json_get
+    from couch_to_postgres_spark.streaming.pipeline import read_count_view
+
+    mirror_path = str(tmp_path / "pmirror")
+    base = docs_mirror(spark, sf_dir, with_rev=True)
+    write_partitioned_mirror(base, mirror_path, N_BUCKETS)
+    views = {"by_lang": json_get("doc", "lang")}
+    changes = spark.createDataFrame(DELTA_CHANGES, CHANGES_SCHEMA)
+    upsert_partitioned_mirror(
+        spark, mirror_path, changes, N_BUCKETS, count_views=views, mode="delta"
+    )
+    nullsafe = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    view = sorted(
+        map(tuple, read_count_view(spark, mirror_path, "by_lang").collect()),
+        key=nullsafe,
+    )
+    fresh = sorted(
+        map(
+            tuple,
+            read_partitioned_mirror(spark, mirror_path)
+            .groupBy(json_get("doc", "lang").alias("key"))
+            .agg(F2.count(F2.lit(1)).alias("cnt"))
+            .collect(),
+        ),
+        key=nullsafe,
+    )
+    assert view == fresh and len(view) > 0
