@@ -64,27 +64,78 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def decode_image_stub(payload: bytes) -> object:
-    """Placeholder for a real image decode (PIL/libvips not installed).
-    STUB — intentionally unimplemented."""
-    raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "container; use fake_decode_features for the pipeline shape"
-    )
+def have_pillow() -> bool:
+    """Capability probe: is a real image decoder importable? The module
+    upgrades itself when run in a container that has Pillow; here (no
+    media libs) every real kernel degrades to the documented stub/fake."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_features(payload: bytes) -> tuple[int, int]:
+    """REAL decode → feature kernel (Pillow path): grayscale-decode the
+    image and return (mean pixel, first pixel) — the same contract as
+    :func:`fake_decode_features` (two ints in [0, 255]). Raises
+    ``NotImplementedError`` when no image library is present, exactly
+    like the original stub."""
+    if not have_pillow():
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "container; use fake_decode_features for the pipeline shape"
+        )
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    px = list(img.getdata())
+    if not px:
+        return (0, 0)
+    return (sum(px) // len(px), px[0])
+
+
+#: back-compat name for the declared stub
+decode_image_stub = decode_image_features
 
 
 def fake_decode_features(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for decode → feature-extract: (mean byte,
-    first byte). Replaces decode_image_stub in tests."""
+    first byte). Same contract as decode_image_features; used by tests
+    and by default in containers without media libraries."""
     if not payload:
         return (0, 0)
     return (sum(payload) // len(payload), payload[0])
 
 
-def resize_stub(payload: bytes, width: int, height: int) -> bytes:
-    """Placeholder for a real image resize (no image libs in container).
-    STUB — intentionally unimplemented."""
-    raise NotImplementedError("image resize requires an image library")
+def best_decoder():
+    """The decode kernel this environment supports: the real Pillow path
+    when importable, the deterministic fake otherwise. Both honor the
+    same contract — (mean, first) ints in [0, 255] — so the pipeline
+    shape is identical either way (pinned by test_multimodal parity)."""
+    return decode_image_features if have_pillow() else fake_decode_features
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize kernel (Pillow path): decode, resize to width×height,
+    return the raw grayscale bytes — ``width*height`` bytes, the same
+    length contract as :func:`fake_resize`. Raises ``NotImplementedError``
+    without an image library (the original stub behavior)."""
+    if not have_pillow():
+        raise NotImplementedError("image resize requires an image library")
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    return img.resize((max(1, width), max(1, height))).tobytes()
+
+
+#: back-compat name for the declared stub
+resize_stub = resize_image
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -130,12 +181,16 @@ def frame_sample(
 
 
 def resize_assets(
-    assets: DataFrame, width: int = 8, height: int = 8
+    assets: DataFrame, width: int = 8, height: int = 8, resizer=None
 ) -> DataFrame:
-    """Resize pass via mapInPandas (Arrow-batched); uses fake_resize —
-    swap in a real decoder+resizer without touching the plumbing."""
+    """Resize pass via mapInPandas (Arrow-batched). ``resizer`` is the
+    per-payload kernel — default ``fake_resize`` (deterministic); pass
+    :func:`resize_image` in a Pillow-equipped environment. Both honor the
+    same width×height-bytes output contract, so the plumbing is
+    kernel-agnostic."""
     from pyspark.sql.types import BinaryType
 
+    resizer = resizer or fake_resize
     out_schema = StructType(
         [
             StructField("asset_id", LongType()),
@@ -148,7 +203,7 @@ def resize_assets(
         import pandas as pd
 
         for pdf in batches:
-            resized = [fake_resize(p, width, height) for p in pdf["payload"]]
+            resized = [resizer(p, width, height) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -160,14 +215,22 @@ def resize_assets(
     return assets.mapInPandas(_kernel, out_schema)
 
 
-def extract_features(assets: DataFrame, batch_budget_bytes: int = 64 << 20) -> DataFrame:
+def extract_features(
+    assets: DataFrame, batch_budget_bytes: int = 64 << 20, decoder=None
+) -> DataFrame:
     """Decode/feature-extract pass over asset payloads via ``mapInPandas``.
+
+    ``decoder`` is the per-payload kernel — default
+    ``fake_decode_features`` (deterministic); pass ``best_decoder()`` to
+    use the real Pillow path when the environment has it. Both kernels
+    share the (mean, first) ∈ [0,255]² contract.
 
     Arrow streams batches of rows into Python; the kernel is per-batch
     vectorizable. ``batch_budget_bytes`` drives a repartition so each task
     holds a bounded payload volume — the knob that keeps 100 TB of blobs
     from OOMing fixed-size executors (row-count partitioning would not).
     """
+    decoder = decoder or fake_decode_features
     total = assets.agg(F.sum("n_bytes")).first()[0] or 0
     n_parts = max(1, int(total // batch_budget_bytes) + 1)
 
@@ -175,7 +238,7 @@ def extract_features(assets: DataFrame, batch_budget_bytes: int = 64 << 20) -> D
         import pandas as pd
 
         for pdf in batches:
-            feats = [fake_decode_features(p) for p in pdf["payload"]]
+            feats = [decoder(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -281,6 +281,116 @@ def test_resize_assets(spark, docs):
     )
 
 
+def test_multimodal_capability_probe_modes():
+    """The module self-upgrades: real kernels when Pillow is importable,
+    documented NotImplementedError + fake fallback otherwise. Assertions
+    run for WHICHEVER mode this container is in."""
+    from couch_to_postgres_spark.extensions import multimodal as M
+
+    if M.have_pillow():
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.new("L", (4, 4), color=128)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        payload = buf.getvalue()
+        mean, first = M.decode_image_features(payload)
+        assert 0 <= mean <= 255 and 0 <= first <= 255
+        assert len(M.resize_image(payload, 8, 8)) == 64
+        assert M.best_decoder() is M.decode_image_features
+    else:
+        assert M.best_decoder() is M.fake_decode_features
+        with pytest.raises(NotImplementedError):
+            M.decode_image_features(b"x")
+        with pytest.raises(NotImplementedError):
+            M.resize_image(b"x", 2, 2)
+
+
+def test_multimodal_absence_mode_forced(monkeypatch):
+    """Forcing the probe off degrades cleanly regardless of environment."""
+    from couch_to_postgres_spark.extensions import multimodal as M
+
+    monkeypatch.setattr(M, "have_pillow", lambda: False)
+    assert M.best_decoder() is M.fake_decode_features
+    with pytest.raises(NotImplementedError):
+        M.decode_image_features(b"x")
+
+
+def test_multimodal_presence_mode_via_injected_pil(monkeypatch):
+    """Exercise the REAL decode/resize code path by injecting a minimal
+    PIL stand-in — proves the Pillow branch is wired correctly even in
+    this container, and that it honors the shared kernel contract."""
+    import sys
+    import types
+
+    from couch_to_postgres_spark.extensions import multimodal as M
+
+    class _Img:
+        def __init__(self, data):
+            self._data = list(data)
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def getdata(self):
+            return self._data
+
+        def resize(self, wh):
+            w, h = wh
+            target = w * h
+            reps = (target // max(1, len(self._data))) + 1
+            return _Img((self._data * reps)[:target])
+
+        def tobytes(self):
+            return bytes(self._data)
+
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = lambda buf: _Img(buf.read())
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    assert M.have_pillow()
+    assert M.best_decoder() is M.decode_image_features
+    payload = bytes([10, 20, 30, 40])
+    mean, first = M.decode_image_features(payload)
+    assert (mean, first) == (25, 10)  # real branch: decoded pixel stats
+    out = M.resize_image(payload, 3, 3)
+    assert len(out) == 9  # contract: width*height bytes, same as fake
+    # empty image edge in the real branch
+    assert M.decode_image_features(b"") == (0, 0)
+
+
+def test_multimodal_kernel_contract_properties():
+    """Property: both decode kernels give (mean, first) ints in [0,255];
+    both resize kernels give exactly width*height bytes — so swapping the
+    real kernel in changes results, never shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from couch_to_postgres_spark.extensions.multimodal import (
+        fake_decode_features,
+        fake_resize,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        payload=st.binary(max_size=256),
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=16),
+    )
+    def check(payload, w, h):
+        mean, first = fake_decode_features(payload)
+        assert 0 <= mean <= 255 and 0 <= first <= 255
+        assert len(fake_resize(payload, w, h)) == w * h
+
+    check()
+
+
 def test_hash_split_deterministic_and_proportional(spark, docs):
     a = {r["doc_id"]: r["split"] for r in T.hash_split(docs).collect()}
     b = {r["doc_id"]: r["split"] for r in T.hash_split(docs).collect()}

@@ -34,6 +34,8 @@ class RecordingCouch:
         self.changes_pages: list[dict] = []
         self.changes_requests: list[str] = []
         self.fail_changes = 0
+        self.fail_bulk = 0
+        self.conflict_doc_ids: set[str] = set()
         self.missing_db = False
         self.lock = threading.Lock()
         self.data_event = threading.Event()
@@ -53,10 +55,31 @@ class RecordingCouch:
 
             def do_POST(self):  # noqa: N802
                 if self.path.endswith("/_bulk_docs"):
-                    docs = self._read_body()["docs"]
                     with outer.lock:
-                        outer.bulk_batches.append(docs)
-                    self._reply([{"ok": True, "id": d.get("_id")} for d in docs])
+                        if outer.fail_bulk > 0:
+                            outer.fail_bulk -= 1
+                            self._reply({"error": "internal_error"}, 500)
+                            return
+                    docs = self._read_body()["docs"]
+                    results = []
+                    accepted = []
+                    for d in docs:
+                        did = d.get("_id", d.get("doc_id"))
+                        if str(did) in outer.conflict_doc_ids:
+                            # CouchDB's per-doc conflict shape inside a 201
+                            results.append(
+                                {
+                                    "id": str(did),
+                                    "error": "conflict",
+                                    "reason": "Document update conflict.",
+                                }
+                            )
+                        else:
+                            accepted.append(d)
+                            results.append({"ok": True, "id": str(did)})
+                    with outer.lock:
+                        outer.bulk_batches.append(accepted)
+                    self._reply(results)
                 else:
                     self._reply({"error": "not_found"}, 404)
 
@@ -129,8 +152,10 @@ def couch():
 
 def test_bulk_writeback_chunks(spark, sf_dir, couch):
     mirror = docs_mirror(spark, sf_dir).coalesce(2)  # 500 docs, 2 partitions
-    chunks = writeback_bulk(mirror, couch.url, "target", chunk_size=50)
-    assert chunks == len(couch.bulk_batches)
+    stats = writeback_bulk(mirror, couch.url, "target", chunk_size=50)
+    assert stats["chunks"] == len(couch.bulk_batches)
+    assert stats["docs"] == 500
+    assert stats["conflicts"] == 0 and stats["retries"] == 0
     sizes = [len(b) for b in couch.bulk_batches]
     assert all(s <= 50 for s in sizes)
     assert sum(sizes) == 500
@@ -147,8 +172,8 @@ def test_bulk_chunk_size_clamped_to_reference_bounds(spark, sf_dir, couch):
 
 def test_single_put_writeback(spark, sf_dir, couch):
     mirror = docs_mirror(spark, sf_dir).filter(F.col("id").cast("long") < 20)
-    n = writeback_single_put(mirror, couch.url, "target")
-    assert n == 20 and len(couch.puts) == 20
+    stats = writeback_single_put(mirror, couch.url, "target")
+    assert stats == {"docs": 20, "conflicts": 0} and len(couch.puts) == 20
     ids = {doc_id for doc_id, _ in couch.puts}
     assert ids == {str(i) for i in range(20)}
 
@@ -163,6 +188,41 @@ def test_filtered_rereplication(spark, sf_dir, couch):
     sent = sum(len(b) for b in couch.bulk_batches)
     assert sent == expected > 0
     assert all(d["source"] == "src1" for b in couch.bulk_batches for d in b)
+
+
+def test_bulk_conflicts_surfaced_not_fatal(spark, sf_dir, couch):
+    """Per-doc conflicts inside a 201 response (the CouchDB shape,
+    reference README.md:534-546) are counted and reported — the
+    non-conflicted docs still land, nothing raises."""
+    couch.conflict_doc_ids = {"3", "7", "11"}
+    mirror = docs_mirror(spark, sf_dir).filter(F.col("id").cast("long") < 20)
+    stats = writeback_bulk(mirror, couch.url, "target", chunk_size=50)
+    assert stats["conflicts"] == 3
+    assert sorted(stats["conflict_ids"]) == ["11", "3", "7"]
+    landed = {str(d["doc_id"]) for b in couch.bulk_batches for d in b}
+    assert landed == {str(i) for i in range(20)} - {"3", "7", "11"}
+
+
+def test_bulk_transient_500_retries_then_succeeds(spark, sf_dir, couch):
+    """A transient 5xx retries the chunk with backoff and the docs land;
+    the retry count is surfaced."""
+    couch.fail_bulk = 1
+    mirror = docs_mirror(spark, sf_dir).filter(F.col("id").cast("long") < 20).coalesce(1)
+    stats = writeback_bulk(
+        mirror, couch.url, "target", chunk_size=50, retry_backoff_s=0.01
+    )
+    assert stats["retries"] == 1 and stats["conflicts"] == 0
+    assert sum(len(b) for b in couch.bulk_batches) == 20
+
+
+def test_bulk_persistent_500_raises(spark, sf_dir, couch):
+    couch.fail_bulk = 100
+    mirror = docs_mirror(spark, sf_dir).filter(F.col("id").cast("long") < 5).coalesce(1)
+    with pytest.raises(Exception, match="_bulk_docs"):
+        writeback_bulk(
+            mirror, couch.url, "target", chunk_size=50,
+            max_retries=2, retry_backoff_s=0.01,
+        )
 
 
 def test_changes_polling_client(couch):
