@@ -237,14 +237,21 @@ def _hex_nibble(c: Column) -> Column:
 
 
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash fingerprint per document.
+    """16-bit SimHash fingerprint per document — ORACLE/TEST VARIANT ONLY.
+
+    This exists to be bit-identical with a DuckDB SQL oracle (the parity
+    gate's x_simhash); it evaluates an interpreted higher-order
+    ``aggregate`` per bit (16× per row), which is the slow-lambda shape
+    the module header warns about. Production pipelines use
+    :func:`simhash64` — Arrow-batched, numpy-vectorized, one Python
+    crossing per batch — do NOT point this one at a real corpus.
 
     Bit ``j`` (j=0..15) is the majority vote of the low bit of hex nibble
     ``j`` of ``md5(word)`` across the document's words (+1/-1 fold, sign).
-    16 bits is the oracle-checkable variant; :mod:`tests` also property-test
-    that identical texts collide and near-identical texts are hamming-close.
-    No shuffle: per-row aggregate over the exploded words happens via
-    higher-order functions inside the row.
+    :mod:`tests` also property-test that identical texts collide and
+    near-identical texts are hamming-close. No shuffle: per-row aggregate
+    over the exploded words happens via higher-order functions inside the
+    row.
     """
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
     hashes = F.transform(words, lambda w: F.md5(w))

@@ -146,17 +146,37 @@ class Daemon:
 
     def status(self) -> dict:
         """The `/_status` payload (bin/daemon.js:282-301): per-feed alive
-        flag, streaming progress, and mirror doc count."""
+        flag, streaming progress, mirror doc count, and — for partitioned
+        mirrors — layout health (bucket count, base/delta row accounting,
+        small-file pressure), the numbers an operator needs to judge
+        compaction debt."""
+        from couch_to_postgres_spark.streaming.partitioned import (
+            bucket_file_counts,
+            read_meta,
+        )
+
         out = {}
         for fc in load_registry(self.registry_path):
             q = self.queries.get(fc.name)
             alive = bool(q is not None and q.isActive)
             progress = q.lastProgress if q is not None else None
+            mp = self.mirror_path(fc)
+            meta = read_meta(mp)
+            layout = None
+            if meta is not None:
+                files = bucket_file_counts(mp)
+                layout = {
+                    "num_buckets": meta.get("num_buckets"),
+                    "total_rows": meta.get("total_rows"),
+                    "delta_rows": meta.get("delta_rows"),
+                    "max_files_per_bucket": max(files.values()) if files else 0,
+                }
             out[fc.name] = {
                 "enabled": fc.enabled,
                 "alive": alive,
                 "table": fc.table,
-                "doc_count": mirror_doc_count(self.spark, self.mirror_path(fc)),
+                "doc_count": mirror_doc_count(self.spark, mp),
+                "layout": layout,
                 "last_progress": {
                     k: progress.get(k)
                     for k in (

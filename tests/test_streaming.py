@@ -162,6 +162,10 @@ def test_daemon_multi_feed_and_watchdog(spark, sf_dir, tmp):
     assert st["feed-alpha"]["table"] == "feed_alpha"
     total = st["feed-alpha"]["doc_count"] + st["feed-beta"]["doc_count"]
     assert total == len(expected_state(changes))
+    # partitioned-layout health is surfaced for the operator
+    layout = st["feed-alpha"]["layout"]
+    assert layout is not None and layout["num_buckets"] >= 16
+    assert layout["total_rows"] is not None and layout["delta_rows"] == 0
 
     # disable one feed → watchdog reaps it (A11); the availableNow queries
     # have already terminated, so the other is restarted (A12 analog)
