@@ -1297,6 +1297,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.avg(norm), 4).alias("mean_norm"),
         )
 
+    def x_quantize(spark, sf_dir):
+        # int8 embedding quantization — the 4x memory lever for 100 TB
+        # embedding corpora (extensions/ann.quantize_embeddings). qvec is
+        # emitted as a joined string (x_encode idiom) so the hash compare
+        # is layout-stable across engines; scale stays double (canon
+        # rounds floats to 6 on both sides).
+        from couch_to_postgres_spark.extensions.ann import quantize_embeddings
+
+        q = quantize_embeddings(_emb(spark, sf_dir))
+        return q.select(
+            "vec_id",
+            F.col("scale"),
+            F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_s"),
+            F.size("qvec").cast("long").alias("n_dims"),
+        )
+
     def x_corpus_stats(spark, sf_dir):
         return X_text.corpus_stats(_docs(spark, sf_dir))
 
@@ -1328,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gets a driver row at the earliest possible round, whatever the budget.
     return {
         # --- no driver row yet (round 1 checked the 50 at the bottom) ---
+        "x_quantize": x_quantize,
         "x_shards": x_shards,
         "x_rep_signals": x_rep_signals,
         "x_bigram_score": x_bigram_score,
@@ -2730,6 +2747,27 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
                        'sum'))), 4) AS mean_norm
             FROM embeddings GROUP BY label
+        """,
+        "x_quantize": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), s AS (
+                SELECT vec_id, e,
+                       CASE WHEN list_aggregate(
+                                list_transform(e, x -> abs(x)), 'max') > 0
+                            THEN list_aggregate(
+                                list_transform(e, x -> abs(x)), 'max') / 127.0
+                            ELSE 1.0 END AS scale
+                FROM v
+            )
+            SELECT vec_id,
+                   scale,
+                   array_to_string(
+                       list_transform(e, x -> CAST(round(x / scale) AS INT)),
+                       ',') AS qvec_s,
+                   CAST(len(e) AS BIGINT) AS n_dims
+            FROM s
         """,
         "x_corpus_stats": """
             SELECT source,

@@ -99,3 +99,40 @@ def test_persisted_index_matches_inmemory_and_prunes(spark, emb, centroids, tmp_
     # only the probed cells' directories are read, whatever the corpus size
     plan = formatted_plan(indexed_df)
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+def test_quantize_reconstruction_error_bounded(spark, emb):
+    """int8 quantization contract: reconstruction error per component is
+    ≤ scale/2 (+float eps); qvec values fit int8; dequantize round-trips
+    cosine within 2% on real vectors."""
+    from couch_to_postgres_spark.extensions.ann import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(emb)
+    joined = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(q, "vec_id")
+    # per-component |x - q*scale| <= scale/2 (+eps) and |q| <= 127
+    bad = joined.select(
+        F.exists(
+            F.zip_with(
+                "v",
+                dequantize(F.col("qvec"), F.col("scale")),
+                lambda x, d: F.abs(x - d) > F.col("scale") / 2 + F.lit(1e-9),
+            ),
+            lambda b: b,
+        ).alias("err_over"),
+        F.exists("qvec", lambda x: F.abs(x) > 127).alias("overflow"),
+    )
+    assert bad.filter(F.col("err_over") | F.col("overflow")).count() == 0
+    # cosine(v, dequant(v)) ≈ 1 — the ANN-relevant property
+    dq = dequantize(F.col("qvec"), F.col("scale"))
+    dot = F.aggregate(
+        F.zip_with("v", dq, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    n1 = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    n2 = F.sqrt(F.aggregate(dq, F.lit(0.0), lambda a, x: a + x * x))
+    cos = joined.select((dot / (n1 * n2)).alias("c"))
+    assert cos.filter(F.col("c") < 0.98).count() == 0
