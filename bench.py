@@ -82,6 +82,10 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name: str, fn) -> None:
+        # flush pending writeback from prep/previous queries BEFORE the
+        # timer: dirty-page flushes overlapping a timed query inflate it
+        # 2-4x with high variance (measured on q_cdc_incremental_5x)
+        os.sync()
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)

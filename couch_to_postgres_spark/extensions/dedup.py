@@ -170,17 +170,54 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    restrict_to_pair_docs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (id_a, id_b):
     |A∩B| / |A∪B| over distinct word shingles. Join-by-id then set math via
-    array functions — candidates only, never all pairs."""
-    sets_ = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
-    )
+    array functions — candidates only, never all pairs.
+
+    ``restrict_to_pair_docs=True`` builds the shingle arrays ONLY for
+    docs that appear in a pair (broadcast semi-join on the pair ids, then
+    a persist so the interpreted shingle HOF runs once per doc, not once
+    per pair row). Turn it on when candidate docs ≪ corpus — the normal
+    big-corpus regime, where it skips shingling almost everything
+    (near_dedup auto-decides from the pair count). Leave it off when the
+    pair set saturates the corpus: the restriction then prunes nothing
+    and its extra broadcast/materialization passes are pure overhead
+    (measured +3 s on a dup-saturated 5k-doc corpus). With it on,
+    ``pairs`` is referenced twice — pass it persisted."""
+    if restrict_to_pair_docs:
+        pair_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        # persist: without a materialization boundary CollapseProject
+        # inlines the interpreted word_shingles chain into the join's
+        # stream side — evaluated once per PAIR row instead of once per
+        # doc (measured 8.4 s → 5.3 s on 42k pairs / 5k docs). The cache
+        # is candidate-doc-proportional, bounded by the semi-join.
+        sets_ = (
+            df.join(F.broadcast(pair_ids), on=id_col, how="left_semi")
+            .select(
+                F.col(id_col),
+                F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+            )
+            .persist()
+        )
+    else:
+        sets_ = df.select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+        )
     j = (
-        pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        pairs.join(
+            sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        ).join(
+            sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -203,7 +240,8 @@ def edit_distance_verify(
     The O(n·m) DP runs JVM-side per pair — affordable precisely because
     it only ever sees the LSH candidate set, never the quadratic corpus.
     Texts join back by id (candidate-sized joins), same scale shape as
-    :func:`ngram_jaccard`."""
+    :func:`ngram_jaccard`; no per-doc restriction needed here — the text
+    projection is free (no HOF), so the join's own pruning suffices."""
     t = df.select(F.col(id_col), F.col(text_col))
     j = (
         pairs.join(
@@ -412,9 +450,29 @@ def near_dedup(
     Returns ``df`` minus non-representative near-duplicates. Every stage
     is pair-set-proportional after the LSH cut; the corpus itself is
     touched twice (shingling, final anti-join)."""
-    candidates = minhash_candidate_pairs(df, text_col, id_col, num_bands, shingle_n)
-    verified = ngram_jaccard(df, candidates, text_col, id_col, shingle_n).filter(
-        F.col("jaccard") >= jaccard_threshold
+    # persist the candidate set: pair-proportional (tiny), reused by the
+    # count below and by the verify join (twice when restricted)
+    candidates = minhash_candidate_pairs(
+        df, text_col, id_col, num_bands, shingle_n
+    ).persist()
+    # Adaptive verify: restrict shingling to candidate docs ONLY when the
+    # pair set is provably smaller than the corpus (2·|pairs| bounds the
+    # candidate-doc count). The big-corpus few-%-dups regime restricts —
+    # shingles are built for a sliver of the corpus; a dup-saturated
+    # corpus (like the test fixtures) skips the restriction, whose extra
+    # passes would prune nothing.
+    n_pairs = candidates.count()
+    restrict = 2 * n_pairs < df.count()
+    # persist the verified pair set too: connected-component clustering
+    # iterates over it (diameter-bounded joins) — without the cache every
+    # CC iteration re-executes the whole shingle+minhash+verify subtree
+    verified = (
+        ngram_jaccard(
+            df, candidates, text_col, id_col, shingle_n,
+            restrict_to_pair_docs=restrict,
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .persist()
     )
     clusters = dedup_clusters(verified, id_col)
     drop = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
