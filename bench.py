@@ -266,15 +266,19 @@ def main() -> None:
         (r["query_id"], r["neighbor_id"])
         for r in X_sim.cosine_topk(recall_queries, emb, k=5).collect()
     }
-    approx_pairs = {
-        (r["query_id"], r["neighbor_id"])
-        for r in ivf_topk_indexed(
-            recall_queries, spark, ivf_path, k=5, nprobe=4
-        ).collect()
-    }
-    ivf_recall = round(
-        len(exact_pairs & approx_pairs) / max(1, len(exact_pairs)), 4
-    )
+    def recall_at(nprobe: int) -> float:
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk_indexed(
+                recall_queries, spark, ivf_path, k=5, nprobe=nprobe
+            ).collect()
+        }
+        return round(len(exact_pairs & approx) / max(1, len(exact_pairs)), 4)
+
+    # two operating points: the benched nprobe=4 and the recall-leaning
+    # nprobe=8 — the latency/recall dial a deployment actually turns
+    ivf_recall = recall_at(4)
+    ivf_recall_8 = recall_at(8)
 
     # end-to-end dedup pipelines (candidates → verify → connected
     # components → drop), not just candidate generation
@@ -356,6 +360,7 @@ def main() -> None:
         # OS-cached Postgres table, not a cold process.
         "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; matches BASELINE's long-running-daemon measurement",
         "ivf_recall_at_5": ivf_recall,
+        "ivf_recall_at_5_nprobe8": ivf_recall_8,
         "docs": n_docs,
         "lineitem_docs": n_lineitem,
         "cdc_docs_per_sec": round(n_lineitem / timings["q_cdc_apply"], 1)

@@ -34,6 +34,18 @@ def get_spark(
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+    # Make the package importable in Spark's PYTHON WORKERS even when the
+    # driver script runs from another directory: workers inherit the
+    # JVM's env, not the driver's sys.path mutations, and a pickled
+    # pandas-UDF / data-source reader needs the module importable there.
+    # Best-effort (a pre-existing JVM keeps its env); a cluster deploy
+    # ships the package via pip/--py-files instead.
+    _pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_parent not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _pkg_parent + (os.pathsep + _pp if _pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

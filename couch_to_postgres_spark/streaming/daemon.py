@@ -28,11 +28,19 @@ from couch_to_postgres_spark.streaming.pipeline import follow, mirror_doc_count
 @dataclass
 class FeedConfig:
     """One feed row of the registry (the since_checkpoints analog,
-    reference README.md:273-279)."""
+    reference README.md:273-279).
+
+    ``changes_path`` follows a file change-log directory (replay/test
+    source); setting ``url`` instead follows a LIVE CouchDB database
+    named ``name`` over HTTP (`format("couchdb")`) — the reference
+    daemon's actual mode — with optional ``feed="longpoll"``."""
 
     name: str  # couch database name (may contain '-')
-    changes_path: str  # change-log directory (file source) for this feed
+    changes_path: str = ""  # change-log directory (file source)
     enabled: bool = True
+    url: str | None = None  # couch server base URL (HTTP source mode)
+    feed: str | None = None  # None | "longpoll" (HTTP source mode)
+    inactivity_ms: int | None = None  # longpoll hold window (default 30 s)
 
     @property
     def table(self) -> str:
@@ -88,20 +96,34 @@ class Daemon:
         """Start one streaming query per enabled registry feed not already
         running (A10). Mirror/checkpoint dirs are created on demand (A13).
         Returns the feed names started."""
+        from couch_to_postgres_spark.streaming.pipeline import follow_couch
+
         started = []
         for fc in load_registry(self.registry_path):
             if not fc.enabled or fc.name in self.queries:
                 continue
-            q = self.queries.get(fc.name)
             os.makedirs(os.path.dirname(self.mirror_path(fc)), exist_ok=True)
-            q = follow(
-                self.spark,
-                changes_path=fc.changes_path,
-                mirror_path=self.mirror_path(fc),
-                checkpoint_path=self.checkpoint_path(fc),
-                trigger=trigger,
-                query_name=f"feed:{fc.name}",
-            )
+            if fc.url:
+                q = follow_couch(
+                    self.spark,
+                    url=fc.url,
+                    database=fc.name,
+                    mirror_path=self.mirror_path(fc),
+                    checkpoint_path=self.checkpoint_path(fc),
+                    feed=fc.feed,
+                    inactivity_ms=fc.inactivity_ms,
+                    trigger=trigger,
+                    query_name=f"feed:{fc.name}",
+                )
+            else:
+                q = follow(
+                    self.spark,
+                    changes_path=fc.changes_path,
+                    mirror_path=self.mirror_path(fc),
+                    checkpoint_path=self.checkpoint_path(fc),
+                    trigger=trigger,
+                    query_name=f"feed:{fc.name}",
+                )
             self.queries[fc.name] = q
             started.append(fc.name)
         return started

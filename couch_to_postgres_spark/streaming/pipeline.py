@@ -326,6 +326,97 @@ def follow(
     return writer.start()
 
 
+def follow_couch(
+    spark: SparkSession,
+    url: str,
+    database: str,
+    mirror_path: str,
+    checkpoint_path: str,
+    type_filter: str | None = None,
+    map_hook: Callable[[Column], Column] | None = None,
+    limit: int | None = None,
+    feed: str | None = None,
+    inactivity_ms: int | None = None,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+    count_views: dict[str, Column] | None = None,
+    sink: str = "partitioned",
+    num_buckets: int | None = None,
+    username: str | None = None,
+    password: str | None = None,
+) -> StreamingQuery:
+    """`follow` against a LIVE CouchDB `_changes` feed via the
+    ``format("couchdb")`` data source (offset = couch ``since``, durable
+    in the checkpoint) — the reference daemon's actual mode
+    (bin/daemon.js:120-129 follows databases, not files). ``feed=
+    "longpoll"`` gives change-arrival-bound latency; ``limit`` is the A2
+    admission-control page bound. No quarantine option: the source
+    parses upstream and surfaces transport errors typed (no_db_file ≠
+    transient)."""
+    from couch_to_postgres_spark.sources.couchdb_source import register
+
+    register(spark)
+    reader = (
+        spark.readStream.format("couchdb")
+        .option("url", url)
+        .option("database", database)
+    )
+    for k, v in (
+        ("limit", limit),
+        ("feed", feed),
+        ("inactivityMs", inactivity_ms),
+        ("username", username),
+        ("password", password),
+    ):
+        if v is not None:
+            reader = reader.option(k, v)
+    stream = reader.load()
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        from couch_to_postgres_spark.streaming.partitioned import (
+            read_meta,
+            upsert_partitioned_mirror,
+        )
+
+        use_partitioned = sink == "partitioned"
+        if read_meta(mirror_path) is not None:
+            use_partitioned = True
+        elif _current_version(mirror_path) is not None:
+            use_partitioned = False
+        if use_partitioned:
+            upsert_partitioned_mirror(
+                batch.sparkSession,
+                mirror_path,
+                batch,
+                num_buckets=num_buckets,
+                type_filter=type_filter,
+                map_hook=map_hook,
+                count_views=count_views,
+            )
+        else:
+            upsert_mirror(
+                batch.sparkSession,
+                mirror_path,
+                batch,
+                type_filter=type_filter,
+                map_hook=map_hook,
+                count_views=count_views,
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def mirror_doc_count(spark: SparkSession, mirror_path: str) -> int:
     """A19 reconciliation helper: replica cardinality."""
     return read_mirror(spark, mirror_path).count()

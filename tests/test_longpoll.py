@@ -172,3 +172,42 @@ def test_datasource_longpoll_with_reconnect_end_to_end(spark, couch, tmp_path):
     assert state == {"a"}
     # the failed request really happened and was retried
     assert len(couch.changes_requests) >= 2
+
+
+def test_daemon_follows_live_couch_feed(spark, couch, tmp_path):
+    """The reference daemon's actual mode: a registry row with a couch
+    URL follows the LIVE database over HTTP (format('couchdb')) into the
+    partitioned mirror — discovery, merge, status all through the Daemon."""
+    from couch_to_postgres_spark.streaming.daemon import (
+        Daemon,
+        FeedConfig,
+        save_registry,
+    )
+
+    couch.changes_pages = [
+        {
+            "results": [
+                {"seq": 1, "id": "a", "doc": {"_id": "a", "_rev": "1-x", "v": 1}},
+                {"seq": 2, "id": "b", "doc": {"_id": "b", "_rev": "1-y", "v": 2}},
+                {"seq": 3, "id": "c", "deleted": True},
+            ],
+            "last_seq": 3,
+        }
+    ]
+    save_registry(
+        str(tmp_path / "reg.json"),
+        [
+            FeedConfig(
+                name="live-db", url=couch.url, feed="longpoll", inactivity_ms=500
+            )
+        ],
+    )
+    d = Daemon(spark, str(tmp_path / "reg.json"), str(tmp_path / "data"))
+    assert d.find_feeds() == ["live-db"]
+    d.await_all()
+    d.stop_all()
+    st = d.status()["live-db"]
+    assert st["doc_count"] == 2  # a, b live; c deleted before landing
+    assert st["table"] == "live_db"
+    # the HTTP feed really used longpoll
+    assert any("feed=longpoll" in p for p in couch.changes_requests)
