@@ -1297,6 +1297,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.avg(norm), 4).alias("mean_norm"),
         )
 
+    def x_frames(spark, sf_dir):
+        # multimodal frame sampling with a FULL value oracle: the frame
+        # windows' byte content is compared as md5-of-hex (hex() is
+        # uppercase and md5(varchar) hashes utf-8 in both engines —
+        # probed), so the JVM binary-substring kernel is value-checked
+        # without DuckDB blob ops (this DuckDB can't slice/md5 BLOBs).
+        from couch_to_postgres_spark.extensions.multimodal import (
+            attach_binary,
+            frame_sample,
+        )
+
+        assets = attach_binary(_docs(spark, sf_dir))
+        fr = frame_sample(assets, every_n_bytes=64, frame_bytes=16)
+        return fr.select(
+            "asset_id",
+            F.col("frame_no").cast("long").alias("frame_no"),
+            F.col("offset").cast("long").alias("offset"),
+            "frame_bytes",
+            F.md5(F.hex("frame")).alias("frame_md5"),
+        )
+
     def x_quantize(spark, sf_dir):
         # int8 embedding quantization — the 4x memory lever for 100 TB
         # embedding corpora (extensions/ann.quantize_embeddings). qvec is
@@ -1338,10 +1359,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Dict ORDER is part of the driver contract in practice: round 1's
     # CORRECTNESS file contained exactly the first 50 insertion-order keys,
-    # so the driver walks the dict front-to-back under a budget. The 62 keys
-    # that got no round-1 row come FIRST (full-value-oracle ones before the
-    # 3 rows-only ones), the 50 already-driver-green keys after — every key
-    # gets a driver row at the earliest possible round, whatever the budget.
+    # so the driver walks the dict front-to-back under a budget. Keys with
+    # no driver row yet (incl. round-2 additions) come FIRST (full-value
+    # oracles before the rows-only ones), the 50 already-driver-green keys
+    # after — every key gets a driver row at the earliest possible round,
+    # whatever the budget. Re-derive the split from CORRECTNESS_r{N}.json
+    # each round.
     return {
         # --- no driver row yet (round 1 checked the 50 at the bottom) ---
         "x_quantize": x_quantize,
@@ -1404,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pack": x_pack,
         "x_contamination": x_contamination,
         "x_multimodal_meta": x_multimodal_meta,
+        "x_frames": x_frames,
         # rows-only oracles (weaker driver check) last within this block
         "x_semantic_dedup": x_semantic_dedup,
         "x_ann_ivf": x_ann_ivf,
@@ -2747,6 +2771,29 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
                        'sum'))), 4) AS mean_norm
             FROM embeddings GROUP BY label
+        """,
+        "x_frames": """
+            WITH a AS (
+                SELECT doc_id AS asset_id,
+                       hex(encode(text)) AS ph,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                FROM documents
+            ), f AS (
+                SELECT asset_id, ph,
+                       UNNEST(generate_series(
+                           0,
+                           GREATEST(CAST(floor(n_bytes / 64.0) AS BIGINT), 1)
+                               - 1)) AS frame_no
+                FROM a
+            )
+            SELECT asset_id,
+                   frame_no,
+                   frame_no * 64 AS offset,
+                   CAST(length(substring(ph, CAST(frame_no * 128 + 1 AS BIGINT),
+                                         32)) // 2 AS BIGINT) AS frame_bytes,
+                   md5(substring(ph, CAST(frame_no * 128 + 1 AS BIGINT), 32))
+                       AS frame_md5
+            FROM f
         """,
         "x_quantize": """
             WITH v AS (

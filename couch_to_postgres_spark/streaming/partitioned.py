@@ -600,6 +600,41 @@ def fold_deltas(
     return buckets
 
 
+def rebucket_mirror(
+    spark: SparkSession, path: str, new_num_buckets: int
+) -> int:
+    """Layout migration: rewrite the mirror under a new bucket count (the
+    one operation `resolve_num_buckets` refuses to do implicitly).
+
+    Run when the mirror outgrew its layout — rows/bucket drifted far from
+    TARGET_ROWS_PER_BUCKET. Powers of two keep the shuffle friendly
+    (bucket b of 2N receives only rows from bucket b mod N of N).
+    Pending deltas fold in transit (the rewrite reads the MoR view).
+    The new layout stages beside the live one and swaps with two renames
+    — readers in flight keep their pinned file listing of the old
+    directory until the rmtree. Returns the OLD bucket count."""
+    with _path_lock(path):
+        meta = read_meta(path)
+        if meta is None:
+            raise ValueError(f"no partitioned mirror at {path}")
+        old_n = int(meta["num_buckets"])
+        if new_num_buckets == old_n:
+            return old_n
+        staging = path + ".rebucket"
+        shutil.rmtree(staging, ignore_errors=True)
+        write_partitioned_mirror(_mor_view(spark, path), staging, new_num_buckets)
+        # count views are bucket-agnostic (keyed aggregates) — carry them
+        views = os.path.join(path, "_views")
+        if os.path.isdir(views):
+            shutil.copytree(views, os.path.join(staging, "_views"))
+        old_dir = path + ".old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.rename(path, old_dir)
+        os.rename(staging, path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        return old_n
+
+
 def compact_mirror(
     spark: SparkSession,
     path: str,

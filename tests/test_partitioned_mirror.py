@@ -303,3 +303,55 @@ def test_delta_path_maintains_count_views(spark, sf_dir, tmp_path):
         key=nullsafe,
     )
     assert view == fresh and len(view) > 0
+
+
+def test_rebucket_mirror_migrates_layout(spark, sf_dir, tmp_path):
+    """Layout migration: state (incl. pending deltas and count views)
+    survives a bucket-count change; the new layout is authoritative and
+    a stale explicit count now raises."""
+    import os
+
+    import pytest as _pytest
+
+    from couch_to_postgres_spark.functions.json import json_get
+    from couch_to_postgres_spark.streaming.partitioned import (
+        read_meta,
+        rebucket_mirror,
+    )
+    from couch_to_postgres_spark.streaming.pipeline import read_count_view
+
+    mirror_path = str(tmp_path / "pmirror")
+    base = docs_mirror(spark, sf_dir, with_rev=True)
+    write_partitioned_mirror(base, mirror_path, 16)
+    views = {"by_lang": json_get("doc", "lang")}
+    changes = spark.createDataFrame(DELTA_CHANGES, CHANGES_SCHEMA)
+    upsert_partitioned_mirror(
+        spark, mirror_path, changes, 16, count_views=views, mode="delta"
+    )
+    expected = state(read_partitioned_mirror(spark, mirror_path))
+    view_before = sorted(
+        map(tuple, read_count_view(spark, mirror_path, "by_lang").collect()),
+        key=str,
+    )
+
+    assert rebucket_mirror(spark, mirror_path, 32) == 16
+    meta = read_meta(mirror_path)
+    assert meta["num_buckets"] == 32 and meta["delta_rows"] == 0
+    assert state(read_partitioned_mirror(spark, mirror_path)) == expected
+    assert (
+        sorted(
+            map(tuple, read_count_view(spark, mirror_path, "by_lang").collect()),
+            key=str,
+        )
+        == view_before
+    )
+    # stale explicit bucket count is refused; the new one works
+    with _pytest.raises(ValueError, match="num_buckets=32"):
+        upsert_partitioned_mirror(spark, mirror_path, changes, 16)
+    upsert_partitioned_mirror(spark, mirror_path, changes, 32)
+    assert state(read_partitioned_mirror(spark, mirror_path)) == expected
+    assert max(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(mirror_path)
+        if d.startswith("bucket=")
+    ) > 15  # rows really spread into the new bucket range
