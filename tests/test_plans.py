@@ -340,3 +340,55 @@ def test_zscore_corpus_never_shuffles(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert num_exchanges(df) == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_quantize_is_single_jvm_pass(spark, sf_dir):
+    """x_quantize's operator: one map-only JVM pass — no exchange, no
+    Python stage. The 4x memory cut must not cost a shuffle."""
+    from couch_to_postgres_spark.extensions.ann import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = executed_plan(quantize_embeddings(emb))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_frame_sample_is_jvm_only(spark, sf_dir):
+    """Frame sampling: explode + binary substring, all codegen-able JVM —
+    no Python crossing for the windowing itself."""
+    from couch_to_postgres_spark.extensions.multimodal import (
+        attach_binary,
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = executed_plan(frame_sample(attach_binary(docs)))
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan  # row-local explode, no shuffle
+
+
+def test_mor_read_resolves_with_broadcast_anti_join(spark, sf_dir, tmp_path):
+    """The merge-on-read view: base is anti-joined against the (small)
+    delta id set via a BROADCAST join — the base side never shuffles,
+    whatever the mirror size; the only exchange is the delta-resolution
+    window over the bounded delta log."""
+    from couch_to_postgres_spark.streaming.partitioned import (
+        read_partitioned_mirror,
+        upsert_partitioned_mirror,
+        write_partitioned_mirror,
+    )
+
+    p = str(tmp_path / "m")
+    write_partitioned_mirror(docs_mirror(spark, sf_dir), p, 16)
+    ch = spark.createDataFrame(
+        [(1, "3", False, '{"doc_id":3}')], CHANGES_SCHEMA
+    )
+    upsert_partitioned_mirror(spark, p, ch, 16, mode="delta")
+    df = read_partitioned_mirror(spark, p)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # base scan flows into the anti-join with no exchange in between:
+    # every hashpartitioning exchange in the plan is on the delta side
+    # (the per-id resolution window), never on the base FileScan branch
+    base_branch = plan.split("LeftAnti", 1)[0]
+    assert "Exchange hashpartitioning" not in base_branch, plan
