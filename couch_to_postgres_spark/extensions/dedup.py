@@ -171,6 +171,7 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     restrict_to_pair_docs: bool = False,
+    _cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (id_a, id_b):
     |A∩B| / |A∪B| over distinct word shingles. Join-by-id then set math via
@@ -205,6 +206,11 @@ def ngram_jaccard(
             )
             .persist()
         )
+        # let the caller release this cache once results materialize
+        # (near_dedup does); a bare ngram_jaccard call keeps it for the
+        # session, which is the desired behavior for interactive reuse
+        if _cache_registry is not None:
+            _cache_registry.append(sets_)
     else:
         sets_ = df.select(
             F.col(id_col),
@@ -432,6 +438,9 @@ def dedup_clusters(
         prev, labels = labels, new_labels
         if changed == 0:
             break
+    # labels are checkpoint-backed (eager) — the edge cache is dead
+    # weight now; a long-lived engine must not accumulate it per call
+    edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("cluster"))
 
 
@@ -466,15 +475,30 @@ def near_dedup(
     # persist the verified pair set too: connected-component clustering
     # iterates over it (diameter-bounded joins) — without the cache every
     # CC iteration re-executes the whole shingle+minhash+verify subtree
+    caches: list = []
     verified = (
         ngram_jaccard(
             df, candidates, text_col, id_col, shingle_n,
             restrict_to_pair_docs=restrict,
+            _cache_registry=caches,
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .persist()
     )
     clusters = dedup_clusters(verified, id_col)
+    # clusters are materialized (dedup_clusters checkpoints eagerly), so
+    # the upstream caches can drop now — a daemon calling near_dedup per
+    # corpus must not accumulate dead candidate/verified/shingle blocks
+    candidates.unpersist()
+    verified.unpersist()
+    for frame in caches:
+        frame.unpersist()
+    # What intentionally remains cached: ONE block set per call — the
+    # final CC labels' localCheckpoint, which the returned DataFrame's
+    # anti-join still references (releasing it here would break the lazy
+    # result). It is candidate-doc-proportional, and a long-lived caller
+    # that has consumed the result can clear it with
+    # spark.catalog.clearCache() or by scoping the session.
     drop = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
     # explicit broadcast: the drop set is pair-set-proportional (tiny vs
     # the corpus), but it comes out of localCheckpoint as an ExistingRDD
