@@ -152,6 +152,83 @@ def build_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to a persisted IVF index — O(batch), no
+    rebuild, no existing cell file touched.
+
+    Cells are assigned with the INDEX'S OWN centroids (the quantizer is
+    part of the index contract; using fresh centroids would scatter old
+    and new vectors across incompatible cell spaces), and the batch
+    appends under the existing ``partitionBy(cell)`` layout, so queries
+    see the new vectors on their next scan with the same directory
+    pruning. This is the `foreachBatch` body for a streaming embeddings
+    feed (``stream.writeStream.foreachBatch(lambda b, _:
+    append_to_ivf_index(spark, path, b))``).
+
+    Quantizer drift: appended vectors keep the original centroids, so
+    cell balance degrades as the input distribution shifts — monitor with
+    :func:`ivf_index_stats` and rebuild (:func:`build_ivf_index`) when
+    max/mean cell size crosses ~2-4×, the standard IVF maintenance
+    discipline. Returns the number of vectors appended."""
+    import os
+
+    cents = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    }
+    centroids = [cents[i] for i in sorted(cents)]
+    assigned = assign_cells(new_vectors, centroids, id_col, vec_col, nprobe=1)
+    n = assigned.count()
+    if n:
+        (
+            assigned.repartition("cell")  # one file per touched cell
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "cells"))
+        )
+    return n
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Index health monitor: per-cell vector count, file count, and the
+    global balance ratio (max/mean cell size) as columns — the numbers
+    that schedule compaction (files) and quantizer retrain (balance).
+    Parquet-footer counts only; never scans vector data."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    cells_dir = os.path.join(path, "cells")
+    counts = spark.read.parquet(cells_dir).groupBy("cell").agg(
+        F2.count(F2.lit(1)).alias("n_vecs")
+    )
+    files = []
+    for entry in os.listdir(cells_dir):
+        if entry.startswith("cell="):
+            c = int(entry.split("=", 1)[1])
+            d = os.path.join(cells_dir, entry)
+            files.append(
+                (c, sum(1 for f in os.listdir(d) if f.endswith(".parquet")))
+            )
+    fdf = spark.createDataFrame(files, "cell int, n_files int")
+    stats = counts.join(fdf, "cell", "outer")
+    total = stats.agg(
+        F2.max("n_vecs").alias("_mx"), F2.avg("n_vecs").alias("_avg")
+    )
+    return stats.crossJoin(F2.broadcast(total)).select(
+        "cell",
+        "n_vecs",
+        "n_files",
+        F2.round(F2.col("_mx") / F2.col("_avg"), 3).alias("balance_ratio"),
+    )
+
+
 def ivf_topk_indexed(
     queries,
     spark,

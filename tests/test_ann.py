@@ -136,3 +136,53 @@ def test_quantize_reconstruction_error_bounded(spark, emb):
     n2 = F.sqrt(F.aggregate(dq, F.lit(0.0), lambda a, x: a + x * x))
     cos = joined.select((dot / (n1 * n2)).alias("c"))
     assert cos.filter(F.col("c") < 0.98).count() == 0
+
+
+def test_ivf_incremental_append_and_stats(spark, emb, centroids, tmp_path):
+    """Index maintenance: appended vectors are queryable with the same
+    directory pruning, existing cell files are untouched (O(batch)), and
+    the stats monitor reflects the growth."""
+    import os
+
+    from couch_to_postgres_spark.extensions.ann import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_stats,
+        ivf_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, centroids=centroids)
+
+    def inventory():
+        out = {}
+        for root, _d, files in os.walk(os.path.join(path, "cells")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = inventory()
+    n_before = spark.read.parquet(os.path.join(path, "cells")).count()
+
+    # clones of an existing vector => land in its cell, become its NN
+    src = emb.filter(F.col("vec_id") == 7)
+    clones = src.select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding", "label"
+    )
+    assert append_to_ivf_index(spark, path, clones) == 1
+    # O(batch): every pre-existing file bit-identical (append-only)
+    after = inventory()
+    assert all(after[p] == t for p, t in before.items())
+    assert len(after) > len(before)
+    assert spark.read.parquet(os.path.join(path, "cells")).count() == n_before + 1
+
+    # the appended vector is found as the top neighbor of its source
+    res = ivf_topk_indexed(src, spark, path, k=3, nprobe=2).collect()
+    assert res and res[0]["neighbor_id"] == 500007 and res[0]["rank"] == 1
+
+    stats = ivf_index_stats(spark, path)
+    rows = {r["cell"]: r for r in stats.collect()}
+    assert sum(r["n_vecs"] for r in rows.values()) == n_before + 1
+    assert all(r["balance_ratio"] >= 1.0 for r in rows.values())
