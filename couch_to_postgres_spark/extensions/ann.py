@@ -195,6 +195,83 @@ def append_to_ivf_index(
     return n
 
 
+def remove_from_ivf_index(
+    spark, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> int:
+    """Tombstone deletes — the CDC-delete side of index maintenance.
+
+    O(batch): the id set appends under ``tombstones/``; no cell file is
+    touched. Queries anti-join the (bounded, see compact) tombstone set;
+    :func:`compact_ivf_index` folds them physically. Returns ids written."""
+    import os
+
+    t = ids.select(F.col(id_col)).distinct()
+    n = t.count()
+    if n:
+        t.coalesce(1).write.mode("append").parquet(
+            os.path.join(path, "tombstones")
+        )
+    return n
+
+
+def _live_cells(spark, path: str, cells: DataFrame) -> DataFrame:
+    """Apply tombstones to a cell scan (anti-join; the tombstone set is
+    compaction-bounded and AQE broadcasts it)."""
+    import os
+
+    tdir = os.path.join(path, "tombstones")
+    if os.path.isdir(tdir) and any(
+        f.endswith(".parquet") for f in os.listdir(tdir)
+    ):
+        t = spark.read.parquet(tdir)
+        return cells.join(t, on=t.columns[0], how="left_anti")
+    return cells
+
+
+def compact_ivf_index(spark, path: str) -> list[int]:
+    """Physically drop tombstoned vectors: rewrite ONLY the cells that
+    contain them (per-directory staged swap), then clear the tombstone
+    log. Run off-peak when the tombstone set grows — it bounds both the
+    read-side anti-join and deleted-data retention. Returns the rewritten
+    cell ids."""
+    import os
+    import shutil
+
+    tdir = os.path.join(path, "tombstones")
+    if not (
+        os.path.isdir(tdir)
+        and any(f.endswith(".parquet") for f in os.listdir(tdir))
+    ):
+        return []
+    cells_dir = os.path.join(path, "cells")
+    t = spark.read.parquet(tdir)
+    id_col = t.columns[0]
+    all_cells = spark.read.parquet(cells_dir)
+    affected = sorted(
+        r["cell"]
+        for r in all_cells.join(t, on=id_col, how="left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    for c in affected:
+        src = os.path.join(cells_dir, f"cell={c}")
+        tmp = src + ".compact"
+        (
+            spark.read.parquet(src)
+            .join(t, on=id_col, how="left_anti")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = src + ".old"
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tdir, ignore_errors=True)
+    return affected
+
+
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """Index health monitor: per-cell vector count, file count, and the
     global balance ratio (max/mean cell size) as columns — the numbers
@@ -217,6 +294,13 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
                 (c, sum(1 for f in os.listdir(d) if f.endswith(".parquet")))
             )
     fdf = spark.createDataFrame(files, "cell int, n_files int")
+    tdir = os.path.join(path, "tombstones")
+    n_tomb = (
+        spark.read.parquet(tdir).count()
+        if os.path.isdir(tdir)
+        and any(f.endswith(".parquet") for f in os.listdir(tdir))
+        else 0
+    )
     stats = counts.join(fdf, "cell", "outer")
     total = stats.agg(
         F2.max("n_vecs").alias("_mx"), F2.avg("n_vecs").alias("_avg")
@@ -226,6 +310,7 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
         "n_vecs",
         "n_files",
         F2.round(F2.col("_mx") / F2.col("_avg"), 3).alias("balance_ratio"),
+        F2.lit(n_tomb).alias("n_tombstones"),
     )
 
 
@@ -257,8 +342,12 @@ def ivf_topk_indexed(
     probed = sorted(
         r["cell"] for r in q_cells.select("cell").distinct().collect()
     )
-    corpus_cells = spark.read.parquet(os.path.join(path, "cells")).filter(
-        F.col("cell").isin(probed)
+    corpus_cells = _live_cells(
+        spark,
+        path,
+        spark.read.parquet(os.path.join(path, "cells")).filter(
+            F.col("cell").isin(probed)
+        ),
     )
     return _score_probed(q_cells, corpus_cells, k, id_col, vec_col)
 

@@ -186,3 +186,65 @@ def test_ivf_incremental_append_and_stats(spark, emb, centroids, tmp_path):
     rows = {r["cell"]: r for r in stats.collect()}
     assert sum(r["n_vecs"] for r in rows.values()) == n_before + 1
     assert all(r["balance_ratio"] >= 1.0 for r in rows.values())
+
+
+def test_ivf_tombstone_delete_and_compact(spark, emb, centroids, tmp_path):
+    """Delete lifecycle: tombstoned vectors vanish from search results
+    immediately (O(batch) logical delete); compaction rewrites ONLY the
+    affected cells, clears the log, and search results are unchanged."""
+    import os
+
+    from couch_to_postgres_spark.extensions.ann import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_stats,
+        ivf_topk_indexed,
+        remove_from_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, centroids=centroids)
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = ivf_topk_indexed(queries, spark, path, k=3, nprobe=3).collect()
+    victim = before[0]["neighbor_id"]
+
+    assert (
+        remove_from_ivf_index(
+            spark, path, spark.createDataFrame([(victim,)], "vec_id long")
+        )
+        == 1
+    )
+    after = ivf_topk_indexed(queries, spark, path, k=3, nprobe=3).collect()
+    assert all(r["neighbor_id"] != victim for r in after)
+    assert ivf_index_stats(spark, path).head()["n_tombstones"] == 1
+
+    # compact: only the victim's cell rewritten; results identical after
+    def inventory():
+        out = {}
+        for root, _d, files in os.walk(os.path.join(path, "cells")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    pre = inventory()
+    affected = compact_ivf_index(spark, path)
+    assert len(affected) >= 1
+    post = inventory()
+    untouched = {
+        p: t for p, t in pre.items()
+        if not any(f"cell={c}/" in p or p.endswith(f"cell={c}") for c in affected)
+    }
+    assert all(post[p] == t for p, t in untouched.items())
+    assert ivf_index_stats(spark, path).head()["n_tombstones"] == 0
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    final = ivf_topk_indexed(queries, spark, path, k=3, nprobe=3).collect()
+    assert sorted(map(tuple, final)) == sorted(map(tuple, after))
+    # the victim is physically gone
+    assert (
+        spark.read.parquet(os.path.join(path, "cells"))
+        .filter(F.col("vec_id") == victim)
+        .count()
+        == 0
+    )
