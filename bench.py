@@ -194,6 +194,7 @@ def main() -> None:
     os.sync()
     bench("q_cdc_incremental_5x", cdc_incremental_5x)
 
+
     from couch_to_postgres_spark.sources.changes import (
         changes_from_events,
         write_change_log,

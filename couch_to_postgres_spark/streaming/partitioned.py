@@ -600,6 +600,33 @@ def fold_deltas(
     return buckets
 
 
+def point_lookup_partitioned(
+    spark: SparkSession, path: str, doc_id: str
+) -> DataFrame:
+    """Point lookup (B1) exploiting the bucket layout: compute the key's
+    bucket DRIVER-SIDE (zlib.crc32 ≡ Spark's crc32, pinned by test) and
+    scan only that one ``bucket=`` directory. Delta rows for the bucket
+    resolve through the same MoR view.
+
+    When it wins, honestly: at local/sub-GB scale a plain full-scan
+    filter is FASTER (measured 0.2 s vs 1.1 s at 600k docs) — parquet
+    row-group min/max skipping already prunes a point predicate, and the
+    MoR resolution adds fixed plan stages. The directory pruning pays off
+    when the mirror's FILE COUNT is large (thousands of buckets × files):
+    listing and footer-reading every file is the 100 TB bottleneck, and
+    this touches exactly one directory regardless of mirror size."""
+    import zlib
+
+    meta = read_meta(path)
+    if meta is None:
+        from couch_to_postgres_spark.operators.mirror import MIRROR_SCHEMA
+
+        return spark.createDataFrame([], MIRROR_SCHEMA)
+    n = int(meta["num_buckets"])
+    b = zlib.crc32(doc_id.encode("utf-8")) % n
+    return _mor_view(spark, path, [b]).filter(F.col("id") == doc_id)
+
+
 def rebucket_mirror(
     spark: SparkSession, path: str, new_num_buckets: int
 ) -> int:

@@ -355,3 +355,43 @@ def test_rebucket_mirror_migrates_layout(spark, sf_dir, tmp_path):
         for d in os.listdir(mirror_path)
         if d.startswith("bucket=")
     ) > 15  # rows really spread into the new bucket range
+
+
+def test_point_lookup_partitioned_prunes_to_one_bucket(spark, sf_dir, tmp_path):
+    """B1 over the bucket layout: the scan reads exactly ONE bucket
+    directory (driver-side crc32 ≡ Spark crc32), result identical to the
+    full-scan lookup, and deltas for the key resolve."""
+    from couch_to_postgres_spark.streaming.partitioned import (
+        point_lookup_partitioned,
+    )
+
+    mirror_path = str(tmp_path / "pmirror")
+    base = docs_mirror(spark, sf_dir, with_rev=True)
+    write_partitioned_mirror(base, mirror_path, N_BUCKETS)
+
+    df = point_lookup_partitioned(spark, mirror_path, "123")
+    rows = df.collect()
+    expected = base.filter(F.col("id") == "123").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in expected]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan.replace(
+        "PartitionFilters: [bucket", "PartitionFilters: [isnotnull(bucket"
+    )  # bucket partition filter present (either normalized form)
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:120]
+
+    # a delta update to the key is visible through the pruned lookup
+    upd = spark.createDataFrame(
+        [(9, "123", False, '{"doc_id":123,"_rev":"2-upd"}')], CHANGES_SCHEMA
+    )
+    upsert_partitioned_mirror(spark, mirror_path, upd, N_BUCKETS, mode="delta")
+    got = point_lookup_partitioned(spark, mirror_path, "123").head()
+    assert '"2-upd"' in got["doc"]
+    # cross-check the driver-side bucket math against Spark's crc32
+    import zlib
+
+    spark_b = (
+        base.filter(F.col("id") == "123")
+        .select(F.pmod(F.crc32(F.col("id").cast("binary")), F.lit(N_BUCKETS)))
+        .head()[0]
+    )
+    assert zlib.crc32(b"123") % N_BUCKETS == spark_b
