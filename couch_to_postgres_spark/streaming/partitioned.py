@@ -600,6 +600,64 @@ def fold_deltas(
     return buckets
 
 
+def validate_mirror(spark: SparkSession, path: str) -> dict:
+    """Layout fsck for a partitioned mirror — the post-incident check a
+    100 TB deployment runs before trusting pruned reads again.
+
+    Verifies the invariants every pruning/merge path relies on:
+
+    * **placement** — every base row lives in the directory its key
+      hashes to (a misplaced row is silently invisible to pruned merges
+      and point lookups);
+    * **key uniqueness** — no id appears in two base buckets;
+    * **delta accounting** — meta's ``delta_rows`` matches the log;
+    * **no stranded staging/old dirs** from an interrupted swap.
+
+    Read-mostly: one pruned-column scan of (id, bucket) pairs + parquet
+    footer counts. Returns a dict with ``ok`` plus per-check numbers."""
+    meta = read_meta(path)
+    if meta is None:
+        return {"ok": False, "error": f"no partitioned mirror at {path}"}
+    n = int(meta["num_buckets"])
+    base = spark.read.parquet(path).select("id", "bucket")
+    misplaced = base.filter(
+        F.col("bucket") != bucket_of(F.col("id"), n)
+    ).count()
+    dup_keys = (
+        base.groupBy("id").count().filter(F.col("count") > 1).count()
+    )
+    base_rows = base.count()
+    delta_actual = (
+        spark.read.parquet(_delta_path(path)).count() if _has_delta(path) else 0
+    )
+    delta_meta = int(meta.get("delta_rows") or 0)
+    stranded = [
+        d
+        for d in (path + ".staging", path + ".folding", path + ".rebucket")
+        if os.path.exists(d)
+    ] + [
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if d.endswith(".old") or d.endswith(".compact")
+    ]
+    ok = (
+        misplaced == 0
+        and dup_keys == 0
+        and delta_actual == delta_meta
+        and not stranded
+    )
+    return {
+        "ok": ok,
+        "num_buckets": n,
+        "base_rows": base_rows,
+        "misplaced_rows": misplaced,
+        "duplicate_keys": dup_keys,
+        "delta_rows_meta": delta_meta,
+        "delta_rows_actual": delta_actual,
+        "stranded_dirs": stranded,
+    }
+
+
 def point_lookup_partitioned(
     spark: SparkSession, path: str, doc_id: str
 ) -> DataFrame:

@@ -395,3 +395,43 @@ def test_point_lookup_partitioned_prunes_to_one_bucket(spark, sf_dir, tmp_path):
         .head()[0]
     )
     assert zlib.crc32(b"123") % N_BUCKETS == spark_b
+
+
+def test_validate_mirror_detects_corruption(spark, sf_dir, tmp_path):
+    """fsck: a healthy mirror (with deltas) validates; a row planted in
+    the wrong bucket directory and a stale meta count are both caught."""
+    import shutil
+
+    from couch_to_postgres_spark.streaming.partitioned import (
+        read_meta,
+        validate_mirror,
+        write_meta,
+    )
+
+    mirror_path = str(tmp_path / "pmirror")
+    base = docs_mirror(spark, sf_dir, with_rev=True)
+    write_partitioned_mirror(base, mirror_path, N_BUCKETS)
+    changes = spark.createDataFrame(DELTA_CHANGES, CHANGES_SCHEMA)
+    upsert_partitioned_mirror(spark, mirror_path, changes, N_BUCKETS, mode="delta")
+
+    report = validate_mirror(spark, mirror_path)
+    assert report["ok"], report
+    assert report["base_rows"] == 500
+    assert report["delta_rows_actual"] == report["delta_rows_meta"] == 3
+
+    # corruption 1: move a data file into another bucket's directory
+    src_dir = f"{mirror_path}/bucket=0"
+    dst_dir = f"{mirror_path}/bucket=1"
+    moved = [f for f in os.listdir(src_dir) if f.endswith(".parquet")][0]
+    shutil.copy(f"{src_dir}/{moved}", f"{dst_dir}/copied-{moved}")
+    bad = validate_mirror(spark, mirror_path)
+    assert not bad["ok"]
+    assert bad["misplaced_rows"] > 0 and bad["duplicate_keys"] > 0
+
+    # restore, then corruption 2: meta delta accounting drift
+    os.remove(f"{dst_dir}/copied-{moved}")
+    meta = read_meta(mirror_path)
+    meta["delta_rows"] = 999
+    write_meta(mirror_path, meta)
+    drifted = validate_mirror(spark, mirror_path)
+    assert not drifted["ok"] and drifted["delta_rows_meta"] == 999
