@@ -87,6 +87,48 @@ def _path_lock(path: str) -> threading.Lock:
         return _PATH_LOCKS.setdefault(key, threading.Lock())
 
 
+#: how long replaced bucket/delta dirs are RETAINED after a swap — an
+#: operator recovery window: a bad merge's previous bucket state can be
+#: restored from ``.trash`` until GC (which runs on later merges).
+#: NOTE this is recovery, not reader snapshot isolation: Spark readers
+#: pin absolute file paths at planning, so an in-flight scan racing a
+#: swap fails fast with FAILED_READ_FILE either way and must re-plan —
+#: the documented trade of directory-swap layouts vs the flat sink's
+#: true MVCC (or a manifest-based table format, which solves both).
+TRASH_GRACE_SECONDS = 300.0
+
+
+def _retire(dirpath: str, mirror_root: str) -> None:
+    """Move a replaced directory into the mirror's hidden trash
+    (dot-prefixed → invisible to Spark's file listing) for the recovery
+    window, then GC entries older than the grace period."""
+    if not os.path.exists(dirpath):
+        return
+    trash = os.path.join(mirror_root, ".trash")
+    os.makedirs(trash, exist_ok=True)
+    os.rename(
+        dirpath,
+        os.path.join(
+            trash, f"{time.time_ns()}-{os.path.basename(dirpath)}"
+        ),
+    )
+    _gc_trash(mirror_root)
+
+
+def _gc_trash(mirror_root: str, grace_s: float = TRASH_GRACE_SECONDS) -> None:
+    trash = os.path.join(mirror_root, ".trash")
+    if not os.path.isdir(trash):
+        return
+    cutoff = time.time_ns() - int(grace_s * 1e9)
+    for entry in os.listdir(trash):
+        try:
+            ts = int(entry.split("-", 1)[0])
+        except ValueError:
+            ts = 0
+        if ts < cutoff:
+            shutil.rmtree(os.path.join(trash, entry), ignore_errors=True)
+
+
 def bucket_of(id_col: Column, num_buckets: int = DEFAULT_BUCKETS) -> Column:
     return F.pmod(F.crc32(id_col.cast("binary")), F.lit(num_buckets)).cast("int")
 
@@ -262,7 +304,7 @@ def _update_count_views(
         if os.path.exists(vdir):
             os.rename(vdir, old)
         os.rename(tmp, vdir)
-        shutil.rmtree(old, ignore_errors=True)
+        _retire(old, path)  # grace-period trash (recovery window)
 
 
 def upsert_partitioned_mirror(
@@ -499,7 +541,9 @@ def _rewrite_buckets(
             touched_ids=batch.select("id").distinct(),
             full_pre=_mor_view(spark, path),
         )
-    # swap only the touched bucket directories; retire their deltas
+    # swap only the touched bucket directories; retire their deltas.
+    # Replaced dirs go to the grace-period trash, not rmtree — the
+    # operator's undo window for a bad merge (see TRASH_GRACE_SECONDS).
     for b in touched:
         src = os.path.join(staging, f"bucket={b}")
         dst = os.path.join(path, f"bucket={b}")
@@ -510,10 +554,8 @@ def _rewrite_buckets(
             os.rename(src, dst)
         else:  # bucket emptied by deletions
             os.makedirs(dst, exist_ok=True)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(
-            os.path.join(_delta_path(path), f"bucket={b}"), ignore_errors=True
-        )
+        _retire(old, path)
+        _retire(os.path.join(_delta_path(path), f"bucket={b}"), path)
     shutil.rmtree(staging, ignore_errors=True)
     meta["total_rows"] = spark.read.parquet(path).count()
     meta["delta_rows"] = (
@@ -589,10 +631,8 @@ def fold_deltas(
             os.rename(src, dst)
         else:  # bucket emptied by deletions
             os.makedirs(dst, exist_ok=True)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(
-            os.path.join(_delta_path(path), f"bucket={b}"), ignore_errors=True
-        )
+        _retire(old, path)  # grace-period trash (recovery window)
+        _retire(os.path.join(_delta_path(path), f"bucket={b}"), path)
     shutil.rmtree(staging, ignore_errors=True)
     meta["total_rows"] = spark.read.parquet(path).count()
     meta["delta_rows"] = 0
@@ -716,7 +756,7 @@ def rebucket_mirror(
         shutil.rmtree(old_dir, ignore_errors=True)
         os.rename(path, old_dir)
         os.rename(staging, path)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        _retire(old_dir, path)  # whole old layout kept for the grace window
         return old_n
 
 
@@ -750,7 +790,7 @@ def compact_mirror(
             old = src + ".old"
             os.rename(src, old)
             os.rename(tmp, src)
-            shutil.rmtree(old, ignore_errors=True)
+            _retire(old, path)  # grace-period trash (recovery window)
         return sorted(set(folded) | set(todo))
 
 

@@ -435,3 +435,42 @@ def test_validate_mirror_detects_corruption(spark, sf_dir, tmp_path):
     write_meta(mirror_path, meta)
     drifted = validate_mirror(spark, mirror_path)
     assert not drifted["ok"] and drifted["delta_rows_meta"] == 999
+
+
+def test_trash_recovery_window_after_bad_merge(spark, sf_dir, tmp_path):
+    """Replaced bucket dirs are RETAINED in .trash for the grace window:
+    after a destructive (wrong) merge, the operator restores the previous
+    bucket state from trash — and the trash is invisible to fresh reads.
+    (Reader snapshot isolation across a swap is explicitly NOT provided —
+    dir-swap layouts fail in-flight scans fast; documented trade.)"""
+    import shutil
+
+    mirror_path = str(tmp_path / "pmirror")
+    base = docs_mirror(spark, sf_dir, with_rev=True)
+    write_partitioned_mirror(base, mirror_path, N_BUCKETS)
+    pre_state = state(read_partitioned_mirror(spark, mirror_path))
+
+    # a "bad" merge rewrites every doc with a bogus rev
+    bulk = base.selectExpr(
+        "CAST(id AS LONG) + 1000 AS seq", "id", "false AS deleted", "doc"
+    ).withColumn("doc", F.regexp_replace("doc", '"1-', '"9-'))
+    upsert_partitioned_mirror(spark, mirror_path, bulk, N_BUCKETS, mode="rewrite")
+    fresh = state(read_partitioned_mirror(spark, mirror_path))
+    assert all('"9-' in doc for doc in fresh.values())  # damage done
+
+    # trash holds one retired dir per replaced bucket, invisible to reads
+    trash = os.path.join(mirror_path, ".trash")
+    retired = sorted(os.listdir(trash))
+    assert len(retired) >= N_BUCKETS
+    assert state(read_partitioned_mirror(spark, mirror_path)) == fresh
+
+    # operator recovery: restore every bucket from its trash entry
+    for entry in retired:
+        name = entry.split("-", 1)[1]  # "<ts>-bucket=N.old"
+        if not name.startswith("bucket="):
+            continue
+        b = name.split("=", 1)[1].split(".", 1)[0]
+        dst = os.path.join(mirror_path, f"bucket={b}")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(os.path.join(trash, entry), dst)
+    assert state(read_partitioned_mirror(spark, mirror_path)) == pre_state
