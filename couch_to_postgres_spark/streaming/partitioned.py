@@ -156,7 +156,17 @@ def read_meta(path: str) -> dict | None:
     meta = os.path.join(path, META_FILE)
     if os.path.exists(meta):
         with open(meta) as f:
-            return json.load(f)
+            try:
+                return json.load(f)
+            except ValueError as e:
+                # a corrupt meta must fail LOUDLY: guessing the bucket
+                # count would route merges through the wrong bucket fn
+                # and silently corrupt the layout
+                raise ValueError(
+                    f"corrupt mirror meta at {meta}: {e}. Restore it "
+                    f"(num_buckets must match the layout) or rebuild "
+                    f"with write_partitioned_mirror."
+                ) from e
     if os.path.exists(path):
         buckets = [d for d in os.listdir(path) if d.startswith("bucket=")]
         if buckets:

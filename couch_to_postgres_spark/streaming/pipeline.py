@@ -418,5 +418,21 @@ def follow_couch(
 
 
 def mirror_doc_count(spark: SparkSession, mirror_path: str) -> int:
-    """A19 reconciliation helper: replica cardinality."""
-    return read_mirror(spark, mirror_path).count()
+    """A19 reconciliation helper: replica cardinality.
+
+    Retries on a stale file listing: a scan racing a concurrent bucket
+    swap/compaction fails fast with FAILED_READ_FILE (the partitioned
+    layout's documented non-MVCC trade) — re-planning gets a fresh
+    listing, which is exactly Spark's own prescription for it. Bounded
+    retries so a genuinely broken mirror still surfaces."""
+    last: Exception | None = None
+    for _ in range(3):
+        try:
+            return read_mirror(spark, mirror_path).count()
+        except Exception as e:  # noqa: BLE001 — classify by message below
+            msg = str(e)
+            if "FAILED_READ_FILE" in msg or "FileNotFoundException" in msg:
+                last = e
+                continue
+            raise
+    raise last  # type: ignore[misc]

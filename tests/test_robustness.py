@@ -179,3 +179,21 @@ def test_clean_log_produces_no_quarantine_dir(spark, tmp_path):
     q.awaitTermination(120)
     assert read_mirror(spark, str(tmp_path / "mirror")).count() > 0
     assert not os.path.exists(tmp_path / "quarantine")
+
+
+def test_corrupt_mirror_meta_fails_loudly(spark, sf_dir, tmp_path):
+    """A corrupt layout meta must raise an actionable error, never guess
+    the bucket count (a wrong bucket fn silently corrupts the layout)."""
+    from couch_to_postgres_spark.operators.mirror import docs_mirror
+    from couch_to_postgres_spark.streaming.partitioned import (
+        META_FILE,
+        read_meta,
+        write_partitioned_mirror,
+    )
+
+    p = str(tmp_path / "m")
+    write_partitioned_mirror(docs_mirror(spark, sf_dir), p, 16)
+    with open(f"{p}/{META_FILE}", "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="corrupt mirror meta"):
+        read_meta(p)
