@@ -1,6 +1,7 @@
 """Partitioned-mirror selective rewrite: correctness ≡ full merge,
 untouched partitions physically untouched, partition-pruned reads."""
 
+import json
 import os
 
 import pytest
@@ -474,3 +475,48 @@ def test_trash_recovery_window_after_bad_merge(spark, sf_dir, tmp_path):
         shutil.rmtree(dst, ignore_errors=True)
         os.rename(os.path.join(trash, entry), dst)
     assert state(read_partitioned_mirror(spark, mirror_path)) == pre_state
+
+
+def test_mor_random_sequences_equal_sequential_apply(spark, sf_dir):
+    """Property: ANY interleaving of delta/rewrite/auto merges over ANY
+    change sequence equals folding the batches sequentially with
+    apply_changes — the invariant the whole MoR design rests on.
+    Deterministic seeds; several scenarios per run."""
+    import random as rnd
+    import shutil
+    import tempfile
+
+    base = docs_mirror(spark, sf_dir, with_rev=True).limit(60).cache()
+    ids = [r["id"] for r in base.select("id").collect()]
+
+    for seed in (11, 23, 47):
+        r = rnd.Random(seed)
+        work = tempfile.mkdtemp(prefix=f"mor_prop_{seed}_")
+        mirror_path = f"{work}/m"
+        write_partitioned_mirror(base, mirror_path, 8)
+        reference = base
+        seq = 100
+        for _batch_no in range(4):
+            rows = []
+            for _ in range(r.randint(1, 6)):
+                seq += 1
+                doc_id = r.choice(ids + [f"new{r.randint(0, 5)}"])
+                deleted = r.random() < 0.3
+                doc = (
+                    None
+                    if deleted
+                    else json.dumps(
+                        {"doc_id": doc_id, "_rev": f"{seq}-p", "v": r.randint(0, 9)},
+                        separators=(",", ":"),
+                    )
+                )
+                rows.append((seq, doc_id, deleted, doc))
+            batch = spark.createDataFrame(rows, CHANGES_SCHEMA)
+            mode = r.choice(["delta", "rewrite", "auto"])
+            upsert_partitioned_mirror(spark, mirror_path, batch, 8, mode=mode)
+            reference = apply_changes(reference, batch)
+            assert state(read_partitioned_mirror(spark, mirror_path)) == state(
+                reference
+            ), f"seed={seed} mode={mode} diverged"
+        shutil.rmtree(work, ignore_errors=True)
+
