@@ -650,6 +650,41 @@ def fold_deltas(
     return buckets
 
 
+def snapshot_mirror(path: str, dest: str) -> dict:
+    """Point-in-time snapshot — the constructive answer to the layout's
+    no-reader-MVCC trade: long scans read the SNAPSHOT while merges
+    continue on the live mirror.
+
+    Taken under the path lock (consistent: no swap lands mid-snapshot)
+    by HARD-LINKING every data file (base buckets, delta log, views,
+    meta) into ``dest`` — O(file count), zero data copied, and because
+    links share inodes, later swaps/GC on the source can delete paths
+    but never the snapshot's bytes. Falls back to copying when dest is
+    on a different filesystem. Read it with
+    :func:`read_partitioned_mirror` (deltas resolve as of the snapshot
+    moment); delete the directory to release it."""
+    with _path_lock(path):
+        n_linked = n_copied = 0
+        for root, dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            # skip trash and staging remnants; keep everything live
+            if rel.split(os.sep, 1)[0] in (".trash",):
+                dirs[:] = []
+                continue
+            out_root = dest if rel == "." else os.path.join(dest, rel)
+            os.makedirs(out_root, exist_ok=True)
+            for f in files:
+                src = os.path.join(root, f)
+                dst = os.path.join(out_root, f)
+                try:
+                    os.link(src, dst)
+                    n_linked += 1
+                except OSError:  # cross-device or FS without hard links
+                    shutil.copy2(src, dst)
+                    n_copied += 1
+        return {"files_linked": n_linked, "files_copied": n_copied}
+
+
 def validate_mirror(spark: SparkSession, path: str) -> dict:
     """Layout fsck for a partitioned mirror — the post-incident check a
     100 TB deployment runs before trusting pruned reads again.

@@ -520,3 +520,38 @@ def test_mor_random_sequences_equal_sequential_apply(spark, sf_dir):
             ), f"seed={seed} mode={mode} diverged"
         shutil.rmtree(work, ignore_errors=True)
 
+
+
+def test_snapshot_survives_full_rewrite_of_source(spark, sf_dir, tmp_path):
+    """The MVCC-on-demand path: a snapshot taken before a full bucket
+    rewrite still reads the EXACT pre-rewrite state afterwards (hard
+    links share inodes — source swaps and trash GC cannot touch them),
+    while the live mirror shows the new state. Pending deltas are part
+    of the snapshot moment."""
+    from couch_to_postgres_spark.streaming.partitioned import snapshot_mirror
+
+    mirror_path = str(tmp_path / "pmirror")
+    snap_path = str(tmp_path / "snap")
+    base = docs_mirror(spark, sf_dir, with_rev=True)
+    write_partitioned_mirror(base, mirror_path, N_BUCKETS)
+    delta = spark.createDataFrame(DELTA_CHANGES, CHANGES_SCHEMA)
+    upsert_partitioned_mirror(spark, mirror_path, delta, N_BUCKETS, mode="delta")
+    pre_state = state(read_partitioned_mirror(spark, mirror_path))
+
+    stats = snapshot_mirror(mirror_path, snap_path)
+    assert stats["files_linked"] > 0 and stats["files_copied"] == 0
+
+    # destroy the source state: rewrite every doc with a new rev
+    bulk = base.selectExpr(
+        "CAST(id AS LONG) + 1000 AS seq", "id", "false AS deleted", "doc"
+    ).withColumn("doc", F.regexp_replace("doc", '"1-', '"9-'))
+    upsert_partitioned_mirror(spark, mirror_path, bulk, N_BUCKETS, mode="rewrite")
+    # and expire the trash so the old source files are truly gone
+    from couch_to_postgres_spark.streaming.partitioned import _gc_trash
+
+    _gc_trash(mirror_path, grace_s=0.0)
+
+    live = state(read_partitioned_mirror(spark, mirror_path))
+    assert any('"9-' in doc for doc in live.values())
+    snap = state(read_partitioned_mirror(spark, snap_path))
+    assert snap == pre_state  # bit-exact pre-rewrite state, deltas included
