@@ -429,6 +429,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_simhash(spark, sf_dir):
         return X_dedup.simhash16(_docs(spark, sf_dir))
 
+    def x_simhash_buckets(spark, sf_dir):
+        # exact-collision near-dup buckets over the fingerprints:
+        # fingerprints shared by >1 doc, with the min-id representative
+        return X_dedup.simhash_bucket_dups(_docs(spark, sf_dir)).select(
+            "simhash",
+            F.col("bucket_size").cast("long").alias("bucket_size"),
+            "keep_id",
+        )
+
     def x_near_dedup(spark, sf_dir):
         # full pipeline: LSH candidates → exact-jaccard verify →
         # connected-component clustering → keep min-id representative
@@ -1383,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_jaccard": x_dedup_jaccard,
         "x_dedup_editdist": x_dedup_editdist,
         "x_simhash": x_simhash,
+        "x_simhash_buckets": x_simhash_buckets,
         "x_near_dedup": x_near_dedup,
         "x_embed_neardup": x_embed_neardup,
         "x_ann_topk": x_ann_topk,
@@ -1919,6 +1929,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(sum(CASE WHEN s > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
+        """,
+        "x_simhash_buckets": f"""
+            WITH {_WORDS},
+            wordrows AS (
+                SELECT doc_id, md5(w.word) AS h
+                FROM words, UNNEST(ws) AS w(word)
+            ),
+            bits AS (
+                SELECT doc_id, j.j,
+                       sum((strpos('0123456789abcdef', substr(h, j.j + 1, 1)) - 1) % 2 * 2 - 1)
+                           AS s
+                FROM wordrows, UNNEST(generate_series(0, 15)) AS j(j)
+                GROUP BY doc_id, j.j
+            ),
+            fp AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN (1 << j) ELSE 0 END)
+                            AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id
+            )
+            SELECT simhash,
+                   CAST(count(*) AS BIGINT) AS bucket_size,
+                   min(doc_id) AS keep_id
+            FROM fp GROUP BY simhash HAVING count(*) > 1
         """,
         "x_embed_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
