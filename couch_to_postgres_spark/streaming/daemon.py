@@ -214,6 +214,25 @@ class Daemon:
             }
         return out
 
+    def fsck(self) -> dict:
+        """Integrity report per partitioned feed mirror
+        (:func:`partitioned.validate_mirror`) — the `/_fsck` control-plane
+        surface an operator hits before trusting pruned reads after an
+        incident. Flat/absent mirrors report layout='flat'."""
+        from couch_to_postgres_spark.streaming.partitioned import (
+            read_meta,
+            validate_mirror,
+        )
+
+        out = {}
+        for fc in load_registry(self.registry_path):
+            mp = self.mirror_path(fc)
+            if read_meta(mp) is None:
+                out[fc.name] = {"layout": "flat", "ok": None}
+            else:
+                out[fc.name] = validate_mirror(self.spark, mp)
+        return out
+
     def run_supervisor(
         self,
         poll_seconds: float = 50.0,
@@ -264,6 +283,8 @@ def serve_control_plane(daemon: Daemon, port: int = 0) -> tuple[ThreadingHTTPSer
                 payload = daemon.watchdog()
             elif self.path == "/_finder":
                 payload = {"started": daemon.find_feeds()}
+            elif self.path == "/_fsck":
+                payload = daemon.fsck()
             else:
                 self.send_response(404)
                 self.end_headers()

@@ -236,6 +236,10 @@ def test_control_plane_http(spark, sf_dir, tmp):
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/_watchdog") as r:
             wd = json.loads(r.read())
         assert set(wd) == {"stopped", "restarted", "started", "compacted"}
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/_fsck") as r:
+            fs = json.loads(r.read())
+        assert set(fs) == {"feed-alpha", "feed-beta"}
+        assert all(v["ok"] for v in fs.values())  # partitioned + healthy
     finally:
         server.shutdown()
         d.stop_all()
