@@ -410,6 +410,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), num_bands=4, rows_per_band=2
         )
 
+    def x_dedup_minhash_km(spark, sf_dir):
+        # Kirsch-Mitzenmacher double-hash family (production variant: one
+        # md5 per shingle, k derived hashes, BIGINT min-aggs) at the tuned
+        # b=4 × r=2 operating point
+        return X_dedup.minhash_candidate_pairs(
+            _docs(spark, sf_dir), num_bands=4, rows_per_band=2,
+            hash_family="km",
+        )
+
     def x_dedup_jaccard(spark, sf_dir):
         d = _docs(spark, sf_dir)
         pairs = X_dedup.minhash_candidate_pairs(d, num_bands=4)
@@ -1389,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_exact": x_dedup_exact,
         "x_dedup_minhash": x_dedup_minhash,
         "x_dedup_minhash_banded": x_dedup_minhash_banded,
+        "x_dedup_minhash_km": x_dedup_minhash_km,
         "x_dedup_jaccard": x_dedup_jaccard,
         "x_dedup_editdist": x_dedup_editdist,
         "x_simhash": x_simhash,
@@ -1500,11 +1510,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-def _hexval8_sql(expr: str) -> str:
-    """DuckDB SQL for int value of the first 8 hex chars of md5(expr)
-    (Spark side uses conv(substring(md5,1,8),16,10))."""
+def _hexval8_sql(expr: str, start: int = 1) -> str:
+    """DuckDB SQL for int value of 8 hex chars of md5(expr) starting at
+    1-based position ``start`` (Spark side uses
+    conv(substring(md5,start,8),16,10)). The value is < 2^32, exact in
+    DOUBLE; callers needing integer arithmetic CAST to BIGINT."""
     terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (7 - i)}.0"
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {start + i}, 1)) - 1) * {16 ** (7 - i)}.0"
         for i in range(8)
     )
     return f"({terms})"
@@ -1800,6 +1812,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, hash_i,
                        min(md5(CAST(hash_i AS VARCHAR) || ':' || shingle)) AS mh
                 FROM hashed GROUP BY doc_id, hash_i
+            ),
+            sigs AS (
+                SELECT doc_id, CAST(hash_i // 2 AS INT) AS band,
+                       array_to_string(list_sort(list(mh)), '|') AS signature
+                FROM minhashes GROUP BY doc_id, CAST(hash_i // 2 AS INT)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.signature = b.signature
+             AND a.doc_id < b.doc_id
+        """,
+        "x_dedup_minhash_km": f"""
+            WITH {_WORDS}, {_SHINGLES},
+            hashed AS (
+                SELECT doc_id,
+                       CAST({_hexval8_sql('shingle', 1)} AS BIGINT) AS h1,
+                       CAST({_hexval8_sql('shingle', 9)} AS BIGINT) AS h2
+                FROM shingled
+            ),
+            derived AS (
+                SELECT doc_id, h.hash_i,
+                       (h1 + h.hash_i * h2) % 4294967291 AS hv
+                FROM hashed, UNNEST([0,1,2,3,4,5,6,7]) AS h(hash_i)
+            ),
+            minhashes AS (
+                SELECT doc_id, hash_i, min(hv) AS mh
+                FROM derived GROUP BY doc_id, hash_i
             ),
             sigs AS (
                 SELECT doc_id, CAST(hash_i // 2 AS INT) AS band,

@@ -125,9 +125,14 @@ def test_dedup_clusters_matches_union_find(spark):
         }
     )
     pairs = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    # driver_threshold=0 forces the distributed min-label loop — the
+    # union-find below is exactly what the small path runs, so leaving
+    # the default would compare union-find to itself
     got = {
         r["doc_id"]: r["cluster"]
-        for r in D.dedup_clusters(pairs, max_iterations=40).collect()
+        for r in D.dedup_clusters(
+            pairs, max_iterations=40, driver_threshold=0
+        ).collect()
     }
 
     parent: dict[int, int] = {}
@@ -146,6 +151,30 @@ def test_dedup_clusters_matches_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for e in edge_list for n in e}
     assert got == want
+
+
+def test_dedup_clusters_small_path_equals_distributed(spark):
+    # the scale-adaptive driver-side path (pair set under the threshold)
+    # must be plan-invisible: same (node -> cluster) map and schema as
+    # the distributed propagation, including string ids
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("x9", "x7"), ("a0", "d3")],
+        "id_a string, id_b string",
+    )
+    small = D.dedup_clusters(pairs)  # default threshold: driver path
+    dist = D.dedup_clusters(pairs, driver_threshold=0)
+    names_types = lambda df: [(f.name, f.dataType) for f in df.schema.fields]
+    assert names_types(small) == names_types(dist)
+    as_map = lambda df: {r["doc_id"]: r["cluster"] for r in df.collect()}
+    assert as_map(small) == as_map(dist)
+    assert as_map(small) == {
+        "d1": "a0",
+        "d2": "a0",
+        "d3": "a0",
+        "a0": "a0",
+        "x9": "x7",
+        "x7": "x7",
+    }
 
 
 def test_near_dedup_end_to_end(spark, docs):
