@@ -435,6 +435,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", "edit_dist", F.round("edit_sim", 4).alias("edit_sim")
         )
 
+    def x_winnow_spans(spark, sf_dir):
+        # duplicated-span candidate buckets via winnowing fingerprints:
+        # min-hash of each 4-wide window over the 3-gram hash sequence;
+        # buckets = fingerprints shared by >1 doc (copied passages)
+        return X_dedup.shared_span_buckets(
+            _docs(spark, sf_dir), shingle_n=3, window=4
+        )
+
+    def x_decontaminate(spark, sf_dir):
+        # drop-side decontamination: remove train docs (source <> src0)
+        # whose shingle overlap with the eval slice (source = src0)
+        # exceeds 10%; zero-corpus-shuffle broadcast plan
+        d = _docs(spark, sf_dir)
+        clean = X_text.decontaminate(
+            d.filter(F.col("source") != "src0"),
+            d.filter(F.col("source") == "src0"),
+            max_overlap_frac=0.1,
+        )
+        return clean.select("doc_id", "source", "n_chars")
+
+    def x_quality_classifier(spark, sf_dir):
+        # model-based quality pass (Tokenizer → HashingTF → logistic
+        # regression on weak heuristic labels, fastText-style): no SQL
+        # oracle is possible (LBFGS), so this is a rows-only entry;
+        # determinism and clean-vs-junk ordering are pytest-pinned
+        from couch_to_postgres_spark.extensions import quality as X_quality
+
+        # coalesce(4): the sf0.01 corpus is 500 rows — LBFGS runs ~20
+        # treeAggregate jobs, and 32 near-empty partitions per job is
+        # pure scheduler overhead at this size (14.6 s → ~5 s)
+        return X_quality.classifier_filter(
+            _docs(spark, sf_dir).coalesce(4)
+        ).select("doc_id", "source")
+
     def x_simhash(spark, sf_dir):
         return X_dedup.simhash16(_docs(spark, sf_dir))
 
@@ -1399,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_minhash": x_dedup_minhash,
         "x_dedup_minhash_banded": x_dedup_minhash_banded,
         "x_dedup_minhash_km": x_dedup_minhash_km,
+        "x_winnow_spans": x_winnow_spans,
+        "x_decontaminate": x_decontaminate,
         "x_dedup_jaccard": x_dedup_jaccard,
         "x_dedup_editdist": x_dedup_editdist,
         "x_simhash": x_simhash,
@@ -1449,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_multimodal_meta": x_multimodal_meta,
         "x_frames": x_frames,
         # rows-only oracles (weaker driver check) last within this block
+        "x_quality_classifier": x_quality_classifier,
         "x_semantic_dedup": x_semantic_dedup,
         "x_ann_ivf": x_ann_ivf,
         "x_compression": x_compression,
@@ -1849,6 +1886,86 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs a JOIN sigs b
               ON a.band = b.band AND a.signature = b.signature
              AND a.doc_id < b.doc_id
+        """,
+        "x_winnow_spans": f"""
+            WITH {_WORDS},
+            spos AS (
+                SELECT doc_id, g.i AS pos,
+                       array_to_string(ws[g.i:g.i+2], ' ') AS shingle
+                FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS g(i)
+                WHERE len(ws) >= 3
+            ),
+            hashed AS (
+                SELECT doc_id, pos,
+                       CAST({_hexval8_sql('shingle')} AS BIGINT) AS h
+                FROM spos
+            ),
+            winmin AS (
+                SELECT doc_id, pos,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS fingerprint,
+                       count(*) OVER (PARTITION BY doc_id) AS n_sh
+                FROM hashed
+            ),
+            fps AS (
+                SELECT DISTINCT doc_id, fingerprint
+                FROM winmin WHERE pos <= n_sh - 3
+            )
+            SELECT fingerprint, count(*) AS n_docs,
+                   array_to_string(
+                       list_sort(list(CAST(doc_id AS VARCHAR))), '|'
+                   ) AS doc_ids
+            FROM fps GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        "x_decontaminate": f"""
+            WITH train AS (
+                SELECT * FROM documents WHERE source <> 'src0'
+            ),
+            eval_docs AS (
+                SELECT * FROM documents WHERE source = 'src0'
+            ),
+            tw AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM train
+            ),
+            tsh AS (
+                SELECT doc_id, s.shingle
+                FROM tw, UNNEST(
+                    CASE WHEN len(ws) >= 3
+                         THEN [array_to_string(ws[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(ws) - 2)]
+                         ELSE []::VARCHAR[] END
+                ) AS s(shingle)
+            ),
+            ew AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM eval_docs
+            ),
+            esh AS (
+                SELECT DISTINCT s.shingle
+                FROM ew, UNNEST(
+                    CASE WHEN len(ws) >= 3
+                         THEN [array_to_string(ws[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(ws) - 2)]
+                         ELSE []::VARCHAR[] END
+                ) AS s(shingle)
+            ),
+            ov AS (
+                SELECT t.doc_id,
+                       count(*) AS n_shingles,
+                       sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                           AS n_overlap
+                FROM tsh t LEFT JOIN esh e ON t.shingle = e.shingle
+                GROUP BY t.doc_id
+            ),
+            dropped AS (
+                SELECT doc_id FROM ov WHERE n_overlap > n_shingles * 0.1
+            )
+            SELECT doc_id, source, n_chars FROM train
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "x_dedup_editdist": f"""
             WITH {_WORDS}, {_SHINGLES},

@@ -453,6 +453,80 @@ def simhash_bucket_dups(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    hash every word ``shingle_n``-gram, slide a ``window``-wide window
+    over the hash sequence, and keep the minimum hash of each window.
+    Guarantees every shared span of at least ``shingle_n + window - 1``
+    words produces at least one shared fingerprint — the span-level
+    (substring) complement to whole-document MinHash dedup.
+
+    Returns distinct ``(id, fingerprint)`` rows. Plan shape: one
+    posexplode (row-local), hashing map-side, and a single shuffle
+    partitioned BY DOCUMENT ID for the per-doc window min — the natural
+    partitioning (each doc's hash sequence is independent), no global
+    ordering anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(text_col, shingle_n)).alias("pos", "shingle"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    per_doc = W.partitionBy(id_col).orderBy("pos")
+    fp = sh.select(
+        F.col(id_col),
+        F.min("h")
+        .over(per_doc.rowsBetween(0, window - 1))
+        .alias("fingerprint"),
+        F.col("pos"),
+        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("n_sh"),
+    ).filter(
+        # full windows only: a trailing partial window would fingerprint
+        # a span shorter than the guarantee length
+        F.col("pos") <= F.col("n_sh") - F.lit(window)
+    )
+    return fp.select(id_col, "fingerprint").distinct()
+
+
+def shared_span_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Duplicated-span candidate buckets: winnowing fingerprints shared by
+    more than one document, with the doc set per bucket. Catches copied
+    passages between otherwise-distinct documents — boilerplate, quoted
+    blocks, template text — which whole-document MinHash (jaccard over the
+    full shingle set) dilutes away. The aggregation shuffles the
+    fingerprint rows (uniform hash keys), never the documents."""
+    fps = winnow_fingerprints(df, text_col, id_col, shingle_n, window)
+    return (
+        fps.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws(
+                "|", F.sort_array(F.collect_list(F.col(id_col).cast("string")))
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",

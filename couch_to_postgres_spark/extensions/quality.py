@@ -1,0 +1,138 @@
+"""Model-based quality classification for training-data pipelines.
+
+The heuristic gates in :mod:`text` (length / punctuation / stopword
+rules) are the first filter pass; production corpus builds follow them
+with a *learned* quality classifier (fastText-style linear model over
+bag-of-words features, CCNet/Gopher lineage). This module implements
+that second pass on ``pyspark.ml``:
+
+* featurization is ``Tokenizer → HashingTF`` — hashing-trick term
+  frequencies, map-only, no vocabulary shuffle, fixed-width vectors
+  (the property that matters at 100 TB: featurization cost does not
+  grow with corpus vocabulary);
+* training is ``LogisticRegression`` on a LABELED SAMPLE (weak labels
+  from the heuristic gates by default — replace with human/LLM labels
+  when available). Training data is sample-sized, never the corpus;
+* scoring is a single model-broadcast map pass over the full corpus.
+
+No SQL oracle is possible (LBFGS internals are not expressible in
+DuckDB), so the query surface exposes this as a rows-only entry; the
+pytest suite pins determinism (fixed seed → identical predictions) and
+sanity (clean docs score above junk).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import HashingTF, Tokenizer
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.text import text_features
+
+
+def weak_quality_labels(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.02,
+) -> DataFrame:
+    """Weak supervision for classifier training: 1.0 for documents passing
+    ALL heuristic gates (length, symbol ratio, function-word ratio), 0.0
+    otherwise. One map pass; emits ``(id, text, label)``."""
+    feats = text_features(df, text_col, id_col).select(
+        id_col, "n_words", "punct_ratio", "stopword_ratio"
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(feats, on=id_col)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.when(
+                (F.col("n_words") >= min_words)
+                & (F.col("punct_ratio") <= max_punct_ratio)
+                & (F.col("stopword_ratio") >= min_stopword_ratio),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("label"),
+        )
+    )
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    num_features: int = 1 << 14,
+    max_iter: int = 20,
+    reg_param: float = 0.01,
+) -> PipelineModel:
+    """Fit the Tokenizer → HashingTF → LogisticRegression pipeline on a
+    labeled (sample-sized) DataFrame with columns (``text_col``, label).
+
+    LBFGS training cost is O(iterations × |sample| × num_features-sparse)
+    via treeAggregate — the corpus never participates. Deterministic for
+    a fixed input sample (LBFGS from a zero initial point has no random
+    state)."""
+    tokenizer = Tokenizer(inputCol=text_col, outputCol="_qc_words")
+    tf = HashingTF(
+        inputCol="_qc_words", outputCol="features", numFeatures=num_features
+    )
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, featuresCol="features"
+    )
+    return Pipeline(stages=[tokenizer, tf, lr]).fit(labeled)
+
+
+def score_quality(
+    model: PipelineModel,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a corpus with a trained classifier: emits
+    ``(id, quality_prob, quality_pred)``. Pure map pass — the model
+    broadcasts with the task closure; no shuffle, no vocabulary join."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df.select(F.col(id_col), F.col(text_col)))
+    # probability is an ml VectorUDT; element 2 (1-based) = P(label=1)
+    prob_arr = vector_to_array(F.col("probability"))
+    return scored.select(
+        F.col(id_col),
+        F.round(F.element_at(prob_arr, 2), 6).alias("quality_prob"),
+        F.col("prediction").cast("int").alias("quality_pred"),
+    )
+
+
+def classifier_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_fraction: float | None = None,
+    threshold: float = 0.5,
+    seed: int = 13,
+) -> DataFrame:
+    """End-to-end model-based quality pass: weak-label (a sample of) the
+    corpus, train, score everything, keep docs with
+    ``P(quality) >= threshold``.
+
+    ``train_fraction`` bounds the training sample (None = train on all
+    rows — only sensible for small corpora/tests; at scale pass e.g.
+    1e-4 so the LBFGS input stays sample-sized while scoring remains a
+    full map pass)."""
+    labeled = weak_quality_labels(df, text_col, id_col)
+    sample = (
+        labeled if train_fraction is None else labeled.sample(train_fraction, seed=seed)
+    )
+    model = train_quality_classifier(sample, text_col)
+    scores = score_quality(model, df, text_col, id_col)
+    return df.join(
+        scores.filter(F.col("quality_prob") >= threshold).select(id_col),
+        on=id_col,
+        how="left_semi",
+    )

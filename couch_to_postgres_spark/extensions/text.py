@@ -341,6 +341,60 @@ def contamination(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_overlap_frac: float = 0.0,
+) -> DataFrame:
+    """Drop-side benchmark decontamination: remove from ``train`` every
+    document whose word-shingle overlap with the eval corpus exceeds
+    ``max_overlap_frac`` (default 0.0 = any shared shingle contaminates).
+
+    The complement of :func:`contamination` (which *measures* eval-side
+    overlap): this one cleans the training side, which is what a corpus
+    build actually ships.
+
+    Plan shape at 100 TB — the asymmetry is the whole design: eval
+    benchmarks are tiny (thousands of docs) while train is the 100 TB
+    side, so the eval DISTINCT-shingle vocabulary is broadcast and the
+    train side is never shuffled. Detection is a map-side broadcast
+    left-join over train's exploded shingles rolled up by doc id
+    (partial aggregation keeps the exchange to one skinny row per doc),
+    and the final drop is a broadcast anti-join of the (small)
+    contaminated-id set against train. Corpus shuffles: zero.
+    """
+    from couch_to_postgres_spark.extensions.dedup import word_shingles
+
+    eval_sh = (
+        eval_df.select(
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_sh = train.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    overlap = (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("shingle")).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .filter(
+            F.col("n_overlap")
+            > F.col("n_shingles") * F.lit(max_overlap_frac)
+        )
+        .select(id_col)
+    )
+    return train.join(F.broadcast(overlap), on=id_col, how="left_anti")
+
+
 def compression_ratio(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

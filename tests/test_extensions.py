@@ -933,3 +933,134 @@ def test_semantic_dedup_drops_planted_embedding_dup(spark, emb):
     # re-running removes nothing (idempotence on the deduped set)
     again = D.semantic_dedup(deduped, n_cells=4, threshold=0.999)
     assert again.count() == len(ids)
+
+
+# --------------------------------------------------------------------------
+# winnowing span dedup
+# --------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_span(spark):
+    # two docs sharing a 6-word span (>= shingle_n + window - 1 = 6 words)
+    # MUST share at least one winnowing fingerprint — the paper's
+    # detection guarantee
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+        (3, "totally different words with no overlap at all here folks"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    buckets = D.shared_span_buckets(df, shingle_n=3, window=4).collect()
+    pairs = {tuple(sorted(b["doc_ids"].split("|"))) for b in buckets}
+    assert ("1", "2") in pairs
+    assert not any("3" in p for p in pairs)
+
+
+def test_winnow_short_doc_no_full_window(spark):
+    # a doc shorter than shingle_n + window - 1 words has no full window
+    # and produces zero fingerprints (sub-guarantee spans are not claimed)
+    df = spark.createDataFrame(
+        [(1, "just five words right here")], "doc_id long, text string"
+    )
+    assert D.winnow_fingerprints(df, shingle_n=3, window=4).count() == 0
+
+
+def test_winnow_fingerprints_are_subset_of_shingle_hashes(spark, docs):
+    # every fingerprint is the hash of one of the doc's own shingles
+    fps = D.winnow_fingerprints(docs.limit(50))
+    sh = docs.limit(50).select(
+        "doc_id",
+        F.explode(D.word_shingles("text", 3)).alias("shingle"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    orphan = fps.join(
+        sh, on=[fps.doc_id == sh.doc_id, fps.fingerprint == sh.h], how="left_anti"
+    )
+    assert orphan.count() == 0
+
+
+# --------------------------------------------------------------------------
+# drop-side decontamination
+# --------------------------------------------------------------------------
+
+
+def test_decontaminate_drops_planted_leak(spark, docs):
+    # plant an eval doc copied verbatim from the train side: that train
+    # doc must drop at any threshold; untouched train docs survive
+    train = docs.filter(F.col("source") != "src0")
+    leak = train.orderBy("doc_id").first()
+    eval_df = spark.createDataFrame(
+        [(999999, leak["text"], "en", "eval", len(leak["text"]))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    clean = T.decontaminate(train, eval_df, max_overlap_frac=0.5)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert leak["doc_id"] not in kept
+    assert len(kept) > 0
+
+
+def test_decontaminate_zero_threshold_supersets_higher(spark, docs):
+    # frac=0.0 (any shared shingle) drops at least as much as frac=0.5
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    strict = T.decontaminate(train, eval_df, max_overlap_frac=0.0).count()
+    loose = T.decontaminate(train, eval_df, max_overlap_frac=0.5).count()
+    assert strict <= loose
+
+
+def test_decontaminate_plan_broadcasts_never_shuffles_corpus(spark, docs):
+    # the eval vocabulary and the contaminated-id set must broadcast; the
+    # train side must reach the rollup without an Exchange caused by a
+    # join (the groupBy(doc_id) partial-agg exchange is the single
+    # expected shuffle)
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    plan = T.decontaminate(train, eval_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# model-based quality classifier
+# --------------------------------------------------------------------------
+
+
+def test_quality_classifier_deterministic_and_sane(spark):
+    from couch_to_postgres_spark.extensions import quality as Q
+
+    good = [
+        (i, "the quick brown fox jumps over the lazy dog and runs on to the hills")
+        for i in range(40)
+    ]
+    junk = [(100 + i, "@@@@ #### !!!! %%%% ^^^^ &&&& ****") for i in range(40)]
+    df = spark.createDataFrame(good + junk, "doc_id long, text string")
+    labeled = Q.weak_quality_labels(df)
+    model = Q.train_quality_classifier(labeled)
+    s1 = Q.score_quality(model, df).orderBy("doc_id").collect()
+    # sanity: clean docs above junk
+    probs = {r["doc_id"]: r["quality_prob"] for r in s1}
+    assert probs[0] > probs[100]
+    assert all(s1[i]["quality_pred"] == 1 for i in range(5))
+    # determinism: refit on the same input -> identical scores
+    model2 = Q.train_quality_classifier(Q.weak_quality_labels(df))
+    s2 = Q.score_quality(model2, df).orderBy("doc_id").collect()
+    assert [r["quality_prob"] for r in s1] == [r["quality_prob"] for r in s2]
+
+
+def test_classifier_filter_keeps_clean_drops_junk(spark):
+    from couch_to_postgres_spark.extensions import quality as Q
+
+    good = [
+        (i, "a plain readable sentence with the usual words in it for testing")
+        for i in range(30)
+    ]
+    junk = [(100 + i, "%%%% @@@@ !!!! ~~~~ ???? ////") for i in range(30)]
+    df = spark.createDataFrame(good + junk, "doc_id long, text string")
+    kept = {r["doc_id"] for r in Q.classifier_filter(df).select("doc_id").collect()}
+    assert 0 in kept and 5 in kept
+    assert 100 not in kept and 115 not in kept

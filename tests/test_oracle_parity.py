@@ -37,7 +37,12 @@ ORACLES = entrymod.oracle_sql()
 
 
 # non-SQL-expressible ops (driver records the weaker rows-only check)
-NO_ORACLE = {"x_ann_ivf", "x_compression", "x_semantic_dedup"}
+NO_ORACLE = {
+    "x_ann_ivf",
+    "x_compression",
+    "x_semantic_dedup",
+    "x_quality_classifier",
+}
 
 
 def test_every_query_has_oracle_or_is_flagged():
