@@ -1224,6 +1224,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             """
         )
 
+    def j16_big_order_customers(spark, sf_dir):
+        # TPC-H Q18 shape: orders whose total quantity exceeds a
+        # threshold, joined back to customer. The IN-subquery-on-grouped-
+        # HAVING becomes a grouped frame joined by key — the inner agg
+        # collapses lineitem to one skinny row per order BEFORE the joins,
+        # so the order/customer joins see |orders| rows, not |lineitem|
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("total_qty"))
+            .filter(F.col("total_qty") > 300)
+        )
+        return (
+            big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select(
+                "c_custkey",
+                "c_name",
+                F.col("o_orderkey"),
+                F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+                F.round("total_qty", 2).cast("double").alias("total_qty"),
+            )
+        )
+
+    def j17_supplier_part_counts(spark, sf_dir):
+        # TPC-H Q16 shape (partsupp replaced by the lineitem supplier
+        # relation — the testdata ships no partsupp table): distinct
+        # supplier count per (brand, size) with a NOT-IN brand exclusion.
+        # COUNT(DISTINCT) after a fact-dim join: the join is broadcast
+        # (part is the small side), the distinct agg shuffles once on the
+        # group key with partial distinct map-side
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part")
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(~F.col("p_brand").isin("Brand#1"))
+            .filter(F.col("p_size") < 30)
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        )
+
+    def j18_dominant_suppliers(spark, sf_dir):
+        # TPC-H Q20 shape (availability reframed onto shipped volume):
+        # suppliers providing more than 20% of any part's total shipped
+        # quantity. The correlated per-part scalar subquery becomes one
+        # grouped frame reused via join — (part, supplier) partials join
+        # the per-part totals, a ratio filter, then a semi-join for names.
+        li = load_table(spark, sf_dir, "lineitem")
+        s = load_table(spark, sf_dir, "supplier")
+        ps_qty = li.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum("l_quantity").alias("supp_qty")
+        )
+        p_qty = li.groupBy("l_partkey").agg(
+            F.sum("l_quantity").alias("part_qty")
+        )
+        dominant = (
+            ps_qty.join(p_qty, "l_partkey")
+            .filter(F.col("supp_qty") > F.col("part_qty") * 0.2)
+            .select("l_suppkey")
+            .distinct()
+        )
+        return (
+            s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name")
+        )
+
+    def e22_range_frame_sum(spark, sf_dir):
+        # RANGE window frame over event time (not ROWS like e14): each
+        # event's 5-minute trailing value sum per user. Value-based frame
+        # bounds make this deterministic under timestamp ties, and the
+        # partition-by-user shuffle is the only exchange
+        ev = load_table(spark, sf_dir, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_timestamp("ts"))
+            .rangeBetween(-300, 0)
+        )
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 4).alias("trailing_5m_value"),
+        )
+
+    def e23_ntile_quartiles(spark, sf_dir):
+        # ntile bucketing: quartiles of event value per event type, with
+        # a composite (value, event_id) order so tile assignment is a
+        # total order (ties at a tile boundary would otherwise be
+        # nondeterministic across engines)
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        tiles = ev.select(
+            "event_type",
+            "value",
+            F.ntile(4).over(w).cast("long").alias("tile"),
+        )
+        return tiles.groupBy("event_type", "tile").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+
     def e19_token_arrays(spark, sf_dir):
         # array higher-order functions over per-doc token arrays:
         # distinct → sort → join (deterministic layout), plus a lambda
@@ -1435,6 +1538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_minhash_km": x_dedup_minhash_km,
         "x_winnow_spans": x_winnow_spans,
         "x_decontaminate": x_decontaminate,
+        "j16_big_order_customers": j16_big_order_customers,
+        "j17_supplier_part_counts": j17_supplier_part_counts,
+        "j18_dominant_suppliers": j18_dominant_suppliers,
+        "e22_range_frame_sum": e22_range_frame_sum,
+        "e23_ntile_quartiles": e23_ntile_quartiles,
         "x_dedup_jaccard": x_dedup_jaccard,
         "x_dedup_editdist": x_dedup_editdist,
         "x_simhash": x_simhash,
@@ -2864,6 +2972,68 @@ def oracle_sql() -> dict[str, str]:
                               FILTER (WHERE l_tax > 0.05), 2) AS DOUBLE)
                        AS high_tax_revenue
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "j16_big_order_customers": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 300
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   round(o.o_totalprice, 2) AS o_totalprice,
+                   CAST(round(b.total_qty, 2) AS DOUBLE) AS total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "j17_supplier_part_counts": """
+            SELECT p.p_brand, p.p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand NOT IN ('Brand#1') AND p.p_size < 30
+            GROUP BY p.p_brand, p.p_size
+        """,
+        "j18_dominant_suppliers": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ),
+            pt AS (
+                SELECT l_partkey, sum(l_quantity) AS part_qty
+                FROM lineitem GROUP BY l_partkey
+            ),
+            dom AS (
+                SELECT DISTINCT ps.l_suppkey
+                FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+                WHERE ps.supp_qty > pt.part_qty * 0.2
+            )
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+        """,
+        "e22_range_frame_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY epoch(ts)
+                       RANGE BETWEEN 300 PRECEDING AND CURRENT ROW
+                   ), 4) AS trailing_5m_value
+            FROM events
+        """,
+        "e23_ntile_quartiles": """
+            WITH tiles AS (
+                SELECT event_type, value,
+                       ntile(4) OVER (
+                           PARTITION BY event_type
+                           ORDER BY value, event_id
+                       ) AS tile
+                FROM events
+            )
+            SELECT event_type, CAST(tile AS BIGINT) AS tile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value
+            FROM tiles GROUP BY event_type, tile
         """,
         "j14_top_part_per_brand": """
             SELECT p_brand,
