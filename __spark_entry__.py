@@ -1413,6 +1413,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("approx_ok"),
         )
 
+    def x_sketch_merge(spark, sf_dir):
+        # mergeable cardinality sketches, the 100 TB shard pattern: each
+        # shard builds a fixed-size Datasketches HLL partial, partials
+        # union WITHOUT re-reading data (hll_union_agg — associative/
+        # commutative, so shards aggregate in any order/topology), and
+        # only then is the estimate extracted. The oracle pins the exact
+        # per-group count plus a 5% envelope on the merged estimate
+        # (deterministic for a given dataset — stable, not flaky).
+        li = load_table(spark, sf_dir, "lineitem")
+        partials = (
+            li.withColumn("shard", F.col("l_orderkey") % 16)
+            .groupBy("l_returnflag", "shard")
+            .agg(F.expr("hll_sketch_agg(l_partkey)").alias("sk"))
+        )
+        merged = partials.groupBy("l_returnflag").agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_est")
+        )
+        exact = li.groupBy("l_returnflag").agg(
+            F.count_distinct("l_partkey").alias("n_exact")
+        )
+        return merged.join(exact, "l_returnflag").select(
+            "l_returnflag",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (
+                F.abs(F.col("_est") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                <= 0.05
+            ).alias("merged_ok"),
+        )
+
+    def x_jl_projection(spark, sf_dir):
+        # Johnson-Lindenstrauss sign projection 64 → 4 dims: the
+        # deterministic md5-derived ±1 matrix makes this fully
+        # value-oracled (both engines evaluate the same literal matrix
+        # with a sequential double fold per component)
+        from couch_to_postgres_spark.extensions.ann import random_projection
+
+        proj = random_projection(_emb(spark, sf_dir), in_dim=64, out_dim=4)
+        return proj.select(
+            "vec_id",
+            *[
+                F.round(F.element_at("proj", j + 1), 4).alias(f"c{j}")
+                for j in range(4)
+            ],
+        )
+
     def x_chunk(spark, sf_dir):
         return X_text.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
 
@@ -1538,6 +1584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_minhash_km": x_dedup_minhash_km,
         "x_winnow_spans": x_winnow_spans,
         "x_decontaminate": x_decontaminate,
+        "x_sketch_merge": x_sketch_merge,
+        "x_jl_projection": x_jl_projection,
         "j16_big_order_customers": j16_big_order_customers,
         "j17_supplier_part_counts": j17_supplier_part_counts,
         "j18_dominant_suppliers": j18_dominant_suppliers,
@@ -1687,6 +1735,34 @@ words AS (
     FROM documents
 )
 """
+
+
+
+def _jl_oracle_sql() -> str:
+    """DuckDB SQL for x_jl_projection: the same md5-derived sign matrix
+    (ann.jl_projection_matrix) inlined as list literals; each component is
+    a sequential list_aggregate sum over the 64 products, scaled by
+    1/sqrt(4), matching the Spark fold order."""
+    from couch_to_postgres_spark.extensions.ann import jl_projection_matrix
+
+    r = jl_projection_matrix(64, 4, seed=7)
+    cols = []
+    for j in range(4):
+        lit = "[" + ", ".join(str(x) for x in r[j]) + "]"
+        cols.append(
+            f"round(list_aggregate(list_transform(range(1, 65), "
+            f"i -> v[i] * ({lit})[i]), 'sum') * 0.5, 4) AS c{j}"
+        )
+    cols_sql = ",\n                   ".join(cols)
+    return f"""
+            WITH vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   {cols_sql}
+            FROM vecs
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2824,6 +2900,13 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_id
             FROM a GROUP BY shard
         """,
+        "x_sketch_merge": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+                   true AS merged_ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "x_jl_projection": _jl_oracle_sql(),
         "x_approx_distinct": """
             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
                    true AS approx_ok

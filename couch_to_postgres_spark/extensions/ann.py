@@ -55,6 +55,70 @@ def dequantize(qvec, scale):
     return F.transform(qvec, lambda x: x.cast("double") * scale)
 
 
+def jl_projection_matrix(
+    in_dim: int, out_dim: int, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for Johnson-Lindenstrauss random
+    projection (Achlioptas-style sign projection): entry (j, i) is +1/-1
+    by the parity of ``md5(seed:j:i)``. md5-derived so any engine (or an
+    SQL oracle) reproduces the exact same matrix — no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:2], 16) % 2
+            == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out_dim`` deterministic ±1 sign directions, scaled
+    by ``1/sqrt(out_dim)`` so expected pairwise distances are preserved.
+
+    The cheap pre-pass before brute-force/LSH similarity at 100 TB: the
+    projection matrix is a plan literal (broadcast with the task
+    closure), the pass is pure map — no shuffle, no fit step, no model
+    state to ship (unlike PCA, which needs a covariance/SVD job). Each
+    component is a sequential JVM fold in double precision, matching the
+    SQL-oracle evaluation order. Emits ``(id, proj array<double>)``."""
+    import math
+
+    r = jl_projection_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    v = F.col(vec_col).cast("array<double>")
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in r[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale)
+        ).alias(f"c{j}")
+        for j in range(out_dim)
+    ]
+    return emb.select(F.col(id_col), *comps).select(
+        id_col, F.array(*[F.col(f"c{j}") for j in range(out_dim)]).alias("proj")
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     n_cells: int = 16,

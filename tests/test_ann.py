@@ -248,3 +248,43 @@ def test_ivf_tombstone_delete_and_compact(spark, emb, centroids, tmp_path):
         .count()
         == 0
     )
+
+
+def test_jl_projection_preserves_distances_on_average(spark, emb):
+    # JL sign projection: expected squared pairwise distance is preserved;
+    # with out_dim=16 the per-pair distortion concentrates, so the MEAN
+    # ratio over many pairs must sit near 1 (the lemma's guarantee is on
+    # expectation/concentration, not per-pair exactness)
+    import math
+    import random
+
+    from couch_to_postgres_spark.extensions.ann import random_projection
+
+    sub = emb.filter(F.col("vec_id") < 60)
+    orig = {
+        r["vec_id"]: r["v"]
+        for r in sub.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).collect()
+    }
+    proj = {
+        r["vec_id"]: r["proj"]
+        for r in random_projection(sub, in_dim=64, out_dim=16).collect()
+    }
+    assert all(len(p) == 16 for p in proj.values())
+    rng = random.Random(3)
+    ids = sorted(orig)
+    ratios = []
+    for _ in range(120):
+        a, b = rng.sample(ids, 2)
+        d2o = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d2p = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+        if d2o > 0:
+            ratios.append(d2p / d2o)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+    # determinism: same seed -> identical matrix, different seed -> different
+    from couch_to_postgres_spark.extensions.ann import jl_projection_matrix
+
+    assert jl_projection_matrix(8, 2, seed=7) == jl_projection_matrix(8, 2, seed=7)
+    assert jl_projection_matrix(8, 2, seed=7) != jl_projection_matrix(8, 2, seed=8)
