@@ -1459,6 +1459,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def x_zorder(spark, sf_dir):
+        # Z-order (Morton) clustering key over (user_id, event time):
+        # exact integer bucket-scale + bit-interleave, the multi-column
+        # data-skipping layout primitive (see sinks/layout.write_zordered;
+        # the empirical row-group-extent shrink is pinned in test_skew)
+        from couch_to_postgres_spark.sinks.layout import zorder_value
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "ts_s", F.unix_timestamp("ts")
+        )
+        b = ev.agg(
+            F.min("user_id").alias("lo0"),
+            F.max("user_id").alias("hi0"),
+            F.min("ts_s").alias("lo1"),
+            F.max("ts_s").alias("hi1"),
+        ).first()
+        z = zorder_value(
+            ["user_id", "ts_s"],
+            [b["lo0"], b["lo1"]],
+            [b["hi0"], b["hi1"]],
+            bits=8,
+        )
+        return ev.select("event_id", z.alias("z"))
+
     def x_chunk(spark, sf_dir):
         return X_text.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
 
@@ -1586,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_decontaminate": x_decontaminate,
         "x_sketch_merge": x_sketch_merge,
         "x_jl_projection": x_jl_projection,
+        "x_zorder": x_zorder,
         "j16_big_order_customers": j16_big_order_customers,
         "j17_supplier_part_counts": j17_supplier_part_counts,
         "j18_dominant_suppliers": j18_dominant_suppliers,
@@ -1736,6 +1761,36 @@ words AS (
 )
 """
 
+
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    """DuckDB SQL mirroring sinks.layout.zorder_value over
+    (user_id, epoch(ts)): the same integer bucket scaling (exact floor
+    division) and bit interleaving, bounds from a scalar subquery."""
+    terms = []
+    for bit in range(bits - 1, -1, -1):
+        for k, scol in enumerate(["s0", "s1"]):
+            pos = bit * 2 + (1 - k)
+            terms.append(f"((({scol} >> {bit}) & 1) << {pos})")
+    z_expr = " | ".join(terms)
+    return f"""
+            WITH b AS (
+                SELECT min(user_id) AS lo0, max(user_id) AS hi0,
+                       CAST(min(epoch(ts)) AS BIGINT) AS lo1,
+                       CAST(max(epoch(ts)) AS BIGINT) AS hi1
+                FROM events
+            ),
+            scaled AS (
+                SELECT event_id,
+                       ((user_id - lo0) * {1 << bits})
+                           // (hi0 - lo0 + 1) AS s0,
+                       ((CAST(epoch(ts) AS BIGINT) - lo1) * {1 << bits})
+                           // (hi1 - lo1 + 1) AS s1
+                FROM events, b
+            )
+            SELECT event_id, CAST({z_expr} AS BIGINT) AS z FROM scaled
+        """
 
 
 def _jl_oracle_sql() -> str:
@@ -2907,6 +2962,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "x_jl_projection": _jl_oracle_sql(),
+        "x_zorder": _zorder_oracle_sql(),
         "x_approx_distinct": """
             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
                    true AS approx_ok

@@ -59,3 +59,46 @@ def test_salted_count_deterministic(spark, sf_dir):
     a = sorted(map(tuple, salted_count(m, lang, "lang").collect()))
     b = sorted(map(tuple, salted_count(m, lang, "lang").collect()))
     assert a == b
+
+
+def test_zorder_roundtrip_and_clustering(spark, sf_dir, tmp_path):
+    from couch_to_postgres_spark.sinks.layout import (
+        rowgroup_extents,
+        write_zordered,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_s", F.unix_timestamp("ts"))
+    )
+    nat_path, z_path = str(tmp_path / "nat"), str(tmp_path / "zord")
+    # natural layout: insertion order (event_id), one file for a worst-case
+    # baseline of per-row-group user_id spread
+    ev.coalesce(1).write.parquet(nat_path)
+    write_zordered(ev, z_path, ["user_id", "ts_s"], bits=8, num_files=8)
+
+    # correctness: clustering is a layout change only
+    back = spark.read.parquet(z_path)
+    assert back.count() == ev.count()
+    a = sorted(map(tuple, ev.select("event_id", "user_id").collect()))
+    b = sorted(map(tuple, back.select("event_id", "user_id").collect()))
+    assert a == b
+
+    # clustering: mean per-row-group user_id extent must shrink vs the
+    # natural layout — tight bounding boxes on BOTH interleaved keys are
+    # what lets the parquet reader skip row groups for user filters
+    def mean_extent(path):
+        ex = rowgroup_extents(path, "user_id")
+        assert ex, path
+        return sum(hi - lo for lo, hi in ex) / len(ex)
+
+    nat, zord = mean_extent(nat_path), mean_extent(z_path)
+    assert zord < 0.7 * nat, (nat, zord)
+    # ...and the time dimension stays clustered too (z-order trades a bit
+    # of single-key tightness for simultaneous multi-key tightness)
+    ts_ex = rowgroup_extents(z_path, "ts_s")
+    full_span = (
+        ev.agg((F.max("ts_s") - F.min("ts_s")).alias("s")).first()["s"]
+    )
+    mean_ts = sum(hi - lo for lo, hi in ts_ex) / len(ts_ex)
+    assert mean_ts < 0.9 * full_span
