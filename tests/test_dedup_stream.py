@@ -120,3 +120,44 @@ def test_empty_batch_then_real_batch(spark, paths):
     s1 = dedup_batch(spark, index, corpus, b, jaccard_threshold=0.6, num_bands=4)
     assert s1.accepted == 1
     assert read_accepted(spark, corpus).count() == 1
+
+
+def test_drop_duplicates_within_watermark_stream_equals_batch(spark, tmp_path):
+    import datetime as dt
+
+    from couch_to_postgres_spark.streaming.dedup_stream import (
+        dedup_stream_within_watermark,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "a"),
+        (1, t0 + dt.timedelta(seconds=30), "a-retry"),   # dup within horizon
+        (2, t0 + dt.timedelta(minutes=1), "b"),
+        (2, t0 + dt.timedelta(minutes=2), "b-retry"),    # dup within horizon
+        (3, t0 + dt.timedelta(minutes=3), "c"),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    batch = dedup_stream_within_watermark(spark.read.parquet(src))
+    got_batch = sorted(r["doc_id"] for r in batch.select("doc_id").collect())
+    assert got_batch == [1, 2, 3]
+
+    stream = dedup_stream_within_watermark(
+        spark.readStream.schema(schema).parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got_stream == got_batch
