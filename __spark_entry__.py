@@ -1297,11 +1297,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event's 5-minute trailing value sum per user. Value-based frame
         # bounds make this deterministic under timestamp ties, and the
         # partition-by-user shuffle is the only exchange
+        # µs-epoch ordering: whole-second floors (unix_timestamp vs
+        # DuckDB's fractional epoch()) disagree on frame membership for
+        # events inside the same second — exact integer microseconds
+        # agree bit-for-bit on both engines
         ev = load_table(spark, sf_dir, "events")
         w = (
             Window.partitionBy("user_id")
-            .orderBy(F.unix_timestamp("ts"))
-            .rangeBetween(-300, 0)
+            .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+            .rangeBetween(-300_000_000, 0)
         )
         return ev.select(
             "event_id",
@@ -1450,11 +1454,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with a sequential double fold per component)
         from couch_to_postgres_spark.extensions.ann import random_projection
 
+        # + 0.0 after round: IEEE negative zero normalization (a fold
+        # landing at -1e-17 rounds to -0.0 on one engine, 0.0 on the
+        # other; adding positive zero maps both to +0.0)
         proj = random_projection(_emb(spark, sf_dir), in_dim=64, out_dim=4)
         return proj.select(
             "vec_id",
             *[
-                F.round(F.element_at("proj", j + 1), 4).alias(f"c{j}")
+                (F.round(F.element_at("proj", j + 1), 4) + F.lit(0.0)).alias(
+                    f"c{j}"
+                )
                 for j in range(4)
             ],
         )
@@ -1466,17 +1475,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the empirical row-group-extent shrink is pinned in test_skew)
         from couch_to_postgres_spark.sinks.layout import zorder_value
 
+        # µs epochs: integer-exact on both engines (second-granularity
+        # floors vs DuckDB's rounding CAST of fractional epoch() disagree
+        # at .5-second boundaries)
         ev = load_table(spark, sf_dir, "events").withColumn(
-            "ts_s", F.unix_timestamp("ts")
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
         )
         b = ev.agg(
             F.min("user_id").alias("lo0"),
             F.max("user_id").alias("hi0"),
-            F.min("ts_s").alias("lo1"),
-            F.max("ts_s").alias("hi1"),
+            F.min("ts_us").alias("lo1"),
+            F.max("ts_us").alias("hi1"),
         ).first()
         z = zorder_value(
-            ["user_id", "ts_s"],
+            ["user_id", "ts_us"],
             [b["lo0"], b["lo1"]],
             [b["hi0"], b["hi1"]],
             bits=8,
@@ -1777,15 +1789,15 @@ def _zorder_oracle_sql(bits: int = 8) -> str:
     return f"""
             WITH b AS (
                 SELECT min(user_id) AS lo0, max(user_id) AS hi0,
-                       CAST(min(epoch(ts)) AS BIGINT) AS lo1,
-                       CAST(max(epoch(ts)) AS BIGINT) AS hi1
+                       min(epoch_us(ts)) AS lo1,
+                       max(epoch_us(ts)) AS hi1
                 FROM events
             ),
             scaled AS (
                 SELECT event_id,
                        ((user_id - lo0) * {1 << bits})
                            // (hi0 - lo0 + 1) AS s0,
-                       ((CAST(epoch(ts) AS BIGINT) - lo1) * {1 << bits})
+                       ((epoch_us(ts) - lo1) * {1 << bits})
                            // (hi1 - lo1 + 1) AS s1
                 FROM events, b
             )
@@ -1805,8 +1817,8 @@ def _jl_oracle_sql() -> str:
     for j in range(4):
         lit = "[" + ", ".join(str(x) for x in r[j]) + "]"
         cols.append(
-            f"round(list_aggregate(list_transform(range(1, 65), "
-            f"i -> v[i] * ({lit})[i]), 'sum') * 0.5, 4) AS c{j}"
+            f"round(list_reduce(list_transform(range(1, 65), "
+            f"i -> v[i] * ({lit})[i]), (acc, x) -> acc + x) * 0.5, 4) + 0.0 AS c{j}"
         )
     cols_sql = ",\n                   ".join(cols)
     return f"""
@@ -3154,8 +3166,8 @@ def oracle_sql() -> dict[str, str]:
         "e22_range_frame_sum": """
             SELECT event_id, user_id,
                    round(sum(value) OVER (
-                       PARTITION BY user_id ORDER BY epoch(ts)
-                       RANGE BETWEEN 300 PRECEDING AND CURRENT ROW
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW
                    ), 4) AS trailing_5m_value
             FROM events
         """,

@@ -392,3 +392,45 @@ def test_mor_read_resolves_with_broadcast_anti_join(spark, sf_dir, tmp_path):
     # (the per-id resolution window), never on the base FileScan branch
     base_branch = plan.split("LeftAnti", 1)[0]
     assert "Exchange hashpartitioning" not in base_branch, plan
+
+
+def test_winnow_single_doc_partitioned_shuffle(spark, sf_dir):
+    """Winnowing's window min runs per document: exactly one
+    hashpartitioning exchange keyed by doc_id feeds the window — never a
+    global-order SinglePartition sort, and never a shuffle keyed by
+    position (each doc's hash sequence is independent)."""
+    from couch_to_postgres_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = D.winnow_fingerprints(docs)
+    plan = executed_plan(fps)
+    assert "Exchange SinglePartition" not in plan, plan
+    win_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in ln
+    ]
+    assert win_shuffles, plan
+
+
+def test_sketch_merge_partials_are_partial_aggregates(spark, sf_dir):
+    """The HLL shard pattern only pays off if sketch building partial-
+    aggregates map-side (each task folds its rows into one sketch before
+    the exchange) — pinned via the two-phase HashAggregate pair around
+    the shard exchange."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["x_sketch_merge"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × 2 aggs
+    assert "Exchange SinglePartition" not in plan.split("hll_union_agg")[0], plan
+
+
+def test_jl_projection_is_pure_map(spark, sf_dir):
+    """The JL projection must stay a shuffle-free map pass: the matrix is
+    a plan literal, so no Exchange of any kind may appear."""
+    from couch_to_postgres_spark.extensions.ann import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, in_dim=64, out_dim=8)
+    plan = executed_plan(proj)
+    assert "Exchange" not in plan, plan
