@@ -295,7 +295,12 @@ def main() -> None:
     )
     bench(
         "q_semantic_dedup_e2e",
-        lambda: X_dedup.semantic_dedup(emb, n_cells=16, threshold=0.99).count(),
+        # vectorized = the production in-cell scorer (numpy GEMM per
+        # Arrow batch); the HOF scorer is the oracle-parity variant and
+        # ≡-pinned in test_extensions
+        lambda: X_dedup.semantic_dedup(
+            emb, n_cells=16, threshold=0.99, scorer="vectorized"
+        ).count(),
     )
     bench("q_text_features", lambda: X_text.text_features(docs).count())
 

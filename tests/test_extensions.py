@@ -1064,3 +1064,36 @@ def test_classifier_filter_keeps_clean_drops_junk(spark):
     kept = {r["doc_id"] for r in Q.classifier_filter(df).select("doc_id").collect()}
     assert 0 in kept and 5 in kept
     assert 100 not in kept and 115 not in kept
+
+
+def test_vectorized_cell_cosine_equals_hof(spark, emb):
+    # the numpy-GEMM production scorer must produce exactly the HOF
+    # variant's pair set, with cosines equal to float tolerance
+    from couch_to_postgres_spark.extensions.ann import (
+        assign_cells,
+        train_centroids,
+    )
+
+    cells = assign_cells(emb, train_centroids(emb, n_cells=4, seed=11))
+    hof = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_neardup_pairs(
+            cells, threshold=0.3, block_col="cell"
+        ).collect()
+    }
+    vec = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_neardup_pairs_vectorized(
+            cells, threshold=0.3, block_col="cell"
+        ).collect()
+    }
+    assert set(hof) == set(vec)
+    assert hof, "fixture produced no pairs; threshold too high"
+    assert all(abs(hof[k] - vec[k]) < 1e-9 for k in hof)
+
+
+def test_semantic_dedup_vectorized_equals_hof(spark, emb):
+    a = D.semantic_dedup(emb, n_cells=4, threshold=0.45)
+    b = D.semantic_dedup(emb, n_cells=4, threshold=0.45, scorer="vectorized")
+    ids = lambda df: sorted(r["vec_id"] for r in df.select("vec_id").collect())
+    assert ids(a) == ids(b)
