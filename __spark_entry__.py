@@ -443,6 +443,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), shingle_n=3, window=4
         )
 
+    def x_winnow_occurrences(spark, sf_dir):
+        # where duplicated spans live: (doc, window-start position) of
+        # every winnowing fingerprint shared by >=2 docs — the masking
+        # pass's input (dedup.mask_shared_spans)
+        return X_dedup.shared_span_occurrences(
+            _docs(spark, sf_dir), shingle_n=3, window=4
+        )
+
     def x_decontaminate(spark, sf_dir):
         # drop-side decontamination: remove train docs (source <> src0)
         # whose shingle overlap with the eval slice (source = src0)
@@ -1619,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_minhash_banded": x_dedup_minhash_banded,
         "x_dedup_minhash_km": x_dedup_minhash_km,
         "x_winnow_spans": x_winnow_spans,
+        "x_winnow_occurrences": x_winnow_occurrences,
         "x_decontaminate": x_decontaminate,
         "x_sketch_merge": x_sketch_merge,
         "x_jl_projection": x_jl_projection,
@@ -2168,6 +2177,41 @@ def oracle_sql() -> dict[str, str]:
                        list_sort(list(CAST(doc_id AS VARCHAR))), '|'
                    ) AS doc_ids
             FROM fps GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        "x_winnow_occurrences": f"""
+            WITH {_WORDS},
+            spos AS (
+                SELECT doc_id, g.i AS pos,
+                       array_to_string(ws[g.i:g.i+2], ' ') AS shingle
+                FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS g(i)
+                WHERE len(ws) >= 3
+            ),
+            hashed AS (
+                SELECT doc_id, pos,
+                       CAST({_hexval8_sql('shingle')} AS BIGINT) AS h
+                FROM spos
+            ),
+            winmin AS (
+                SELECT doc_id, pos,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS fingerprint,
+                       count(*) OVER (PARTITION BY doc_id) AS n_sh
+                FROM hashed
+            ),
+            occ AS (
+                SELECT doc_id, pos, fingerprint
+                FROM winmin WHERE pos <= n_sh - 3
+            ),
+            hot AS (
+                SELECT fingerprint, count(*) AS n_docs
+                FROM (SELECT DISTINCT doc_id, fingerprint FROM occ)
+                GROUP BY fingerprint HAVING count(*) >= 2
+            )
+            SELECT o.doc_id,
+                   CAST(o.pos - 1 AS INT) AS pos,
+                   o.fingerprint, h.n_docs
+            FROM occ o JOIN hot h ON o.fingerprint = h.fingerprint
         """,
         "x_decontaminate": f"""
             WITH train AS (

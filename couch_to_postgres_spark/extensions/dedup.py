@@ -527,6 +527,132 @@ def shared_span_buckets(
     )
 
 
+def shared_span_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Where the duplicated spans LIVE: every (doc, word position) at
+    which a winnowing fingerprint shared by ≥ ``min_docs`` documents
+    occurs. ``pos`` is the 0-based word index where the fingerprinted
+    window starts; the span covers ``shingle_n + window - 1`` words from
+    there. The position detail :func:`shared_span_buckets` drops — this
+    is the input a span-masking/removal pass needs.
+
+    Plan: the per-doc window min (one doc-keyed shuffle), then the hot
+    fingerprint set (computed once, fingerprint-keyed agg) joined back —
+    at scale the hot set is small (boilerplate is rare among distinct
+    fingerprints) and broadcasts."""
+    from pyspark.sql import Window as W
+
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(text_col, shingle_n)).alias("pos", "shingle"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    per_doc = W.partitionBy(id_col).orderBy("pos")
+    occ = sh.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min("h").over(per_doc.rowsBetween(0, window - 1)).alias("fingerprint"),
+        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("n_sh"),
+    ).filter(F.col("pos") <= F.col("n_sh") - F.lit(window))
+    hot = (
+        occ.select(id_col, "fingerprint")
+        .distinct()
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return occ.join(F.broadcast(hot), "fingerprint").select(
+        id_col, "pos", "fingerprint", "n_docs"
+    )
+
+
+def mask_shared_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+    min_docs: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Remove duplicated spans from documents (the substring-dedup
+    removal step): words covered by any shared winnowing fingerprint's
+    span are dropped from the text; with ``keep_first`` the minimum-id
+    document carrying a fingerprint keeps its copy (one canonical
+    occurrence of boilerplate survives, as in suffix-array substring
+    dedup), otherwise every occurrence is masked.
+
+    Boundary precision: a window matches when its MIN shingle is shared,
+    so the window's start can precede the true span start by up to
+    ``window - 1`` words, and a cover that starts on the span's last
+    shared shingle runs ``shingle_n + window - 2`` words past its end —
+    masking is conservative by up to about a span-length of words on
+    each side (winnowing samples positions; exact byte boundaries are
+    the suffix-array method's trade, at a global-sort cost this one-pass
+    plan avoids). Over-masking duplicated-adjacent words is the safe
+    direction for training-data hygiene.
+
+    Emits ``(id, text, n_words_masked)`` with ``text`` rewritten. Plan:
+    occurrences aggregate to one covered-interval list per touched doc
+    (pair-set-proportional), broadcast-joined back; the rewrite is a
+    row-local HOF filter over the word array — documents with no shared
+    span pass through a broadcast left join untouched, never shuffled."""
+    occ = shared_span_occurrences(
+        df, text_col, id_col, shingle_n, window, min_docs
+    )
+    if keep_first:
+        first = occ.groupBy("fingerprint").agg(F.min(id_col).alias("_keep_id"))
+        occ = occ.join(F.broadcast(first), "fingerprint").filter(
+            F.col(id_col) != F.col("_keep_id")
+        )
+    span_len = shingle_n + window - 1
+    covered = occ.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("pos")).alias("_starts")
+    )
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    with_idx = F.zip_with(
+        words,
+        F.sequence(F.lit(0), F.size(words) - 1),
+        lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+    )
+    in_span = lambda s: F.exists(
+        F.col("_starts"),
+        lambda st: (s["i"] >= st) & (s["i"] < st + F.lit(span_len)),
+    )
+    kept = F.filter(with_idx, lambda s: ~in_span(s))
+    out = (
+        df.join(F.broadcast(covered), on=id_col, how="left")
+        .withColumn(
+            "_new_text",
+            F.when(F.col("_starts").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(" ", F.transform(kept, lambda s: s["w"]))
+            ),
+        )
+        .withColumn(
+            "n_words_masked",
+            F.when(F.col("_starts").isNull(), F.lit(0)).otherwise(
+                F.size(words) - F.size(kept)
+            ).cast("long"),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("_new_text").alias(text_col),
+        "n_words_masked",
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",

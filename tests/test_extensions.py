@@ -1097,3 +1097,60 @@ def test_semantic_dedup_vectorized_equals_hof(spark, emb):
     b = D.semantic_dedup(emb, n_cells=4, threshold=0.45, scorer="vectorized")
     ids = lambda df: sorted(r["vec_id"] for r in df.select("vec_id").collect())
     assert ids(a) == ids(b)
+
+
+def test_shared_span_occurrences_positions(spark):
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = guarantee len
+    rows = [
+        (1, f"one two three {shared}"),
+        (2, f"{shared} seven eight nine ten"),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    occ = D.shared_span_occurrences(df).collect()
+    by_doc = {}
+    for r in occ:
+        by_doc.setdefault(r["doc_id"], set()).add(r["pos"])
+    # doc 3 shares nothing
+    assert 3 not in by_doc
+    # a matching window's MIN shingle lies in the shared span, but the
+    # window itself can start up to window-1 words earlier: doc 1's copy
+    # starts at word 3, so starts in [3-(4-1), 5] = [0, 5]; doc 2's copy
+    # starts at word 0, so starts in [0, 2]
+    assert by_doc[1] and all(0 <= p <= 5 for p in by_doc[1])
+    assert max(by_doc[1]) >= 3  # at least one window anchored in the span
+    assert by_doc[2] and all(0 <= p <= 2 for p in by_doc[2])
+
+
+def test_mask_shared_spans_removes_boilerplate_keeps_representative(spark):
+    boiler = "this footer text repeats on every page here now"  # 9 words
+    # unique regions are wider than the ~window-word boundary fuzz the
+    # operator documents, so their cores must survive masking
+    u1 = "alpha writes a long original paragraph about spark plans today"
+    u2 = "beta keeps an equally long original paragraph about duckdb oracles"
+    u3 = "gamma adds another long original paragraph about parquet readers"
+    rows = [
+        (1, f"{u1} {boiler}"),
+        (2, f"{boiler} {u2}"),
+        (3, f"{u3} {boiler}"),
+        (4, "independent document with completely original wording inside"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.mask_shared_spans(df).collect()}
+    # representative (min id per fingerprint) keeps its copy
+    assert "footer" in out[1]["text"] and out[1]["n_words_masked"] == 0
+    # other carriers lose the span but keep their unique cores; markers
+    # sit deeper than the documented shingle_n+window-2 boundary fuzz
+    # (doc 2's span precedes its unique text, so its early words may go)
+    for d, marker in ((2, "oracles"), (3, "gamma")):
+        assert "footer" not in out[d]["text"], out[d]["text"]
+        assert marker in out[d]["text"]
+        assert out[d]["n_words_masked"] >= 9
+    # untouched doc passes through bit-identical
+    assert out[4]["text"] == rows[3][1] and out[4]["n_words_masked"] == 0
+    # keep_first=False masks every occurrence
+    all_masked = {
+        r["doc_id"]: r
+        for r in D.mask_shared_spans(df, keep_first=False).collect()
+    }
+    assert all("footer" not in all_masked[d]["text"] for d in (1, 2, 3))
