@@ -1300,6 +1300,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("s_suppkey", "s_name")
         )
 
+    def j19_important_part_stock(spark, sf_dir):
+        # TPC-H Q11 shape: groups whose value exceeds a multiple of the
+        # global mean (scale-invariant — a fixed fraction-of-total
+        # threshold empties as the part count grows). The scalar stats
+        # are a one-row broadcast frame: no second scan of the grouped
+        # data, no correlated re-aggregation
+        li = load_table(spark, sf_dir, "lineitem")
+        val = (F.col("l_extendedprice").cast("decimal(18,4)")
+               * F.col("l_quantity").cast("decimal(18,4)"))
+        per_part = li.groupBy("l_partkey").agg(
+            F.sum(val).alias("part_value")
+        )
+        total = per_part.agg(
+            F.avg("part_value").alias("mean_value")
+        )
+        return (
+            per_part.join(F.broadcast(total))
+            .filter(F.col("part_value") > F.col("mean_value") * 1.5)
+            .select(
+                "l_partkey",
+                F.round("part_value", 2).cast("double").alias("part_value"),
+            )
+        )
+
+    def j20_idle_customers(spark, sf_dir):
+        # TPC-H Q22 shape: above-average-balance customers with no URGENT
+        # orders (scalar subquery for the average + NOT EXISTS as
+        # left-anti; the priority filter keeps the anti-set non-vacuous
+        # on this data).
+        # Both the one-row average and the distinct buyer-key set join in
+        # without shuffling the customer side beyond one exchange
+        c = load_table(spark, sf_dir, "customer")
+        o = load_table(spark, sf_dir, "orders")
+        avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+            F.avg("c_acctbal").alias("avg_bal")
+        )
+        buyers = (
+            o.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey")
+            .distinct()
+        )
+        return (
+            c.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(buyers, c.c_custkey == buyers.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            )
+        )
+
+    def j21_cheapest_supplier_per_part(spark, sf_dir):
+        # TPC-H Q2 shape: the minimum-cost supplier per part (correlated
+        # MIN subquery → per-group arg-min via min_by with a composite
+        # deterministic tie-break), then dim joins for the supplier name
+        li = load_table(spark, sf_dir, "lineitem")
+        s = load_table(spark, sf_dir, "supplier")
+        # composite BIGINT order value (cents * 1e7 + suppkey): price ties
+        # break deterministically on supplier key — the j14 pattern
+        order_val = (
+            F.round(F.col("l_extendedprice") * 100).cast("long") * 10000000
+            + F.col("l_suppkey")
+        )
+        best = li.groupBy("l_partkey").agg(
+            F.min_by("l_suppkey", order_val).alias("best_suppkey"),
+            F.round(
+                F.min(F.col("l_extendedprice").cast("decimal(18,4)")), 2
+            ).cast("double").alias("best_price"),
+        )
+        return (
+            best.join(F.broadcast(s), best.best_suppkey == s.s_suppkey)
+            .select("l_partkey", "best_suppkey", "best_price", "s_name")
+        )
+
     def e22_range_frame_sum(spark, sf_dir):
         # RANGE window frame over event time (not ROWS like e14): each
         # event's 5-minute trailing value sum per user. Value-based frame
@@ -1635,6 +1710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j16_big_order_customers": j16_big_order_customers,
         "j17_supplier_part_counts": j17_supplier_part_counts,
         "j18_dominant_suppliers": j18_dominant_suppliers,
+        "j19_important_part_stock": j19_important_part_stock,
+        "j20_idle_customers": j20_idle_customers,
+        "j21_cheapest_supplier_per_part": j21_cheapest_supplier_per_part,
         "e22_range_frame_sum": e22_range_frame_sum,
         "e23_ntile_quartiles": e23_ntile_quartiles,
         "x_dedup_jaccard": x_dedup_jaccard,
@@ -3206,6 +3284,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.s_suppkey, s.s_name
             FROM supplier s
             WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+        """,
+        "j19_important_part_stock": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * CAST(l_quantity AS DECIMAL(18,4))) AS part_value
+                FROM lineitem GROUP BY l_partkey
+            ),
+            total AS (SELECT avg(part_value) AS mean_value FROM per_part)
+            SELECT l_partkey,
+                   CAST(round(part_value, 2) AS DOUBLE) AS part_value
+            FROM per_part, total
+            WHERE part_value > mean_value * 1.5
+        """,
+        "j20_idle_customers": """
+            WITH avg_bal AS (
+                SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_balance
+            FROM customer, avg_bal
+            WHERE c_acctbal > ab
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+              )
+            GROUP BY c_mktsegment
+        """,
+        "j21_cheapest_supplier_per_part": """
+            WITH best AS (
+                SELECT l_partkey,
+                       arg_min(l_suppkey,
+                               CAST(round(l_extendedprice * 100) AS BIGINT)
+                                   * 10000000 + l_suppkey) AS best_suppkey,
+                       CAST(round(min(CAST(l_extendedprice
+                                           AS DECIMAL(18,4))), 2) AS DOUBLE)
+                           AS best_price
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT b.l_partkey, b.best_suppkey, b.best_price, s.s_name
+            FROM best b JOIN supplier s ON b.best_suppkey = s.s_suppkey
         """,
         "e22_range_frame_sum": """
             SELECT event_id, user_id,
