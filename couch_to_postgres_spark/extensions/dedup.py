@@ -603,7 +603,8 @@ def mask_shared_spans(
     plan avoids). Over-masking duplicated-adjacent words is the safe
     direction for training-data hygiene.
 
-    Emits ``(id, text, n_words_masked)`` with ``text`` rewritten. Plan:
+    Emits ``df`` with ``text_col`` rewritten, all other columns
+    preserved, plus ``n_words_masked``. Plan:
     occurrences aggregate to one covered-interval list per touched doc
     (pair-set-proportional), broadcast-joined back; the rewrite is a
     row-local HOF filter over the word array — documents with no shared
@@ -646,11 +647,11 @@ def mask_shared_spans(
             ).cast("long"),
         )
     )
-    return out.select(
-        F.col(id_col),
-        F.col("_new_text").alias(text_col),
-        "n_words_masked",
-    )
+    keep = [
+        F.col("_new_text").alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return out.select(*keep, "n_words_masked")
 
 
 def dedup_clusters(
