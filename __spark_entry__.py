@@ -1375,6 +1375,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("l_partkey", "best_suppkey", "best_price", "s_name")
         )
 
+    def e24_asof_next_purchase(spark, sf_dir):
+        # FORWARD as-of with tolerance (pandas merge_asof contract): each
+        # click gains the next purchase value by the same user within 30
+        # minutes. Purchases are pre-deduped per (user, ts) so the match
+        # is deterministic on both engines.
+        from couch_to_postgres_spark.operators.asof import asof_join
+
+        ev = load_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.min("value").alias("pvalue"))
+        )
+        out = asof_join(
+            clicks,
+            purchases,
+            key_cols=["user_id"],
+            time_col="ts",
+            value_cols=["pvalue"],
+            direction="forward",
+            tolerance=1800.0,
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.round("pvalue_asof", 4).alias("next_purchase_value"),
+        )
+
     def e22_range_frame_sum(spark, sf_dir):
         # RANGE window frame over event time (not ROWS like e14): each
         # event's 5-minute trailing value sum per user. Value-based frame
@@ -1714,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j20_idle_customers": j20_idle_customers,
         "j21_cheapest_supplier_per_part": j21_cheapest_supplier_per_part,
         "e22_range_frame_sum": e22_range_frame_sum,
+        "e24_asof_next_purchase": e24_asof_next_purchase,
         "e23_ntile_quartiles": e23_ntile_quartiles,
         "x_dedup_jaccard": x_dedup_jaccard,
         "x_dedup_editdist": x_dedup_editdist,
@@ -3327,6 +3359,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.l_partkey, b.best_suppkey, b.best_price, s.s_name
             FROM best b JOIN supplier s ON b.best_suppkey = s.s_suppkey
+        """,
+        "e24_asof_next_purchase": """
+            WITH c AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT user_id, ts, min(value) AS pvalue FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ),
+            nxt AS (
+                SELECT c.event_id, min(p.ts) AS pts
+                FROM c JOIN p ON p.user_id = c.user_id
+                   AND p.ts >= c.ts
+                   AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+                GROUP BY c.event_id
+            )
+            SELECT c.event_id, c.user_id,
+                   round(p.pvalue, 4) AS next_purchase_value
+            FROM c
+            LEFT JOIN nxt ON nxt.event_id = c.event_id
+            LEFT JOIN p ON p.user_id = c.user_id AND p.ts = nxt.pts
         """,
         "e22_range_frame_sum": """
             SELECT event_id, user_id,

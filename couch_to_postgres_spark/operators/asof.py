@@ -82,38 +82,76 @@ def asof_join(
     time_col: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Left as-of join: ``left`` keeps all its columns; each row gains
-    ``<value_col><suffix>`` from the latest ``right`` row with the same
-    keys and ``right.time <= left.time`` (null when none exists).
+    ``<value_col><suffix>`` from the nearest ``right`` row with the same
+    keys (null when none exists).
+
+    ``direction="backward"`` (default) matches the latest right row with
+    ``right.time <= left.time``; ``"forward"`` the earliest right row
+    with ``right.time >= left.time``. ``tolerance`` (same units as a
+    numeric ``time_col``; SECONDS for timestamps) nulls out matches
+    farther than the bound — the pandas ``merge_asof`` contract, still
+    one union + one per-key window, no range explosion.
 
     Both frames need ``key_cols`` and ``time_col``; ``value_cols`` are
     taken from ``right``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     l_tagged = left.withColumn("_side", F.lit(1))
+    carry = list(value_cols) + ["_t"]
+    l_tagged = l_tagged.withColumn(
+        "_v__t", F.lit(None).cast(right.schema[time_col].dataType)
+    )
     for c in value_cols:
         l_tagged = l_tagged.withColumn(f"_v_{c}", F.lit(None).cast(right.schema[c].dataType))
     r_tagged = right.select(
         *key_cols,
         F.col(time_col),
+        F.col(time_col).alias("_v__t"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     ).withColumn("_side", F.lit(0))
     for c in lcols:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
-    # right (_side=0) sorts before left (_side=1) at equal times, making
+    # time ordering is ascending for backward, descending for forward; in
+    # both cases right (_side=0) sorts before left at equal times, making
     # same-instant right rows visible to the left row
+    t_order = (
+        F.col(time_col) if direction == "backward" else F.col(time_col).desc()
+    )
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col(time_col), F.col("_side"))
+        .orderBy(t_order, F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = unioned
-    for c in value_cols:
+    for c in carry:
         out = out.withColumn(
-            f"{c}{suffix}", F.last(f"_v_{c}", ignorenulls=True).over(w)
+            f"{c}{suffix}" if c != "_t" else "_t_matched",
+            F.last(f"_v_{c}", ignorenulls=True).over(w),
         )
-    return out.filter(F.col("_side") == 1).select(
-        *lcols, *[f"{c}{suffix}" for c in value_cols]
-    )
+    out = out.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        t_dtype = right.schema[time_col].dataType.simpleString()
+        if t_dtype.startswith("timestamp"):
+            delta = F.abs(
+                F.unix_micros(F.col("_t_matched").cast("timestamp"))
+                - F.unix_micros(F.col(time_col).cast("timestamp"))
+            ) / F.lit(1_000_000.0)
+        else:
+            delta = F.abs(
+                F.col("_t_matched").cast("double")
+                - F.col(time_col).cast("double")
+            )
+        within = F.col("_t_matched").isNotNull() & (delta <= F.lit(tolerance))
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(within, F.col(f"{c}{suffix}")).otherwise(F.lit(None)),
+            )
+    return out.select(*lcols, *[f"{c}{suffix}" for c in value_cols])

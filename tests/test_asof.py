@@ -160,3 +160,50 @@ def test_range_join_zero_tolerance_rejected(spark):
     df = spark.createDataFrame([(1, "u", 5)], "lid long, user_id string, ts_us long")
     with pytest.raises(ValueError, match="tolerance"):
         range_join(df, df, ["user_id"], "ts_us", 0)
+
+
+def test_asof_forward_and_tolerance_match_naive(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 25.0), (1, 100.0), (2, 5.0), (3, 7.0)],
+        "k long, t double",
+    )
+    right = spark.createDataFrame(
+        [(1, 12.0, "a"), (1, 30.0, "b"), (2, 1.0, "c"), (2, 50.0, "d")],
+        "k long, t double, v string",
+    )
+    fwd = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"], direction="forward"
+        ).collect()
+    }
+    # nearest following right row per key
+    assert fwd[(1, 10.0)] == "a"
+    assert fwd[(1, 25.0)] == "b"
+    assert fwd[(1, 100.0)] is None  # nothing after
+    assert fwd[(2, 5.0)] == "d"
+    assert fwd[(3, 7.0)] is None    # no right rows for key
+    # tolerance: matches farther than the bound null out
+    tol = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"], direction="forward", tolerance=10.0
+        ).collect()
+    }
+    assert tol[(1, 10.0)] == "a"     # delta 2 <= 10
+    assert tol[(1, 25.0)] == "b"     # delta 5 <= 10
+    assert tol[(2, 5.0)] is None     # delta 45 > 10
+    # backward with tolerance
+    back = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"], tolerance=10.0
+        ).collect()
+    }
+    assert back[(1, 25.0)] is None   # nearest prior is 12, delta 13 > 10
+    assert back[(1, 100.0)] is None  # delta 70 > 10
+    no_tol = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof_join(left, right, ["k"], "t", ["v"]).collect()
+    }
+    assert no_tol[(1, 25.0)] == "a"  # same match survives without the bound
