@@ -1612,6 +1612,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_chunk(spark, sf_dir):
         return X_text.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
 
+    def x_cap_per_source(spark, sf_dir):
+        # cap documents per source (deterministic hash order): no single
+        # domain may dominate the mixture
+        from couch_to_postgres_spark.extensions.sampling import cap_per_group
+
+        return cap_per_group(_docs(spark, sf_dir), k=15).select(
+            "doc_id", "source"
+        )
+
+    def x_token_budget(spark, sf_dir):
+        # greedy deterministic selection to per-source token budgets,
+        # with the running-total audit columns
+        from couch_to_postgres_spark.extensions.sampling import (
+            sample_to_token_budget,
+        )
+
+        out = sample_to_token_budget(
+            _docs(spark, sf_dir),
+            {"src0": 400, "src1": 150, "src2": 1},
+        )
+        return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
     def x_mixture(spark, sf_dir):
         # corpus mixing: deterministic per-source Bernoulli sampling
         from couch_to_postgres_spark.extensions.sampling import stratified_sample
@@ -1774,6 +1796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e09_range_join_purchases": e09_range_join_purchases,
         "e10_retention_cohorts": e10_retention_cohorts,
         "e11_funnel": e11_funnel,
+        "x_cap_per_source": x_cap_per_source,
+        "x_token_budget": x_token_budget,
         "x_mixture": x_mixture,
         "x_upsample": x_upsample,
         "x_embed_stats": x_embed_stats,
@@ -3182,6 +3206,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(cw) AS INT) AS n_chunk_tokens,
                    md5(array_to_string(cw, ' ')) AS chunk_md5
             FROM chunks
+        """,
+        "x_cap_per_source": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, source FROM ranked WHERE rn <= 15
+        """,
+        "x_token_budget": """
+            WITH b(source, budget) AS (
+                VALUES ('src0', 400), ('src1', 150), ('src2', 1)
+            ),
+            toks AS (
+                SELECT d.doc_id, d.source, b.budget,
+                       CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents d JOIN b ON d.source = b.source
+            ),
+            runs AS (
+                SELECT doc_id, source, budget, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY md5('budget1:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum_tokens
+                FROM toks
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM runs WHERE cum_tokens - n_tokens < budget
         """,
         "x_mixture": """
             SELECT doc_id, source FROM documents

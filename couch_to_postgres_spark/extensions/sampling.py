@@ -98,3 +98,74 @@ def upsample(
         .withColumn("epoch", F.explode(epochs))
         .drop("factor")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "cap1",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by deterministic hash
+    order (md5 of salt:id) — the "cap documents per domain" operator a
+    crawl-heavy corpus needs so no single source dominates.
+
+    Deterministic on any cluster size/partitioning/engine (same property
+    as :func:`stratified_sample`, same auditability argument). One
+    shuffle on the group key for the per-group ranking window; groups
+    with ≤ k rows pass through untouched. At extreme group skew (one
+    domain with billions of rows) pre-filter with a rate-based
+    :func:`stratified_sample` so the hot group's window stays
+    task-sized."""
+    from pyspark.sql import Window as W
+
+    order = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    rn = F.row_number().over(
+        W.partitionBy(group_col).orderBy(order, F.col(id_col))
+    )
+    return df.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "budget1",
+) -> DataFrame:
+    """Greedy deterministic selection to a per-group TOKEN budget: walk
+    each group's rows in hash order, keep documents while the group's
+    running token total is below its budget (the first overflowing doc
+    is kept, so every nonzero budget yields at least one doc and totals
+    land within one doc of the target — the standard mixture-building
+    contract).
+
+    Emits the kept rows plus ``n_tokens`` and the group's running
+    ``cum_tokens`` (audit columns: a mixture run can prove what it
+    consumed). One shuffle on the group key; the running sum is a
+    per-group window, never a global order."""
+    from pyspark.sql import Window as W
+
+    from couch_to_postgres_spark.extensions.text import token_count
+
+    sess = df.sparkSession
+    btab = sess.createDataFrame(
+        list(budgets.items()), f"{group_col} string, _budget long"
+    )
+    order = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    toks = df.join(F.broadcast(btab), group_col).withColumn(
+        "n_tokens", token_count(text_col)
+    )
+    out = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    # keep while the PREVIOUS cumulative total was under budget: the doc
+    # that crosses the line stays, everything after goes
+    return out.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget")
+    ).drop("_budget")

@@ -1154,3 +1154,52 @@ def test_mask_shared_spans_removes_boilerplate_keeps_representative(spark):
         for r in D.mask_shared_spans(df, keep_first=False).collect()
     }
     assert all("footer" not in all_masked[d]["text"] for d in (1, 2, 3))
+
+
+def test_cap_per_group_invariants(spark, docs):
+    from couch_to_postgres_spark.extensions.sampling import cap_per_group
+
+    capped = cap_per_group(docs, k=10)
+    sizes = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes and all(n <= 10 for n in sizes.values())
+    # groups smaller than k pass through whole
+    orig = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, n in orig.items():
+        assert sizes[s] == min(n, 10)
+    # deterministic: same selection on a different partitioning
+    re = cap_per_group(docs.repartition(7), k=10)
+    ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    assert ids(capped) == ids(re)
+
+
+def test_sample_to_token_budget_invariants(spark, docs):
+    from couch_to_postgres_spark.extensions.sampling import (
+        sample_to_token_budget,
+    )
+
+    out = sample_to_token_budget(docs, {"src0": 300, "src1": 1}).cache()
+    rows = out.collect()
+    assert {r["source"] for r in rows} <= {"src0", "src1"}
+    # every nonzero budget yields at least one doc, and totals land
+    # within one doc of the target: cum - n_tokens < budget <= cum + last
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, budget in (("src0", 300), ("src1", 1)):
+        group = per_src[src]
+        assert group, src
+        total = max(r["cum_tokens"] for r in group)
+        last_n = max(r["n_tokens"] for r in group if r["cum_tokens"] == total)
+        assert total - last_n < budget <= total or total >= budget
+    # determinism under repartitioning
+    re = sample_to_token_budget(docs.repartition(5), {"src0": 300, "src1": 1})
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in re.collect()
+    )
+    out.unpersist()
