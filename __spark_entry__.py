@@ -566,6 +566,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_hash_split(spark, sf_dir):
         return X_text.hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
+    def x_approx_topk(spark, sf_dir):
+        # Misra-Gries candidates + exact recount: EXACTLY the top-k in
+        # the guarantee regime (k-th frequency > N/(capacity+1)), with
+        # the vocabulary-sized shuffle engineered out — so the oracle is
+        # the plain exact top-k
+        return X_text.approx_top_tokens(_docs(spark, sf_dir), k=15)
+
     def x_top_tokens(spark, sf_dir):
         return X_text.top_tokens(_docs(spark, sf_dir), k=20)
 
@@ -1786,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fingerprint": x_fingerprint,
         "x_hash_split": x_hash_split,
         "x_top_tokens": x_top_tokens,
+        "x_approx_topk": x_approx_topk,
         "a20_view_incremental": a20_view_incremental,
         "a21_view_incremental_sum": a21_view_incremental_sum,
         "x_leakage_split": x_leakage_split,
@@ -2698,6 +2706,14 @@ def oracle_sql() -> dict[str, str]:
                              < 'cccc'
                         THEN 'train' ELSE 'eval' END AS split
             FROM documents
+        """,
+        "x_approx_topk": f"""
+            WITH {_WORDS}
+            SELECT w.word AS token, count(*) AS cnt
+            FROM words, UNNEST(ws) AS w(word)
+            GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 15
         """,
         "x_top_tokens": f"""
             WITH {_WORDS}

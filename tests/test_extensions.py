@@ -1203,3 +1203,17 @@ def test_sample_to_token_budget_invariants(spark, docs):
         r["doc_id"] for r in re.collect()
     )
     out.unpersist()
+
+
+def test_approx_top_tokens_exact_in_guarantee_regime(spark, docs):
+    exact = T.top_tokens(docs, k=15).collect()
+    approx = T.approx_top_tokens(docs, k=15, capacity=200).collect()
+    assert [(r["token"], r["cnt"]) for r in exact] == [
+        (r["token"], r["cnt"]) for r in approx
+    ]
+    # stability under repartitioning (candidate superset property holds
+    # for any partitioning)
+    approx2 = T.approx_top_tokens(docs.repartition(9), k=15, capacity=200)
+    assert [(r["token"], r["cnt"]) for r in approx2.collect()] == [
+        (r["token"], r["cnt"]) for r in exact
+    ]
