@@ -1217,3 +1217,49 @@ def test_approx_top_tokens_exact_in_guarantee_regime(spark, docs):
     assert [(r["token"], r["cnt"]) for r in approx2.collect()] == [
         (r["token"], r["cnt"]) for r in exact
     ]
+
+
+def test_winnow_detection_guarantee_property(spark):
+    # Schleimer et al. guarantee, property-tested: ANY shared span of at
+    # least shingle_n + window - 1 words produces a shared fingerprint,
+    # wherever it sits in either document. Disjoint per-doc alphabets
+    # rule out accidental sharing outside the planted span.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    n, w = 3, 4
+    guarantee = n + w - 1  # 6 words
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pre1=st.integers(0, 8),
+        post1=st.integers(0, 8),
+        pre2=st.integers(0, 8),
+        post2=st.integers(0, 8),
+        span_extra=st.integers(0, 4),
+    )
+    def check(pre1, post1, pre2, post2, span_extra):
+        span = [f"S{i}" for i in range(guarantee + span_extra)]
+        d1 = [f"a{i}" for i in range(pre1)] + span + [
+            f"A{i}" for i in range(post1)
+        ]
+        d2 = [f"b{i}" for i in range(pre2)] + span + [
+            f"B{i}" for i in range(post2)
+        ]
+        df = spark.createDataFrame(
+            [(1, " ".join(d1)), (2, " ".join(d2))], "doc_id long, text string"
+        )
+        fps = D.winnow_fingerprints(df, shingle_n=n, window=w)
+        both = (
+            fps.groupBy("fingerprint")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") == 2)
+            .count()
+        )
+        assert both >= 1, (d1, d2)
+
+    check()
