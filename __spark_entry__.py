@@ -2368,7 +2368,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM train
             ),
             tsh AS (
-                SELECT doc_id, s.shingle
+                SELECT DISTINCT doc_id, s.shingle
                 FROM tw, UNNEST(
                     CASE WHEN len(ws) >= 3
                          THEN [array_to_string(ws[i:i+2], ' ')

@@ -453,6 +453,42 @@ def simhash_bucket_dups(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def _winnow_occurrences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    window: int,
+) -> DataFrame:
+    """Shared winnowing core: ``(id, pos, fingerprint)`` — the min shingle
+    hash of each full ``window``-wide window over the per-doc hash
+    sequence. Single source of truth for the fingerprint scheme; every
+    public winnow operator derives from this frame."""
+    from pyspark.sql import Window as W
+
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(text_col, shingle_n)).alias("pos", "shingle"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    per_doc = W.partitionBy(id_col).orderBy("pos")
+    return sh.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min("h").over(per_doc.rowsBetween(0, window - 1)).alias("fingerprint"),
+        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("n_sh"),
+    ).filter(
+        # full windows only: a trailing partial window would fingerprint
+        # a span shorter than the guarantee length
+        F.col("pos") <= F.col("n_sh") - F.lit(window)
+    ).select(id_col, "pos", "fingerprint")
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -473,32 +509,11 @@ def winnow_fingerprints(
     partitioning (each doc's hash sequence is independent), no global
     ordering anywhere.
     """
-    from pyspark.sql import Window as W
-
-    sh = df.select(
-        F.col(id_col),
-        F.posexplode(word_shingles(text_col, shingle_n)).alias("pos", "shingle"),
-    ).select(
-        F.col(id_col),
-        F.col("pos"),
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
+    return (
+        _winnow_occurrences(df, text_col, id_col, shingle_n, window)
+        .select(id_col, "fingerprint")
+        .distinct()
     )
-    per_doc = W.partitionBy(id_col).orderBy("pos")
-    fp = sh.select(
-        F.col(id_col),
-        F.min("h")
-        .over(per_doc.rowsBetween(0, window - 1))
-        .alias("fingerprint"),
-        F.col("pos"),
-        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("n_sh"),
-    ).filter(
-        # full windows only: a trailing partial window would fingerprint
-        # a span shorter than the guarantee length
-        F.col("pos") <= F.col("n_sh") - F.lit(window)
-    )
-    return fp.select(id_col, "fingerprint").distinct()
 
 
 def shared_span_buckets(
@@ -546,25 +561,7 @@ def shared_span_occurrences(
     fingerprint set (computed once, fingerprint-keyed agg) joined back —
     at scale the hot set is small (boilerplate is rare among distinct
     fingerprints) and broadcasts."""
-    from pyspark.sql import Window as W
-
-    sh = df.select(
-        F.col(id_col),
-        F.posexplode(word_shingles(text_col, shingle_n)).alias("pos", "shingle"),
-    ).select(
-        F.col(id_col),
-        F.col("pos"),
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    per_doc = W.partitionBy(id_col).orderBy("pos")
-    occ = sh.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.min("h").over(per_doc.rowsBetween(0, window - 1)).alias("fingerprint"),
-        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("n_sh"),
-    ).filter(F.col("pos") <= F.col("n_sh") - F.lit(window))
+    occ = _winnow_occurrences(df, text_col, id_col, shingle_n, window)
     hot = (
         occ.select(id_col, "fingerprint")
         .distinct()
@@ -681,11 +678,17 @@ def dedup_clusters(
     unchanged. Set ``driver_threshold=0`` to force the distributed path.
     """
     if driver_threshold > 0:
-        # limit(t+1) bounds the check itself: never counts past the
-        # threshold, so deciding stays cheap even when E is huge
+        # persist before deciding: the threshold count and the collect
+        # (or the distributed loop's edge build) would otherwise each
+        # re-execute the pair pipeline — typically the whole LSH/cosine
+        # verify subtree — from scratch. Idempotent if the caller
+        # already persisted. limit(t+1) bounds the count itself: never
+        # counts past the threshold even when E is huge.
+        pairs = pairs.persist()
         n_edges = pairs.limit(driver_threshold + 1).count()
         if n_edges <= driver_threshold:
             rows = pairs.select("id_a", "id_b").collect()
+            pairs.unpersist()
             parent: dict = {}
 
             def find(x):
@@ -764,9 +767,13 @@ def dedup_clusters(
         prev, labels = labels, new_labels
         if changed == 0:
             break
-    # labels are checkpoint-backed (eager) — the edge cache is dead
-    # weight now; a long-lived engine must not accumulate it per call
+    # labels are checkpoint-backed (eager) — the edge cache (and the
+    # threshold-check's pairs cache, when taken) are dead weight now; a
+    # long-lived engine must not accumulate them per call. unpersist on
+    # a never-persisted frame is a no-op, so this is safe at
+    # driver_threshold=0 too.
     edges.unpersist()
+    pairs.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("cluster"))
 
 
@@ -974,6 +981,8 @@ def semantic_dedup(
         train_centroids,
     )
 
+    if scorer not in ("hof", "vectorized"):
+        raise ValueError(f"scorer must be hof|vectorized, got {scorer!r}")
     cents = centroids if centroids is not None else train_centroids(
         emb, n_cells=n_cells, vec_col=vec_col
     )

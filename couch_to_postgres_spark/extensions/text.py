@@ -350,8 +350,13 @@ def decontaminate(
     max_overlap_frac: float = 0.0,
 ) -> DataFrame:
     """Drop-side benchmark decontamination: remove from ``train`` every
-    document whose word-shingle overlap with the eval corpus exceeds
-    ``max_overlap_frac`` (default 0.0 = any shared shingle contaminates).
+    document whose DISTINCT word-shingle overlap with the eval corpus
+    exceeds ``max_overlap_frac`` (default 0.0 = any shared shingle
+    contaminates). Distinct-shingle ratios match :func:`contamination`'s
+    metric exactly, so one threshold means the same thing on both the
+    measuring and the dropping side (occurrence-weighted ratios would
+    let a document that repeats one leaked 3-gram many times read as
+    60% contaminated while its distinct overlap is 2%).
 
     The complement of :func:`contamination` (which *measures* eval-side
     overlap): this one cleans the training side, which is what a corpus
@@ -377,7 +382,9 @@ def decontaminate(
     )
     train_sh = train.select(
         F.col(id_col),
-        F.explode_outer(word_shingles(text_col, shingle_n)).alias("shingle"),
+        F.explode_outer(
+            F.array_distinct(word_shingles(text_col, shingle_n))
+        ).alias("shingle"),
     )
     overlap = (
         train_sh.join(F.broadcast(eval_sh), "shingle", "left")

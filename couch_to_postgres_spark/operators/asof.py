@@ -97,22 +97,34 @@ def asof_join(
     one union + one per-key window, no range explosion.
 
     Both frames need ``key_cols`` and ``time_col``; ``value_cols`` are
-    taken from ``right``."""
+    taken from ``right``.
+
+    The match is ROW-atomic: the carried values come from the single
+    nearest right row as a struct, so a NULL value in that row yields
+    NULL (per-column last-non-null would smuggle in an older row's value
+    — and would silently defeat the tolerance check, which bounds the
+    matched row's time)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
-    l_tagged = left.withColumn("_side", F.lit(1))
-    carry = list(value_cols) + ["_t"]
-    l_tagged = l_tagged.withColumn(
-        "_v__t", F.lit(None).cast(right.schema[time_col].dataType)
-    )
-    for c in value_cols:
-        l_tagged = l_tagged.withColumn(f"_v_{c}", F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.select(
-        *key_cols,
-        F.col(time_col),
-        F.col(time_col).alias("_v__t"),
+    row_struct = F.struct(
+        F.col(time_col).alias("_t"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    null_struct = F.lit(None).cast(
+        "struct<_t:{},{}>".format(
+            right.schema[time_col].dataType.simpleString(),
+            ",".join(
+                f"_v_{c}:{right.schema[c].dataType.simpleString()}"
+                for c in value_cols
+            ),
+        )
+    )
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_v_row", null_struct
+    )
+    r_tagged = right.select(
+        *key_cols, F.col(time_col), row_struct.alias("_v_row")
     ).withColumn("_side", F.lit(0))
     for c in lcols:
         if c not in r_tagged.columns:
@@ -129,13 +141,13 @@ def asof_join(
         .orderBy(t_order, F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned
-    for c in carry:
-        out = out.withColumn(
-            f"{c}{suffix}" if c != "_t" else "_t_matched",
-            F.last(f"_v_{c}", ignorenulls=True).over(w),
-        )
-    out = out.filter(F.col("_side") == 1)
+    out = (
+        unioned.withColumn("_m", F.last("_v_row", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .withColumn("_t_matched", F.col("_m._t"))
+    )
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_m._v_{c}"))
     if tolerance is not None:
         t_dtype = right.schema[time_col].dataType.simpleString()
         if t_dtype.startswith("timestamp"):

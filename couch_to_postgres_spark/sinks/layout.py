@@ -71,13 +71,23 @@ def zorder_value(cols, mins, maxs, bits: int = 8):
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         c = F.col(c) if isinstance(c, str) else c
+        if lo is None or hi is None:
+            raise ValueError(
+                "zorder_value: a column's bounds are NULL (all-NULL column "
+                "or empty frame) — clustering is undefined without a range"
+            )
         span = int(hi) - int(lo) + 1
-        # exact integer floor-div (num - num%span)/span: all-long modular
-        # arithmetic, then a division of exact multiples — never the
-        # float-floor path, whose correctly-rounded quotient can land one
-        # ulp above an integer boundary and floor one bucket too high
+        # exact integer floor-div via DECIMAL(38,0): long modular math
+        # makes (num - num%span) an exact multiple of span, and decimal
+        # division keeps it exact at ANY magnitude — the earlier
+        # double-`/` form went off-by-one once the multiple passed 2^53
+        # (e.g. a multi-year microsecond span × 256), which is exactly
+        # the regime this layout targets
         num = (c.cast("long") - F.lit(int(lo))) * F.lit(1 << bits)
-        scaled.append(((num - num % F.lit(span)) / F.lit(span)).cast("long"))
+        multiple = (num - num % F.lit(span)).cast("decimal(38,0)")
+        scaled.append(
+            (multiple / F.lit(span).cast("decimal(38,0)")).cast("long")
+        )
     z = F.lit(0).cast("long")
     for bit in range(bits - 1, -1, -1):
         for k, s in enumerate(scaled):
@@ -112,6 +122,16 @@ def write_zordered(
     ).first()
     mins = [bounds[f"lo{i}"] for i in range(len(cols))]
     maxs = [bounds[f"hi{i}"] for i in range(len(cols))]
+    if any(v is None for v in mins + maxs):
+        if df.limit(1).count() == 0:
+            # empty input: a legitimate pipeline no-op — write the empty
+            # dataset (schema preserved) rather than erroring
+            df.write.mode(mode).parquet(path)
+            return
+        raise ValueError(
+            f"write_zordered: NULL bounds for {cols} on a non-empty frame "
+            "(all-NULL cluster column) — cannot cluster"
+        )
     z = zorder_value(cols, mins, maxs, bits)
     (
         df.withColumn("__z", z)

@@ -230,13 +230,30 @@ def dedup_stream_within_watermark(
     storms, producer replays — the at-least-once transport's own echo),
     and the index-backed pipeline when a dup may arrive months after the
     original (corpus-wide dedup, which no bounded state can answer).
-    Works identically on a batch frame (falls back to dropDuplicates
-    semantics within the horizon) — pinned stream≡batch in tests.
+
+    Batch equivalence caveat: on a batch frame this keeps the EARLIEST
+    row per key over the whole frame (deterministic: event-time order
+    with an md5 row-hash tie-break). Stream ≡ batch holds exactly when
+    each key's duplicates all fall inside the watermark horizon — the
+    retry-storm regime this operator is for (pinned in tests). A dup
+    arriving after its key expired from streaming state is re-emitted by
+    the stream but deduped by the batch path — that long-gap regime is
+    the index-backed pipeline's job, not this one's.
     """
     keys = key_cols or ["doc_id"]
-    wm = stream.withWatermark(ts_col, watermark)
     if stream.isStreaming:
+        wm = stream.withWatermark(ts_col, watermark)
         return wm.dropDuplicatesWithinWatermark(keys)
-    # batch frames have no watermark state machine: the equivalent batch
-    # answer keeps the first row per key (dedup over the whole frame)
-    return stream.dropDuplicates(keys)
+    # batch frames have no watermark state machine: keep the first row
+    # per key by event time, tie-broken by a content hash so the survivor
+    # is deterministic (plain dropDuplicates keeps a partition-order-
+    # dependent row — unacceptable in an engine-reproducible pipeline)
+    from pyspark.sql import Window as W
+
+    tie = F.md5(F.to_json(F.struct(*[F.col(c) for c in stream.columns])))
+    rn = F.row_number().over(
+        W.partitionBy(*keys).orderBy(F.col(ts_col), tie)
+    )
+    return (
+        stream.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    )

@@ -207,3 +207,17 @@ def test_asof_forward_and_tolerance_match_naive(spark):
         for r in asof_join(left, right, ["k"], "t", ["v"]).collect()
     }
     assert no_tol[(1, 25.0)] == "a"  # same match survives without the bound
+
+
+def test_asof_match_is_row_atomic_with_null_values(spark):
+    # the nearest right row has a NULL value: the match must yield NULL,
+    # not smuggle in an older row's value (which would also bypass the
+    # tolerance bound on the matched row's time)
+    left = spark.createDataFrame([(1, 105.0)], "k long, t double")
+    right = spark.createDataFrame(
+        [(1, 10.0, 5.0), (1, 100.0, None)], "k long, t double, v double"
+    )
+    plain = asof_join(left, right, ["k"], "t", ["v"]).collect()[0]
+    assert plain["v_asof"] is None  # nearest row (t=100) carries NULL
+    tol = asof_join(left, right, ["k"], "t", ["v"], tolerance=10.0).collect()[0]
+    assert tol["v_asof"] is None    # and certainly not 5.0 from t=10 (delta 95)
