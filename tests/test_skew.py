@@ -102,3 +102,35 @@ def test_zorder_roundtrip_and_clustering(spark, sf_dir, tmp_path):
     )
     mean_ts = sum(hi - lo for lo, hi in ts_ex) / len(ts_ex)
     assert mean_ts < 0.9 * full_span
+
+
+def test_zorder_value_exact_past_double_precision(spark):
+    # regression: a multi-year microsecond span x 256 exceeds 2^53; the
+    # scaling must stay exact (the double-division form truncated ~6% of
+    # buckets one low at this magnitude)
+    import random
+
+    from couch_to_postgres_spark.sinks.layout import zorder_value
+
+    span = 161_704_492_035_908  # ~5.1 years in microseconds
+    lo = 1_700_000_000_000_000
+    hi = lo + span - 1
+    rng = random.Random(5)
+    vals = [lo + rng.randrange(span) for _ in range(2000)] + [lo, hi]
+    df = spark.createDataFrame([(v,) for v in vals], "t long")
+    z = zorder_value(["t"], [lo], [hi], bits=8)
+    got = [r["z"] for r in df.select(z.alias("z")).collect()]
+    want = [((v - lo) * 256) // span for v in vals]  # exact int reference
+    assert got == want
+
+
+def test_write_zordered_empty_and_allnull(spark, tmp_path):
+    from couch_to_postgres_spark.sinks.layout import write_zordered
+
+    empty = spark.createDataFrame([], "a long, b long")
+    write_zordered(empty, str(tmp_path / "empty"), ["a", "b"])
+    assert spark.read.parquet(str(tmp_path / "empty")).count() == 0
+
+    allnull = spark.createDataFrame([(None, 1), (None, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="NULL bounds"):
+        write_zordered(allnull, str(tmp_path / "nulls"), ["a", "b"])
