@@ -435,6 +435,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", "edit_dist", F.round("edit_sim", 4).alias("edit_sim")
         )
 
+    def x_cross_dedup(spark, sf_dir):
+        # cross-corpus dedup: drop from the "new batch" (doc_id >= 250)
+        # everything exact- or near-duplicating the "existing corpus"
+        # (doc_id < 250). self_dedup=False isolates the cross stage so
+        # the oracle stays non-recursive (the self stage ≡ x_near_dedup)
+        d = _docs(spark, sf_dir)
+        clean = X_dedup.cross_near_dedup(
+            d.filter(F.col("doc_id") >= 250),
+            d.filter(F.col("doc_id") < 250),
+            jaccard_threshold=0.6,
+            num_bands=4,
+            self_dedup=False,
+        )
+        return clean.select("doc_id")
+
     def x_winnow_spans(spark, sf_dir):
         # duplicated-span candidate buckets via winnowing fingerprints:
         # min-hash of each 4-wide window over the 3-gram hash sequence;
@@ -1761,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_minhash": x_dedup_minhash,
         "x_dedup_minhash_banded": x_dedup_minhash_banded,
         "x_dedup_minhash_km": x_dedup_minhash_km,
+        "x_cross_dedup": x_cross_dedup,
         "x_winnow_spans": x_winnow_spans,
         "x_winnow_occurrences": x_winnow_occurrences,
         "x_decontaminate": x_decontaminate,
@@ -2288,6 +2304,81 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs a JOIN sigs b
               ON a.band = b.band AND a.signature = b.signature
              AND a.doc_id < b.doc_id
+        """,
+        "x_cross_dedup": f"""
+            WITH newd AS (SELECT * FROM documents WHERE doc_id >= 250),
+            oldd AS (SELECT * FROM documents WHERE doc_id < 250),
+            surv AS (
+                SELECT n.* FROM newd n
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM oldd o WHERE md5(o.text) = md5(n.text)
+                )
+            ),
+            ws_s AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM surv
+            ),
+            sh_s AS (
+                SELECT doc_id, s.shingle
+                FROM ws_s, UNNEST(
+                    CASE WHEN len(ws) >= 3
+                         THEN [array_to_string(ws[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(ws) - 2)]
+                         ELSE []::VARCHAR[] END
+                ) AS s(shingle)
+            ),
+            ws_o AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM oldd
+            ),
+            sh_o AS (
+                SELECT doc_id, s.shingle
+                FROM ws_o, UNNEST(
+                    CASE WHEN len(ws) >= 3
+                         THEN [array_to_string(ws[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(ws) - 2)]
+                         ELSE []::VARCHAR[] END
+                ) AS s(shingle)
+            ),
+            sig_s AS (
+                SELECT doc_id, b.band,
+                       min(md5(CAST(b.band AS VARCHAR) || ':' || shingle))
+                           AS signature
+                FROM sh_s, UNNEST([0,1,2,3]) AS b(band)
+                GROUP BY doc_id, b.band
+            ),
+            sig_o AS (
+                SELECT doc_id, b.band,
+                       min(md5(CAST(b.band AS VARCHAR) || ':' || shingle))
+                           AS signature
+                FROM sh_o, UNNEST([0,1,2,3]) AS b(band)
+                GROUP BY doc_id, b.band
+            ),
+            cand AS (
+                SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+                FROM sig_s n JOIN sig_o o
+                  ON n.band = o.band AND n.signature = o.signature
+            ),
+            set_s AS (
+                SELECT doc_id, list_distinct(list(shingle)) AS sh
+                FROM sh_s GROUP BY doc_id
+            ),
+            set_o AS (
+                SELECT doc_id, list_distinct(list(shingle)) AS sh
+                FROM sh_o GROUP BY doc_id
+            ),
+            dropped AS (
+                SELECT DISTINCT c.id_a AS doc_id
+                FROM cand c
+                JOIN set_s a ON a.doc_id = c.id_a
+                JOIN set_o b ON b.doc_id = c.id_b
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+            )
+            SELECT doc_id FROM surv
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "x_winnow_spans": f"""
             WITH {_WORDS},

@@ -853,6 +853,78 @@ def near_dedup(
     return df.join(F.broadcast(drop), on=id_col, how="left_anti")
 
 
+def cross_near_dedup(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    rows_per_band: int = 1,
+    hash_family: str = "md5k",
+    self_dedup: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus (one-shot batch form
+    of the streaming incremental pipeline): drop new documents that are
+    exact or near duplicates of anything in ``existing``; with
+    ``self_dedup`` the survivors are also self-deduped via
+    :func:`near_dedup` so the returned frame can be appended to the
+    corpus without introducing internal dups. Ids must be unique ACROSS
+    the two frames (the verify stage fetches texts by id from their
+    union).
+
+    Plan asymmetry is the point: candidates come from joining the NEW
+    side's band signatures (small) against the existing side's — the
+    existing corpus is scanned for signatures but never self-joined, so
+    the pair space is |new|-proportional. Exact dups are caught first by
+    a content-hash semi-join (no shingling for them)."""
+    sig_fn = {"md5k": minhash_signatures, "km": km_minhash_signatures}[hash_family]
+    # exact cross-dups: one hash semi-join, no shingling
+    new_hashed = new.withColumn("_h", F.md5(F.col(text_col)))
+    existing_hashes = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    survivors = new_hashed.join(existing_hashes, "_h", "left_anti").drop("_h")
+    # near cross-dups: new-side signatures vs existing-side signatures
+    new_sigs = sig_fn(survivors, text_col, id_col, num_bands, shingle_n, rows_per_band)
+    old_sigs = sig_fn(existing, text_col, id_col, num_bands, shingle_n, rows_per_band)
+    cand = (
+        new_sigs.alias("n")
+        .join(
+            old_sigs.alias("o"),
+            on=[
+                F.col("n.band") == F.col("o.band"),
+                F.col("n.signature") == F.col("o.signature"),
+            ],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"o.{id_col}").alias("id_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    # verify candidates with exact jaccard across the two frames: texts
+    # fetched per side by id (candidate-proportional joins)
+    both = survivors.select(F.col(id_col), F.col(text_col)).unionByName(
+        existing.select(
+            F.col(id_col), F.col(text_col)
+        )
+    )
+    verified = ngram_jaccard(
+        both, cand, text_col, id_col, shingle_n, restrict_to_pair_docs=True,
+        _cache_registry=[],
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    drop = verified.select(F.col("id_a").alias(id_col)).distinct()
+    cross_clean = survivors.join(F.broadcast(drop), on=id_col, how="left_anti")
+    cand.unpersist()
+    if not self_dedup:
+        return cross_clean
+    return near_dedup(
+        cross_clean, text_col, id_col, jaccard_threshold,
+        num_bands, shingle_n, rows_per_band, hash_family,
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -1263,3 +1263,37 @@ def test_winnow_detection_guarantee_property(spark):
         assert both >= 1, (d1, d2)
 
     check()
+
+
+def test_cross_near_dedup_drops_cross_dups_keeps_unique(spark, docs):
+    # new batch: an exact copy of existing doc 0, a near copy (one word
+    # changed) of existing doc 1, and a genuinely new doc
+    d0 = docs.filter(F.col("doc_id") == 0).first()
+    d1 = docs.filter(F.col("doc_id") == 1).first()
+    near = d1["text"].split(" ")
+    near[len(near) // 2] = "XXCHANGEDXX"
+    new = spark.createDataFrame(
+        [
+            (200000, d0["text"], "en", "batch", len(d0["text"])),
+            (200001, " ".join(near), "en", "batch", 0),
+            (200002, "entirely novel content nothing like the corpus at all",
+             "en", "batch", 0),
+            (200003, "entirely novel content nothing like the corpus at all",
+             "en", "batch", 0),  # internal dup of 200002
+        ],
+        docs.schema,
+    )
+    out = D.cross_near_dedup(new, docs, jaccard_threshold=0.6, num_bands=4)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 200000 not in kept          # exact cross-dup dropped
+    assert 200001 not in kept          # near cross-dup dropped
+    assert 200002 in kept              # novel doc survives
+    assert 200003 not in kept          # internal dup removed by self stage
+    # cross stage only: internal dup survives when self_dedup=False
+    cross_only = {
+        r["doc_id"]
+        for r in D.cross_near_dedup(
+            new, docs, jaccard_threshold=0.6, num_bands=4, self_dedup=False
+        ).select("doc_id").collect()
+    }
+    assert {200002, 200003} <= cross_only
