@@ -1397,6 +1397,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("l_partkey", "best_suppkey", "best_price", "s_name")
         )
 
+    def j22_returnflag_priority(spark, sf_dir):
+        # TPC-H Q12 shape: per-group conditional counts by a priority
+        # predicate on the joined dimension — one fact scan, the orders
+        # side reduced to (key, priority) before a single join
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.when(urgent, 1)).alias("high_line_count"),
+                F.count(F.when(~urgent, 1)).alias("low_line_count"),
+            )
+        )
+
+    def j23_promo_revenue_share(spark, sf_dir):
+        # TPC-H Q14 shape: conditional-sum / total-sum ratio in ONE
+        # aggregation pass (never two scans or a self-join)
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+        rev = (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        promo = F.col("p_type") == "PROMO"
+        j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        return j.agg(
+            F.round(
+                (F.sum(F.when(promo, rev)).cast("double") * 100.0)
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(F.when(promo, rev)), 2).cast("double").alias("promo_revenue"),
+        )
+
+    def j24_disjunctive_predicates(spark, sf_dir):
+        # TPC-H Q19 shape: OR-of-conjunction predicate blocks over the
+        # fact-dim join — one scan, the disjunction evaluated row-local
+        # (never a UNION of three scans)
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part")
+        j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        rev = (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        block1 = (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+        )
+        block2 = (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 20)
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+        )
+        block3 = (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 30)
+            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
+        )
+        return j.filter(block1 | block2 | block3).agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+
     def e24_asof_next_purchase(spark, sf_dir):
         # FORWARD as-of with tolerance (pandas merge_asof contract): each
         # click gains the next purchase value by the same user within 30
@@ -1791,6 +1860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j21_cheapest_supplier_per_part": j21_cheapest_supplier_per_part,
         "e22_range_frame_sum": e22_range_frame_sum,
         "e24_asof_next_purchase": e24_asof_next_purchase,
+        "j22_returnflag_priority": j22_returnflag_priority,
+        "j23_promo_revenue_share": j23_promo_revenue_share,
+        "j24_disjunctive_predicates": j24_disjunctive_predicates,
         "e23_ntile_quartiles": e23_ntile_quartiles,
         "x_dedup_jaccard": x_dedup_jaccard,
         "x_dedup_editdist": x_dedup_editdist,
@@ -3525,6 +3597,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.l_partkey, b.best_suppkey, b.best_price, s.s_name
             FROM best b JOIN supplier s ON b.best_suppkey = s.s_suppkey
+        """,
+        "j22_returnflag_priority": """
+            SELECT l.l_returnflag,
+                   CAST(count(*) FILTER (
+                       WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   ) AS BIGINT) AS high_line_count,
+                   CAST(count(*) FILTER (
+                       WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   ) AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_returnflag
+        """,
+        "j23_promo_revenue_share": """
+            SELECT round(
+                       CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                     THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                          * (CAST(1 AS DECIMAL(18,4))
+                                             - CAST(l.l_discount AS DECIMAL(18,4)))
+                                END) AS DOUBLE) * 100.0
+                       / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                  * (CAST(1 AS DECIMAL(18,4))
+                                     - CAST(l.l_discount AS DECIMAL(18,4))))
+                             AS DOUBLE),
+                       4) AS promo_share_pct,
+                   CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                                       THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                            * (CAST(1 AS DECIMAL(18,4))
+                                               - CAST(l.l_discount AS DECIMAL(18,4)))
+                                  END), 2) AS DOUBLE) AS promo_revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "j24_disjunctive_predicates": """
+            SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                  * (CAST(1 AS DECIMAL(18,4))
+                                     - CAST(l.l_discount AS DECIMAL(18,4)))),
+                        2) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10
+                   AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#2' AND p.p_size <= 20
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#3' AND p.p_size <= 30
+                   AND l.l_quantity BETWEEN 20 AND 40)
         """,
         "e24_asof_next_purchase": """
             WITH c AS (
