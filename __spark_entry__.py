@@ -1397,6 +1397,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("l_partkey", "best_suppkey", "best_price", "s_name")
         )
 
+    def j25_nation_pair_volume(spark, sf_dir):
+        # TPC-H Q7 shape: trade volume between supplier-nation and
+        # customer-nation PAIRS — the same dimension (nation) joins twice
+        # in different roles, both broadcast; the fact side shuffles once
+        # on orderkey for the orders join and aggregates on the pair key
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        rev = (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        supp_n = n.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+        cust_n = n.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(supp_n), s.s_nationkey == F.col("sn_key"))
+            .join(F.broadcast(cust_n), c.c_nationkey == F.col("cn_key"))
+            .filter(F.col("supp_nation") < F.col("cust_nation"))
+        )
+        return j.groupBy("supp_nation", "cust_nation").agg(
+            F.round(F.sum(rev), 2).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+
     def j22_returnflag_priority(spark, sf_dir):
         # TPC-H Q12 shape: per-group conditional counts by a priority
         # predicate on the joined dimension — one fact scan, the orders
@@ -1860,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j21_cheapest_supplier_per_part": j21_cheapest_supplier_per_part,
         "e22_range_frame_sum": e22_range_frame_sum,
         "e24_asof_next_purchase": e24_asof_next_purchase,
+        "j25_nation_pair_volume": j25_nation_pair_volume,
         "j22_returnflag_priority": j22_returnflag_priority,
         "j23_promo_revenue_share": j23_promo_revenue_share,
         "j24_disjunctive_predicates": j24_disjunctive_predicates,
@@ -3597,6 +3631,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.l_partkey, b.best_suppkey, b.best_price, s.s_name
             FROM best b JOIN supplier s ON b.best_suppkey = s.s_suppkey
+        """,
+        "j25_nation_pair_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                  * (CAST(1 AS DECIMAL(18,4))
+                                     - CAST(l.l_discount AS DECIMAL(18,4)))),
+                        2) AS DOUBLE) AS volume,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE sn.n_name < cn.n_name
+            GROUP BY sn.n_name, cn.n_name
         """,
         "j22_returnflag_priority": """
             SELECT l.l_returnflag,
