@@ -1397,6 +1397,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("l_partkey", "best_suppkey", "best_price", "s_name")
         )
 
+    def j26_brand_market_share(spark, sf_dir):
+        # TPC-H Q8 shape: one brand's revenue share per ORDER YEAR —
+        # date-part grouping plus a conditional/total ratio inside one
+        # aggregation (the nested mkt_share subquery flattened away)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        rev = (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        target = F.col("p_brand") == "Brand#1"
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        )
+        return j.groupBy("o_year").agg(
+            F.round(
+                F.sum(F.when(target, rev)).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+
     def j25_nation_pair_volume(spark, sf_dir):
         # TPC-H Q7 shape: trade volume between supplier-nation and
         # customer-nation PAIRS — the same dimension (nation) joins twice
@@ -1893,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j21_cheapest_supplier_per_part": j21_cheapest_supplier_per_part,
         "e22_range_frame_sum": e22_range_frame_sum,
         "e24_asof_next_purchase": e24_asof_next_purchase,
+        "j26_brand_market_share": j26_brand_market_share,
         "j25_nation_pair_volume": j25_nation_pair_volume,
         "j22_returnflag_priority": j22_returnflag_priority,
         "j23_promo_revenue_share": j23_promo_revenue_share,
@@ -3631,6 +3658,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.l_partkey, b.best_suppkey, b.best_price, s.s_name
             FROM best b JOIN supplier s ON b.best_suppkey = s.s_suppkey
+        """,
+        "j26_brand_market_share": """
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   round(
+                       CAST(sum(CASE WHEN p.p_brand = 'Brand#1'
+                                     THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                          * (CAST(1 AS DECIMAL(18,4))
+                                             - CAST(l.l_discount AS DECIMAL(18,4)))
+                                END) AS DOUBLE)
+                       / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                  * (CAST(1 AS DECIMAL(18,4))
+                                     - CAST(l.l_discount AS DECIMAL(18,4))))
+                             AS DOUBLE),
+                       6) AS mkt_share,
+                   CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                  * (CAST(1 AS DECIMAL(18,4))
+                                     - CAST(l.l_discount AS DECIMAL(18,4)))),
+                        2) AS DOUBLE) AS total_revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY year(o.o_orderdate)
         """,
         "j25_nation_pair_volume": """
             SELECT sn.n_name AS supp_nation,
