@@ -990,6 +990,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.ntile(4).over(Window.orderBy(*order)).cast("long").alias("quartile"),
         )
 
+    def x_interp_score(spark, sf_dir):
+        # Jelinek-Mercer interpolated LM score (bigram backed off to
+        # unigram): the smoothed perplexity proxy
+        return X_text.interpolated_logprob_score(_docs(spark, sf_dir))
+
     def x_bigram_score(spark, sf_dir):
         return X_text.bigram_logprob_score(_docs(spark, sf_dir))
 
@@ -1893,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quantize": x_quantize,
         "x_shards": x_shards,
         "x_rep_signals": x_rep_signals,
+        "x_interp_score": x_interp_score,
         "x_bigram_score": x_bigram_score,
         "e17_price_histogram": e17_price_histogram,
         "x_approx_quantiles": x_approx_quantiles,
@@ -3300,6 +3306,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_unk
             FROM enc GROUP BY doc_id
+        """,
+        "x_interp_score": f"""
+            WITH {_WORDS},
+            bg AS (
+                SELECT doc_id, b.bg,
+                       string_split(b.bg, ' ')[1] AS w1,
+                       string_split(b.bg, ' ')[2] AS w2
+                FROM words, UNNEST(
+                    CASE WHEN len(ws) >= 2
+                         THEN [array_to_string(ws[i:i+1], ' ')
+                               FOR i IN generate_series(1, len(ws) - 1)]
+                         ELSE []::VARCHAR[] END
+                ) AS b(bg)
+            ),
+            cbg AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+            cw1 AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY w1),
+            cw2 AS (SELECT w2, count(*) AS c_w2 FROM bg GROUP BY w2),
+            tot AS (SELECT count(*) AS n_tot FROM bg)
+            SELECT bg.doc_id,
+                   round(avg(ln(
+                       0.7 * (CAST(c_bg AS DOUBLE) / c_w1)
+                       + (1.0 - 0.7) * (CAST(c_w2 AS DOUBLE) / n_tot)
+                   )), 4) AS mean_interp_logprob,
+                   CAST(count(*) AS BIGINT) AS n_bigrams
+            FROM bg
+            JOIN cbg USING (bg)
+            JOIN cw1 USING (w1)
+            JOIN cw2 USING (w2)
+            CROSS JOIN tot
+            GROUP BY bg.doc_id
         """,
         "x_bigram_score": f"""
             WITH {_WORDS},

@@ -519,6 +519,52 @@ def bigram_logprob_score(
     )
 
 
+def interpolated_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated LM scoring: per document the mean
+    ``ln( λ·P(w2|w1) + (1-λ)·P(w2) )`` over its word bigrams — the
+    smoothing step up from raw-MLE :func:`bigram_logprob_score`, whose
+    score collapses for any bigram unseen elsewhere in the corpus
+    (P=corpus-MLE is 1/C(w1) at best, and brittle); interpolation backs
+    off to the unigram so rare continuations are penalized smoothly, the
+    standard n-gram quality-filter formulation.
+
+    Same plan skeleton as the bigram scorer: bigram- and unigram-keyed
+    aggregations are vocabulary-sized; the corpus total is a one-row
+    broadcast; no driver round-trips. Documents with no bigram are
+    omitted."""
+    from couch_to_postgres_spark.extensions.dedup import word_shingles
+
+    bg = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, 2)).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0]).withColumn(
+        "w2", F.split(F.col("bg"), " ")[1]
+    )
+    c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_w1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    c_w2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c_w2"))
+    n_tot = bg.agg(F.count(F.lit(1)).alias("n_tot"))
+    p_bg = F.col("c_bg") / F.col("c_w1")
+    p_uni = F.col("c_w2") / F.col("n_tot")
+    return (
+        bg.join(c_bg, "bg")
+        .join(c_w1, "w1")
+        .join(c_w2, "w2")
+        .join(F.broadcast(n_tot))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.log(F.lit(lam) * p_bg + F.lit(1.0 - lam) * p_uni)), 4
+            ).alias("mean_interp_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

@@ -1297,3 +1297,37 @@ def test_cross_near_dedup_drops_cross_dups_keeps_unique(spark, docs):
         ).select("doc_id").collect()
     }
     assert {200002, 200003} <= cross_only
+
+
+def test_interpolated_score_orders_fluent_above_shuffled(spark):
+    # smoothing sanity on a corpus with real bigram structure: sentences
+    # drawn from a shared template distribution outscore a token-shuffled
+    # rearrangement of the same words, and every score is finite even
+    # when a doc contains corpus-unique bigrams
+    import random
+
+    from couch_to_postgres_spark.extensions.text import (
+        interpolated_logprob_score,
+    )
+
+    rng = random.Random(11)
+    sent = "the quick brown fox jumps over the lazy dog near the old mill"
+    rows = []
+    for i in range(25):
+        # small per-doc perturbation keeps vocabulary shared, structure real
+        words = sent.split(" ")
+        words[rng.randrange(len(words))] = f"w{i % 5}"
+        rows.append((i, " ".join(words)))
+    shuffled = sent.split(" ")
+    rng.shuffle(shuffled)
+    rows.append((900000, " ".join(shuffled)))
+    # one doc with an entirely novel bigram tail: must stay finite
+    rows.append((900001, sent + " zzuniquetoken qqneverbefore"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["mean_interp_logprob"]
+        for r in interpolated_logprob_score(df).collect()
+    }
+    assert all(s is not None and s == s for s in scores.values())  # finite
+    natural = [v for k, v in scores.items() if k < 900000]
+    assert scores[900000] < sum(natural) / len(natural)
