@@ -1402,6 +1402,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("l_partkey", "best_suppkey", "best_price", "s_name")
         )
 
+    def j27_priority_order_counts(spark, sf_dir):
+        # TPC-H Q4 shape: order counts per priority, restricted to orders
+        # with at least one qualifying lineitem — EXISTS as a left-semi
+        # join of the (distinct-reduced) qualifying key set
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        qualifying = (
+            li.filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey")
+            .distinct()
+        )
+        return (
+            o.join(qualifying, o.o_orderkey == qualifying.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+        )
+
     def j26_brand_market_share(spark, sf_dir):
         # TPC-H Q8 shape: one brand's revenue share per ORDER YEAR —
         # date-part grouping plus a conditional/total ratio inside one
@@ -1925,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j21_cheapest_supplier_per_part": j21_cheapest_supplier_per_part,
         "e22_range_frame_sum": e22_range_frame_sum,
         "e24_asof_next_purchase": e24_asof_next_purchase,
+        "j27_priority_order_counts": j27_priority_order_counts,
         "j26_brand_market_share": j26_brand_market_share,
         "j25_nation_pair_volume": j25_nation_pair_volume,
         "j22_returnflag_priority": j22_returnflag_priority,
@@ -3694,6 +3712,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.l_partkey, b.best_suppkey, b.best_price, s.s_name
             FROM best b JOIN supplier s ON b.best_suppkey = s.s_suppkey
+        """,
+        "j27_priority_order_counts": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+            )
+            GROUP BY o_orderpriority
         """,
         "j26_brand_market_share": """
             SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
