@@ -1402,6 +1402,169 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("l_partkey", "best_suppkey", "best_price", "s_name")
         )
 
+    def j28_forecast_revenue(spark, sf_dir):
+        # TPC-H Q6 shape: single-scan filtered revenue aggregate — the
+        # predicate must push to the parquet scan, no join anywhere
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * F.col("l_discount").cast("decimal(18,4)")
+                ),
+                2,
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+
+    def j29_profit_by_nation_year(spark, sf_dir):
+        # TPC-H Q9 shape (supplycost proxied by part retail price — no
+        # partsupp table ships): profit per supplier nation per order
+        # year; dims broadcast, one fact shuffle for the orders join
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+        s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+        rev = (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        cost = (
+            F.col("p_retailprice").cast("decimal(18,4)")
+            * F.col("l_quantity").cast("decimal(18,4)")
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        )
+        return j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        ).agg(F.round(F.sum(rev - cost), 2).cast("double").alias("profit"))
+
+    def j30_top_returned_customers(spark, sf_dir):
+        # TPC-H Q10 shape: revenue lost to returns per customer, top 20
+        # with a deterministic composite order (revenue desc, custkey)
+        li = load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_returnflag") == "R"
+        )
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        c = load_table(spark, sf_dir, "customer")
+        n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        rev = (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        g = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        )
+        return g.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+    def j31_order_count_distribution(spark, sf_dir):
+        # TPC-H Q13 shape: LEFT OUTER join then TWO aggregations — orders
+        # per customer (zero-order customers kept via the outer join),
+        # then the distribution of that count
+        c = load_table(spark, sf_dir, "customer").select("c_custkey")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") != "1-URGENT"
+        ).select("o_custkey", "o_orderkey")
+        per_cust = (
+            c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(
+            F.count(F.lit(1)).alias("custdist")
+        )
+
+    def j32_top_supplier(spark, sf_dir):
+        # TPC-H Q15 shape: the revenue "view" (per-supplier grouped
+        # frame) reused twice — once for the scalar max (one-row
+        # broadcast), once filtered by equality to it; ties all surface
+        li = load_table(spark, sf_dir, "lineitem")
+        rev = (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        view = li.groupBy("l_suppkey").agg(
+            F.round(F.sum(rev), 2).alias("total_revenue")
+        )
+        mx = view.agg(F.max("total_revenue").alias("mx"))
+        s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        return (
+            view.join(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+            .select(
+                "s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"),
+            )
+        )
+
+    def j33_small_quantity_revenue(spark, sf_dir):
+        # TPC-H Q17 shape: rows under 20% of their part's average
+        # quantity — the correlated per-part AVG becomes one grouped
+        # frame joined back (same flattening as j18's share-of-total)
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part").filter(
+            F.col("p_brand") == "Brand#1"
+        ).select("p_partkey")
+        li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        avg_qty = li_b.groupBy("l_partkey").agg(
+            (F.avg("l_quantity") * 0.2).alias("qty_bar")
+        )
+        small = li_b.join(avg_qty, "l_partkey").filter(
+            F.col("l_quantity") < F.col("qty_bar")
+        )
+        return small.agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                / F.lit(7.0),
+                2,
+            ).cast("double").alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+
+    def j34_sole_returning_supplier(spark, sf_dir):
+        # TPC-H Q21 shape: the EXISTS/NOT-EXISTS chain — suppliers who
+        # were the ONLY returning supplier on a multi-supplier order —
+        # reframed as per-order supplier/returner distinct counts joined
+        # back (one grouped frame instead of two correlated subqueries)
+        li = load_table(spark, sf_dir, "lineitem")
+        s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        per_order = li.groupBy("l_orderkey").agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_ret_supp"),
+        )
+        culprit = (
+            li.filter(F.col("l_returnflag") == "R")
+            .join(
+                per_order.filter(
+                    (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+                ),
+                "l_orderkey",
+            )
+            .groupBy("l_suppkey")
+            .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        )
+        return (
+            culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name", "numwait")
+        )
+
     def j27_priority_order_counts(spark, sf_dir):
         # TPC-H Q4 shape: order counts per priority, restricted to orders
         # with at least one qualifying lineitem — EXISTS as a left-semi
@@ -1942,6 +2105,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j21_cheapest_supplier_per_part": j21_cheapest_supplier_per_part,
         "e22_range_frame_sum": e22_range_frame_sum,
         "e24_asof_next_purchase": e24_asof_next_purchase,
+        "j28_forecast_revenue": j28_forecast_revenue,
+        "j29_profit_by_nation_year": j29_profit_by_nation_year,
+        "j30_top_returned_customers": j30_top_returned_customers,
+        "j31_order_count_distribution": j31_order_count_distribution,
+        "j32_top_supplier": j32_top_supplier,
+        "j33_small_quantity_revenue": j33_small_quantity_revenue,
+        "j34_sole_returning_supplier": j34_sole_returning_supplier,
         "j27_priority_order_counts": j27_priority_order_counts,
         "j26_brand_market_share": j26_brand_market_share,
         "j25_nation_pair_volume": j25_nation_pair_volume,
@@ -3712,6 +3882,106 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.l_partkey, b.best_suppkey, b.best_price, s.s_name
             FROM best b JOIN supplier s ON b.best_suppkey = s.s_suppkey
+        """,
+        "j28_forecast_revenue": """
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * CAST(l_discount AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "j29_profit_by_nation_year": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(sum(
+                       CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,4))
+                          - CAST(l.l_discount AS DECIMAL(18,4)))
+                       - CAST(p.p_retailprice AS DECIMAL(18,4))
+                         * CAST(l.l_quantity AS DECIMAL(18,4))
+                   ), 2) AS DOUBLE) AS profit
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY n.n_name, year(o.o_orderdate)
+        """,
+        "j30_top_returned_customers": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                  * (CAST(1 AS DECIMAL(18,4))
+                                     - CAST(l.l_discount AS DECIMAL(18,4)))),
+                        2) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "j31_order_count_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "j32_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                 * (CAST(1 AS DECIMAL(18,4))
+                                    - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                           AS total_revenue
+                FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.total_revenue AS DOUBLE) AS total_revenue
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "j33_small_quantity_revenue": """
+            WITH li_b AS (
+                SELECT l.*
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand = 'Brand#1'
+            ),
+            bars AS (
+                SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_bar
+                FROM li_b GROUP BY l_partkey
+            )
+            SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                              / 7.0, 2) AS DOUBLE) AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM li_b l JOIN bars b ON l.l_partkey = b.l_partkey
+            WHERE l.l_quantity < b.qty_bar
+        """,
+        "j34_sole_returning_supplier": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                           THEN l_suppkey END) AS n_ret_supp
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+            FROM lineitem l
+            JOIN per_order po ON l.l_orderkey = po.l_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE l.l_returnflag = 'R'
+              AND po.n_supp >= 2 AND po.n_ret_supp = 1
+            GROUP BY s.s_suppkey, s.s_name
         """,
         "j27_priority_order_counts": """
             SELECT o_orderpriority,
