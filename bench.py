@@ -302,6 +302,13 @@ def main() -> None:
             emb, n_cells=16, threshold=0.99, scorer="vectorized"
         ).count(),
     )
+    # span-level dedup: winnowing fingerprint buckets shared by >1 doc
+    # (the substring complement to whole-document minhash; one doc-keyed
+    # shuffle + one fingerprint-keyed agg)
+    bench(
+        "q_winnow_spans",
+        lambda: X_dedup.shared_span_buckets(docs).count(),
+    )
     bench("q_text_features", lambda: X_text.text_features(docs).count())
 
     ev = load_table(spark, sf_dir, "events")
