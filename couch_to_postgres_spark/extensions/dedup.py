@@ -903,20 +903,40 @@ def cross_near_dedup(
         .distinct()
         .persist()
     )
-    # verify candidates with exact jaccard across the two frames: texts
-    # fetched per side by id (candidate-proportional joins)
-    both = survivors.select(F.col(id_col), F.col(text_col)).unionByName(
-        existing.select(
-            F.col(id_col), F.col(text_col)
+    # materialize the candidate cache NOW (pair-proportional count):
+    # ngram_jaccard's restricted mode references the pair frame three
+    # times, and an unmaterialized persist would be unmarked below
+    # before it ever populated — the LSH band-join subtree would then
+    # re-execute per reference
+    n_cand = cand.count()
+    if n_cand == 0:
+        cand.unpersist()
+        cross_clean = survivors
+    else:
+        # verify candidates with exact jaccard across the two frames:
+        # texts fetched per side by id (candidate-proportional joins)
+        both = survivors.select(F.col(id_col), F.col(text_col)).unionByName(
+            existing.select(F.col(id_col), F.col(text_col))
         )
-    )
-    verified = ngram_jaccard(
-        both, cand, text_col, id_col, shingle_n, restrict_to_pair_docs=True,
-        _cache_registry=[],
-    ).filter(F.col("jaccard") >= jaccard_threshold)
-    drop = verified.select(F.col("id_a").alias(id_col)).distinct()
-    cross_clean = survivors.join(F.broadcast(drop), on=id_col, how="left_anti")
-    cand.unpersist()
+        caches: list = []
+        verified = ngram_jaccard(
+            both, cand, text_col, id_col, shingle_n,
+            restrict_to_pair_docs=True, _cache_registry=caches,
+        ).filter(F.col("jaccard") >= jaccard_threshold)
+        # eager localCheckpoint severs the drop set from the candidate/
+        # shingle caches so BOTH can release here — a daemon calling
+        # this per incoming batch must not accumulate cached blocks
+        drop = (
+            verified.select(F.col("id_a").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cross_clean = survivors.join(
+            F.broadcast(drop), on=id_col, how="left_anti"
+        )
+        cand.unpersist()
+        for frame in caches:
+            frame.unpersist()
     if not self_dedup:
         return cross_clean
     return near_dedup(

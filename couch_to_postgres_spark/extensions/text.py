@@ -544,10 +544,17 @@ def interpolated_logprob_score(
     ).withColumn("w1", F.split(F.col("bg"), " ")[0]).withColumn(
         "w2", F.split(F.col("bg"), " ")[1]
     )
+    # ONE corpus-wide aggregation builds the bigram table; the w1/w2
+    # marginals and the corpus total all derive from it (vocabulary-sized
+    # inputs) — naively grouping `bg` four times would re-run the
+    # corpus-wide shingle explode per aggregate
     c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    c_w1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
-    c_w2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c_w2"))
-    n_tot = bg.agg(F.count(F.lit(1)).alias("n_tot"))
+    c_bg_split = c_bg.withColumn("w1", F.split(F.col("bg"), " ")[0]).withColumn(
+        "w2", F.split(F.col("bg"), " ")[1]
+    )
+    c_w1 = c_bg_split.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    c_w2 = c_bg_split.groupBy("w2").agg(F.sum("c_bg").alias("c_w2"))
+    n_tot = c_bg.agg(F.sum("c_bg").alias("n_tot"))
     p_bg = F.col("c_bg") / F.col("c_w1")
     p_uni = F.col("c_w2") / F.col("n_tot")
     return (
