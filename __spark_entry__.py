@@ -466,6 +466,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), shingle_n=3, window=4
         )
 
+    def x_mask_spans(spark, sf_dir):
+        # boilerplate masking accounting: words removed per document
+        # (representative keeps its copy). Fully value-oracled — the
+        # covered-index union is computable in SQL from the occurrence
+        # CTE (count of distinct indices under any matched window span)
+        masked = X_dedup.mask_shared_spans(
+            _docs(spark, sf_dir), shingle_n=3, window=4, min_docs=2
+        )
+        return masked.select("doc_id", "n_words_masked")
+
     def x_decontaminate(spark, sf_dir):
         # drop-side decontamination: remove train docs (source <> src0)
         # whose shingle overlap with the eval slice (source = src0)
@@ -2083,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cross_dedup": x_cross_dedup,
         "x_winnow_spans": x_winnow_spans,
         "x_winnow_occurrences": x_winnow_occurrences,
+        "x_mask_spans": x_mask_spans,
         "x_decontaminate": x_decontaminate,
         "x_sketch_merge": x_sketch_merge,
         "x_jl_projection": x_jl_projection,
@@ -2775,6 +2786,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o.pos - 1 AS INT) AS pos,
                    o.fingerprint, h.n_docs
             FROM occ o JOIN hot h ON o.fingerprint = h.fingerprint
+        """,
+        "x_mask_spans": f"""
+            WITH {_WORDS},
+            spos AS (
+                SELECT doc_id, g.i AS pos,
+                       array_to_string(ws[g.i:g.i+2], ' ') AS shingle
+                FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS g(i)
+                WHERE len(ws) >= 3
+            ),
+            hashed AS (
+                SELECT doc_id, pos,
+                       CAST({_hexval8_sql('shingle')} AS BIGINT) AS h
+                FROM spos
+            ),
+            winmin AS (
+                SELECT doc_id, pos,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS fingerprint,
+                       count(*) OVER (PARTITION BY doc_id) AS n_sh
+                FROM hashed
+            ),
+            occ AS (
+                SELECT doc_id, pos, fingerprint
+                FROM winmin WHERE pos <= n_sh - 3
+            ),
+            hot AS (
+                SELECT fingerprint FROM
+                    (SELECT DISTINCT doc_id, fingerprint FROM occ)
+                GROUP BY fingerprint HAVING count(*) >= 2
+            ),
+            hot_occ AS (
+                SELECT o.* FROM occ o JOIN hot h USING (fingerprint)
+            ),
+            first AS (
+                SELECT fingerprint, min(doc_id) AS keep_id
+                FROM hot_occ GROUP BY fingerprint
+            ),
+            occ2 AS (
+                SELECT o.doc_id, o.pos
+                FROM hot_occ o JOIN first f USING (fingerprint)
+                WHERE o.doc_id <> f.keep_id
+            ),
+            covered AS (
+                SELECT DISTINCT doc_id, g.i AS idx
+                FROM occ2, UNNEST(generate_series(pos, pos + 5)) AS g(i)
+            ),
+            cnt AS (
+                SELECT doc_id, count(*) AS n FROM covered GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_words_masked
+            FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
         """,
         "x_decontaminate": f"""
             WITH train AS (
