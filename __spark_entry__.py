@@ -1720,6 +1720,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_lines"),
         )
 
+    def e25_cumulative_distinct_users(spark, sf_dir):
+        # cumulative distinct users by day — the first-seen reframing: a
+        # windowed COUNT(DISTINCT) is unbounded state, but min(first day)
+        # per user then a running sum over the (tiny) day dimension is
+        # two cheap aggregations; the only window runs over |days| rows
+        ev = load_table(spark, sf_dir, "events")
+        first_seen = ev.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("first_day")
+        )
+        daily = first_seen.groupBy("first_day").agg(
+            F.count(F.lit(1)).alias("new_users")
+        )
+        w = Window.orderBy("first_day").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return daily.select(
+            F.col("first_day").cast("string").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+
     def e24_asof_next_purchase(spark, sf_dir):
         # FORWARD as-of with tolerance (pandas merge_asof contract): each
         # click gains the next purchase value by the same user within 30
@@ -2105,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j20_idle_customers": j20_idle_customers,
         "j21_cheapest_supplier_per_part": j21_cheapest_supplier_per_part,
         "e22_range_frame_sum": e22_range_frame_sum,
+        "e25_cumulative_distinct_users": e25_cumulative_distinct_users,
         "e24_asof_next_purchase": e24_asof_next_purchase,
         "j28_forecast_revenue": j28_forecast_revenue,
         "j29_profit_by_nation_year": j29_profit_by_nation_year,
@@ -4142,6 +4164,23 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 30)
                OR (p.p_brand = 'Brand#3' AND p.p_size <= 30
                    AND l.l_quantity BETWEEN 20 AND 40)
+        """,
+        "e25_cumulative_distinct_users": """
+            WITH first_seen AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY user_id
+            ),
+            daily AS (
+                SELECT first_day, count(*) AS new_users
+                FROM first_seen GROUP BY first_day
+            )
+            SELECT CAST(first_day AS VARCHAR) AS day,
+                   CAST(new_users AS BIGINT) AS new_users,
+                   CAST(sum(new_users) OVER (
+                       ORDER BY first_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_users
+            FROM daily
         """,
         "e24_asof_next_purchase": """
             WITH c AS (
