@@ -1331,3 +1331,57 @@ def test_interpolated_score_orders_fluent_above_shuffled(spark):
     assert all(s is not None and s == s for s in scores.values())  # finite
     natural = [v for k, v in scores.items() if k < 900000]
     assert scores[900000] < sum(natural) / len(natural)
+
+
+def test_km_family_detects_planted_dups_property(spark):
+    # hash-family equivalence property: for ANY near-identical doc pair,
+    # the Kirsch-Mitzenmacher family must produce candidate pairs just
+    # like the md5k family — planted pairs at random lengths/positions
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_words=st.integers(12, 40),
+        change_at=st.integers(0, 11),
+        seed=st.integers(0, 10**6),
+    )
+    def check(n_words, change_at, seed):
+        import random
+
+        rng = random.Random(seed)
+        words = [f"w{rng.randrange(50)}" for _ in range(n_words)]
+        near = list(words)
+        near[change_at % n_words] = "XXX"
+        df = spark.createDataFrame(
+            [(1, " ".join(words)), (2, " ".join(near)),
+             (3, " ".join(f"z{i}" for i in range(n_words)))],
+            "doc_id long, text string",
+        )
+        for fam in ("md5k", "km"):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in D.minhash_candidate_pairs(
+                    df, num_bands=8, hash_family=fam
+                ).collect()
+            }
+            assert (1, 2) in got, fam
+            assert not any(3 in p for p in got), (fam, got)
+
+    check()
+
+
+def test_km_minhash_identical_texts_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    sigs = D.km_minhash_signatures(df, num_bands=4, rows_per_band=2).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r["doc_id"], {})[r["band"]] = r["signature"]
+    assert by_doc[1] == by_doc[2]
