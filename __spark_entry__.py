@@ -476,6 +476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return masked.select("doc_id", "n_words_masked")
 
+    def x_lang_id_multi(spark, sf_dir):
+        # multi-language ID: broadcast wordlist table, per-language hit
+        # ratios, arg-max winner with deterministic composite tie-break
+        return X_text.language_id(_docs(spark, sf_dir))
+
     def x_decontaminate(spark, sf_dir):
         # drop-side decontamination: remove train docs (source <> src0)
         # whose shingle overlap with the eval slice (source = src0)
@@ -2115,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_winnow_spans": x_winnow_spans,
         "x_winnow_occurrences": x_winnow_occurrences,
         "x_mask_spans": x_mask_spans,
+        "x_lang_id_multi": x_lang_id_multi,
         "x_decontaminate": x_decontaminate,
         "x_sketch_merge": x_sketch_merge,
         "x_jl_projection": x_jl_projection,
@@ -2861,6 +2867,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_words_masked
             FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+        """,
+        "x_lang_id_multi": """
+            WITH wl(wl_lang, wl_word) AS (
+                VALUES
+                ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),
+                ('en','in'),('en','is'),('en','on'),('en','for'),('en','with'),
+                ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+                ('de','ein'),('de','nicht'),('de','mit'),('de','zu'),('de','auf'),
+                ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+                ('fr','un'),('fr','une'),('fr','pas'),('fr','avec'),('fr','dans')
+            ),
+            words AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), w -> w <> ''))
+                           AS n_words,
+                       lower(u.w) AS w
+                FROM documents,
+                     UNNEST(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS u(w)
+            ),
+            hits AS (
+                SELECT w.doc_id, w.n_words, wl.wl_lang,
+                       count(wl.wl_word) AS hits
+                FROM words w JOIN wl ON w.w = wl.wl_word
+                GROUP BY w.doc_id, w.n_words, wl.wl_lang
+            ),
+            scored AS (
+                SELECT doc_id, wl_lang,
+                       round(hits / greatest(n_words, 1), 4) AS ratio
+                FROM hits
+            ),
+            ranked AS (
+                SELECT doc_id, wl_lang, ratio,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY ratio DESC, wl_lang DESC
+                       ) AS rn
+                FROM scored
+            ),
+            best AS (
+                SELECT doc_id, wl_lang AS _lang, ratio AS lang_ratio
+                FROM ranked WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   CASE WHEN b.lang_ratio IS NULL OR b.lang_ratio < 0.02
+                        THEN 'und' ELSE b._lang END AS lang_pred,
+                   COALESCE(b.lang_ratio, 0.0) AS lang_ratio
+            FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
         """,
         "x_decontaminate": f"""
             WITH train AS (

@@ -1385,3 +1385,21 @@ def test_km_minhash_identical_texts_identical_signatures(spark):
     for r in sigs:
         by_doc.setdefault(r["doc_id"], {})[r["band"]] = r["signature"]
     assert by_doc[1] == by_doc[2]
+
+
+def test_language_id_classifies_planted_languages(spark):
+    rows = [
+        (1, "the cat is on the mat and the dog is in the house"),
+        (2, "der hund ist nicht mit der katze und das haus ist auf"),
+        (3, "le chat est dans la maison avec le chien et la souris"),
+        (4, "qwfp zxcv mlky trnb vbnm asdf"),  # no function words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["lang_ratio"])
+        for r in T.language_id(df).collect()
+    }
+    assert got[1][0] == "en" and got[1][1] > 0.3
+    assert got[2][0] == "de"
+    assert got[3][0] == "fr"
+    assert got[4][0] == "und" and got[4][1] == 0.0
