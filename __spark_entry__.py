@@ -481,6 +481,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ratios, arg-max winner with deterministic composite tie-break
         return X_text.language_id(_docs(spark, sf_dir))
 
+    def x_lang_mixture(spark, sf_dir):
+        # per-source language mix: the language_id classification rolled
+        # up by source — the ingestion report a multilingual corpus build
+        # starts from
+        d = _docs(spark, sf_dir)
+        lang = X_text.language_id(d)
+        return (
+            d.select("doc_id", "source")
+            .join(lang, "doc_id")
+            .groupBy("source", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    def x_len_histogram(spark, sf_dir):
+        # corpus length profile: log2-spaced token-count buckets (the
+        # standard pre-training length histogram; bucket = floor(log2(n))
+        # with 0-token docs in bucket -1)
+        d = _docs(spark, sf_dir)
+        n = X_text.token_count(F.col("text"))
+        bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+            F.floor(F.log2(n.cast("double")))
+        ).cast("long")
+        return (
+            d.select(bucket.alias("log2_bucket"))
+            .groupBy("log2_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
     def x_decontaminate(spark, sf_dir):
         # drop-side decontamination: remove train docs (source <> src0)
         # whose shingle overlap with the eval slice (source = src0)
@@ -2121,6 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_winnow_occurrences": x_winnow_occurrences,
         "x_mask_spans": x_mask_spans,
         "x_lang_id_multi": x_lang_id_multi,
+        "x_lang_mixture": x_lang_mixture,
+        "x_len_histogram": x_len_histogram,
         "x_decontaminate": x_decontaminate,
         "x_sketch_merge": x_sketch_merge,
         "x_jl_projection": x_jl_projection,
@@ -2915,6 +2945,68 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'und' ELSE b._lang END AS lang_pred,
                    COALESCE(b.lang_ratio, 0.0) AS lang_ratio
             FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        """,
+        "x_lang_mixture": """
+            WITH wl(wl_lang, wl_word) AS (
+                VALUES
+                ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),
+                ('en','in'),('en','is'),('en','on'),('en','for'),('en','with'),
+                ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+                ('de','ein'),('de','nicht'),('de','mit'),('de','zu'),('de','auf'),
+                ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+                ('fr','un'),('fr','une'),('fr','pas'),('fr','avec'),('fr','dans')
+            ),
+            words AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), w -> w <> ''))
+                           AS n_words,
+                       lower(u.w) AS w
+                FROM documents,
+                     UNNEST(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS u(w)
+            ),
+            hits AS (
+                SELECT w.doc_id, w.n_words, wl.wl_lang,
+                       count(wl.wl_word) AS hits
+                FROM words w JOIN wl ON w.w = wl.wl_word
+                GROUP BY w.doc_id, w.n_words, wl.wl_lang
+            ),
+            scored AS (
+                SELECT doc_id, wl_lang,
+                       round(hits / greatest(n_words, 1), 4) AS ratio
+                FROM hits
+            ),
+            ranked AS (
+                SELECT doc_id, wl_lang, ratio,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY ratio DESC, wl_lang DESC
+                       ) AS rn
+                FROM scored
+            ),
+            best AS (
+                SELECT doc_id, wl_lang AS _lang, ratio AS lang_ratio
+                FROM ranked WHERE rn = 1
+            ),
+            lang AS (
+                SELECT d.doc_id, d.source,
+                       CASE WHEN b.lang_ratio IS NULL OR b.lang_ratio < 0.02
+                            THEN 'und' ELSE b._lang END AS lang_pred
+                FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+            )
+            SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+            FROM lang GROUP BY source, lang_pred
+        """,
+        "x_len_histogram": """
+            SELECT CASE WHEN n <= 0 THEN -1
+                        ELSE CAST(floor(log2(CAST(n AS DOUBLE))) AS BIGINT)
+                   END AS log2_bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM (
+                SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n
+                FROM documents
+            )
+            GROUP BY 1
         """,
         "x_decontaminate": f"""
             WITH train AS (

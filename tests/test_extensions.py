@@ -1403,3 +1403,11 @@ def test_language_id_classifies_planted_languages(spark):
     assert got[2][0] == "de"
     assert got[3][0] == "fr"
     assert got[4][0] == "und" and got[4][1] == 0.0
+
+
+def test_decontaminate_empty_eval_is_identity(spark, docs):
+    # an empty eval frame must drop nothing (and not error): the
+    # broadcast vocabulary is empty, every overlap count is zero
+    empty = docs.limit(0)
+    out = T.decontaminate(docs, empty)
+    assert out.count() == docs.count()
