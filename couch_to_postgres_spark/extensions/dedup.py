@@ -205,14 +205,33 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     rows_per_band: int = 1,
     hash_family: str = "md5k",
+    star_threshold: int | None = 64,
 ) -> DataFrame:
     """LSH candidate near-duplicate pairs: docs sharing a (band, signature)
     bucket. Callers verify candidates with :func:`ngram_jaccard` or exact
     compare.
 
-    The self-join is on (band, signature) — uniformly-distributed digest
-    buckets, so the shuffle is skew-free by construction; the pair set
-    (not the corpus) is the only thing materialized.
+    The self-join keys are uniformly-distributed digest buckets over
+    *distinct contents* — but docs are not distinct contents: a
+    boilerplate cluster of m near-identical docs lands in ONE bucket and
+    an unconditional all-pairs expansion emits m²/2 rows (at web scale,
+    millions of template pages → a quadratic blowup inside one join key).
+    ``star_threshold`` bounds this: buckets with ≤ threshold members emit
+    all pairs (exact, unchanged semantics); larger buckets emit only
+    rep→member star edges (rep = min id in the bucket), m-1 rows — O(m),
+    and connectivity-equivalent for the downstream connected-component
+    clustering whenever in-bucket members verify against the rep (the
+    overwhelming case: a bucket that large means its members share minhash
+    values, i.e. are mutually near-identical). The trade-off, stated
+    honestly: a pair (m₁, m₂) inside an over-threshold bucket where both
+    verify against each other but NOT against the rep is lost; tune the
+    threshold up (or pass ``None`` for exact all-pairs) when that matters.
+    Per-bucket output is now bounded by max(threshold²/2, m).
+
+    The bucket-stats aggregation (count + min id) is partial-aggregated
+    map-side, so even a 10M-member bucket reduces before the shuffle; the
+    star branch's join streams m rows against the single rep row — no
+    quadratic stage survives anywhere.
 
     ``hash_family``: ``"md5k"`` = k independent md5s
     (:func:`minhash_signatures`); ``"km"`` = Kirsch-Mitzenmacher double
@@ -223,7 +242,26 @@ def minhash_candidate_pairs(
     sigs = sig_fn(
         df, text_col, id_col, num_bands, shingle_n, rows_per_band
     )
-    a = sigs.alias("a")
+    if star_threshold is not None:
+        # Left side: all members of small buckets, but ONLY the rep of
+        # over-threshold buckets. Right side stays the raw signature set,
+        # so (small ⋈ all, a.id < b.id) = exact all-pairs and
+        # (rep ⋈ all, rep < b.id) = the m-1 star edges. The count/min agg
+        # shuffles one skinny row per bucket.
+        stats = sigs.groupBy("band", "signature").agg(
+            F.count(F.lit(1)).alias("_m"), F.min(id_col).alias("_rep")
+        )
+        a = (
+            sigs.join(stats, on=["band", "signature"])
+            .filter(
+                (F.col("_m") <= F.lit(star_threshold))
+                | (F.col(id_col) == F.col("_rep"))
+            )
+            .select(id_col, "band", "signature")
+            .alias("a")
+        )
+    else:
+        a = sigs.alias("a")
     b = sigs.alias("b")
     return (
         a.join(
@@ -558,9 +596,14 @@ def shared_span_occurrences(
     is the input a span-masking/removal pass needs.
 
     Plan: the per-doc window min (one doc-keyed shuffle), then the hot
-    fingerprint set (computed once, fingerprint-keyed agg) joined back —
-    at scale the hot set is small (boilerplate is rare among distinct
-    fingerprints) and broadcasts."""
+    fingerprint set (computed once, fingerprint-keyed agg) joined back.
+    Usually the hot set is small (boilerplate is rare among distinct
+    fingerprints) and AQE converts the join to broadcast at runtime from
+    the measured shuffle size — but it is NOT forced here: in a
+    boilerplate-heavy corpus the shared-fingerprint set is
+    corpus-proportional, and a hard-coded broadcast hint would OOM the
+    driver exactly when the data is at its worst. Both join inputs are
+    agg outputs with runtime statistics, so AQE's decision is informed."""
     occ = _winnow_occurrences(df, text_col, id_col, shingle_n, window)
     hot = (
         occ.select(id_col, "fingerprint")
@@ -569,7 +612,7 @@ def shared_span_occurrences(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
-    return occ.join(F.broadcast(hot), "fingerprint").select(
+    return occ.join(hot, "fingerprint").select(
         id_col, "pos", "fingerprint", "n_docs"
     )
 
@@ -603,15 +646,18 @@ def mask_shared_spans(
     Emits ``df`` with ``text_col`` rewritten, all other columns
     preserved, plus ``n_words_masked``. Plan:
     occurrences aggregate to one covered-interval list per touched doc
-    (pair-set-proportional), broadcast-joined back; the rewrite is a
-    row-local HOF filter over the word array — documents with no shared
-    span pass through a broadcast left join untouched, never shuffled."""
+    (pair-set-proportional), joined back; the rewrite is a row-local HOF
+    filter over the word array — documents with no shared span pass the
+    left join untouched. The small sides (first-keeper map, covered-doc
+    map) usually broadcast, but the hint is AQE's to apply from measured
+    sizes, not forced: in a boilerplate-heavy corpus the touched-doc set
+    is corpus-proportional and a hard-coded broadcast would OOM."""
     occ = shared_span_occurrences(
         df, text_col, id_col, shingle_n, window, min_docs
     )
     if keep_first:
         first = occ.groupBy("fingerprint").agg(F.min(id_col).alias("_keep_id"))
-        occ = occ.join(F.broadcast(first), "fingerprint").filter(
+        occ = occ.join(first, "fingerprint").filter(
             F.col(id_col) != F.col("_keep_id")
         )
     span_len = shingle_n + window - 1
@@ -630,7 +676,7 @@ def mask_shared_spans(
     )
     kept = F.filter(with_idx, lambda s: ~in_span(s))
     out = (
-        df.join(F.broadcast(covered), on=id_col, how="left")
+        df.join(covered, on=id_col, how="left")
         .withColumn(
             "_new_text",
             F.when(F.col("_starts").isNull(), F.col(text_col)).otherwise(
@@ -677,18 +723,25 @@ def dedup_clusters(
     corpus-proportional; above it the distributed loop below takes over
     unchanged. Set ``driver_threshold=0`` to force the distributed path.
     """
+    # A caller that persisted `pairs` for its own reuse owns that cache:
+    # unpersist is not ref-counted, so dropping it here would silently
+    # force the caller to recompute the whole verify subtree later. Only
+    # persist/unpersist frames this function persisted itself.
+    lvl = pairs.storageLevel
+    caller_persisted = lvl.useMemory or lvl.useDisk or lvl.useOffHeap
     if driver_threshold > 0:
         # persist before deciding: the threshold count and the collect
         # (or the distributed loop's edge build) would otherwise each
         # re-execute the pair pipeline — typically the whole LSH/cosine
-        # verify subtree — from scratch. Idempotent if the caller
-        # already persisted. limit(t+1) bounds the count itself: never
-        # counts past the threshold even when E is huge.
-        pairs = pairs.persist()
+        # verify subtree — from scratch. limit(t+1) bounds the count
+        # itself: never counts past the threshold even when E is huge.
+        if not caller_persisted:
+            pairs = pairs.persist()
         n_edges = pairs.limit(driver_threshold + 1).count()
         if n_edges <= driver_threshold:
             rows = pairs.select("id_a", "id_b").collect()
-            pairs.unpersist()
+            if not caller_persisted:
+                pairs.unpersist()
             parent: dict = {}
 
             def find(x):
@@ -771,9 +824,10 @@ def dedup_clusters(
     # threshold-check's pairs cache, when taken) are dead weight now; a
     # long-lived engine must not accumulate them per call. unpersist on
     # a never-persisted frame is a no-op, so this is safe at
-    # driver_threshold=0 too.
+    # driver_threshold=0 too; a caller-owned pairs cache is left alone.
     edges.unpersist()
-    pairs.unpersist()
+    if not caller_persisted:
+        pairs.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("cluster"))
 
 
@@ -786,6 +840,7 @@ def near_dedup(
     shingle_n: int = 3,
     rows_per_band: int = 1,
     hash_family: str = "md5k",
+    star_threshold: int | None = 64,
 ) -> DataFrame:
     """The end-to-end near-dedup pipeline: MinHash LSH candidates →
     exact n-gram Jaccard verification → connected-component clustering →
@@ -807,7 +862,8 @@ def near_dedup(
     # persist the candidate set: pair-proportional (tiny), reused by the
     # count below and by the verify join (twice when restricted)
     candidates = minhash_candidate_pairs(
-        df, text_col, id_col, num_bands, shingle_n, rows_per_band, hash_family
+        df, text_col, id_col, num_bands, shingle_n, rows_per_band, hash_family,
+        star_threshold,
     ).persist()
     # Adaptive verify: restrict shingling to candidate docs ONLY when the
     # pair set is provably smaller than the corpus (2·|pairs| bounds the
@@ -864,6 +920,7 @@ def cross_near_dedup(
     rows_per_band: int = 1,
     hash_family: str = "md5k",
     self_dedup: bool = True,
+    star_threshold: int | None = 64,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus (one-shot batch form
     of the streaming incremental pipeline): drop new documents that are
@@ -887,6 +944,25 @@ def cross_near_dedup(
     # near cross-dups: new-side signatures vs existing-side signatures
     new_sigs = sig_fn(survivors, text_col, id_col, num_bands, shingle_n, rows_per_band)
     old_sigs = sig_fn(existing, text_col, id_col, num_bands, shingle_n, rows_per_band)
+    if star_threshold is not None:
+        # Same hot-bucket bound as minhash_candidate_pairs, cross form: an
+        # over-threshold EXISTING-side bucket (boilerplate cluster in the
+        # corpus) collapses to its min-id representative — a new doc only
+        # needs to verify against ONE existing near-dup to be dropped, so
+        # per-bucket cross output is m_new × threshold, never
+        # m_new × m_old. The new side is never capped: every new doc
+        # needs its own keep/drop decision.
+        old_stats = old_sigs.groupBy("band", "signature").agg(
+            F.count(F.lit(1)).alias("_m"), F.min(id_col).alias("_rep")
+        )
+        old_sigs = (
+            old_sigs.join(old_stats, on=["band", "signature"])
+            .filter(
+                (F.col("_m") <= F.lit(star_threshold))
+                | (F.col(id_col) == F.col("_rep"))
+            )
+            .select(id_col, "band", "signature")
+        )
     cand = (
         new_sigs.alias("n")
         .join(
@@ -941,7 +1017,7 @@ def cross_near_dedup(
         return cross_clean
     return near_dedup(
         cross_clean, text_col, id_col, jaccard_threshold,
-        num_bands, shingle_n, rows_per_band, hash_family,
+        num_bands, shingle_n, rows_per_band, hash_family, star_threshold,
     )
 
 

@@ -124,11 +124,34 @@ def classifier_filter(
     ``train_fraction`` bounds the training sample (None = train on all
     rows — only sensible for small corpora/tests; at scale pass e.g.
     1e-4 so the LBFGS input stays sample-sized while scoring remains a
-    full map pass)."""
+    full map pass). A sampled training set is validated to contain BOTH
+    label classes — a one-class sample makes LogisticRegression emit
+    degenerate near-constant probabilities and the threshold then
+    silently keeps or drops the whole corpus; the sample is grown (up to
+    the full corpus) until both classes appear, or a clear error raised
+    when the corpus itself is single-class."""
     labeled = weak_quality_labels(df, text_col, id_col)
-    sample = (
-        labeled if train_fraction is None else labeled.sample(train_fraction, seed=seed)
-    )
+    if train_fraction is None:
+        sample = labeled
+    else:
+        frac = train_fraction
+        while True:
+            sample = labeled.sample(frac, seed=seed) if frac < 1.0 else labeled
+            # sample-sized agg: distinct label count over the (small)
+            # training sample, not the corpus
+            n_classes = sample.agg(
+                F.countDistinct("label").alias("c")
+            ).collect()[0]["c"]
+            if n_classes >= 2:
+                break
+            if frac >= 1.0:
+                raise ValueError(
+                    "classifier_filter: the weak labels contain a single "
+                    "class over the whole corpus — a learned quality "
+                    "classifier is undefined here; adjust the heuristic "
+                    "gate thresholds or skip the classifier pass"
+                )
+            frac = min(frac * 10, 1.0)
     model = train_quality_classifier(sample, text_col)
     scores = score_quality(model, df, text_col, id_col)
     return df.join(

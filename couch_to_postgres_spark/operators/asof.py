@@ -155,10 +155,25 @@ def asof_join(
                 F.unix_micros(F.col("_t_matched").cast("timestamp"))
                 - F.unix_micros(F.col(time_col).cast("timestamp"))
             ) / F.lit(1_000_000.0)
-        else:
+        elif t_dtype == "date":
+            # a DATE cast to double is NULL in Spark, which would silently
+            # null every match below — handle it explicitly: day distance
+            # in seconds (dates are midnight instants), same unit as the
+            # timestamp branch so one tolerance value works across types
+            delta = F.abs(
+                F.datediff(F.col("_t_matched"), F.col(time_col))
+            ).cast("double") * F.lit(86400.0)
+        elif t_dtype in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        ) or t_dtype.startswith("decimal"):
             delta = F.abs(
                 F.col("_t_matched").cast("double")
                 - F.col(time_col).cast("double")
+            )
+        else:
+            raise ValueError(
+                f"asof_join: tolerance is not supported for time column "
+                f"type {t_dtype!r} (numeric, timestamp, or date required)"
             )
         within = F.col("_t_matched").isNotNull() & (delta <= F.lit(tolerance))
         for c in value_cols:

@@ -77,14 +77,23 @@ def zorder_value(cols, mins, maxs, bits: int = 8):
                 "or empty frame) — clustering is undefined without a range"
             )
         span = int(hi) - int(lo) + 1
-        # exact integer floor-div via DECIMAL(38,0): long modular math
-        # makes (num - num%span) an exact multiple of span, and decimal
-        # division keeps it exact at ANY magnitude — the earlier
-        # double-`/` form went off-by-one once the multiple passed 2^53
-        # (e.g. a multi-year microsecond span × 256), which is exactly
-        # the regime this layout targets
-        num = (c.cast("long") - F.lit(int(lo))) * F.lit(1 << bits)
-        multiple = (num - num % F.lit(span)).cast("decimal(38,0)")
+        # exact integer floor-div via DECIMAL(38,0): the (c-lo) offset is
+        # cast to decimal BEFORE the 2^bits multiply (a long multiply
+        # would silently wrap once the column span passes 2^(63-bits) —
+        # e.g. multi-year nanosecond epochs at bits=8), then modular math
+        # makes (num - num%span) an exact multiple of span and decimal
+        # division keeps it exact for any long-typed input. Values
+        # outside the supplied [lo, hi] bounds (sampled/approximate
+        # bounds at 100 TB) clamp to the edge buckets instead of
+        # producing out-of-range z-values.
+        c_long = c.cast("long")
+        clamped = F.greatest(
+            F.least(c_long, F.lit(int(hi))), F.lit(int(lo))
+        )
+        num = (clamped - F.lit(int(lo))).cast("decimal(38,0)") * F.lit(
+            1 << bits
+        ).cast("decimal(38,0)")
+        multiple = num - num % F.lit(span).cast("decimal(38,0)")
         scaled.append(
             (multiple / F.lit(span).cast("decimal(38,0)")).cast("long")
         )

@@ -221,3 +221,36 @@ def test_asof_match_is_row_atomic_with_null_values(spark):
     assert plain["v_asof"] is None  # nearest row (t=100) carries NULL
     tol = asof_join(left, right, ["k"], "t", ["v"], tolerance=10.0).collect()[0]
     assert tol["v_asof"] is None    # and certainly not 5.0 from t=10 (delta 95)
+
+
+def test_asof_tolerance_on_date_column(spark):
+    # DATE time columns cast('double') to NULL in Spark: before the
+    # explicit date branch the tolerance filter silently nulled EVERY
+    # match; tolerance stays in seconds (dates are midnight instants)
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10)), (2, dt.date(2024, 3, 1))],
+        "k long, d date",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 8), "a"), (2, dt.date(2024, 1, 1), "b")],
+        "k long, d date, v string",
+    )
+    out = {
+        r["k"]: r["v_asof"]
+        for r in asof_join(
+            left, right, ["k"], "d", ["v"], tolerance=3 * 86400.0
+        ).collect()
+    }
+    assert out[1] == "a"    # 2 days back, inside the 3-day bound
+    assert out[2] is None   # 60 days back, outside
+
+    import pytest
+
+    with pytest.raises(ValueError, match="tolerance is not supported"):
+        asof_join(
+            left.withColumn("d", F.col("d").cast("string")),
+            right.withColumn("d", F.col("d").cast("string")),
+            ["k"], "d", ["v"], tolerance=1.0,
+        )

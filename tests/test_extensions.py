@@ -1411,3 +1411,133 @@ def test_decontaminate_empty_eval_is_identity(spark, docs):
     empty = docs.limit(0)
     out = T.decontaminate(docs, empty)
     assert out.count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# LSH hot-bucket bound (star expansion over the per-bucket threshold)
+# ---------------------------------------------------------------------------
+
+def _template_corpus(spark, m, n_unique=3):
+    """m identical boilerplate docs (ids 0..m-1) + n_unique distinct docs."""
+    template = "the same boilerplate template page body " * 5
+    rows = [(i, template) for i in range(m)]
+    rows += [
+        (m + i, " ".join(f"u{i}w{j}" for j in range(25)))
+        for i in range(n_unique)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_star_threshold_caps_template_bucket(spark):
+    # 400 identical docs land in ONE (band, signature) bucket per band;
+    # all-pairs would emit m(m-1)/2 = 79,800 candidate rows — the
+    # quadratic blowup a web-scale boilerplate cluster triggers. With the
+    # default star threshold the candidate count must stay O(m).
+    m = 400
+    df = _template_corpus(spark, m)
+    capped = D.minhash_candidate_pairs(df, num_bands=4)
+    n = capped.count()
+    assert n == m - 1  # rep(0) -> member star edges, distinct across bands
+    # every edge is rep -> member, so CC connectivity is preserved
+    assert capped.filter(F.col("id_a") != 0).count() == 0
+
+
+def test_star_threshold_preserves_near_dedup_output(spark):
+    # verified-output equivalence at the 0.8 threshold: capped (default)
+    # and exact all-pairs (star_threshold=None) keep the same docs
+    m = 100  # over the 64 threshold, small enough for exact all-pairs
+    df = _template_corpus(spark, m)
+    kept_capped = {
+        r["doc_id"]
+        for r in D.near_dedup(df, jaccard_threshold=0.8, num_bands=4)
+        .select("doc_id").collect()
+    }
+    kept_exact = {
+        r["doc_id"]
+        for r in D.near_dedup(
+            df, jaccard_threshold=0.8, num_bands=4, star_threshold=None
+        ).select("doc_id").collect()
+    }
+    assert kept_capped == kept_exact
+    assert kept_capped == {0, m, m + 1, m + 2}  # 1 rep + the uniques
+
+
+def test_star_threshold_below_cap_identical_to_all_pairs(spark, docs):
+    # the parity corpora never reach the threshold (measured max bucket
+    # 22 at sf0.1), so capped output == exact output there — the guard
+    # that keeps the DuckDB oracles (written as all-pairs SQL) honest
+    aug = planted(spark, docs)
+    sigs = D.minhash_signatures(aug, num_bands=4)
+    max_bucket = (
+        sigs.groupBy("band", "signature").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket <= 64
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(aug, num_bands=4).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(
+            aug, num_bands=4, star_threshold=None
+        ).collect()
+    }
+    assert capped == exact
+
+
+def test_cross_dedup_caps_existing_side_bucket(spark):
+    # over-threshold EXISTING-side bucket collapses to its rep: new docs
+    # duplicating the boilerplate are still dropped (any-match suffices)
+    m = 150
+    existing = _template_corpus(spark, m, n_unique=1)
+    template = "the same boilerplate template page body " * 5
+    new = spark.createDataFrame(
+        [
+            (10_000, template + "tail variation one"),   # near-dup of corpus
+            (10_001, " ".join(f"n{j}" for j in range(30))),  # genuinely new
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]
+        for r in D.cross_near_dedup(
+            new, existing, jaccard_threshold=0.6, num_bands=4,
+            self_dedup=False,
+        ).select("doc_id").collect()
+    }
+    assert out == {10_001}
+
+
+def test_dedup_clusters_leaves_caller_cache_alone(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    ).persist()
+    try:
+        pairs.count()  # materialize the caller-owned cache
+        D.dedup_clusters(pairs).collect()
+        lvl = pairs.storageLevel
+        assert lvl.useMemory or lvl.useDisk  # still cached for the caller
+    finally:
+        pairs.unpersist()
+
+
+def test_classifier_filter_grows_single_class_sample(spark):
+    from couch_to_postgres_spark.extensions.quality import classifier_filter
+
+    clean = [
+        (i, "this is a perfectly ordinary sentence with the usual words and it has enough length")
+        for i in range(50)
+    ]
+    junk = [(1000, "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) ;;;;")]
+    df = spark.createDataFrame(clean + junk, "doc_id long, text string")
+    # a 2% sample of 51 rows almost surely misses the single junk doc ->
+    # one weak-label class; the fraction must grow until both appear
+    out = classifier_filter(df, train_fraction=0.02)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 1000 not in kept
+    assert len(kept) >= 40
+
+    # single-class corpus: growth exhausts at 1.0 and raises clearly
+    allclean = spark.createDataFrame(clean, "doc_id long, text string")
+    with pytest.raises(ValueError, match="single\\s+class"):
+        classifier_filter(allclean, train_fraction=0.5)

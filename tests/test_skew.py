@@ -134,3 +134,36 @@ def test_write_zordered_empty_and_allnull(spark, tmp_path):
     allnull = spark.createDataFrame([(None, 1), (None, 2)], "a long, b long")
     with pytest.raises(ValueError, match="NULL bounds"):
         write_zordered(allnull, str(tmp_path / "nulls"), ["a", "b"])
+
+
+def test_zorder_value_no_long_overflow_and_clamp(spark):
+    from couch_to_postgres_spark.sinks.layout import zorder_value
+
+    # span > 2^(63-bits): the old LONG (c-lo)*256 multiply wrapped here;
+    # the decimal-first form must stay exact
+    span = 1 << 57
+    lo = -(1 << 56)
+    hi = lo + span - 1
+    vals = [lo, lo + span // 3, lo + (2 * span) // 3, hi]
+    df = spark.createDataFrame([(v,) for v in vals], "t long")
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_value(["t"], [lo], [hi], bits=8).alias("z")
+        ).collect()
+    ]
+    want = [((v - lo) * 256) // span for v in vals]
+    assert got == want
+
+    # values outside the supplied bounds (sampled/approximate bounds at
+    # scale) clamp to the edge buckets instead of wrapping out of range
+    odf = spark.createDataFrame([(0,), (50,), (200,)], "t long")
+    oz = [
+        r["z"]
+        for r in odf.select(
+            zorder_value(["t"], [100], [110], bits=4).alias("z")
+        ).collect()
+    ]
+    assert oz[0] == 0                        # below lo -> lowest bucket
+    assert oz[2] == ((110 - 100) * 16) // 11  # above hi -> hi's bucket
+    assert 0 <= oz[1] <= oz[2]
