@@ -47,6 +47,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _anchor_centroids(spark: SparkSession, sf_dir: str, n: int = 8) -> list:
+    """Fixed coarse-quantizer anchors: the first ``n`` corpus vectors
+    (ordered by vec_id), as plain float lists. Data-derived yet fully
+    deterministic and SQL-expressible — the trick that lets the IVF and
+    semantic-dedup queries carry full value oracles (the KMeans *fit*
+    stays outside the oracle; the search/dedup semantics are checked)."""
+    rows = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < n)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+
+
 def _derived_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic change batch derived from `documents` (FIXTURES.md §2):
     doc_id%10==0 → delete; ==1 → new-rev update (+1000 chars); ==2 → replay
@@ -569,15 +587,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return X_sim.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
     def x_ann_ivf(spark, sf_dir):
-        # IVF (KMeans coarse quantizer + nprobe cell probing); no SQL
-        # oracle — KMeans isn't expressible in DuckDB, so the driver
-        # records the weaker rows-only check; recall vs brute force is
-        # asserted in tests/test_ann.py
-        from couch_to_postgres_spark.extensions.ann import ivf_topk, train_centroids
+        # IVF nprobe cell-probed ANN, value-oracled end to end: the
+        # coarse quantizer is a FIXED anchor set (first 8 corpus vectors
+        # as literal centroids) and cell assignment runs as JVM folds
+        # with rounded-cosine tie-breaking (assign_cells_hof), so
+        # assignment + probing + ranking all have exact DuckDB
+        # equivalents. The KMeans *fit* (train_centroids) stays outside
+        # the oracle by design — its recall vs brute force is asserted in
+        # tests/test_ann.py; the search semantics are value-checked here.
+        from couch_to_postgres_spark.extensions.ann import ivf_topk
 
         e = _emb(spark, sf_dir)
-        cents = train_centroids(e, n_cells=8)
-        return ivf_topk(e.filter(F.col("vec_id") < 10), e, cents, k=5, nprobe=4)
+        cents = _anchor_centroids(spark, sf_dir, 8)
+        return ivf_topk(
+            e.filter(F.col("vec_id") < 10), e, cents, k=5, nprobe=4,
+            assigner="hof",
+        )
 
     def x_ann_lsh(spark, sf_dir):
         # hyperplane-LSH bucketing with md5-derived deterministic planes —
@@ -1098,12 +1123,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return shard_manifest(_docs(spark, sf_dir), num_shards=8)
 
     def x_semantic_dedup(spark, sf_dir):
-        # SemDeDup-style cluster-scoped embedding dedup; rows-only (no
-        # oracle — KMeans quantizer isn't expressible in DuckDB). Drop
-        # correctness and representative-keeping are pinned in
-        # test_extensions.
+        # SemDeDup-style cell-scoped embedding dedup, value-oracled: the
+        # quantizer is the fixed anchor set (literal centroids, HOF
+        # assignment with rounded-cosine tie-break), in-cell cosine
+        # pairs + connected-component drops replicate in DuckDB
+        # (recursive CTE). Threshold 0.4 so the corpus actually crosses
+        # it (max pairwise cosine ≈ 0.51 at sf0.01) — the KMeans-fit
+        # production path keeps its own pytest pins in test_extensions.
         return X_dedup.semantic_dedup(
-            _emb(spark, sf_dir), n_cells=8, threshold=0.95
+            _emb(spark, sf_dir), threshold=0.4,
+            centroids=_anchor_centroids(spark, sf_dir, 8),
+            scorer="hof", assigner="hof",
         ).select("vec_id", "label")
 
     def x_compression(spark, sf_dir):
@@ -2339,6 +2369,34 @@ words AS (
 )
 """
 
+# fixed-anchor coarse quantizer shared by the IVF / semantic-dedup
+# oracles: anchors = the first 8 corpus vectors (= _anchor_centroids);
+# per-vector cosine to each anchor rounded to 4 decimals (+0.0 collapses
+# IEEE -0.0), ranked (cosine DESC, cell ASC) — expression-for-expression
+# the plan ann.assign_cells_hof builds
+_ANCHOR_ASSIGN = """
+vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+anchors AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS av
+    FROM vecs WHERE vec_id < 8
+),
+asims AS (
+    SELECT e.vec_id, a.cell,
+           round(list_dot_product(e.v, a.av)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(a.av, a.av))), 4) + 0.0 AS c
+    FROM vecs e, anchors a
+),
+aranked AS (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cell)
+               AS rnk
+    FROM asims
+)
+"""
+
 
 
 
@@ -3237,6 +3295,70 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        # Fixed-anchor quantizer fragment shared by x_ann_ivf and
+        # x_semantic_dedup: anchors = first 8 corpus vectors, cosine
+        # rounded to 4 decimals (+0.0 collapses IEEE -0.0) with
+        # (cosine DESC, cell ASC) tie-break — mirroring
+        # ann.assign_cells_hof expression for expression.
+        "x_ann_ivf": f"""
+            WITH {_ANCHOR_ASSIGN},
+            corpus_cells AS (SELECT vec_id, cell FROM aranked WHERE rnk = 1),
+            q_cells AS (
+                SELECT vec_id, cell FROM aranked
+                WHERE rnk <= 4 AND vec_id < 10
+            ),
+            sims AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(qv.v, cv.v)
+                             / (sqrt(list_dot_product(qv.v, qv.v))
+                              * sqrt(list_dot_product(cv.v, cv.v))), 4)
+                           AS cosine_r
+                FROM q_cells q
+                JOIN corpus_cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                JOIN vecs qv ON qv.vec_id = q.vec_id
+                JOIN vecs cv ON cv.vec_id = c.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_r DESC, neighbor_id)
+                           AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "x_semantic_dedup": f"""
+            WITH RECURSIVE {_ANCHOR_ASSIGN},
+            assigned AS (SELECT vec_id, cell FROM aranked WHERE rnk = 1),
+            pairs AS (
+                SELECT va.vec_id AS id_a, vb.vec_id AS id_b
+                FROM vecs va
+                JOIN assigned aa ON va.vec_id = aa.vec_id
+                JOIN assigned ab ON aa.cell = ab.cell AND va.vec_id < ab.vec_id
+                JOIN vecs vb ON vb.vec_id = ab.vec_id
+                WHERE list_dot_product(va.v, vb.v)
+                      / (sqrt(list_dot_product(va.v, va.v))
+                       * sqrt(list_dot_product(vb.v, vb.v))) >= 0.4
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+                SELECT src AS node, least(src, min(dst)) AS cluster
+                FROM reach GROUP BY src
+            ),
+            drop_ids AS (SELECT node FROM clusters WHERE node <> cluster)
+            SELECT e.vec_id, e.label FROM embeddings e
+            LEFT JOIN drop_ids d ON e.vec_id = d.node
+            WHERE d.node IS NULL
         """,
         "x_ann_lsh": f"""
             WITH planes AS (

@@ -185,6 +185,52 @@ def assign_cells(
     )
 
 
+def assign_cells_hof(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "cell",
+) -> DataFrame:
+    """:func:`assign_cells` as pure JVM fold expressions — the
+    oracle-replicable variant. Cosine to each centroid is a sequential
+    ``zip_with``/``aggregate`` fold (same summation order as an external
+    SQL engine's list_dot_product), rounded to 4 decimals BEFORE the
+    argmax so near-ties resolve by the deterministic (cosine DESC,
+    centroid index ASC) order on every engine instead of by sub-ulp
+    summation noise. Same (id, vec, cell) output contract as
+    :func:`assign_cells`; prefer that numpy version for production runs
+    (one GEMM per Arrow batch), this one where cross-engine
+    reproducibility is the requirement. Centroids enter the plan as
+    literals — n_cells × dim expressions, fine for a coarse quantizer."""
+    import math
+
+    from couch_to_postgres_spark.extensions.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    v = _as_double(F.col(vec_col))
+    vn = _norm(v)
+    entries = []
+    for i, cvec in enumerate(centroids):
+        clit = F.array(*[F.lit(float(x)) for x in cvec])
+        cn = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        # + 0.0 collapses IEEE -0.0 so the sort key is engine-stable
+        cos_r = F.round(_dot(v, clit) / (vn * F.lit(cn)), 4) + F.lit(0.0)
+        entries.append(
+            F.struct((-cos_r).alias("neg"), F.lit(i).alias("cell"))
+        )
+    probes = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias(out_col),
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -424,12 +470,19 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigner: str = "vectorized",
 ) -> DataFrame:
     """Approximate top-k: score queries only against vectors in their
     ``nprobe`` nearest cells. Same output shape as
-    ``similarity.cosine_topk`` (query_id, neighbor_id, rank)."""
-    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, nprobe=1)
-    q_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    ``similarity.cosine_topk`` (query_id, neighbor_id, rank).
+
+    ``assigner``: ``"vectorized"`` = numpy GEMM cell assignment
+    (production); ``"hof"`` = JVM fold assignment with rounded-cosine
+    tie-breaking (:func:`assign_cells_hof`) — bit-reproducible against
+    an external SQL oracle, the parity-gate variant."""
+    assign = {"vectorized": assign_cells, "hof": assign_cells_hof}[assigner]
+    corpus_cells = assign(corpus, centroids, id_col, vec_col, nprobe=1)
+    q_cells = assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
     return _score_probed(q_cells, corpus_cells, k, id_col, vec_col)
 
 

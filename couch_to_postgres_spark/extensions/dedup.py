@@ -1125,6 +1125,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     scorer: str = "hof",
+    assigner: str = "vectorized",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: coarse-quantize the
     embedding space (KMeans cells), score cosine pairs WITHIN each cell
@@ -1146,15 +1147,19 @@ def semantic_dedup(
     """
     from couch_to_postgres_spark.extensions.ann import (
         assign_cells,
+        assign_cells_hof,
         train_centroids,
     )
 
     if scorer not in ("hof", "vectorized"):
         raise ValueError(f"scorer must be hof|vectorized, got {scorer!r}")
+    if assigner not in ("hof", "vectorized"):
+        raise ValueError(f"assigner must be hof|vectorized, got {assigner!r}")
     cents = centroids if centroids is not None else train_centroids(
         emb, n_cells=n_cells, vec_col=vec_col
     )
-    cells = assign_cells(emb, cents, id_col=id_col, vec_col=vec_col)
+    assign = {"vectorized": assign_cells, "hof": assign_cells_hof}[assigner]
+    cells = assign(emb, cents, id_col=id_col, vec_col=vec_col)
     if scorer == "vectorized":
         pairs = embedding_neardup_pairs_vectorized(
             cells,

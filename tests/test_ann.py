@@ -288,3 +288,43 @@ def test_jl_projection_preserves_distances_on_average(spark, emb):
 
     assert jl_projection_matrix(8, 2, seed=7) == jl_projection_matrix(8, 2, seed=7)
     assert jl_projection_matrix(8, 2, seed=7) != jl_projection_matrix(8, 2, seed=8)
+
+
+def test_assign_cells_hof_matches_vectorized(spark):
+    # clear-margin synthetic: HOF (rounded, tie-broken) and numpy
+    # assignments agree whenever the best/second margin exceeds rounding
+    import math
+
+    from couch_to_postgres_spark.extensions.ann import (
+        assign_cells,
+        assign_cells_hof,
+    )
+
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    rows = []
+    for i in range(30):
+        a = 0.3 + 0.02 * i
+        rows.append((i, [math.cos(a), math.sin(a), 0.05 * (i % 3), 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for nprobe in (1, 2):
+        got_h = {
+            (r["vec_id"], r["cell"])
+            for r in assign_cells_hof(df, cents, nprobe=nprobe).collect()
+        }
+        got_v = {
+            (r["vec_id"], r["cell"])
+            for r in assign_cells(df, cents, nprobe=nprobe).collect()
+        }
+        assert got_h == got_v
+
+    # exact rounded tie resolves to the LOWER centroid index (the
+    # cross-engine-deterministic rule the oracle relies on)
+    tie = spark.createDataFrame(
+        [(0, [1.0, 1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = assign_cells_hof(tie, cents, nprobe=1).collect()[0]
+    assert got["cell"] == 0

@@ -36,11 +36,13 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
-# non-SQL-expressible ops (driver records the weaker rows-only check)
+# non-SQL-expressible ops (driver records the weaker rows-only check).
+# x_ann_ivf / x_semantic_dedup moved OUT of this set: their quantizer is
+# now a fixed anchor set (literal centroids), so assignment + probing +
+# dedup are fully value-oracled; only the iterative FITS (KMeans, LBFGS)
+# and zlib remain outside SQL.
 NO_ORACLE = {
-    "x_ann_ivf",
     "x_compression",
-    "x_semantic_dedup",
     "x_quality_classifier",
 }
 
