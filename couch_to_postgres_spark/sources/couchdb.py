@@ -22,6 +22,10 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 Transport = Callable[[str, str, bytes | None, dict], tuple[int, bytes]]
+# streaming variant: returns (status, iterator of raw byte chunks) so the
+# continuous feed can be consumed incrementally, line by line, while the
+# HTTP connection stays open
+StreamTransport = Callable[[str, str, bytes | None, dict], tuple[int, object]]
 
 #: reference inactivity timeout: follow's inactivity_ms (lib/index.js:248)
 INACTIVITY_MS = 30_000
@@ -148,6 +152,50 @@ class CouchClient:
         )
 
 
+def urllib_stream_transport(timeout: float = 40.0) -> StreamTransport:
+    """Streaming HTTP transport for ``feed=continuous``: returns the
+    status plus a chunk iterator over the open response body (``read1``
+    — yields whatever bytes are available instead of blocking for a full
+    buffer, which is what makes mid-stream incremental delivery work).
+    The socket ``timeout`` is the dead-server guard: the server ends an
+    idle continuous feed itself after its `timeout` window (last_seq
+    line + close), so a read blocking longer than that means the
+    connection is wedged and the caller should reconnect."""
+
+    def _send(method: str, url: str, body: bytes | None, headers: dict):
+        req = urllib.request.Request(url, data=body, headers=headers, method=method)
+        try:
+            resp = urllib.request.urlopen(req, timeout=timeout)
+        except urllib.error.HTTPError as e:  # 4xx/5xx: whole body at once
+            with e:
+                return e.code, iter([e.read()])
+
+        def _chunks():
+            with resp:
+                while True:
+                    chunk = resp.read1(65536)
+                    if not chunk:
+                        return
+                    yield chunk
+
+        return resp.status, _chunks()
+
+    return _send
+
+
+def _iter_lines(chunks) -> "object":
+    """Newline-split an incremental chunk stream — each yielded item is
+    one complete feed line (heartbeats are empty lines)."""
+    buf = b""
+    for chunk in chunks:
+        buf += chunk
+        while b"\n" in buf:
+            line, buf = buf.split(b"\n", 1)
+            yield line
+    if buf:
+        yield buf
+
+
 def reconnect_backoff_seconds(
     rng: random.Random | None = None,
     min_s: float = 10.0,
@@ -255,3 +303,111 @@ def poll_changes_to_rows(
             return rows, since
         since = last
     return rows, since
+
+
+def continuous_changes_to_rows(
+    client: CouchClient,
+    database: str,
+    since: int = 0,
+    limit: int = 1000,
+    inactivity_ms: int = INACTIVITY_MS,
+    max_attempts: int = 1,
+    backoff_min_s: float = 10.0,
+    backoff_max_s: float = 60.0,
+    sleep: Callable[[float], None] = time.sleep,
+    rng: random.Random | None = None,
+    stream_transport: StreamTransport | None = None,
+) -> tuple[list[tuple], int]:
+    """Drain one `feed=continuous` connection into CHANGES_SCHEMA tuples
+    ``(seq, id, deleted, doc)`` — the reference's actual transport
+    (`follow` consumes the continuous streaming feed, lib/index.js:50-53)
+    beside the longpoll mode.
+
+    One HTTP connection streams newline-delimited change lines as they
+    happen; lines are consumed INCREMENTALLY (a change written mid-stream
+    is parsed without waiting for the response to end). The server closes
+    the feed after ``inactivity_ms`` with a ``{"last_seq": n}`` line
+    (follow's inactivity window, lib/index.js:248); ``limit`` bounds the
+    batch (A2 admission control — the server closes after `limit`
+    results). Same (rows, last_seq) contract as
+    :func:`poll_changes_to_rows`, so the micro-batch pipeline treats the
+    transports interchangeably; at-least-once holds because the caller's
+    checkpoint only advances to the returned last_seq.
+
+    Failure discipline: errors BEFORE any data arrives back off 10-60 s
+    randomized and retry up to ``max_attempts`` (reference
+    lib/index.js:225-229); a wedged connection (read blocking past the
+    dead-server guard) or a mid-stream drop returns what was accumulated
+    — the next connection resumes from the advanced ``since``. A missing
+    database raises immediately (no_db_file, lib/index.js:267-277)."""
+    transport = stream_transport or urllib_stream_transport(
+        timeout=inactivity_ms / 1000.0 + 10.0
+    )
+    attempt = 0
+    while True:
+        attempt += 1
+        rows: list[tuple] = []
+        last = since
+        try:
+            url = (
+                f"{client.url}/{database}/_changes?include_docs=true"
+                f"&feed=continuous&since={since}&limit={limit}"
+                f"&timeout={inactivity_ms}"
+            )
+            status, chunks = transport("GET", url, None, client._headers())
+            if status >= 400:
+                body = b"".join(chunks)
+                error = reason = None
+                try:
+                    payload = json.loads(body)
+                    error, reason = payload.get("error"), payload.get("reason")
+                except (ValueError, AttributeError):
+                    pass
+                path = f"/{database}/_changes"
+                if status == 404 and (
+                    reason == "no_db_file"
+                    or (error == "not_found" and reason and "exist" in reason)
+                ):
+                    raise CouchMissingDatabaseError(status, path, error, reason)
+                raise CouchError(status, path, error, reason)
+            for line in _iter_lines(chunks):
+                if not line.strip():
+                    continue  # heartbeat newline
+                obj = json.loads(line)
+                if "last_seq" in obj and "id" not in obj:
+                    ls = obj["last_seq"]
+                    last = int(ls) if not isinstance(ls, int) else ls
+                    break
+                seq = obj.get("seq")
+                seq = int(seq) if not isinstance(seq, int) else seq
+                doc = obj.get("doc")
+                rows.append(
+                    (
+                        seq,
+                        obj["id"],
+                        bool(obj.get("deleted", False)),
+                        json.dumps(doc, separators=(",", ":"))
+                        if doc is not None
+                        else None,
+                    )
+                )
+                last = max(last, seq)
+                if len(rows) >= limit:
+                    break
+            return rows, last
+        except CouchMissingDatabaseError:
+            raise
+        except CouchError:
+            if attempt >= max_attempts:
+                raise
+            sleep(reconnect_backoff_seconds(rng, backoff_min_s, backoff_max_s))
+        except (OSError, ValueError):
+            # connection refused/reset/wedged or a torn JSON line. With
+            # data in hand, return it (at-least-once; next connection
+            # resumes from the checkpoint) — only a data-less failure
+            # burns a retry attempt.
+            if rows:
+                return rows, last
+            if attempt >= max_attempts:
+                raise
+            sleep(reconnect_backoff_seconds(rng, backoff_min_s, backoff_max_s))

@@ -51,14 +51,16 @@ def _drain(options: dict, since: int, limit: int, max_pages: int):
     from couch_to_postgres_spark.sources.couchdb import (
         INACTIVITY_MS,
         CouchClient,
+        continuous_changes_to_rows,
         poll_changes_to_rows,
         urllib_transport,
     )
 
-    feed = options.get("feed")  # None | "longpoll"
+    feed = options.get("feed")  # None | "longpoll" | "continuous"
     inactivity_ms = int(options.get("inactivityms", INACTIVITY_MS))
-    # client-side socket timeout must outlast the server-side longpoll
-    # window or every idle poll dies as a timeout instead of an empty page
+    # client-side socket timeout must outlast the server-side longpoll /
+    # continuous window or every idle hold dies as a timeout instead of
+    # an empty page / clean last_seq close
     timeout_s = 30.0 if feed is None else inactivity_ms / 1000.0 + 10.0
     client = CouchClient(
         options["url"],
@@ -66,6 +68,17 @@ def _drain(options: dict, since: int, limit: int, max_pages: int):
         password=options.get("password"),
         transport=urllib_transport(timeout=timeout_s),
     )
+    if feed == "continuous":
+        return continuous_changes_to_rows(
+            client,
+            options["database"],
+            since=since,
+            limit=limit,
+            inactivity_ms=inactivity_ms,
+            max_attempts=int(options.get("maxattempts", 1)),
+            backoff_min_s=float(options.get("backoffminseconds", 10.0)),
+            backoff_max_s=float(options.get("backoffmaxseconds", 60.0)),
+        )
     return poll_changes_to_rows(
         client,
         options["database"],
@@ -121,7 +134,10 @@ class CouchDBBatchReader(DataSourceReader):
 class CouchDBDataSource(DataSource):
     """``format("couchdb")`` — options: url, database, [username,
     password, since, limit, feed ("longpoll" holds each idle poll open
-    for inactivityMs=30000 — change-arrival-bound latency), maxAttempts
+    for inactivityMs=30000 — change-arrival-bound latency; "continuous"
+    streams newline-delimited changes over ONE held connection with
+    incremental mid-stream delivery — the reference `follow` library's
+    actual transport, lib/index.js:50-53), maxAttempts
     (>1 turns on the 10-60 s randomized reconnect backoff;
     backoffMinSeconds/backoffMaxSeconds tune the window)]. A missing
     database surfaces as CouchMissingDatabaseError (no_db_file) and is

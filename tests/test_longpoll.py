@@ -211,3 +211,125 @@ def test_daemon_follows_live_couch_feed(spark, couch, tmp_path):
     assert st["table"] == "live_db"
     # the HTTP feed really used longpoll
     assert any("feed=longpoll" in p for p in couch.changes_requests)
+
+
+# ---------------------------------------------------------------------------
+# feed=continuous: one held connection, newline-delimited incremental lines
+# (reference follow's actual transport, lib/index.js:50-53, :248)
+# ---------------------------------------------------------------------------
+
+def test_continuous_delivers_mid_stream_incrementally(couch):
+    """Changes written WHILE the connection is open are received without
+    waiting for the response to end — the property longpoll lacks."""
+    from couch_to_postgres_spark.sources.couchdb import (
+        continuous_changes_to_rows,
+    )
+
+    client = CouchClient(couch.url)
+    arrivals: list[float] = []
+
+    def feed_slowly():
+        for seq in (1, 2, 3):
+            time.sleep(0.1)
+            couch.add_page(
+                {
+                    "results": [
+                        {"seq": seq, "id": f"d{seq}",
+                         "doc": {"_id": f"d{seq}", "_rev": "1-x", "v": seq}}
+                    ],
+                    "last_seq": seq,
+                }
+            )
+
+    threading.Thread(target=feed_slowly, daemon=True).start()
+    t0 = time.time()
+    rows, last = continuous_changes_to_rows(
+        client, "db", since=0, limit=3, inactivity_ms=5000
+    )
+    elapsed = time.time() - t0
+    assert [r[:2] for r in rows] == [(1, "d1"), (2, "d2"), (3, "d3")]
+    assert last == 3
+    # released by the limit as the 3rd change arrived (~0.3 s), NOT by the
+    # 5 s inactivity window — proof the lines were consumed mid-stream
+    assert elapsed < 2.0
+    assert "feed=continuous" in couch.changes_requests[0]
+
+
+def test_continuous_idle_feed_closes_at_inactivity_window(couch):
+    from couch_to_postgres_spark.sources.couchdb import (
+        continuous_changes_to_rows,
+    )
+
+    client = CouchClient(couch.url)
+    t0 = time.time()
+    rows, last = continuous_changes_to_rows(
+        client, "db", since=7, inactivity_ms=300
+    )
+    elapsed = time.time() - t0
+    assert rows == [] and last == 7  # last_seq line echoes since
+    assert elapsed >= 0.25  # genuinely held for the window
+
+
+def test_continuous_reconnects_with_backoff_before_data(couch):
+    from couch_to_postgres_spark.sources.couchdb import (
+        continuous_changes_to_rows,
+    )
+
+    couch.fail_changes = 2
+    couch.add_page(PAGE)
+    sleeps: list[float] = []
+    rows, last = continuous_changes_to_rows(
+        CouchClient(couch.url),
+        "db",
+        since=0,
+        inactivity_ms=200,
+        max_attempts=5,
+        backoff_min_s=0.01,
+        backoff_max_s=0.02,
+        sleep=sleeps.append,
+        rng=random.Random(7),
+    )
+    assert [r[:2] for r in rows] == [(1, "a")] and last == 1
+    assert len(sleeps) == 2
+    assert all(0.01 <= s < 0.02 for s in sleeps)
+
+
+def test_continuous_missing_db_is_hard_error(couch):
+    from couch_to_postgres_spark.sources.couchdb import (
+        continuous_changes_to_rows,
+    )
+
+    couch.missing_db = True
+    with pytest.raises(CouchMissingDatabaseError):
+        continuous_changes_to_rows(
+            CouchClient(couch.url), "db", max_attempts=5,
+            backoff_min_s=0.0, backoff_max_s=0.0,
+        )
+
+
+def test_continuous_through_format_couchdb(spark, couch):
+    """The full wiring: format('couchdb') with feed=continuous drains the
+    streaming feed into (seq, id, deleted, doc) rows."""
+    from couch_to_postgres_spark.sources.couchdb_source import register
+
+    register(spark)
+    couch.add_page(
+        {
+            "results": [
+                {"seq": 1, "id": "a", "doc": {"_id": "a", "_rev": "1-x"}},
+                {"seq": 2, "id": "b", "deleted": True},
+            ],
+            "last_seq": 2,
+        }
+    )
+    df = (
+        spark.read.format("couchdb")
+        .option("url", couch.url)
+        .option("database", "db")
+        .option("feed", "continuous")
+        .option("inactivityMs", "300")
+        .option("limit", "2")
+        .load()
+    )
+    got = {(r["seq"], r["id"], r["deleted"]) for r in df.collect()}
+    assert got == {(1, "a", False), (2, "b", True)}

@@ -104,6 +104,41 @@ class RecordingCouch:
                             self._reply({"error": "internal_error"}, 500)
                             return
                     q = _parse.parse_qs(_parse.urlparse(self.path).query)
+                    if q.get("feed") == ["continuous"]:
+                        # streaming newline-delimited change lines, written
+                        # incrementally while the connection stays open;
+                        # the inactivity window resets on each write and
+                        # the feed ends with a last_seq line (CouchDB
+                        # continuous-feed semantics)
+                        timeout_ms = int(q.get("timeout", ["30000"])[0])
+                        lim = int(q.get("limit", ["1000"])[0])
+                        last_seq = int(q.get("since", ["0"])[0])
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/json")
+                        self.end_headers()
+                        sent = 0
+                        deadline = _time.time() + timeout_ms / 1000.0
+                        while _time.time() < deadline and sent < lim:
+                            page = None
+                            with outer.lock:
+                                if outer.changes_pages:
+                                    page = outer.changes_pages.pop(0)
+                            if page is None:
+                                outer.data_event.wait(0.02)
+                                continue
+                            for ch in page.get("results", []):
+                                self.wfile.write(
+                                    (json.dumps(ch) + "\n").encode()
+                                )
+                                sq = ch.get("seq", last_seq)
+                                last_seq = max(last_seq, int(sq))
+                                sent += 1
+                            self.wfile.flush()
+                            deadline = _time.time() + timeout_ms / 1000.0
+                        self.wfile.write(
+                            (json.dumps({"last_seq": last_seq}) + "\n").encode()
+                        )
+                        return
                     if q.get("feed") == ["longpoll"]:
                         timeout_ms = int(q.get("timeout", ["30000"])[0])
                         deadline = _time.time() + timeout_ms / 1000.0
