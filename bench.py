@@ -90,6 +90,20 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
+    def bench_median(name: str, fn, n: int = 3) -> None:
+        # partitioned-WRITE benches ride OS writeback noise (±20-50%
+        # run-to-run on this box); a median of 3 is the honest point
+        # estimate. Each rep is a real steady-state micro-batch against
+        # the same mirror, so later reps also exercise the accumulated
+        # delta log, exactly like a long-running daemon.
+        reps = []
+        for _ in range(n):
+            os.sync()
+            t0 = time.time()
+            fn()
+            reps.append(time.time() - t0)
+        timings[name] = round(sorted(reps)[n // 2], 3)
+
     # BASELINE.md comparables on the big mirror (reference: 63k docs)
     bench(
         "q_group_count",
@@ -134,9 +148,12 @@ def main() -> None:
 
     bench("q_cdc_apply", cdc_apply)
 
-    def cdc_incremental() -> None:
+    def cdc_incremental(mode: str = "auto") -> None:
         """Steady-state micro-batch: 1000 updates against the stored 600k
-        mirror via the partitioned selective-rewrite path."""
+        mirror via the partitioned sink. ``mode="auto"`` picks the
+        merge-on-read delta append (production default); ``"rewrite"``
+        forces the touched-bucket rewrite — benching both isolates what
+        the delta log costs/saves per batch."""
         from couch_to_postgres_spark.streaming.partitioned import (
             upsert_partitioned_mirror,
             write_partitioned_mirror,
@@ -151,11 +168,15 @@ def main() -> None:
             F.lit(False).alias("deleted"),
             "doc",
         )
-        upsert_partitioned_mirror(spark, part_path, batch, 64)
+        upsert_partitioned_mirror(spark, part_path, batch, 64, mode=mode)
 
     # prepare outside the timer (layout cost is the one-time initial load)
     cdc_incremental()
-    bench("q_cdc_incremental", cdc_incremental)
+    bench_median("q_cdc_incremental", cdc_incremental)
+    # delta-log cost isolation: same batch, forced touched-bucket rewrite
+    bench_median(
+        "q_cdc_incremental_rewrite", lambda: cdc_incremental("rewrite")
+    )
 
     def cdc_incremental_5x() -> None:
         """The O(touched) scaling claim, measured: the SAME 1000-update
@@ -192,7 +213,7 @@ def main() -> None:
     # flush the ~1 GB mirror build's dirty pages before timing: OS
     # writeback overlapping the timed append inflates it 3-4x (measured)
     os.sync()
-    bench("q_cdc_incremental_5x", cdc_incremental_5x)
+    bench_median("q_cdc_incremental_5x", cdc_incremental_5x)
 
 
     from couch_to_postgres_spark.sources.changes import (
@@ -377,7 +398,7 @@ def main() -> None:
         # one-time) are warmed before any timer starts. Matches BASELINE.md,
         # whose reference numbers come from a long-running daemon and an
         # OS-cached Postgres table, not a cold process.
-        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; matches BASELINE's long-running-daemon measurement",
+        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; partitioned-write benches (q_cdc_incremental*, *_rewrite) report MEDIAN of 3 reps (OS-writeback noise); matches BASELINE's long-running-daemon measurement",
         "ivf_recall_at_5": ivf_recall,
         "ivf_recall_at_5_nprobe8": ivf_recall_8,
         "docs": n_docs,
