@@ -383,6 +383,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "session_end_us",
         )
 
+    def e26_sessionize_skew_safe(spark, sf_dir):
+        # hot-key-safe sessionization (time-bucketed chunk sessions +
+        # boundary merge): EXACTLY the plain sessionize output — the
+        # oracle is therefore the plain lag+running-sum SQL, which is
+        # the equivalence claim made checkable
+        from couch_to_postgres_spark.streaming.windows import (
+            sessionize_batch_skew_safe,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        return sessionize_batch_skew_safe(ev, gap_minutes=60).select(
+            "user_id",
+            F.col("session_no").cast("long").alias("session_no"),
+            "n_events",
+            "session_start_us",
+            "session_end_us",
+        )
+
     def j01_orders_by_nation(spark, sf_dir):
         # Spark-native extension: the joins the reference only speculates
         # about (README.md:664) come free — dims broadcast under AQE
@@ -2222,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_semantic_dedup": x_semantic_dedup,
         "x_ann_ivf": x_ann_ivf,
         # --- next-round spill (stable keys, checked in round 4) ---
+        "e26_sessionize_skew_safe": e26_sessionize_skew_safe,
         "x_shuffle": x_shuffle,
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
@@ -2655,6 +2674,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "e06_sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 3600000000 THEN 1
+                            ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING)
+                           AS session_no
+                FROM marked
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   count(*) AS n_events,
+                   min(epoch_us(ts)) AS session_start_us,
+                   max(epoch_us(ts)) AS session_end_us
+            FROM numbered GROUP BY user_id, session_no
+        """,
+        "e26_sessionize_skew_safe": """
             WITH marked AS (
                 SELECT user_id, ts,
                        CASE WHEN lag(ts) OVER w IS NULL THEN 1

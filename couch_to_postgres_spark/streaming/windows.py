@@ -174,3 +174,79 @@ def sessionize_batch(
         F.min("_ts_us").alias("session_start_us"),
         F.max("_ts_us").alias("session_end_us"),
     )
+
+def sessionize_batch_skew_safe(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_minutes: int | None = None,
+) -> DataFrame:
+    """:func:`sessionize_batch` for skewed keys — EXACTLY the same output,
+    different physical plan.
+
+    The plain form partitions the window by ``key_col``; one hot key (a
+    bot producing 1% of a 100 TB event stream) funnels all its events
+    into a single task. This variant chunks time into coarse buckets
+    (``bucket_minutes``, default 16x the gap) and sessionizes per
+    (key, bucket) — a hot key spanning T minutes now spreads across
+    T/bucket_minutes tasks — then merges sessions that straddle a bucket
+    boundary with the same gap rule, operating on SESSION rows (orders of
+    magnitude fewer than events, so the per-key sequential merge stage is
+    session-count-bounded, not event-count-bounded).
+
+    Exactness argument: global sessionization breaks exactly at gaps >
+    threshold. Bucketing preserves every within-bucket adjacency; the
+    only adjacencies it severs are across bucket boundaries, and the
+    merge stage re-evaluates precisely those with the same rule (two
+    adjacent chunk-sessions of one key merge iff the boundary gap <=
+    threshold). Pinned against the plain form by a planted-hot-key test.
+    """
+    from pyspark.sql import Window
+
+    from couch_to_postgres_spark.session import ts_micros
+
+    if bucket_minutes is None:
+        bucket_minutes = gap_minutes * 16
+    gap_us = gap_minutes * 60 * 1_000_000
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    ev = events.withColumn("_ts_us", ts_micros(events, ts_col)).withColumn(
+        "_bucket", (F.col("_ts_us") - F.col("_ts_us") % F.lit(bucket_us))
+    )
+    w = Window.partitionBy(key_col, "_bucket").orderBy("_ts_us")
+    marked = ev.withColumn(
+        "new_session",
+        (
+            F.col("_ts_us") - F.lag("_ts_us").over(w) > F.lit(gap_us)
+        ).cast("int"),
+    ).withColumn(
+        "chunk_session",
+        F.sum(F.coalesce(F.col("new_session"), F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    chunk_sessions = marked.groupBy(key_col, "_bucket", "chunk_session").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_ts_us").alias("session_start_us"),
+        F.max("_ts_us").alias("session_end_us"),
+    )
+    # boundary merge over session rows: same lag+running-sum shape, but
+    # the partition carries one row per chunk-session, not per event
+    ws = Window.partitionBy(key_col).orderBy("session_start_us")
+    merged = chunk_sessions.withColumn(
+        "new_chain",
+        (
+            F.col("session_start_us") - F.lag("session_end_us").over(ws)
+            > F.lit(gap_us)
+        ).cast("int"),
+    ).withColumn(
+        "session_no",
+        F.sum(F.coalesce(F.col("new_chain"), F.lit(1))).over(
+            ws.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return merged.groupBy(key_col, "session_no").agg(
+        F.sum("n_events").alias("n_events"),
+        F.min("session_start_us").alias("session_start_us"),
+        F.max("session_end_us").alias("session_end_us"),
+    )

@@ -167,3 +167,57 @@ def test_zorder_value_no_long_overflow_and_clamp(spark):
     assert oz[0] == 0                        # below lo -> lowest bucket
     assert oz[2] == ((110 - 100) * 16) // 11  # above hi -> hi's bucket
     assert 0 <= oz[1] <= oz[2]
+
+
+def test_sessionize_skew_safe_exact_and_spread(spark, sf_dir):
+    """Planted hot key (one bot user owning ~1% of an inflated corpus):
+    the time-bucketed variant must (a) produce EXACTLY the plain
+    sessionization output and (b) split the hot key's events across many
+    (key, bucket) groups so no single task carries them all."""
+    import datetime as dt
+
+    from couch_to_postgres_spark.streaming.windows import (
+        sessionize_batch,
+        sessionize_batch_skew_safe,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    n = ev.count()
+    # bot: one event every 7 minutes for n//100 events (sessions chain
+    # through the 30 min gap, and many cross the bucket boundaries)
+    base = dt.datetime(2024, 3, 1)
+    bot = spark.range(max(2000, n // 100)).select(
+        F.lit(99_999_999).alias("user_id"),
+        (
+            F.lit(base)
+            + F.make_interval(mins=(F.col("id") * 7).cast("int"))
+        ).alias("ts"),
+    )
+    aug = ev.select("user_id", "ts").unionByName(bot)
+
+    plain = {
+        (r["user_id"], r["session_no"], r["n_events"],
+         r["session_start_us"], r["session_end_us"])
+        for r in sessionize_batch(aug, 30).collect()
+    }
+    safe = {
+        (r["user_id"], r["session_no"], r["n_events"],
+         r["session_start_us"], r["session_end_us"])
+        for r in sessionize_batch_skew_safe(aug, 30).collect()
+    }
+    assert safe == plain
+
+    # spread: the hot key's events land in many (key, bucket) groups,
+    # and the largest group holds a small fraction of its events
+    from couch_to_postgres_spark.session import ts_micros
+
+    bucket_us = 30 * 16 * 60 * 1_000_000
+    groups = (
+        bot.withColumn("_ts_us", ts_micros(bot, "ts"))
+        .groupBy((F.col("_ts_us") - F.col("_ts_us") % F.lit(bucket_us)).alias("b"))
+        .count()
+        .collect()
+    )
+    n_bot = sum(r["count"] for r in groups)
+    assert len(groups) >= 5
+    assert max(r["count"] for r in groups) <= n_bot / 3
