@@ -1,0 +1,204 @@
+"""Scaling evidence: the headline queries at sf0.1 AND a synthesized 10x
+corpus (~sf1: 6M lineitem docs, 50k documents, 10x events/embeddings).
+
+No sf1 parquet ships with the test data, so this tool builds one in /tmp
+from sf0.1, designed so each query's WORK scales 10x without changing its
+semantics density:
+
+* lineitem/orders-derived docs: 10 replicas with a replica-prefixed id
+  (row content identical -- GROUP BY / key-expansion / CDC shapes don't
+  key on the id);
+* documents: 10 replicas with every WORD prefixed by a replica tag
+  (``r3w...``), giving each replica a disjoint shingle space -- the
+  near-dup structure within a replica is preserved exactly, and no
+  cross-replica dups are fabricated, so dedup at 10x does 10x real work
+  instead of drowning in artificial exact dups;
+* events: 10 replicas with offset user_ids (10x users, same per-user
+  session shape);
+* embeddings: 10 replicas with offset vec_ids.
+
+Each query is timed at both scales in ONE warm process; the RATIO is the
+deliverable -- a query whose ratio tracks the data ratio (~10x) scales
+linearly and survives the 100x extrapolation; anything super-linear is a
+scale bug. Emits one JSON line; tools/../SCALING.md records the run.
+
+Run:  python tools/bench_scaling.py   (~5-10 min, writes ~2 GB to /tmp)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import lineitem_mirror  # noqa: E402
+from couch_to_postgres_spark.extensions import dedup as X_dedup  # noqa: E402
+from couch_to_postgres_spark.extensions import similarity as X_sim  # noqa: E402
+from couch_to_postgres_spark.extensions import text as X_text  # noqa: E402
+from couch_to_postgres_spark.operators import query as Q  # noqa: E402
+from couch_to_postgres_spark.operators.cdc import apply_changes  # noqa: E402
+from couch_to_postgres_spark.session import get_spark, load_table  # noqa: E402
+from couch_to_postgres_spark.streaming.windows import (  # noqa: E402
+    sessionize_batch,
+)
+
+REPLICAS = 10
+
+
+def replicate(df, tag_fn):
+    out = None
+    for i in range(REPLICAS):
+        rep = tag_fn(df, i)
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        app_name="bench_scaling",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 << 20)},
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_scaling_")
+
+    # ---- materialize both scales once (mirrors are stored state) ----
+    m1_path = os.path.join(tmp, "mirror_sf01.parquet")
+    lineitem_mirror(spark, sf_dir).write.mode("overwrite").parquet(m1_path)
+    m10_path = os.path.join(tmp, "mirror_sf1.parquet")
+    replicate(
+        lineitem_mirror(spark, sf_dir),
+        lambda df, i: df.select(
+            F.concat_ws("#", F.lit(str(i)), "id").alias("id"), "doc"
+        ),
+    ).write.mode("overwrite").parquet(m10_path)
+
+    docs1 = load_table(spark, sf_dir, "documents")
+    d10_path = os.path.join(tmp, "docs_sf1.parquet")
+    replicate(
+        docs1,
+        lambda df, i: df.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            # per-replica word tag => disjoint shingle space per replica:
+            # within-replica dup structure preserved, no fabricated
+            # cross-replica dups
+            F.regexp_replace("text", r"(\S+)", f"r{i}$1").alias("text"),
+            "lang", "source", "n_chars",
+        ),
+    ).write.mode("overwrite").parquet(d10_path)
+
+    ev1 = load_table(spark, sf_dir, "events")
+    ev10_path = os.path.join(tmp, "events_sf1.parquet")
+    replicate(
+        ev1,
+        lambda df, i: df.withColumn(
+            "user_id", F.col("user_id") + F.lit(i * 10_000_000)
+        ),
+    ).write.mode("overwrite").parquet(ev10_path)
+
+    emb1 = load_table(spark, sf_dir, "embeddings")
+    emb10_path = os.path.join(tmp, "emb_sf1.parquet")
+    replicate(
+        emb1,
+        lambda df, i: df.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * 1_000_000)
+        ),
+    ).write.mode("overwrite").parquet(emb10_path)
+
+    scales = {
+        "sf0.1": {
+            "mirror": spark.read.parquet(m1_path),
+            "docs": docs1,
+            "events": ev1,
+            "emb": emb1,
+        },
+        "sf1(synth)": {
+            "mirror": spark.read.parquet(m10_path),
+            "docs": spark.read.parquet(d10_path),
+            "events": spark.read.parquet(ev10_path),
+            "emb": spark.read.parquet(emb10_path),
+        },
+    }
+    # touch so timings measure queries, not cold page cache
+    for t in scales.values():
+        for df in t.values():
+            df.count()
+
+    def queries(t):
+        mirror, docs, ev, emb = t["mirror"], t["docs"], t["events"], t["emb"]
+
+        def cdc_apply():
+            changes = mirror.select(
+                F.monotonically_increasing_id().alias("seq"),
+                "id", F.lit(False).alias("deleted"), "doc",
+            )
+            apply_changes(mirror.limit(0), changes, broadcast_changes=False).count()
+
+        id_parts = F.split(F.col("id"), "-")
+        return {
+            "q_group_count": lambda: Q.group_count(mirror, "l_returnflag").collect(),
+            "q_key_expansion": lambda: Q.key_expansion(mirror, "l_returnflag").collect(),
+            "q_cdc_apply": cdc_apply,
+            "q_dedup_minhash": lambda: X_dedup.minhash_candidate_pairs(
+                docs, num_bands=4
+            ).count(),
+            "q_near_dedup_e2e": lambda: X_dedup.near_dedup(
+                docs, num_bands=8, rows_per_band=2, hash_family="km"
+            ).count(),
+            "q_pack": lambda: X_text.pack_documents(
+                mirror.select(
+                    # numeric doc id (pack range-buckets on it): 60-bit
+                    # md5 prefix of the string id
+                    F.conv(F.substring(F.md5("id"), 1, 15), 16, 10)
+                    .cast("long")
+                    .alias("doc_id"),
+                    F.col("doc").alias("text"),
+                ),
+                budget=512,
+            ).count(),
+            "q_text_features": lambda: X_text.text_features(docs).count(),
+            "q_sessionize": lambda: sessionize_batch(ev, 60).count(),
+            "q_ann_topk": lambda: X_sim.cosine_topk(
+                emb.filter(F.col("vec_id") < 5), emb, k=5
+            ).collect(),
+        }
+
+    # warm each query's pipeline once at the SMALL scale (JIT/codegen),
+    # then time small and large in the same process
+    for fn in queries(scales["sf0.1"]).values():
+        fn()
+
+    results: dict[str, dict] = {}
+    for scale, t in scales.items():
+        for name, fn in queries(t).items():
+            os.sync()
+            t0 = time.time()
+            fn()
+            results.setdefault(name, {})[scale] = round(time.time() - t0, 2)
+
+    for name, r in results.items():
+        r["ratio"] = round(r["sf1(synth)"] / max(r["sf0.1"], 1e-9), 1)
+
+    out = {
+        "metric": "scaling_sf01_to_sf1",
+        "data_ratio": REPLICAS,
+        "queries": results,
+        "rows": {
+            "lineitem_docs": [600_000 * 1, 600_000 * REPLICAS],
+            "documents": [docs1.count(), docs1.count() * REPLICAS],
+        },
+        "note": "ratio ~= data_ratio (10) = linear scaling; sub-linear is "
+        "fixed-overhead amortization, super-linear is a scale bug",
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
