@@ -27,6 +27,7 @@ from couch_to_postgres_spark.functions.json import (
     json_object_set_key,
     json_to_recordset,
 )
+from couch_to_postgres_spark.extensions.text import PII_PATTERNS
 from couch_to_postgres_spark.operators import query as Q
 from couch_to_postgres_spark.operators.cdc import apply_changes
 from couch_to_postgres_spark.operators.mirror import docs_mirror
@@ -2177,6 +2178,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asset_id", "media_type", "n_bytes", "content_md5"
         )
 
+
+    def x_bm25(spark, sf_dir):
+        # ranked lexical retrieval (Okapi BM25) — the query capability the
+        # reference's filter/aggregate surface lacks; decimal-summed
+        # contributions keep the per-doc score order-independent
+        from couch_to_postgres_spark.extensions.search import bm25_topk
+
+        return bm25_topk(
+            _docs(spark, sf_dir), ["spark", "merge", "window"], k=20
+        )
+
+    def x_pmi(spark, sf_dir):
+        # collocation mining: top bigrams by pointwise mutual information
+        return X_text.pmi_bigrams(_docs(spark, sf_dir), min_count=5, k=50)
+
+    def x_pii_scan(spark, sf_dir):
+        # detection side of the PII story (x_redact is remediation):
+        # per-doc counts of email/url/phone/ipv4-shaped matches
+        return X_text.pii_scan(_docs(spark, sf_dir))
+
+    def x_weighted_sample(spark, sf_dir):
+        # Efraimidis-Spirakis deterministic weighted sampling without
+        # replacement: inclusion odds proportional to n_chars
+        from couch_to_postgres_spark.extensions.sampling import (
+            weighted_sample_topn,
+        )
+
+        return weighted_sample_topn(
+            _docs(spark, sf_dir), "n_chars", n=100
+        ).select("doc_id", "n_chars")
+
+    def x_source_overlap(spark, sf_dir):
+        # corpus diagnostics: pairwise shingle-jaccard BETWEEN sources —
+        # which corpus components overlap enough to cross-dedup
+        return X_dedup.source_overlap(_docs(spark, sf_dir))
+
+    def x_outlier_trim(spark, sf_dir):
+        # Tukey-fence length trimming per language
+        return X_text.iqr_outlier_trim(_docs(spark, sf_dir)).select(
+            "doc_id", "lang", "n_chars"
+        )
+
     # Dict ORDER is part of the driver contract in practice: each round's
     # CORRECTNESS file contains exactly the first ~50 insertion-order
     # keys, so the driver walks the dict front-to-back under a budget.
@@ -2241,6 +2284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ann_ivf": x_ann_ivf,
         # --- next-round spill (stable keys, checked in round 4) ---
         "e26_sessionize_skew_safe": e26_sessionize_skew_safe,
+        "x_bm25": x_bm25,
+        "x_pmi": x_pmi,
+        "x_pii_scan": x_pii_scan,
+        "x_weighted_sample": x_weighted_sample,
+        "x_source_overlap": x_source_overlap,
+        "x_outlier_trim": x_outlier_trim,
         "x_shuffle": x_shuffle,
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
@@ -3344,6 +3393,159 @@ def oracle_sql() -> dict[str, str]:
         # rounded to 4 decimals (+0.0 collapses IEEE -0.0) with
         # (cosine DESC, cell ASC) tie-break — mirroring
         # ann.assign_cells_hof expression for expression.
+        "x_bm25": f"""
+            WITH {_WORDS},
+            doclen AS (
+                SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM words
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                FROM doclen
+            ),
+            tok AS (
+                SELECT doc_id, w.word AS token
+                FROM words, UNNEST(ws) AS w(word)
+                WHERE w.word IN ('spark', 'merge', 'window')
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok GROUP BY doc_id, token
+            ),
+            dft AS (
+                SELECT token, CAST(count(*) AS DOUBLE) AS dft
+                FROM tf GROUP BY token
+            ),
+            contrib AS (
+                SELECT t.doc_id,
+                       CAST(round(
+                           ln((s.n - d.dft + 0.5) / (d.dft + 0.5) + 1.0)
+                           * (t.tf * 2.2
+                              / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))),
+                           6) AS DECIMAL(18,6)) AS c
+                FROM tf t
+                JOIN dft d USING (token)
+                JOIN doclen l USING (doc_id)
+                CROSS JOIN stats s
+            ),
+            scored AS (
+                SELECT doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
+                FROM contrib GROUP BY doc_id
+            ),
+            ranked AS (
+                SELECT doc_id, score,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+                FROM scored
+            )
+            SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
+        """,
+        "x_pmi": f"""
+            WITH {_WORDS},
+            bg AS (
+                SELECT doc_id, b.bg
+                FROM words, UNNEST(
+                    CASE WHEN len(ws) >= 2
+                         THEN [array_to_string(ws[i:i+1], ' ')
+                               FOR i IN generate_series(1, len(ws) - 1)]
+                         ELSE []::VARCHAR[] END
+                ) AS b(bg)
+            ),
+            cbg AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+            uni AS (
+                SELECT w.word AS w FROM words, UNNEST(ws) AS w(word)
+            ),
+            cw AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+            tot AS (
+                SELECT (SELECT CAST(sum(c_bg) AS DOUBLE) FROM cbg) AS n_bg,
+                       (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS n_w
+            ),
+            scored AS (
+                SELECT cbg.bg AS bg, cbg.c_bg AS pair_count,
+                       round(ln((CAST(cbg.c_bg AS DOUBLE) / t.n_bg)
+                             / ((CAST(c1.c_w AS DOUBLE) / t.n_w)
+                              * (CAST(c2.c_w AS DOUBLE) / t.n_w))), 4) AS pmi
+                FROM cbg
+                JOIN cw c1 ON string_split(cbg.bg, ' ')[1] = c1.w
+                JOIN cw c2 ON string_split(cbg.bg, ' ')[2] = c2.w
+                CROSS JOIN tot t
+                WHERE cbg.c_bg >= 5
+            ),
+            ranked AS (
+                SELECT bg, pair_count, pmi,
+                       ROW_NUMBER() OVER (ORDER BY pmi DESC, bg) AS rank
+                FROM scored
+            )
+            SELECT bg, CAST(pair_count AS BIGINT) AS pair_count, pmi, rank
+            FROM ranked WHERE rank <= 50
+        """,
+        "x_pii_scan": f"""
+            SELECT doc_id, n_emails, n_urls, n_phones, n_ipv4,
+                   (n_emails + n_urls + n_phones + n_ipv4) AS n_pii_total
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["emails"]}')) AS BIGINT) AS n_emails,
+                       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["urls"]}')) AS BIGINT) AS n_urls,
+                       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["phones"]}')) AS BIGINT) AS n_phones,
+                       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4
+                FROM documents
+            )
+        """,
+        "x_weighted_sample": f"""
+            WITH keyed AS (
+                SELECT doc_id, n_chars,
+                       round(
+                           ln(({_hexval8_sql("'wsamp1:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+                              / 4294967296.0)
+                           / CAST(n_chars AS DOUBLE), 6) AS k
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, n_chars,
+                       ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS r
+                FROM keyed
+            )
+            SELECT doc_id, n_chars FROM ranked WHERE r <= 100
+        """,
+        "x_source_overlap": """
+            WITH swords AS (
+                SELECT source,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            ssh AS (
+                SELECT DISTINCT source AS g, s.shingle AS sh
+                FROM swords, UNNEST(
+                    CASE WHEN len(ws) >= 3
+                         THEN [array_to_string(ws[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(ws) - 2)]
+                         ELSE []::VARCHAR[] END
+                ) AS s(shingle)
+            ),
+            sizes AS (SELECT g, count(*) AS n_sh FROM ssh GROUP BY g),
+            inter AS (
+                SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_shared
+                FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.g < b.g
+                GROUP BY a.g, b.g
+            )
+            SELECT group_a, group_b,
+                   CAST(n_shared AS BIGINT) AS n_shared,
+                   round(CAST(n_shared AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.g = group_a
+            JOIN sizes sb ON sb.g = group_b
+        """,
+        "x_outlier_trim": """
+            WITH q AS (
+                SELECT lang,
+                       quantile_cont(n_chars, 0.25) AS q1,
+                       quantile_cont(n_chars, 0.75) AS q3
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN q ON d.lang = q.lang
+            WHERE d.n_chars >= q.q1 - 1.5 * (q.q3 - q.q1)
+              AND d.n_chars <= q.q3 + 1.5 * (q.q3 - q.q1)
+        """,
         "x_ann_ivf": f"""
             WITH {_ANCHOR_ASSIGN},
             corpus_cells AS (SELECT vec_id, cell FROM aranked WHERE rnk = 1),

@@ -1179,3 +1179,66 @@ def semantic_dedup(
     clusters = dedup_clusters(pairs, id_col=id_col)
     drop = clusters.filter(F.col("cluster") != F.col(id_col)).select(id_col)
     return emb.join(F.broadcast(drop), on=id_col, how="left_anti")
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus-diagnostics: pairwise Jaccard similarity between SOURCES
+    (crawls, dumps, feeds) over their distinct word-shingle sets — "how
+    much of source B is already in source A", the signal that decides
+    which corpus components are worth deduplicating against each other
+    (run this before a cross_near_dedup campaign, not after).
+
+    Plan shape: the corpus collapses to distinct (group, shingle) rows
+    (two-phase distinct — partial per-partition dedup before one
+    shingle-keyed shuffle); the pair intersection join is keyed by
+    shingle, and a shingle shared by s groups emits C(s,2) pair rows —
+    bounded by the GROUP count (tens), never by docs. Per-group set
+    sizes are a tiny agg; the final jaccard is integer arithmetic.
+    Emits (group_a, group_b, n_shared, jaccard) for group_a < group_b.
+    """
+    gs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        gs.alias("a")
+        .join(
+            gs.alias("b"),
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col("a.g") < F.col("b.g"),
+            ],
+        )
+        .groupBy(F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("g").alias("group_a"), F.col("n_sh").alias("na"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("group_b"), F.col("n_sh").alias("nb"))),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -169,3 +169,45 @@ def sample_to_token_budget(
     return out.filter(
         F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget")
     ).drop("_budget")
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    weight_col,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "wsamp1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws a deterministic uniform u from
+    ``md5(salt:id)`` and the ``n`` rows with the largest ``u^(1/w)``
+    (equivalently, with ``ln(u)/w`` closest to zero) win. Inclusion
+    probability is proportional to weight; higher-weight rows (longer
+    docs, higher quality scores) win their place more often — the
+    mixture operator for "sample a training epoch proportional to
+    quality".
+
+    Scale shape: the key is a pure map; selection is one global top-n on
+    the ROUNDED key (6 dp, id tie-break — reproducible across engines,
+    partitionings, and FP summation orders; there is no summation at
+    all, one log and one divide per row). Changing ``salt`` re-draws the
+    sample at identical weights."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    hexpfx = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    # u in (0,1]: (v+1)/2^32 over the 8-hex-digit prefix — never 0, so
+    # ln(u) is finite; ln(u)/w in (-inf, 0], larger (closer to 0) wins
+    u = (F.conv(hexpfx, 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 32)
+    )
+    key = F.round(F.log(u) / w.cast("double"), 6)
+    win = Window.orderBy(F.col("_ws_key").desc(), F.col(id_col))
+    return (
+        df.withColumn("_ws_key", key)
+        .withColumn("_ws_rank", F.row_number().over(win))
+        .filter(F.col("_ws_rank") <= n)
+        .drop("_ws_key", "_ws_rank")
+    )

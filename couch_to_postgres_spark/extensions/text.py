@@ -814,3 +814,131 @@ def approx_top_tokens(
         .orderBy(F.col("cnt").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` word bigrams by pointwise mutual information —
+    collocation mining over the corpus (the classic phrase-discovery /
+    tokenizer-merge-candidate signal for training-data pipelines).
+
+    pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) with MLE probabilities
+    from bigram/unigram counts; ``min_count`` suppresses the noise tail
+    (rare pairs score spuriously high under MLE).
+
+    Plan shape: one bigram-keyed count shuffle (uniform string keys), a
+    unigram count derived from the corpus token stream, two
+    vocabulary-sized joins, then a global top-k on the ROUNDED score
+    (ties → bigram asc) — reproducible across engines. Counts are
+    integers, so the score expression is one deterministic FP evaluation
+    per row (no order-dependent summation anywhere)."""
+    from couch_to_postgres_spark.extensions.dedup import word_shingles
+
+    bg = df.select(F.explode(word_shingles(text_col, 2)).alias("bg"))
+    c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    uni = df.select(F.explode(_words(text_col)).alias("w"))
+    c_w = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    totals = c_bg.agg(F.sum("c_bg").alias("n_bg")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    parts = F.split(F.col("bg"), " ")
+    scored = (
+        c_bg.filter(F.col("c_bg") >= min_count)
+        .withColumn("w1", parts[0])
+        .withColumn("w2", parts[1])
+        .join(c_w.select(F.col("w").alias("w1"), F.col("c_w").alias("c1")), "w1")
+        .join(c_w.select(F.col("w").alias("w2"), F.col("c_w").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bg",
+            F.col("c_bg").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c_bg").cast("double") / F.col("n_bg"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n_w"))
+                        * (F.col("c2").cast("double") / F.col("n_w"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bg"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("bg", "pair_count", "pmi", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+#: deliberately simple, cross-engine-portable patterns (character classes
+#: and bounded repetition only — no lookaround, no shorthand that differs
+#: between Java regex and RE2-style engines)
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^ ]+",
+    "phones": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII-shaped match counts (emails, urls, phone-number
+    runs, IPv4 literals) — the triage report a corpus release gate needs
+    before the redaction pass (:`x_redact`'s numeric scrub is the
+    remediation; this is the detection side). One map pass, no shuffle;
+    patterns are engine-portable by construction (see PII_PATTERNS)."""
+    cols = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col), *cols)
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii_total", total.cast("long"))
+
+
+def iqr_outlier_trim(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tukey-fence outlier trimming per group: keep rows whose value lies
+    within [q1 − 1.5·IQR, q3 + 1.5·IQR] of their group — the standard
+    length-distribution cleanup before corpus statistics (a handful of
+    pathological megadocs otherwise dominate every mean).
+
+    Plan shape: exact per-group quartiles are one agg over the groups
+    (group count is small — languages, sources); the fences broadcast
+    back and the filter is a map. The corpus never shuffles."""
+    q = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("_q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("_q3"),
+    )
+    fenced = q.select(
+        group_col,
+        (F.col("_q1") - 1.5 * (F.col("_q3") - F.col("_q1"))).alias("_lo"),
+        (F.col("_q3") + 1.5 * (F.col("_q3") - F.col("_q1"))).alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(fenced), group_col)
+        .filter(
+            (F.col(value_col) >= F.col("_lo"))
+            & (F.col(value_col) <= F.col("_hi"))
+        )
+        .drop("_lo", "_hi")
+    )

@@ -1541,3 +1541,135 @@ def test_classifier_filter_grows_single_class_sample(spark):
     allclean = spark.createDataFrame(clean, "doc_id long, text string")
     with pytest.raises(ValueError, match="single\\s+class"):
         classifier_filter(allclean, train_fraction=0.5)
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: BM25, PMI, PII scan, weighted sample, source overlap,
+# outlier trim
+# ---------------------------------------------------------------------------
+
+def test_bm25_ranks_relevance_and_length_norm(spark):
+    from couch_to_postgres_spark.extensions.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark merge window spark merge"),      # dense match
+            (2, "spark " + "filler " * 40),              # one hit, long doc
+            (3, "spark merge"),                          # two hits, short
+            (4, "nothing relevant here at all"),         # no hit
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["spark", "merge", "window"], k=10).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert 4 not in ranks                   # zero-hit docs absent
+    assert ranks[1] == 1                    # most/densest matches win
+    assert ranks[3] < ranks[2]              # short 2-term doc beats long 1-term
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert all(s > 0 for s in scores.values())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, [])
+
+
+def test_pmi_finds_planted_collocation(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    vocab = [f"w{i}" for i in range(30)]
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(30)]
+        # plant "san francisco" always adjacent, several times per doc
+        for _ in range(3):
+            pos = rng.randrange(len(words))
+            words[pos:pos] = ["san", "francisco"]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = T.pmi_bigrams(df, min_count=5, k=5).collect()
+    assert top[0]["bg"] == "san francisco"
+    assert top[0]["rank"] == 1
+    assert top[0]["pmi"] > 0
+
+
+def test_pii_scan_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org plus https://x.y/z and 10.0.0.1"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.pii_scan(df).collect()}
+    assert got[1]["n_emails"] == 2
+    assert got[1]["n_urls"] == 1
+    assert got[1]["n_ipv4"] == 1
+    assert got[2]["n_phones"] == 1
+    assert got[3]["n_pii_total"] == 0
+    assert got[1]["n_pii_total"] == got[1]["n_emails"] + got[1]["n_urls"] + got[1]["n_phones"] + got[1]["n_ipv4"]
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from couch_to_postgres_spark.extensions.sampling import (
+        weighted_sample_topn,
+    )
+
+    # 2 heavy rows (w=50) among 100 light rows (w=1): across many salts
+    # the heavy rows must appear far more often than any light row
+    rows = [(i, 1) for i in range(100)] + [(1000, 50), (1001, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    heavy_hits = light_hits = 0
+    n_salts = 20
+    for s in range(n_salts):
+        kept = {
+            r["doc_id"]
+            for r in weighted_sample_topn(
+                df, "w", n=10, salt=f"s{s}"
+            ).collect()
+        }
+        heavy_hits += len(kept & {1000, 1001})
+        light_hits += len(kept - {1000, 1001})
+    # heavy inclusion rate per row vs light inclusion rate per row
+    heavy_rate = heavy_hits / (2 * n_salts)
+    light_rate = light_hits / (100 * n_salts)
+    assert heavy_rate > 5 * light_rate
+    # deterministic at fixed salt
+    a = sorted(r["doc_id"] for r in weighted_sample_topn(df, "w", n=10).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample_topn(df, "w", n=10).collect())
+    assert a == b
+
+
+def test_source_overlap_hand_cases(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, "A", shared),
+            (2, "B", shared),                          # B == A -> jaccard 1
+            (3, "C", "one two three four five six"),   # disjoint from A/B
+            (4, "D", shared + " extra tail words here"),  # superset of A
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in D.source_overlap(df).collect()
+    }
+    assert got[("A", "B")]["jaccard"] == 1.0
+    assert ("A", "C") not in got            # zero-overlap pairs absent
+    ad = got[("A", "D")]
+    assert 0 < ad["jaccard"] < 1
+    assert ad["n_shared"] == 6              # A's 6 shingles all in D
+
+
+def test_iqr_outlier_trim_drops_planted_megadoc(spark):
+    rows = [(i, "en", 100 + i % 7) for i in range(60)]
+    rows.append((1000, "en", 1_000_000))   # megadoc outlier
+    rows.append((2000, "fr", 200))         # lone group: q1==q3, kept
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    kept = {r["doc_id"] for r in T.iqr_outlier_trim(df).collect()}
+    assert 1000 not in kept
+    assert 2000 in kept
+    assert len(kept) == 61
