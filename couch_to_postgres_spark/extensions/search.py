@@ -1,0 +1,105 @@
+"""Full-text relevance search over the document corpus (BM25).
+
+The reference's query surface stops at filters/aggregates over jsonb
+(README.md:102-240); a training-data engine also needs RANKED retrieval
+— "find the documents most relevant to these terms" — for eval-set
+curation, targeted decontamination, and corpus inspection. Okapi BM25 is
+the standard lexical scorer; this is the distributed, oracle-checkable
+form.
+
+Plan shape at 100 TB (the reason this looks the way it does):
+
+* tokens are filtered to the QUERY TERMS **before** any shuffle — the
+  corpus-wide token explosion reduces map-side to only matching rows, so
+  the (doc, token) aggregation shuffles query-hit rows, not the corpus;
+* document lengths and corpus stats (N, avgdl, per-term df) are tiny
+  aggregates broadcast back into the scoring join;
+* ranking sorts on the ROUNDED score (4 dp, doc-id tie-break) so results
+  are reproducible across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.text import _words
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 for a bag of query terms.
+
+    score(D) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1−b+b·|D|/avgdl)),
+    idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)   (the +1 form, so
+    idf stays positive even for terms in more than half the corpus).
+
+    Returns (id, score, rank) — ties broken by id ascending on the
+    rounded score. Documents matching no term are absent (score 0).
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = [t for t in query_terms]
+    words = _words(text_col)
+    # per-doc length (ALL words, not just matches — BM25's length norm)
+    doclen = df.select(
+        F.col(id_col), F.size(words).cast("double").alias("dl")
+    )
+    # corpus stats: one skinny agg, broadcast into the scoring join
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    # token stream pruned to query terms BEFORE the shuffle
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.filter(words, lambda w: w.isin(terms))).alias("token"),
+    )
+    tf = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dft = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("dft")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("dft") + F.lit(0.5))
+        / (F.col("dft") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    # Per-term contributions are rounded to 6 dp and summed as DECIMAL:
+    # decimal addition is exact and order-independent, so the per-doc
+    # score does not depend on which order the aggregate consumes the
+    # term rows (double summation is non-associative — a cross-engine /
+    # cross-partitioning hazard at the final round boundary).
+    contrib_dec = F.round(contrib, 6).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib_dec), 4).cast("double").alias("score")
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score", F.col("rank").cast("long").alias("rank"))
+    )
