@@ -2220,6 +2220,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang", "n_chars"
         )
 
+
+    def x_near_dedup_best(spark, sf_dir):
+        # quality-keep near-dedup: same clusters as x_near_dedup, but the
+        # surviving representative is the LONGEST member (n_chars as the
+        # quality stand-in; ties -> min id) — what a corpus build keeps
+        deduped = X_dedup.near_dedup(
+            _docs(spark, sf_dir), jaccard_threshold=0.6, num_bands=4,
+            keep_score_col="n_chars",
+        )
+        return deduped.select("doc_id")
+
     # Dict ORDER is part of the driver contract in practice: each round's
     # CORRECTNESS file contains exactly the first ~50 insertion-order
     # keys, so the driver walks the dict front-to-back under a budget.
@@ -2290,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_weighted_sample": x_weighted_sample,
         "x_source_overlap": x_source_overlap,
         "x_outlier_trim": x_outlier_trim,
+        "x_near_dedup_best": x_near_dedup_best,
         "x_shuffle": x_shuffle,
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
@@ -3305,6 +3317,64 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach GROUP BY src
             ),
             drop_ids AS (SELECT node FROM clusters WHERE node <> cluster)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN drop_ids x ON d.doc_id = x.node
+            WHERE x.node IS NULL
+        """,
+        "x_near_dedup_best": f"""
+            WITH RECURSIVE {_WORDS}, {_SHINGLES},
+            banded AS (
+                SELECT doc_id, b.band, shingle
+                FROM shingled, UNNEST([0,1,2,3]) AS b(band)
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS signature
+                FROM banded GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.signature = b.signature
+                 AND a.doc_id < b.doc_id
+            ),
+            sets_ AS (
+                SELECT doc_id, list_distinct(list(shingle)) AS sh
+                FROM shingled GROUP BY doc_id
+            ),
+            verified AS (
+                SELECT p.id_a, p.id_b
+                FROM pairs p
+                JOIN sets_ sa ON sa.doc_id = p.id_a
+                JOIN sets_ sb ON sb.doc_id = p.id_b
+                WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM verified
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM verified
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+                SELECT src AS node, least(src, min(dst)) AS cluster
+                FROM reach GROUP BY src
+            ),
+            scored AS (
+                SELECT c.node, c.cluster, d.n_chars
+                FROM clusters c JOIN documents d ON d.doc_id = c.node
+            ),
+            rankedk AS (
+                SELECT node,
+                       ROW_NUMBER() OVER (PARTITION BY cluster
+                                          ORDER BY n_chars DESC, node) AS rk
+                FROM scored
+            ),
+            drop_ids AS (SELECT node FROM rankedk WHERE rk > 1)
             SELECT d.doc_id FROM documents d
             LEFT JOIN drop_ids x ON d.doc_id = x.node
             WHERE x.node IS NULL

@@ -841,10 +841,18 @@ def near_dedup(
     rows_per_band: int = 1,
     hash_family: str = "md5k",
     star_threshold: int | None = 64,
+    keep_score_col: str | None = None,
 ) -> DataFrame:
     """The end-to-end near-dedup pipeline: MinHash LSH candidates →
     exact n-gram Jaccard verification → connected-component clustering →
-    keep the min-id representative of each duplicate cluster.
+    keep one representative of each duplicate cluster.
+
+    The representative is the min-id member by default;
+    ``keep_score_col`` names a quality column (heuristic score,
+    classifier probability, length) and the HIGHEST-scoring member wins
+    instead (ties → min id) — what a production corpus build wants: when
+    a page exists as both a clean extraction and a boilerplate-ridden
+    one, keep the clean copy, not the lexicographically-first one.
 
     Returns ``df`` minus non-representative near-duplicates. Every stage
     is pair-set-proportional after the LSH cut; the corpus itself is
@@ -900,7 +908,25 @@ def near_dedup(
     # result). It is candidate-doc-proportional, and a long-lived caller
     # that has consumed the result can clear it with
     # spark.catalog.clearCache() or by scoping the session.
-    drop = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
+    if keep_score_col is None:
+        drop = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
+    else:
+        # quality-keep: fetch scores for clustered docs only (the cluster
+        # map is pair-set-proportional — broadcast side), rank within each
+        # cluster by score desc / id asc, drop everything but rank 1
+        from pyspark.sql import Window
+
+        scored = df.select(F.col(id_col), F.col(keep_score_col)).join(
+            F.broadcast(clusters), on=id_col
+        )
+        w = Window.partitionBy("cluster").orderBy(
+            F.col(keep_score_col).desc(), F.col(id_col)
+        )
+        drop = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1)
+            .select(id_col)
+        )
     # explicit broadcast: the drop set is pair-set-proportional (tiny vs
     # the corpus), but it comes out of localCheckpoint as an ExistingRDD
     # with unknown stats — without the hint the initial plan falls back to

@@ -349,8 +349,10 @@ def follow_couch(
     ``format("couchdb")`` data source (offset = couch ``since``, durable
     in the checkpoint) — the reference daemon's actual mode
     (bin/daemon.js:120-129 follows databases, not files). ``feed=
-    "longpoll"`` gives change-arrival-bound latency; ``limit`` is the A2
-    admission-control page bound. No quarantine option: the source
+    "longpoll"`` gives change-arrival-bound latency; ``feed="continuous"``
+    consumes the reference's actual streaming transport (one held
+    connection, newline-delimited incremental lines — lib/index.js:50-53);
+    ``limit`` is the A2 admission-control page bound. No quarantine option: the source
     parses upstream and surfaces transport errors typed (no_db_file ≠
     transient)."""
     from couch_to_postgres_spark.sources.couchdb_source import register

@@ -1673,3 +1673,29 @@ def test_iqr_outlier_trim_drops_planted_megadoc(spark):
     assert 1000 not in kept
     assert 2000 in kept
     assert len(kept) == 61
+
+
+def test_near_dedup_keep_best_representative(spark):
+    # cluster of 3 near-identical docs with different lengths: the
+    # LONGEST survives under keep_score_col, the min-id under default
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (10, base, 60),
+        (11, base + " tailA", 62),
+        (12, base + " tailA tailB longer still", 66),
+        (99, " ".join(f"z{i}" for i in range(40)), 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    default_kept = {
+        r["doc_id"]
+        for r in D.near_dedup(df, jaccard_threshold=0.6, num_bands=4)
+        .select("doc_id").collect()
+    }
+    assert default_kept == {10, 99}
+    best_kept = {
+        r["doc_id"]
+        for r in D.near_dedup(
+            df, jaccard_threshold=0.6, num_bands=4, keep_score_col="n_chars"
+        ).select("doc_id").collect()
+    }
+    assert best_kept == {12, 99}

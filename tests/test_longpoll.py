@@ -333,3 +333,41 @@ def test_continuous_through_format_couchdb(spark, couch):
     )
     got = {(r["seq"], r["id"], r["deleted"]) for r in df.collect()}
     assert got == {(1, "a", False), (2, "b", True)}
+
+
+def test_daemon_follows_live_couch_feed_continuous(spark, couch, tmp_path):
+    """Daemon end-to-end over the CONTINUOUS transport: registry row ->
+    format('couchdb') streaming source with feed=continuous -> partitioned
+    mirror merge."""
+    from couch_to_postgres_spark.streaming.daemon import (
+        Daemon,
+        FeedConfig,
+        save_registry,
+    )
+
+    couch.changes_pages = [
+        {
+            "results": [
+                {"seq": 1, "id": "a", "doc": {"_id": "a", "_rev": "1-x", "v": 1}},
+                {"seq": 2, "id": "b", "doc": {"_id": "b", "_rev": "1-y", "v": 2}},
+                {"seq": 3, "id": "c", "deleted": True},
+            ],
+            "last_seq": 3,
+        }
+    ]
+    save_registry(
+        str(tmp_path / "reg.json"),
+        [
+            FeedConfig(
+                name="live-db", url=couch.url, feed="continuous",
+                inactivity_ms=500,
+            )
+        ],
+    )
+    d = Daemon(spark, str(tmp_path / "reg.json"), str(tmp_path / "data"))
+    assert d.find_feeds() == ["live-db"]
+    d.await_all()
+    d.stop_all()
+    st = d.status()["live-db"]
+    assert st["doc_count"] == 2
+    assert any("feed=continuous" in p for p in couch.changes_requests)
