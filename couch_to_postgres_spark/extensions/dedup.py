@@ -1228,12 +1228,19 @@ def source_overlap(
     sizes are a tiny agg; the final jaccard is integer arithmetic.
     Emits (group_a, group_b, n_shared, jaccard) for group_a < group_b.
     """
+    # Persisted: the distinct (group, shingle) set feeds three branches
+    # (per-group sizes + both sides of the intersection self-join), and
+    # without the cache each branch re-shingles the whole corpus (plan
+    # audit: 3 shingle explosions -> 1). Distinct output is
+    # vocabulary×group-sized, far smaller than the exploded corpus;
+    # released below once the pair result materializes.
     gs = (
         df.select(
             F.col(group_col).alias("g"),
             F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
         )
         .distinct()
+        .persist()
     )
     sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
@@ -1248,7 +1255,7 @@ def source_overlap(
         .groupBy(F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return (
+    out = (
         inter.join(
             F.broadcast(sizes.select(F.col("g").alias("group_a"), F.col("n_sh").alias("na"))),
             "group_a",
@@ -1268,3 +1275,8 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+    # result is C(groups, 2) rows at most — materialize eagerly so the
+    # shingle cache releases now instead of leaking across calls
+    out = out.localCheckpoint(eager=True)
+    gs.unpersist()
+    return out

@@ -48,10 +48,14 @@ def bm25_topk(
         raise ValueError("bm25_topk: query_terms must be non-empty")
     terms = [t for t in query_terms]
     words = _words(text_col)
-    # per-doc length (ALL words, not just matches — BM25's length norm)
+    # per-doc length (ALL words, not just matches — BM25's length norm).
+    # Persisted: it feeds both the avgdl aggregate and the scoring join,
+    # and without the cache each branch re-tokenizes the corpus (plan
+    # audit: 4 parquet scans -> 2). Skinny rows (id, double); released
+    # below once the top-k materializes.
     doclen = df.select(
         F.col(id_col), F.size(words).cast("double").alias("dl")
-    )
+    ).persist()
     # corpus stats: one skinny agg, broadcast into the scoring join
     stats = doclen.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -62,9 +66,10 @@ def bm25_topk(
         F.col(id_col),
         F.explode(F.filter(words, lambda w: w.isin(terms))).alias("token"),
     )
+    # query-hit-proportional (tiny); feeds both df(t) and the scoring join
     tf = tok.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
-    )
+    ).persist()
     dft = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("dft")
     )
@@ -98,8 +103,15 @@ def bm25_topk(
         )
     )
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "score", F.col("rank").cast("long").alias("rank"))
     )
+    # the result is k rows: materialize it eagerly (localCheckpoint) so
+    # the caches above can release NOW instead of leaking across calls —
+    # the same lifecycle discipline as near_dedup/dedup_clusters
+    out = out.localCheckpoint(eager=True)
+    doclen.unpersist()
+    tf.unpersist()
+    return out
