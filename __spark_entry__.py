@@ -2231,6 +2231,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return deduped.select("doc_id")
 
+
+    def x_cdc_chunks(spark, sf_dir):
+        # content-defined chunking (rsync/LBFS boundaries at word
+        # granularity): boundaries from local content hashes, so edits
+        # shift only the chunks they touch
+        return X_text.cdc_chunk_documents(_docs(spark, sf_dir))
+
+    def x_shared_chunks(spark, sf_dir):
+        # cross-doc shared segments at CDC-chunk granularity (the
+        # insertion-robust complement to the winnowing span report)
+        return X_text.shared_cdc_chunks(_docs(spark, sf_dir))
+
     # Dict ORDER is part of the driver contract in practice: each round's
     # CORRECTNESS file contains exactly the first ~50 insertion-order
     # keys, so the driver walks the dict front-to-back under a budget.
@@ -2302,6 +2314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_source_overlap": x_source_overlap,
         "x_outlier_trim": x_outlier_trim,
         "x_near_dedup_best": x_near_dedup_best,
+        "x_cdc_chunks": x_cdc_chunks,
+        "x_shared_chunks": x_shared_chunks,
         "x_shuffle": x_shuffle,
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
@@ -3615,6 +3629,85 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN q ON d.lang = q.lang
             WHERE d.n_chars >= q.q1 - 1.5 * (q.q3 - q.q1)
               AND d.n_chars <= q.q3 + 1.5 * (q.q3 - q.q1)
+        """,
+        "x_cdc_chunks": f"""
+            WITH {_WORDS},
+            pos AS (
+                SELECT doc_id, t.s.pos AS pos, t.s.w AS w
+                FROM words, UNNEST(
+                    [{{'pos': i - 1, 'w': ws[i]}}
+                     FOR i IN generate_series(1, len(ws))]
+                ) AS t(s)
+            ),
+            gram AS (
+                SELECT doc_id, pos, w,
+                       concat_ws(' ', lag(w, 2) OVER wd, lag(w, 1) OVER wd, w)
+                           AS g
+                FROM pos
+                WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            flagged AS (
+                SELECT doc_id, pos, w,
+                       CASE WHEN CAST({_hexval8_sql('g')} AS BIGINT) % 16 = 0
+                            THEN 1 ELSE 0 END AS b
+                FROM gram
+            ),
+            chunked AS (
+                SELECT doc_id, pos, w,
+                       COALESCE(sum(b) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS chunk_id
+                FROM flagged
+            ),
+            chunks AS (
+                SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                       count(*) AS n_chunk_words,
+                       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+                FROM chunked GROUP BY doc_id, chunk_id
+            )
+            SELECT doc_id, chunk_id, n_chunk_words, chunk_md5 FROM chunks
+        """,
+        "x_shared_chunks": f"""
+            WITH {_WORDS},
+            pos AS (
+                SELECT doc_id, t.s.pos AS pos, t.s.w AS w
+                FROM words, UNNEST(
+                    [{{'pos': i - 1, 'w': ws[i]}}
+                     FOR i IN generate_series(1, len(ws))]
+                ) AS t(s)
+            ),
+            gram AS (
+                SELECT doc_id, pos, w,
+                       concat_ws(' ', lag(w, 2) OVER wd, lag(w, 1) OVER wd, w)
+                           AS g
+                FROM pos
+                WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            flagged AS (
+                SELECT doc_id, pos, w,
+                       CASE WHEN CAST({_hexval8_sql('g')} AS BIGINT) % 16 = 0
+                            THEN 1 ELSE 0 END AS b
+                FROM gram
+            ),
+            chunked AS (
+                SELECT doc_id, pos, w,
+                       COALESCE(sum(b) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS chunk_id
+                FROM flagged
+            ),
+            chunks AS (
+                SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                       count(*) AS n_chunk_words,
+                       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+                FROM chunked GROUP BY doc_id, chunk_id
+            )
+            SELECT chunk_md5,
+                   count(*) AS n_docs,
+                   min(n_chunk_words) AS n_chunk_words
+            FROM chunks GROUP BY chunk_md5 HAVING count(*) >= 2
         """,
         "x_ann_ivf": f"""
             WITH {_ANCHOR_ASSIGN},

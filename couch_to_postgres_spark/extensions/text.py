@@ -942,3 +942,86 @@ def iqr_outlier_trim(
         )
         .drop("_lo", "_hi")
     )
+
+
+def cdc_chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_words: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary trick at word
+    granularity): a chunk boundary falls AFTER word position p whenever
+    the hash of the ``ngram`` words ending at p is ≡ 0 mod ``avg_words``
+    — so boundaries are determined by local CONTENT, not by position,
+    and an insertion near the start of a document shifts only the chunks
+    it touches (fixed-stride chunking re-frames everything downstream,
+    destroying cross-doc chunk identity). Expected chunk length is
+    ``avg_words`` with a geometric tail.
+
+    Emits ``(id, chunk_id, n_chunk_words, chunk_md5)``; equal chunk_md5
+    across documents = shared content segment robust to edits — feed to
+    :func:`shared_cdc_chunks` for the cross-doc report. Plan: one
+    posexplode and one doc-keyed window pass (running sum of boundary
+    flags); hashing is md5 on the joined n-gram, engine-portable."""
+    from pyspark.sql import Window
+
+    words = _words(text_col)
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(words).alias("pos", "w"),
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    # n-gram ending at pos: this word + the ngram-1 before it (shorter at
+    # the document head — still deterministic content)
+    grams = [F.lag("w", i).over(w_ord) for i in range(ngram - 1, 0, -1)]
+    gram = F.concat_ws(" ", *grams, F.col("w"))
+    hx = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    flagged = pos.withColumn(
+        "boundary", (hx % F.lit(avg_words) == 0).cast("int")
+    )
+    # chunk id = boundaries BEFORE this word (boundary cuts AFTER its
+    # word, so the flag shifts into the next row's running sum)
+    chunk = F.coalesce(
+        F.sum("boundary").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    chunked = flagged.withColumn("chunk_id", chunk.cast("long"))
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunk_words"),
+            F.md5(
+                F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "w"))).getField("w"))
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def shared_cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_words: int = 16,
+    ngram: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document shared content at CDC-chunk granularity: chunks
+    (by content hash) appearing in ≥ ``min_docs`` documents, with the
+    carrier count — the insertion-robust complement to
+    :func:`couch_to_postgres_spark.extensions.dedup.shared_span_buckets`
+    (winnowing samples positions; CDC chunking partitions the text, so
+    every shared segment longer than a couple of chunks is surfaced in
+    full). The aggregation shuffles one skinny row per (doc, chunk)."""
+    chunks = cdc_chunk_documents(df, text_col, id_col, avg_words, ngram)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chunk_words").alias("n_chunk_words"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -1699,3 +1699,43 @@ def test_near_dedup_keep_best_representative(spark):
         ).select("doc_id").collect()
     }
     assert best_kept == {12, 99}
+
+
+def test_cdc_chunking_is_insertion_robust(spark):
+    """The point of content-defined boundaries: prepending words to a
+    document leaves the chunk hashes of the UNTOUCHED tail intact, so
+    shared content is still discovered across the edited copies (a
+    fixed-stride chunker re-frames everything and finds nothing)."""
+    import random
+
+    rng = random.Random(11)
+    body = " ".join(f"w{rng.randrange(500)}" for _ in range(300))
+    df = spark.createDataFrame(
+        [(1, body), (2, "inserted preamble words here " + body)],
+        "doc_id long, text string",
+    )
+    chunks = {
+        (r["doc_id"], r["chunk_md5"])
+        for r in T.cdc_chunk_documents(df).collect()
+    }
+    h1 = {h for d, h in chunks if d == 1}
+    h2 = {h for d, h in chunks if d == 2}
+    shared = h1 & h2
+    # the tail chunks (past the first boundary after the insertion)
+    # must re-align: most of doc 1's chunks reappear in doc 2
+    assert len(shared) >= 0.7 * len(h1)
+    # and the shared-chunk report surfaces them
+    rep = T.shared_cdc_chunks(df).collect()
+    assert {r["chunk_md5"] for r in rep} == shared
+    assert all(r["n_docs"] == 2 for r in rep)
+
+
+def test_cdc_chunks_partition_text_exactly(spark):
+    # chunks are a PARTITION of the word sequence: word counts sum back
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(137)))],
+        "doc_id long, text string",
+    )
+    rows = T.cdc_chunk_documents(df).collect()
+    assert sum(r["n_chunk_words"] for r in rows) == 137
+    assert len({r["chunk_id"] for r in rows}) == len(rows)
