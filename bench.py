@@ -369,6 +369,23 @@ def main() -> None:
             budget=512,
         ).count(),
     )
+    # ranked retrieval over the full 600k-doc mirror: tokenize the stored
+    # JSON (separator strip is one map) and BM25-rank for 3 terms — the
+    # corpus-search capability, timed at corpus scale
+    from couch_to_postgres_spark.extensions.search import bm25_topk
+
+    bench(
+        "q_bm25",
+        lambda: bm25_topk(
+            big_mirror.select(
+                "id",
+                F.regexp_replace(F.col("doc"), '[,:"{}]', " ").alias("text"),
+            ),
+            ["RAIL", "TRUCK", "AIR"],
+            k=20,
+            id_col="id",
+        ).collect(),
+    )
     bench(
         "q_lineitem_pricing",
         lambda: li.filter(F.col("l_quantity") < 48)
@@ -398,7 +415,7 @@ def main() -> None:
         # one-time) are warmed before any timer starts. Matches BASELINE.md,
         # whose reference numbers come from a long-running daemon and an
         # OS-cached Postgres table, not a cold process.
-        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; partitioned-write benches (q_cdc_incremental*, *_rewrite) report MEDIAN of 3 reps (OS-writeback noise); matches BASELINE's long-running-daemon measurement",
+        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; partitioned-write benches (q_cdc_incremental*, *_rewrite) report MEDIAN of 3 reps (OS-writeback noise); matches BASELINE's long-running-daemon measurement. Shared-host caveat: single-shot timings on this box vary up to 2x run-to-run on the heavy queries (observed same-code spread e.g. q_winnow_spans 3.7-13.6 s) - compare trends/geomean across rounds, not single numbers",
         "ivf_recall_at_5": ivf_recall,
         "ivf_recall_at_5_nprobe8": ivf_recall_8,
         "docs": n_docs,
