@@ -2252,9 +2252,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # budget. Re-derive the split from CORRECTNESS_r{N}.json each round.
     return {
         # --- driver-unchecked keys first (the driver writes CORRECTNESS
-        # rows for a ~50-entry prefix per round; r01 ∪ r02 already cover
-        # 100 keys, listed at the bottom). First 50 here = this round's
-        # rows; the 4 after spill to the next round. ---
+        # rows for a ~50-entry prefix per round; r01 ∪ r02 already
+        # produced rows for 100 keys — 99 value-green + the one no-oracle
+        # slot — listed at the bottom). First 50 here = this round's
+        # rows; everything between here and the rows-only block spills to
+        # the NEXT round's prefix. Re-derive the split from
+        # CORRECTNESS_r{N}.json each round; do not trust counts in
+        # comments. ---
         "x_dedup_exact": x_dedup_exact,
         "x_dedup_minhash": x_dedup_minhash,
         "x_dedup_minhash_banded": x_dedup_minhash_banded,
@@ -2305,7 +2309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_contamination": x_contamination,
         "x_semantic_dedup": x_semantic_dedup,
         "x_ann_ivf": x_ann_ivf,
-        # --- next-round spill (stable keys, checked in round 4) ---
+        # --- next-round spill: round-3 additions + stable keys, all
+        # oracled — they join the checked prefix next round ---
         "e26_sessionize_skew_safe": e26_sessionize_skew_safe,
         "x_bm25": x_bm25,
         "x_pmi": x_pmi,
@@ -2324,7 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the checked prefix so every driver slot can go green ---
         "x_compression": x_compression,
         "x_quality_classifier": x_quality_classifier,
-        # --- driver-green in CORRECTNESS_r01 ∪ _r02 (99 value rows) ---
+        # --- already driver-checked in CORRECTNESS_r01 ∪ _r02 ---
         "x_interp_score": x_interp_score,
         "x_dedup_minhash_km": x_dedup_minhash_km,
         "x_cross_dedup": x_cross_dedup,
@@ -2492,6 +2497,47 @@ aranked AS (
 )
 """
 
+
+
+# content-defined chunking CTE chain shared by the x_cdc_chunks /
+# x_shared_chunks oracles: word positions -> trailing 3-gram hash ->
+# boundary flags (mod 16) -> running-sum chunk ids -> per-chunk rows.
+# Expanded once here so the two oracles cannot drift apart.
+_CDC_CHUNKS = f"""\
+            pos AS (
+                SELECT doc_id, t.s.pos AS pos, t.s.w AS w
+                FROM words, UNNEST(
+                    [{{'pos': i - 1, 'w': ws[i]}}
+                     FOR i IN generate_series(1, len(ws))]
+                ) AS t(s)
+            ),
+            gram AS (
+                SELECT doc_id, pos, w,
+                       concat_ws(' ', lag(w, 2) OVER wd, lag(w, 1) OVER wd, w)
+                           AS g
+                FROM pos
+                WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            flagged AS (
+                SELECT doc_id, pos, w,
+                       CASE WHEN CAST({_hexval8_sql('g')} AS BIGINT) % 16 = 0
+                            THEN 1 ELSE 0 END AS b
+                FROM gram
+            ),
+            chunked AS (
+                SELECT doc_id, pos, w,
+                       COALESCE(sum(b) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS chunk_id
+                FROM flagged
+            ),
+            chunks AS (
+                SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                       count(*) AS n_chunk_words,
+                       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+                FROM chunked GROUP BY doc_id, chunk_id
+            )"""
 
 
 
@@ -3472,11 +3518,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
         """,
-        # Fixed-anchor quantizer fragment shared by x_ann_ivf and
-        # x_semantic_dedup: anchors = first 8 corpus vectors, cosine
-        # rounded to 4 decimals (+0.0 collapses IEEE -0.0) with
-        # (cosine DESC, cell ASC) tie-break — mirroring
-        # ann.assign_cells_hof expression for expression.
         "x_bm25": f"""
             WITH {_WORDS},
             doclen AS (
@@ -3581,6 +3622,7 @@ def oracle_sql() -> dict[str, str]:
                               / 4294967296.0)
                            / CAST(n_chars AS DOUBLE), 6) AS k
                 FROM documents
+                WHERE n_chars > 0
             ),
             ranked AS (
                 SELECT doc_id, n_chars,
@@ -3632,78 +3674,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x_cdc_chunks": f"""
             WITH {_WORDS},
-            pos AS (
-                SELECT doc_id, t.s.pos AS pos, t.s.w AS w
-                FROM words, UNNEST(
-                    [{{'pos': i - 1, 'w': ws[i]}}
-                     FOR i IN generate_series(1, len(ws))]
-                ) AS t(s)
-            ),
-            gram AS (
-                SELECT doc_id, pos, w,
-                       concat_ws(' ', lag(w, 2) OVER wd, lag(w, 1) OVER wd, w)
-                           AS g
-                FROM pos
-                WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
-            ),
-            flagged AS (
-                SELECT doc_id, pos, w,
-                       CASE WHEN CAST({_hexval8_sql('g')} AS BIGINT) % 16 = 0
-                            THEN 1 ELSE 0 END AS b
-                FROM gram
-            ),
-            chunked AS (
-                SELECT doc_id, pos, w,
-                       COALESCE(sum(b) OVER (
-                           PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                       ), 0) AS chunk_id
-                FROM flagged
-            ),
-            chunks AS (
-                SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-                       count(*) AS n_chunk_words,
-                       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
-                FROM chunked GROUP BY doc_id, chunk_id
-            )
+            {_CDC_CHUNKS}
             SELECT doc_id, chunk_id, n_chunk_words, chunk_md5 FROM chunks
         """,
         "x_shared_chunks": f"""
             WITH {_WORDS},
-            pos AS (
-                SELECT doc_id, t.s.pos AS pos, t.s.w AS w
-                FROM words, UNNEST(
-                    [{{'pos': i - 1, 'w': ws[i]}}
-                     FOR i IN generate_series(1, len(ws))]
-                ) AS t(s)
-            ),
-            gram AS (
-                SELECT doc_id, pos, w,
-                       concat_ws(' ', lag(w, 2) OVER wd, lag(w, 1) OVER wd, w)
-                           AS g
-                FROM pos
-                WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
-            ),
-            flagged AS (
-                SELECT doc_id, pos, w,
-                       CASE WHEN CAST({_hexval8_sql('g')} AS BIGINT) % 16 = 0
-                            THEN 1 ELSE 0 END AS b
-                FROM gram
-            ),
-            chunked AS (
-                SELECT doc_id, pos, w,
-                       COALESCE(sum(b) OVER (
-                           PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                       ), 0) AS chunk_id
-                FROM flagged
-            ),
-            chunks AS (
-                SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-                       count(*) AS n_chunk_words,
-                       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
-                FROM chunked GROUP BY doc_id, chunk_id
-            )
+            {_CDC_CHUNKS}
             SELECT chunk_md5,
                    count(*) AS n_docs,
                    min(n_chunk_words) AS n_chunk_words

@@ -197,6 +197,26 @@ def km_minhash_signatures(
     )
 
 
+def _cap_hot_buckets(sigs: DataFrame, id_col: str, star_threshold: int) -> DataFrame:
+    """The hot-bucket star-expansion rule, shared by self- and cross-dedup:
+    keep every member of buckets with ≤ ``star_threshold`` rows, but only
+    the min-id representative of larger ones. The count/min aggregation is
+    partial-aggregated map-side (one skinny row per bucket survives the
+    shuffle), so even a 10M-member boilerplate bucket reduces before it
+    moves."""
+    stats = sigs.groupBy("band", "signature").agg(
+        F.count(F.lit(1)).alias("_m"), F.min(id_col).alias("_rep")
+    )
+    return (
+        sigs.join(stats, on=["band", "signature"])
+        .filter(
+            (F.col("_m") <= F.lit(star_threshold))
+            | (F.col(id_col) == F.col("_rep"))
+        )
+        .select(id_col, "band", "signature")
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -246,20 +266,8 @@ def minhash_candidate_pairs(
         # Left side: all members of small buckets, but ONLY the rep of
         # over-threshold buckets. Right side stays the raw signature set,
         # so (small ⋈ all, a.id < b.id) = exact all-pairs and
-        # (rep ⋈ all, rep < b.id) = the m-1 star edges. The count/min agg
-        # shuffles one skinny row per bucket.
-        stats = sigs.groupBy("band", "signature").agg(
-            F.count(F.lit(1)).alias("_m"), F.min(id_col).alias("_rep")
-        )
-        a = (
-            sigs.join(stats, on=["band", "signature"])
-            .filter(
-                (F.col("_m") <= F.lit(star_threshold))
-                | (F.col(id_col) == F.col("_rep"))
-            )
-            .select(id_col, "band", "signature")
-            .alias("a")
-        )
+        # (rep ⋈ all, rep < b.id) = the m-1 star edges.
+        a = _cap_hot_buckets(sigs, id_col, star_threshold).alias("a")
     else:
         a = sigs.alias("a")
     b = sigs.alias("b")
@@ -978,17 +986,7 @@ def cross_near_dedup(
         # per-bucket cross output is m_new × threshold, never
         # m_new × m_old. The new side is never capped: every new doc
         # needs its own keep/drop decision.
-        old_stats = old_sigs.groupBy("band", "signature").agg(
-            F.count(F.lit(1)).alias("_m"), F.min(id_col).alias("_rep")
-        )
-        old_sigs = (
-            old_sigs.join(old_stats, on=["band", "signature"])
-            .filter(
-                (F.col("_m") <= F.lit(star_threshold))
-                | (F.col(id_col) == F.col("_rep"))
-            )
-            .select(id_col, "band", "signature")
-        )
+        old_sigs = _cap_hot_buckets(old_sigs, id_col, star_threshold)
     cand = (
         new_sigs.alias("n")
         .join(

@@ -133,26 +133,37 @@ def classifier_filter(
     labeled = weak_quality_labels(df, text_col, id_col)
     if train_fraction is None:
         sample = labeled
+        model = train_quality_classifier(sample, text_col)
     else:
-        frac = train_fraction
-        while True:
-            sample = labeled.sample(frac, seed=seed) if frac < 1.0 else labeled
-            # sample-sized agg: distinct label count over the (small)
-            # training sample, not the corpus
-            n_classes = sample.agg(
-                F.countDistinct("label").alias("c")
-            ).collect()[0]["c"]
-            if n_classes >= 2:
-                break
-            if frac >= 1.0:
-                raise ValueError(
-                    "classifier_filter: the weak labels contain a single "
-                    "class over the whole corpus — a learned quality "
-                    "classifier is undefined here; adjust the heuristic "
-                    "gate thresholds or skip the classifier pass"
+        # persist the labels across the growth loop: every retry (and the
+        # fit itself) would otherwise re-run the full heuristic-feature
+        # pass over the corpus
+        labeled = labeled.persist()
+        try:
+            frac = train_fraction
+            while True:
+                sample = (
+                    labeled.sample(frac, seed=seed) if frac < 1.0 else labeled
                 )
-            frac = min(frac * 10, 1.0)
-    model = train_quality_classifier(sample, text_col)
+                # the scan behind this agg is cache-backed; the agg state
+                # itself is sample-sized
+                n_classes = sample.agg(
+                    F.countDistinct("label").alias("c")
+                ).collect()[0]["c"]
+                if n_classes >= 2:
+                    break
+                if frac >= 1.0:
+                    raise ValueError(
+                        "classifier_filter: the weak labels contain a "
+                        "single class over the whole corpus — a learned "
+                        "quality classifier is undefined here; adjust the "
+                        "heuristic gate thresholds or skip the classifier "
+                        "pass"
+                    )
+                frac = min(frac * 10, 1.0)
+            model = train_quality_classifier(sample, text_col)
+        finally:
+            labeled.unpersist()
     scores = score_quality(model, df, text_col, id_col)
     return df.join(
         scores.filter(F.col("quality_prob") >= threshold).select(id_col),

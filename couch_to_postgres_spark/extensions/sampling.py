@@ -199,14 +199,20 @@ def weighted_sample_topn(
         F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
     )
     # u in (0,1]: (v+1)/2^32 over the 8-hex-digit prefix — never 0, so
-    # ln(u) is finite; ln(u)/w in (-inf, 0], larger (closer to 0) wins
+    # ln(u) is finite; ln(u)/w in (-inf, 0], larger (closer to 0) wins.
+    # Nonpositive weights are FILTERED before ranking (inclusion
+    # probability 0 means excluded even when n exceeds the positive
+    # pool): w=0 would otherwise yield NaN at u==1.0 — and Spark sorts
+    # NaN ABOVE every double, so a zero-weight row could win a slot —
+    # and w<0 would silently invert the inclusion odds.
     u = (F.conv(hexpfx, 16, 10).cast("double") + F.lit(1.0)) / F.lit(
         float(1 << 32)
     )
     key = F.round(F.log(u) / w.cast("double"), 6)
     win = Window.orderBy(F.col("_ws_key").desc(), F.col(id_col))
     return (
-        df.withColumn("_ws_key", key)
+        df.filter(w.cast("double") > 0)
+        .withColumn("_ws_key", key)
         .withColumn("_ws_rank", F.row_number().over(win))
         .filter(F.col("_ws_rank") <= n)
         .drop("_ws_key", "_ws_rank")

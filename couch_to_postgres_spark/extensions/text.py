@@ -840,11 +840,16 @@ def pmi_bigrams(
     from couch_to_postgres_spark.extensions.dedup import word_shingles
 
     bg = df.select(F.explode(word_shingles(text_col, 2)).alias("bg"))
-    c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    # persisted: the count tables feed both the totals and the scoring
+    # join — without the cache each branch re-explodes the corpus (the
+    # same single-pass discipline as bm25_topk/source_overlap; totals
+    # derive FROM the counts, so the corpus is exploded exactly once per
+    # gram width). Released below once the top-k materializes.
+    c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg")).persist()
     uni = df.select(F.explode(_words(text_col)).alias("w"))
-    c_w = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    c_w = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w")).persist()
     totals = c_bg.agg(F.sum("c_bg").alias("n_bg")).crossJoin(
-        uni.agg(F.count(F.lit(1)).alias("n_w"))
+        c_w.agg(F.sum("c_w").alias("n_w"))
     )
     parts = F.split(F.col("bg"), " ")
     scored = (
@@ -872,11 +877,15 @@ def pmi_bigrams(
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("pmi").desc(), F.col("bg"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("bg", "pair_count", "pmi", F.col("rank").cast("long").alias("rank"))
+        .localCheckpoint(eager=True)  # k rows; lets the caches go now
     )
+    c_bg.unpersist()
+    c_w.unpersist()
+    return out
 
 
 #: deliberately simple, cross-engine-portable patterns (character classes

@@ -378,6 +378,29 @@ def continuous_changes_to_rows(
                     ls = obj["last_seq"]
                     last = int(ls) if not isinstance(ls, int) else ls
                     break
+                if "error" in obj and "id" not in obj:
+                    # mid-stream error object (e.g. the db was deleted
+                    # while the feed was open). Classify like HTTP-level
+                    # errors: a vanished db is a hard config error; other
+                    # errors surface as CouchError — caught below, where
+                    # accumulated rows are still returned first via the
+                    # partial-return path on the NEXT connection.
+                    path = f"/{database}/_changes"
+                    if obj.get("reason") == "no_db_file" or (
+                        obj.get("error") == "not_found"
+                        and obj.get("reason")
+                        and "exist" in obj["reason"]
+                    ):
+                        raise CouchMissingDatabaseError(
+                            404, path, obj.get("error"), obj.get("reason")
+                        )
+                    if rows:
+                        return rows, last
+                    raise CouchError(
+                        500, path, obj.get("error"), obj.get("reason")
+                    )
+                if "id" not in obj or obj.get("seq") is None:
+                    continue  # unknown frame type: tolerate, don't crash
                 seq = obj.get("seq")
                 seq = int(seq) if not isinstance(seq, int) else seq
                 doc = obj.get("doc")

@@ -69,16 +69,29 @@ def _drain(options: dict, since: int, limit: int, max_pages: int):
         transport=urllib_transport(timeout=timeout_s),
     )
     if feed == "continuous":
-        return continuous_changes_to_rows(
-            client,
-            options["database"],
-            since=since,
-            limit=limit,
-            inactivity_ms=inactivity_ms,
-            max_attempts=int(options.get("maxattempts", 1)),
-            backoff_min_s=float(options.get("backoffminseconds", 10.0)),
-            backoff_max_s=float(options.get("backoffmaxseconds", 60.0)),
-        )
+        # one connection per "page" (the server closes the feed at
+        # `limit` results); honor max_pages so a BATCH read drains the
+        # whole database instead of silently truncating at one page —
+        # the stream reader passes max_pages=1 (one batch per trigger)
+        all_rows: list[tuple] = []
+        for _ in range(max_pages):
+            rows, new_since = continuous_changes_to_rows(
+                client,
+                options["database"],
+                since=since,
+                limit=limit,
+                inactivity_ms=inactivity_ms,
+                max_attempts=int(options.get("maxattempts", 1)),
+                backoff_min_s=float(options.get("backoffminseconds", 10.0)),
+                backoff_max_s=float(options.get("backoffmaxseconds", 60.0)),
+            )
+            all_rows.extend(rows)
+            if not rows or new_since == since:
+                return all_rows, new_since
+            since = new_since
+            if len(rows) < limit:
+                return all_rows, since
+        return all_rows, since
     return poll_changes_to_rows(
         client,
         options["database"],

@@ -1739,3 +1739,19 @@ def test_cdc_chunks_partition_text_exactly(spark):
     rows = T.cdc_chunk_documents(df).collect()
     assert sum(r["n_chunk_words"] for r in rows) == 137
     assert len({r["chunk_id"] for r in rows}) == len(rows)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from couch_to_postgres_spark.extensions.sampling import (
+        weighted_sample_topn,
+    )
+
+    rows = [(i, 1) for i in range(20)] + [(100, 0), (101, -5)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = {
+        r["doc_id"]
+        for r in weighted_sample_topn(df, "w", n=22).collect()
+    }
+    # zero/negative weights never enter the sample, even with room
+    assert 100 not in kept and 101 not in kept
+    assert len(kept) == 20

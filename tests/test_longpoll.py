@@ -371,3 +371,96 @@ def test_daemon_follows_live_couch_feed_continuous(spark, couch, tmp_path):
     st = d.status()["live-db"]
     assert st["doc_count"] == 2
     assert any("feed=continuous" in p for p in couch.changes_requests)
+
+
+def test_continuous_mid_stream_error_line_handled(couch):
+    """A valid-JSON non-change line mid-stream (CouchDB writes
+    {"error":...} when e.g. the db vanishes) must not crash the parser:
+    with rows in hand they are returned (at-least-once); a data-less
+    generic error follows the retry discipline; no_db_file is hard."""
+    from couch_to_postgres_spark.sources.couchdb import (
+        continuous_changes_to_rows,
+    )
+
+    client = CouchClient(couch.url)
+    # rows already streamed, then an error object line
+    couch.add_page(
+        {"results": [
+            {"seq": 1, "id": "a", "doc": {"_id": "a", "_rev": "1-x"}},
+            {"error": "unauthorized", "reason": "expired"},
+        ], "last_seq": 1}
+    )
+    rows, last = continuous_changes_to_rows(
+        client, "db", since=0, inactivity_ms=400
+    )
+    assert [r[:2] for r in rows] == [(1, "a")] and last == 1
+
+    # let the previous scenario's server loop expire before enqueuing
+    # more pages — its handler holds its connection for the inactivity
+    # window and would steal pages added meanwhile
+    time.sleep(0.6)
+    # data-less error -> retried, then succeeds (a real CouchDB error
+    # line terminates its feed, so the data arrives on the NEXT
+    # connection — model that by enqueuing it after the first attempt)
+    couch.changes_pages = [
+        {"results": [{"error": "internal", "reason": "boom"}], "last_seq": 0},
+    ]
+    couch.data_event.set()
+
+    def feed_after_failure():
+        time.sleep(0.3)
+        couch.add_page(
+            {"results": [
+                {"seq": 2, "id": "b", "doc": {"_id": "b", "_rev": "1-y"}}
+            ], "last_seq": 2}
+        )
+
+    threading.Thread(target=feed_after_failure, daemon=True).start()
+    rows, last = continuous_changes_to_rows(
+        client, "db", since=1, inactivity_ms=600, max_attempts=3,
+        backoff_min_s=0.0, backoff_max_s=0.001,
+    )
+    assert [r[:2] for r in rows] == [(2, "b")] and last == 2
+
+    # mid-stream no_db_file -> hard error even with rows in hand
+    time.sleep(0.8)  # same settle rule as above
+    couch.changes_pages = [
+        {"results": [
+            {"seq": 3, "id": "c", "doc": {"_id": "c", "_rev": "1-z"}},
+            {"error": "not_found", "reason": "no_db_file"},
+        ], "last_seq": 3}
+    ]
+    couch.data_event.set()
+    with pytest.raises(CouchMissingDatabaseError):
+        continuous_changes_to_rows(client, "db", since=2, inactivity_ms=400)
+
+
+def test_continuous_batch_read_pages_through_whole_db(spark, couch):
+    """Batch reads over feed=continuous must honor maxPages: a database
+    larger than one `limit` page drains fully instead of silently
+    truncating at the first connection's close."""
+    from couch_to_postgres_spark.sources.couchdb_source import register
+
+    register(spark)
+    for page in range(3):
+        couch.add_page(
+            {
+                "results": [
+                    {"seq": page * 2 + i + 1, "id": f"d{page * 2 + i}",
+                     "doc": {"_id": f"d{page * 2 + i}", "_rev": "1-x"}}
+                    for i in range(2)
+                ],
+                "last_seq": page * 2 + 2,
+            }
+        )
+    df = (
+        spark.read.format("couchdb")
+        .option("url", couch.url)
+        .option("database", "db")
+        .option("feed", "continuous")
+        .option("inactivityMs", "300")
+        .option("limit", "2")   # 3 pages of 2 docs each
+        .load()
+    )
+    got = sorted(r["id"] for r in df.collect())
+    assert got == [f"d{i}" for i in range(6)]
