@@ -2243,6 +2243,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # insertion-robust complement to the winnowing span report)
         return X_text.shared_cdc_chunks(_docs(spark, sf_dir))
 
+
+    def x_entropy(spark, sf_dir):
+        # per-doc unigram entropy (decimal-summed terms): the gibberish/
+        # degeneracy signal from the distributional side
+        return X_text.unigram_entropy(_docs(spark, sf_dir))
+
+    def x_zipf(spark, sf_dir):
+        # corpus-health: OLS slope of ln(freq) vs ln(rank) over the top
+        # 1000 word types (natural corpora sit near -1)
+        return X_text.zipf_slope(_docs(spark, sf_dir))
+
+    def x_stratified_split(spark, sf_dir):
+        # exact per-stratum eval proportions (lang x length-bucket),
+        # integer-only boundary arithmetic
+        from couch_to_postgres_spark.extensions.sampling import (
+            stratified_split,
+        )
+
+        d = _docs(spark, sf_dir).withColumn(
+            "len_bucket", F.expr("n_chars div 500")
+        )
+        return stratified_split(d, ["lang", "len_bucket"], eval_per_10=2)
+
+    def x_contamination_by_source(spark, sf_dir):
+        # which corpus components leak training text: the contamination
+        # report micro-averaged per eval-side source
+        d = X_text.hash_split(_docs(spark, sf_dir))
+        return X_text.contamination_by_group(
+            d.filter(F.col("split") == "train"),
+            d.filter(F.col("split") == "eval"),
+            "source",
+        )
+
     # Dict ORDER is part of the driver contract in practice: each round's
     # CORRECTNESS file contains exactly the first ~50 insertion-order
     # keys, so the driver walks the dict front-to-back under a budget.
@@ -2321,6 +2354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_near_dedup_best": x_near_dedup_best,
         "x_cdc_chunks": x_cdc_chunks,
         "x_shared_chunks": x_shared_chunks,
+        "x_entropy": x_entropy,
+        "x_zipf": x_zipf,
+        "x_stratified_split": x_stratified_split,
+        "x_contamination_by_source": x_contamination_by_source,
         "x_shuffle": x_shuffle,
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
@@ -3684,6 +3721,120 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    min(n_chunk_words) AS n_chunk_words
             FROM chunks GROUP BY chunk_md5 HAVING count(*) >= 2
+        """,
+        "x_entropy": f"""
+            WITH {_WORDS},
+            tok AS (
+                SELECT doc_id, w.word AS w FROM words, UNNEST(ws) AS w(word)
+            ),
+            tc AS (
+                SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+            ),
+            tot AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id)
+            SELECT tc.doc_id, CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(round(sum(CAST(round(
+                       (CAST(c AS DOUBLE) / n)
+                       * ln(CAST(n AS DOUBLE) / c), 6) AS DECIMAL(18,6))),
+                       4) AS DOUBLE) AS entropy
+            FROM tc JOIN tot ON tc.doc_id = tot.doc_id
+            GROUP BY tc.doc_id
+        """,
+        "x_zipf": f"""
+            WITH {_WORDS},
+            counts AS (
+                SELECT u.word AS w, count(*) AS cnt
+                FROM words, UNNEST(ws) AS u(word) GROUP BY u.word
+            ),
+            ranked AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS r, cnt
+                FROM counts
+            ),
+            top AS (
+                SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+                FROM ranked WHERE r <= 1000
+            ),
+            sums AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_types,
+                       sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS sx,
+                       sum(CAST(round(y, 6) AS DECIMAL(28,6))) AS sy,
+                       sum(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS sxy,
+                       sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS sxx
+                FROM top
+            )
+            SELECT n_types,
+                   round((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope,
+                   round((CAST(sy AS DOUBLE) - ((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+                         / CAST(n_types AS DOUBLE), 4) AS intercept
+            FROM sums
+        """,
+        "x_stratified_split": """
+            WITH d AS (
+                SELECT doc_id, lang, n_chars // 500 AS len_bucket
+                FROM documents
+            ),
+            keyed AS (
+                SELECT doc_id, lang, len_bucket,
+                       md5('strat1:' || CAST(doc_id AS VARCHAR)) AS k
+                FROM d
+            ),
+            ranked AS (
+                SELECT doc_id, lang, len_bucket,
+                       ROW_NUMBER() OVER (PARTITION BY lang, len_bucket
+                                          ORDER BY k, doc_id) AS rk,
+                       count(*) OVER (PARTITION BY lang, len_bucket) AS n
+                FROM keyed
+            )
+            SELECT doc_id, lang, len_bucket,
+                   CASE WHEN rk <= (n * 2 + 9) // 10
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM ranked
+        """,
+        "x_contamination_by_source": """
+            WITH split AS (
+                SELECT doc_id, text, source,
+                       CASE WHEN substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                                 < 'cccc'
+                            THEN 'train' ELSE 'eval' END AS split
+                FROM documents
+            ),
+            words AS (
+                SELECT doc_id, split, source,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM split
+            ),
+            shingled AS (
+                SELECT doc_id, split, s.shingle
+                FROM words, UNNEST(
+                    CASE WHEN len(ws) >= 3
+                         THEN [array_to_string(ws[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(ws) - 2)]
+                         ELSE []::VARCHAR[] END
+                ) AS s(shingle)
+            ),
+            eval_sh AS (
+                SELECT DISTINCT doc_id, shingle FROM shingled WHERE split = 'eval'
+            ),
+            train_sh AS (
+                SELECT DISTINCT shingle FROM shingled WHERE split = 'train'
+            ),
+            per_doc AS (
+                SELECT e.doc_id,
+                       count(es.shingle) AS n_shingles,
+                       COALESCE(sum(CASE WHEN ts.shingle IS NOT NULL
+                                         THEN 1 ELSE 0 END), 0) AS n_overlap
+                FROM (SELECT doc_id FROM split WHERE split = 'eval') e
+                LEFT JOIN eval_sh es ON e.doc_id = es.doc_id
+                LEFT JOIN train_sh ts ON es.shingle = ts.shingle
+                GROUP BY e.doc_id
+            )
+            SELECT s.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(p.n_shingles) AS BIGINT) AS n_shingles,
+                   CAST(sum(p.n_overlap) AS BIGINT) AS n_overlap,
+                   round(CAST(sum(p.n_overlap) AS DOUBLE)
+                         / greatest(sum(p.n_shingles), 1), 4) AS overlap_frac
+            FROM per_doc p JOIN split s ON p.doc_id = s.doc_id
+            GROUP BY s.source
         """,
         "x_ann_ivf": f"""
             WITH {_ANCHOR_ASSIGN},

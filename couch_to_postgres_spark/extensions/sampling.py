@@ -217,3 +217,45 @@ def weighted_sample_topn(
         .filter(F.col("_ws_rank") <= n)
         .drop("_ws_key", "_ws_rank")
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    eval_per_10: int = 1,
+    id_col: str = "doc_id",
+    salt: str = "strat1",
+) -> DataFrame:
+    """Stratified train/eval split with EXACT per-stratum proportions:
+    within every stratum (e.g. language × length-bucket), exactly
+    ⌈n·eval_per_10/10⌉ rows go to eval, chosen by the deterministic md5
+    order — so the eval set mirrors the corpus composition instead of
+    drifting on small strata the way independent per-row hashing does
+    (a 30-doc stratum under a 10% Bernoulli hash gets 0-7 eval docs;
+    here it gets exactly 3). Emits ``(id, *strata_cols, split)``.
+
+    Exactness is integer-only (ceil via ``(n·k + 9) div 10``): no
+    float boundary to disagree across engines. One window pass per
+    stratum; the md5 order key is partitioning-stable and re-dealt by
+    ``salt``."""
+    if not 0 <= eval_per_10 <= 10:
+        raise ValueError("eval_per_10 must be in [0, 10]")
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(key, F.col(id_col))
+    wc = Window.partitionBy(*strata_cols)
+    return (
+        df.select(F.col(id_col), *strata_cols)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "split",
+            F.when(
+                F.col("_rk")
+                <= F.expr(f"(_n * {eval_per_10} + 9) div 10"),
+                F.lit("eval"),
+            ).otherwise(F.lit("train")),
+        )
+        .drop("_rk", "_n")
+    )

@@ -1034,3 +1034,114 @@ def shared_cdc_chunks(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def unigram_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram (word-type) Shannon entropy in nats —
+    the gibberish/degeneracy axis the repetition signals approach from
+    the other side: near-zero entropy = one token repeated, log(n_types)
+    = perfectly uniform usage. Emits ``(id, n_types, entropy)``.
+
+    Per-type terms (c/n)·ln(n/c) are rounded to 6 dp and summed as
+    DECIMAL so the per-doc entropy is independent of aggregation order
+    (double summation is non-associative — same discipline as BM25's
+    score sum). Plan: one (doc, word) count shuffle, a doc-keyed total,
+    one aggregation."""
+    tok = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+    tc = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.groupBy(id_col).agg(F.sum("c").alias("n"))
+    term = F.round(
+        (F.col("c") / F.col("n"))
+        * F.log(F.col("n").cast("double") / F.col("c")),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        tc.join(tot, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum(term), 4).cast("double").alias("entropy"),
+        )
+    )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top_n: int = 1000
+) -> DataFrame:
+    """Corpus-health check: the OLS slope of ln(frequency) vs ln(rank)
+    over the ``top_n`` most frequent word types. Natural-language corpora
+    sit near −1 (Zipf's law); a slope collapsing toward 0 means the
+    frequency mass is flat (template/spam floods), a much steeper slope
+    means a few tokens dominate (degenerate generation). One skinny row
+    out: ``(n_types, slope, intercept)``.
+
+    The regression sums (Σx, Σy, Σxy, Σx²) run as rounded DECIMALs so
+    the result is engine- and order-independent; the final slope formula
+    is one deterministic double expression over those exact sums."""
+    counts = (
+        df.select(F.explode(_words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.col("cnt").desc(), F.col("w"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    dec = lambda c: F.round(c, 6).cast("decimal(28,6)")
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    n = F.col("n_types").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "n_types",
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    )
+
+
+def contamination_by_group(
+    train: DataFrame,
+    eval_df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """:func:`contamination` rolled up per eval-side GROUP (source,
+    benchmark, shard): which corpus components leak training text. The
+    rate is micro-averaged from integer shingle counts
+    (Σoverlap / Σshingles — no floating-point accumulation at all until
+    the final division), so it is engine- and order-exact. Emits
+    ``(group, n_docs, n_shingles, n_overlap, overlap_frac)``."""
+    per_doc = contamination(train, eval_df, text_col, id_col, shingle_n)
+    groups = eval_df.select(F.col(id_col), F.col(group_col))
+    return (
+        per_doc.join(groups, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shingles").alias("n_shingles"),
+            F.sum("n_overlap").alias("n_overlap"),
+            F.round(
+                F.sum("n_overlap")
+                / F.greatest(F.sum("n_shingles"), F.lit(1)),
+                4,
+            ).alias("overlap_frac"),
+        )
+    )

@@ -1755,3 +1755,83 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     # zero/negative weights never enter the sample, even with room
     assert 100 not in kept and 101 not in kept
     assert len(kept) == 20
+
+
+def test_unigram_entropy_extremes(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "same same same same same same same same"),  # H = 0
+            (2, "a b c d e f g h"),                          # uniform: ln 8
+            (3, "a a a a b b c d"),                          # mixed
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.unigram_entropy(df).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_types"] == 1
+    assert abs(got[2]["entropy"] - round(math.log(8), 4)) < 2e-4
+    assert 0 < got[3]["entropy"] < got[2]["entropy"]
+
+
+def test_zipf_slope_detects_distribution_shape(spark):
+    # planted zipf-ish corpus (freq ~ 1/rank) vs flat corpus
+    zipf_rows, flat_rows = [], []
+    did = 0
+    for r in range(1, 60):
+        reps = max(1, 120 // r)          # ~1/rank frequencies
+        zipf_rows.append((did, (" w" + str(r)) * reps)); did += 1
+        flat_rows.append((did, (" f" + str(r)) * 50)); did += 1
+    z = T.zipf_slope(
+        spark.createDataFrame(zipf_rows, "doc_id long, text string"), top_n=50
+    ).collect()[0]
+    f = T.zipf_slope(
+        spark.createDataFrame(flat_rows, "doc_id long, text string"), top_n=50
+    ).collect()[0]
+    assert z["slope"] < -0.8           # near Zipf's -1
+    assert abs(f["slope"]) < 0.1       # flat mass -> slope ~ 0
+
+
+def test_stratified_split_exact_proportions(spark):
+    from couch_to_postgres_spark.extensions.sampling import stratified_split
+
+    rows = [(i, "en" if i % 3 else "fr", 100 * (i % 4)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = stratified_split(df, ["lang"], eval_per_10=2)
+    counts = {
+        (r["lang"], r["split"]): r["cnt"]
+        for r in out.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for lang in ("en", "fr"):
+        total = counts.get((lang, "eval"), 0) + counts.get((lang, "train"), 0)
+        expect_eval = (total * 2 + 9) // 10
+        assert counts[(lang, "eval")] == expect_eval
+    # deterministic
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, stratified_split(df, ["lang"], eval_per_10=2).collect()))
+    assert a == b
+
+
+def test_contamination_by_group_micro_average(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta", "srcA"),  # fully leaked
+            (11, "one two three four five six", "srcA"),          # clean
+            (12, "seven eight nine ten eleven twelve", "srcB"),   # clean
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r
+        for r in T.contamination_by_group(train, eval_df, "source").collect()
+    }
+    assert got["srcB"]["overlap_frac"] == 0.0
+    a = got["srcA"]
+    assert a["n_docs"] == 2
+    # micro-average: 4 leaked shingles of 8 total across srcA's docs
+    assert a["n_overlap"] == 4 and a["n_shingles"] == 8
+    assert a["overlap_frac"] == 0.5
