@@ -115,3 +115,86 @@ def bm25_topk(
     doclen.unpersist()
     tf.unpersist()
     return out
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """:func:`bm25_topk` for a whole QUERY TABLE at once — the eval-set
+    retrieval shape (thousands of benchmark questions against a 100 TB
+    corpus in one plan) instead of one driver round-trip per query.
+
+    ``queries`` holds (query_id, term) rows; it is small by construction
+    and broadcasts twice: once as the distinct-term prune on the corpus
+    token stream (only tokens ANY query mentions survive the map side),
+    once to fan tf rows out to the queries that want them. Scoring stats
+    (N, avgdl, df(t)) are corpus-global, identical to the single-query
+    form; per-(query, doc) scores decimal-sum as there. Emits
+    ``(query_id, id, score, rank)``."""
+    words = _words(text_col)
+    doclen = df.select(
+        F.col(id_col), F.size(words).cast("double").alias("dl")
+    ).persist()
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    terms = queries.select(F.col(term_col).alias("token")).distinct()
+    tok = df.select(
+        F.col(id_col), F.explode(words).alias("token")
+    ).join(F.broadcast(terms), "token")
+    tf = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    ).persist()
+    dft = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("dft")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("dft") + F.lit(0.5))
+        / (F.col("dft") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    contrib_dec = F.round(contrib, 6).cast("decimal(18,6)")
+    q = queries.select(
+        F.col(query_id_col), F.col(term_col).alias("token")
+    ).distinct()
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(q), "token")
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(contrib_dec), 4).cast("double").alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    doclen.unpersist()
+    tf.unpersist()
+    return out

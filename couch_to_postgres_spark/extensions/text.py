@@ -1107,11 +1107,16 @@ def zipf_slope(
     n = F.col("n_types").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    # degenerate inputs (empty corpus, a single type — zero x-variance)
+    # have no regression line: emit NULLs, not a NaN/era-of-the-engine
+    # division artifact
+    ok = (F.col("n_types") >= 2) & (denom != 0)
     return sums.select(
         "n_types",
-        F.round(slope, 4).alias("slope"),
-        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.when(ok, F.round(slope, 4)).alias("slope"),
+        F.when(ok, F.round((sy - slope * sx) / n, 4)).alias("intercept"),
     )
 
 

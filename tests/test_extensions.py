@@ -1835,3 +1835,46 @@ def test_contamination_by_group_micro_average(spark):
     # micro-average: 4 leaked shingles of 8 total across srcA's docs
     assert a["n_overlap"] == 4 and a["n_shingles"] == 8
     assert a["overlap_frac"] == 0.5
+
+
+def test_new_ops_degenerate_inputs(spark):
+    from couch_to_postgres_spark.extensions.search import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, ["x"], k=5).count() == 0
+    assert T.pmi_bigrams(empty).count() == 0
+    one_type = spark.createDataFrame(
+        [(1, "same same same")], "doc_id long, text string"
+    )
+    z = T.zipf_slope(one_type).collect()[0]
+    assert z["n_types"] == 1 and z["slope"] is None and z["intercept"] is None
+    ze = T.zipf_slope(empty).collect()[0]
+    assert ze["n_types"] == 0 and ze["slope"] is None
+    assert T.unigram_entropy(empty).count() == 0
+    assert T.cdc_chunk_documents(empty).count() == 0
+
+
+def test_bm25_batch_matches_single_query_form(spark):
+    from couch_to_postgres_spark.extensions.search import (
+        bm25_topk,
+        bm25_topk_batch,
+    )
+
+    rows = [
+        (i, f"alpha beta w{i} w{i+1} " + ("gamma " if i % 3 == 0 else "delta "))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    qtab = spark.createDataFrame(
+        [(1, "alpha"), (1, "gamma"), (2, "delta")],
+        "query_id int, term string",
+    )
+    batch = {
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk_batch(df, qtab, k=7).collect()
+    }
+    singles = set()
+    for qid, terms in ((1, ["alpha", "gamma"]), (2, ["delta"])):
+        for r in bm25_topk(df, terms, k=7).collect():
+            singles.add((qid, r["doc_id"], r["score"], r["rank"]))
+    assert batch == singles
