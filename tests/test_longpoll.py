@@ -373,67 +373,75 @@ def test_daemon_follows_live_couch_feed_continuous(spark, couch, tmp_path):
     assert any("feed=continuous" in p for p in couch.changes_requests)
 
 
-def test_continuous_mid_stream_error_line_handled(couch):
+def test_continuous_mid_stream_error_line_handled():
     """A valid-JSON non-change line mid-stream (CouchDB writes
     {"error":...} when e.g. the db vanishes) must not crash the parser:
     with rows in hand they are returned (at-least-once); a data-less
-    generic error follows the retry discipline; no_db_file is hard."""
+    generic error follows the retry discipline; no_db_file is hard.
+    Each scenario gets its OWN server: a previous scenario's still-open
+    continuous handler would otherwise steal pages under load."""
     from couch_to_postgres_spark.sources.couchdb import (
         continuous_changes_to_rows,
     )
 
-    client = CouchClient(couch.url)
     # rows already streamed, then an error object line
-    couch.add_page(
-        {"results": [
-            {"seq": 1, "id": "a", "doc": {"_id": "a", "_rev": "1-x"}},
-            {"error": "unauthorized", "reason": "expired"},
-        ], "last_seq": 1}
-    )
-    rows, last = continuous_changes_to_rows(
-        client, "db", since=0, inactivity_ms=400
-    )
-    assert [r[:2] for r in rows] == [(1, "a")] and last == 1
+    c1 = RecordingCouch()
+    try:
+        c1.add_page(
+            {"results": [
+                {"seq": 1, "id": "a", "doc": {"_id": "a", "_rev": "1-x"}},
+                {"error": "unauthorized", "reason": "expired"},
+            ], "last_seq": 1}
+        )
+        rows, last = continuous_changes_to_rows(
+            CouchClient(c1.url), "db", since=0, inactivity_ms=400
+        )
+        assert [r[:2] for r in rows] == [(1, "a")] and last == 1
+    finally:
+        c1.close()
 
-    # let the previous scenario's server loop expire before enqueuing
-    # more pages — its handler holds its connection for the inactivity
-    # window and would steal pages added meanwhile
-    time.sleep(0.6)
     # data-less error -> retried, then succeeds (a real CouchDB error
     # line terminates its feed, so the data arrives on the NEXT
     # connection — model that by enqueuing it after the first attempt)
-    couch.changes_pages = [
-        {"results": [{"error": "internal", "reason": "boom"}], "last_seq": 0},
-    ]
-    couch.data_event.set()
-
-    def feed_after_failure():
-        time.sleep(0.3)
-        couch.add_page(
-            {"results": [
-                {"seq": 2, "id": "b", "doc": {"_id": "b", "_rev": "1-y"}}
-            ], "last_seq": 2}
+    c2 = RecordingCouch()
+    try:
+        c2.add_page(
+            {"results": [{"error": "internal", "reason": "boom"}],
+             "last_seq": 0}
         )
 
-    threading.Thread(target=feed_after_failure, daemon=True).start()
-    rows, last = continuous_changes_to_rows(
-        client, "db", since=1, inactivity_ms=600, max_attempts=3,
-        backoff_min_s=0.0, backoff_max_s=0.001,
-    )
-    assert [r[:2] for r in rows] == [(2, "b")] and last == 2
+        def feed_after_failure():
+            time.sleep(0.5)
+            c2.add_page(
+                {"results": [
+                    {"seq": 2, "id": "b", "doc": {"_id": "b", "_rev": "1-y"}}
+                ], "last_seq": 2}
+            )
+
+        threading.Thread(target=feed_after_failure, daemon=True).start()
+        rows, last = continuous_changes_to_rows(
+            CouchClient(c2.url), "db", since=1, inactivity_ms=2000,
+            max_attempts=3, backoff_min_s=0.0, backoff_max_s=0.001,
+        )
+        assert [r[:2] for r in rows] == [(2, "b")] and last == 2
+    finally:
+        c2.close()
 
     # mid-stream no_db_file -> hard error even with rows in hand
-    time.sleep(0.8)  # same settle rule as above
-    couch.changes_pages = [
-        {"results": [
-            {"seq": 3, "id": "c", "doc": {"_id": "c", "_rev": "1-z"}},
-            {"error": "not_found", "reason": "no_db_file"},
-        ], "last_seq": 3}
-    ]
-    couch.data_event.set()
-    with pytest.raises(CouchMissingDatabaseError):
-        continuous_changes_to_rows(client, "db", since=2, inactivity_ms=400)
-
+    c3 = RecordingCouch()
+    try:
+        c3.add_page(
+            {"results": [
+                {"seq": 3, "id": "c", "doc": {"_id": "c", "_rev": "1-z"}},
+                {"error": "not_found", "reason": "no_db_file"},
+            ], "last_seq": 3}
+        )
+        with pytest.raises(CouchMissingDatabaseError):
+            continuous_changes_to_rows(
+                CouchClient(c3.url), "db", since=2, inactivity_ms=400
+            )
+    finally:
+        c3.close()
 
 def test_continuous_batch_read_pages_through_whole_db(spark, couch):
     """Batch reads over feed=continuous must honor maxPages: a database
