@@ -10,12 +10,20 @@ form.
 Plan shape at 100 TB (the reason this looks the way it does):
 
 * tokens are filtered to the QUERY TERMS **before** any shuffle — the
-  corpus-wide token explosion reduces map-side to only matching rows, so
-  the (doc, token) aggregation shuffles query-hit rows, not the corpus;
+  corpus-wide token explosion reduces map-side (an array filter inside
+  the generator input) to only matching rows, so the (doc, token)
+  aggregation shuffles query-hit rows, not the corpus;
 * document lengths and corpus stats (N, avgdl, per-term df) are tiny
   aggregates broadcast back into the scoring join;
+* per-(query, doc) scores sum per-term contributions as exact DECIMALs,
+  so results don't depend on aggregation order (double summation is
+  non-associative — a cross-engine / cross-partitioning hazard at the
+  final round boundary);
 * ranking sorts on the ROUNDED score (4 dp, doc-id tie-break) so results
-  are reproducible across engines and partitionings.
+  are reproducible across engines and partitionings;
+* shared subtrees (doc lengths, term frequencies) are persisted, the
+  tiny top-k result is materialized eagerly, and the caches release
+  before returning — the near_dedup lifecycle discipline.
 """
 
 from __future__ import annotations
@@ -35,7 +43,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Top-``k`` documents by Okapi BM25 for a bag of query terms.
+    """Top-``k`` documents by Okapi BM25 for one bag of query terms.
 
     score(D) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1−b+b·|D|/avgdl)),
     idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)   (the +1 form, so
@@ -43,78 +51,17 @@ def bm25_topk(
 
     Returns (id, score, rank) — ties broken by id ascending on the
     rounded score. Documents matching no term are absent (score 0).
+    Thin wrapper over :func:`bm25_topk_batch` with a single query row.
     """
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
-    terms = [t for t in query_terms]
-    words = _words(text_col)
-    # per-doc length (ALL words, not just matches — BM25's length norm).
-    # Persisted: it feeds both the avgdl aggregate and the scoring join,
-    # and without the cache each branch re-tokenizes the corpus (plan
-    # audit: 4 parquet scans -> 2). Skinny rows (id, double); released
-    # below once the top-k materializes.
-    doclen = df.select(
-        F.col(id_col), F.size(words).cast("double").alias("dl")
-    ).persist()
-    # corpus stats: one skinny agg, broadcast into the scoring join
-    stats = doclen.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg("dl").alias("avgdl"),
+    qtab = df.sparkSession.createDataFrame(
+        [(0, t) for t in sorted(set(query_terms))],
+        "query_id int, term string",
     )
-    # token stream pruned to query terms BEFORE the shuffle
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.filter(words, lambda w: w.isin(terms))).alias("token"),
-    )
-    # query-hit-proportional (tiny); feeds both df(t) and the scoring join
-    tf = tok.groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    ).persist()
-    dft = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("double").alias("dft")
-    )
-    idf = F.log(
-        (F.col("n") - F.col("dft") + F.lit(0.5))
-        / (F.col("dft") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    contrib = idf * (
-        F.col("tf")
-        * F.lit(k1 + 1.0)
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    # Per-term contributions are rounded to 6 dp and summed as DECIMAL:
-    # decimal addition is exact and order-independent, so the per-doc
-    # score does not depend on which order the aggregate consumes the
-    # term rows (double summation is non-associative — a cross-engine /
-    # cross-partitioning hazard at the final round boundary).
-    contrib_dec = F.round(contrib, 6).cast("decimal(18,6)")
-    scored = (
-        tf.join(F.broadcast(dft), "token")
-        .join(doclen, id_col)
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(
-            F.round(F.sum(contrib_dec), 4).cast("double").alias("score")
-        )
-    )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "score", F.col("rank").cast("long").alias("rank"))
-    )
-    # the result is k rows: materialize it eagerly (localCheckpoint) so
-    # the caches above can release NOW instead of leaking across calls —
-    # the same lifecycle discipline as near_dedup/dedup_clusters
-    out = out.localCheckpoint(eager=True)
-    doclen.unpersist()
-    tf.unpersist()
-    return out
+    return bm25_topk_batch(
+        df, qtab, k, k1, b, text_col, id_col
+    ).select(id_col, "score", "rank")
 
 
 def bm25_topk_batch(
@@ -128,18 +75,28 @@ def bm25_topk_batch(
     query_id_col: str = "query_id",
     term_col: str = "term",
 ) -> DataFrame:
-    """:func:`bm25_topk` for a whole QUERY TABLE at once — the eval-set
-    retrieval shape (thousands of benchmark questions against a 100 TB
-    corpus in one plan) instead of one driver round-trip per query.
+    """BM25 for a whole QUERY TABLE at once — the eval-set retrieval
+    shape (thousands of benchmark questions against a 100 TB corpus in
+    one plan) instead of one driver round-trip per query.
 
     ``queries`` holds (query_id, term) rows; it is small by construction
-    and broadcasts twice: once as the distinct-term prune on the corpus
-    token stream (only tokens ANY query mentions survive the map side),
-    once to fan tf rows out to the queries that want them. Scoring stats
-    (N, avgdl, df(t)) are corpus-global, identical to the single-query
-    form; per-(query, doc) scores decimal-sum as there. Emits
-    ``(query_id, id, score, rank)``."""
+    (collected once so the distinct-term set prunes the corpus token
+    stream inside the array filter, map-side) and broadcasts to fan tf
+    rows out to the queries that want them. Scoring stats (N, avgdl,
+    df(t)) are corpus-global. Emits ``(query_id, id, score, rank)``."""
+    # query tables are small by contract — collecting the distinct terms
+    # enables the literal array-filter prune before the explode
+    terms = sorted(
+        r["token"]
+        for r in queries.select(
+            F.col(term_col).alias("token")
+        ).distinct().collect()
+    )
+    if not terms:
+        raise ValueError("bm25_topk_batch: queries must be non-empty")
     words = _words(text_col)
+    # per-doc length (ALL words, not just matches — BM25's length norm);
+    # persisted: feeds both the avgdl aggregate and the scoring join
     doclen = df.select(
         F.col(id_col), F.size(words).cast("double").alias("dl")
     ).persist()
@@ -147,10 +104,11 @@ def bm25_topk_batch(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
     )
-    terms = queries.select(F.col(term_col).alias("token")).distinct()
     tok = df.select(
-        F.col(id_col), F.explode(words).alias("token")
-    ).join(F.broadcast(terms), "token")
+        F.col(id_col),
+        F.explode(F.filter(words, lambda w: w.isin(terms))).alias("token"),
+    )
+    # query-hit-proportional (tiny); feeds both df(t) and the scoring join
     tf = tok.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     ).persist()
@@ -193,6 +151,8 @@ def bm25_topk_batch(
             query_id_col, id_col, "score",
             F.col("rank").cast("long").alias("rank"),
         )
+        # tiny result: materialize eagerly so the caches release NOW
+        # instead of leaking across calls
         .localCheckpoint(eager=True)
     )
     doclen.unpersist()

@@ -183,7 +183,7 @@ def urllib_stream_transport(timeout: float = 40.0) -> StreamTransport:
     return _send
 
 
-def _iter_lines(chunks) -> "object":
+def _iter_lines(chunks):
     """Newline-split an incremental chunk stream — each yielded item is
     one complete feed line (heartbeats are empty lines)."""
     buf = b""

@@ -42,6 +42,7 @@ from bench import lineitem_mirror  # noqa: E402
 from couch_to_postgres_spark.extensions import dedup as X_dedup  # noqa: E402
 from couch_to_postgres_spark.extensions import similarity as X_sim  # noqa: E402
 from couch_to_postgres_spark.extensions import text as X_text  # noqa: E402
+from couch_to_postgres_spark.extensions.search import bm25_topk  # noqa: E402
 from couch_to_postgres_spark.operators import query as Q  # noqa: E402
 from couch_to_postgres_spark.operators.cdc import apply_changes  # noqa: E402
 from couch_to_postgres_spark.session import get_spark, load_table  # noqa: E402
@@ -167,6 +168,19 @@ def main() -> None:
             "q_ann_topk": lambda: X_sim.cosine_topk(
                 emb.filter(F.col("vec_id") < 5), emb, k=5
             ).collect(),
+            "q_bm25": lambda: bm25_topk(
+                mirror.select(
+                    "id",
+                    F.regexp_replace(F.col("doc"), '[,:"{}]', " ").alias(
+                        "text"
+                    ),
+                ),
+                ["RAIL", "TRUCK", "AIR"],
+                k=20,
+                id_col="id",
+            ).count(),
+            "q_cdc_chunks": lambda: X_text.cdc_chunk_documents(docs).count(),
+            "q_entropy": lambda: X_text.unigram_entropy(docs).count(),
         }
 
     # warm each query's pipeline once at the SMALL scale (JIT/codegen),
