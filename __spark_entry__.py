@@ -2292,6 +2292,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return bm25_topk_batch(_docs(spark, sf_dir), qtab, k=10)
 
+
+    def x_hard_negatives(spark, sf_dir):
+        # contrastive-training support: per query vector, the most
+        # cosine-similar DIFFERENT-label vectors (the near-misses that
+        # define the decision boundary)
+        e = _emb(spark, sf_dir)
+        return X_sim.hard_negatives(
+            e, k=5, queries=e.filter(F.col("vec_id") < 20)
+        )
+
     # Dict ORDER is part of the driver contract in practice: each round's
     # CORRECTNESS file contains exactly the first ~50 insertion-order
     # keys, so the driver walks the dict front-to-back under a budget.
@@ -2375,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stratified_split": x_stratified_split,
         "x_contamination_by_source": x_contamination_by_source,
         "x_bm25_batch": x_bm25_batch,
+        "x_hard_negatives": x_hard_negatives,
         "x_shuffle": x_shuffle,
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
@@ -3907,6 +3918,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+        """,
+        "x_hard_negatives": """
+            WITH vecs AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       c.label AS neighbor_label,
+                       round(list_dot_product(q.v, c.v)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.v, c.v))), 4)
+                           AS cosine_r
+                FROM vecs q
+                JOIN vecs c
+                  ON q.vec_id <> c.vec_id AND q.label <> c.label
+                WHERE q.vec_id < 20
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, neighbor_label, cosine_r,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_r DESC, neighbor_id)
+                           AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, neighbor_label, cosine_r, rank
+            FROM ranked WHERE rank <= 5
         """,
         "x_ann_ivf": f"""
             WITH {_ANCHOR_ASSIGN},

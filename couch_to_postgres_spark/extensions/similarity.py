@@ -214,3 +214,67 @@ def label_centroids(
             "mean_v"
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most cosine-similar vectors with a DIFFERENT
+    label — the near-misses a contrastive or reranker objective learns
+    the most from (random negatives are trivially separable; hard ones
+    define the decision boundary).
+
+    Same plan as :func:`cosine_topk` — broadcast queries against the
+    corpus — with the label-mismatch predicate INSIDE the join, so
+    same-label pairs are dropped before the ranking window ever sees
+    them. ``queries`` defaults to the corpus itself (mine negatives for
+    every vector). Emits (query_id, neighbor_id, neighbor_label,
+    cosine_r, rank)."""
+    q_src = queries if queries is not None else emb
+    q = q_src.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    sim = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("q_label") != F.col("neighbor_label")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                4,
+            ).alias("cosine_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine_r",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -328,3 +328,28 @@ def test_assign_cells_hof_matches_vectorized(spark):
     )
     got = assign_cells_hof(tie, cents, nprobe=1).collect()[0]
     assert got["cell"] == 0
+
+
+def test_hard_negatives_excludes_same_label_and_ranks_by_cosine(spark):
+    from couch_to_postgres_spark.extensions.similarity import hard_negatives
+
+    # query q (label 0); same-label near-twin MUST be excluded; the
+    # different-label vectors rank by cosine
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),        # query
+        (1, [0.99, 0.1, 0.0, 0.0], 0),       # same label, most similar -> excluded
+        (2, [0.9, 0.2, 0.0, 0.0], 1),        # hard negative (closest other-label)
+        (3, [0.0, 1.0, 0.0, 0.0], 1),        # easy negative
+        (4, [0.5, 0.5, 0.0, 0.0], 2),        # middling negative
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = [
+        (r["neighbor_id"], r["rank"])
+        for r in hard_negatives(
+            emb, k=3, queries=emb.filter(F.col("vec_id") == 0)
+        ).orderBy("rank").collect()
+    ]
+    assert [n for n, _ in out] == [2, 4, 3]  # by similarity, no same-label
+    assert 1 not in {n for n, _ in out}
