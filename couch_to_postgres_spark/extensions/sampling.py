@@ -190,10 +190,12 @@ def weighted_sample_topn(
     Scale shape: the key is a pure map; selection is one global top-n on
     the ROUNDED key (6 dp, id tie-break — reproducible across engines,
     partitionings, and FP summation orders; there is no summation at
-    all, one log and one divide per row). Changing ``salt`` re-draws the
-    sample at identical weights."""
-    from pyspark.sql import Window
-
+    all, one log and one divide per row), executed as
+    ``orderBy(...).limit(n)`` — Spark's TakeOrderedAndProject, which
+    takes n per partition map-side and merges heaps on the driver. A
+    global ROW_NUMBER window would funnel the entire corpus through one
+    task; this never materializes more than partitions×n rows. Changing
+    ``salt`` re-draws the sample at identical weights."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     hexpfx = F.substring(
         F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
@@ -209,13 +211,12 @@ def weighted_sample_topn(
         float(1 << 32)
     )
     key = F.round(F.log(u) / w.cast("double"), 6)
-    win = Window.orderBy(F.col("_ws_key").desc(), F.col(id_col))
     return (
         df.filter(w.cast("double") > 0)
         .withColumn("_ws_key", key)
-        .withColumn("_ws_rank", F.row_number().over(win))
-        .filter(F.col("_ws_rank") <= n)
-        .drop("_ws_key", "_ws_rank")
+        .orderBy(F.col("_ws_key").desc(), F.col(id_col))
+        .limit(n)
+        .drop("_ws_key")
     )
 
 
@@ -237,7 +238,16 @@ def stratified_split(
     Exactness is integer-only (ceil via ``(n·k + 9) div 10``): no
     float boundary to disagree across engines. One window pass per
     stratum; the md5 order key is partitioning-stable and re-dealt by
-    ``salt``."""
+    ``salt``.
+
+    Scale note: exact per-stratum proportions require ordering each
+    stratum, so a stratum's rows flow through one task. Strata are
+    bounded-cardinality groups (language × length-bucket), fine for
+    eval-set construction (the use case — eval sets are sample-sized);
+    for splitting a full web-scale corpus use the Bernoulli
+    :func:`couch_to_postgres_spark.extensions.text.hash_split`, whose
+    per-row decisions need no ordering and whose proportion drift is
+    negligible at that row count anyway."""
     if not 0 <= eval_per_10 <= 10:
         raise ValueError("eval_per_10 must be in [0, 10]")
     from pyspark.sql import Window
