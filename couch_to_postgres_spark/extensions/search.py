@@ -74,6 +74,7 @@ def bm25_topk_batch(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     term_col: str = "term",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """BM25 for a whole QUERY TABLE at once — the eval-set retrieval
     shape (thousands of benchmark questions against a 100 TB corpus in
@@ -83,7 +84,15 @@ def bm25_topk_batch(
     (collected once so the distinct-term set prunes the corpus token
     stream inside the array filter, map-side) and broadcasts to fan tf
     rows out to the queries that want them. Scoring stats (N, avgdl,
-    df(t)) are corpus-global. Emits ``(query_id, id, score, rank)``."""
+    df(t)) are corpus-global. Emits ``(query_id, id, score, rank)``.
+
+    Per-query ranking is a per-group window whose input is the docs
+    matching the query's terms. Stop-word-like terms inflate that
+    candidate set while contributing ≈0 idf; ``max_df_frac`` applies
+    the classic df cap — terms present in more than that fraction of
+    documents are dropped from SCORING (their near-zero contribution is
+    the justification), which also shrinks every downstream join and
+    the ranking window. ``None`` scores every term exactly."""
     # query tables are small by contract — collecting the distinct terms
     # enables the literal array-filter prune before the explode
     terms = sorted(
@@ -115,6 +124,10 @@ def bm25_topk_batch(
     dft = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("dft")
     )
+    if max_df_frac is not None:
+        dft = dft.crossJoin(F.broadcast(stats)).filter(
+            F.col("dft") <= F.lit(max_df_frac) * F.col("n")
+        ).select("token", "dft")
     idf = F.log(
         (F.col("n") - F.col("dft") + F.lit(0.5))
         / (F.col("dft") + F.lit(0.5))

@@ -1878,3 +1878,22 @@ def test_bm25_batch_matches_single_query_form(spark):
         for r in bm25_topk(df, terms, k=7).collect():
             singles.add((qid, r["doc_id"], r["score"], r["rank"]))
     assert batch == singles
+
+
+def test_bm25_max_df_cap_drops_stopword_like_terms(spark):
+    from couch_to_postgres_spark.extensions.search import bm25_topk_batch
+
+    # "common" is in every doc; "rare" in two. With the df cap, only
+    # "rare" scores — docs without it vanish from the ranking.
+    rows = [(i, "common filler rare") if i < 2 else (i, "common filler pad")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    qtab = spark.createDataFrame(
+        [(1, "common"), (1, "rare")], "query_id int, term string"
+    )
+    capped = bm25_topk_batch(df, qtab, k=20, max_df_frac=0.5)
+    got = {r["doc_id"] for r in capped.collect()}
+    assert got == {0, 1}
+    # uncapped: every doc matches via "common"
+    full = bm25_topk_batch(df, qtab, k=20)
+    assert full.count() == 20
