@@ -2302,6 +2302,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, k=5, queries=e.filter(F.col("vec_id") < 20)
         )
 
+
+    def x_drift_ks(spark, sf_dir):
+        # corpus drift gate: KS distance between the length distributions
+        # of two snapshots (here: the deterministic train/eval halves)
+        d = X_text.hash_split(_docs(spark, sf_dir))
+        return X_text.ks_drift(
+            d.filter(F.col("split") == "train"),
+            d.filter(F.col("split") == "eval"),
+        )
+
+    def x_robust_z(spark, sf_dir):
+        # outlier-resistant per-language standardization (median/MAD)
+        return X_text.robust_zscore(_docs(spark, sf_dir))
+
     # Dict ORDER is part of the driver contract in practice: each round's
     # CORRECTNESS file contains exactly the first ~50 insertion-order
     # keys, so the driver walks the dict front-to-back under a budget.
@@ -2386,6 +2400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_contamination_by_source": x_contamination_by_source,
         "x_bm25_batch": x_bm25_batch,
         "x_hard_negatives": x_hard_negatives,
+        "x_drift_ks": x_drift_ks,
+        "x_robust_z": x_robust_z,
         "x_shuffle": x_shuffle,
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
@@ -3945,6 +3961,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, neighbor_label, cosine_r, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "x_drift_ks": """
+            WITH split AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                                 < 'cccc'
+                            THEN 'train' ELSE 'eval' END AS split
+                FROM documents
+            ),
+            a AS (
+                SELECT n_chars AS v, count(*) AS ca
+                FROM split WHERE split = 'train' GROUP BY v
+            ),
+            b AS (
+                SELECT n_chars AS v, count(*) AS cb
+                FROM split WHERE split = 'eval' GROUP BY v
+            ),
+            merged AS (
+                SELECT COALESCE(a.v, b.v) AS v,
+                       COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+                FROM a FULL OUTER JOIN b ON a.v = b.v
+            ),
+            cum AS (
+                SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                           AS cum_a,
+                       sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                           AS cum_b
+                FROM merged
+            ),
+            tot AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b
+                FROM merged
+            )
+            SELECT round(max(abs(cum_a / n_a - cum_b / n_b)), 4) AS ks,
+                   any_value(n_a) AS n_a, any_value(n_b) AS n_b
+            FROM cum, tot
+        """,
+        "x_robust_z": """
+            WITH med AS (
+                SELECT lang, quantile_cont(n_chars, 0.5) AS m
+                FROM documents GROUP BY lang
+            ),
+            wm AS (
+                SELECT d.doc_id, d.lang, d.n_chars, m.m
+                FROM documents d JOIN med m ON d.lang = m.lang
+            ),
+            mad AS (
+                SELECT lang, quantile_cont(abs(n_chars - m), 0.5) AS mad
+                FROM wm GROUP BY lang
+            )
+            SELECT wm.doc_id, wm.lang, wm.n_chars,
+                   CASE WHEN mad.mad > 0
+                        THEN round((wm.n_chars - wm.m) / (mad.mad * 1.4826), 4)
+                             + 0.0 END AS robust_z
+            FROM wm JOIN mad ON wm.lang = mad.lang
         """,
         "x_ann_ivf": f"""
             WITH {_ANCHOR_ASSIGN},

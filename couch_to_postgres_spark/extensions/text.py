@@ -1150,3 +1150,100 @@ def contamination_by_group(
             ).alias("overlap_frac"),
         )
     )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the distributions
+    of ``value_col`` in two corpus snapshots — the drift gate a
+    continuously-ingesting pipeline runs before mixing a new batch into
+    an established corpus (a KS jump on length/quality distributions
+    means the new crawl slice is a different animal; investigate before
+    training on it). Emits one row: ``(ks, n_a, n_b)``.
+
+    Plan shape: each side collapses to per-VALUE counts (corpus →
+    distinct-value-sized), the union groups once more, and the two ECDFs
+    are cumulative sums over one window ordered by value — the window's
+    input is the distinct-value table, never the corpus. The ECDF
+    difference is exact-integer counts over exact-integer totals, so the
+    statistic is engine-exact before its final rounding."""
+    a = df_a.select(F.col(value_col).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = df_b.select(F.col(value_col).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    merged = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = merged.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a") / F.col("n_a")
+                        - F.col("cum_b") / F.col("n_b")
+                    )
+                ),
+                4,
+            ).alias("ks"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group ROBUST standardization: z = (v − median) / (1.4826·MAD),
+    the outlier-resistant alternative to mean/stddev scaling (e21) —
+    one pathological megadoc shifts a mean and explodes a stddev, but
+    leaves median and MAD untouched, so the scores of NORMAL rows stay
+    meaningful in dirty data. Groups with MAD = 0 (constant values)
+    emit NULL scores. Emits ``(id, group, value, robust_z)``.
+
+    Plan shape: two small per-group aggs (median, then median absolute
+    deviation — group-count-sized each), broadcast back; the corpus
+    sees two map-side joins, no corpus-keyed shuffle anywhere."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    )
+    scale = F.col("_mad") * F.lit(1.4826)
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            F.when(
+                F.col("_mad") > 0,
+                F.round((F.col(value_col) - F.col("_med")) / scale, 4)
+                + F.lit(0.0),
+            ).alias("robust_z"),
+        )
+    )

@@ -1897,3 +1897,35 @@ def test_bm25_max_df_cap_drops_stopword_like_terms(spark):
     # uncapped: every doc matches via "common"
     full = bm25_topk_batch(df, qtab, k=20)
     assert full.count() == 20
+
+
+def test_ks_drift_detects_shifted_distribution(spark):
+    a = spark.createDataFrame([(i, 100 + i % 10) for i in range(200)],
+                              "doc_id long, n_chars long")
+    same = spark.createDataFrame([(i, 100 + (i + 3) % 10) for i in range(200)],
+                                 "doc_id long, n_chars long")
+    shifted = spark.createDataFrame([(i, 500 + i % 10) for i in range(200)],
+                                    "doc_id long, n_chars long")
+    near = T.ks_drift(a, same).collect()[0]
+    far = T.ks_drift(a, shifted).collect()[0]
+    assert near["ks"] < 0.05            # same distribution
+    assert far["ks"] == 1.0             # disjoint supports -> KS = 1
+    assert near["n_a"] == 200 and near["n_b"] == 200
+
+
+def test_robust_zscore_resists_megadoc(spark):
+    rows = [(i, "en", 100 + (i % 11)) for i in range(100)]
+    rows.append((999, "en", 10_000_000))   # megadoc
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {r["doc_id"]: r["robust_z"] for r in T.robust_zscore(df).collect()}
+    # normal rows keep moderate scores despite the outlier (a mean/std
+    # z-score would crush them toward 0)
+    normal = [abs(got[i]) for i in range(100)]
+    assert max(normal) < 3
+    assert got[999] > 100                  # the outlier itself screams
+    # constant group -> MAD 0 -> NULL scores
+    const = spark.createDataFrame(
+        [(1, "fr", 50), (2, "fr", 50)], "doc_id long, lang string, n_chars long"
+    )
+    vals = [r["robust_z"] for r in T.robust_zscore(const).collect()]
+    assert vals == [None, None]
