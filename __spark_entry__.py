@@ -2316,6 +2316,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outlier-resistant per-language standardization (median/MAD)
         return X_text.robust_zscore(_docs(spark, sf_dir))
 
+
+    def x_chi2_source_lang(spark, sf_dir):
+        # composition QA: is the language mix independent of source?
+        return X_text.chi2_independence(_docs(spark, sf_dir))
+
     # Dict ORDER is part of the driver contract in practice: each round's
     # CORRECTNESS file contains exactly the first ~50 insertion-order
     # keys, so the driver walks the dict front-to-back under a budget.
@@ -2402,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hard_negatives": x_hard_negatives,
         "x_drift_ks": x_drift_ks,
         "x_robust_z": x_robust_z,
+        "x_chi2_source_lang": x_chi2_source_lang,
         "x_shuffle": x_shuffle,
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
@@ -4017,6 +4023,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((wm.n_chars - wm.m) / (mad.mad * 1.4826), 4)
                              + 0.0 END AS robust_z
             FROM wm JOIN mad ON wm.lang = mad.lang
+        """,
+        "x_chi2_source_lang": """
+            WITH cells AS (
+                SELECT source, lang, count(*) AS o
+                FROM documents GROUP BY source, lang
+            ),
+            ra AS (SELECT source, sum(o) AS ra FROM cells GROUP BY source),
+            rb AS (SELECT lang, sum(o) AS rb FROM cells GROUP BY lang),
+            n AS (SELECT sum(o) AS n FROM cells)
+            SELECT CAST(round(sum(CAST(round(
+                       (c.o - (ra.ra * rb.rb / n.n))
+                       * (c.o - (ra.ra * rb.rb / n.n))
+                       / (ra.ra * rb.rb / n.n), 6) AS DECIMAL(28,6))), 4)
+                       AS DOUBLE) AS chi2,
+                   CAST((count(DISTINCT c.source) - 1)
+                        * (count(DISTINCT c.lang) - 1) AS BIGINT) AS dof,
+                   CAST(any_value(n.n) AS BIGINT) AS n
+            FROM cells c
+            JOIN ra ON c.source = ra.source
+            JOIN rb ON c.lang = rb.lang
+            CROSS JOIN n
         """,
         "x_ann_ivf": f"""
             WITH {_ANCHOR_ASSIGN},

@@ -1247,3 +1247,41 @@ def robust_zscore(
             ).alias("robust_z"),
         )
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str = "source",
+    col_b: str = "lang",
+) -> DataFrame:
+    """Pearson chi-square statistic for independence of two categorical
+    corpus columns — "is language mix independent of source?" is the
+    canonical composition-QA question (a crawl slice whose language
+    distribution deviates hard from the corpus-wide mix shows up as a
+    large statistic). Emits one row: ``(chi2, dof, n)``.
+
+    Plan shape: one contingency aggregation (cells = |A|×|B|, tiny),
+    marginals derived from the cells, expected counts exact-integer
+    ratios; per-cell terms round to 6 dp and sum as DECIMAL so the
+    statistic is engine- and order-exact."""
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy(col_a).agg(F.sum("o").alias("ra"))
+    rb = cells.groupBy(col_b).agg(F.sum("o").alias("rb"))
+    n = cells.agg(F.sum("o").alias("n"))
+    e = F.col("ra") * F.col("rb") / F.col("n")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).cast(
+        "decimal(28,6)"
+    )
+    joined = (
+        cells.join(F.broadcast(ra), col_a)
+        .join(F.broadcast(rb), col_b)
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.agg(
+        F.round(F.sum(term), 4).cast("double").alias("chi2"),
+        (
+            (F.count_distinct(F.col(col_a)) - 1)
+            * (F.count_distinct(F.col(col_b)) - 1)
+        ).alias("dof"),
+        F.first("n").alias("n"),
+    )

@@ -1929,3 +1929,19 @@ def test_robust_zscore_resists_megadoc(spark):
     )
     vals = [r["robust_z"] for r in T.robust_zscore(const).collect()]
     assert vals == [None, None]
+
+
+def test_chi2_independence_separates_dependent_from_independent(spark):
+    # independent: lang assigned round-robin within each source
+    ind = [(i, f"s{i % 4}", f"l{i % 2}") for i in range(400)]
+    # dependent: each source uses exactly one language
+    dep = [(i, f"s{i % 4}", f"l{i % 4}") for i in range(400)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, source string, lang string"
+    )
+    i_row = T.chi2_independence(mk(ind)).collect()[0]
+    d_row = T.chi2_independence(mk(dep)).collect()[0]
+    assert i_row["chi2"] < 1.0            # balanced table -> ~0
+    assert d_row["chi2"] > 100.0          # perfect association -> huge
+    assert i_row["dof"] == 3 and d_row["dof"] == 9
+    assert i_row["n"] == 400
