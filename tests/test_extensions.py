@@ -1932,8 +1932,9 @@ def test_robust_zscore_resists_megadoc(spark):
 
 
 def test_chi2_independence_separates_dependent_from_independent(spark):
-    # independent: lang assigned round-robin within each source
-    ind = [(i, f"s{i % 4}", f"l{i % 2}") for i in range(400)]
+    # independent: within each source, langs alternate evenly (i%4 picks
+    # the source, (i//4)%2 the lang — the two are orthogonal)
+    ind = [(i, f"s{i % 4}", f"l{(i // 4) % 2}") for i in range(400)]
     # dependent: each source uses exactly one language
     dep = [(i, f"s{i % 4}", f"l{i % 4}") for i in range(400)]
     mk = lambda rows: spark.createDataFrame(
