@@ -2373,6 +2373,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+
+    def x_gini_sources(spark, sf_dir):
+        # mixture balance: Gini coefficient of doc counts across sources
+        return X_text.gini_concentration(_docs(spark, sf_dir))
+
     # Dict ORDER is part of the driver contract in practice: each round's
     # CORRECTNESS file contains exactly the first ~50 insertion-order
     # keys, so the driver walks the dict front-to-back under a budget.
@@ -2462,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_chi2_source_lang": x_chi2_source_lang,
         "e27_event_transitions": e27_event_transitions,
         "x_novelty": x_novelty,
+        "x_gini_sources": x_gini_sources,
         "x_shuffle": x_shuffle,
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
@@ -4128,6 +4134,23 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS novelty_frac
             FROM dsh d JOIN first f ON d.shingle = f.shingle
             GROUP BY d.doc_id
+        """,
+        "x_gini_sources": """
+            WITH counts AS (
+                SELECT source, count(*) AS x FROM documents GROUP BY source
+            ),
+            ranked AS (
+                SELECT x,
+                       ROW_NUMBER() OVER (ORDER BY x, source) AS i
+                FROM counts
+            )
+            SELECT round(
+                       (2.0 * sum(i * x))
+                       / (count(*) * sum(x))
+                       - (count(*) + 1.0) / count(*), 4) AS gini,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(x) AS BIGINT) AS n_rows
+            FROM ranked
         """,
         "x_ann_ivf": f"""
             WITH {_ANCHOR_ASSIGN},

@@ -1285,3 +1285,35 @@ def chi2_independence(
         ).alias("dof"),
         F.first("n").alias("n"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Gini coefficient of row counts across groups — one number for
+    "how concentrated is the corpus in a few sources" (0 = perfectly
+    even mix, →1 = one source dominates). The portfolio-balance check a
+    mixture build reports next to its per-source caps. Emits
+    ``(gini, n_groups, n_rows)``.
+
+    G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over counts xᵢ sorted ascending
+    (i = 1..n). Counts and index products are exact integers; the
+    statistic is one deterministic double expression at the end. The
+    rank window runs over the GROUP table (tens of rows), never the
+    corpus."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy(F.col("x"), F.col(group_col))
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("x")))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            4,
+        ).alias("gini"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("x").alias("n_rows"),
+    )

@@ -1946,3 +1946,17 @@ def test_chi2_independence_separates_dependent_from_independent(spark):
     assert d_row["chi2"] > 100.0          # perfect association -> huge
     assert i_row["dof"] == 3 and d_row["dof"] == 9
     assert i_row["n"] == 400
+
+
+def test_gini_concentration_extremes(spark):
+    even = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(400)], "doc_id long, source string"
+    )
+    skew = spark.createDataFrame(
+        [(i, "dominant" if i < 397 else f"tiny{i}") for i in range(400)],
+        "doc_id long, source string",
+    )
+    e = T.gini_concentration(even).collect()[0]
+    s = T.gini_concentration(skew).collect()[0]
+    assert e["gini"] == 0.0 and e["n_groups"] == 4 and e["n_rows"] == 400
+    assert s["gini"] > 0.7
