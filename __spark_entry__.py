@@ -2427,6 +2427,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+
+    def x_burstiness(spark, sf_dir):
+        # temporal burstiness per event type: Fano factor of hourly
+        # counts over the full observed hour grid (zeros count) — bursty
+        # bot traffic scores >> 1, a constant drumbeat ~ 0
+        from couch_to_postgres_spark.streaming.windows import (
+            fano_burstiness,
+        )
+
+        return fano_burstiness(load_table(spark, sf_dir, "events"))
+
     # Dict ORDER is part of the driver contract in practice: each round's
     # CORRECTNESS file contains exactly the first ~50 insertion-order
     # keys, so the driver walks the dict front-to-back under a budget.
@@ -2519,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_gini_sources": x_gini_sources,
         "e28_session_length_stats": e28_session_length_stats,
         "x_dup_rate_by_source": x_dup_rate_by_source,
+        "x_burstiness": x_burstiness,
         "x_shuffle": x_shuffle,
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
@@ -4248,6 +4260,40 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_rate
             FROM hashed d JOIN first f ON d.h = f.h
             GROUP BY d.source
+        """,
+        "x_burstiness": """
+            WITH wh AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS h
+                FROM events
+            ),
+            counts AS (
+                SELECT event_type, h, count(*) AS c
+                FROM wh GROUP BY event_type, h
+            ),
+            bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM wh),
+            grid AS (
+                SELECT t.event_type, g.h
+                FROM (SELECT DISTINCT event_type FROM counts) t,
+                     bounds b,
+                     UNNEST(generate_series(b.h0, b.h1)) AS g(h)
+            ),
+            filled AS (
+                SELECT g.event_type, COALESCE(c.c, 0) AS c
+                FROM grid g
+                LEFT JOIN counts c
+                  ON g.event_type = c.event_type AND g.h = c.h
+            ),
+            agg AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_hours,
+                       CAST(sum(c) AS BIGINT) AS sc,
+                       CAST(sum(c * c) AS BIGINT) AS scc
+                FROM filled GROUP BY event_type
+            )
+            SELECT event_type, n_hours, sc AS n_events,
+                   round(CAST(n_hours * scc - sc * sc AS DOUBLE)
+                         / (n_hours * sc), 4) AS fano
+            FROM agg
         """,
         "x_ann_ivf": f"""
             WITH {_ANCHOR_ASSIGN},

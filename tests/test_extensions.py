@@ -1960,3 +1960,28 @@ def test_gini_concentration_extremes(spark):
     s = T.gini_concentration(skew).collect()[0]
     assert e["gini"] == 0.0 and e["n_groups"] == 4 and e["n_rows"] == 400
     assert s["gini"] > 0.7
+
+
+def test_burstiness_separates_bursty_from_steady(spark):
+    import datetime as dt
+
+    from couch_to_postgres_spark.streaming.windows import fano_burstiness
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    # steady: one event per hour for 48 hours -> fano = 0 (constant rate)
+    for h in range(48):
+        rows.append((eid, base + dt.timedelta(hours=h), 1, "steady")); eid += 1
+    # bursty: 47 of 48 events inside one hour of the same 48 h window
+    for i in range(47):
+        rows.append((eid, base + dt.timedelta(minutes=i), 2, "bursty")); eid += 1
+    rows.append((eid, base + dt.timedelta(hours=47), 2, "bursty")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    fano = {
+        r["event_type"]: r["fano"] for r in fano_burstiness(ev).collect()
+    }
+    assert fano["steady"] == 0.0          # constant 1/hour -> zero variance
+    assert fano["bursty"] > 10            # one-hour spike -> fano >> 1
