@@ -2438,6 +2438,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return fano_burstiness(load_table(spark, sf_dir, "events"))
 
+
+    def x_containment(spark, sf_dir):
+        # asymmetric containment over LSH candidates: the quote/subset
+        # detector jaccard dilutes away (a lifted paragraph has low
+        # jaccard against a long article but containment ~1 on the
+        # short side)
+        d = _docs(spark, sf_dir)
+        pairs = X_dedup.minhash_candidate_pairs(d, num_bands=4)
+        return X_dedup.ngram_containment(d, pairs)
+
+    def x_boilerplate(spark, sf_dir):
+        # doc-level boilerplate ratio: fraction of a doc's winnowing
+        # fingerprints shared by other docs (rank before masking)
+        return X_dedup.boilerplate_score(_docs(spark, sf_dir))
+
     # Dict ORDER is part of the driver contract in practice: each round's
     # CORRECTNESS file contains exactly the first ~50 insertion-order
     # keys, so the driver walks the dict front-to-back under a budget.
@@ -2531,6 +2546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e28_session_length_stats": e28_session_length_stats,
         "x_dup_rate_by_source": x_dup_rate_by_source,
         "x_burstiness": x_burstiness,
+        "x_containment": x_containment,
+        "x_boilerplate": x_boilerplate,
         "x_shuffle": x_shuffle,
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
@@ -2748,6 +2765,42 @@ _CDC_CHUNKS = f"""\
                        md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
                 FROM chunked GROUP BY doc_id, chunk_id
             )"""
+
+
+# winnowing fingerprint occurrences + hot (shared) set — the CTE
+# chain shared by the x_winnow_occurrences and x_boilerplate oracles
+# (one definition so the two cannot drift)
+_WINNOW_OCC = f"""\
+
+            spos AS (
+                SELECT doc_id, g.i AS pos,
+                       array_to_string(ws[g.i:g.i+2], ' ') AS shingle
+                FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS g(i)
+                WHERE len(ws) >= 3
+            ),
+            hashed AS (
+                SELECT doc_id, pos,
+                       CAST({_hexval8_sql('shingle')} AS BIGINT) AS h
+                FROM spos
+            ),
+            winmin AS (
+                SELECT doc_id, pos,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS fingerprint,
+                       count(*) OVER (PARTITION BY doc_id) AS n_sh
+                FROM hashed
+            ),
+            occ AS (
+                SELECT doc_id, pos, fingerprint
+                FROM winmin WHERE pos <= n_sh - 3
+            ),
+            hot AS (
+                SELECT fingerprint, count(*) AS n_docs
+                FROM (SELECT DISTINCT doc_id, fingerprint FROM occ)
+                GROUP BY fingerprint HAVING count(*) >= 2
+            )
+"""
 
 
 
@@ -3209,36 +3262,9 @@ def oracle_sql() -> dict[str, str]:
                       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
             )
             SELECT doc_id FROM surv
-            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-        """,
-        "x_winnow_spans": f"""
-            WITH {_WORDS},
-            spos AS (
-                SELECT doc_id, g.i AS pos,
-                       array_to_string(ws[g.i:g.i+2], ' ') AS shingle
-                FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS g(i)
-                WHERE len(ws) >= 3
-            ),
-            hashed AS (
-                SELECT doc_id, pos,
-                       CAST({_hexval8_sql('shingle')} AS BIGINT) AS h
-                FROM spos
-            ),
-            winmin AS (
-                SELECT doc_id, pos,
-                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
-                           AS fingerprint,
-                       count(*) OVER (PARTITION BY doc_id) AS n_sh
-                FROM hashed
-            ),
-            fps AS (
-                SELECT DISTINCT doc_id, fingerprint
-                FROM winmin WHERE pos <= n_sh - 3
-            )
-            SELECT fingerprint, count(*) AS n_docs,
-                   array_to_string(
-                       list_sort(list(CAST(doc_id AS VARCHAR))), '|'
+            WHERE doc_id NOTWITH {_WORDS},
+            {_WINNOW_OCC}
+t(CAST(doc_id AS VARCHAR))), '|'
                    ) AS doc_ids
             FROM fps GROUP BY fingerprint HAVING count(*) > 1
         """,
@@ -4294,6 +4320,52 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_hours * scc - sc * sc AS DOUBLE)
                          / (n_hours * sc), 4) AS fano
             FROM agg
+        """,
+        "x_containment": f"""
+            WITH {_WORDS}, {_SHINGLES},
+            banded AS (
+                SELECT doc_id, b.band, shingle
+                FROM shingled, UNNEST([0,1,2,3]) AS b(band)
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS signature
+                FROM banded GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.signature = b.signature
+                 AND a.doc_id < b.doc_id
+            ),
+            sets_ AS (
+                SELECT doc_id, list_distinct(list(shingle)) AS sh
+                FROM shingled GROUP BY doc_id
+            )
+            SELECT p.id_a, p.id_b,
+                   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / greatest(len(sa.sh), 1), 4) AS containment_a,
+                   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / greatest(len(sb.sh), 1), 4) AS containment_b,
+                   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 4)
+                       AS jaccard
+            FROM pairs p
+            JOIN sets_ sa ON sa.doc_id = p.id_a
+            JOIN sets_ sb ON sb.doc_id = p.id_b
+        """,
+        "x_boilerplate": f"""
+            WITH {_WORDS},
+            {_WINNOW_OCC}
+            SELECT o.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_fingerprints,
+                   CAST(sum(CASE WHEN h.fingerprint IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                   round(CAST(sum(CASE WHEN h.fingerprint IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 4) AS boilerplate_frac
+            FROM occ o LEFT JOIN hot h ON o.fingerprint = h.fingerprint
+            GROUP BY o.doc_id
         """,
         "x_ann_ivf": f"""
             WITH {_ANCHOR_ASSIGN},

@@ -1278,3 +1278,79 @@ def source_overlap(
     out = out.localCheckpoint(eager=True)
     gs.unpersist()
     return out
+
+
+def ngram_containment(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric containment for candidate pairs: |A∩B| / |A| and
+    |A∩B| / |B| over distinct word shingles — the quotation/subset
+    detector Jaccard dilutes away (a paragraph fully lifted into a long
+    article has low Jaccard but containment ≈ 1 on the short side; drop
+    or attribute accordingly). Same candidate-only join shape as
+    :func:`ngram_jaccard`; emits
+    ``(id_a, id_b, containment_a, containment_b, jaccard)`` so one pass
+    serves both symmetric and asymmetric policies."""
+    sets_ = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    j = (
+        pairs.join(
+            sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        ).join(
+            sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    na = F.size("sh_a").cast("double")
+    nb = F.size("sh_b").cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(na, F.lit(1.0)), 4).alias("containment_a"),
+        F.round(inter / F.greatest(nb, F.lit(1.0)), 4).alias("containment_b"),
+        F.round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
+    )
+
+
+def boilerplate_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate ratio: the fraction of a doc's winnowing
+    fingerprint occurrences that are SHARED by ≥ ``min_docs`` documents
+    — the doc-level rollup of the span report (a doc scoring 0.8 is
+    mostly template chrome; rank by this before deciding what
+    :func:`mask_shared_spans` should scrub). Documents too short to
+    fingerprint are absent. Emits
+    ``(id, n_fingerprints, n_shared, boilerplate_frac)``; integer ratio,
+    engine-exact."""
+    occ = _winnow_occurrences(df, text_col, id_col, shingle_n, window)
+    hot = (
+        occ.select(id_col, "fingerprint")
+        .distinct()
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    flagged = occ.join(hot, "fingerprint", "left")
+    shared = F.sum(
+        F.when(F.col("n_docs").isNotNull(), 1).otherwise(0)
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        shared.cast("long").alias("n_shared"),
+        F.round(shared / F.count(F.lit(1)), 4).alias("boilerplate_frac"),
+    )

@@ -1985,3 +1985,31 @@ def test_burstiness_separates_bursty_from_steady(spark):
     }
     assert fano["steady"] == 0.0          # constant 1/hour -> zero variance
     assert fano["bursty"] > 10            # one-hour spike -> fano >> 1
+
+
+def test_containment_detects_subset_jaccard_misses(spark):
+    para = " ".join(f"p{i}" for i in range(30))
+    article = para + " " + " ".join(f"a{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, para), (2, article)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = D.ngram_containment(df, pairs).collect()[0]
+    assert r["containment_a"] == 1.0      # the paragraph is fully lifted
+    assert r["jaccard"] < 0.1             # which jaccard hides
+    assert r["containment_b"] < 0.1
+
+
+def test_boilerplate_score_ranks_template_docs(spark):
+    template = " ".join(f"t{i}" for i in range(40))
+    rows = [
+        (1, template + " unique one two three"),
+        (2, template + " other tail words here"),
+        (3, " ".join(f"u{i}" for i in range(40))),   # fully unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in D.boilerplate_score(df).collect()}
+    assert got[1]["boilerplate_frac"] > 0.7
+    assert got[2]["boilerplate_frac"] > 0.7
+    assert got[3]["boilerplate_frac"] == 0.0
+    assert got[3]["n_shared"] == 0
