@@ -2767,42 +2767,6 @@ _CDC_CHUNKS = f"""\
             )"""
 
 
-# winnowing fingerprint occurrences + hot (shared) set — the CTE
-# chain shared by the x_winnow_occurrences and x_boilerplate oracles
-# (one definition so the two cannot drift)
-_WINNOW_OCC = f"""\
-
-            spos AS (
-                SELECT doc_id, g.i AS pos,
-                       array_to_string(ws[g.i:g.i+2], ' ') AS shingle
-                FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS g(i)
-                WHERE len(ws) >= 3
-            ),
-            hashed AS (
-                SELECT doc_id, pos,
-                       CAST({_hexval8_sql('shingle')} AS BIGINT) AS h
-                FROM spos
-            ),
-            winmin AS (
-                SELECT doc_id, pos,
-                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
-                           AS fingerprint,
-                       count(*) OVER (PARTITION BY doc_id) AS n_sh
-                FROM hashed
-            ),
-            occ AS (
-                SELECT doc_id, pos, fingerprint
-                FROM winmin WHERE pos <= n_sh - 3
-            ),
-            hot AS (
-                SELECT fingerprint, count(*) AS n_docs
-                FROM (SELECT DISTINCT doc_id, fingerprint FROM occ)
-                GROUP BY fingerprint HAVING count(*) >= 2
-            )
-"""
-
-
 
 def _zorder_oracle_sql(bits: int = 8) -> str:
     """DuckDB SQL mirroring sinks.layout.zorder_value over
@@ -3262,9 +3226,36 @@ def oracle_sql() -> dict[str, str]:
                       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
             )
             SELECT doc_id FROM surv
-            WHERE doc_id NOTWITH {_WORDS},
-            {_WINNOW_OCC}
-t(CAST(doc_id AS VARCHAR))), '|'
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        """,
+        "x_winnow_spans": f"""
+            WITH {_WORDS},
+            spos AS (
+                SELECT doc_id, g.i AS pos,
+                       array_to_string(ws[g.i:g.i+2], ' ') AS shingle
+                FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS g(i)
+                WHERE len(ws) >= 3
+            ),
+            hashed AS (
+                SELECT doc_id, pos,
+                       CAST({_hexval8_sql('shingle')} AS BIGINT) AS h
+                FROM spos
+            ),
+            winmin AS (
+                SELECT doc_id, pos,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS fingerprint,
+                       count(*) OVER (PARTITION BY doc_id) AS n_sh
+                FROM hashed
+            ),
+            fps AS (
+                SELECT DISTINCT doc_id, fingerprint
+                FROM winmin WHERE pos <= n_sh - 3
+            )
+            SELECT fingerprint, count(*) AS n_docs,
+                   array_to_string(
+                       list_sort(list(CAST(doc_id AS VARCHAR))), '|'
                    ) AS doc_ids
             FROM fps GROUP BY fingerprint HAVING count(*) > 1
         """,
@@ -4354,9 +4345,39 @@ t(CAST(doc_id AS VARCHAR))), '|'
             JOIN sets_ sa ON sa.doc_id = p.id_a
             JOIN sets_ sb ON sb.doc_id = p.id_b
         """,
+        # NOTE: the spos/hashed/winmin/occ/hot chain below intentionally
+        # mirrors the x_winnow_occurrences oracle (same fingerprints);
+        # keep the two in sync when changing winnow parameters
         "x_boilerplate": f"""
             WITH {_WORDS},
-            {_WINNOW_OCC}
+            spos AS (
+                SELECT doc_id, g.i AS pos,
+                       array_to_string(ws[g.i:g.i+2], ' ') AS shingle
+                FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS g(i)
+                WHERE len(ws) >= 3
+            ),
+            hashed AS (
+                SELECT doc_id, pos,
+                       CAST({_hexval8_sql('shingle')} AS BIGINT) AS h
+                FROM spos
+            ),
+            winmin AS (
+                SELECT doc_id, pos,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS fingerprint,
+                       count(*) OVER (PARTITION BY doc_id) AS n_sh
+                FROM hashed
+            ),
+            occ AS (
+                SELECT doc_id, pos, fingerprint
+                FROM winmin WHERE pos <= n_sh - 3
+            ),
+            hot AS (
+                SELECT fingerprint, count(*) AS n_docs
+                FROM (SELECT DISTINCT doc_id, fingerprint FROM occ)
+                GROUP BY fingerprint HAVING count(*) >= 2
+            )
             SELECT o.doc_id,
                    CAST(count(*) AS BIGINT) AS n_fingerprints,
                    CAST(sum(CASE WHEN h.fingerprint IS NOT NULL
