@@ -58,6 +58,19 @@ def main() -> None:
     worst = leak.orderBy(F.col("overlap_frac").desc()).first()
     print(f"most-contaminated source: {worst['source']} @ {worst['overlap_frac']}")
 
+    # 1b — deeper diagnostics: boilerplate burden, composition balance,
+    # drift between the split halves
+    bp = D.boilerplate_score(docs)
+    heavy = bp.filter(F.col("boilerplate_frac") > 0.5).count()
+    print(f"{heavy} docs are >50% shared boilerplate")
+    gini = T.gini_concentration(docs).collect()[0]
+    print(f"source concentration gini {gini['gini']} over {gini['n_groups']} sources")
+    drift = T.ks_drift(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+    ).collect()[0]
+    print(f"train/eval length-distribution KS {drift['ks']}")
+
     # 2 — which sources overlap enough to cross-dedup
     overlap = D.source_overlap(docs)
     top = overlap.orderBy(F.col("jaccard").desc()).limit(3).collect()
