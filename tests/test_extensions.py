@@ -2013,3 +2013,59 @@ def test_boilerplate_score_ranks_template_docs(spark):
     assert got[2]["boilerplate_frac"] > 0.7
     assert got[3]["boilerplate_frac"] == 0.0
     assert got[3]["n_shared"] == 0
+
+
+# ---------------------------------------------------------------------------
+# property tests for the round-3 operators
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunking_partition_property_random_texts(spark):
+    """For ANY corpus: chunks partition each doc's word sequence exactly
+    (counts sum back, chunk ids dense from 0), and rebuilt chunk text
+    round-trips the document."""
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(25):
+        n = rng.randrange(0, 120)
+        rows.append((i, " ".join(f"w{rng.randrange(40)}" for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = T.cdc_chunk_documents(df).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in rows:
+        words = [w for w in text.split(" ") if w]
+        got = by_doc.get(i, [])
+        assert sum(r["n_chunk_words"] for r in got) == len(words)
+        ids = sorted(r["chunk_id"] for r in got)
+        assert ids == list(range(len(ids)))  # dense, zero-based
+
+
+def test_containment_bounds_and_dominates_jaccard(spark):
+    """Invariants for any pair: 0 <= jaccard <= min(containment) and
+    max(containment) <= 1; symmetric pair of identical docs hits 1."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(30)}" for _ in range(rng.randrange(5, 60))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(12) for b in range(a + 1, 12)],
+        "id_a long, id_b long",
+    )
+    for r in D.ngram_containment(df, pairs).collect():
+        ca, cb, j = r["containment_a"], r["containment_b"], r["jaccard"]
+        assert 0.0 <= j <= 1.0 and 0.0 <= ca <= 1.0 and 0.0 <= cb <= 1.0
+        assert j <= ca + 1e-9 and j <= cb + 1e-9  # jaccard <= containments
+    twin = spark.createDataFrame(
+        [(100, rows[0][1]), (101, rows[0][1])], "doc_id long, text string"
+    )
+    tp = spark.createDataFrame([(100, 101)], "id_a long, id_b long")
+    if len([w for w in rows[0][1].split() if w]) >= 3:
+        t = D.ngram_containment(twin, tp).collect()[0]
+        assert t["containment_a"] == t["containment_b"] == t["jaccard"] == 1.0
