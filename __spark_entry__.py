@@ -2405,8 +2405,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose full text already appeared on a lower doc_id anywhere in
         # the corpus — which corpus components re-serve known content
         d = _docs(spark, sf_dir)
-        first = d.groupBy(F.md5("text").alias("h")).agg(
-            F.min("doc_id").alias("first_doc")
+        # reuse the existing exact-dedup grouping (one canonical md5
+        # formulation) instead of re-deriving it inline
+        first = X_dedup.exact_dedup_groups(d).select(
+            F.col("content_hash").alias("h"),
+            F.col("keep_id").alias("first_doc"),
         )
         return (
             d.withColumn("h", F.md5("text"))
@@ -4229,9 +4232,9 @@ def oracle_sql() -> dict[str, str]:
             rb AS (SELECT lang, sum(o) AS rb FROM cells GROUP BY lang),
             n AS (SELECT sum(o) AS n FROM cells)
             SELECT CAST(round(sum(CAST(round(
-                       (c.o - (ra.ra * rb.rb / n.n))
-                       * (c.o - (ra.ra * rb.rb / n.n))
-                       / (ra.ra * rb.rb / n.n), 6) AS DECIMAL(28,6))), 4)
+                       (c.o - (CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE) / CAST(n.n AS DOUBLE)))
+                       * (c.o - (CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE) / CAST(n.n AS DOUBLE)))
+                       / (CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE) / CAST(n.n AS DOUBLE)), 6) AS DECIMAL(28,6))), 4)
                        AS DOUBLE) AS chi2,
                    CAST((count(DISTINCT c.source) - 1)
                         * (count(DISTINCT c.lang) - 1) AS BIGINT) AS dof,
@@ -4364,8 +4367,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM filled GROUP BY event_type
             )
             SELECT event_type, n_hours, sc AS n_events,
-                   round(CAST(n_hours * scc - sc * sc AS DOUBLE)
-                         / (n_hours * sc), 4) AS fano
+                   round((CAST(n_hours AS DOUBLE) * CAST(scc AS DOUBLE)
+                          - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                         / (CAST(n_hours AS DOUBLE) * CAST(sc AS DOUBLE)),
+                         4) AS fano
             FROM agg
         """,
         "x_containment": f"""

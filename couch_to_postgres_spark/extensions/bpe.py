@@ -89,7 +89,12 @@ def train_bpe(
     vocab = word_frequency_table(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs = vocab.select(
+        # filter BEFORE the pair explode: a fully-merged word has one
+        # symbol, and sequence(0, -1) counts DOWN to [0, -1] — index -1
+        # would then crash element_at. (Catalyst happens to push a
+        # post-select filter below the Generate, but correctness must
+        # not depend on an optimizer rule.)
+        pairs = vocab.filter(F.size("symbols") >= 2).select(
             "cnt",
             F.explode(
                 F.transform(
@@ -100,7 +105,7 @@ def train_bpe(
                     ),
                 )
             ).alias("p"),
-        ).filter(F.size("symbols") >= 2)
+        )
         best = (
             pairs.groupBy("p")
             .agg(F.sum("cnt").alias("total"))

@@ -1337,7 +1337,11 @@ def boilerplate_score(
     fingerprint are absent. Emits
     ``(id, n_fingerprints, n_shared, boilerplate_frac)``; integer ratio,
     engine-exact."""
-    occ = _winnow_occurrences(df, text_col, id_col, shingle_n, window)
+    # persist: the hot aggregate and the flagged join both consume the
+    # occurrence frame — without the cache the full winnowing pipeline
+    # (posexplode + hashing + per-doc window) runs twice. Released once
+    # the per-doc (skinny) result materializes.
+    occ = _winnow_occurrences(df, text_col, id_col, shingle_n, window).persist()
     hot = (
         occ.select(id_col, "fingerprint")
         .distinct()
@@ -1349,8 +1353,10 @@ def boilerplate_score(
     shared = F.sum(
         F.when(F.col("n_docs").isNotNull(), 1).otherwise(0)
     )
-    return flagged.groupBy(id_col).agg(
+    out = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         shared.cast("long").alias("n_shared"),
         F.round(shared / F.count(F.lit(1)), 4).alias("boilerplate_frac"),
-    )
+    ).localCheckpoint(eager=True)
+    occ.unpersist()
+    return out

@@ -233,9 +233,14 @@ def hard_negatives(
     Same plan as :func:`cosine_topk` — broadcast queries against the
     corpus — with the label-mismatch predicate INSIDE the join, so
     same-label pairs are dropped before the ranking window ever sees
-    them. ``queries`` defaults to the corpus itself (mine negatives for
-    every vector). Emits (query_id, neighbor_id, neighbor_label,
-    cosine_r, rank)."""
+    them. ``queries`` defaults to the corpus itself ("mine negatives
+    for every vector"): that default is the SMALL-corpus brute-force
+    mode and is NOT broadcast-hinted (shipping the whole corpus to
+    every executor as a broadcast relation would OOM) — an O(N²)
+    scored pass appropriate for eval-set-sized embedding tables. At
+    corpus scale pass a bounded query batch, or block first (assign
+    IVF cells and mine within cells, the semantic_dedup layout). Emits
+    (query_id, neighbor_id, neighbor_label, cosine_r, rank)."""
     q_src = queries if queries is not None else emb
     q = q_src.select(
         F.col(id_col).alias("query_id"),
@@ -247,8 +252,11 @@ def hard_negatives(
         _as_double(F.col(vec_col)).alias("cv"),
         F.col(label_col).alias("neighbor_label"),
     ).withColumn("cn", _norm(F.col("cv")))
+    # broadcast only an EXPLICIT (small-by-contract) query set; the
+    # all-vectors default must not ship the corpus as a broadcast side
+    q_side = F.broadcast(q) if queries is not None else q
     sim = (
-        F.broadcast(q)
+        q_side
         .join(
             c,
             (F.col("query_id") != F.col("neighbor_id"))

@@ -1087,10 +1087,15 @@ def zipf_slope(
     )
     from pyspark.sql import Window
 
+    # top-n FIRST via orderBy+limit (TakeOrderedAndProject — distributed
+    # per-partition heads, no stage sees more than partitions×n rows);
+    # the ranking window then runs over ≤ top_n survivors. A global
+    # row_number window over the raw vocabulary would funnel hundreds of
+    # millions of types through one task.
+    top = counts.orderBy(F.col("cnt").desc(), F.col("w")).limit(top_n)
     win = Window.orderBy(F.col("cnt").desc(), F.col("w"))
     ranked = (
-        counts.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(win))
         .select(
             F.log(F.col("rank").cast("double")).alias("x"),
             F.log(F.col("cnt").cast("double")).alias("y"),
@@ -1184,6 +1189,11 @@ def ks_drift(
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
     )
+    # persist: the cumulative branch and the totals branch both consume
+    # `merged`, and without the cache each re-runs both sides' corpus
+    # count aggregations; the frame is distinct-value-sized. Released
+    # after the (1-row) result materializes.
+    merged = merged.persist()
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = merged.select(
         F.sum("ca").over(w).alias("cum_a"),
@@ -1192,7 +1202,7 @@ def ks_drift(
     totals = merged.agg(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
-    return (
+    out = (
         cum.crossJoin(F.broadcast(totals))
         .agg(
             F.round(
@@ -1207,7 +1217,9 @@ def ks_drift(
             F.first("n_a").alias("n_a"),
             F.first("n_b").alias("n_b"),
         )
-    )
+    ).localCheckpoint(eager=True)
+    merged.unpersist()
+    return out
 
 
 def robust_zscore(
@@ -1268,7 +1280,12 @@ def chi2_independence(
     ra = cells.groupBy(col_a).agg(F.sum("o").alias("ra"))
     rb = cells.groupBy(col_b).agg(F.sum("o").alias("rb"))
     n = cells.agg(F.sum("o").alias("n"))
-    e = F.col("ra") * F.col("rb") / F.col("n")
+    # all-double BEFORE the multiply: ra*rb in LONG wraps past ~3e9 rows
+    e = (
+        F.col("ra").cast("double")
+        * F.col("rb").cast("double")
+        / F.col("n").cast("double")
+    )
     term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).cast(
         "decimal(28,6)"
     )

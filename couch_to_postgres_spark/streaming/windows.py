@@ -270,7 +270,12 @@ def fano_burstiness(
     count aggregation."""
     from couch_to_postgres_spark.session import ts_micros
 
-    hour = (ts_micros(events, ts_col) / F.lit(3_600_000_000)).cast("long")
+    # exact integer FLOOR division (t - pmod(t, L)) / L: a double
+    # divide + cast truncates toward zero, which disagrees with the
+    # oracle's floor (//) for pre-1970 (negative-epoch) timestamps
+    t = ts_micros(events, ts_col)
+    L = 3_600_000_000
+    hour = ((t - F.pmod(t, F.lit(L))) / F.lit(L)).cast("long")
     with_h = events.select(F.col(type_col), hour.alias("h"))
     counts = with_h.groupBy(type_col, "h").agg(F.count(F.lit(1)).alias("c"))
     bounds = with_h.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
@@ -290,9 +295,13 @@ def fano_burstiness(
         F.sum("c").alias("sc"),
         F.sum(F.col("c") * F.col("c")).alias("scc"),
     )
-    fano = (
-        F.col("n_hours") * F.col("scc") - F.col("sc") * F.col("sc")
-    ) / (F.col("n_hours") * F.col("sc"))
+    # all-double before multiplying: H*scc and sc*sc in LONG wrap once
+    # per-type event counts pass ~3e9 (the sums themselves stay exact
+    # integers; only the final products go through double)
+    h_d = F.col("n_hours").cast("double")
+    sc_d = F.col("sc").cast("double")
+    scc_d = F.col("scc").cast("double")
+    fano = (h_d * scc_d - sc_d * sc_d) / (h_d * sc_d)
     return agg.select(
         type_col,
         "n_hours",

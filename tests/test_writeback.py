@@ -126,14 +126,25 @@ class RecordingCouch:
                             if page is None:
                                 outer.data_event.wait(0.02)
                                 continue
+                            wrote_error = False
                             for ch in page.get("results", []):
                                 self.wfile.write(
                                     (json.dumps(ch) + "\n").encode()
                                 )
-                                sq = ch.get("seq", last_seq)
-                                last_seq = max(last_seq, int(sq))
+                                if "error" in ch and "id" not in ch:
+                                    wrote_error = True
+                                else:
+                                    sq = ch.get("seq", last_seq)
+                                    last_seq = max(last_seq, int(sq))
                                 sent += 1
                             self.wfile.flush()
+                            if wrote_error:
+                                # a real CouchDB error line TERMINATES the
+                                # continuous feed (no last_seq follows) —
+                                # and closing here also stops this handler
+                                # from stealing pages meant for the
+                                # client's retry connection
+                                return
                             deadline = _time.time() + timeout_ms / 1000.0
                         self.wfile.write(
                             (json.dumps({"last_seq": last_seq}) + "\n").encode()
