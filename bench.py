@@ -450,7 +450,35 @@ def main() -> None:
         else None,
     }
     shutil.rmtree(tmp, ignore_errors=True)
-    print(json.dumps(out))
+
+    # Artifact robustness (VERDICT r03 #1): BENCH_r03.json came back
+    # "parsed": null because the final JSON line raced the Spark JVM's
+    # async executor shutdown (RejectedExecutionException stack traces on
+    # stderr interleaving with — or, in the driver's capture, burying —
+    # the one stdout line that matters).  Order of operations now:
+    #   1. stop any live streaming queries (none should survive the timed
+    #      section, but be defensive),
+    #   2. spark.stop() and WAIT for it, so no executor-shutdown noise can
+    #      be emitted after this point,
+    #   3. persist the JSON to bench_out.json next to this script — a file
+    #      can never lose a stdout race,
+    #   4. print the JSON as the absolute last stdout line.
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    spark.stop()
+    payload = json.dumps(out)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass  # file copy is belt-and-braces; stdout remains the contract
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":
