@@ -437,14 +437,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_dedup_exact(spark, sf_dir):
         return X_dedup.exact_dedup_groups(_docs(spark, sf_dir))
 
+    # Every oracle-checked LSH entry below pins star_threshold=None: the
+    # DuckDB oracles enumerate exact all-pairs per bucket, so the impl must
+    # run the same expression (the production star-expansion cap for hot
+    # buckets stays the library default and is pinned by its own pytest).
     def x_dedup_minhash(spark, sf_dir):
-        return X_dedup.minhash_candidate_pairs(_docs(spark, sf_dir), num_bands=4)
+        return X_dedup.minhash_candidate_pairs(
+            _docs(spark, sf_dir), num_bands=4, star_threshold=None
+        )
 
     def x_dedup_minhash_banded(spark, sf_dir):
         # b=4 bands × r=2 rows: per-band collision needs both min-hashes to
         # agree (precision knob engaged)
         return X_dedup.minhash_candidate_pairs(
-            _docs(spark, sf_dir), num_bands=4, rows_per_band=2
+            _docs(spark, sf_dir), num_bands=4, rows_per_band=2,
+            star_threshold=None,
         )
 
     def x_dedup_minhash_km(spark, sf_dir):
@@ -453,12 +460,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # b=4 × r=2 operating point
         return X_dedup.minhash_candidate_pairs(
             _docs(spark, sf_dir), num_bands=4, rows_per_band=2,
-            hash_family="km",
+            hash_family="km", star_threshold=None,
         )
 
     def x_dedup_jaccard(spark, sf_dir):
         d = _docs(spark, sf_dir)
-        pairs = X_dedup.minhash_candidate_pairs(d, num_bands=4)
+        pairs = X_dedup.minhash_candidate_pairs(d, num_bands=4, star_threshold=None)
         j = X_dedup.ngram_jaccard(d, pairs)
         return j.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -466,7 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # character-level verify stage: Levenshtein over LSH candidates
         # (rounded similarity; dist is exact in both engines)
         d = _docs(spark, sf_dir)
-        pairs = X_dedup.minhash_candidate_pairs(d, num_bands=4)
+        pairs = X_dedup.minhash_candidate_pairs(d, num_bands=4, star_threshold=None)
         v = X_dedup.edit_distance_verify(d, pairs)
         return v.select(
             "id_a", "id_b", "edit_dist", F.round("edit_sim", 4).alias("edit_sim")
@@ -484,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jaccard_threshold=0.6,
             num_bands=4,
             self_dedup=False,
+            star_threshold=None,
         )
         return clean.select("doc_id")
 
@@ -588,7 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full pipeline: LSH candidates → exact-jaccard verify →
         # connected-component clustering → keep min-id representative
         deduped = X_dedup.near_dedup(
-            _docs(spark, sf_dir), jaccard_threshold=0.6, num_bands=4
+            _docs(spark, sf_dir), jaccard_threshold=0.6, num_bands=4,
+            star_threshold=None,
         )
         return deduped.select("doc_id")
 
@@ -2227,7 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality stand-in; ties -> min id) — what a corpus build keeps
         deduped = X_dedup.near_dedup(
             _docs(spark, sf_dir), jaccard_threshold=0.6, num_bands=4,
-            keep_score_col="n_chars",
+            keep_score_col="n_chars", star_threshold=None,
         )
         return deduped.select("doc_id")
 
@@ -2448,7 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # jaccard against a long article but containment ~1 on the
         # short side)
         d = _docs(spark, sf_dir)
-        pairs = X_dedup.minhash_candidate_pairs(d, num_bands=4)
+        pairs = X_dedup.minhash_candidate_pairs(d, num_bands=4, star_threshold=None)
         return X_dedup.ngram_containment(d, pairs)
 
     def x_boilerplate(spark, sf_dir):
@@ -3967,9 +3976,10 @@ def oracle_sql() -> dict[str, str]:
             WITH {_WORDS},
             {_CDC_CHUNKS}
             SELECT chunk_md5,
-                   count(*) AS n_docs,
+                   count(DISTINCT doc_id) AS n_docs,
                    min(n_chunk_words) AS n_chunk_words
-            FROM chunks GROUP BY chunk_md5 HAVING count(*) >= 2
+            FROM chunks GROUP BY chunk_md5
+            HAVING count(DISTINCT doc_id) >= 2
         """,
         "x_entropy": f"""
             WITH {_WORDS},

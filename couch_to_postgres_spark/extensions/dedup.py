@@ -981,10 +981,17 @@ def cross_near_dedup(
     if star_threshold is not None:
         # Same hot-bucket bound as minhash_candidate_pairs, cross form: an
         # over-threshold EXISTING-side bucket (boilerplate cluster in the
-        # corpus) collapses to its min-id representative — a new doc only
-        # needs to verify against ONE existing near-dup to be dropped, so
-        # per-bucket cross output is m_new × threshold, never
-        # m_new × m_old. The new side is never capped: every new doc
+        # corpus) collapses to its min-id representative, so per-bucket
+        # cross output is m_new × threshold, never m_new × m_old. The
+        # trade-off, stated honestly (same as minhash_candidate_pairs): a
+        # new doc that is a near-dup of SOME member of a capped bucket but
+        # fails Jaccard verification against the bucket's rep escapes
+        # dedup. That is rare — an over-threshold bucket means its members
+        # share minhash values, i.e. are mutually near-identical, so
+        # verifying against the rep is a good proxy for verifying against
+        # any member — but it is a proxy, not a guarantee; raise the
+        # threshold (or pass None) when completeness matters more than the
+        # quadratic bound. The new side is never capped: every new doc
         # needs its own keep/drop decision.
         old_sigs = _cap_hot_buckets(old_sigs, id_col, star_threshold)
     cand = (

@@ -210,7 +210,11 @@ def weighted_sample_topn(
     u = (F.conv(hexpfx, 16, 10).cast("double") + F.lit(1.0)) / F.lit(
         float(1 << 32)
     )
-    key = F.round(F.log(u) / w.cast("double"), 6)
+    # + 0.0 collapses -0.0 (large weights round the key to -0.0; Spark
+    # sorts -0.0 below 0.0 while DuckDB treats them equal) — the repo's
+    # standard -0.0 normalization for engine-stable sort keys (same as
+    # robust_zscore / assign_cells_hof).
+    key = F.round(F.log(u) / w.cast("double"), 6) + F.lit(0.0)
     return (
         df.filter(w.cast("double") > 0)
         .withColumn("_ws_key", key)

@@ -1026,10 +1026,14 @@ def shared_cdc_chunks(
     every shared segment longer than a couple of chunks is surfaced in
     full). The aggregation shuffles one skinny row per (doc, chunk)."""
     chunks = cdc_chunk_documents(df, text_col, id_col, avg_words, ngram)
+    # n_docs must be DISTINCT carriers: a chunk repeated twice inside one
+    # document yields two (doc, chunk_id) rows with the same chunk_md5 and
+    # would otherwise satisfy min_docs=2 without being cross-document
+    # (same distinct-before-count discipline as boilerplate_score).
     return (
         chunks.groupBy("chunk_md5")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
             F.min("n_chunk_words").alias("n_chunk_words"),
         )
         .filter(F.col("n_docs") >= min_docs)

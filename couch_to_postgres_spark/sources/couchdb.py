@@ -171,6 +171,13 @@ def urllib_stream_transport(timeout: float = 40.0) -> StreamTransport:
                 return e.code, iter([e.read()])
 
         def _chunks():
+            # The `with resp` closes the socket when the generator is
+            # exhausted OR closed — callers that break out early (e.g. the
+            # continuous reader's `limit` path) must call .close() on this
+            # generator (generator .close() raises GeneratorExit inside the
+            # with-block, releasing the socket deterministically instead of
+            # waiting for GC — refcounting happens to save CPython, but not
+            # other runtimes or long-lived references).
             with resp:
                 while True:
                     chunk = resp.read1(65536)
@@ -370,54 +377,65 @@ def continuous_changes_to_rows(
                 ):
                     raise CouchMissingDatabaseError(status, path, error, reason)
                 raise CouchError(status, path, error, reason)
-            for line in _iter_lines(chunks):
-                if not line.strip():
-                    continue  # heartbeat newline
-                obj = json.loads(line)
-                if "last_seq" in obj and "id" not in obj:
-                    ls = obj["last_seq"]
-                    last = int(ls) if not isinstance(ls, int) else ls
-                    break
-                if "error" in obj and "id" not in obj:
-                    # mid-stream error object (e.g. the db was deleted
-                    # while the feed was open). Classify like HTTP-level
-                    # errors: a vanished db is a hard config error; other
-                    # errors surface as CouchError — caught below, where
-                    # accumulated rows are still returned first via the
-                    # partial-return path on the NEXT connection.
-                    path = f"/{database}/_changes"
-                    if obj.get("reason") == "no_db_file" or (
-                        obj.get("error") == "not_found"
-                        and obj.get("reason")
-                        and "exist" in obj["reason"]
-                    ):
-                        raise CouchMissingDatabaseError(
-                            404, path, obj.get("error"), obj.get("reason")
+            # try/finally releases the streaming socket DETERMINISTICALLY on
+            # every early exit (limit break, last_seq break, mid-stream
+            # error raise/return): generator .close() triggers the
+            # transport's `with resp` teardown; without it the socket
+            # lingers until GC (fine on CPython refcounting, a connection
+            # leak under other runtimes or long-lived references).
+            try:
+                for line in _iter_lines(chunks):
+                    if not line.strip():
+                        continue  # heartbeat newline
+                    obj = json.loads(line)
+                    if "last_seq" in obj and "id" not in obj:
+                        ls = obj["last_seq"]
+                        last = int(ls) if not isinstance(ls, int) else ls
+                        break
+                    if "error" in obj and "id" not in obj:
+                        # mid-stream error object (e.g. the db was deleted
+                        # while the feed was open). Classify like HTTP-level
+                        # errors: a vanished db is a hard config error; other
+                        # errors surface as CouchError — caught below, where
+                        # accumulated rows are still returned first via the
+                        # partial-return path on the NEXT connection.
+                        path = f"/{database}/_changes"
+                        if obj.get("reason") == "no_db_file" or (
+                            obj.get("error") == "not_found"
+                            and obj.get("reason")
+                            and "exist" in obj["reason"]
+                        ):
+                            raise CouchMissingDatabaseError(
+                                404, path, obj.get("error"), obj.get("reason")
+                            )
+                        if rows:
+                            return rows, last
+                        raise CouchError(
+                            500, path, obj.get("error"), obj.get("reason")
                         )
-                    if rows:
-                        return rows, last
-                    raise CouchError(
-                        500, path, obj.get("error"), obj.get("reason")
+                    if "id" not in obj or obj.get("seq") is None:
+                        continue  # unknown frame type: tolerate, don't crash
+                    seq = obj.get("seq")
+                    seq = int(seq) if not isinstance(seq, int) else seq
+                    doc = obj.get("doc")
+                    rows.append(
+                        (
+                            seq,
+                            obj["id"],
+                            bool(obj.get("deleted", False)),
+                            json.dumps(doc, separators=(",", ":"))
+                            if doc is not None
+                            else None,
+                        )
                     )
-                if "id" not in obj or obj.get("seq") is None:
-                    continue  # unknown frame type: tolerate, don't crash
-                seq = obj.get("seq")
-                seq = int(seq) if not isinstance(seq, int) else seq
-                doc = obj.get("doc")
-                rows.append(
-                    (
-                        seq,
-                        obj["id"],
-                        bool(obj.get("deleted", False)),
-                        json.dumps(doc, separators=(",", ":"))
-                        if doc is not None
-                        else None,
-                    )
-                )
-                last = max(last, seq)
-                if len(rows) >= limit:
-                    break
-            return rows, last
+                    last = max(last, seq)
+                    if len(rows) >= limit:
+                        break
+                return rows, last
+            finally:
+                close = getattr(chunks, "close", None)
+                if close is not None:
+                    close()
         except CouchMissingDatabaseError:
             raise
         except CouchError:

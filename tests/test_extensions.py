@@ -1730,6 +1730,29 @@ def test_cdc_chunking_is_insertion_robust(spark):
     assert all(r["n_docs"] == 2 for r in rep)
 
 
+def test_shared_cdc_chunks_counts_distinct_carrier_docs(spark):
+    # a chunk repeated TWICE inside one document is not cross-document
+    # shared content: n_docs counts DISTINCT carriers, so min_docs=2
+    # requires two different documents (ADVICE r03: count(*) over
+    # (doc, chunk_id) rows double-counted intra-doc repeats)
+    body = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, body + " " + body),   # same content twice within doc 1
+            (2, "totally different words " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    rep = T.shared_cdc_chunks(df, min_docs=2).collect()
+    assert rep == [], "intra-doc repeated chunks must not count as shared"
+    # but the same chunk in TWO docs still reports n_docs=2
+    df2 = spark.createDataFrame(
+        [(1, body), (2, body)], "doc_id long, text string"
+    )
+    rep2 = T.shared_cdc_chunks(df2, min_docs=2).collect()
+    assert rep2 and all(r["n_docs"] == 2 for r in rep2)
+
+
 def test_cdc_chunks_partition_text_exactly(spark):
     # chunks are a PARTITION of the word sequence: word counts sum back
     df = spark.createDataFrame(

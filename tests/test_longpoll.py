@@ -270,6 +270,39 @@ def test_continuous_idle_feed_closes_at_inactivity_window(couch):
     assert elapsed >= 0.25  # genuinely held for the window
 
 
+def test_continuous_early_break_closes_stream_socket(couch):
+    """Breaking out on the `limit` path must close the chunk generator
+    deterministically (finally-close), not wait for GC — on non-refcounting
+    runtimes an un-closed generator keeps the HTTP socket open."""
+    from couch_to_postgres_spark.sources.couchdb import (
+        continuous_changes_to_rows,
+    )
+
+    closed = {"flag": False}
+
+    def stream_transport(method, url, body, headers):
+        def _chunks():
+            try:
+                yield (
+                    b'{"seq": 1, "id": "d1", "doc": {"_id": "d1"}}\n'
+                    b'{"seq": 2, "id": "d2", "doc": {"_id": "d2"}}\n'
+                )
+                # an infinite tail: only an explicit .close() ends this
+                while True:
+                    yield b""
+            finally:
+                closed["flag"] = True
+
+        return 200, _chunks()
+
+    client = CouchClient(couch.url)
+    rows, last = continuous_changes_to_rows(
+        client, "db", since=0, limit=1, stream_transport=stream_transport
+    )
+    assert [r[:2] for r in rows] == [(1, "d1")] and last == 1
+    assert closed["flag"], "early limit break left the stream generator open"
+
+
 def test_continuous_reconnects_with_backoff_before_data(couch):
     from couch_to_postgres_spark.sources.couchdb import (
         continuous_changes_to_rows,
