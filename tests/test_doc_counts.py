@@ -17,3 +17,38 @@ def test_doc_query_counts_in_sync():
         f"doc counts drifted from __spark_entry__ "
         f"(run tools/update_counts.py): {proc.stdout} {proc.stderr}"
     )
+
+
+def test_driver_prefix_integrity():
+    """The driver writes CORRECTNESS rows for the first ~50 insertion-order
+    keys of queries(). Guard the hand-maintained ordering (it bit once in
+    round 3, commit 85fb1e9): every prefix key must be fully value-oracled,
+    and no dict key may be defined twice in the source (a duplicate key is
+    a silent clobber — the later definition wins and one query vanishes)."""
+    import re
+
+    import __spark_entry__ as entrymod
+    from tests.test_oracle_parity import NO_ORACLE
+
+    q = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    keys = list(q)
+    prefix = keys[:50]
+    missing = [k for k in prefix if k not in oracles]
+    assert not missing, f"driver-prefix keys without value oracle: {missing}"
+    assert not (set(prefix) & NO_ORACLE), "rows-only key leaked into prefix"
+
+    # duplicate-key scan over the SOURCE of both dict literals (the dict
+    # object can't show clobbers; the text can)
+    src = open("/root/repo/__spark_entry__.py").read()
+    for anchor in ('"e26_sessionize_skew_safe": e26', '"b05_flagship": """'):
+        assert src.count(anchor) >= 1
+    entry_keys = re.findall(r'^        "([A-Za-z0-9_]+)": [A-Za-z0-9_]+,$', src, re.M)
+    dup_entries = sorted({k for k in entry_keys if entry_keys.count(k) > 1})
+    assert not dup_entries, f"duplicate queries() dict keys: {dup_entries}"
+    oracle_keys = re.findall(r'^        "([A-Za-z0-9_]+)": f?"""', src, re.M)
+    dup_oracles = sorted({k for k in oracle_keys if oracle_keys.count(k) > 1})
+    assert not dup_oracles, f"duplicate oracle_sql() dict keys: {dup_oracles}"
+    # and the two dicts cover each other exactly (modulo declared rows-only)
+    assert set(keys) - set(oracles) == NO_ORACLE
+    assert set(oracles) <= set(keys), "orphan oracle entries"
