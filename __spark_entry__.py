@@ -2301,6 +2301,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return bm25_topk_batch(_docs(spark, sf_dir), qtab, k=10)
 
+    def x_bm25_incremental(spark, sf_dir):
+        # BM25 answered from the STREAMING-MAINTAINED index (append-only
+        # doclen/postings/tombstones, seq-wins liveness — the CDC mirror's
+        # rev discipline re-expressed over files): two insert batches, an
+        # update batch (+' spark merge window' on doc_id%10==3), a delete
+        # batch (doc_id%10==7). The corpus text is never re-read at query
+        # time; result must equal a fresh BM25 over the final corpus state
+        # (the oracle). Plan shape: streaming/search_stream.py docstring.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.search_stream import (
+            bm25_topk_from_index,
+            search_index_batch,
+        )
+
+        base = _docs(spark, sf_dir).select("doc_id", "text")
+        work = tempfile.mkdtemp(prefix="bm25_idx_")
+        try:
+            b1 = base.filter(F.col("doc_id") < 250).select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            )
+            b2 = base.filter(F.col("doc_id") >= 250).select(
+                (F.col("doc_id") + 1000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            )
+            upd = base.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"),
+                F.concat(
+                    F.col("text"), F.lit(" spark merge window")
+                ).alias("text"),
+            )
+            dele = base.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("string").alias("text"),
+            )
+            for b in (b1, b2, upd.unionByName(dele)):
+                search_index_batch(spark, work, b)
+            qtab = spark.createDataFrame(
+                [(1, "spark"), (1, "window"), (2, "merge"), (2, "rows")],
+                "query_id int, term string",
+            )
+            # result is eagerly materialized (localCheckpoint) before the
+            # temp index is removed
+            return bm25_topk_from_index(spark, work, qtab, k=15)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
 
     def x_hard_negatives(spark, sf_dir):
         # contrastive-training support: per query vector, the most
@@ -2563,6 +2614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
         "x_frames": x_frames,
+        # --- round-4 additions (driver-unchecked, fully oracled) ---
+        "x_bm25_incremental": x_bm25_incremental,
         # --- already driver-checked in CORRECTNESS_r01 ∪ r02 ∪ r03
         # (150 keys, 149 value-green): harmless to re-check if the
         # 50-slot prefix spills into them ---
@@ -4146,6 +4199,69 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+        """,
+        "x_bm25_incremental": """
+            WITH final AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 3
+                            THEN text || ' spark merge window'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 7
+            ),
+            words AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM final
+            ),
+            qterms(query_id, token) AS (
+                VALUES (1, 'spark'), (1, 'window'),
+                       (2, 'merge'), (2, 'rows')
+            ),
+            doclen AS (
+                SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM words
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                FROM doclen
+            ),
+            tok AS (
+                SELECT doc_id, w.word AS token
+                FROM words, UNNEST(ws) AS w(word)
+                WHERE w.word IN (SELECT DISTINCT token FROM qterms)
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok GROUP BY doc_id, token
+            ),
+            dft AS (
+                SELECT token, CAST(count(*) AS DOUBLE) AS dft
+                FROM tf GROUP BY token
+            ),
+            contrib AS (
+                SELECT q.query_id, t.doc_id,
+                       CAST(round(
+                           ln((s.n - d.dft + 0.5) / (d.dft + 0.5) + 1.0)
+                           * (t.tf * 2.2
+                              / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))),
+                           6) AS DECIMAL(18,6)) AS c
+                FROM tf t
+                JOIN dft d USING (token)
+                JOIN doclen l USING (doc_id)
+                JOIN qterms q ON q.token = t.token
+                CROSS JOIN stats s
+            ),
+            scored AS (
+                SELECT query_id, doc_id,
+                       CAST(round(sum(c), 4) AS DOUBLE) AS score
+                FROM contrib GROUP BY query_id, doc_id
+            ),
+            ranked AS (
+                SELECT query_id, doc_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 15
         """,
         "x_hard_negatives": """
             WITH vecs AS (

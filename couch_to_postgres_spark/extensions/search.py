@@ -128,6 +128,41 @@ def bm25_topk_batch(
         dft = dft.crossJoin(F.broadcast(stats)).filter(
             F.col("dft") <= F.lit(max_df_frac) * F.col("n")
         ).select("token", "dft")
+    out = bm25_rank_components(
+        tf, doclen, stats, dft, queries,
+        k=k, k1=k1, b=b, id_col=id_col,
+        query_id_col=query_id_col, term_col=term_col,
+    )
+    doclen.unpersist()
+    tf.unpersist()
+    return out
+
+
+def bm25_rank_components(
+    tf: DataFrame,
+    doclen: DataFrame,
+    stats: DataFrame,
+    dft: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """The BM25 scoring + ranking stage over pre-computed components —
+    shared by the fresh-build path (:func:`bm25_topk_batch`) and the
+    incrementally-maintained index path
+    (:mod:`couch_to_postgres_spark.streaming.search_stream`), so the two
+    can never drift numerically.
+
+    Inputs: ``tf`` (id, token, tf) restricted to query-term hits,
+    ``doclen`` (id, dl) for ALL live docs, ``stats`` a 1-row (n, avgdl)
+    frame, ``dft`` (token, dft), ``queries`` (query_id, term). Emits
+    ``(query_id, id, score, rank)`` with decimal-summed contributions
+    and rounded-score ranking (engine- and partitioning-stable), eagerly
+    materialized so callers can release upstream caches immediately."""
     idf = F.log(
         (F.col("n") - F.col("dft") + F.lit(0.5))
         / (F.col("dft") + F.lit(0.5))
@@ -157,7 +192,7 @@ def bm25_topk_batch(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col)
     )
-    out = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -168,6 +203,3 @@ def bm25_topk_batch(
         # instead of leaking across calls
         .localCheckpoint(eager=True)
     )
-    doclen.unpersist()
-    tf.unpersist()
-    return out

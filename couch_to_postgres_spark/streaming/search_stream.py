@@ -1,0 +1,316 @@
+"""Streaming-incremental BM25: keep a ranked-retrieval index maintained
+under the CDC change feed instead of re-tokenizing the corpus per query.
+
+The batch search stack (:mod:`couch_to_postgres_spark.extensions.search`)
+rebuilds doc lengths, term frequencies, and df(t) from the corpus on every
+call — correct, but a live pipeline ingesting a change feed (reference
+lib/index.js follow loop) should pay tokenization once per CHANGED doc,
+not once per query over 100 TB. This module maintains the searchable
+state append-only (the `streaming/dedup_stream.py` index pattern) and
+answers BM25 top-k from the state alone.
+
+State (all plain parquet, append-only — no rewrite of accumulated state):
+
+* ``<index>/doclen``   — (doc_id, dl, seq): one row per ingested doc
+  VERSION (seq = the change's sequence number);
+* ``<index>/postings`` — (doc_id, token, tf, seq): per-version term
+  frequencies — the inverted-index rows;
+* ``<index>/tombstones`` — (doc_id, seq): delete markers.
+
+Liveness rule (evaluated at query time, no state rewrite): a doc's live
+version is its max-seq doclen row, unless a tombstone with a higher seq
+exists — updates simply append the new version (higher seq supersedes),
+deletes append a tombstone. This is exactly the rev-wins merge discipline
+of the CDC mirror (operators/cdc.py), re-expressed over append-only files.
+
+Plan shape at 100 TB:
+
+* ingest cost is O(changed docs): tokenize + one skinny append per batch
+  — the corpus is never rescanned;
+* query-time liveness is ONE partial-aggregated groupBy over the skinny
+  doclen/tombstone files (bytes per doc-version, not corpus bytes);
+* the postings scan is filtered to the query terms BEFORE any shuffle —
+  with the postings files bucketed/partitioned by token (see
+  ``compact_index``), that scan prunes to the buckets holding the query
+  terms, and everything downstream is query-hit-proportional;
+* scoring reuses :func:`extensions.search.bm25_rank_components`, so the
+  index path and the fresh-build path cannot drift numerically — the
+  equivalence is pinned by tests and by the ``x_bm25_incremental``
+  cross-engine oracle.
+
+At-least-once safety: a replayed micro-batch re-appends byte-identical
+(doc, token, tf, seq) and (doc, dl, seq) rows; liveness takes max/max_by
+over seq (duplicate-insensitive) and the query path applies
+``dropDuplicates`` on the pruned, query-hit-proportional slice — so
+replays change nothing (same idempotence argument as the CDC merge).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from couch_to_postgres_spark.extensions.search import bm25_rank_components
+from couch_to_postgres_spark.extensions.text import _words
+
+
+@dataclass
+class SearchIndexBatchStats:
+    arrived: int
+    upserts: int
+    deletes: int
+    postings_rows: int
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _paths(index_path: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(index_path, "doclen"),
+        os.path.join(index_path, "postings"),
+        os.path.join(index_path, "tombstones"),
+    )
+
+
+def search_index_batch(
+    spark: SparkSession,
+    index_path: str,
+    changes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+    deleted_col: str = "deleted",
+) -> SearchIndexBatchStats:
+    """Apply one micro-batch of changes to the search index.
+
+    ``changes`` rows are (seq, id, deleted, text) — inserts and updates
+    carry the new text, deletes carry ``deleted=true`` (text ignored).
+    Multiple changes to one doc within a batch collapse to the max-seq
+    one (same last-write-wins discipline as ``operators.cdc``). Cost is
+    O(changed docs): tokenize the batch, append three skinny files."""
+    doclen_path, postings_path, tomb_path = _paths(index_path)
+
+    latest = (
+        changes.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col(seq_col).alias("seq"),
+                    F.col(deleted_col).cast("boolean").alias("deleted"),
+                    F.col(text_col).alias("text"),
+                ),
+                F.col(seq_col),
+            ).alias("c")
+        )
+        .select(id_col, "c.seq", "c.deleted", "c.text")
+        .persist()
+    )
+    arrived = changes.count()
+
+    upserts = latest.filter(~F.col("deleted")).persist()
+    n_up = upserts.count()
+
+    words = _words("text")
+    doclen_rows = upserts.select(
+        F.col(id_col),
+        F.size(words).cast("double").alias("dl"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+    postings_rows = (
+        upserts.select(
+            F.col(id_col), F.col("seq"), F.explode(words).alias("token")
+        )
+        .groupBy(id_col, "token", "seq")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .select(id_col, "token", "tf", F.col("seq").cast("long").alias("seq"))
+        .persist()
+    )
+    n_postings = postings_rows.count()
+    doclen_rows.write.mode("append").parquet(doclen_path)
+    postings_rows.write.mode("append").parquet(postings_path)
+
+    deletes = latest.filter(F.col("deleted")).select(
+        F.col(id_col), F.col("seq").cast("long").alias("seq")
+    )
+    n_del = latest.filter(F.col("deleted")).count()
+    if n_del:
+        deletes.write.mode("append").parquet(tomb_path)
+
+    latest.unpersist()
+    upserts.unpersist()
+    postings_rows.unpersist()
+    return SearchIndexBatchStats(
+        arrived=arrived, upserts=n_up, deletes=n_del, postings_rows=n_postings
+    )
+
+
+def live_doclen(
+    spark: SparkSession, index_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, dl, seq) for the LIVE version of every indexed doc: max-seq
+    doclen row per doc, minus docs whose max tombstone seq is higher.
+    One partial-aggregated groupBy over the skinny doclen file + a skinny
+    left join — never touches postings or corpus text. Replay-duplicate
+    rows collapse inside the max/max_by aggregates."""
+    doclen_path, _, tomb_path = _paths(index_path)
+    doclen = _read_or_empty(
+        spark, doclen_path, f"{id_col} long, dl double, seq long"
+    )
+    tomb = _read_or_empty(spark, tomb_path, f"{id_col} long, seq long")
+    latest = doclen.groupBy(id_col).agg(
+        F.max("seq").alias("seq"), F.max_by("dl", "seq").alias("dl")
+    )
+    tomb_max = tomb.groupBy(id_col).agg(F.max("seq").alias("_tomb_seq"))
+    return (
+        latest.join(tomb_max, id_col, "left")
+        .filter(
+            F.col("_tomb_seq").isNull() | (F.col("_tomb_seq") < F.col("seq"))
+        )
+        .select(id_col, "dl", "seq")
+    )
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """BM25 top-k answered from the maintained index — the corpus text is
+    never read. Same (query_id, id, score, rank) contract, same numbers
+    as :func:`extensions.search.bm25_topk_batch` over the equivalent
+    corpus snapshot (shared scoring stage; equivalence pinned by tests
+    and the ``x_bm25_incremental`` oracle)."""
+    _, postings_path, _ = _paths(index_path)
+    terms = sorted(
+        r["token"]
+        for r in queries.select(
+            F.col(term_col).alias("token")
+        ).distinct().collect()
+    )
+    if not terms:
+        raise ValueError("bm25_topk_from_index: queries must be non-empty")
+
+    live = live_doclen(spark, index_path, id_col).persist()
+    stats = live.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = _read_or_empty(
+        spark, postings_path, f"{id_col} long, token string, tf double, seq long"
+    )
+    # token IN (...) reaches the parquet scan as a pushed filter; the
+    # surviving slice is query-hit-proportional. dropDuplicates absorbs
+    # at-least-once replay copies (byte-identical rows) on the small
+    # slice, never corpus-wide.
+    hit = (
+        postings.filter(F.col("token").isin(terms))
+        .dropDuplicates([id_col, "token", "seq"])
+    )
+    # live-version filter: broadcast the small query-hit slice against the
+    # skinny live map — the big side streams, nothing corpus-sized shuffles
+    tf_live = (
+        live.select(id_col, "seq")
+        .join(F.broadcast(hit), on=[id_col, "seq"])
+        .select(id_col, "token", "tf")
+        .persist()
+    )
+    dft = tf_live.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("dft")
+    )
+    out = bm25_rank_components(
+        tf_live, live.select(id_col, "dl"), stats, dft, queries,
+        k=k, k1=k1, b=b, id_col=id_col,
+        query_id_col=query_id_col, term_col=term_col,
+    )
+    live.unpersist()
+    tf_live.unpersist()
+    return out
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    token_buckets: int = 64,
+) -> None:
+    """Rewrite the index keeping only LIVE rows, postings laid out by a
+    token hash bucket (``pmod(hash(token), token_buckets)`` partition
+    directories) so query-term scans prune to the buckets holding the
+    query's terms. Run periodically (the log-structured-merge discipline):
+    the append-only tail stays cheap to write, the compacted base cheap
+    to read; read amplification between compactions is bounded by the
+    update rate, not corpus size."""
+    doclen_path, postings_path, tomb_path = _paths(index_path)
+    live = live_doclen(spark, index_path, id_col).persist()
+    live.count()
+    live.write.mode("overwrite").parquet(os.path.join(out_path, "doclen"))
+    postings = _read_or_empty(
+        spark, postings_path, f"{id_col} long, token string, tf double, seq long"
+    )
+    (
+        postings.join(
+            live.select(id_col, "seq"), on=[id_col, "seq"], how="left_semi"
+        )
+        .dropDuplicates([id_col, "token", "seq"])
+        .withColumn(
+            "token_bucket", F.pmod(F.hash("token"), F.lit(token_buckets))
+        )
+        .write.mode("overwrite")
+        .partitionBy("token_bucket")
+        .parquet(os.path.join(out_path, "postings"))
+    )
+    live.unpersist()
+    # compacted index has no dead versions left, so no tombstones
+
+
+def search_index_stream(
+    spark: SparkSession,
+    changes_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+    deleted_col: str = "deleted",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Attach incremental index maintenance to any streaming DataFrame of
+    changes (readStream frame with seq/id/deleted/text columns) —
+    checkpointed, at-least-once, replay-safe (see module docstring)."""
+
+    def _step(batch: DataFrame, epoch_id: int) -> None:
+        search_index_batch(
+            batch.sparkSession,
+            index_path,
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            seq_col=seq_col,
+            deleted_col=deleted_col,
+        )
+
+    writer = (
+        changes_stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(**trigger)
+    return writer.start()

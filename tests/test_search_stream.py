@@ -1,0 +1,179 @@
+"""Streaming-incremental BM25 index (VERDICT r03 #4): post-batch top-k
+from the maintained index must EQUAL a fresh batch build over the
+equivalent corpus snapshot — across inserts, updates, deletes, replays,
+and compaction."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.search import bm25_topk_batch
+from couch_to_postgres_spark.streaming.search_stream import (
+    bm25_topk_from_index,
+    compact_index,
+    live_doclen,
+    search_index_batch,
+    search_index_stream,
+)
+
+# a tiny corpus with real term overlap so BM25 has something to rank
+DOCS = [
+    (1, "spark merges the window rows before the shuffle"),
+    (2, "window functions rank rows inside a spark partition"),
+    (3, "the merge statement upserts changed rows"),
+    (4, "couch documents replicate through the changes feed"),
+    (5, "spark spark spark tuning guide for the shuffle"),
+    (6, "feed the window with late arriving rows"),
+]
+
+
+def _changes(spark, rows):
+    # (seq, doc_id, deleted, text)
+    return spark.createDataFrame(
+        rows, "seq long, doc_id long, deleted boolean, text string"
+    )
+
+
+def _qtab(spark):
+    return spark.createDataFrame(
+        [(1, "spark"), (1, "window"), (2, "merge"), (2, "rows")],
+        "query_id int, term string",
+    )
+
+
+def _fresh(spark, docs, qtab, k=5):
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    return bm25_topk_batch(corpus, qtab, k=k)
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def index(tmp_path):
+    return str(tmp_path / "search_index")
+
+
+def test_inserts_across_batches_equal_fresh_build(spark, index):
+    search_index_batch(
+        spark, index, _changes(spark, [(s, d, False, t) for s, (d, t) in
+                                       enumerate(DOCS[:3], start=1)])
+    )
+    search_index_batch(
+        spark, index, _changes(spark, [(s, d, False, t) for s, (d, t) in
+                                       enumerate(DOCS[3:], start=4)])
+    )
+    qtab = _qtab(spark)
+    got = bm25_topk_from_index(spark, index, qtab, k=5)
+    want = _fresh(spark, DOCS, qtab, k=5)
+    assert _rows(got) == _rows(want)
+
+
+def test_update_and_delete_supersede(spark, index):
+    search_index_batch(
+        spark, index, _changes(spark, [(s, d, False, t) for s, (d, t) in
+                                       enumerate(DOCS, start=1)])
+    )
+    # update doc 2 (new text — old postings must die), delete doc 5
+    new2 = "merge conflicts resolved by the latest revision"
+    search_index_batch(
+        spark, index,
+        _changes(spark, [(10, 2, False, new2), (11, 5, True, None)]),
+    )
+    qtab = _qtab(spark)
+    got = bm25_topk_from_index(spark, index, qtab, k=6)
+    final_docs = [(d, new2 if d == 2 else t) for d, t in DOCS if d != 5]
+    want = _fresh(spark, final_docs, qtab, k=6)
+    assert _rows(got) == _rows(want)
+    live = {r["doc_id"] for r in live_doclen(spark, index).collect()}
+    assert live == {1, 2, 3, 4, 6}
+
+
+def test_within_batch_last_write_wins(spark, index):
+    # same doc twice in one batch: only the max-seq version survives
+    search_index_batch(
+        spark, index,
+        _changes(spark, [
+            (1, 1, False, "old stale text"),
+            (2, 1, False, "spark window rows"),
+        ]),
+    )
+    qtab = _qtab(spark)
+    got = bm25_topk_from_index(spark, index, qtab, k=3)
+    want = _fresh(spark, [(1, "spark window rows")], qtab, k=3)
+    assert _rows(got) == _rows(want)
+
+
+def test_replay_is_idempotent(spark, index):
+    batch = _changes(
+        spark, [(s, d, False, t) for s, (d, t) in enumerate(DOCS, start=1)]
+    )
+    search_index_batch(spark, index, batch)
+    qtab = _qtab(spark)
+    before = _rows(bm25_topk_from_index(spark, index, qtab, k=6))
+    # at-least-once transport replays the whole batch
+    search_index_batch(spark, index, batch)
+    after = _rows(bm25_topk_from_index(spark, index, qtab, k=6))
+    assert before == after
+
+
+def test_compacted_index_same_results(spark, index, tmp_path):
+    search_index_batch(
+        spark, index, _changes(spark, [(s, d, False, t) for s, (d, t) in
+                                       enumerate(DOCS, start=1)])
+    )
+    search_index_batch(
+        spark, index,
+        _changes(spark, [(10, 2, False, "merge conflicts everywhere"),
+                         (11, 4, True, None)]),
+    )
+    qtab = _qtab(spark)
+    want = _rows(bm25_topk_from_index(spark, index, qtab, k=6))
+    compacted = str(tmp_path / "compacted")
+    compact_index(spark, index, compacted, token_buckets=8)
+    got = _rows(bm25_topk_from_index(spark, compacted, qtab, k=6))
+    assert got == want
+    # compaction dropped the dead rows: postings hold only live versions
+    live = live_doclen(spark, compacted)
+    postings = spark.read.parquet(os.path.join(compacted, "postings"))
+    dead = postings.join(
+        live.select("doc_id", "seq"), on=["doc_id", "seq"], how="left_anti"
+    )
+    assert dead.count() == 0
+
+
+def test_stream_end_to_end(spark, index, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    b1 = _changes(
+        spark, [(s, d, False, t) for s, (d, t) in enumerate(DOCS[:4], start=1)]
+    )
+    b2 = _changes(
+        spark,
+        [(s, d, False, t) for s, (d, t) in enumerate(DOCS[4:], start=5)]
+        + [(20, 3, True, None)],
+    )
+    b1.coalesce(1).write.parquet(str(feed / "f1"))
+    b2.coalesce(1).write.parquet(str(feed / "f2"))
+    now = time.time()
+    for i, d in enumerate(("f1", "f2")):
+        for f in (feed / d).iterdir():
+            os.utime(f, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("seq long, doc_id long, deleted boolean, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "*"))
+    )
+    q = search_index_stream(spark, stream, index, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    qtab = _qtab(spark)
+    got = bm25_topk_from_index(spark, index, qtab, k=6)
+    final_docs = [(d, t) for d, t in DOCS if d != 3]
+    want = _fresh(spark, final_docs, qtab, k=6)
+    assert _rows(got) == _rows(want)
