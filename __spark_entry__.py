@@ -2406,32 +2406,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # novelty curve: per doc, the fraction of its distinct shingles
         # whose FIRST carrier (min doc_id) is the doc itself — how much
         # genuinely-new content each doc contributes in corpus order
-        # (boilerplate-heavy tails show up as a novelty collapse)
-        from couch_to_postgres_spark.extensions.dedup import word_shingles
+        # (boilerplate-heavy tails show up as a novelty collapse).
+        # Round-4 plan fix: the first-carrier map reduces to per-doc
+        # counts BEFORE any join, so the only join is doc-count-sized —
+        # the old form joined the full pair set (SCALING.md has the 10×
+        # ratios)
+        return X_text.novelty_curve(_docs(spark, sf_dir))
 
+    def x_kl_source(spark, sf_dir):
+        # distribution-level drift: per-source unigram KL divergence vs
+        # the corpus mixture — catches a spiking source before any single
+        # feature (the KS test's complement at the word-distribution level)
+        return X_text.kl_by_source(_docs(spark, sf_dir))
+
+    def x_hapax(spark, sf_dir):
+        # vocabulary health: per-source hapax (frequency-1 type) rate —
+        # template floods crush it, random noise pushes it toward 1
+        return X_text.hapax_rate_by_source(_docs(spark, sf_dir))
+
+    def x_cluster_sizes(spark, sf_dir):
+        # dedup diagnostics: the near-dup cluster SIZE HISTOGRAM
+        # (including singletons) — the shape that tells whether
+        # duplication is a few mega-templates (cap hot buckets, dedup
+        # aggressively) or a long tail of pairs (verify stage dominates)
         d = _docs(spark, sf_dir)
-        sh = d.select(
-            F.col("doc_id"),
-            F.explode(word_shingles("text", 3)).alias("sh"),
-        ).distinct()
-        first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-        return (
-            sh.join(first, "sh")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_shingles"),
-                F.sum(
-                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-                ).cast("long").alias("n_novel"),
-                F.round(
-                    F.sum(
-                        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-                    )
-                    / F.count(F.lit(1)),
-                    4,
-                ).alias("novelty_frac"),
+        pairs = X_dedup.minhash_candidate_pairs(
+            d, num_bands=4, star_threshold=None
+        )
+        verified = (
+            X_dedup.ngram_jaccard(d, pairs)
+            .filter(F.col("jaccard") >= 0.6)
+            .select("id_a", "id_b")
+        )
+        clusters = X_dedup.dedup_clusters(verified)
+        sizes = clusters.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        hist = sizes.groupBy("cluster_size").agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters")
+        )
+        singles = (
+            d.select("doc_id")
+            .join(clusters.select("doc_id"), "doc_id", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+            .select(
+                F.lit(1).cast("long").alias("cluster_size"), "n_clusters"
             )
         )
+        return hist.select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+        ).unionByName(singles)
 
 
     def x_gini_sources(spark, sf_dir):
@@ -2616,6 +2641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_frames": x_frames,
         # --- round-4 additions (driver-unchecked, fully oracled) ---
         "x_bm25_incremental": x_bm25_incremental,
+        "x_kl_source": x_kl_source,
+        "x_hapax": x_hapax,
+        "x_cluster_sizes": x_cluster_sizes,
         # --- already driver-checked in CORRECTNESS_r01 ∪ r02 ∪ r03
         # (150 keys, 149 value-green): harmless to re-check if the
         # 50-slot prefix spills into them ---

@@ -1338,3 +1338,141 @@ def gini_concentration(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("x").alias("n_rows"),
     )
+
+
+def novelty_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct shingles
+    whose FIRST carrier (min id) is the doc itself — how much genuinely
+    new content each doc contributes in corpus order (boilerplate-heavy
+    tails show up as a novelty collapse). Emits
+    ``(id, n_shingles, n_novel, novelty_frac)``; docs shorter than one
+    shingle are absent (no shingles to be novel about).
+
+    Shuffle shape, sized for 100 TB: the distinct (doc, shingle) pair set
+    is corpus-token proportional and is shuffled exactly TWICE (the
+    distinct, then the per-shingle min/count aggregate — both
+    partial-aggregated map-side). The first-carrier map is then reduced
+    to per-doc counts BEFORE any join: the only join in the plan is
+    doc-count proportional (two skinny per-doc frames), never a join of
+    the full pair set against the shingle map — at 10× data the pair-set
+    volume grows 10×, the joined frames 10×-of-doc-count, nothing
+    quadratic (ratio measured in SCALING.md)."""
+    from couch_to_postgres_spark.extensions.dedup import word_shingles
+
+    pairs = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    ).distinct()
+    # Two branches over the pair set, NOT persisted: Catalyst removes the
+    # redundant distinct under the per-shingle min (duplicates can't change
+    # a min), so the novel branch shuffles map-side-partial (sh, min) rows
+    # straight off the scan, and the per-doc branch shuffles the distinct
+    # pair set once. The corpus is scanned/tokenized twice — deliberately:
+    # a second columnar scan is cheap at any scale, while caching a
+    # corpus-token-proportional pair set is exactly the thing that spills
+    # at 100 TB (executed plan verified: both branches partial-aggregate
+    # before their exchanges).
+    per_doc = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel_per_doc = (
+        pairs.groupBy("sh")
+        .agg(F.min(id_col).alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+        .withColumnRenamed("first_doc", id_col)
+    )
+    return (
+        per_doc.join(novel_per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles"), 4
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+def kl_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group unigram KL divergence D(p_group ‖ p_corpus) — the
+    distribution-level drift detector that complements the per-feature
+    KS test (``ks_drift``): how far each source's word usage sits from
+    the corpus mixture, in nats. A spiking source (template flood, new
+    crawl seed, encoding bug) moves before any single feature does.
+
+    No smoothing is needed: every group word is by construction in the
+    corpus (the corpus counts are DERIVED from the per-group counts, one
+    aggregation tree, no second corpus pass), so p_corpus(w) > 0 wherever
+    p_group(w) > 0. Per-word terms are rounded to 6 dp and summed as
+    DECIMAL (order-independent — the BM25/entropy discipline). Plan: one
+    (group, word) count shuffle, a word-keyed corpus rollup of THAT
+    aggregate, one word join (both sides partial-aggregated), one final
+    per-group sum. Emits ``(group, n_tokens, kl_div)``."""
+    tok = df.select(
+        F.col(group_col).alias("grp"), F.explode(_words(text_col)).alias("w")
+    )
+    gw = tok.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c_gw"))
+    gtot = gw.groupBy("grp").agg(F.sum("c_gw").alias("n_g"))
+    cw = gw.groupBy("w").agg(F.sum("c_gw").alias("c_w"))
+    ctot = gw.agg(F.sum("c_gw").alias("n_c"))
+    term = F.round(
+        (F.col("c_gw") / F.col("n_g"))
+        * F.log(
+            (F.col("c_gw") / F.col("n_g"))
+            / (F.col("c_w") / F.col("n_c"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        gw.join(cw, "w")
+        .join(gtot, "grp")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("grp")
+        .agg(
+            F.sum("c_gw").cast("long").alias("n_tokens"),
+            F.round(F.sum(term), 4).cast("double").alias("kl_div"),
+        )
+        .select(F.col("grp").alias(group_col), "n_tokens", "kl_div")
+    )
+
+
+def hapax_rate_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group hapax legomena rate: the fraction of the group's
+    vocabulary occurring exactly once in it — the vocabulary-health axis
+    between entropy (usage balance) and Zipf slope (frequency decay).
+    Natural text sits near 0.4–0.6; template floods crush it, random
+    noise pushes it toward 1. One (group, word) count shuffle + one
+    per-group rollup, both partial-aggregated. Emits
+    ``(group, n_types, n_hapax, hapax_rate)``."""
+    tok = df.select(
+        F.col(group_col).alias("grp"), F.explode(_words(text_col)).alias("w")
+    )
+    gw = tok.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        gw.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_hapax") / F.col("n_types"), 4).alias("hapax_rate"),
+        )
+    )

@@ -181,6 +181,14 @@ def main() -> None:
             ).count(),
             "q_cdc_chunks": lambda: X_text.cdc_chunk_documents(docs).count(),
             "q_entropy": lambda: X_text.unigram_entropy(docs).count(),
+            # r04: QA-suite heavy hitters (VERDICT #5) — each shuffles a
+            # corpus-shingle-proportional set; ratios must stay ~linear
+            "q_novelty": lambda: X_text.novelty_curve(docs).count(),
+            "q_containment": lambda: X_dedup.ngram_containment(
+                docs,
+                X_dedup.minhash_candidate_pairs(docs, num_bands=4),
+            ).count(),
+            "q_boilerplate": lambda: X_dedup.boilerplate_score(docs).count(),
         }
 
     # warm each query's pipeline once at the SMALL scale (JIT/codegen),
