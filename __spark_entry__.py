@@ -2639,7 +2639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_upsample": x_upsample,
         "x_multimodal_meta": x_multimodal_meta,
         "x_frames": x_frames,
-        # --- round-4 additions (driver-unchecked, fully oracled) ---
+        # --- round-4 additions; x_kl_source/x_hapax/x_cluster_sizes
+        # shipped oracle-less in r04 (the 3 `no_oracle` driver slots),
+        # oracles added round 5 ---
         "x_bm25_incremental": x_bm25_incremental,
         "x_kl_source": x_kl_source,
         "x_hapax": x_hapax,
@@ -2795,13 +2797,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e15_supplier_ranks": e15_supplier_ranks,
         "x_vocab": x_vocab,
         "x_encode": x_encode,
+        "x_approx_distinct": x_approx_distinct,
         # --- rows-only keys (no SQL form: zlib, LBFGS) stay LAST so
         # they never consume a checkable driver slot ---
-        # --- rows-only keys (no SQL form: zlib, LBFGS) stay OUT of
-        # the checked prefix so every driver slot can go green ---
         "x_compression": x_compression,
         "x_quality_classifier": x_quality_classifier,
-        "x_approx_distinct": x_approx_distinct,
     }
 
 
@@ -3754,6 +3754,71 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN drop_ids x ON d.doc_id = x.node
             WHERE x.node IS NULL
         """,
+        # near-dup cluster SIZE HISTOGRAM: same pairs→jaccard(0.6)→CC
+        # chain as x_near_dedup, then size rollup; singletons (docs in no
+        # cluster) come in as the cluster_size=1 row, always emitted
+        # (count over the empty set is 0) — mirroring the Spark agg
+        "x_cluster_sizes": f"""
+            WITH RECURSIVE {_WORDS}, {_SHINGLES},
+            banded AS (
+                SELECT doc_id, b.band, shingle
+                FROM shingled, UNNEST([0,1,2,3]) AS b(band)
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS signature
+                FROM banded GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.signature = b.signature
+                 AND a.doc_id < b.doc_id
+            ),
+            sets_ AS (
+                SELECT doc_id, list_distinct(list(shingle)) AS sh
+                FROM shingled GROUP BY doc_id
+            ),
+            verified AS (
+                SELECT p.id_a, p.id_b
+                FROM pairs p
+                JOIN sets_ sa ON sa.doc_id = p.id_a
+                JOIN sets_ sb ON sb.doc_id = p.id_b
+                WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM verified
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM verified
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+                SELECT src AS node, least(src, min(dst)) AS cluster
+                FROM reach GROUP BY src
+            ),
+            sizes AS (
+                SELECT cluster, count(*) AS cluster_size
+                FROM clusters GROUP BY cluster
+            ),
+            hist AS (
+                SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                       CAST(count(*) AS BIGINT) AS n_clusters
+                FROM sizes GROUP BY cluster_size
+            ),
+            singles AS (
+                SELECT CAST(1 AS BIGINT) AS cluster_size,
+                       CAST(count(*) AS BIGINT) AS n_clusters
+                FROM documents d
+                LEFT JOIN clusters c ON d.doc_id = c.node
+                WHERE c.node IS NULL
+            )
+            SELECT * FROM hist UNION ALL SELECT * FROM singles
+        """,
         "x_near_dedup_best": f"""
             WITH RECURSIVE {_WORDS}, {_SHINGLES},
             banded AS (
@@ -4105,6 +4170,59 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((CAST(sy AS DOUBLE) - ((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
                                    / CAST(n_types AS DOUBLE), 4) END AS intercept
             FROM sums
+        """,
+        # per-source unigram KL vs the corpus mixture — corpus counts
+        # DERIVED from the per-group counts (one aggregation tree, no
+        # smoothing needed); per-word terms round(…,6)::DECIMAL summed
+        # (the entropy/BM25 order-independence discipline)
+        "x_kl_source": """
+            WITH words AS (
+                SELECT source,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            tok AS (
+                SELECT source, u.word AS w FROM words, UNNEST(ws) AS u(word)
+            ),
+            gw AS (
+                SELECT source, w, count(*) AS c_gw FROM tok GROUP BY source, w
+            ),
+            gtot AS (SELECT source, sum(c_gw) AS n_g FROM gw GROUP BY source),
+            cw AS (SELECT w, sum(c_gw) AS c_w FROM gw GROUP BY w),
+            ctot AS (SELECT sum(c_gw) AS n_c FROM gw)
+            SELECT gw.source,
+                   CAST(sum(c_gw) AS BIGINT) AS n_tokens,
+                   CAST(round(sum(CAST(round(
+                       (CAST(c_gw AS DOUBLE) / n_g)
+                       * ln((CAST(c_gw AS DOUBLE) / n_g)
+                            / (CAST(c_w AS DOUBLE) / n_c)), 6)
+                       AS DECIMAL(18,6))), 4) AS DOUBLE) AS kl_div
+            FROM gw
+            JOIN cw ON gw.w = cw.w
+            JOIN gtot ON gw.source = gtot.source
+            CROSS JOIN ctot
+            GROUP BY gw.source
+        """,
+        # per-source hapax (frequency-1 type) rate: two GROUP BYs
+        "x_hapax": """
+            WITH words AS (
+                SELECT source,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            tok AS (
+                SELECT source, u.word AS w FROM words, UNNEST(ws) AS u(word)
+            ),
+            gw AS (
+                SELECT source, w, count(*) AS c FROM tok GROUP BY source, w
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 4) AS hapax_rate
+            FROM gw GROUP BY source
         """,
         "x_stratified_split": """
             WITH d AS (
