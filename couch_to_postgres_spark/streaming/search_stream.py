@@ -9,13 +9,20 @@ not once per query over 100 TB. This module maintains the searchable
 state append-only (the `streaming/dedup_stream.py` index pattern) and
 answers BM25 top-k from the state alone.
 
-State (all plain parquet, append-only — no rewrite of accumulated state):
+State (all plain parquet; the tail is append-only — no rewrite of
+accumulated state between compactions):
 
 * ``<index>/doclen``   — (doc_id, dl, seq): one row per ingested doc
   VERSION (seq = the change's sequence number);
 * ``<index>/postings`` — (doc_id, token, tf, seq): per-version term
   frequencies — the inverted-index rows;
-* ``<index>/tombstones`` — (doc_id, seq): delete markers.
+* ``<index>/tombstones`` — (doc_id, seq): delete markers;
+* ``<index>/base/`` (optional, written by :func:`compact_index`) — the
+  compacted BASE: ``base/doclen`` (live rows only), ``base/postings``
+  laid out in ``token_bucket=N`` partition directories, ``base/meta``
+  (1-row parquet recording the bucket count). The tail dirs above keep
+  receiving appends AFTER compaction — reads merge base ∪ tail (the
+  log-structured-merge shape).
 
 Liveness rule (evaluated at query time, no state rewrite): a doc's live
 version is its max-seq doclen row, unless a tombstone with a higher seq
@@ -29,10 +36,17 @@ Plan shape at 100 TB:
   — the corpus is never rescanned;
 * query-time liveness is ONE partial-aggregated groupBy over the skinny
   doclen/tombstone files (bytes per doc-version, not corpus bytes);
-* the postings scan is filtered to the query terms BEFORE any shuffle —
-  with the postings files bucketed/partitioned by token (see
-  ``compact_index``), that scan prunes to the buckets holding the query
-  terms, and everything downstream is query-hit-proportional;
+* the postings scan is filtered to the query terms BEFORE any shuffle;
+  on the compacted base the scan additionally prunes to the
+  ``token_bucket`` partition directories holding the query terms
+  (PartitionFilters, verified by test), so only
+  terms/token_buckets-worth of the base is ever opened — everything
+  downstream is query-hit-proportional;
+* the live-version join is hint-free: AQE broadcasts the query-hit
+  slice when it is genuinely small and falls back to a shuffle join for
+  high-df (stop-word-like) terms instead of OOMing a forced broadcast;
+  ``max_df_frac`` applies the batch path's classic df cap when
+  near-zero-idf terms should be dropped from scoring outright;
 * scoring reuses :func:`extensions.search.bm25_rank_components`, so the
   index path and the fresh-build path cannot drift numerically — the
   equivalence is pinned by tests and by the ``x_bm25_incremental``
@@ -50,6 +64,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -67,9 +82,15 @@ class SearchIndexBatchStats:
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
-    if os.path.exists(path):
+    # probe by attempting the read (PATH_NOT_FOUND / empty-dir schema
+    # inference both raise AnalysisException) rather than a driver-local
+    # os.path.exists — the index may live on any Hadoop-supported
+    # filesystem (HDFS/S3), where a local stat is always false and would
+    # silently read an existing index as empty
+    try:
         return spark.read.parquet(path)
-    return spark.createDataFrame([], schema)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
 
 
 def _paths(index_path: str) -> tuple[str, str, str]:
@@ -77,6 +98,15 @@ def _paths(index_path: str) -> tuple[str, str, str]:
         os.path.join(index_path, "doclen"),
         os.path.join(index_path, "postings"),
         os.path.join(index_path, "tombstones"),
+    )
+
+
+def _base_paths(index_path: str) -> tuple[str, str, str]:
+    base = os.path.join(index_path, "base")
+    return (
+        os.path.join(base, "doclen"),
+        os.path.join(base, "postings"),
+        os.path.join(base, "meta"),
     )
 
 
@@ -156,13 +186,20 @@ def live_doclen(
     spark: SparkSession, index_path: str, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, dl, seq) for the LIVE version of every indexed doc: max-seq
-    doclen row per doc, minus docs whose max tombstone seq is higher.
-    One partial-aggregated groupBy over the skinny doclen file + a skinny
-    left join — never touches postings or corpus text. Replay-duplicate
-    rows collapse inside the max/max_by aggregates."""
+    doclen row per doc — over the compacted base (if present) UNION the
+    append tail — minus docs whose max tombstone seq is higher.
+    One partial-aggregated groupBy over the skinny doclen files + a
+    skinny left join — never touches postings or corpus text.
+    Replay-duplicate rows collapse inside the max/max_by aggregates."""
     doclen_path, _, tomb_path = _paths(index_path)
-    doclen = _read_or_empty(
-        spark, doclen_path, f"{id_col} long, dl double, seq long"
+    base_doclen_path, _, _ = _base_paths(index_path)
+    schema = f"{id_col} long, dl double, seq long"
+    doclen = _read_or_empty(spark, doclen_path, schema).select(
+        id_col, "dl", "seq"
+    ).unionByName(
+        _read_or_empty(spark, base_doclen_path, schema).select(
+            id_col, "dl", "seq"
+        )
     )
     tomb = _read_or_empty(spark, tomb_path, f"{id_col} long, seq long")
     latest = doclen.groupBy(id_col).agg(
@@ -178,6 +215,57 @@ def live_doclen(
     )
 
 
+def _term_buckets(
+    spark: SparkSession, terms: list[str], n_buckets: int
+) -> list[int]:
+    """The ``pmod(hash(token), n_buckets)`` bucket ids for the query
+    terms, computed by the SAME JVM hash that laid the base out (a tiny
+    terms-sized job — driver-side reimplementation of Spark's Murmur3
+    would be a drift hazard)."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "token string")
+        .select(F.pmod(F.hash("token"), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["b"] for r in rows)
+
+
+def query_postings(
+    spark: SparkSession,
+    index_path: str,
+    terms: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, token, tf, seq) rows matching the query terms: compacted
+    base ∪ append tail. The term filter pushes into both parquet scans;
+    on the base the scan ALSO prunes to the ``token_bucket=N`` partition
+    directories holding the query terms (bucket ids from ``base/meta``),
+    so an un-compacted-since append tail is the only unpruned bytes —
+    bounded by the update rate between compactions, not corpus size."""
+    _, postings_path, _ = _paths(index_path)
+    _, base_postings_path, meta_path = _base_paths(index_path)
+    schema = f"{id_col} long, token string, tf double, seq long"
+    tail = _read_or_empty(spark, postings_path, schema).filter(
+        F.col("token").isin(terms)
+    ).select(id_col, "token", "tf", "seq")
+    base = _read_or_empty(spark, base_postings_path, schema)
+    if "token_bucket" in base.columns:
+        meta = _read_or_empty(spark, meta_path, "token_buckets int").collect()
+        if meta:
+            n_buckets = meta[0]["token_buckets"]
+            base = base.filter(
+                F.col("token_bucket").isin(
+                    _term_buckets(spark, terms, n_buckets)
+                )
+            )
+        base = base.drop("token_bucket")
+    base = base.filter(F.col("token").isin(terms)).select(
+        id_col, "token", "tf", "seq"
+    )
+    return base.unionByName(tail)
+
+
 def bm25_topk_from_index(
     spark: SparkSession,
     index_path: str,
@@ -188,13 +276,15 @@ def bm25_topk_from_index(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     term_col: str = "term",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """BM25 top-k answered from the maintained index — the corpus text is
     never read. Same (query_id, id, score, rank) contract, same numbers
     as :func:`extensions.search.bm25_topk_batch` over the equivalent
     corpus snapshot (shared scoring stage; equivalence pinned by tests
-    and the ``x_bm25_incremental`` oracle)."""
-    _, postings_path, _ = _paths(index_path)
+    and the ``x_bm25_incremental`` oracle). ``max_df_frac`` mirrors the
+    batch path's df cap: terms present in more than that fraction of
+    live docs are dropped from scoring."""
     terms = sorted(
         r["token"]
         for r in queries.select(
@@ -209,28 +299,30 @@ def bm25_topk_from_index(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
     )
-    postings = _read_or_empty(
-        spark, postings_path, f"{id_col} long, token string, tf double, seq long"
-    )
-    # token IN (...) reaches the parquet scan as a pushed filter; the
+    # token IN (...) reaches the parquet scans as pushed filters (plus
+    # token_bucket partition pruning on the compacted base); the
     # surviving slice is query-hit-proportional. dropDuplicates absorbs
-    # at-least-once replay copies (byte-identical rows) on the small
-    # slice, never corpus-wide.
-    hit = (
-        postings.filter(F.col("token").isin(terms))
-        .dropDuplicates([id_col, "token", "seq"])
+    # at-least-once replay copies (byte-identical rows) on that slice,
+    # never corpus-wide.
+    hit = query_postings(spark, index_path, terms, id_col).dropDuplicates(
+        [id_col, "token", "seq"]
     )
-    # live-version filter: broadcast the small query-hit slice against the
-    # skinny live map — the big side streams, nothing corpus-sized shuffles
+    # live-version filter. Deliberately hint-free: for rare terms the hit
+    # slice is tiny and AQE broadcasts it; for a high-df (stop-word-like)
+    # term the slice is corpus-proportional and a forced broadcast would
+    # OOM at scale — AQE keeps it a shuffle join instead.
     tf_live = (
-        live.select(id_col, "seq")
-        .join(F.broadcast(hit), on=[id_col, "seq"])
+        hit.join(live.select(id_col, "seq"), on=[id_col, "seq"])
         .select(id_col, "token", "tf")
         .persist()
     )
     dft = tf_live.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("dft")
     )
+    if max_df_frac is not None:
+        dft = dft.crossJoin(F.broadcast(stats)).filter(
+            F.col("dft") <= F.lit(max_df_frac) * F.col("n")
+        ).select("token", "dft")
     out = bm25_rank_components(
         tf_live, live.select(id_col, "dl"), stats, dft, queries,
         k=k, k1=k1, b=b, id_col=id_col,
@@ -248,19 +340,31 @@ def compact_index(
     id_col: str = "doc_id",
     token_buckets: int = 64,
 ) -> None:
-    """Rewrite the index keeping only LIVE rows, postings laid out by a
-    token hash bucket (``pmod(hash(token), token_buckets)`` partition
-    directories) so query-term scans prune to the buckets holding the
-    query's terms. Run periodically (the log-structured-merge discipline):
-    the append-only tail stays cheap to write, the compacted base cheap
-    to read; read amplification between compactions is bounded by the
-    update rate, not corpus size."""
-    doclen_path, postings_path, tomb_path = _paths(index_path)
+    """Rewrite the index keeping only LIVE rows, into ``out_path/base``:
+    ``base/doclen`` (live rows only), ``base/postings`` laid out in
+    ``pmod(hash(token), token_buckets)`` partition directories so
+    query-term scans prune to the buckets holding the query's terms
+    (bucket count recorded in ``base/meta`` for the read path), no
+    tombstones (no dead versions survive). ``out_path``'s tail dirs
+    start absent — :func:`search_index_batch` keeps appending there and
+    :func:`bm25_topk_from_index` reads base ∪ tail (the
+    log-structured-merge discipline): the append-only tail stays cheap
+    to write, the compacted base cheap to read; read amplification
+    between compactions is bounded by the update rate, not corpus size.
+    ``index_path`` may itself carry a base — compaction merges it."""
+    base_doclen_path, base_postings_path, meta_path = _base_paths(out_path)
     live = live_doclen(spark, index_path, id_col).persist()
     live.count()
-    live.write.mode("overwrite").parquet(os.path.join(out_path, "doclen"))
-    postings = _read_or_empty(
-        spark, postings_path, f"{id_col} long, token string, tf double, seq long"
+    live.write.mode("overwrite").parquet(base_doclen_path)
+    schema = f"{id_col} long, token string, tf double, seq long"
+    _, postings_path, _ = _paths(index_path)
+    _, in_base_postings, _ = _base_paths(index_path)
+    postings = _read_or_empty(spark, postings_path, schema).select(
+        id_col, "token", "tf", "seq"
+    ).unionByName(
+        _read_or_empty(spark, in_base_postings, schema).select(
+            id_col, "token", "tf", "seq"
+        )
     )
     (
         postings.join(
@@ -272,10 +376,14 @@ def compact_index(
         )
         .write.mode("overwrite")
         .partitionBy("token_bucket")
-        .parquet(os.path.join(out_path, "postings"))
+        .parquet(base_postings_path)
     )
     live.unpersist()
-    # compacted index has no dead versions left, so no tombstones
+    # 1-row meta parquet (not a driver-side json write): lands on
+    # whatever filesystem the index lives on
+    spark.createDataFrame(
+        [(int(token_buckets),)], "token_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
 
 def search_index_stream(

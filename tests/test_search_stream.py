@@ -138,13 +138,107 @@ def test_compacted_index_same_results(spark, index, tmp_path):
     compact_index(spark, index, compacted, token_buckets=8)
     got = _rows(bm25_topk_from_index(spark, compacted, qtab, k=6))
     assert got == want
-    # compaction dropped the dead rows: postings hold only live versions
+    # compaction dropped the dead rows: base postings hold only live versions
     live = live_doclen(spark, compacted)
-    postings = spark.read.parquet(os.path.join(compacted, "postings"))
+    postings = spark.read.parquet(os.path.join(compacted, "base", "postings"))
     dead = postings.join(
         live.select("doc_id", "seq"), on=["doc_id", "seq"], how="left_anti"
     )
     assert dead.count() == 0
+
+
+def test_tail_appends_after_compaction(spark, index, tmp_path):
+    # the LSM read path: compacted base + fresh append tail, read together
+    search_index_batch(
+        spark, index, _changes(spark, [(s, d, False, t) for s, (d, t) in
+                                       enumerate(DOCS, start=1)])
+    )
+    compacted = str(tmp_path / "compacted")
+    compact_index(spark, index, compacted, token_buckets=8)
+    # tail: update doc 2, delete doc 5, insert doc 7 — all POST-compaction
+    new2 = "merge conflicts resolved by the latest revision"
+    new7 = "spark window merge rows all at once"
+    search_index_batch(
+        spark, compacted,
+        _changes(spark, [(10, 2, False, new2), (11, 5, True, None),
+                         (12, 7, False, new7)]),
+    )
+    qtab = _qtab(spark)
+    got = bm25_topk_from_index(spark, compacted, qtab, k=7)
+    final_docs = [(d, new2 if d == 2 else t) for d, t in DOCS if d != 5]
+    final_docs.append((7, new7))
+    want = _fresh(spark, final_docs, qtab, k=7)
+    assert _rows(got) == _rows(want)
+    # compact AGAIN (base+tail in, merged base out) — still equal
+    merged = str(tmp_path / "merged")
+    compact_index(spark, compacted, merged, token_buckets=4)
+    got2 = bm25_topk_from_index(spark, merged, qtab, k=7)
+    assert _rows(got2) == _rows(want)
+
+
+def test_bucket_pruning_reads_only_matching_dirs(spark, index, tmp_path):
+    from couch_to_postgres_spark.streaming.search_stream import (
+        _term_buckets,
+        query_postings,
+    )
+
+    search_index_batch(
+        spark, index, _changes(spark, [(s, d, False, t) for s, (d, t) in
+                                       enumerate(DOCS, start=1)])
+    )
+    compacted = str(tmp_path / "compacted")
+    compact_index(spark, index, compacted, token_buckets=8)
+    terms = ["spark", "window"]
+    buckets = _term_buckets(spark, terms, 8)
+    hits = query_postings(spark, compacted, terms)
+    # the physical plan must carry a non-empty PartitionFilters on
+    # token_bucket (directory pruning) AND push the token filter into
+    # the parquet scan (inputFiles() can't show this — it lists the
+    # relation's files before partition pruning)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: " in plan, plan
+    partition_part = plan.split("PartitionFilters: ")[1].split("]")[0]
+    want_filter = f"IN ({','.join(str(b) for b in buckets)})"
+    assert "token_bucket" in partition_part and want_filter in partition_part, (
+        partition_part
+    )
+    assert "PushedFilters: [In(token, [spark,window])" in plan
+    # and the pruned read still returns exactly the matching rows
+    got = {(r["doc_id"], r["token"]) for r in hits.collect()}
+    assert got == {(1, "spark"), (2, "spark"), (5, "spark"),
+                   (1, "window"), (2, "window"), (6, "window")}
+
+
+def test_high_df_term_unforced_broadcast_and_df_cap(spark, index):
+    # "the" appears in 5 of 6 docs — the case where a forced broadcast of
+    # the hit slice would be corpus-proportional at scale. The hint-free
+    # join must still return exactly the fresh-build numbers...
+    search_index_batch(
+        spark, index, _changes(spark, [(s, d, False, t) for s, (d, t) in
+                                       enumerate(DOCS, start=1)])
+    )
+    qtab = spark.createDataFrame(
+        [(1, "the"), (1, "spark")], "query_id int, term string"
+    )
+    got = bm25_topk_from_index(spark, index, qtab, k=6)
+    want = _fresh(spark, DOCS, qtab, k=6)
+    assert _rows(got) == _rows(want)
+    # ...and the live-version join stays hint-free (the bounded
+    # broadcasts in bm25_rank_components — 1-row stats, query-term-sized
+    # dft/q — are fine; a hint on the df(term)-proportional hit slice is
+    # the regression this pins, since the materialized result hides the
+    # upstream plan)
+    import inspect
+
+    from couch_to_postgres_spark.streaming import search_stream as mod
+
+    src = inspect.getsource(mod.bm25_topk_from_index)
+    assert "F.broadcast(hit" not in src
+    # max_df_frac mirrors the batch path: the stop-word drops from scoring
+    got_cap = bm25_topk_from_index(spark, index, qtab, k=6, max_df_frac=0.5)
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    want_cap = bm25_topk_batch(corpus, qtab, k=6, max_df_frac=0.5)
+    assert _rows(got_cap) == _rows(want_cap)
 
 
 def test_stream_end_to_end(spark, index, tmp_path):
