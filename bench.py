@@ -462,13 +462,11 @@ def main() -> None:
     #      be emitted after this point,
     #   3. persist the JSON to bench_out.json next to this script — a file
     #      can never lose a stdout race,
-    #   4. print the JSON as the absolute last stdout line.
-    for q in spark.streams.active:
-        try:
-            q.stop()
-        except Exception:
-            pass
-    spark.stop()
+    #   4. hard-silence fd 2 (dup2 /dev/null): the JVM shares the process
+    #      stderr fd, and pyspark 4.x's executor shutdown can still emit
+    #      an async NPE stack AFTER spark.stop() returns (BENCH_r04's
+    #      "tail" noise) — nothing useful goes to stderr past this point,
+    #   5. print the JSON as the absolute last stdout line.
     payload = json.dumps(out)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
     try:
@@ -478,6 +476,17 @@ def main() -> None:
         pass  # file copy is belt-and-braces; stdout remains the contract
     sys.stdout.flush()
     sys.stderr.flush()
+    try:
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, 2)
+    except OSError:
+        pass
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    spark.stop()
     print(payload, flush=True)
 
 
