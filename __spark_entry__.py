@@ -2352,6 +2352,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def _stats_index_over_docs(spark, sf_dir, report_fn):
+        # shared harness for the streaming-maintained corpus-QA stats
+        # (streaming/stats_stream.py): two insert batches, COMPACTION
+        # (so the report reads LSM base + tail), then an update batch
+        # (+' spark merge window' on doc_id%10==3) and a delete batch
+        # (doc_id%10==7) ingested as post-compaction tail. The corpus
+        # text is never re-read at report time; the result must equal
+        # the fresh-tokenize batch function over the final corpus state
+        # (the oracle). report_fn(spark, index_path) -> DataFrame.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.search_stream import (
+            compact_index,
+        )
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            stats_index_batch,
+        )
+
+        base = _docs(spark, sf_dir).select("doc_id", "source", "text")
+        work = tempfile.mkdtemp(prefix="stats_idx_")
+        comp = tempfile.mkdtemp(prefix="stats_idx_c_")
+        try:
+            b1 = base.filter(F.col("doc_id") < 250).select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "source", "text",
+            )
+            b2 = base.filter(F.col("doc_id") >= 250).select(
+                (F.col("doc_id") + 1000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "source", "text",
+            )
+            stats_index_batch(spark, work, b1)
+            stats_index_batch(spark, work, b2)
+            compact_index(spark, work, comp, token_buckets=16)
+            upd = base.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "source",
+                F.concat(
+                    F.col("text"), F.lit(" spark merge window")
+                ).alias("text"),
+            )
+            dele = base.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("string").alias("source"),
+                F.lit(None).cast("string").alias("text"),
+            )
+            stats_index_batch(spark, comp, upd.unionByName(dele))
+            # materialize before the temp index dirs are removed
+            return report_fn(spark, comp).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+            shutil.rmtree(comp, ignore_errors=True)
+
+    def x_kl_incremental(spark, sf_dir):
+        # per-source KL drift answered from the STREAMING-MAINTAINED
+        # index state (O(changed docs) upkeep) — must equal kl_by_source
+        # over the final corpus state (shared kl_from_group_counts stage)
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            kl_by_source_from_index,
+        )
+
+        return _stats_index_over_docs(spark, sf_dir, kl_by_source_from_index)
+
+    def x_hapax_incremental(spark, sf_dir):
+        # per-source hapax rate from the same maintained index state
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            hapax_rate_from_index,
+        )
+
+        return _stats_index_over_docs(spark, sf_dir, hapax_rate_from_index)
+
 
     def x_hard_negatives(spark, sf_dir):
         # contrastive-training support: per query vector, the most
@@ -2646,6 +2718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_kl_source": x_kl_source,
         "x_hapax": x_hapax,
         "x_cluster_sizes": x_cluster_sizes,
+        # --- round-5 additions (driver-unchecked, oracled): corpus-QA
+        # stats answered from the streaming-maintained LSM index ---
+        "x_kl_incremental": x_kl_incremental,
+        "x_hapax_incremental": x_hapax_incremental,
         # --- already driver-checked in CORRECTNESS_r01 ∪ r02 ∪ r03
         # (150 keys, 149 value-green): harmless to re-check if the
         # 50-slot prefix spills into them ---
@@ -4209,6 +4285,73 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source,
                        list_filter(string_split(text, ' '), w -> w <> '') AS ws
                 FROM documents
+            ),
+            tok AS (
+                SELECT source, u.word AS w FROM words, UNNEST(ws) AS u(word)
+            ),
+            gw AS (
+                SELECT source, w, count(*) AS c FROM tok GROUP BY source, w
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 4) AS hapax_rate
+            FROM gw GROUP BY source
+        """,
+        # streaming-maintained index reports: the oracle is the SAME KL /
+        # hapax SQL over the POST-insert/update/delete corpus state the
+        # index converged to (update: +' spark merge window' on
+        # doc_id%10==3; delete: doc_id%10==7) — full value check of
+        # seq-wins liveness + attrs map + shared scoring stage
+        "x_kl_incremental": """
+            WITH corpus AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % 10 = 3
+                            THEN text || ' spark merge window'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 7
+            ),
+            words AS (
+                SELECT source,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM corpus
+            ),
+            tok AS (
+                SELECT source, u.word AS w FROM words, UNNEST(ws) AS u(word)
+            ),
+            gw AS (
+                SELECT source, w, count(*) AS c_gw FROM tok GROUP BY source, w
+            ),
+            gtot AS (SELECT source, sum(c_gw) AS n_g FROM gw GROUP BY source),
+            cw AS (SELECT w, sum(c_gw) AS c_w FROM gw GROUP BY w),
+            ctot AS (SELECT sum(c_gw) AS n_c FROM gw)
+            SELECT gw.source,
+                   CAST(sum(c_gw) AS BIGINT) AS n_tokens,
+                   CAST(round(sum(CAST(round(
+                       (CAST(c_gw AS DOUBLE) / n_g)
+                       * ln((CAST(c_gw AS DOUBLE) / n_g)
+                            / (CAST(c_w AS DOUBLE) / n_c)), 6)
+                       AS DECIMAL(18,6))), 4) AS DOUBLE) AS kl_div
+            FROM gw
+            JOIN cw ON gw.w = cw.w
+            JOIN gtot ON gw.source = gtot.source
+            CROSS JOIN ctot
+            GROUP BY gw.source
+        """,
+        "x_hapax_incremental": """
+            WITH corpus AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % 10 = 3
+                            THEN text || ' spark merge window'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 7
+            ),
+            words AS (
+                SELECT source,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM corpus
             ),
             tok AS (
                 SELECT source, u.word AS w FROM words, UNNEST(ws) AS u(word)

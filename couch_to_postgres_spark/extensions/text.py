@@ -1421,6 +1421,15 @@ def kl_by_source(
         F.col(group_col).alias("grp"), F.explode(_words(text_col)).alias("w")
     )
     gw = tok.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c_gw"))
+    return kl_from_group_counts(gw, group_col=group_col)
+
+
+def kl_from_group_counts(gw: DataFrame, group_col: str = "source") -> DataFrame:
+    """The KL scoring stage over pre-computed (grp, w, c_gw) counts —
+    shared by the fresh-tokenize path (:func:`kl_by_source`) and the
+    incrementally-maintained index path
+    (:mod:`couch_to_postgres_spark.streaming.stats_stream`), so the two
+    cannot drift numerically (the ``bm25_rank_components`` discipline)."""
     gtot = gw.groupBy("grp").agg(F.sum("c_gw").alias("n_g"))
     cw = gw.groupBy("w").agg(F.sum("c_gw").alias("c_w"))
     ctot = gw.agg(F.sum("c_gw").alias("n_c"))
@@ -1461,6 +1470,15 @@ def hapax_rate_by_source(
         F.col(group_col).alias("grp"), F.explode(_words(text_col)).alias("w")
     )
     gw = tok.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c"))
+    return hapax_from_group_counts(gw, group_col=group_col)
+
+
+def hapax_from_group_counts(
+    gw: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """The hapax-rate rollup over pre-computed (grp, w, c) counts —
+    shared by :func:`hapax_rate_by_source` and the maintained-index path
+    (:mod:`couch_to_postgres_spark.streaming.stats_stream`)."""
     return (
         gw.groupBy("grp")
         .agg(

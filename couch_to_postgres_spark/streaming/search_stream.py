@@ -231,6 +231,24 @@ def _term_buckets(
     return sorted(r["b"] for r in rows)
 
 
+def _full_postings(
+    spark: SparkSession, index_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """ALL (id, token, tf, seq) postings rows: compacted base ∪ append
+    tail, no term filter — for whole-index consumers (compaction, the
+    corpus-stats reports), not the query path."""
+    _, postings_path, _ = _paths(index_path)
+    _, base_postings_path, _ = _base_paths(index_path)
+    schema = f"{id_col} long, token string, tf double, seq long"
+    return _read_or_empty(spark, postings_path, schema).select(
+        id_col, "token", "tf", "seq"
+    ).unionByName(
+        _read_or_empty(spark, base_postings_path, schema).select(
+            id_col, "token", "tf", "seq"
+        )
+    )
+
+
 def query_postings(
     spark: SparkSession,
     index_path: str,
@@ -356,16 +374,7 @@ def compact_index(
     live = live_doclen(spark, index_path, id_col).persist()
     live.count()
     live.write.mode("overwrite").parquet(base_doclen_path)
-    schema = f"{id_col} long, token string, tf double, seq long"
-    _, postings_path, _ = _paths(index_path)
-    _, in_base_postings, _ = _base_paths(index_path)
-    postings = _read_or_empty(spark, postings_path, schema).select(
-        id_col, "token", "tf", "seq"
-    ).unionByName(
-        _read_or_empty(spark, in_base_postings, schema).select(
-            id_col, "token", "tf", "seq"
-        )
-    )
+    postings = _full_postings(spark, index_path, id_col)
     (
         postings.join(
             live.select(id_col, "seq"), on=[id_col, "seq"], how="left_semi"
@@ -378,6 +387,25 @@ def compact_index(
         .partitionBy("token_bucket")
         .parquet(base_postings_path)
     )
+    # carry per-doc attribute state (stats_stream's doc→source map, or
+    # any other seq-wins attrs file) through compaction: keep the max-seq
+    # row per LIVE doc, written as out tail (future appends still win)
+    try:
+        attrs = spark.read.parquet(os.path.join(index_path, "attrs"))
+    except AnalysisException:
+        attrs = None
+    if attrs is not None:
+        other = [c for c in attrs.columns if c not in (id_col, "seq")]
+        latest = attrs.groupBy(id_col).agg(
+            F.max("seq").alias("seq"),
+            *[F.max_by(c, "seq").alias(c) for c in other],
+        )
+        (
+            latest.join(live.select(id_col), id_col)
+            .select(id_col, *other, "seq")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, "attrs"))
+        )
     live.unpersist()
     # 1-row meta parquet (not a driver-side json write): lands on
     # whatever filesystem the index lives on

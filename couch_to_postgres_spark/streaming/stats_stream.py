@@ -1,0 +1,183 @@
+"""Streaming-incremental corpus-QA stats: keep the distribution-drift
+monitors (per-source unigram KL, hapax rate, per-doc entropy inputs)
+answerable from maintained index state instead of re-tokenizing the
+corpus per report.
+
+The batch QA suite (:mod:`couch_to_postgres_spark.extensions.text`)
+tokenizes the corpus on every call — correct, but a live pipeline under
+the CDC change feed (reference lib/index.js follow loop) should pay
+tokenization once per CHANGED doc. The BM25 search index
+(:mod:`couch_to_postgres_spark.streaming.search_stream`) already
+maintains exactly the state these reports need — per-doc-version token
+frequencies (postings) and seq-wins liveness (doclen + tombstones).
+This module adds the one missing piece, a per-doc ATTRIBUTE file
+(doc → source, same append-only seq-wins discipline), and answers the
+QA reports from state alone:
+
+* ingest is O(changed docs): :func:`stats_index_batch` delegates to
+  :func:`search_index_batch` and appends one skinny attrs file;
+* reports read skinny state: live postings ⋈ live attrs → (source,
+  token, count) — bytes proportional to the index, never corpus text;
+* scoring reuses :func:`extensions.text.kl_from_group_counts` /
+  :func:`hapax_from_group_counts` — the index path and the
+  fresh-tokenize path share the exact aggregation expressions, so they
+  cannot drift numerically (the ``bm25_rank_components`` discipline);
+  equivalence is pinned by tests and the ``x_kl_incremental`` /
+  ``x_hapax_incremental`` cross-engine oracles.
+
+Plan shape at 100 TB: the (source, token) rollup partial-aggregates
+map-side before its one shuffle; the doc→source map is a skinny frame
+joined once; liveness is the same two skinny aggregates the search path
+uses. Nothing corpus-text-sized is ever read at report time.
+
+State file (in the same index root as the search index):
+
+* ``<index>/attrs`` — (doc_id, <attr cols...>, seq): one row per
+  ingested doc VERSION; max-seq row wins, tombstones shared with the
+  search index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.text import (
+    hapax_from_group_counts,
+    kl_from_group_counts,
+)
+from couch_to_postgres_spark.streaming.search_stream import (
+    SearchIndexBatchStats,
+    _read_or_empty,
+    live_doclen,
+    search_index_batch,
+)
+
+
+def _attrs_path(index_path: str) -> str:
+    return os.path.join(index_path, "attrs")
+
+
+def stats_index_batch(
+    spark: SparkSession,
+    index_path: str,
+    changes: DataFrame,
+    attr_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+    deleted_col: str = "deleted",
+) -> SearchIndexBatchStats:
+    """Apply one micro-batch of changes to the search index AND record
+    the per-doc attributes (default: ``source``) needed by the grouped
+    QA reports. Same change contract as :func:`search_index_batch` plus
+    the attr columns on upsert rows; deletes share the search index's
+    tombstones. Replay-safe for the same reason the search ingest is:
+    re-appended rows are byte-identical and liveness is max-seq."""
+    attr_cols = ["source"] if attr_cols is None else list(attr_cols)
+    stats = search_index_batch(
+        spark, index_path, changes,
+        text_col=text_col, id_col=id_col,
+        seq_col=seq_col, deleted_col=deleted_col,
+    )
+    latest_up = (
+        changes.filter(~F.col(deleted_col).cast("boolean"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col(seq_col).cast("long").alias("seq"),
+                    *[F.col(c).alias(c) for c in attr_cols],
+                ),
+                F.col(seq_col),
+            ).alias("a")
+        )
+        .select(id_col, *[f"a.{c}" for c in attr_cols], "a.seq")
+    )
+    latest_up.write.mode("append").parquet(_attrs_path(index_path))
+    return stats
+
+
+def live_attrs(
+    spark: SparkSession,
+    index_path: str,
+    attr_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, <attrs...>) for every LIVE doc: max-seq attrs row per doc,
+    restricted to the live set (tombstones/supersession via the shared
+    :func:`live_doclen`). Two skinny aggregates + one skinny join."""
+    attr_cols = ["source"] if attr_cols is None else list(attr_cols)
+    schema = ", ".join(
+        [f"{id_col} long"] + [f"{c} string" for c in attr_cols] + ["seq long"]
+    )
+    attrs = _read_or_empty(spark, _attrs_path(index_path), schema)
+    latest = (
+        attrs.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c).alias(c) for c in attr_cols]), F.col("seq")
+            ).alias("a")
+        )
+        .select(id_col, *[f"a.{c}" for c in attr_cols])
+    )
+    live = live_doclen(spark, index_path, id_col).select(id_col)
+    return latest.join(live, id_col)
+
+
+def group_token_counts_from_index(
+    spark: SparkSession,
+    index_path: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(grp, w, c_gw) unigram counts per attribute group over the LIVE
+    corpus, from index state alone — the shared input of the KL and
+    hapax reports. Live postings rows (compacted base ∪ append tail)
+    join the skinny doc→group map, then one partial-aggregated
+    (grp, token) rollup."""
+    from couch_to_postgres_spark.streaming.search_stream import _full_postings
+
+    postings = _full_postings(spark, index_path, id_col)
+    live = live_doclen(spark, index_path, id_col).select(id_col, "seq")
+    grp = live_attrs(spark, index_path, [group_col], id_col).select(
+        id_col, F.col(group_col).alias("grp")
+    )
+    return (
+        postings.dropDuplicates([id_col, "token", "seq"])
+        .join(live, on=[id_col, "seq"])
+        .join(grp, id_col)
+        .groupBy("grp", F.col("token").alias("w"))
+        .agg(F.sum("tf").cast("long").alias("c_gw"))
+    )
+
+
+def kl_by_source_from_index(
+    spark: SparkSession,
+    index_path: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus mixture, answered
+    from the maintained index — same numbers as
+    :func:`extensions.text.kl_by_source` over the equivalent live corpus
+    snapshot (shared scoring stage)."""
+    gw = group_token_counts_from_index(spark, index_path, group_col, id_col)
+    return kl_from_group_counts(gw, group_col=group_col)
+
+
+def hapax_rate_from_index(
+    spark: SparkSession,
+    index_path: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source hapax rate from the maintained index — same numbers as
+    :func:`extensions.text.hapax_rate_by_source` over the equivalent
+    live corpus snapshot (shared rollup stage)."""
+    gw = group_token_counts_from_index(
+        spark, index_path, group_col, id_col
+    ).withColumnRenamed("c_gw", "c")
+    return hapax_from_group_counts(gw, group_col=group_col)

@@ -1,0 +1,122 @@
+"""Streaming-incremental corpus-QA stats: reports answered from the
+maintained index must EQUAL the fresh-tokenize batch functions over the
+equivalent live corpus snapshot — across inserts, updates, deletes,
+replays, and compaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.text import (
+    hapax_rate_by_source,
+    kl_by_source,
+)
+from couch_to_postgres_spark.streaming.search_stream import compact_index
+from couch_to_postgres_spark.streaming.stats_stream import (
+    hapax_rate_from_index,
+    kl_by_source_from_index,
+    live_attrs,
+    stats_index_batch,
+)
+
+# (doc_id, source, text) — two sources with overlapping vocabulary and
+# real hapaxes so both reports have structure
+DOCS = [
+    (1, "web", "spark merges the window rows before the shuffle"),
+    (2, "web", "window functions rank rows inside a spark partition"),
+    (3, "web", "the merge statement upserts changed rows"),
+    (4, "books", "couch documents replicate through the changes feed"),
+    (5, "books", "spark spark spark tuning guide for the shuffle"),
+    (6, "books", "feed the window with late arriving rows"),
+]
+
+
+def _changes(spark, rows):
+    # (seq, doc_id, deleted, source, text)
+    return spark.createDataFrame(
+        rows,
+        "seq long, doc_id long, deleted boolean, source string, text string",
+    )
+
+
+def _corpus(spark, docs):
+    return spark.createDataFrame(docs, "doc_id long, source string, text string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def index(tmp_path):
+    return str(tmp_path / "stats_index")
+
+
+def _ingest(spark, index, rows):
+    return stats_index_batch(spark, index, _changes(spark, rows))
+
+
+def test_reports_equal_fresh_build(spark, index):
+    _ingest(spark, index,
+            [(s, d, False, src, t) for s, (d, src, t) in
+             enumerate(DOCS, start=1)])
+    corpus = _corpus(spark, DOCS)
+    assert _rows(kl_by_source_from_index(spark, index)) == _rows(
+        kl_by_source(corpus)
+    )
+    assert _rows(hapax_rate_from_index(spark, index)) == _rows(
+        hapax_rate_by_source(corpus)
+    )
+
+
+def test_update_delete_and_source_move(spark, index):
+    _ingest(spark, index,
+            [(s, d, False, src, t) for s, (d, src, t) in
+             enumerate(DOCS, start=1)])
+    # update doc 2 (new text AND a source move web→books), delete doc 5
+    new2 = "merge conflicts resolved by the latest revision"
+    _ingest(spark, index,
+            [(10, 2, False, "books", new2), (11, 5, True, None, None)])
+    final = [
+        (d, "books" if d == 2 else src, new2 if d == 2 else t)
+        for d, src, t in DOCS if d != 5
+    ]
+    corpus = _corpus(spark, final)
+    assert _rows(kl_by_source_from_index(spark, index)) == _rows(
+        kl_by_source(corpus)
+    )
+    assert _rows(hapax_rate_from_index(spark, index)) == _rows(
+        hapax_rate_by_source(corpus)
+    )
+    got = {
+        (r["doc_id"], r["source"]) for r in live_attrs(spark, index).collect()
+    }
+    assert got == {(1, "web"), (2, "books"), (3, "web"), (4, "books"),
+                   (6, "books")}
+
+
+def test_replay_is_idempotent(spark, index):
+    rows = [(s, d, False, src, t) for s, (d, src, t) in enumerate(DOCS, start=1)]
+    _ingest(spark, index, rows)
+    before = _rows(kl_by_source_from_index(spark, index))
+    _ingest(spark, index, rows)  # at-least-once transport replays
+    assert _rows(kl_by_source_from_index(spark, index)) == before
+
+
+def test_reports_survive_compaction(spark, index, tmp_path):
+    _ingest(spark, index,
+            [(s, d, False, src, t) for s, (d, src, t) in
+             enumerate(DOCS, start=1)])
+    _ingest(spark, index, [(10, 4, True, None, None)])
+    want_kl = _rows(kl_by_source_from_index(spark, index))
+    compacted = str(tmp_path / "compacted")
+    # compaction carries the attrs state (live max-seq rows) itself
+    compact_index(spark, index, compacted, token_buckets=4)
+    assert _rows(kl_by_source_from_index(spark, compacted)) == want_kl
+    # and tail ingest after compaction folds into the same report
+    _ingest(spark, compacted, [(20, 7, False, "web",
+                                "spark window merge rows all at once")])
+    final = [(d, s, t) for d, s, t in DOCS if d != 4]
+    final.append((7, "web", "spark window merge rows all at once"))
+    assert _rows(kl_by_source_from_index(spark, compacted)) == _rows(
+        kl_by_source(_corpus(spark, final))
+    )
