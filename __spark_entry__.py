@@ -632,6 +632,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             assigner="hof",
         )
 
+    def x_ann_ivf_incremental(spark, sf_dir):
+        # CDC-maintained PERSISTED IVF index, value-oracled end to end:
+        # build on vec_id<300 (fixed-anchor quantizer, hof assigner),
+        # APPEND the rest (index's own centroids — quantizer frozen),
+        # TOMBSTONE vec_id%7==2, then probe. The oracle replays
+        # assignment+probe+rank over the live set in DuckDB; removed
+        # vectors may still serve as query vectors but never as
+        # neighbors. Scan reads only the probed cells' partition dirs.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.extensions.ann import (
+            append_to_ivf_index,
+            build_ivf_index,
+            ivf_topk_indexed,
+            remove_from_ivf_index,
+        )
+
+        e = _emb(spark, sf_dir)
+        cents = _anchor_centroids(spark, sf_dir, 8)
+        work = tempfile.mkdtemp(prefix="ivf_idx_")
+        try:
+            build_ivf_index(
+                e.filter(F.col("vec_id") < 300), work,
+                centroids=cents, assigner="hof",
+            )
+            append_to_ivf_index(
+                spark, work, e.filter(F.col("vec_id") >= 300),
+                assigner="hof",
+            )
+            remove_from_ivf_index(
+                spark, work,
+                e.filter(F.col("vec_id") % 7 == 2).select("vec_id"),
+            )
+            return ivf_topk_indexed(
+                e.filter(F.col("vec_id") < 10), spark, work,
+                k=5, nprobe=4, assigner="hof",
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_ann_lsh(spark, sf_dir):
         # hyperplane-LSH bucketing with md5-derived deterministic planes —
         # the LSH-bucketed ANN scale path, exactly reproducible in SQL
@@ -2719,9 +2760,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hapax": x_hapax,
         "x_cluster_sizes": x_cluster_sizes,
         # --- round-5 additions (driver-unchecked, oracled): corpus-QA
-        # stats answered from the streaming-maintained LSM index ---
+        # stats answered from the streaming-maintained LSM index, and
+        # the CDC-maintained persisted IVF index ---
         "x_kl_incremental": x_kl_incremental,
         "x_hapax_incremental": x_hapax_incremental,
+        "x_ann_ivf_incremental": x_ann_ivf_incremental,
         # --- already driver-checked in CORRECTNESS_r01 ∪ r02 ∪ r03
         # (150 keys, 149 value-green): harmless to re-check if the
         # 50-slot prefix spills into them ---
@@ -4897,6 +4940,40 @@ def oracle_sql() -> dict[str, str]:
         "x_ann_ivf": f"""
             WITH {_ANCHOR_ASSIGN},
             corpus_cells AS (SELECT vec_id, cell FROM aranked WHERE rnk = 1),
+            q_cells AS (
+                SELECT vec_id, cell FROM aranked
+                WHERE rnk <= 4 AND vec_id < 10
+            ),
+            sims AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(qv.v, cv.v)
+                             / (sqrt(list_dot_product(qv.v, qv.v))
+                              * sqrt(list_dot_product(cv.v, cv.v))), 4)
+                           AS cosine_r
+                FROM q_cells q
+                JOIN corpus_cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                JOIN vecs qv ON qv.vec_id = q.vec_id
+                JOIN vecs cv ON cv.vec_id = c.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_r DESC, neighbor_id)
+                           AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        # persisted-IVF maintenance: same assignment/probe/rank chain as
+        # x_ann_ivf, but the corpus side is the index's LIVE set after
+        # append + tombstone (vec_id%7==2 removed); queries (vec_id<10)
+        # are unrestricted — a removed vector can still ask, never answer
+        "x_ann_ivf_incremental": f"""
+            WITH {_ANCHOR_ASSIGN},
+            corpus_cells AS (
+                SELECT vec_id, cell FROM aranked
+                WHERE rnk = 1 AND vec_id % 7 <> 2
+            ),
             q_cells AS (
                 SELECT vec_id, cell FROM aranked
                 WHERE rnk <= 4 AND vec_id < 10

@@ -239,19 +239,25 @@ def build_ivf_index(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     seed: int = 42,
+    assigner: str = "vectorized",
 ) -> list[list[float]]:
     """Build the IVF index ONCE and persist it: the centroid matrix as a
     tiny parquet, the corpus written ``partitionBy(cell)`` so query-time
     probing becomes static partition pruning — probed cells are the only
     directories read. Amortizes quantizer training and cell assignment
     across every future query batch (the 'index build' the reference's
-    couch views amortize for aggregation, applied to ANN)."""
+    couch views amortize for aggregation, applied to ANN).
+
+    ``assigner`` as in :func:`ivf_topk` — ``"hof"`` builds an index whose
+    cell layout is bit-reproducible against an external SQL oracle; use
+    the same assigner for every later append/query against this index."""
     import os
 
     spark = corpus.sparkSession
     if centroids is None:
         centroids = train_centroids(corpus, n_cells, vec_col, seed)
-    assigned = assign_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    assign = {"vectorized": assign_cells, "hof": assign_cells_hof}[assigner]
+    assigned = assign(corpus, centroids, id_col, vec_col, nprobe=1)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "cells")
     )
@@ -268,6 +274,7 @@ def append_to_ivf_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigner: str = "vectorized",
 ) -> int:
     """Incrementally add vectors to a persisted IVF index — O(batch), no
     rebuild, no existing cell file touched.
@@ -293,7 +300,8 @@ def append_to_ivf_index(
         for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
     }
     centroids = [cents[i] for i in sorted(cents)]
-    assigned = assign_cells(new_vectors, centroids, id_col, vec_col, nprobe=1)
+    assign = {"vectorized": assign_cells, "hof": assign_cells_hof}[assigner]
+    assigned = assign(new_vectors, centroids, id_col, vec_col, nprobe=1)
     n = assigned.count()
     if n:
         (
@@ -432,11 +440,13 @@ def ivf_topk_indexed(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigner: str = "vectorized",
 ) -> DataFrame:
     """Query a persisted IVF index. The probed cell ids are collected from
     the (small) query side and applied as an ``isin`` filter, so the scan
     reads ONLY the probed cells' partition directories — O(nprobe/n_cells)
-    of the index regardless of corpus size."""
+    of the index regardless of corpus size. ``assigner`` must match the
+    one the index was built/appended with (see :func:`build_ivf_index`)."""
     import os
 
     cents = {
@@ -444,11 +454,12 @@ def ivf_topk_indexed(
         for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
     }
     centroids = [cents[i] for i in sorted(cents)]
+    assign = {"vectorized": assign_cells, "hof": assign_cells_hof}[assigner]
     # persist: q_cells feeds BOTH the probed-cell collect and the scoring
     # join — without it the assignment pandas UDF evaluates twice. Query
     # side is small by contract (it broadcasts below), so the cache is
     # cheap and evicts with the session.
-    q_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe).persist()
+    q_cells = assign(queries, centroids, id_col, vec_col, nprobe=nprobe).persist()
     probed = sorted(
         r["cell"] for r in q_cells.select("cell").distinct().collect()
     )
