@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -53,9 +54,15 @@ class DedupBatchStats:
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.exists(path):
+    # probe by attempting the read (PATH_NOT_FOUND raises
+    # AnalysisException) rather than a driver-local os.path.exists — the
+    # index may live on any Hadoop-supported filesystem (HDFS/S3), where
+    # a local stat is always false and would silently treat an existing
+    # corpus/index as empty (same fix as search_stream._read_or_empty)
+    try:
         return spark.read.parquet(path)
-    return spark.createDataFrame([], schema)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
 
 
 def read_accepted(spark: SparkSession, corpus_path: str) -> DataFrame:
