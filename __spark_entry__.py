@@ -673,6 +673,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_semantic_dedup_incremental(spark, sf_dir):
+        # incremental SemDeDup against the persisted IVF index's LIVE
+        # set: build on vec_id<300 (hof quantizer), tombstone %11==5,
+        # then classify the arriving batch (vec_id>=300) — corpus dups
+        # attribute to the min qualifying live id, survivors dedup
+        # within the batch via connected components. The oracle replays
+        # assignment, the live-set cut, both cosine stages, and the
+        # recursive-CTE CC in DuckDB. Only the touched cells' partition
+        # dirs are scanned.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.extensions.ann import (
+            build_ivf_index,
+            remove_from_ivf_index,
+        )
+        from couch_to_postgres_spark.extensions.dedup import (
+            semantic_dedup_incremental,
+        )
+
+        e = _emb(spark, sf_dir)
+        cents = _anchor_centroids(spark, sf_dir, 8)
+        work = tempfile.mkdtemp(prefix="semdedup_idx_")
+        try:
+            build_ivf_index(
+                e.filter(F.col("vec_id") < 300), work,
+                centroids=cents, assigner="hof",
+            )
+            remove_from_ivf_index(
+                spark, work,
+                e.filter(
+                    (F.col("vec_id") < 300) & (F.col("vec_id") % 11 == 5)
+                ).select("vec_id"),
+            )
+            return semantic_dedup_incremental(
+                spark, work, e.filter(F.col("vec_id") >= 300),
+                threshold=0.35, assigner="hof", scorer="hof",
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_ann_lsh(spark, sf_dir):
         # hyperplane-LSH bucketing with md5-derived deterministic planes —
         # the LSH-bucketed ANN scale path, exactly reproducible in SQL
@@ -2765,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_kl_incremental": x_kl_incremental,
         "x_hapax_incremental": x_hapax_incremental,
         "x_ann_ivf_incremental": x_ann_ivf_incremental,
+        "x_semantic_dedup_incremental": x_semantic_dedup_incremental,
         # --- already driver-checked in CORRECTNESS_r01 ∪ r02 ∪ r03
         # (150 keys, 149 value-green): harmless to re-check if the
         # 50-slot prefix spills into them ---
@@ -4997,6 +5039,72 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        # incremental SemDeDup vs the persisted index: live set =
+        # built slice minus tombstones; stage 1 marks batch vectors
+        # with a same-cell live cosine >= 0.35 (min qualifying id);
+        # stage 2 connected-components the remaining same-cell batch
+        # pairs and keeps the min-id representative
+        "x_semantic_dedup_incremental": f"""
+            WITH RECURSIVE {_ANCHOR_ASSIGN},
+            assigned AS (SELECT vec_id, cell FROM aranked WHERE rnk = 1),
+            live AS (
+                SELECT a.vec_id, a.cell, v.v
+                FROM assigned a JOIN vecs v USING (vec_id)
+                WHERE a.vec_id < 300 AND a.vec_id % 11 <> 5
+            ),
+            batch AS (
+                SELECT a.vec_id, a.cell, v.v
+                FROM assigned a JOIN vecs v USING (vec_id)
+                WHERE a.vec_id >= 300
+            ),
+            corpus_hits AS (
+                SELECT b.vec_id, min(l.vec_id) AS hit_of
+                FROM batch b JOIN live l ON b.cell = l.cell
+                WHERE list_dot_product(b.v, l.v)
+                      / (sqrt(list_dot_product(b.v, b.v))
+                       * sqrt(list_dot_product(l.v, l.v))) >= 0.35
+                GROUP BY b.vec_id
+            ),
+            remaining AS (
+                SELECT * FROM batch
+                WHERE vec_id NOT IN (SELECT vec_id FROM corpus_hits)
+            ),
+            pairs AS (
+                SELECT ra.vec_id AS id_a, rb.vec_id AS id_b
+                FROM remaining ra
+                JOIN remaining rb
+                  ON ra.cell = rb.cell AND ra.vec_id < rb.vec_id
+                WHERE list_dot_product(ra.v, rb.v)
+                      / (sqrt(list_dot_product(ra.v, ra.v))
+                       * sqrt(list_dot_product(rb.v, rb.v))) >= 0.35
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            clusters AS (
+                SELECT src AS node, least(src, min(dst)) AS cluster
+                FROM reach GROUP BY src
+            ),
+            wb AS (
+                SELECT node AS vec_id, cluster AS wb_of
+                FROM clusters WHERE node <> cluster
+            )
+            SELECT b.vec_id, b.cell,
+                   CASE WHEN ch.hit_of IS NOT NULL THEN 'dup_of_corpus'
+                        WHEN wb.wb_of IS NOT NULL THEN 'dup_within_batch'
+                        ELSE 'accepted' END AS status,
+                   coalesce(ch.hit_of, wb.wb_of) AS dup_of
+            FROM batch b
+            LEFT JOIN corpus_hits ch ON b.vec_id = ch.vec_id
+            LEFT JOIN wb ON b.vec_id = wb.vec_id
         """,
         "x_semantic_dedup": f"""
             WITH RECURSIVE {_ANCHOR_ASSIGN},

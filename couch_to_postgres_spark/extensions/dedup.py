@@ -1212,6 +1212,197 @@ def semantic_dedup(
     return emb.join(F.broadcast(drop), on=id_col, how="left_anti")
 
 
+def semantic_dedup_incremental(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigner: str = "vectorized",
+    scorer: str = "hof",
+) -> DataFrame:
+    """Incremental SemDeDup against a persisted IVF index: classify an
+    arriving embedding batch against the index's LIVE set without
+    rescanning the corpus — the semantic twin of
+    ``streaming.dedup_stream`` (exact/MinHash) and the dedup consumer of
+    ``ann.build_ivf_index``'s maintenance contract (append/tombstone).
+
+    Per-batch plan, sized for a 100 TB accepted corpus:
+
+    1. the batch assigns to cells with the INDEX'S frozen quantizer
+       (fresh centroids would put batch and corpus in incompatible cell
+       spaces);
+    2. the touched cell ids are collected from the batch side (a
+       micro-batch — small by contract) and applied as an ``isin`` on
+       the ``partitionBy(cell)`` scan, so ONLY the touched cells'
+       directories are read, O(batch · cell) regardless of corpus size;
+    3. tombstoned vectors drop via the compaction-bounded anti-join
+       (a deleted doc must not block re-entry of its own content);
+    4. batch × live-corpus cosine within each cell — the batch side is
+       the small side of the join (AQE broadcasts it; the index side
+       never shuffles). A batch vector matching ANY live vector at
+       ``cosine >= threshold`` is ``dup_of_corpus`` (attributed to the
+       min qualifying live id — deterministic under ties);
+    5. survivors dedup WITHIN the batch (same-cell pairs → connected
+       components → min-id representative): ``dup_within_batch``.
+
+    Returns one row per batch vector:
+    ``(id, cell, status, dup_of)`` with status in
+    ``accepted | dup_of_corpus | dup_within_batch`` and ``dup_of`` null
+    for accepted rows. Feed the accepted slice to
+    :func:`~couch_to_postgres_spark.extensions.ann.append_to_ivf_index`
+    to complete the ingest step (see :func:`semantic_dedup_ingest`).
+
+    ``scorer="hof"`` scores pairs with sequential JVM folds an external
+    SQL engine replicates bit-for-bit (the parity-gate variant);
+    ``"vectorized"`` uses the per-cell numpy GEMM pair scorer for the
+    within-batch stage (production path). ``assigner`` must match the
+    one the index was built with (see ``ann.build_ivf_index``).
+    """
+    import os
+
+    from couch_to_postgres_spark.extensions.ann import (
+        _live_cells,
+        assign_cells,
+        assign_cells_hof,
+    )
+
+    if scorer not in ("hof", "vectorized"):
+        raise ValueError(f"scorer must be hof|vectorized, got {scorer!r}")
+    if assigner not in ("hof", "vectorized"):
+        raise ValueError(f"assigner must be hof|vectorized, got {assigner!r}")
+    cents = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(
+            os.path.join(index_path, "centroids")
+        ).collect()
+    }
+    centroids = [cents[i] for i in sorted(cents)]
+    assign = {"vectorized": assign_cells, "hof": assign_cells_hof}[assigner]
+    # persist: the assignment feeds the touched-cell collect, the
+    # corpus join, and the within-batch stage — without it the
+    # assignment (a pandas UDF or an n_cells-way fold) runs three times
+    assigned = assign(batch, centroids, id_col, vec_col, nprobe=1).persist()
+    touched = sorted(
+        r["cell"] for r in assigned.select("cell").distinct().collect()
+    )
+    live = _live_cells(
+        spark,
+        index_path,
+        spark.read.parquet(os.path.join(index_path, "cells")).filter(
+            F.col("cell").isin(touched)
+        ),
+    )
+
+    def _scored(df, prefix):
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).cast("array<double>").alias(f"{prefix}_v"),
+            "cell",
+        ).withColumn(
+            f"{prefix}_n",
+            F.sqrt(
+                F.aggregate(f"{prefix}_v", F.lit(0.0), lambda a, x: a + x * x)
+            ),
+        )
+
+    b, l = _scored(assigned, "b"), _scored(live, "l")
+    dot = F.aggregate(
+        F.zip_with(F.col("b_v"), F.col("l_v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    corpus_hits = (
+        b.join(l, "cell")
+        .filter(dot / (F.col("b_n") * F.col("l_n")) >= F.lit(threshold))
+        .groupBy("b_id")
+        .agg(F.min("l_id").alias("dup_of"))
+    )
+    remaining = assigned.join(
+        corpus_hits.withColumnRenamed("b_id", id_col).select(id_col),
+        on=id_col,
+        how="left_anti",
+    )
+    pair_fn = (
+        embedding_neardup_pairs
+        if scorer == "hof"
+        else embedding_neardup_pairs_vectorized
+    )
+    wb_pairs = pair_fn(
+        remaining,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell",
+    )
+    wb_drop = (
+        dedup_clusters(wb_pairs, id_col=id_col)
+        .filter(F.col("cluster") != F.col(id_col))
+        .select(F.col(id_col).alias("b_id"), F.col("cluster").alias("wb_of"))
+    )
+    out = (
+        assigned.select(F.col(id_col), F.col("cell"))
+        .join(F.broadcast(corpus_hits.withColumnRenamed("b_id", id_col)),
+              on=id_col, how="left")
+        .join(F.broadcast(wb_drop.withColumnRenamed("b_id", id_col)),
+              on=id_col, how="left")
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("dup_of").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("wb_of").isNotNull(), F.lit("dup_within_batch"))
+            .otherwise(F.lit("accepted"))
+            .alias("status"),
+            F.coalesce("dup_of", "wb_of").alias("dup_of"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out
+
+
+def semantic_dedup_ingest(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigner: str = "vectorized",
+    scorer: str = "hof",
+) -> dict:
+    """The ``foreachBatch`` body for a streaming embeddings feed with
+    semantic admission control: classify the batch against the live
+    index (:func:`semantic_dedup_incremental`), append ONLY the accepted
+    vectors (``ann.append_to_ivf_index`` — the index's own quantizer, no
+    rebuild), and return per-batch admission stats. Replays are
+    harmless: a replayed vector is cosine-1.0 to its accepted self and
+    classifies ``dup_of_corpus`` — the same at-least-once idempotence
+    argument as the CDC merge (reference lib/index.js:110-128)."""
+    from couch_to_postgres_spark.extensions.ann import append_to_ivf_index
+
+    cls = semantic_dedup_incremental(
+        spark, index_path, batch, threshold,
+        id_col, vec_col, assigner, scorer,
+    )
+    counts = {
+        r["status"]: r["n"]
+        for r in cls.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    accepted_ids = cls.filter(F.col("status") == "accepted").select(id_col)
+    accepted = batch.join(accepted_ids, on=id_col, how="left_semi")
+    n = append_to_ivf_index(
+        spark, index_path, accepted, id_col, vec_col, assigner=assigner
+    )
+    return {
+        "arrived": sum(counts.values()),
+        "dup_of_corpus": counts.get("dup_of_corpus", 0),
+        "dup_within_batch": counts.get("dup_within_batch", 0),
+        "accepted": n,
+    }
+
+
 def source_overlap(
     df: DataFrame,
     group_col: str = "source",

@@ -935,6 +935,69 @@ def test_semantic_dedup_drops_planted_embedding_dup(spark, emb):
     assert again.count() == len(ids)
 
 
+def test_semantic_dedup_incremental_classification(spark, emb, tmp_path):
+    """Incremental SemDeDup vs a persisted IVF index: a batch clone of a
+    live indexed vector is dup_of_corpus (attributed to its source); a
+    clone of a TOMBSTONED vector re-enters; twin new vectors dedup
+    within the batch (min id wins, twin points at it)."""
+    from couch_to_postgres_spark.extensions.ann import (
+        build_ivf_index,
+        remove_from_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    corpus = emb.filter(F.col("vec_id") < 100)
+    build_ivf_index(corpus, path, n_cells=4)
+    # tombstone vec 7: its content must be re-admittable
+    remove_from_ivf_index(
+        spark, path, corpus.filter(F.col("vec_id") == 7).select("vec_id")
+    )
+
+    def clone(src_id, new_id):
+        return emb.filter(F.col("vec_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("vec_id"), "embedding", "label"
+        )
+
+    batch = (
+        clone(3, 100000)      # live corpus dup
+        .unionByName(clone(7, 100001))   # tombstoned → re-enters
+        .unionByName(clone(150, 100002))  # twin A (150 not indexed)
+        .unionByName(clone(150, 100003))  # twin B of A
+    )
+    cls = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in D.semantic_dedup_incremental(
+            spark, path, batch, threshold=0.999
+        ).collect()
+    }
+    assert cls[100000] == ("dup_of_corpus", 3)
+    assert cls[100001] == ("accepted", None)
+    assert cls[100002] == ("accepted", None)
+    assert cls[100003] == ("dup_within_batch", 100002)
+
+
+def test_semantic_dedup_ingest_idempotent_replay(spark, emb, tmp_path):
+    """foreachBatch body: accepted vectors append to the index, so an
+    at-least-once REPLAY of the same batch admits nothing new."""
+    from couch_to_postgres_spark.extensions.ann import build_ivf_index
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") < 100), path, n_cells=4)
+    batch = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 140)
+    )
+    first = D.semantic_dedup_ingest(spark, path, batch, threshold=0.999)
+    assert first["arrived"] == 40
+    assert first["accepted"] >= 1
+    assert (
+        first["accepted"] + first["dup_of_corpus"] + first["dup_within_batch"]
+        == 40
+    )
+    replay = D.semantic_dedup_ingest(spark, path, batch, threshold=0.999)
+    assert replay["accepted"] == 0
+    assert replay["dup_of_corpus"] == 40
+
+
 # --------------------------------------------------------------------------
 # winnowing span dedup
 # --------------------------------------------------------------------------
