@@ -2151,6 +2151,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_chunk(spark, sf_dir):
         return X_text.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
 
+    def x_target_mix(spark, sf_dir):
+        # DoReMi-style domain rebalancing (downsampling form): largest
+        # without-replacement epoch matching a target mix. Weights are
+        # binary-exact (0.5/0.25/0.125) so the floor arithmetic is
+        # bit-identical across engines; at sf0.01 (25 docs/source) the
+        # binding group is src0: T = floor(25/0.5) = 50, quotas
+        # 25/12/6/6 — 49 rows
+        from couch_to_postgres_spark.extensions.sampling import (
+            resample_to_mix,
+        )
+
+        return resample_to_mix(
+            _docs(spark, sf_dir),
+            {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125},
+        ).select("doc_id", "source")
+
     def x_cap_per_source(spark, sf_dir):
         # cap documents per source (deterministic hash order): no single
         # domain may dominate the mixture
@@ -2807,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hapax_incremental": x_hapax_incremental,
         "x_ann_ivf_incremental": x_ann_ivf_incremental,
         "x_semantic_dedup_incremental": x_semantic_dedup_incremental,
+        "x_target_mix": x_target_mix,
         # --- already driver-checked in CORRECTNESS_r01 ∪ r02 ∪ r03
         # (150 keys, 149 value-green): harmless to re-check if the
         # 50-slot prefix spills into them ---
@@ -5805,6 +5822,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(cw) AS INT) AS n_chunk_tokens,
                    md5(array_to_string(cw, ' ')) AS chunk_md5
             FROM chunks
+        """,
+        # target-mix rebalance: normalized weights (binary-exact, so the
+        # double floor arithmetic is engine-identical), feasible epoch
+        # T = min floor(n_g / w_g), quota floor(w_g * T), hash-order picks
+        "x_target_mix": """
+            WITH w(source, wt) AS (
+                VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                       ('src1', CAST(0.25 AS DOUBLE)),
+                       ('src2', CAST(0.125 AS DOUBLE)),
+                       ('src3', CAST(0.125 AS DOUBLE))
+            ),
+            wn AS (
+                SELECT source, wt / (SELECT sum(wt) FROM w) AS wt FROM w
+            ),
+            counts AS (
+                SELECT d.source, count(*) AS n
+                FROM documents d JOIN wn USING (source)
+                GROUP BY d.source
+            ),
+            t AS (
+                SELECT min(floor(c.n / wn.wt)) AS t
+                FROM counts c JOIN wn USING (source)
+            ),
+            quotas AS (
+                SELECT wn.source, floor(wn.wt * (SELECT t FROM t)) AS q
+                FROM wn
+            ),
+            ranked AS (
+                SELECT d.doc_id, d.source,
+                       row_number() OVER (
+                           PARTITION BY d.source
+                           ORDER BY md5('mix1:' || CAST(d.doc_id AS VARCHAR)),
+                                    d.doc_id
+                       ) AS rn
+                FROM documents d JOIN quotas USING (source)
+            )
+            SELECT r.doc_id, r.source
+            FROM ranked r JOIN quotas q USING (source)
+            WHERE r.rn <= q.q
         """,
         "x_cap_per_source": """
             WITH ranked AS (

@@ -127,6 +127,74 @@ def cap_per_group(
     return df.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
 
 
+def resample_to_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+    total: int | None = None,
+) -> DataFrame:
+    """Rebalance the corpus to a TARGET group mixture (DoReMi-style
+    domain reweighting, downsampling form): given per-group weights,
+    emit the LARGEST epoch achievable without replacement whose
+    composition matches the normalized weights — feasible total
+    ``T = min_g floor(n_g / w_g)`` (the binding group runs out first),
+    per-group quota ``floor(w_g · T)``, rows chosen in deterministic
+    hash order (md5 of salt:id — same auditability contract as
+    :func:`stratified_sample`). Groups absent from ``weights`` (or
+    weighted 0) are dropped; a positive-weight group with NO corpus rows
+    makes the mix infeasible and raises. ``total`` caps the epoch below
+    the feasible maximum. To OVERSHOOT a group's supply instead of
+    shrinking the epoch, compose with :func:`upsample_epochs`.
+
+    Scale shape: the group-count collect is group-cardinality rows
+    (bounded — sources, not documents); quotas broadcast back as a tiny
+    rate table; selection is one ranking window per group (one shuffle
+    on the group key — at extreme skew pre-thin the hot group with
+    :func:`stratified_sample`, as for :func:`cap_per_group`).
+
+    Cross-engine exactness note: quota arithmetic is IEEE double
+    (floor(n/w), floor(w·T)). An external replay matches bit-for-bit
+    when the weights are binary-exact (0.5, 0.25, …) or when it
+    replicates the same double ops; near-integer boundaries with
+    non-binary weights can differ by one row between decimal and double
+    engines."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {g: float(w) / wsum for g, w in weights.items() if w > 0}
+    if not norm:
+        raise ValueError("no positive-weight groups in the mix")
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+        if r[group_col] in norm
+    }
+    missing = sorted(set(norm) - set(counts))
+    if missing:
+        raise ValueError(f"mix demands groups absent from the corpus: {missing}")
+    feasible = min(math.floor(counts[g] / w) for g, w in norm.items())
+    t = feasible if total is None else min(int(total), feasible)
+    quotas = sorted((g, math.floor(w * t)) for g, w in norm.items())
+    qdf = spark.createDataFrame(quotas, f"{group_col} string, _quota long")
+    order = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    rn = F.row_number().over(
+        W.partitionBy(group_col).orderBy(order, F.col(id_col))
+    )
+    return (
+        df.join(F.broadcast(qdf), group_col, "inner")
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .select(df.columns)
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     budgets: dict[str, int],

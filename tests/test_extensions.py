@@ -775,6 +775,47 @@ def test_deterministic_shuffle_is_a_stable_permutation(spark, docs):
     assert c != a                      # new salt re-deals the order
 
 
+def test_resample_to_mix_quotas_and_determinism(spark, docs):
+    """Largest feasible epoch at the target mix: binding group fixes T,
+    per-group counts hit floor(w*T); unlisted groups drop; the pick is
+    salt-stable; 'total' caps the epoch; a mix demanding an absent
+    group raises."""
+    import pytest as _pytest
+
+    from couch_to_postgres_spark.extensions.sampling import resample_to_mix
+
+    w = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+    out = resample_to_mix(docs, w)
+    comp = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n0 = docs.filter(F.col("source") == "src0").count()
+    t = int(n0 / 0.5)  # src0 is binding: equal-sized sources, max weight
+    assert comp == {
+        "src0": int(0.5 * t),
+        "src1": int(0.25 * t),
+        "src2": int(0.125 * t),
+        "src3": int(0.125 * t),
+    }
+    # deterministic: same call returns the same id set
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in resample_to_mix(docs, w).select("doc_id").collect()
+    }
+    assert ids1 == ids2
+    # a capped epoch keeps proportions at the smaller T
+    capped = resample_to_mix(docs, w, total=16)
+    by = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by == {"src0": 8, "src1": 4, "src2": 2, "src3": 2}
+    with _pytest.raises(ValueError, match="absent"):
+        resample_to_mix(docs, {"src0": 0.5, "no_such_source": 0.5})
+
+
 def test_upsample_factor_zero_drops_group(spark, docs):
     from couch_to_postgres_spark.extensions.sampling import upsample
 

@@ -112,24 +112,43 @@ def main() -> None:
         ),
     ).write.mode("overwrite").parquet(emb10_path)
 
+    # persisted IVF indexes for the incremental-SemDeDup entry (setup,
+    # not timed — index build amortizes across every future batch).
+    # n_cells follows the √N discipline (16 at 2k vecs, 50 at 20k) so the
+    # measurement reflects the documented maintenance contract: the timed
+    # query admits the SAME 20-vector batch against both live corpora —
+    # the claim under test is O(batch · cell), never O(corpus)
+    from couch_to_postgres_spark.extensions.ann import build_ivf_index
+
+    emb10 = spark.read.parquet(emb10_path)
+    idx1_path = os.path.join(tmp, "ivf_sf01")
+    build_ivf_index(emb1.filter(F.col("vec_id") >= 20), idx1_path, n_cells=16)
+    idx10_path = os.path.join(tmp, "ivf_sf1")
+    build_ivf_index(
+        emb10.filter(F.col("vec_id") >= 20), idx10_path, n_cells=50
+    )
+
     scales = {
         "sf0.1": {
             "mirror": spark.read.parquet(m1_path),
             "docs": docs1,
             "events": ev1,
             "emb": emb1,
+            "semdedup_idx": idx1_path,
         },
         "sf1(synth)": {
             "mirror": spark.read.parquet(m10_path),
             "docs": spark.read.parquet(d10_path),
             "events": spark.read.parquet(ev10_path),
-            "emb": spark.read.parquet(emb10_path),
+            "emb": emb10,
+            "semdedup_idx": idx10_path,
         },
     }
     # touch so timings measure queries, not cold page cache
     for t in scales.values():
         for df in t.values():
-            df.count()
+            if hasattr(df, "count"):
+                df.count()
 
     def queries(t):
         mirror, docs, ev, emb = t["mirror"], t["docs"], t["events"], t["emb"]
@@ -189,6 +208,16 @@ def main() -> None:
                 X_dedup.minhash_candidate_pairs(docs, num_bands=4),
             ).count(),
             "q_boilerplate": lambda: X_dedup.boilerplate_score(docs).count(),
+            # r05: incremental SemDeDup — the SAME 20-vector batch admitted
+            # against the 1x vs 10x live index (touched-cells-only scan);
+            # a corpus-proportional ratio here would falsify the
+            # O(batch · cell) admission-cost claim
+            "q_semdedup_incr": lambda: X_dedup.semantic_dedup_incremental(
+                spark,
+                t["semdedup_idx"],
+                emb.filter(F.col("vec_id") < 20),
+                threshold=0.35,
+            ).count(),
         }
 
     # warm each query's pipeline once at the SMALL scale (JIT/codegen),
