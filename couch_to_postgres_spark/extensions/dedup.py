@@ -1376,10 +1376,19 @@ def semantic_dedup_ingest(
     semantic admission control: classify the batch against the live
     index (:func:`semantic_dedup_incremental`), append ONLY the accepted
     vectors (``ann.append_to_ivf_index`` — the index's own quantizer, no
-    rebuild), and return per-batch admission stats. Replays are
-    harmless: a replayed vector is cosine-1.0 to its accepted self and
-    classifies ``dup_of_corpus`` — the same at-least-once idempotence
-    argument as the CDC merge (reference lib/index.js:110-128)."""
+    rebuild), and return per-batch admission stats.
+
+    At-least-once replay safety (the CDC-merge argument, reference
+    lib/index.js:110-128, adapted to similarity semantics): every
+    previously-ACCEPTED vector is cosine-1.0 to its live self and
+    re-classifies ``dup_of_corpus`` — a replay never double-admits.
+    Previously-rejected ``dup_within_batch`` vectors are re-EVALUATED,
+    and one covered only via a transitive CC chain (a~b, b~c, a~c below
+    threshold; rep a admitted, c rejected) MAY be admitted on replay —
+    legitimately: c is not within threshold of any live vector. The
+    maintained invariant is exactly that — no vector is admitted while
+    a live near-dup of it exists — not byte-stability of reject
+    decisions across replays (coverage by chain is not transitive)."""
     from couch_to_postgres_spark.extensions.ann import append_to_ivf_index
 
     cls = semantic_dedup_incremental(

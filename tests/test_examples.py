@@ -18,6 +18,7 @@ EXAMPLES = [
     ("examples/replicate_and_query.py", [SF], {}),
     ("examples/search_and_curate.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
     ("examples/live_daemon_operations.py", [], {}),
+    ("examples/incremental_indexes.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
 ]
 
 

@@ -1037,6 +1037,18 @@ def test_semantic_dedup_ingest_idempotent_replay(spark, emb, tmp_path):
     replay = D.semantic_dedup_ingest(spark, path, batch, threshold=0.999)
     assert replay["accepted"] == 0
     assert replay["dup_of_corpus"] == 40
+    # the maintained invariant: no two LIVE vectors in the same cell are
+    # within threshold of each other (every admission was checked against
+    # the live set of its time, and nothing here was removed)
+    import os as _os
+
+    live = spark.read.parquet(_os.path.join(path, "cells"))
+    assert (
+        D.embedding_neardup_pairs(
+            live, threshold=0.999, block_col="cell"
+        ).count()
+        == 0
+    )
 
 
 # --------------------------------------------------------------------------
