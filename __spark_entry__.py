@@ -2450,6 +2450,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_bm25_lsm(spark, sf_dir):
+        # the LSM READ path, value-checked end to end: same change
+        # sequence and final corpus state as x_bm25_incremental, but the
+        # two insert batches COMPACT into a token-bucket-partitioned base
+        # (dead rows dropped, bucket count in base/meta) and the
+        # update+delete batch lands as post-compaction tail — the query
+        # must read base ∪ tail with the bucket-pruned base scan and
+        # still equal a fresh BM25 over the final state (same oracle
+        # text as x_bm25_incremental, by construction)
+        import os
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.search_stream import (
+            bm25_topk_from_index,
+            compact_index,
+            search_index_batch,
+        )
+
+        base = _docs(spark, sf_dir).select("doc_id", "text")
+        work = tempfile.mkdtemp(prefix="bm25_lsm_")
+        try:
+            raw = os.path.join(work, "raw")
+            b1 = base.filter(F.col("doc_id") < 250).select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            )
+            b2 = base.filter(F.col("doc_id") >= 250).select(
+                (F.col("doc_id") + 1000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            )
+            for b in (b1, b2):
+                search_index_batch(spark, raw, b)
+            lsm = os.path.join(work, "lsm")
+            compact_index(spark, raw, lsm, token_buckets=16)
+            tail = base.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"),
+                F.concat(
+                    F.col("text"), F.lit(" spark merge window")
+                ).alias("text"),
+            ).unionByName(
+                base.filter(F.col("doc_id") % 10 == 7).select(
+                    (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                    "doc_id", F.lit(True).alias("deleted"),
+                    F.lit(None).cast("string").alias("text"),
+                )
+            )
+            search_index_batch(spark, lsm, tail)
+            qtab = spark.createDataFrame(
+                [(1, "spark"), (1, "window"), (2, "merge"), (2, "rows")],
+                "query_id int, term string",
+            )
+            return bm25_topk_from_index(spark, lsm, qtab, k=15)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def _stats_index_over_docs(spark, sf_dir, report_fn):
         # shared harness for the streaming-maintained corpus-QA stats
         # (streaming/stats_stream.py): two insert batches, COMPACTION
@@ -2824,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ann_ivf_incremental": x_ann_ivf_incremental,
         "x_semantic_dedup_incremental": x_semantic_dedup_incremental,
         "x_target_mix": x_target_mix,
+        "x_bm25_lsm": x_bm25_lsm,
         # --- already driver-checked in CORRECTNESS_r01 ∪ r02 ∪ r03
         # (150 keys, 149 value-green): harmless to re-check if the
         # 50-slot prefix spills into them ---
@@ -3149,7 +3207,7 @@ def _jl_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "b01_point_lookup": """
             SELECT CAST(doc_id AS VARCHAR) AS id, lang, n_chars
             FROM documents WHERE doc_id = 123
@@ -6575,3 +6633,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # x_bm25_lsm applies the SAME change sequence to the SAME corpus as
+    # x_bm25_incremental (compaction must not change answers), so its
+    # oracle is that query's oracle, by construction
+    oracles["x_bm25_lsm"] = oracles["x_bm25_incremental"]
+    return oracles
