@@ -632,6 +632,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             assigner="hof",
         )
 
+    def x_ann_recall(spark, sf_dir):
+        # the ANN EVAL harness, itself value-oracled: recall@5 of the
+        # anchor-quantized IVF probe (nprobe=4, hof — the x_ann_ivf
+        # search) against exact brute-force top-5, per query. Both
+        # result sets and the overlap arithmetic replay in DuckDB; the
+        # ratio is a small-integer n/5 so the value is engine-exact.
+        from couch_to_postgres_spark.extensions.ann import ivf_topk
+        from couch_to_postgres_spark.extensions.similarity import (
+            topk_recall,
+        )
+
+        e = _emb(spark, sf_dir)
+        q = e.filter(F.col("vec_id") < 10)
+        cents = _anchor_centroids(spark, sf_dir, 8)
+        exact = X_sim.cosine_topk(q, e, k=5)
+        approx = ivf_topk(q, e, cents, k=5, nprobe=4, assigner="hof")
+        return topk_recall(approx, exact, k=5)
+
     def x_ann_ivf_incremental(spark, sf_dir):
         # CDC-maintained PERSISTED IVF index, value-oracled end to end:
         # build on vec_id<300 (fixed-anchor quantizer, hof assigner),
@@ -2882,6 +2900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_semantic_dedup_incremental": x_semantic_dedup_incremental,
         "x_target_mix": x_target_mix,
         "x_bm25_lsm": x_bm25_lsm,
+        "x_ann_recall": x_ann_recall,
         # --- already driver-checked in CORRECTNESS_r01 ∪ r02 ∪ r03
         # (150 keys, 149 value-green): harmless to re-check if the
         # 50-slot prefix spills into them ---
@@ -5080,6 +5099,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        # ANN eval harness: IVF (x_ann_ivf's assignment/probe/rank chain)
+        # vs exact brute-force top-5, overlap counted per query, recall
+        # a small-integer ratio — the whole eval replays in SQL
+        "x_ann_recall": f"""
+            WITH {_ANCHOR_ASSIGN},
+            corpus_cells AS (SELECT vec_id, cell FROM aranked WHERE rnk = 1),
+            q_cells AS (
+                SELECT vec_id, cell FROM aranked
+                WHERE rnk <= 4 AND vec_id < 10
+            ),
+            ivf_sims AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(qv.v, cv.v)
+                             / (sqrt(list_dot_product(qv.v, qv.v))
+                              * sqrt(list_dot_product(cv.v, cv.v))), 4)
+                           AS cosine_r
+                FROM q_cells q
+                JOIN corpus_cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                JOIN vecs qv ON qv.vec_id = q.vec_id
+                JOIN vecs cv ON cv.vec_id = c.vec_id
+            ),
+            approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY cosine_r DESC,
+                                                       neighbor_id) AS rank
+                    FROM ivf_sims
+                ) WHERE rank <= 5
+            ),
+            ex_sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.v, c.v)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.v, c.v))), 4)
+                           AS cosine_r
+                FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+            ),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY cosine_r DESC,
+                                                       neighbor_id) AS rank
+                    FROM ex_sims
+                ) WHERE rank <= 5
+            ),
+            hits AS (
+                SELECT a.query_id, count(*) AS n_hit
+                FROM approx a JOIN exact e
+                  ON a.query_id = e.query_id
+                 AND a.neighbor_id = e.neighbor_id
+                GROUP BY a.query_id
+            ),
+            qs AS (SELECT DISTINCT query_id FROM exact)
+            SELECT q.query_id,
+                   coalesce(h.n_hit, 0) AS n_hit,
+                   round(coalesce(h.n_hit, 0) / 5.0, 4) AS recall
+            FROM qs q LEFT JOIN hits h ON q.query_id = h.query_id
         """,
         # persisted-IVF maintenance: same assignment/probe/rank chain as
         # x_ann_ivf, but the corpus side is the index's LIVE set after

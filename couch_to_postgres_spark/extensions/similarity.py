@@ -286,3 +286,40 @@ def hard_negatives(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the eval harness that turns "the IVF index is probably fine" into a
+    per-query number (rank columns are ignored: recall is set overlap).
+    Returns ``(query_id, n_hit, recall)`` for every query present in
+    ``exact``, zero-filled for queries the approximate pass missed
+    entirely.
+
+    Plan shape: one left-semi join on (query, neighbor) — both sides are
+    top-k results (queries × k rows, NOT corpus-sized), so this is
+    result-set arithmetic regardless of corpus scale; the per-query
+    aggregate shuffles at most queries × k rows. Recall values are exact
+    small-integer ratios (n/k, rounded to 4) — engine-stable."""
+    hits = approx.select(query_col, neighbor_col).join(
+        exact.select(query_col, neighbor_col),
+        on=[query_col, neighbor_col],
+        how="left_semi",
+    )
+    per_q = hits.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    qset = exact.select(query_col).distinct()
+    return qset.join(per_q, on=query_col, how="left").select(
+        query_col,
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k)), 4
+        ).alias("recall"),
+    )

@@ -353,3 +353,42 @@ def test_hard_negatives_excludes_same_label_and_ranks_by_cosine(spark):
     ]
     assert [n for n, _ in out] == [2, 4, 3]  # by similarity, no same-label
     assert 1 not in {n for n, _ in out}
+
+
+def test_topk_recall_overlap_arithmetic(spark):
+    from couch_to_postgres_spark.extensions.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "query_id long, neighbor_id long",
+    )
+    # q1: full overlap; q2: half; q3: absent from the approx result
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_hit"], r["recall"])
+        for r in topk_recall(approx, exact, k=2).collect()
+    }
+    assert got == {1: (2, 1.0), 2: (1, 0.5), 3: (0, 0.0)}
+
+
+def test_topk_recall_ivf_vs_exact_real_vectors(spark, emb):
+    from couch_to_postgres_spark.extensions.ann import ivf_topk, train_centroids
+    from couch_to_postgres_spark.extensions.similarity import (
+        cosine_topk,
+        topk_recall,
+    )
+
+    q = emb.filter(F.col("vec_id") < 8)
+    cents = train_centroids(emb, n_cells=8)
+    exact = cosine_topk(q, emb, k=5)
+    approx = ivf_topk(q, emb, cents, k=5, nprobe=4)
+    rec = topk_recall(approx, exact, k=5)
+    rows = rec.collect()
+    assert len(rows) == 8
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    # nprobe=4 of 8 trained cells must beat chance decisively
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert mean >= 0.5, f"IVF recall collapsed: {mean}"
