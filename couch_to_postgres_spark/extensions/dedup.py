@@ -1221,6 +1221,7 @@ def semantic_dedup_incremental(
     vec_col: str = "embedding",
     assigner: str = "vectorized",
     scorer: str = "hof",
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental SemDeDup against a persisted IVF index: classify an
     arriving embedding batch against the index's LIVE set without
@@ -1313,8 +1314,15 @@ def semantic_dedup_incremental(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # broadcast the BATCH side, not the live-index slice: the batch is
+    # micro-batch-bounded by contract, while the touched cells' live set
+    # is corpus-proportional in the worst case — without the hint
+    # Catalyst builds on whichever side estimates smaller (at test scale
+    # that's the pruned index scan, exactly the side that explodes at
+    # 100 TB). The index side thus never shuffles OR broadcasts.
     corpus_hits = (
-        b.join(l, "cell")
+        F.broadcast(b)
+        .join(l, "cell")
         .filter(dot / (F.col("b_n") * F.col("l_n")) >= F.lit(threshold))
         .groupBy("b_id")
         .agg(F.min("l_id").alias("dup_of"))
@@ -1357,8 +1365,11 @@ def semantic_dedup_incremental(
             F.coalesce("dup_of", "wb_of").alias("dup_of"),
         )
     )
-    out = out.localCheckpoint(eager=True)
-    assigned.unpersist()
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        assigned.unpersist()
+    # materialize=False returns the lazy plan (tests assert its shape);
+    # the caller then owns the assignment cache's lifecycle
     return out
 
 

@@ -93,6 +93,40 @@ def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def _read_components(
+    spark: SparkSession, specs: list[tuple[str, str]], id_col: str
+) -> list[DataFrame]:
+    """Read sibling index components ``[(path, fallback_schema), …]``;
+    a MISSING component's id column takes the dtype of whichever sibling
+    exists. The index must never cast ids: a string-id corpus (couch doc
+    ids like ``'100009-6'``) with, say, no tombstones yet must not get a
+    long-typed empty tombstone frame — the later join/union would
+    ANSI-cast the real ids to bigint and throw mid-query."""
+    reads: list[DataFrame | None] = []
+    like = None
+    for path, _ in specs:
+        try:
+            df = spark.read.parquet(path)
+            if like is None:
+                like = df
+        except AnalysisException:
+            df = None
+        reads.append(df)
+    out = []
+    for df, (_, schema) in zip(reads, specs):
+        if df is None:
+            if like is not None and id_col in dict(like.dtypes):
+                id_t = dict(like.dtypes)[id_col]
+                fields = [f.strip() for f in schema.split(",")]
+                schema = ", ".join(
+                    f"{id_col} {id_t}" if f.startswith(f"{id_col} ") else f
+                    for f in fields
+                )
+            df = spark.createDataFrame([], schema)
+        out.append(df)
+    return out
+
+
 def _paths(index_path: str) -> tuple[str, str, str]:
     return (
         os.path.join(index_path, "doclen"),
@@ -194,14 +228,18 @@ def live_doclen(
     doclen_path, _, tomb_path = _paths(index_path)
     base_doclen_path, _, _ = _base_paths(index_path)
     schema = f"{id_col} long, dl double, seq long"
-    doclen = _read_or_empty(spark, doclen_path, schema).select(
-        id_col, "dl", "seq"
-    ).unionByName(
-        _read_or_empty(spark, base_doclen_path, schema).select(
-            id_col, "dl", "seq"
-        )
+    tail, base, tomb = _read_components(
+        spark,
+        [
+            (doclen_path, schema),
+            (base_doclen_path, schema),
+            (tomb_path, f"{id_col} long, seq long"),
+        ],
+        id_col,
     )
-    tomb = _read_or_empty(spark, tomb_path, f"{id_col} long, seq long")
+    doclen = tail.select(id_col, "dl", "seq").unionByName(
+        base.select(id_col, "dl", "seq")
+    )
     latest = doclen.groupBy(id_col).agg(
         F.max("seq").alias("seq"), F.max_by("dl", "seq").alias("dl")
     )
@@ -240,12 +278,11 @@ def _full_postings(
     _, postings_path, _ = _paths(index_path)
     _, base_postings_path, _ = _base_paths(index_path)
     schema = f"{id_col} long, token string, tf double, seq long"
-    return _read_or_empty(spark, postings_path, schema).select(
-        id_col, "token", "tf", "seq"
-    ).unionByName(
-        _read_or_empty(spark, base_postings_path, schema).select(
-            id_col, "token", "tf", "seq"
-        )
+    tail, base = _read_components(
+        spark, [(postings_path, schema), (base_postings_path, schema)], id_col
+    )
+    return tail.select(id_col, "token", "tf", "seq").unionByName(
+        base.select(id_col, "token", "tf", "seq")
     )
 
 
@@ -264,10 +301,12 @@ def query_postings(
     _, postings_path, _ = _paths(index_path)
     _, base_postings_path, meta_path = _base_paths(index_path)
     schema = f"{id_col} long, token string, tf double, seq long"
-    tail = _read_or_empty(spark, postings_path, schema).filter(
-        F.col("token").isin(terms)
-    ).select(id_col, "token", "tf", "seq")
-    base = _read_or_empty(spark, base_postings_path, schema)
+    tail, base = _read_components(
+        spark, [(postings_path, schema), (base_postings_path, schema)], id_col
+    )
+    tail = tail.filter(F.col("token").isin(terms)).select(
+        id_col, "token", "tf", "seq"
+    )
     if "token_bucket" in base.columns:
         meta = _read_or_empty(spark, meta_path, "token_buckets int").collect()
         if meta:

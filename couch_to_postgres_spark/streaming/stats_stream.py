@@ -110,8 +110,13 @@ def live_attrs(
     restricted to the live set (tombstones/supersession via the shared
     :func:`live_doclen`). Two skinny aggregates + one skinny join."""
     attr_cols = ["source"] if attr_cols is None else list(attr_cols)
+    live_all = live_doclen(spark, index_path, id_col)
+    # a missing attrs component must carry the LIVE set's id dtype —
+    # string-id corpora would otherwise hit an ANSI string→bigint cast
+    # in the join below (same discipline as search_stream._read_components)
+    id_t = dict(live_all.dtypes)[id_col]
     schema = ", ".join(
-        [f"{id_col} long"] + [f"{c} string" for c in attr_cols] + ["seq long"]
+        [f"{id_col} {id_t}"] + [f"{c} string" for c in attr_cols] + ["seq long"]
     )
     attrs = _read_or_empty(spark, _attrs_path(index_path), schema)
     latest = (
@@ -123,8 +128,7 @@ def live_attrs(
         )
         .select(id_col, *[f"a.{c}" for c in attr_cols])
     )
-    live = live_doclen(spark, index_path, id_col).select(id_col)
-    return latest.join(live, id_col)
+    return latest.join(live_all.select(id_col), id_col)
 
 
 def group_token_counts_from_index(

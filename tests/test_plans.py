@@ -482,3 +482,36 @@ def test_source_overlap_single_shingle_pass(spark, sf_dir):
     # the shingle cache must be RELEASED; the only surviving block set is
     # the localCheckpoint backing the (tiny) returned result
     assert after - before <= 1, f"{after - before} cached RDDs leaked"
+
+
+def test_semdedup_incremental_broadcasts_batch_not_index(spark, sf_dir, tmp_path):
+    """The admission join builds its broadcast from the BATCH side
+    (micro-batch-bounded by contract), never the live-index slice
+    (corpus-proportional in the worst case) — and the cells scan prunes
+    to the touched cells' partition directories."""
+    import re
+
+    from couch_to_postgres_spark.extensions.ann import build_ivf_index
+    from couch_to_postgres_spark.extensions.dedup import (
+        semantic_dedup_incremental,
+    )
+    from couch_to_postgres_spark.plans.inspect import executed_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 300), path, n_cells=8)
+    out = semantic_dedup_incremental(
+        spark, path, emb.filter(F.col("vec_id") >= 300),
+        threshold=0.35, materialize=False,
+    )
+    plan = executed_plan(out)
+    cell_joins = re.findall(
+        r"BroadcastHashJoin \[cell#\d+\], \[cell#\d+\], Inner, (Build\w+)",
+        plan,
+    )
+    assert cell_joins, "admission join is not a broadcast join"
+    assert all(side == "BuildLeft" for side in cell_joins), cell_joins
+    # touched-cells partition pruning on the index scan
+    assert re.search(r"PartitionFilters: \[cell#\d+\w* IN", plan), (
+        "cells scan is not partition-pruned"
+    )

@@ -271,3 +271,39 @@ def test_stream_end_to_end(spark, index, tmp_path):
     final_docs = [(d, t) for d, t in DOCS if d != 3]
     want = _fresh(spark, final_docs, qtab, k=6)
     assert _rows(got) == _rows(want)
+
+
+def test_string_doc_ids_no_tombstones(spark, index):
+    """String-id corpora (couch ids like '100009-6') with components
+    missing must not ANSI-cast ids to the long fallback: fresh index, no
+    tombstones yet → query, then delete → query, then compact with an
+    absent tail → query."""
+    rows = [(s, f"{d}-6", False, t) for s, (d, t) in enumerate(DOCS, start=1)]
+    ch = spark.createDataFrame(
+        rows, "seq long, doc_id string, deleted boolean, text string"
+    )
+    search_index_batch(spark, index, ch)
+    qtab = _qtab(spark)
+    got = bm25_topk_from_index(spark, index, qtab, k=6)
+    corpus = spark.createDataFrame(
+        [(f"{d}-6", t) for d, t in DOCS], "doc_id string, text string"
+    )
+    assert _rows(got) == _rows(bm25_topk_batch(corpus, qtab, k=6))
+    # delete one doc (string-id tombstone), results drop it
+    search_index_batch(
+        spark, index,
+        spark.createDataFrame(
+            [(10, "5-6", True, None)],
+            "seq long, doc_id string, deleted boolean, text string",
+        ),
+    )
+    got2 = bm25_topk_from_index(spark, index, qtab, k=6)
+    corpus2 = corpus.filter(F.col("doc_id") != "5-6")
+    assert _rows(got2) == _rows(bm25_topk_batch(corpus2, qtab, k=6))
+    # compacted base with NO tail dirs: the empty tail must follow the
+    # base's string id dtype too
+    compacted = index + "_compacted"
+    compact_index(spark, index, compacted, token_buckets=4)
+    got3 = bm25_topk_from_index(spark, compacted, qtab, k=6)
+    assert _rows(got3) == _rows(bm25_topk_batch(corpus2, qtab, k=6))
+    assert live_doclen(spark, compacted).count() == len(DOCS) - 1
