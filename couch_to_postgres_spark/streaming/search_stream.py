@@ -351,11 +351,42 @@ def bm25_topk_from_index(
     if not terms:
         raise ValueError("bm25_topk_from_index: queries must be non-empty")
 
-    live = live_doclen(spark, index_path, id_col).persist()
-    stats = live.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg("dl").alias("avgdl"),
+    def _try(p: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(p)
+        except AnalysisException:
+            return None
+
+    # read-mostly fast path: a compacted base with NO tail and NO
+    # tombstones IS the live set (unique row per doc, stats in meta) —
+    # take N/avgdl from meta and skip the per-query corpus-wide doclen
+    # aggregate; per-doc dl is then a scan+join, never a wide groupBy.
+    # Any tail append or delete falls back to the exact merge path.
+    doclen_path, _, tomb_path = _paths(index_path)
+    base_doclen_path, _, meta_path = _base_paths(index_path)
+    meta_df = _try(meta_path)
+    fast = (
+        meta_df is not None
+        and "n_live" in meta_df.columns
+        and _try(doclen_path) is None
+        and _try(tomb_path) is None
     )
+    if fast:
+        m = meta_df.collect()[0]
+        n_live = float(m["n_live"])
+        stats = spark.createDataFrame(
+            [(n_live, (m["sum_dl"] / n_live) if n_live else 0.0)],
+            "n double, avgdl double",
+        )
+        live = spark.read.parquet(base_doclen_path).select(
+            id_col, "dl", "seq"
+        ).persist()
+    else:
+        live = live_doclen(spark, index_path, id_col).persist()
+        stats = live.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+        )
     # token IN (...) reaches the parquet scans as pushed filters (plus
     # token_bucket partition pruning on the compacted base); the
     # surviving slice is query-hit-proportional. dropDuplicates absorbs
@@ -445,11 +476,18 @@ def compact_index(
             .write.mode("overwrite")
             .parquet(os.path.join(out_path, "attrs"))
         )
+    # corpus stats ride the meta file: with no tail yet, a query takes
+    # N/avgdl from here and skips the per-query corpus-wide doclen
+    # aggregate entirely — the read-mostly fast path
+    st = live.agg(
+        F.count(F.lit(1)).alias("n_live"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
     live.unpersist()
     # 1-row meta parquet (not a driver-side json write): lands on
     # whatever filesystem the index lives on
     spark.createDataFrame(
-        [(int(token_buckets),)], "token_buckets int"
+        [(int(token_buckets), int(st["n_live"]), float(st["sum_dl"] or 0.0))],
+        "token_buckets int, n_live long, sum_dl double",
     ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
 
