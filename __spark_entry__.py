@@ -2185,6 +2185,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125},
         ).select("doc_id", "source")
 
+    def x_mix_report(spark, sf_dir):
+        # the planning companion to x_target_mix: has-vs-usable per mix
+        # group, the epoch-capping (binding) group flagged, surplus =
+        # rows this mixture leaves on the floor. Same binary-exact
+        # weights, fully distributed (min-aggregate epoch, no
+        # driver-side quota math)
+        from couch_to_postgres_spark.extensions.sampling import mix_report
+
+        return mix_report(
+            _docs(spark, sf_dir),
+            {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125},
+        )
+
     def x_cap_per_source(spark, sf_dir):
         # cap documents per source (deterministic hash order): no single
         # domain may dominate the mixture
@@ -2901,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_target_mix": x_target_mix,
         "x_bm25_lsm": x_bm25_lsm,
         "x_ann_recall": x_ann_recall,
+        "x_mix_report": x_mix_report,
         # --- already driver-checked in CORRECTNESS_r01 ∪ r02 ∪ r03
         # (150 keys, 149 value-green): harmless to re-check if the
         # 50-slot prefix spills into them ---
@@ -5999,6 +6013,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.source
             FROM ranked r JOIN quotas q USING (source)
             WHERE r.rn <= q.q
+        """,
+        # mix planning report: same normalized-weight / floor discipline
+        # as x_target_mix; absent mix groups report n_rows 0 (and
+        # collapse the epoch) instead of raising — it's the diagnostic
+        "x_mix_report": """
+            WITH w(source, wt) AS (
+                VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                       ('src1', CAST(0.25 AS DOUBLE)),
+                       ('src2', CAST(0.125 AS DOUBLE)),
+                       ('src3', CAST(0.125 AS DOUBLE))
+            ),
+            wn AS (
+                SELECT source, wt / (SELECT sum(wt) FROM w) AS wt FROM w
+            ),
+            counts AS (
+                SELECT source, count(*) AS n_rows FROM documents GROUP BY source
+            ),
+            g AS (
+                SELECT wn.source, wn.wt,
+                       CAST(coalesce(c.n_rows, 0) AS BIGINT) AS n_rows
+                FROM wn LEFT JOIN counts c USING (source)
+            ),
+            t AS (
+                SELECT min(CAST(floor(n_rows / wt) AS BIGINT)) AS t FROM g
+            )
+            SELECT g.source, g.n_rows, round(g.wt, 6) AS weight,
+                   CAST(floor(g.wt * t.t) AS BIGINT) AS quota,
+                   g.n_rows - CAST(floor(g.wt * t.t) AS BIGINT) AS surplus,
+                   CAST(floor(g.n_rows / g.wt) AS BIGINT) = t.t AS binding
+            FROM g CROSS JOIN t
         """,
         "x_cap_per_source": """
             WITH ranked AS (

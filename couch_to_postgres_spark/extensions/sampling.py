@@ -195,6 +195,56 @@ def resample_to_mix(
     )
 
 
+def mix_report(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+) -> DataFrame:
+    """The planning companion to :func:`resample_to_mix`: per mix group,
+    what the corpus HAS vs what the target mixture can USE — emits
+    ``(group, n_rows, weight, quota, surplus, binding)`` where ``quota``
+    is the rows the largest feasible epoch takes, ``surplus`` the rows
+    left on the floor, and ``binding`` marks the group(s) that cap the
+    epoch (grow THOSE sources — or upsample them — to grow the epoch;
+    surplus elsewhere is unusable at this mixture). Run this before
+    committing to a mix; read ``surplus/quota`` as the price of the
+    target composition.
+
+    Fully distributed (no driver-side quota math): group counts join a
+    broadcast weight table, the feasible epoch is one min-aggregate
+    (group-cardinality rows), quotas project per group. Same floor
+    arithmetic as :func:`resample_to_mix` — binary-exact weights make
+    the report engine-exact (see that docstring)."""
+    spark = df.sparkSession
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = sorted(
+        (g, float(w) / wsum) for g, w in weights.items() if w > 0
+    )
+    if not norm:
+        raise ValueError("no positive-weight groups in the mix")
+    wdf = spark.createDataFrame(norm, f"{group_col} string, wt double")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    g = wdf.join(counts, group_col, "left").fillna({"n_rows": 0})
+    cand = F.floor(F.col("n_rows") / F.col("wt"))
+    t = g.agg(F.min(cand).alias("t"))
+    quota = F.floor(F.col("wt") * F.col("t")).cast("long")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            group_col,
+            "n_rows",
+            F.round("wt", 6).alias("weight"),
+            quota.alias("quota"),
+            (F.col("n_rows") - quota).cast("long").alias("surplus"),
+            (cand == F.col("t")).alias("binding"),
+        )
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     budgets: dict[str, int],

@@ -816,6 +816,36 @@ def test_resample_to_mix_quotas_and_determinism(spark, docs):
         resample_to_mix(docs, {"src0": 0.5, "no_such_source": 0.5})
 
 
+def test_mix_report_agrees_with_resampler(spark, docs):
+    """The report's quotas are exactly what resample_to_mix takes, its
+    binding flag marks the epoch-capping group, and surplus accounts for
+    every unused row; an absent mix group collapses the epoch to 0."""
+    from couch_to_postgres_spark.extensions.sampling import (
+        mix_report,
+        resample_to_mix,
+    )
+
+    w = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+    rep = {r["source"]: r for r in mix_report(docs, w).collect()}
+    taken = {
+        r["source"]: r["n"]
+        for r in resample_to_mix(docs, w)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert {g: r["quota"] for g, r in rep.items()} == taken
+    assert [g for g, r in rep.items() if r["binding"]] == ["src0"]
+    assert all(
+        r["surplus"] == r["n_rows"] - r["quota"] for r in rep.values()
+    )
+    # absent group: the report shows the collapse instead of raising
+    rep2 = {
+        r["source"]: r
+        for r in mix_report(docs, {"src0": 0.5, "nope": 0.5}).collect()
+    }
+    assert rep2["nope"]["n_rows"] == 0
+    assert all(r["quota"] == 0 for r in rep2.values())
+
+
 def test_upsample_factor_zero_drops_group(spark, docs):
     from couch_to_postgres_spark.extensions.sampling import upsample
 
