@@ -1047,6 +1047,37 @@ def test_semantic_dedup_incremental_classification(spark, emb, tmp_path):
     assert cls[100003] == ("dup_within_batch", 100002)
 
 
+def test_semantic_dedup_incremental_edge_batches(spark, emb, tmp_path):
+    """An EMPTY batch classifies to an empty, correctly-typed frame (the
+    touched-cells isin over no cells must not blow up); a single-vector
+    batch (no within-batch pairs possible) is accepted."""
+    from couch_to_postgres_spark.extensions.ann import build_ivf_index
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") < 100), path, n_cells=4)
+    empty = D.semantic_dedup_incremental(
+        spark, path, emb.filter(F.col("vec_id") < 0)
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "cell", "status", "dup_of"]
+    single = D.semantic_dedup_incremental(
+        spark, path, emb.filter(F.col("vec_id") == 250)
+    ).collect()
+    assert [r["status"] for r in single] == ["accepted"]
+
+
+def test_bm25_index_query_on_absent_index_is_empty(spark, tmp_path):
+    """Querying an index that was never built returns an empty result,
+    not a crash — the typed-empty fallback end to end."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        bm25_topk_from_index,
+    )
+
+    q = spark.createDataFrame([(1, "spark")], "query_id int, term string")
+    out = bm25_topk_from_index(spark, str(tmp_path / "nope"), q, k=5)
+    assert out.count() == 0
+
+
 def test_semantic_dedup_ingest_idempotent_replay(spark, emb, tmp_path):
     """foreachBatch body: accepted vectors append to the index, so an
     at-least-once REPLAY of the same batch admits nothing new."""
