@@ -2481,6 +2481,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_vocab_growth_incremental(spark, sf_dir):
+        # Heaps-law vocabulary-growth curve over INGEST ORDER, answered
+        # from the maintained postings log (O(vocabulary) shuffle, no
+        # corpus re-read): two insert batches (seq=doc_id, then
+        # doc_id+1000), each type attributed to the 100-wide seq bucket
+        # of its first arrival. No compaction — the append log IS the
+        # arrival history this metric reads.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch,
+        )
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            vocab_growth_from_index,
+        )
+
+        base = _docs(spark, sf_dir).select("doc_id", "text")
+        work = tempfile.mkdtemp(prefix="vocab_idx_")
+        try:
+            b1 = base.filter(F.col("doc_id") < 250).select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            )
+            b2 = base.filter(F.col("doc_id") >= 250).select(
+                (F.col("doc_id") + 1000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            )
+            for b in (b1, b2):
+                search_index_batch(spark, work, b)
+            return vocab_growth_from_index(
+                spark, work, bucket_width=1
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_bm25_lsm(spark, sf_dir):
         # the LSM READ path, value-checked end to end: same change
         # sequence and final corpus state as x_bm25_incremental, but the
@@ -2915,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bm25_lsm": x_bm25_lsm,
         "x_ann_recall": x_ann_recall,
         "x_mix_report": x_mix_report,
+        "x_vocab_growth_incremental": x_vocab_growth_incremental,
         # --- already driver-checked in CORRECTNESS_r01 ∪ r02 ∪ r03
         # (150 keys, 149 value-green): harmless to re-check if the
         # 50-slot prefix spills into them ---
@@ -4681,6 +4718,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+        """,
+        # Heaps-curve over ingest order: token first-arrival seq (insert
+        # batches at seq=doc_id / doc_id+1000), exact-integer buckets
+        # (width 1 - the synthetic corpus has a tiny closed vocabulary,
+        # so wider buckets collapse to one row), running type total
+        "x_vocab_growth_incremental": f"""
+            WITH {_WORDS},
+            tok AS (
+                SELECT CASE WHEN doc_id < 250 THEN doc_id
+                            ELSE doc_id + 1000 END AS seq,
+                       t.w AS token
+                FROM words, UNNEST(ws) AS t(w)
+            ),
+            first AS (
+                SELECT token, min(seq) AS first_seq FROM tok GROUP BY token
+            ),
+            b AS (
+                SELECT CAST((first_seq - first_seq % 1) / 1 AS BIGINT)
+                           AS bucket,
+                       count(*) AS new_types
+                FROM first GROUP BY 1
+            )
+            SELECT bucket, new_types,
+                   CAST(sum(new_types) OVER (
+                       ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_types
+            FROM b ORDER BY bucket
         """,
         "x_bm25_incremental": """
             WITH final AS (

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from couch_to_postgres_spark.extensions.text import (
@@ -185,3 +185,47 @@ def hapax_rate_from_index(
         spark, index_path, group_col, id_col
     ).withColumnRenamed("c_gw", "c")
     return hapax_from_group_counts(gw, group_col=group_col)
+
+
+def vocab_growth_from_index(
+    spark: SparkSession,
+    index_path: str,
+    bucket_width: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary growth over INGEST ORDER, answered from the maintained
+    postings log — the Heaps-law curve a healthy corpus bends (new types
+    keep arriving sub-linearly) and a template flood flattens (no new
+    types) or noise blows up (every token new). Each type is attributed
+    to the seq bucket of its FIRST arrival; emits
+    ``(bucket, new_types, cum_types)`` ordered by bucket.
+
+    O(index), not O(corpus text): one (token → min seq) aggregate over
+    the postings log — partial-aggregated map-side, the shuffle carries
+    the VOCABULARY — then bucket counts and a running sum over
+    bucket-count rows. Reads the APPEND LOG's arrival history (deletes
+    don't erase a type's first arrival); after a compaction rewrites
+    postings to live rows only, the curve reflects live-set first
+    carriers instead — run it on the pre-compaction log for true arrival
+    history. Bucket ids use exact integer arithmetic
+    (``(seq - seq % w) / w``), never float division."""
+    from couch_to_postgres_spark.streaming.search_stream import _full_postings
+
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    posts = _full_postings(spark, index_path, id_col)
+    first = posts.groupBy("token").agg(F.min("seq").alias("first_seq"))
+    buckets = first.groupBy(
+        ((F.col("first_seq") - F.col("first_seq") % w) / w)
+        .cast("long")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    win = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return buckets.select(
+        "bucket",
+        "new_types",
+        F.sum("new_types").over(win).cast("long").alias("cum_types"),
+    ).orderBy("bucket")

@@ -120,3 +120,47 @@ def test_reports_survive_compaction(spark, index, tmp_path):
     assert _rows(kl_by_source_from_index(spark, compacted)) == _rows(
         kl_by_source(_corpus(spark, final))
     )
+
+
+def test_vocab_growth_hand_computed(spark, index):
+    """Arrival-order Heaps curve from the postings log, hand-checked:
+    doc 1 introduces 3 types, doc 2 adds 2 new, doc 3 adds none, doc 12
+    (second batch) adds 1 — and a DELETE does not erase a type's first
+    arrival."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        search_index_batch,
+    )
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        vocab_growth_from_index,
+    )
+
+    def ch(rows):
+        return spark.createDataFrame(
+            rows, "seq long, doc_id long, deleted boolean, text string"
+        )
+
+    search_index_batch(
+        spark, index,
+        ch([
+            (1, 1, False, "alpha beta gamma"),
+            (2, 2, False, "alpha delta epsilon"),
+            (3, 3, False, "beta gamma delta"),
+        ]),
+    )
+    search_index_batch(
+        spark, index,
+        ch([(12, 12, False, "epsilon zeta"), (13, 1, True, None)]),
+    )
+    got = [
+        (r["bucket"], r["new_types"], r["cum_types"])
+        for r in vocab_growth_from_index(spark, index, bucket_width=1)
+        .orderBy("bucket").collect()
+    ]
+    assert got == [(1, 3, 3), (2, 2, 5), (12, 1, 6)]
+    # width 10: first batch collapses to bucket 0, second to bucket 1
+    got10 = [
+        (r["bucket"], r["new_types"], r["cum_types"])
+        for r in vocab_growth_from_index(spark, index, bucket_width=10)
+        .orderBy("bucket").collect()
+    ]
+    assert got10 == [(0, 5, 5), (1, 1, 6)]
