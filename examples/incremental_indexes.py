@@ -97,6 +97,17 @@ def main() -> None:
     hap = hapax_rate_from_index(spark, idx).orderBy("source").first()
     print(f"hapax rate ({hap['source']}): {hap['hapax_rate']}")
 
+    # 4b — vocabulary growth over ingest order (Heaps curve) from the
+    # same postings log: run BEFORE compaction (the append log is the
+    # arrival history)
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        vocab_growth_from_index,
+    )
+
+    growth = vocab_growth_from_index(spark, idx, bucket_width=100)
+    last = growth.orderBy(F.col("bucket").desc()).first()
+    print(f"vocabulary: {last['cum_types']} types after bucket {last['bucket']}")
+
     # 5 — LSM maintenance: compact (token-bucket base, dead rows gone),
     # keep ingesting into the tail, query base+tail together
     compacted = os.path.join(work, "compacted")
