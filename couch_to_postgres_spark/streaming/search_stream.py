@@ -20,7 +20,8 @@ accumulated state between compactions):
 * ``<index>/base/`` (optional, written by :func:`compact_index`) — the
   compacted BASE: ``base/doclen`` (live rows only), ``base/postings``
   laid out in ``token_bucket=N`` partition directories, ``base/meta``
-  (1-row parquet recording the bucket count). The tail dirs above keep
+  (1-row parquet: bucket count + live-corpus stats ``n_live``/``sum_dl``
+  for the read-mostly query fast path). The tail dirs above keep
   receiving appends AFTER compaction — reads merge base ∪ tail (the
   log-structured-merge shape).
 
