@@ -49,6 +49,24 @@ def latest_changes(changes: DataFrame) -> DataFrame:
     )
 
 
+def filtered_latest(
+    changes: DataFrame, type_filter: str | None = None
+) -> DataFrame:
+    """Per-key latest change with the reference's type-filter drop
+    applied: filtered-type upserts are dropped before apply (reference
+    lib/index.js:131 skips INSERT/UPDATE for the configured type);
+    deletions still propagate. Shared by the mirror merge and any
+    sibling state the pipeline keeps in step with it (e.g. the live
+    search index) so the two cannot drift on filter semantics."""
+    latest = latest_changes(changes)
+    if type_filter is not None:
+        latest = latest.filter(
+            F.col("deleted") | (json_get("doc", "type") != F.lit(type_filter))
+            | json_get("doc", "type").isNull()
+        )
+    return latest
+
+
 def apply_changes(
     mirror: DataFrame,
     changes: DataFrame,
@@ -62,15 +80,7 @@ def apply_changes(
     ``foreachBatch``; batch tests call it directly (idempotence: applying a
     batch twice ≡ once, because replacement is by key).
     """
-    latest = latest_changes(changes)
-    if type_filter is not None:
-        # Filtered-type upserts are dropped before apply (reference
-        # lib/index.js:131 skips INSERT/UPDATE for the configured type);
-        # deletions still propagate.
-        latest = latest.filter(
-            F.col("deleted") | (json_get("doc", "type") != F.lit(type_filter))
-            | json_get("doc", "type").isNull()
-        )
+    latest = filtered_latest(changes, type_filter)
     upserts = latest.filter(~F.col("deleted")).select("id", "doc")
     if map_hook is not None:
         upserts = upserts.withColumn("doc", map_hook(F.col("doc")))

@@ -213,10 +213,24 @@ def follow(
     quarantine_path: str | None = None,
     sink: str = "partitioned",
     num_buckets: int | None = None,
+    search_index_path: str | None = None,
+    search_text: Callable[[Column], Column] | None = None,
 ) -> StreamingQuery:
     """Start one feed's replication query (the `engine.follow(db)` API —
     the reference's `new PostgresCouchDB(...).start()`,
     bin/daemon.js:120-129).
+
+    ``search_index_path`` additionally maintains the streaming BM25
+    index (``streaming/search_stream.py``) from the SAME micro-batches —
+    the mirror becomes a searchable live corpus with one flag, at
+    O(changed docs) per batch on top of the merge. The index sees
+    exactly what the mirror sees: the per-key latest change after
+    ``type_filter`` (shared ``filtered_latest`` — the two states cannot
+    drift on filter semantics) with ``map_hook`` applied, tokenized by
+    ``search_text`` (doc-JSON column → text column; default strips JSON
+    punctuation so keys and values index as terms). Replay-safe for the
+    index's own reason: re-appended rows are byte-identical, liveness is
+    max-seq.
 
     ``sink`` picks the mirror layout: ``"partitioned"`` (default) merges
     into the bucket-partitioned mirror — per-batch cost O(touched
@@ -304,6 +318,35 @@ def follow(
                     type_filter=type_filter,
                     map_hook=map_hook,
                     count_views=count_views,
+                )
+            if search_index_path is not None:
+                from couch_to_postgres_spark.operators.cdc import (
+                    filtered_latest,
+                )
+                from couch_to_postgres_spark.streaming.search_stream import (
+                    search_index_batch,
+                )
+
+                lat = filtered_latest(batch, type_filter)
+                doc = F.col("doc")
+                if map_hook is not None:
+                    doc = map_hook(doc)
+                text = (
+                    search_text(doc)
+                    if search_text is not None
+                    else F.regexp_replace(doc, '[,:"{}]', " ")
+                )
+                search_index_batch(
+                    batch.sparkSession,
+                    search_index_path,
+                    lat.select(
+                        F.col("seq").cast("long").alias("seq"),
+                        F.col("id").alias("doc_id"),
+                        F.col("deleted").cast("boolean").alias("deleted"),
+                        F.when(
+                            F.col("deleted"), F.lit(None).cast("string")
+                        ).otherwise(text).alias("text"),
+                    ),
                 )
         finally:
             # unpersist the RAW batch: the upsert only unpersists its

@@ -413,3 +413,42 @@ def test_stream_static_enrichment_left_keeps_unmatched(spark, sf_dir, tmp):
         .count()
     )
     assert clicks_null == 0
+
+
+def test_follow_maintains_search_index(spark, sf_dir, tmp):
+    """search_index_path turns the replication pipeline into a live
+    search feed: after the drain, BM25 answered from the maintained
+    index equals a fresh BM25 over the final mirror text (same
+    normalization), deletes included."""
+    from couch_to_postgres_spark.extensions.search import bm25_topk_batch
+    from couch_to_postgres_spark.streaming.search_stream import (
+        bm25_topk_from_index,
+        live_doclen,
+    )
+
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    write_change_log(changes, f"{tmp}/log")
+    q = follow(
+        spark, f"{tmp}/log", f"{tmp}/mirror", f"{tmp}/ckpt",
+        search_index_path=f"{tmp}/sidx",
+    )
+    q.awaitTermination(180)
+    corpus = read_mirror(spark, f"{tmp}/mirror").select(
+        F.col("id").alias("doc_id"),
+        F.regexp_replace("doc", '[,:"{}]', " ").alias("text"),
+    )
+    # the index's live set IS the mirror
+    assert live_doclen(spark, f"{tmp}/sidx").count() == corpus.count()
+    qtab = spark.createDataFrame(
+        [(1, "click"), (1, "view"), (2, "purchase")],
+        "query_id int, term string",
+    )
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk_from_index(spark, f"{tmp}/sidx", qtab, k=8).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk_batch(corpus, qtab, k=8).collect()
+    )
+    assert got == want and len(got) > 0
