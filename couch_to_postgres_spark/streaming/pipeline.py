@@ -199,6 +199,48 @@ def upsert_mirror(
                 os.remove(p)
 
 
+def _feed_search_index(
+    batch: DataFrame,
+    search_index_path: str,
+    type_filter: str | None,
+    map_hook: Callable[[Column], Column] | None,
+    search_text: Callable[[Column], Column] | None,
+) -> None:
+    """Keep the streaming BM25 index in step with the mirror from the
+    SAME micro-batch: per-key latest change after the shared
+    ``filtered_latest`` type-filter (the two states cannot drift on
+    filter semantics), ``map_hook`` applied before tokenization, the
+    default ``search_text`` stripping JSON punctuation so keys and
+    values index as terms; deletes tombstone. Shared by ``follow`` and
+    ``follow_couch``."""
+    from couch_to_postgres_spark.operators.cdc import filtered_latest
+    from couch_to_postgres_spark.streaming.search_stream import (
+        search_index_batch,
+    )
+
+    lat = filtered_latest(batch, type_filter)
+    doc = F.col("doc")
+    if map_hook is not None:
+        doc = map_hook(doc)
+    text = (
+        search_text(doc)
+        if search_text is not None
+        else F.regexp_replace(doc, '[,:"{}]', " ")
+    )
+    search_index_batch(
+        batch.sparkSession,
+        search_index_path,
+        lat.select(
+            F.col("seq").cast("long").alias("seq"),
+            F.col("id").alias("doc_id"),
+            F.col("deleted").cast("boolean").alias("deleted"),
+            F.when(F.col("deleted"), F.lit(None).cast("string"))
+            .otherwise(text)
+            .alias("text"),
+        ),
+    )
+
+
 def follow(
     spark: SparkSession,
     changes_path: str,
@@ -320,33 +362,9 @@ def follow(
                     count_views=count_views,
                 )
             if search_index_path is not None:
-                from couch_to_postgres_spark.operators.cdc import (
-                    filtered_latest,
-                )
-                from couch_to_postgres_spark.streaming.search_stream import (
-                    search_index_batch,
-                )
-
-                lat = filtered_latest(batch, type_filter)
-                doc = F.col("doc")
-                if map_hook is not None:
-                    doc = map_hook(doc)
-                text = (
-                    search_text(doc)
-                    if search_text is not None
-                    else F.regexp_replace(doc, '[,:"{}]', " ")
-                )
-                search_index_batch(
-                    batch.sparkSession,
-                    search_index_path,
-                    lat.select(
-                        F.col("seq").cast("long").alias("seq"),
-                        F.col("id").alias("doc_id"),
-                        F.col("deleted").cast("boolean").alias("deleted"),
-                        F.when(
-                            F.col("deleted"), F.lit(None).cast("string")
-                        ).otherwise(text).alias("text"),
-                    ),
+                _feed_search_index(
+                    batch, search_index_path, type_filter, map_hook,
+                    search_text,
                 )
         finally:
             # unpersist the RAW batch: the upsert only unpersists its
@@ -387,6 +405,8 @@ def follow_couch(
     num_buckets: int | None = None,
     username: str | None = None,
     password: str | None = None,
+    search_index_path: str | None = None,
+    search_text: Callable[[Column], Column] | None = None,
 ) -> StreamingQuery:
     """`follow` against a LIVE CouchDB `_changes` feed via the
     ``format("couchdb")`` data source (offset = couch ``since``, durable
@@ -397,7 +417,9 @@ def follow_couch(
     connection, newline-delimited incremental lines — lib/index.js:50-53);
     ``limit`` is the A2 admission-control page bound. No quarantine option: the source
     parses upstream and surfaces transport errors typed (no_db_file ≠
-    transient)."""
+    transient). ``search_index_path``/``search_text`` maintain the live
+    BM25 index from the same micro-batches, exactly as in
+    :func:`follow`."""
     from couch_to_postgres_spark.sources.couchdb_source import register
 
     register(spark)
@@ -446,6 +468,10 @@ def follow_couch(
                 type_filter=type_filter,
                 map_hook=map_hook,
                 count_views=count_views,
+            )
+        if search_index_path is not None:
+            _feed_search_index(
+                batch, search_index_path, type_filter, map_hook, search_text
             )
 
     writer = (
