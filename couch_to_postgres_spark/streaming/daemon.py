@@ -41,6 +41,7 @@ class FeedConfig:
     url: str | None = None  # couch server base URL (HTTP source mode)
     feed: str | None = None  # None | "longpoll" (HTTP source mode)
     inactivity_ms: int | None = None  # longpoll hold window (default 30 s)
+    search_index: bool = False  # also maintain the live BM25 index
 
     @property
     def table(self) -> str:
@@ -92,6 +93,14 @@ class Daemon:
     def checkpoint_path(self, fc: FeedConfig) -> str:
         return os.path.join(self.data_root, "checkpoints", fc.table)
 
+    def search_index_path(self, fc: FeedConfig) -> str | None:
+        """Per-feed live BM25 index root (``fc.search_index`` opt-in) —
+        the mirror's searchable twin, maintained from the same
+        micro-batches (pipeline ``_feed_search_index``)."""
+        if not fc.search_index:
+            return None
+        return os.path.join(self.data_root, "search", fc.table)
+
     def find_feeds(self, trigger: dict | None = None) -> list[str]:
         """Start one streaming query per enabled registry feed not already
         running (A10). Mirror/checkpoint dirs are created on demand (A13).
@@ -114,6 +123,7 @@ class Daemon:
                     inactivity_ms=fc.inactivity_ms,
                     trigger=trigger,
                     query_name=f"feed:{fc.name}",
+                    search_index_path=self.search_index_path(fc),
                 )
             else:
                 q = follow(
@@ -123,6 +133,7 @@ class Daemon:
                     checkpoint_path=self.checkpoint_path(fc),
                     trigger=trigger,
                     query_name=f"feed:{fc.name}",
+                    search_index_path=self.search_index_path(fc),
                 )
             self.queries[fc.name] = q
             started.append(fc.name)

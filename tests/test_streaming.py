@@ -452,3 +452,45 @@ def test_follow_maintains_search_index(spark, sf_dir, tmp):
         for r in bm25_topk_batch(corpus, qtab, k=8).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_daemon_feed_search_index(spark, sf_dir, tmp):
+    """FeedConfig(search_index=True): the daemon maintains a per-feed
+    live BM25 index under data_root/search/<table>, queryable after the
+    drain; feeds without the flag write none."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        bm25_topk_from_index,
+        live_doclen,
+    )
+
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    write_change_log(changes.filter(F.col("id").cast("long") < 8), f"{tmp}/log_a")
+    write_change_log(changes.filter(F.col("id").cast("long") >= 8), f"{tmp}/log_b")
+    from couch_to_postgres_spark.streaming.daemon import FeedConfig
+
+    save_registry(
+        f"{tmp}/registry.json",
+        [
+            FeedConfig(
+                name="feed-alpha", changes_path=f"{tmp}/log_a",
+                search_index=True,
+            ),
+            FeedConfig(name="feed-beta", changes_path=f"{tmp}/log_b"),
+        ],
+    )
+    d = Daemon(spark, f"{tmp}/registry.json", f"{tmp}/data")
+    d.find_feeds()
+    d.await_all()
+    import os as _os
+
+    sidx = f"{tmp}/data/search/feed_alpha"
+    assert _os.path.isdir(sidx)
+    assert not _os.path.isdir(f"{tmp}/data/search/feed_beta")
+    n_mirror = mirror_doc_count(spark, f"{tmp}/data/mirrors/feed_alpha.parquet")
+    assert live_doclen(spark, sidx).count() == n_mirror
+    qtab = spark.createDataFrame(
+        [(1, "click"), (1, "view")], "query_id int, term string"
+    )
+    hits = bm25_topk_from_index(spark, sidx, qtab, k=5)
+    assert hits.count() > 0
+    d.stop_all()
