@@ -332,16 +332,30 @@ def remove_from_ivf_index(
     return n
 
 
+def _read_tombstones(spark, path: str) -> DataFrame | None:
+    """The tombstone log, or None when absent. Probes by ATTEMPTING the
+    read (PATH_NOT_FOUND / empty-dir inference raise AnalysisException)
+    rather than a driver-local ``os.path`` stat: the index may live on
+    any Hadoop-supported filesystem (HDFS/S3), where a local stat is
+    always false and deletes would be silently ignored — breaking the
+    incremental-SemDeDup "a deleted doc must not block re-entry"
+    contract (same probe discipline as
+    ``streaming.search_stream._read_or_empty``)."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(os.path.join(path, "tombstones"))
+    except AnalysisException:
+        return None
+
+
 def _live_cells(spark, path: str, cells: DataFrame) -> DataFrame:
     """Apply tombstones to a cell scan (anti-join; the tombstone set is
     compaction-bounded and AQE broadcasts it)."""
-    import os
-
-    tdir = os.path.join(path, "tombstones")
-    if os.path.isdir(tdir) and any(
-        f.endswith(".parquet") for f in os.listdir(tdir)
-    ):
-        t = spark.read.parquet(tdir)
+    t = _read_tombstones(spark, path)
+    if t is not None:
         return cells.join(t, on=t.columns[0], how="left_anti")
     return cells
 
@@ -351,18 +365,22 @@ def compact_ivf_index(spark, path: str) -> list[int]:
     contain them (per-directory staged swap), then clear the tombstone
     log. Run off-peak when the tombstone set grows — it bounds both the
     read-side anti-join and deleted-data retention. Returns the rewritten
-    cell ids."""
+    cell ids.
+
+    The tombstone PROBE is filesystem-agnostic (read-attempt, see
+    ``_read_tombstones``); the staged swap itself uses local renames —
+    on HDFS/S3 swap the ``os.rename``/``shutil`` calls for the Hadoop
+    FileSystem API (rename is atomic on HDFS; on S3 stage to a new
+    prefix). The READ paths (``_live_cells``, ``ivf_topk_indexed``)
+    never depend on local-FS semantics."""
     import os
     import shutil
 
-    tdir = os.path.join(path, "tombstones")
-    if not (
-        os.path.isdir(tdir)
-        and any(f.endswith(".parquet") for f in os.listdir(tdir))
-    ):
+    t = _read_tombstones(spark, path)
+    if t is None:
         return []
+    tdir = os.path.join(path, "tombstones")
     cells_dir = os.path.join(path, "cells")
-    t = spark.read.parquet(tdir)
     id_col = t.columns[0]
     all_cells = spark.read.parquet(cells_dir)
     affected = sorted(
@@ -394,32 +412,27 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     """Index health monitor: per-cell vector count, file count, and the
     global balance ratio (max/mean cell size) as columns — the numbers
     that schedule compaction (files) and quantizer retrain (balance).
-    Parquet-footer counts only; never scans vector data."""
+    One pass over the cell partition column + filenames (never the
+    vector data); file counts via ``input_file_name()`` so the listing
+    is filesystem-agnostic (HDFS/S3), not a driver-local ``os.listdir``."""
     import os
 
     from pyspark.sql import functions as F2
 
     cells_dir = os.path.join(path, "cells")
-    counts = spark.read.parquet(cells_dir).groupBy("cell").agg(
-        F2.count(F2.lit(1)).alias("n_vecs")
+    t = _read_tombstones(spark, path)
+    n_tomb = t.count() if t is not None else 0
+    stats = (
+        spark.read.parquet(cells_dir)
+        # project the (nondeterministic) filename BEFORE aggregating —
+        # Spark rejects input_file_name() inside aggregate arguments
+        .select("cell", F2.input_file_name().alias("_file"))
+        .groupBy("cell")
+        .agg(
+            F2.count(F2.lit(1)).alias("n_vecs"),
+            F2.countDistinct("_file").cast("int").alias("n_files"),
+        )
     )
-    files = []
-    for entry in os.listdir(cells_dir):
-        if entry.startswith("cell="):
-            c = int(entry.split("=", 1)[1])
-            d = os.path.join(cells_dir, entry)
-            files.append(
-                (c, sum(1 for f in os.listdir(d) if f.endswith(".parquet")))
-            )
-    fdf = spark.createDataFrame(files, "cell int, n_files int")
-    tdir = os.path.join(path, "tombstones")
-    n_tomb = (
-        spark.read.parquet(tdir).count()
-        if os.path.isdir(tdir)
-        and any(f.endswith(".parquet") for f in os.listdir(tdir))
-        else 0
-    )
-    stats = counts.join(fdf, "cell", "outer")
     total = stats.agg(
         F2.max("n_vecs").alias("_mx"), F2.avg("n_vecs").alias("_avg")
     )

@@ -330,6 +330,12 @@ def follow(
             batch = batch.filter(F.col("_corrupt_record").isNull()).drop(
                 "_corrupt_record"
             )
+        elif search_index_path is not None:
+            # the index feed re-runs the batch source on top of the
+            # mirror merge's own actions (and search_index_batch itself
+            # runs several) — persist once so the change-log scan is
+            # single-pass per epoch instead of re-read per action
+            raw = batch = batch.persist()
         try:
             # layout of an EXISTING mirror wins over the sink argument.
             # Meta check FIRST: a partitioned write leaves a top-level
@@ -450,29 +456,40 @@ def follow_couch(
             use_partitioned = True
         elif _current_version(mirror_path) is not None:
             use_partitioned = False
-        if use_partitioned:
-            upsert_partitioned_mirror(
-                batch.sparkSession,
-                mirror_path,
-                batch,
-                num_buckets=num_buckets,
-                type_filter=type_filter,
-                map_hook=map_hook,
-                count_views=count_views,
-            )
-        else:
-            upsert_mirror(
-                batch.sparkSession,
-                mirror_path,
-                batch,
-                type_filter=type_filter,
-                map_hook=map_hook,
-                count_views=count_views,
-            )
+        raw = None
         if search_index_path is not None:
-            _feed_search_index(
-                batch, search_index_path, type_filter, map_hook, search_text
-            )
+            # persist: the index feed would otherwise re-pull the
+            # micro-batch from the live _changes source on top of the
+            # merge's own actions (see follow._merge)
+            raw = batch = batch.persist()
+        try:
+            if use_partitioned:
+                upsert_partitioned_mirror(
+                    batch.sparkSession,
+                    mirror_path,
+                    batch,
+                    num_buckets=num_buckets,
+                    type_filter=type_filter,
+                    map_hook=map_hook,
+                    count_views=count_views,
+                )
+            else:
+                upsert_mirror(
+                    batch.sparkSession,
+                    mirror_path,
+                    batch,
+                    type_filter=type_filter,
+                    map_hook=map_hook,
+                    count_views=count_views,
+                )
+            if search_index_path is not None:
+                _feed_search_index(
+                    batch, search_index_path, type_filter, map_hook,
+                    search_text,
+                )
+        finally:
+            if raw is not None:
+                raw.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_merge)

@@ -160,7 +160,16 @@ def search_index_batch(
     carry the new text, deletes carry ``deleted=true`` (text ignored).
     Multiple changes to one doc within a batch collapse to the max-seq
     one (same last-write-wins discipline as ``operators.cdc``). Cost is
-    O(changed docs): tokenize the batch, append three skinny files."""
+    O(changed docs): tokenize the batch, append three skinny files.
+
+    Write-order INVARIANT (load-bearing): ``doclen`` is appended BEFORE
+    ``postings``. :func:`bm25_topk_from_index`'s read-mostly fast path
+    decides "no tail" from tail-doclen absence alone — with this order a
+    crash between the two appends leaves doclen present (fast path off,
+    exact merge path sees the partial batch's doclen rows, which is
+    harmless at-least-once state the replay overwrites); the reverse
+    order could leave tail postings that a doclen-only probe misses.
+    Do not reorder the appends."""
     doclen_path, postings_path, tomb_path = _paths(index_path)
 
     latest = (
@@ -199,6 +208,8 @@ def search_index_batch(
         .persist()
     )
     n_postings = postings_rows.count()
+    # doclen FIRST — the from-index fast path's safety depends on this
+    # order (see the docstring's write-order invariant)
     doclen_rows.write.mode("append").parquet(doclen_path)
     postings_rows.write.mode("append").parquet(postings_path)
 
@@ -363,6 +374,10 @@ def bm25_topk_from_index(
     # take N/avgdl from meta and skip the per-query corpus-wide doclen
     # aggregate; per-doc dl is then a scan+join, never a wide groupBy.
     # Any tail append or delete falls back to the exact merge path.
+    # Deciding "no tail" from tail-DOCLEN absence alone is safe because
+    # search_index_batch appends doclen BEFORE postings (its documented
+    # write-order invariant): tail postings can never exist without a
+    # tail doclen having landed first.
     doclen_path, _, tomb_path = _paths(index_path)
     base_doclen_path, _, meta_path = _base_paths(index_path)
     meta_df = _try(meta_path)
