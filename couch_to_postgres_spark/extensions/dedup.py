@@ -712,14 +712,22 @@ def dedup_clusters(
     driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs via distributed
-    min-label propagation: every node starts labeled with itself; each
-    round takes the min of its own and its neighbors' labels; converges in
-    O(cluster diameter) rounds (dup clusters are shallow — typically ≤3).
+    min-label propagation with pointer-jumping: every node starts labeled
+    with itself; each round takes the min of its own and its neighbors'
+    labels, then SHORTCUTS each label to its label's label (label(x) ←
+    min(label(x), label(label(x)))) — the propagation front roughly
+    doubles per round, so convergence is O(log diameter) rounds, not
+    O(diameter): a 50-link chain of near-dups converges in ~6 rounds
+    where plain propagation would need 50. Dup clusters are typically
+    shallow (≤3), but chained near-dups (A≈B≈C≈…) can be arbitrarily
+    deep, and a silent non-converged return would emit WRONG clusters —
+    so exhausting ``max_iterations`` without convergence RAISES
+    (RuntimeError) rather than returning.
 
     Returns (id, cluster) where cluster = min id of the component. Each
-    round is one join + one aggregation over the PAIR set (not the
+    round is two joins + one aggregation over the PAIR set (not the
     corpus) — at 100 TB the pair set is orders of magnitude smaller than
-    the data, and iteration count is bounded by diameter, not size.
+    the data, and iteration count is bounded by log(diameter), not size.
 
     Scale-adaptive small path: when the verified pair set is below
     ``driver_threshold`` rows, the edges are collected and union-find runs
@@ -795,18 +803,36 @@ def dedup_clusters(
         .withColumn("cluster", F.col("node"))
     )
     prev = None
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("cluster").alias("nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer-jumping: follow each label one more step (label(x) ←
+        # min(label(x), label(label(x)))). Labels are always node ids, so
+        # the lookup is a self-join on the label table (pair-node-sized,
+        # never corpus-sized); the left join keeps already-minimal nodes
+        # (whose label is a component min labeling itself) unchanged.
+        lookup = propagated.select(
+            F.col("node").alias("_ln"), F.col("cluster").alias("_lc")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            propagated.join(lookup, propagated.cluster == F.col("_ln"), "left")
             .select(
                 "node",
                 F.least(
-                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                    F.col("cluster"),
+                    F.coalesce(F.col("_lc"), F.col("cluster")),
                 ).alias("cluster"),
             )
             # eager localCheckpoint: materializes this round AND truncates
@@ -836,6 +862,17 @@ def dedup_clusters(
     edges.unpersist()
     if not caller_persisted:
         pairs.unpersist()
+    if changed != 0:
+        # NEVER silently return non-converged labels: downstream dedup
+        # would keep multiple "representatives" of one component and
+        # under-delete. With pointer-jumping this needs a component of
+        # diameter > ~2^max_iterations — raise loudly instead.
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge in "
+            f"{max_iterations} iterations ({changed} labels still moving); "
+            "raise max_iterations (rounds needed ≈ log2(component "
+            "diameter) + 2)"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("cluster"))
 
 

@@ -177,6 +177,33 @@ def test_dedup_clusters_small_path_equals_distributed(spark):
     }
 
 
+def test_dedup_clusters_deep_chain_converges_logarithmically(spark):
+    # adversarial diameter: a 60-hop chain of near-dups through the
+    # DISTRIBUTED path must converge within the DEFAULT iteration budget
+    # — pointer-jumping makes rounds O(log diameter); plain min-label
+    # propagation would need 60 rounds and (before the convergence
+    # guard) silently returned wrong clusters after 10
+    n = 61
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in D.dedup_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    # exhausting max_iterations must RAISE, never return unconverged
+    # (wrong) cluster labels — downstream dedup would under-delete
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(pairs, max_iterations=1, driver_threshold=0)
+
+
 def test_near_dedup_end_to_end(spark, docs):
     aug = planted(spark, docs)
     # one changed word in a ~25-word doc breaks 3 shingles → jaccard ≈0.7
