@@ -16,8 +16,181 @@ generated `epoch` column keeps repeated rows distinguishable downstream.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: the per-group selection key space: first 15 hex chars of the md5 key
+#: as an integer — 60 bits, comfortably inside BIGINT for both Spark and
+#: any SQL oracle that replays the threshold math.
+_KEY_SPACE = 1 << 60
+
+
+def _topq_bounds(n: int, q: int, mult: float) -> tuple[int, int]:
+    """(lo, hi) key-space thresholds bracketing the q-th order statistic
+    of ``n`` md5 keys. md5 keys are uniform on [0, _KEY_SPACE) whatever
+    the id distribution, so the exact boundary sits at ≈ (q/n)·SPACE
+    with binomial spread √(n·p(1-p)); 6σ plus a 64-row absolute slack
+    puts the bracket's miss probability far below ever observing it —
+    and a miss is CAUGHT by the exact-count verification in
+    :func:`_select_topq` (widened and retried), never silently wrong.
+    ``mult`` widens the bracket on retry."""
+    if q <= 0:
+        return (0, 0)
+    if q >= n:
+        return (_KEY_SPACE, _KEY_SPACE)
+    p = q / n
+    m = (6.0 * math.sqrt(p * (1.0 - p) / n) + 64.0 / n) * mult
+    lo = max(0, int((p - m) * _KEY_SPACE))
+    hi = min(_KEY_SPACE, int(math.ceil((p + m) * _KEY_SPACE)))
+    return (lo, hi)
+
+
+def _select_topq(
+    df: DataFrame,
+    group_cols: list[str],
+    stats: dict[tuple, tuple[int, int]],
+    id_col: str,
+    salt: str,
+    flag: str | None = None,
+    _diag: dict | None = None,
+) -> DataFrame:
+    """EXACTLY the first ``q`` rows of every group under the
+    deterministic (md5(salt:id), id) order — without sorting any group
+    in one task.
+
+    The naive plan (``row_number().over(partitionBy(group))``) funnels
+    every row of a group through ONE shuffle partition; with a handful
+    of sources at 100 TB that task sorts terabytes. This helper keeps
+    the exact same output set with the repo's candidates+recount
+    discipline (``text.approx_top_tokens``):
+
+    1. THRESHOLD: per group, bracket the q-th key with
+       :func:`_topq_bounds` — pure driver math on (n, q), no scan.
+    2. VERIFY (exact): one aggregation counts, per group, rows below
+       ``lo`` (``c_lo``) and below ``hi`` — map-side partial combine,
+       group-cardinality result. If any group's bracket missed
+       (``c_lo > q`` or ``c_hi < q``), widen ×8 and recount; the final
+       attempt degenerates that group to (0, SPACE) = a full sort for
+       THAT group only, so termination and exactness never depend on
+       the probabilistic bound.
+    3. SELECT: rows below ``lo`` are kept MAP-SIDE (no shuffle); only
+       the boundary band [lo, hi) — ~12·√n + 128 rows per group, ~1.2 M
+       rows even for a 10-billion-row group — flows through the exact
+       ranking window, taking ``q - c_lo`` rows per group.
+
+    ``stats`` maps group-value tuples to (n_rows, quota). Groups absent
+    from ``stats`` are dropped. With ``flag=None`` returns the selected
+    rows (original columns); with ``flag=<name>`` returns ALL rows of
+    ``stats``-listed groups plus a boolean column marking selection.
+    Group matching is null-safe (a NULL stratum is its own group, as
+    under the window plan). ``_diag`` (tests) receives per-group band
+    sizes and the attempt count."""
+    spark = df.sparkSession
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    knum = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    base = df.withColumn("_k", key).withColumn("_kn", knum)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gschema = df.select(*group_cols).schema
+    tschema = StructType(
+        list(gschema.fields)
+        + [
+            StructField("_lo", LongType()),
+            StructField("_hi", LongType()),
+            StructField("_q", LongType()),
+        ]
+    )
+    mult = {g: 1.0 for g in stats}
+    c_lo: dict[tuple, int] = {}
+    bounds: dict[tuple, tuple[int, int]] = {}
+    for attempt in range(4):
+        bounds = {
+            g: (0, _KEY_SPACE)
+            if attempt == 3 and mult[g] > 1.0
+            else _topq_bounds(n, q, mult[g])
+            for g, (n, q) in stats.items()
+        }
+        tdf = spark.createDataFrame(
+            [
+                (*g, lo, hi, stats[g][1])
+                for g, (lo, hi) in sorted(bounds.items(), key=lambda kv: str(kv[0]))
+            ],
+            tschema,
+        )
+        cond = [base[c].eqNullSafe(tdf[c]) for c in group_cols]
+        joined = base.join(F.broadcast(tdf), cond, "inner").drop(
+            *[tdf[c] for c in group_cols]
+        )
+        verify = joined.groupBy(*group_cols).agg(
+            F.sum((F.col("_kn") < F.col("_lo")).cast("long")).alias("c_lo"),
+            F.sum((F.col("_kn") < F.col("_hi")).cast("long")).alias("c_hi"),
+        )
+        rows = verify.collect()
+        c_lo = {}
+        band = {}
+        bad = []
+        for r in rows:
+            g = tuple(r[c] for c in group_cols)
+            c_lo[g] = r["c_lo"]
+            band[g] = r["c_hi"] - r["c_lo"]
+            if not (r["c_lo"] <= stats[g][1] <= r["c_hi"]):
+                bad.append(g)
+        # a group with zero df rows never appears in `verify`; its
+        # bracket trivially holds (callers derive quotas from counts,
+        # so q=0 there) — treat as c_lo=0
+        for g in stats:
+            c_lo.setdefault(g, 0)
+        if not bad:
+            break
+        for g in bad:
+            mult[g] *= 8.0
+    if _diag is not None:
+        _diag["band_rows"] = band
+        _diag["attempts"] = attempt + 1
+    cdf = spark.createDataFrame(
+        [
+            (*g, int(v)) for g, v in sorted(c_lo.items(), key=lambda kv: str(kv[0]))
+        ],
+        StructType(list(gschema.fields) + [StructField("_clo", LongType())]),
+    )
+    cond = [base[c].eqNullSafe(tdf[c]) for c in group_cols]
+    j = base.join(F.broadcast(tdf), cond, "inner").drop(
+        *[tdf[c] for c in group_cols]
+    )
+    ccond = [j[c].eqNullSafe(cdf[c]) for c in group_cols]
+    j = j.join(F.broadcast(cdf), ccond, "inner").drop(
+        *[cdf[c] for c in group_cols]
+    )
+    keep_low = F.col("_kn") < F.col("_lo")
+    in_band = (F.col("_kn") >= F.col("_lo")) & (F.col("_kn") < F.col("_hi"))
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy(F.col("_k"), F.col(id_col))
+    band_sel = (
+        j.filter(in_band)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_q") - F.col("_clo"))
+    )
+    helper_cols = ["_k", "_kn", "_lo", "_hi", "_q", "_clo"]
+    if flag is None:
+        out_cols = df.columns
+        return (
+            j.filter(keep_low)
+            .select(out_cols)
+            .unionByName(band_sel.select(out_cols))
+        )
+    bsel = band_sel.select(F.col(id_col).alias("_bid")).withColumn(
+        "_bsel", F.lit(True)
+    )
+    return (
+        j.join(F.broadcast(bsel), j[id_col] == F.col("_bid"), "left")
+        .withColumn(flag, keep_low | F.coalesce(F.col("_bsel"), F.lit(False)))
+        .drop("_bid", "_bsel", *helper_cols)
+    )
 
 
 def _hex4_threshold(rate: float) -> str:
@@ -149,10 +322,15 @@ def resample_to_mix(
     shrinking the epoch, compose with :func:`upsample_epochs`.
 
     Scale shape: the group-count collect is group-cardinality rows
-    (bounded — sources, not documents); quotas broadcast back as a tiny
-    rate table; selection is one ranking window per group (one shuffle
-    on the group key — at extreme skew pre-thin the hot group with
-    :func:`stratified_sample`, as for :func:`cap_per_group`).
+    (bounded — sources, not documents); selection is the
+    threshold-refinement plan of :func:`_select_topq` — the kept rows
+    are decided MAP-SIDE against a broadcast per-group key threshold,
+    and only a ~√n-sized boundary band per group is ever sorted (the
+    former ``row_number().over(partitionBy(group))`` window sent every
+    row of a source through one task — a single-task terabyte sort the
+    first time one source dominates the corpus, which at web scale is
+    the normal case). The selected SET is identical to the window
+    plan's, row for row.
 
     Cross-engine exactness note: quota arithmetic is IEEE double
     (floor(n/w), floor(w·T)). An external replay matches bit-for-bit
@@ -160,11 +338,6 @@ def resample_to_mix(
     replicates the same double ops; near-integer boundaries with
     non-binary weights can differ by one row between decimal and double
     engines."""
-    import math
-
-    from pyspark.sql import Window as W
-
-    spark = df.sparkSession
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -181,18 +354,10 @@ def resample_to_mix(
         raise ValueError(f"mix demands groups absent from the corpus: {missing}")
     feasible = min(math.floor(counts[g] / w) for g, w in norm.items())
     t = feasible if total is None else min(int(total), feasible)
-    quotas = sorted((g, math.floor(w * t)) for g, w in norm.items())
-    qdf = spark.createDataFrame(quotas, f"{group_col} string, _quota long")
-    order = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
-    rn = F.row_number().over(
-        W.partitionBy(group_col).orderBy(order, F.col(id_col))
-    )
-    return (
-        df.join(F.broadcast(qdf), group_col, "inner")
-        .withColumn("_rn", rn)
-        .filter(F.col("_rn") <= F.col("_quota"))
-        .select(df.columns)
-    )
+    stats = {
+        (g,): (counts[g], math.floor(w * t)) for g, w in norm.items()
+    }
+    return _select_topq(df, [group_col], stats, id_col, salt)
 
 
 def mix_report(
@@ -358,36 +523,40 @@ def stratified_split(
     here it gets exactly 3). Emits ``(id, *strata_cols, split)``.
 
     Exactness is integer-only (ceil via ``(n·k + 9) div 10``): no
-    float boundary to disagree across engines. One window pass per
-    stratum; the md5 order key is partitioning-stable and re-dealt by
-    ``salt``.
+    float boundary to disagree across engines. The md5 order key is
+    partitioning-stable and re-dealt by ``salt``.
 
-    Scale note: exact per-stratum proportions require ordering each
-    stratum, so a stratum's rows flow through one task. Strata are
-    bounded-cardinality groups (language × length-bucket), fine for
-    eval-set construction (the use case — eval sets are sample-sized);
-    for splitting a full web-scale corpus use the Bernoulli
-    :func:`couch_to_postgres_spark.extensions.text.hash_split`, whose
-    per-row decisions need no ordering and whose proportion drift is
-    negligible at that row count anyway."""
+    Scale note: the eval/train boundary per stratum is resolved by the
+    threshold-refinement plan of :func:`_select_topq` — the decision is
+    map-side against a broadcast per-stratum key threshold, and only a
+    ~√n boundary band per stratum is ever sorted, so a dominant stratum
+    no longer funnels through one task (the former per-stratum
+    ``row_number`` window did). The stratum-count collect is
+    strata-cardinality rows (language × length-bucket — bounded). The
+    split labels are identical to the window plan's, row for row. For
+    splitting a full web-scale corpus where even strata counts are
+    awkward, the Bernoulli
+    :func:`couch_to_postgres_spark.extensions.text.hash_split` remains
+    the zero-coordination alternative (with its proportion drift)."""
     if not 0 <= eval_per_10 <= 10:
         raise ValueError("eval_per_10 must be in [0, 10]")
-    from pyspark.sql import Window
-
-    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
-    w = Window.partitionBy(*strata_cols).orderBy(key, F.col(id_col))
-    wc = Window.partitionBy(*strata_cols)
-    return (
-        df.select(F.col(id_col), *strata_cols)
-        .withColumn("_rk", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(wc))
-        .withColumn(
-            "split",
-            F.when(
-                F.col("_rk")
-                <= F.expr(f"(_n * {eval_per_10} + 9) div 10"),
-                F.lit("eval"),
-            ).otherwise(F.lit("train")),
-        )
-        .drop("_rk", "_n")
+    base = df.select(F.col(id_col), *strata_cols)
+    counts = {
+        tuple(r[c] for c in strata_cols): r["_n"]
+        for r in base.groupBy(*strata_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    stats = {
+        g: (n, (n * eval_per_10 + 9) // 10) for g, n in counts.items()
+    }
+    flagged = _select_topq(
+        base, list(strata_cols), stats, id_col, salt, flag="_eval"
+    )
+    return flagged.select(
+        id_col,
+        *strata_cols,
+        F.when(F.col("_eval"), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
     )

@@ -2039,6 +2039,106 @@ def test_stratified_split_exact_proportions(spark):
     assert a == b
 
 
+def test_select_topq_equals_window_plan_on_skew(spark):
+    """The threshold-refinement selection (resample_to_mix /
+    stratified_split's engine) must return EXACTLY the rows the naive
+    per-group ranking window would — on a corpus where one group
+    dominates (the web-scale normal case that made the old plan a
+    single-task funnel) — while only a boundary BAND ever reaches the
+    exact ranking window."""
+    from pyspark.sql import Window as W
+
+    from couch_to_postgres_spark.extensions import sampling as S
+
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(10_000 + i, "mid") for i in range(300)]
+        + [(20_000 + i, "small") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    stats = {
+        ("big",): (4000, 1234),
+        ("mid",): (300, 250),
+        ("small",): (40, 40),  # quota == n: keep-all, zero band
+    }
+    diag = {}
+    got = S._select_topq(df, ["source"], stats, "doc_id", "mixT", _diag=diag)
+    got_ids = {r["doc_id"] for r in got.collect()}
+
+    key = F.md5(
+        F.concat_ws(":", F.lit("mixT"), F.col("doc_id").cast("string"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(key, F.col("doc_id"))
+    )
+    qdf = spark.createDataFrame(
+        [(g[0], q) for g, (_n, q) in stats.items()],
+        "source string, _q long",
+    )
+    ref_ids = {
+        r["doc_id"]
+        for r in df.join(F.broadcast(qdf), "source")
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") <= F.col("_q"))
+        .collect()
+    }
+    assert got_ids == ref_ids
+    # the scale claim: first-attempt brackets hold, and the dominant
+    # group's exact-sort band is a small fraction of the group — the
+    # old plan sorted all 4000 rows of "big" in one task
+    assert diag["attempts"] == 1
+    assert diag["band_rows"][("big",)] < 1200
+    assert diag["band_rows"][("small",)] == 0  # quota==n short-circuits
+    # rows below the lo threshold never enter the window: the selection
+    # minus the band was decided map-side
+    n_selected = len(got_ids)
+    assert n_selected == 1234 + 250 + 40
+    assert diag["band_rows"][("big",)] < n_selected
+
+
+def test_stratified_split_matches_window_reference_with_null_stratum(spark):
+    """The refactored split must label every row exactly as the former
+    per-stratum row_number window did — including NULL strata, which
+    form their own group under both plans."""
+    from pyspark.sql import Window as W
+
+    from couch_to_postgres_spark.extensions.sampling import stratified_split
+
+    rows = [
+        (i, None if i % 17 == 0 else ("en" if i % 3 else "fr"))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sorted(
+        map(tuple, stratified_split(df, ["lang"], eval_per_10=3).collect())
+    )
+    key = F.md5(
+        F.concat_ws(":", F.lit("strat1"), F.col("doc_id").cast("string"))
+    )
+    w = W.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    wc = W.partitionBy("lang")
+    ref = sorted(
+        map(
+            tuple,
+            df.select("doc_id", "lang")
+            .withColumn("_rk", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wc))
+            .select(
+                "doc_id",
+                "lang",
+                F.when(
+                    F.col("_rk") <= F.expr("(_n * 3 + 9) div 10"),
+                    F.lit("eval"),
+                )
+                .otherwise(F.lit("train"))
+                .alias("split"),
+            )
+            .collect(),
+        )
+    )
+    assert out == ref
+
+
 def test_contamination_by_group_micro_average(spark):
     train = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta")],
