@@ -1,0 +1,192 @@
+"""Target-aware data selection: DSIR-style importance reweighting.
+
+Selecting pretraining data that LOOKS LIKE a trusted target corpus
+(wiki/books-quality) from a huge raw crawl is a standard step in
+training-data pipelines. The public method re-expressed here is DSIR —
+Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+fit two cheap bag-of-hashed-n-gram language models, one on the target
+corpus and one on the raw corpus, and score every raw document by its
+log importance weight ``log p_target(x) − log p_raw(x)``; keep the
+top-weighted documents (or resample proportionally).
+
+Spark-first shape (everything JVM-side, no UDFs):
+
+* features: unigrams + bigrams hashed into ``16^prefix_len`` buckets.
+  The bucket key is the first ``prefix_len`` hex chars of ``md5(ngram)``
+  — a STRING, so any SQL engine reproduces the feature space exactly
+  (Spark's ``hash()`` is Murmur3 and not portable; md5 is).
+* the two LMs are bucket-count aggregates — map-side partial combine,
+  one shuffle each carrying ≤ ``16^prefix_len`` rows.
+* scoring is one BROADCAST join of the per-bucket log-ratio table
+  (bounded by the bucket space, never the vocabulary) against the
+  exploded n-gram stream, then a per-doc sum — partial-aggregated
+  map-side before its one doc-keyed shuffle.
+* selection is ``orderBy(...).limit(k)`` — Spark's
+  TakeOrderedAndProject (per-partition top-k, driver heap-merge),
+  never a global sort or a global ranking window.
+
+Numeric discipline (the repo's KL/BM25 contract): each per-occurrence
+log-ratio term is rounded to 6 dp and summed as DECIMAL
+(order-independent across partitionings and engines); the per-doc
+total is rounded to 4 dp on the way out. Add-one smoothing over the
+FULL bucket space keeps every term finite, including for buckets the
+target never saw.
+
+Documents with zero n-grams (empty/whitespace text) carry no evidence
+either way and are omitted from the scored output — filter or
+union-default them upstream if a row-complete result is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.text import _words
+
+
+def _ngram_buckets(text_col: str, n: int, prefix_len: int) -> Column:
+    """Array of hashed-n-gram bucket keys for one document: md5-prefix
+    buckets of all 1..n-grams of the space-tokenized text. Pure column
+    expression (whole-stage codegen); the 1-based ``element_at``
+    indexing mirrors 1-based SQL lists so an oracle replays it
+    verbatim."""
+    if n < 1 or n > 2:
+        raise ValueError("n must be 1 (unigrams) or 2 (adds bigrams)")
+    words = _words(text_col)
+    grams = words
+    if n == 2:
+        bigrams = F.expr(
+            # element_at is 1-based (unlike the 0-based [] operator),
+            # matching DuckDB/Postgres list indexing term for term
+            f"transform(sequence(1, size(filter(split({text_col}, ' '), "
+            f"w -> w != '')) - 1), "
+            f"i -> concat(element_at(filter(split({text_col}, ' '), "
+            f"w -> w != ''), i), ' ', "
+            f"element_at(filter(split({text_col}, ' '), w -> w != ''), "
+            f"i + 1)))"
+        )
+        grams = F.concat(words, F.when(F.size(words) >= 2, bigrams).otherwise(
+            F.array().cast("array<string>")
+        ))
+    return F.transform(grams, lambda g: F.substring(F.md5(g), 1, prefix_len))
+
+
+def ngram_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """The hashed-n-gram "language model": (bucket, c) occurrence counts
+    over the corpus. One explode + one aggregate whose shuffle carries
+    at most ``16^prefix_len`` rows after map-side partial combine —
+    corpus-size-independent state, the whole point of hashed features."""
+    return (
+        df.select(
+            F.explode(_ngram_buckets(text_col, n, prefix_len)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def dsir_log_ratio_table(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    prefix_len: int = 2,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket log importance term table: (bucket, term) where
+    ``term = round(ln(p_target(b) / p_raw(b)), 6)`` as decimal(18,6),
+    under add-``alpha`` smoothing over the full ``16^prefix_len`` bucket
+    space. Full-outer over the two count sets (a bucket only the target
+    saw still scores); bounded by the bucket space, so downstream
+    scoring can always broadcast it."""
+    b_total = float(16 ** prefix_len)
+    t = target_counts.select("bucket", F.col("c").alias("c_t"))
+    r = raw_counts.select("bucket", F.col("c").alias("c_r"))
+    tt = t.agg(F.sum("c_t").cast("double").alias("n_t"))
+    tr = r.agg(F.sum("c_r").cast("double").alias("n_r"))
+    merged = (
+        t.join(r, "bucket", "outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("c_t"), F.lit(0)).cast("double").alias("c_t"),
+            F.coalesce(F.col("c_r"), F.lit(0)).cast("double").alias("c_r"),
+        )
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+    )
+    term = F.round(
+        F.log(
+            ((F.col("c_t") + F.lit(alpha)) / (F.col("n_t") + F.lit(alpha * b_total)))
+            / ((F.col("c_r") + F.lit(alpha)) / (F.col("n_r") + F.lit(alpha * b_total)))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return merged.select("bucket", term.alias("term"))
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    prefix_len: int = 2,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Score every document of ``df`` by its DSIR log importance weight
+    against ``target_df``: emits ``(id, n_grams, log_ratio)`` where
+    ``log_ratio = round(Σ_occurrences ln(p_target(b)/p_raw(b)), 4)``
+    (decimal term sums — order-independent; higher = more target-like).
+    The raw LM is fit on ``df`` itself (the DSIR setting); docs with
+    zero n-grams are omitted (see module docstring).
+
+    Plan: two bucket-count aggregates (bounded shuffles), one broadcast
+    join of the ≤ ``16^prefix_len``-row term table onto the exploded
+    n-gram stream, one per-doc sum. Nothing corpus-sized is ever
+    collected, sorted globally, or windowed."""
+    raw_counts = ngram_bucket_counts(df, text_col, n, prefix_len)
+    target_counts = ngram_bucket_counts(target_df, text_col, n, prefix_len)
+    table = dsir_log_ratio_table(target_counts, raw_counts, prefix_len, alpha)
+    occ = df.select(
+        F.col(id_col),
+        F.explode(_ngram_buckets(text_col, n, prefix_len)).alias("bucket"),
+    )
+    return (
+        occ.join(F.broadcast(table), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.sum("term"), 4).cast("double").alias("log_ratio"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    prefix_len: int = 2,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The selection step: the ``k`` most target-like documents of
+    ``df`` (highest log importance weight, id tie-break — deterministic
+    across engines and partitionings). Executed as
+    ``orderBy(...).limit(k)`` — TakeOrderedAndProject: k rows per
+    partition map-side, heap-merge on the driver; a global ranking
+    window would funnel the corpus through one task. Returns the
+    original columns plus ``log_ratio``."""
+    scores = dsir_importance(
+        df, target_df, text_col, id_col, n, prefix_len, alpha
+    )
+    return (
+        df.join(scores.select(id_col, "log_ratio"), id_col)
+        .orderBy(F.col("log_ratio").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -229,3 +229,65 @@ def vocab_growth_from_index(
         "new_types",
         F.sum("new_types").over(win).cast("long").alias("cum_types"),
     ).orderBy("bucket")
+
+
+def vocab_growth_by_group_from_index(
+    spark: SparkSession,
+    index_path: str,
+    bucket_width: int = 100,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-GROUP Heaps curves from the maintained index: vocabulary
+    growth over ingest order computed independently for every attribute
+    group (source/domain/language) — emits ``(grp, bucket, new_types,
+    cum_types)``. The per-source shape is the drift diagnostic the
+    global curve hides: a template flood flattens ONE source's curve
+    while the corpus total still looks healthy, and a new crawl seed
+    shows as one source suddenly minting types.
+
+    Same O(index) discipline as :func:`vocab_growth_from_index`: one
+    (grp, token → min seq) aggregate over the postings log joined to the
+    attrs VERSION log on (id, seq) — both per-version rows from the same
+    micro-batch, so a doc whose source changed attributes its later
+    tokens to the new group, consistent with arrival history. The
+    shuffle carries ``Σ_g |vocab_g|``; the running sum is a window over
+    bucket-count rows PARTITIONED BY GROUP (group-cardinality × buckets
+    rows — never corpus-sized). Deletes don't erase a type's first
+    arrival (append-log semantics, same caveat about post-compaction
+    reads as the global curve)."""
+    from couch_to_postgres_spark.streaming.search_stream import _full_postings
+
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    posts = _full_postings(spark, index_path, id_col)
+    live_all = live_doclen(spark, index_path, id_col)
+    id_t = dict(live_all.dtypes)[id_col]
+    attrs = _read_or_empty(
+        spark,
+        _attrs_path(index_path),
+        f"{id_col} {id_t}, {group_col} string, seq long",
+    ).select(id_col, F.col(group_col).alias("grp"), "seq")
+    first = (
+        posts.join(attrs, on=[id_col, "seq"])
+        .groupBy("grp", "token")
+        .agg(F.min("seq").alias("first_seq"))
+    )
+    buckets = first.groupBy(
+        "grp",
+        ((F.col("first_seq") - F.col("first_seq") % w) / w)
+        .cast("long")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    win = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return buckets.select(
+        F.col("grp").alias(group_col),
+        "bucket",
+        "new_types",
+        F.sum("new_types").over(win).cast("long").alias("cum_types"),
+    ).orderBy(group_col, "bucket")

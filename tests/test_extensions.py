@@ -2396,3 +2396,79 @@ def test_containment_bounds_and_dominates_jaccard(spark):
     if len([w for w in rows[0][1].split() if w]) >= 3:
         t = D.ngram_containment(twin, tp).collect()[0]
         assert t["containment_a"] == t["containment_b"] == t["jaccard"] == 1.0
+
+
+def test_dsir_importance_ranks_targetlike_docs(spark):
+    """DSIR log importance: documents written in the target's style must
+    outscore off-target documents; n-gram accounting (unigrams +
+    bigrams) is exact; empty docs are omitted."""
+    from couch_to_postgres_spark.extensions import selection as SEL
+
+    raw = spark.createDataFrame(
+        [
+            (1, "the encyclopedia article cites primary sources"),
+            (2, "the encyclopedia entry lists verified references"),
+            (3, "click here buy now limited offer click here"),
+            (4, "free prize winner click now claim your prize"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [
+            (100, "the encyclopedia survey cites careful sources"),
+            (101, "verified references support the article claims"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in SEL.dsir_importance(raw, target).collect()}
+    assert 5 not in got  # zero n-grams: omitted by contract
+    # unigrams + bigrams: 6 words -> 6 + 5 = 11 grams
+    assert got[1]["n_grams"] == 11
+    assert min(got[1]["log_ratio"], got[2]["log_ratio"]) > max(
+        got[3]["log_ratio"], got[4]["log_ratio"]
+    )
+
+
+def test_dsir_select_topk_deterministic(spark):
+    from couch_to_postgres_spark.extensions import selection as SEL
+
+    raw = spark.createDataFrame(
+        [
+            (i, "encyclopedia sources references article"
+             if i % 3 == 0 else "spam click offer prize winner now")
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(999, "encyclopedia article references sources")],
+        "doc_id long, text string",
+    )
+    top = SEL.dsir_select(raw, target, k=10)
+    rows = top.collect()
+    assert len(rows) == 10
+    assert all(r["doc_id"] % 3 == 0 for r in rows)  # all target-like
+    assert "log_ratio" in top.columns and "text" in top.columns
+    again = SEL.dsir_select(raw, target, k=10).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # ties (identical texts) break by id: the 10 smallest qualifying ids
+    assert sorted(r["doc_id"] for r in rows) == [
+        i for i in range(60) if i % 3 == 0
+    ][:10]
+
+
+def test_dsir_unigram_only_mode(spark):
+    from couch_to_postgres_spark.extensions import selection as SEL
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "single")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "alpha")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_grams"]
+           for r in SEL.dsir_importance(raw, target, n=1).collect()}
+    assert got == {1: 2, 2: 1}
+    # n=2 on a single-word doc: no bigrams, no sequence(1,0) trap
+    got2 = {r["doc_id"]: r["n_grams"]
+            for r in SEL.dsir_importance(raw, target, n=2).collect()}
+    assert got2 == {1: 3, 2: 1}

@@ -164,3 +164,47 @@ def test_vocab_growth_hand_computed(spark, index):
         .orderBy("bucket").collect()
     ]
     assert got10 == [(0, 5, 5), (1, 1, 6)]
+
+
+def test_vocab_growth_by_group_matches_python_reference(spark, index):
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        vocab_growth_by_group_from_index,
+    )
+
+    _ingest(spark, index,
+            [(d, d, False, src, t) for d, src, t in DOCS])  # seq = doc_id
+    got = _rows(vocab_growth_by_group_from_index(spark, index,
+                                                 bucket_width=2))
+
+    # driver-side reference: per-source first-arrival seq per token
+    first: dict[tuple[str, str], int] = {}
+    for d, src, t in DOCS:
+        for w in t.split(" "):
+            if w:
+                k = (src, w)
+                first[k] = min(first.get(k, d), d)
+    buckets: dict[tuple[str, int], int] = {}
+    for (src, _w), seq in first.items():
+        b = (seq - seq % 2) // 2
+        buckets[(src, b)] = buckets.get((src, b), 0) + 1
+    want = []
+    cums: dict[str, int] = {}
+    for (src, b) in sorted(buckets):
+        cums[src] = cums.get(src, 0) + buckets[(src, b)]
+        want.append((src, b, buckets[(src, b)], cums[src]))
+    assert got == sorted(want)
+
+
+def test_vocab_growth_by_group_attributes_updates_to_new_source(spark, index):
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        vocab_growth_by_group_from_index,
+    )
+
+    _ingest(spark, index, [(1, 1, False, "web", "alpha beta")])
+    # the update moves doc 1 to books and mints a token new to BOTH
+    _ingest(spark, index, [(10, 1, False, "books", "alpha gamma")])
+    got = _rows(vocab_growth_by_group_from_index(spark, index,
+                                                 bucket_width=100))
+    # web keeps its arrival history (alpha, beta @ seq 1); the updated
+    # version's tokens (alpha, gamma @ seq 10) count for books
+    assert got == [("books", 0, 2, 2), ("web", 0, 2, 2)]
