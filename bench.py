@@ -439,7 +439,59 @@ def main() -> None:
         "q_bm25_from_index",
         lambda: bm25_topk_from_index(spark, idx_dir, idx_qtab, k=20).collect(),
     )
+
+    # The LSM claim under CHURN, measured (r05 verdict ask): compact the
+    # raw index into a token-bucket base, then watch the from-index query
+    # as the post-compaction tail grows — search_stream's docstring
+    # claims read cost is bounded by the UPDATE RATE between compactions,
+    # not corpus size, and that re-compacting restores the read-mostly
+    # fast path. Each churn batch re-writes ~1k of the 600k docs (new
+    # seq, new rev text) — a realistic steady-state micro-batch.
+    from couch_to_postgres_spark.streaming.search_stream import compact_index
+
+    lsm_root = _tempfile.mkdtemp(prefix="bench_bm25_lsm_")
+    lsm_dir = os.path.join(lsm_root, "idx")
+    compact_index(spark, idx_dir, lsm_dir, token_buckets=64)
     _shutil.rmtree(idx_dir, ignore_errors=True)
+
+    def churn_batch(batch_no: int) -> None:
+        # ids are couch-style strings ('31521-6'): select ~1k docs per
+        # batch by hash bucket, not arithmetic on the id
+        ch = search_corpus.filter(
+            F.abs(F.hash("id")) % 600 == batch_no
+        ).select(
+            # seq strictly above every base seq (monotonically_increasing_id
+            # reaches ~partition<<33 ≈ 1e12 < 1e15) and increasing per batch
+            (F.lit((batch_no + 1) * 10**15) + F.abs(F.hash("id"))).alias("seq"),
+            F.col("id").alias("doc_id"),
+            F.lit(False).alias("deleted"),
+            F.concat(
+                F.col("text"), F.lit(f" churn{batch_no} rail")
+            ).alias("text"),
+        )
+        search_index_batch(spark, lsm_dir, ch, id_col="doc_id")
+
+    bench("q_bm25_lsm_ingest", lambda: churn_batch(0))
+    bench(
+        "q_bm25_from_index_tail_small",  # tail = 1 micro-batch (~1k docs)
+        lambda: bm25_topk_from_index(spark, lsm_dir, idx_qtab, k=20).collect(),
+    )
+    for b in range(1, 6):
+        churn_batch(b)
+    bench(
+        "q_bm25_from_index_tail_large",  # tail = 6 micro-batches (~6k docs)
+        lambda: bm25_topk_from_index(spark, lsm_dir, idx_qtab, k=20).collect(),
+    )
+    lsm_dir2 = os.path.join(lsm_root, "idx2")
+    bench(
+        "q_bm25_lsm_compact",
+        lambda: compact_index(spark, lsm_dir, lsm_dir2, token_buckets=64),
+    )
+    bench(
+        "q_bm25_from_index_recompacted",  # compaction restores the fast path
+        lambda: bm25_topk_from_index(spark, lsm_dir2, idx_qtab, k=20).collect(),
+    )
+    _shutil.rmtree(lsm_root, ignore_errors=True)
 
     bench(
         "q_lineitem_pricing",
@@ -470,7 +522,7 @@ def main() -> None:
         # one-time) are warmed before any timer starts. Matches BASELINE.md,
         # whose reference numbers come from a long-running daemon and an
         # OS-cached Postgres table, not a cold process.
-        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; partitioned-write benches (q_cdc_incremental*, *_rewrite) report MEDIAN of 3 reps (OS-writeback noise); matches BASELINE's long-running-daemon measurement. Shared-host caveat: single-shot timings on this box vary up to 2x run-to-run on the heavy queries (observed same-code spread e.g. q_winnow_spans 3.7-13.6 s) - compare trends/geomean across rounds, not single numbers",
+        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; partitioned-write benches (q_cdc_incremental*, *_rewrite) report MEDIAN of 3 reps (OS-writeback noise); matches BASELINE's long-running-daemon measurement. Shared-host caveat: single-shot timings on this box vary up to 2x run-to-run on the heavy queries (observed same-code spread e.g. q_winnow_spans 3.7-13.6 s) - compare trends/geomean across rounds, not single numbers. Since r06 a SECOND same-round run is committed as bench_out_rep2.json so per-round spread is separable from code movement (r06 reps: geomean ratio 0.967 across 31 queries, only q_bm25_index_build outside +-30%)",
         "ivf_recall_at_5": ivf_recall,
         "ivf_recall_at_5_nprobe8": ivf_recall_8,
         "docs": n_docs,
