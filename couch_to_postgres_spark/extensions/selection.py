@@ -190,3 +190,48 @@ def dsir_select(
         .orderBy(F.col("log_ratio").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    prefix_len: int = 2,
+    alpha: float = 1.0,
+    salt: str = "dsir1",
+) -> DataFrame:
+    """DSIR's published selection step is RESAMPLING, not top-k: draw
+    ``k`` documents WITHOUT replacement with probability proportional to
+    the importance weight ``exp(log_ratio)`` — softmax sampling keeps
+    diversity that a hard top-k cut discards. The Gumbel-top-k identity
+    turns that into an exact deterministic plan: rank by
+    ``log_ratio + Gumbel(u)`` with ``Gumbel(u) = −ln(−ln u)`` and ``u``
+    the deterministic uniform from ``md5(salt:id)`` — the log-space
+    sibling of :func:`sampling.weighted_sample_topn`'s A-ES key, so
+    astronomically small weights never underflow ``exp``. Executed as
+    TakeOrderedAndProject; re-dealt by ``salt``; engine-stable (6 dp
+    rounding + id tie-break; ``u = (v+0.5)/2^32 ∈ (0,1)`` keeps both
+    logs finite at the range ends; ``+0.0`` collapses IEEE −0.0 for
+    Spark's sort, where −0.0 < 0.0)."""
+    scores = dsir_importance(
+        df, target_df, text_col, id_col, n, prefix_len, alpha
+    )
+    hexpfx = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+        1,
+        8,
+    )
+    u = (F.conv(hexpfx, 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 32)
+    )
+    key = F.round(F.col("log_ratio") - F.log(-F.log(u)), 6) + F.lit(0.0)
+    return (
+        df.join(scores.select(id_col, "log_ratio"), id_col)
+        .withColumn("_g_key", key)
+        .orderBy(F.col("_g_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_g_key")
+    )

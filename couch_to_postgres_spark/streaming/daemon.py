@@ -204,12 +204,24 @@ class Daemon:
                     "delta_rows": meta.get("delta_rows"),
                     "max_files_per_bucket": max(files.values()) if files else 0,
                 }
+            # search-flagged feeds surface their live BM25 index health
+            # (live docs, post-compaction churn, compaction_debt — the
+            # alarm number); unflagged feeds report None
+            sip = self.search_index_path(fc)
+            search = None
+            if sip is not None:
+                from couch_to_postgres_spark.streaming.search_stream import (
+                    index_status,
+                )
+
+                search = index_status(self.spark, sip)
             out[fc.name] = {
                 "enabled": fc.enabled,
                 "alive": alive,
                 "table": fc.table,
                 "doc_count": mirror_doc_count(self.spark, mp),
                 "layout": layout,
+                "search_index": search,
                 "last_progress": {
                     k: progress.get(k)
                     for k in (

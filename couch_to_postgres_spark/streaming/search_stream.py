@@ -543,3 +543,45 @@ def search_index_stream(
     else:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def index_status(
+    spark: SparkSession, index_path: str, id_col: str = "doc_id"
+) -> dict:
+    """Operator health numbers for one LSM search index — the payload the
+    daemon's `/_status` control plane surfaces per search-flagged feed:
+
+    * ``live_docs`` — current live corpus size (the two skinny
+      aggregates of :func:`live_doclen`, never postings or text);
+    * ``tail_doclen_rows`` / ``tombstones`` — post-compaction churn:
+      the read path merges these on every query, so together they ARE
+      the compaction-debt signal (``compaction_debt`` = churn rows per
+      live doc, the number an operator alarms on);
+    * ``base_present`` / ``token_buckets`` — whether the read-mostly
+      compacted base (and its partition-pruned postings layout) exists.
+
+    All probes are read-attempt (:func:`_read_or_empty`) — correct on
+    HDFS/S3, never a driver-local stat."""
+    doclen_path, _, tomb_path = _paths(index_path)
+    _, _, meta_path = _base_paths(index_path)
+    live = live_doclen(spark, index_path, id_col)
+    n_live = live.count()
+    tail_rows = _read_or_empty(
+        spark, doclen_path, f"{id_col} string, dl double, seq long"
+    ).count()
+    n_tomb = _read_or_empty(
+        spark, tomb_path, f"{id_col} string, seq long"
+    ).count()
+    meta_rows = _read_or_empty(spark, meta_path, "token_buckets int").collect()
+    token_buckets = (
+        int(meta_rows[0]["token_buckets"]) if meta_rows else None
+    )
+    churn = tail_rows + n_tomb
+    return {
+        "live_docs": n_live,
+        "tail_doclen_rows": tail_rows,
+        "tombstones": n_tomb,
+        "base_present": token_buckets is not None,
+        "token_buckets": token_buckets,
+        "compaction_debt": round(churn / n_live, 4) if n_live else None,
+    }

@@ -19,6 +19,7 @@ EXAMPLES = [
     ("examples/search_and_curate.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
     ("examples/live_daemon_operations.py", [], {}),
     ("examples/incremental_indexes.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
+    ("examples/select_training_mix.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
 ]
 
 

@@ -2472,3 +2472,40 @@ def test_dsir_unigram_only_mode(spark):
     got2 = {r["doc_id"]: r["n_grams"]
             for r in SEL.dsir_importance(raw, target, n=2).collect()}
     assert got2 == {1: 3, 2: 1}
+
+
+def test_dsir_resample_gumbel_without_replacement(spark):
+    """Gumbel-top-k resampling: deterministic at a salt, re-dealt by
+    salt, and the composition tilts hard toward high-importance docs
+    when the weight gap dominates the Gumbel noise."""
+    from couch_to_postgres_spark.extensions import selection as SEL
+
+    raw = spark.createDataFrame(
+        [
+            (i, "encyclopedia sources references article verified claims"
+             if i % 3 == 0 else "spam click offer prize winner now free")
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(999, "encyclopedia article references sources verified claims")],
+        "doc_id long, text string",
+    )
+    s1 = SEL.dsir_resample(raw, target, k=12)
+    rows = s1.collect()
+    assert len(rows) == 12
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, SEL.dsir_resample(raw, target, k=12).collect())
+    )
+    ids1 = {r["doc_id"] for r in rows}
+    ids2 = {
+        r["doc_id"]
+        for r in SEL.dsir_resample(raw, target, k=12, salt="other").collect()
+    }
+    assert ids1 != ids2  # a new salt re-deals the draw
+    # the log-ratio gap between the two styles is many nats, so the
+    # Gumbel noise (scale 1) cannot flip most slots: the target-like
+    # third must be strongly over-represented
+    n_target_like = sum(1 for i in ids1 if i % 3 == 0)
+    assert n_target_like >= 9

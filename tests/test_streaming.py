@@ -493,4 +493,14 @@ def test_daemon_feed_search_index(spark, sf_dir, tmp):
     )
     hits = bm25_topk_from_index(spark, sidx, qtab, k=5)
     assert hits.count() > 0
+    # /_status surfaces index health ONLY for search-flagged feeds:
+    # live docs match the mirror, no compaction yet (all-tail index),
+    # compaction_debt counted over the live set
+    st = d.status()
+    si = st["feed-alpha"]["search_index"]
+    assert st["feed-beta"]["search_index"] is None
+    assert si["live_docs"] == n_mirror
+    assert si["base_present"] is False and si["token_buckets"] is None
+    assert si["tail_doclen_rows"] >= si["live_docs"]
+    assert si["compaction_debt"] is not None and si["compaction_debt"] >= 1.0
     d.stop_all()

@@ -46,6 +46,11 @@ from couch_to_postgres_spark.extensions.search import bm25_topk  # noqa: E402
 from couch_to_postgres_spark.operators import query as Q  # noqa: E402
 from couch_to_postgres_spark.operators.cdc import apply_changes  # noqa: E402
 from couch_to_postgres_spark.session import get_spark, load_table  # noqa: E402
+from couch_to_postgres_spark.streaming.stats_stream import (  # noqa: E402
+    kl_by_source_from_index,
+    vocab_growth_by_group_from_index,
+    vocab_growth_from_index,
+)
 from couch_to_postgres_spark.streaming.windows import (  # noqa: E402
     sessionize_batch,
 )
@@ -128,6 +133,32 @@ def main() -> None:
         emb10.filter(F.col("vec_id") >= 20), idx10_path, n_cells=50
     )
 
+    # stats indexes (postings + attrs) for the index-answered corpus-QA
+    # readers (setup, not timed — ingest amortizes across every report).
+    # The timed claim is O(index): report cost tracks live postings and
+    # attrs state, never corpus TEXT re-tokenization
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        stats_index_batch,
+    )
+
+    def build_stats_idx(docs_df, path):
+        stats_index_batch(
+            spark,
+            path,
+            docs_df.select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id",
+                F.lit(False).alias("deleted"),
+                "source",
+                "text",
+            ),
+        )
+
+    sidx1_path = os.path.join(tmp, "stats_sf01")
+    build_stats_idx(docs1, sidx1_path)
+    sidx10_path = os.path.join(tmp, "stats_sf1")
+    build_stats_idx(spark.read.parquet(d10_path), sidx10_path)
+
     scales = {
         "sf0.1": {
             "mirror": spark.read.parquet(m1_path),
@@ -135,6 +166,7 @@ def main() -> None:
             "events": ev1,
             "emb": emb1,
             "semdedup_idx": idx1_path,
+            "stats_idx": sidx1_path,
         },
         "sf1(synth)": {
             "mirror": spark.read.parquet(m10_path),
@@ -142,6 +174,7 @@ def main() -> None:
             "events": spark.read.parquet(ev10_path),
             "emb": emb10,
             "semdedup_idx": idx10_path,
+            "stats_idx": sidx10_path,
         },
     }
     # touch so timings measure queries, not cold page cache
@@ -217,6 +250,20 @@ def main() -> None:
                 t["semdedup_idx"],
                 emb.filter(F.col("vec_id") < 20),
                 threshold=0.35,
+            ).count(),
+            # r06: index-answered corpus-QA readers (VERDICT r05 #4) —
+            # the O(index) report claim, measured: cost must track the
+            # postings/attrs state (10x here, since the replica word
+            # tags disjoint the vocab), never corpus-text re-tokenize
+            "q_kl_from_index": lambda: kl_by_source_from_index(
+                spark, t["stats_idx"]
+            ).count(),
+            "q_vocab_growth_from_index": lambda: vocab_growth_from_index(
+                spark, t["stats_idx"], bucket_width=100
+            ).count(),
+            "q_vocab_growth_by_source": lambda:
+            vocab_growth_by_group_from_index(
+                spark, t["stats_idx"], bucket_width=100
             ).count(),
         }
 
