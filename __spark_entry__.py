@@ -2542,6 +2542,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, d.filter(F.col("source") == "src0"), k=50
         ).select("doc_id", "source", "log_ratio")
 
+    def x_dsir_resample(spark, sf_dir):
+        # DSIR's published selection step: sample WITHOUT replacement
+        # proportional to exp(log_ratio) via the Gumbel-top-k identity
+        # (log-space, no exp underflow), deterministic Gumbel draws
+        # from md5(salt:id)
+        from couch_to_postgres_spark.extensions.selection import (
+            dsir_resample,
+        )
+
+        d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+        return dsir_resample(
+            d, d.filter(F.col("source") == "src0"), k=50
+        ).select("doc_id", "source", "log_ratio")
+
     def x_target_mix_skew(spark, sf_dir):
         # the round-6 threshold-refinement selection engine under GROUP
         # SKEW: src0 (25 docs at sf0.01) vs everything-else (475),
@@ -2990,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) round-6 additions (full-value oracles)
         "x_dsir_weights": x_dsir_weights,
         "x_dsir_select": x_dsir_select,
+        "x_dsir_resample": x_dsir_resample,
         "x_target_mix_skew": x_target_mix_skew,
         "x_vocab_growth_by_source": x_vocab_growth_by_source,
         # (2) round-6 re-checks: code touched this round
@@ -3038,11 +3053,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_filtered_subset": a18_filtered_subset,
         "a19_reconciliation": a19_reconciliation,
         "e01_props_extract": e01_props_extract,
-        "e02_type_counts": e02_type_counts,
         # (4) never-driver-checked rows-only key (declared: zlib)
         "x_compression": x_compression,
         # --- below the driver budget: every key here is driver-green
         # from r01-r05 (or rows-only by declared necessity, kept last)
+        "e02_type_counts": e02_type_counts,
         "e26_sessionize_skew_safe": e26_sessionize_skew_safe,
         "x_bm25": x_bm25,
         "x_pmi": x_pmi,
@@ -3465,6 +3480,60 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN scored s USING (doc_id)
             ORDER BY s.log_ratio DESC, d.doc_id
             LIMIT 50
+        """,
+        "x_dsir_resample": """
+            WITH wd AS (
+                SELECT doc_id, source,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, source,
+                       list_concat(ws, CASE WHEN len(ws) >= 2
+                           THEN list_transform(range(1, len(ws)),
+                                               i -> ws[i] || ' ' || ws[i+1])
+                           ELSE CAST([] AS VARCHAR[]) END) AS gs
+                FROM wd
+            ),
+            occ AS (
+                SELECT doc_id, source, substr(md5(g.g), 1, 2) AS bucket
+                FROM grams, UNNEST(gs) AS g(g)
+            ),
+            raw_counts AS (
+                SELECT bucket, CAST(count(*) AS DOUBLE) AS c_r
+                FROM occ GROUP BY bucket
+            ),
+            tgt_counts AS (
+                SELECT bucket, CAST(count(*) AS DOUBLE) AS c_t
+                FROM occ WHERE source = 'src0' GROUP BY bucket
+            ),
+            totals AS (
+                SELECT (SELECT sum(c_r) FROM raw_counts) AS n_r,
+                       (SELECT coalesce(sum(c_t), 0) FROM tgt_counts) AS n_t
+            ),
+            terms AS (
+                SELECT r.bucket,
+                       CAST(round(ln(
+                           ((coalesce(t.c_t, 0) + 1.0) / (tot.n_t + 256.0))
+                           / ((r.c_r + 1.0) / (tot.n_r + 256.0))
+                       ), 6) AS DECIMAL(18,6)) AS term
+                FROM raw_counts r
+                LEFT JOIN tgt_counts t USING (bucket), totals tot
+            ),
+            scored AS (
+                SELECT o.doc_id,
+                       CAST(round(sum(term), 4) AS DOUBLE) AS log_ratio
+                FROM occ o JOIN terms USING (bucket)
+                GROUP BY o.doc_id
+            ),
+            keyed AS (
+                SELECT d.doc_id, d.source, s.log_ratio,
+                       round(s.log_ratio - ln(-ln((((strpos('0123456789abcdef', substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 8, 1)) - 1) * 1.0) + 0.5)
+                           / 4294967296.0)), 6) AS gk
+                FROM documents d JOIN scored s USING (doc_id)
+            )
+            SELECT doc_id, source, log_ratio
+            FROM keyed ORDER BY gk DESC, doc_id LIMIT 50
         """,
         # quota selection under group skew: generic floor-quota SQL (the
         # x_target_mix discipline) over the src0-vs-rest split; the
