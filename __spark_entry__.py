@@ -2577,6 +2577,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, {"src0": 0.125, "rest": 0.875}, group_col="grp"
         ).select("doc_id", "grp")
 
+    def x_cap_distributed(spark, sf_dir):
+        # cap-per-domain at HIGH group cardinality: the fully
+        # distributed threshold-refinement path (no driver quota table,
+        # band-only window) must reproduce the ranking-window semantics
+        # row for row - the oracle IS the window definition
+        from couch_to_postgres_spark.extensions.sampling import (
+            cap_per_group_distributed,
+        )
+
+        return cap_per_group_distributed(
+            _docs(spark, sf_dir), k=15
+        ).select("doc_id", "source")
+
     def x_vocab_growth_by_source(spark, sf_dir):
         # per-source Heaps curves from the maintained postings+attrs
         # index (the r05 global curve, grouped): same two-batch CDC
@@ -3007,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dsir_resample": x_dsir_resample,
         "x_target_mix_skew": x_target_mix_skew,
         "x_vocab_growth_by_source": x_vocab_growth_by_source,
+        "x_cap_distributed": x_cap_distributed,
         # (2) round-6 re-checks: code touched this round
         "x_target_mix": x_target_mix,
         "x_mix_report": x_mix_report,
@@ -3052,11 +3066,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_bulk_chunks": a17_bulk_chunks,
         "a18_filtered_subset": a18_filtered_subset,
         "a19_reconciliation": a19_reconciliation,
-        "e01_props_extract": e01_props_extract,
         # (4) never-driver-checked rows-only key (declared: zlib)
         "x_compression": x_compression,
         # --- below the driver budget: every key here is driver-green
         # from r01-r05 (or rows-only by declared necessity, kept last)
+        "e01_props_extract": e01_props_extract,
         "e02_type_counts": e02_type_counts,
         "e26_sessionize_skew_safe": e26_sessionize_skew_safe,
         "x_bm25": x_bm25,
@@ -3534,6 +3548,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, log_ratio
             FROM keyed ORDER BY gk DESC, doc_id LIMIT 50
+        """,
+        "x_cap_distributed": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, source FROM ranked WHERE rn <= 15
         """,
         # quota selection under group skew: generic floor-quota SQL (the
         # x_target_mix discipline) over the src0-vs-rest split; the

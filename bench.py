@@ -493,6 +493,28 @@ def main() -> None:
     )
     _shutil.rmtree(lsm_root, ignore_errors=True)
 
+    # the r06 quota-selection engine at 600k rows with a 75%-dominant
+    # group: selection decides map-side against broadcast thresholds,
+    # only the ~√n boundary band is ever sorted (the pre-r06 plan
+    # funneled the dominant group through ONE task)
+    from couch_to_postgres_spark.extensions.sampling import resample_to_mix
+
+    def target_mix_bench() -> None:
+        d = big_mirror.select(
+            "id",
+            F.when(
+                F.substring(F.md5("id"), 1, 1).isin(*"0123456789ab"),
+                "hot",
+            )
+            .otherwise("cold")
+            .alias("grp"),
+        )
+        resample_to_mix(
+            d, {"hot": 0.5, "cold": 0.5}, group_col="grp", id_col="id"
+        ).count()
+
+    bench("q_target_mix", target_mix_bench)
+
     bench(
         "q_lineitem_pricing",
         lambda: li.filter(F.col("l_quantity") < 48)

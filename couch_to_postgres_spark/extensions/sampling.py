@@ -287,10 +287,11 @@ def cap_per_group(
     Deterministic on any cluster size/partitioning/engine (same property
     as :func:`stratified_sample`, same auditability argument). One
     shuffle on the group key for the per-group ranking window; groups
-    with ≤ k rows pass through untouched. At extreme group skew (one
-    domain with billions of rows) pre-filter with a rate-based
-    :func:`stratified_sample` so the hot group's window stays
-    task-sized."""
+    with ≤ k rows pass through untouched. Every group's rows flow
+    through one task here — at extreme group skew (one domain with
+    billions of rows) or million-domain cardinality use
+    :func:`cap_per_group_distributed`, which returns the identical set
+    via fully-distributed threshold refinement."""
     from pyspark.sql import Window as W
 
     order = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
@@ -298,6 +299,107 @@ def cap_per_group(
         W.partitionBy(group_col).orderBy(order, F.col(id_col))
     )
     return df.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def cap_per_group_distributed(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "cap1",
+) -> DataFrame:
+    """:func:`cap_per_group` for HIGH-CARDINALITY group spaces — the
+    "cap documents per DOMAIN" shape where the group count is millions
+    (so no driver-side quota table can exist) AND single domains can
+    dominate (so no per-group ranking window can run). Exactly the same
+    output set as :func:`cap_per_group`, fully distributed:
+
+    1. group sizes: one partial-aggregated count (shuffle carries
+       group-cardinality rows);
+    2. per-group key brackets for the k-th order statistic, computed IN
+       the plan from (n, k) via md5-uniformity (the
+       :func:`_topq_bounds` math as column expressions — no collect);
+    3. exact verification: per-group counts below lo/hi (map-side
+       combine); the ONLY driver action is a single scalar — the number
+       of groups whose bracket missed. A missed group's bracket widens
+       to (0, SPACE), which needs NO recount: below-lo count is 0 by
+       construction, and the group degenerates to an exact in-band sort
+       of itself — correctness never rests on the probabilistic bound;
+    4. selection: below-lo rows kept map-side; only the ~12·√n+128-row
+       boundary band per group enters the ranking window.
+
+    The corpus⋈bounds joins are hint-free group-keyed joins: AQE
+    broadcasts the bounds when the group space is small and
+    skew-splits the hot groups when it is not (a JOIN on a skewed key
+    splits fine — it is the window/groupBy funnel that cannot).
+    Trade-off vs the window plan: ~3 corpus passes instead of 1 — use
+    :func:`cap_per_group` when every group comfortably fits one task."""
+    from pyspark.sql import Window as W
+
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    knum = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    base = df.withColumn("_k", key).withColumn("_kn", knum)
+    counts = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    kk = F.least(F.lit(int(k)).cast("long"), F.col("_n"))
+    p = kk.cast("double") / F.col("_n")
+    m = F.lit(6.0) * F.sqrt(p * (F.lit(1.0) - p) / F.col("_n")) + F.lit(
+        64.0
+    ) / F.col("_n")
+    space = F.lit(float(_KEY_SPACE))
+    keep_all = kk >= F.col("_n")
+    lo = F.when(keep_all, F.lit(_KEY_SPACE)).otherwise(
+        F.greatest(F.lit(0).cast("long"), F.floor((p - m) * space))
+    )
+    hi = F.when(keep_all, F.lit(_KEY_SPACE)).otherwise(
+        F.least(F.lit(_KEY_SPACE).cast("long"), F.ceil((p + m) * space))
+    )
+    bounds = counts.select(
+        group_col, F.col("_n"), kk.alias("_q"), lo.alias("_lo"), hi.alias("_hi")
+    )
+    ver = (
+        base.join(bounds, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum((F.col("_kn") < F.col("_lo")).cast("long")).alias("_clo"),
+            F.sum((F.col("_kn") < F.col("_hi")).cast("long")).alias("_chi"),
+            F.first("_q").alias("_vq"),
+            F.first("_lo").alias("_vlo"),
+            F.first("_hi").alias("_vhi"),
+        )
+    )
+    bracket_ok = (F.col("_clo") <= F.col("_vq")) & (
+        F.col("_vq") <= F.col("_chi")
+    )
+    # the one driver action: how many brackets missed (6σ + 64-row
+    # slack ⇒ essentially never; a miss is handled exactly, below)
+    n_bad = ver.filter(~bracket_ok).limit(1).count()
+    info = ver.select(
+        group_col,
+        F.col("_vq").alias("_q"),
+        F.when(bracket_ok, F.col("_vlo")).otherwise(F.lit(0)).alias("_lo"),
+        F.when(bracket_ok, F.col("_vhi"))
+        .otherwise(F.lit(_KEY_SPACE))
+        .alias("_hi"),
+        F.when(bracket_ok, F.col("_clo")).otherwise(F.lit(0)).alias("_clo"),
+    ) if n_bad else ver.select(
+        group_col,
+        F.col("_vq").alias("_q"),
+        F.col("_vlo").alias("_lo"),
+        F.col("_vhi").alias("_hi"),
+        F.col("_clo"),
+    )
+    j = base.join(info, group_col)
+    w = W.partitionBy(group_col).orderBy(F.col("_k"), F.col(id_col))
+    band_sel = (
+        j.filter((F.col("_kn") >= F.col("_lo")) & (F.col("_kn") < F.col("_hi")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_q") - F.col("_clo"))
+    )
+    return (
+        j.filter(F.col("_kn") < F.col("_lo"))
+        .select(df.columns)
+        .unionByName(band_sel.select(df.columns))
+    )
 
 
 def resample_to_mix(

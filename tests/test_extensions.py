@@ -2509,3 +2509,57 @@ def test_dsir_resample_gumbel_without_replacement(spark):
     # third must be strongly over-represented
     n_target_like = sum(1 for i in ids1 if i % 3 == 0)
     assert n_target_like >= 9
+
+
+def test_cap_per_group_distributed_equals_window_plan(spark):
+    """The high-cardinality cap path must return EXACTLY the window
+    plan's rows across group shapes: dominant group, k-sized group,
+    under-k group, and a high-cardinality tail of tiny groups."""
+    from couch_to_postgres_spark.extensions.sampling import (
+        cap_per_group,
+        cap_per_group_distributed,
+    )
+
+    rows = (
+        [(i, "huge") for i in range(3000)]
+        + [(10_000 + i, "exact") for i in range(40)]
+        + [(20_000 + i, "tiny") for i in range(7)]
+        + [(30_000 + i, f"dom{i % 50}") for i in range(600)]  # 50 domains
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for k in (40, 7, 1):
+        a = {
+            (r["doc_id"], r["source"])
+            for r in cap_per_group(df, k=k).collect()
+        }
+        b = {
+            (r["doc_id"], r["source"])
+            for r in cap_per_group_distributed(df, k=k).collect()
+        }
+        assert a == b, f"k={k}: sets differ"
+    # schema passthrough + determinism
+    out = cap_per_group_distributed(df, k=40)
+    assert out.columns == df.columns
+    again = {
+        (r["doc_id"], r["source"])
+        for r in cap_per_group_distributed(df, k=40).collect()
+    }
+    assert {(r["doc_id"], r["source"]) for r in out.collect()} == again
+
+
+def test_cap_per_group_distributed_window_sees_only_band(spark):
+    """Plan property: the one ranking window sits above the band filter,
+    never over the whole corpus."""
+    from couch_to_postgres_spark.extensions.sampling import (
+        cap_per_group_distributed,
+    )
+    from couch_to_postgres_spark.plans.inspect import executed_plan
+
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(20000)] + [(50_000, "cold")],
+        "doc_id long, source string",
+    )
+    plan = executed_plan(cap_per_group_distributed(df, k=100))
+    assert plan.count("Window") == 1, plan
+    below = plan[plan.find("Window"):]
+    assert "_kn" in below and "Filter" in below, plan

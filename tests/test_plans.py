@@ -515,3 +515,42 @@ def test_semdedup_incremental_broadcasts_batch_not_index(spark, sf_dir, tmp_path
     assert re.search(r"PartitionFilters: \[cell#\d+\w* IN", plan), (
         "cells scan is not partition-pruned"
     )
+
+
+def test_dsir_scoring_broadcasts_term_table_no_window(spark, sf_dir):
+    """DSIR scoring at 100 TB: the per-bucket log-ratio table (bounded by
+    the 16^prefix_len bucket space) must BROADCAST onto the exploded
+    n-gram stream — a shuffled join or any ranking window over the
+    corpus would be the scale bug. Selection must be TakeOrdered, never
+    a global sort + limit of the full corpus."""
+    from couch_to_postgres_spark.extensions.selection import (
+        dsir_importance,
+        dsir_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    plan = executed_plan(dsir_importance(docs, target))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    sel = executed_plan(dsir_select(docs, target, k=10))
+    assert "TakeOrderedAndProject" in sel, sel
+    assert "Window" not in sel, sel
+
+
+def test_resample_to_mix_window_sees_only_the_band(spark, sf_dir):
+    """The quota-selection rewrite's scale property, pinned in the PLAN:
+    the single ranking window must sit above a Filter on the band
+    bounds (_kn >= _lo AND _kn < _hi) — never directly over the scan.
+    The map-kept side reaches the union without any window."""
+    from couch_to_postgres_spark.extensions.sampling import resample_to_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resample_to_mix(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    )
+    plan = executed_plan(out)
+    assert plan.count("Window") == 1, plan
+    wi = plan.find("Window")
+    below = plan[wi:]
+    assert "_kn" in below and "Filter" in below, plan
