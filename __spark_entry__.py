@@ -3003,6 +3003,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the rows-only ones), already-driver-green keys after — every key
     # gets a driver row at the earliest possible round, whatever the
     # budget. Re-derive the split from CORRECTNESS_r{N}.json each round.
+    def _relined(spark, sf_dir, words_per_line):
+        # the synthetic corpus is single-line; deterministically re-line
+        # it so the line-level operators exercise their real multi-line
+        # path (lines.as_lines docstring)
+        from couch_to_postgres_spark.extensions.lines import as_lines
+
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id", as_lines("text", words_per_line).alias("text")
+        )
+
+    def x_c4_clean(spark, sf_dir):
+        # C4-style line cleaning (Raffel et al. 2020 §2.2) on the
+        # 7-words-per-line re-lined corpus: min_words kills the short
+        # remainder lines, the blacklist kills any line containing
+        # 'slow' (a high-frequency corpus token, so the drop pattern is
+        # non-trivial); docs losing every line are removed. Pure
+        # higher-order functions - zero shuffles, one codegen'd scan
+        from couch_to_postgres_spark.extensions.lines import c4_line_clean
+
+        return c4_line_clean(
+            _relined(spark, sf_dir, 7),
+            min_words=7,
+            require_terminal_punct=False,
+            blacklist=["slow"],
+        )
+
+    def x_line_repetition(spark, sf_dir):
+        # Gopher dup-line signals (Rae et al. 2021 A1.1) on the
+        # 2-words-per-line re-lining (short lines make real within-doc
+        # duplicates: ~180/500 docs have at least one at sf0.01). The
+        # char-frac counts EVERY occurrence of a duplicated line
+        from couch_to_postgres_spark.extensions.lines import (
+            line_repetition,
+        )
+
+        return line_repetition(_relined(spark, sf_dir, 2))
+
+    def x_gopher_rules(spark, sf_dir):
+        # the full Gopher rule table: doc-local signals are shuffle-free
+        # higher-order functions; the dup-line signals join from the
+        # skew-free two-level aggregate. Thresholds tuned so pass/fail
+        # varies on this corpus (word count 10-99, stopword hits vary,
+        # k=2 lines make dup_line_frac non-degenerate)
+        from couch_to_postgres_spark.extensions.lines import gopher_rules
+
+        return gopher_rules(
+            _relined(spark, sf_dir, 2),
+            min_words=30,
+            min_stopword_hits=2,
+            max_dup_line_frac=0.05,
+        )
+
     return {
         # --- ROUND-6 TOP BLOCK (the driver checks the first ~50
         # insertion-order keys; re-derive each round from
@@ -3021,6 +3074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_target_mix_skew": x_target_mix_skew,
         "x_vocab_growth_by_source": x_vocab_growth_by_source,
         "x_cap_distributed": x_cap_distributed,
+        "x_c4_clean": x_c4_clean,
+        "x_line_repetition": x_line_repetition,
+        "x_gopher_rules": x_gopher_rules,
         # (2) round-6 re-checks: code touched this round
         "x_target_mix": x_target_mix,
         "x_mix_report": x_mix_report,
@@ -3063,13 +3119,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b29_count": b29_count,
         "a05_cdc_merge": a05_cdc_merge,
         "a07_type_filter": a07_type_filter,
-        "a17_bulk_chunks": a17_bulk_chunks,
-        "a18_filtered_subset": a18_filtered_subset,
-        "a19_reconciliation": a19_reconciliation,
         # (4) never-driver-checked rows-only key (declared: zlib)
         "x_compression": x_compression,
         # --- below the driver budget: every key here is driver-green
-        # from r01-r05 (or rows-only by declared necessity, kept last)
+        # from r01-r05 (or rows-only by declared necessity, kept last).
+        # a17/a18/a19 rotated out of the prefix to make room for the
+        # line-hygiene family (r01-green, unchanged code)
+        "a17_bulk_chunks": a17_bulk_chunks,
+        "a18_filtered_subset": a18_filtered_subset,
+        "a19_reconciliation": a19_reconciliation,
         "e01_props_extract": e01_props_extract,
         "e02_type_counts": e02_type_counts,
         "e26_sessionize_skew_safe": e26_sessionize_skew_safe,
@@ -3394,6 +3452,146 @@ def _jl_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     oracles = {
         # --- round-6 additions ---
+        # line-hygiene family (lines.py): re-line the single-line corpus
+        # at k words per line (list slice is 1-based end-inclusive:
+        # ws[g*k+1 : g*k+k] is exactly k words, clamped on the last
+        # line), then replay the C4/Gopher list-function rules
+        "x_c4_clean": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            relined AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, CAST(ceil(len(ws) / 7.0) AS INT)),
+                           g -> array_to_string(ws[g*7+1 : g*7+7], ' ')) AS lns
+                FROM words WHERE len(ws) > 0
+            ),
+            filt AS (
+                SELECT doc_id, lns,
+                       list_filter(lns,
+                           l -> len(list_filter(string_split(l, ' '),
+                                                w -> w <> '')) >= 7
+                                AND NOT contains(lower(l), 'slow')) AS kept
+                FROM relined
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS clean_text,
+                   CAST(len(lns) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept
+            FROM filt
+            WHERE len(kept) > 0
+        """,
+        "x_line_repetition": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            relined AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, CAST(ceil(len(ws) / 2.0) AS INT)),
+                           g -> array_to_string(ws[g*2+1 : g*2+2], ' ')) AS lns
+                FROM words WHERE len(ws) > 0
+            ),
+            ln AS (SELECT doc_id, unnest(lns) AS line FROM relined),
+            per AS (
+                SELECT doc_id, line, count(*) AS c
+                FROM ln GROUP BY doc_id, line
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_lines,
+                   round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 4)
+                       AS dup_line_frac,
+                   round(sum(CASE WHEN c > 1 THEN c * length(line)
+                                  ELSE 0 END)
+                         / CAST(sum(c * length(line)) AS DOUBLE), 4)
+                       AS dup_line_char_frac
+            FROM per GROUP BY doc_id
+        """,
+        # full Gopher rule table on the k=2 re-lining: doc-local signals
+        # from the word list, dup-line signals from the per-line rollup;
+        # rule booleans compare the ROUNDED signal columns, exactly as
+        # lines.gopher_rules does
+        "x_gopher_rules": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            relined AS (
+                SELECT doc_id, ws,
+                       list_transform(
+                           range(0, CAST(ceil(len(ws) / 2.0) AS INT)),
+                           g -> array_to_string(ws[g*2+1 : g*2+2], ' ')) AS lns
+                FROM words WHERE len(ws) > 0
+            ),
+            base AS (
+                SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       round(list_sum(list_transform(ws, w -> length(w)))
+                             / CAST(len(ws) AS DOUBLE), 4) AS mean_word_len,
+                       round((len(string_split(array_to_string(lns, chr(10)), '#')) - 1
+                              + len(string_split(array_to_string(lns, chr(10)), '...')) - 1)
+                             / CAST(len(ws) AS DOUBLE), 4) AS symbol_word_ratio,
+                       round(len(list_filter(lns,
+                                 l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%'
+                                      OR trim(l) LIKE '•%'))
+                             / CAST(len(lns) AS DOUBLE), 4) AS bullet_line_frac,
+                       round(len(list_filter(lns, l -> trim(l) LIKE '%...'))
+                             / CAST(len(lns) AS DOUBLE), 4) AS ellipsis_line_frac,
+                       round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                             / CAST(len(ws) AS DOUBLE), 4) AS alpha_word_frac,
+                       CAST(len(list_filter(ws,
+                            w -> list_contains(['the','a','of','and','to',
+                                                'in','is','on','for','with'],
+                                               lower(w)))) AS BIGINT)
+                           AS stopword_hits
+                FROM relined
+            ),
+            ln AS (SELECT doc_id, unnest(lns) AS line FROM relined),
+            per AS (
+                SELECT doc_id, line, count(*) AS c
+                FROM ln GROUP BY doc_id, line
+            ),
+            rep AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_lines,
+                       round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 4)
+                           AS dup_line_frac,
+                       round(sum(CASE WHEN c > 1 THEN c * length(line)
+                                      ELSE 0 END)
+                             / CAST(sum(c * length(line)) AS DOUBLE), 4)
+                           AS dup_line_char_frac
+                FROM per GROUP BY doc_id
+            )
+            SELECT b.*, r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
+                   (b.n_words >= 30 AND b.n_words <= 100000) AS r_word_count,
+                   (b.mean_word_len >= 3.0 AND b.mean_word_len <= 10.0)
+                       AS r_mean_word_len,
+                   (b.symbol_word_ratio <= 0.1) AS r_symbol_ratio,
+                   (b.bullet_line_frac <= 0.9) AS r_bullet_lines,
+                   (b.ellipsis_line_frac <= 0.3) AS r_ellipsis_lines,
+                   (b.alpha_word_frac >= 0.8) AS r_alpha_words,
+                   (b.stopword_hits >= 2) AS r_stopwords,
+                   (coalesce(r.dup_line_frac, 0.0) <= 0.05) AS r_dup_lines,
+                   (coalesce(r.dup_line_char_frac, 0.0) <= 0.2)
+                       AS r_dup_line_chars,
+                   ((b.n_words >= 30 AND b.n_words <= 100000)
+                    AND (b.mean_word_len >= 3.0 AND b.mean_word_len <= 10.0)
+                    AND b.symbol_word_ratio <= 0.1
+                    AND b.bullet_line_frac <= 0.9
+                    AND b.ellipsis_line_frac <= 0.3
+                    AND b.alpha_word_frac >= 0.8
+                    AND b.stopword_hits >= 2
+                    AND coalesce(r.dup_line_frac, 0.0) <= 0.05
+                    AND coalesce(r.dup_line_char_frac, 0.0) <= 0.2)
+                       AS gopher_pass
+            FROM base b LEFT JOIN rep r USING (doc_id)
+        """,
         # DSIR scoring: hashed unigram+bigram buckets = substr(md5(g),1,2)
         # (256-bucket string feature space, engine-portable); add-one
         # smoothing over the FULL 256-bucket space; per-occurrence terms

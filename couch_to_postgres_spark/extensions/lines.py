@@ -1,0 +1,251 @@
+"""Line- and paragraph-level corpus hygiene: C4-style line cleaning and
+Gopher-style structural repetition signals.
+
+The reference (couch-to-postgres) ships documents to Postgres and leaves
+text hygiene to downstream SQL; a training-data pipeline needs it in the
+engine. These operators implement the published line-level rules:
+
+* C4 (Raffel et al. 2020, §2.2): keep only lines that end in terminal
+  punctuation, have at least `min_words` words, and do not contain
+  blacklisted phrases ("javascript", "lorem ipsum", "{"); drop documents
+  that lose every line.
+* Gopher (Rae et al. 2021, A1.1 repetition filters): fraction of lines /
+  paragraphs that are duplicates within the document, and the fraction of
+  *characters* contained in those duplicated lines.
+
+Plan shapes
+-----------
+``c4_line_clean`` is pure higher-order functions over ``split(text, sep)``
+— a shuffle-free, whole-stage-codegen map; at 100 TB it is a single scan.
+``line_repetition`` uses the explode → groupBy(doc, line) → groupBy(doc)
+two-level aggregation (same shape as ``text.repetition_signals``, which
+measured 4x faster than the per-row higher-order form because hash
+aggregation is codegen'd with map-side partials; doc keys are uniform so
+both shuffles are skew-free).
+
+The synthetic ``documents`` corpus is single-line (no ``\\n``); use
+``as_lines`` to deterministically re-line it so these operators exercise
+their real multi-line path, and unit tests cover hand-built multi-line /
+multi-paragraph fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: C4's default line blacklist (lowercased substring match).
+C4_BLACKLIST = ["javascript", "lorem ipsum", "{"]
+
+#: terminal punctuation accepted by the C4 rule.
+TERMINAL_PUNCT = [".", "!", "?", '."', '!"', '?"']
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def as_lines(text: Column | str, words_per_line: int = 7) -> Column:
+    """Deterministically re-line a single-line text: every
+    ``words_per_line`` words become one line (the last line keeps the
+    remainder). Pure higher-order functions — no shuffle, no UDF.
+
+    This exists because the synthetic corpus has no newlines; real
+    corpora skip it and feed their native line structure directly.
+    """
+    c = _col(text)
+    ws = F.filter(F.split(c, " "), lambda w: w != F.lit(""))
+    n = F.size(ws)
+    k = F.lit(words_per_line)
+    # groups 0..ceil(n/k)-1; slice is 1-indexed and length-clamped
+    n_groups = F.ceil(n / k).cast("int")
+    groups = F.transform(
+        F.sequence(F.lit(0), n_groups - 1),
+        lambda g: F.array_join(F.slice(ws, g * k + 1, words_per_line), " "),
+    )
+    return F.when(n > 0, F.array_join(groups, "\n")).otherwise(F.lit(""))
+
+
+def _line_array(text: Column | str, sep: str = "\n") -> Column:
+    return F.filter(F.split(_col(text), sep), lambda l: F.trim(l) != F.lit(""))
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blacklist: list[str] | None = None,
+    drop_empty_docs: bool = True,
+) -> DataFrame:
+    """C4-style line filtering: keep lines with >= ``min_words`` words,
+    (optionally) terminal punctuation, and no blacklisted phrase; rebuild
+    the document from surviving lines.
+
+    Returns ``id_col, clean_text, n_lines, n_lines_kept`` (documents whose
+    every line is dropped are removed when ``drop_empty_docs``).
+
+    Entirely ``split``/``filter``/``array_join`` higher-order functions:
+    one codegen'd projection, zero shuffles, scales as a pure map.
+    """
+    bl = C4_BLACKLIST if blacklist is None else blacklist
+    lines = _line_array(text_col)
+
+    def keep(l: Column) -> Column:
+        words = F.filter(F.split(l, " "), lambda w: w != F.lit(""))
+        cond = F.size(words) >= F.lit(min_words)
+        if require_terminal_punct:
+            term = None
+            for p in TERMINAL_PUNCT:
+                c = F.endswith(l, F.lit(p))
+                term = c if term is None else (term | c)
+            cond = cond & term
+        low = F.lower(l)
+        for phrase in bl:
+            cond = cond & ~F.contains(low, F.lit(phrase.lower()))
+        return cond
+
+    kept = F.filter(lines, keep)
+    out = df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+    )
+    if drop_empty_docs:
+        out = out.filter(F.col("n_lines_kept") > 0)
+    return out
+
+
+def line_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style within-document line repetition: per document,
+    ``n_lines``, ``dup_line_frac`` (fraction of line occurrences beyond
+    the first of each distinct line), and ``dup_line_char_frac``
+    (fraction of line-characters inside lines that occur more than once,
+    counting every occurrence). Pass ``sep="\\n\\n"`` for the paragraph
+    variants of the same two rules.
+
+    Plan: explode lines → groupBy(doc, line) with map-side partial
+    aggregation → groupBy(doc). Doc ids are unique keys, so the shuffle
+    is skew-free and the per-doc state is O(distinct lines).
+    """
+    ln = df.select(
+        F.col(id_col), F.explode(_line_array(text_col, sep)).alias("line")
+    )
+    per_line = ln.groupBy(id_col, "line").agg(
+        F.count(F.lit(1)).alias("c"), F.length(F.first("line")).alias("chars")
+    )
+    return per_line.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c").cast("double"), 4
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("chars")).otherwise(0))
+            / F.sum(F.col("c") * F.col("chars")).cast("double"),
+            4,
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+) -> DataFrame:
+    """The Gopher quality-rule table (Rae et al. 2021, A1.1): one row per
+    document with every measured signal, one boolean per rule, and an
+    overall ``gopher_pass``. Thresholds are the paper's defaults and all
+    overridable — corpora differ, and the point of emitting the full
+    table (rather than a filtered corpus) is that threshold tuning
+    becomes a cheap downstream WHERE.
+
+    All doc-local signals are higher-order functions (no shuffle); the
+    two line-repetition signals join from :func:`line_repetition`'s
+    skew-free aggregate. One scan + one uniform-key join at any scale.
+    """
+    from couch_to_postgres_spark.extensions.text import STOPWORDS
+
+    ws = F.filter(F.split(_col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    lines = _line_array(text_col)
+    n_words = F.size(ws)
+    nwd = n_words.cast("double")
+    mean_wl = F.aggregate(
+        ws, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / nwd
+    n_symbols = (
+        F.size(F.split(_col(text_col), "#", -1))
+        - 1
+        + F.size(F.split(_col(text_col), r"\.\.\.", -1))
+        - 1
+    )
+    bullet_frac = F.size(
+        F.filter(
+            lines,
+            lambda l: F.startswith(F.trim(l), F.lit("-"))
+            | F.startswith(F.trim(l), F.lit("*"))
+            | F.startswith(F.trim(l), F.lit("•")),
+        )
+    ) / F.size(lines).cast("double")
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: F.endswith(F.trim(l), F.lit("...")))
+    ) / F.size(lines).cast("double")
+    alpha_frac = F.size(
+        F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
+    ) / nwd
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(
+        F.filter(ws, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    )
+
+    base = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(n_symbols / nwd, 4).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    )
+    rep = line_repetition(df, text_col, id_col)
+    t = base.join(rep, id_col, "left")
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "r_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "r_bullet_lines": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "r_ellipsis_lines": F.col("ellipsis_line_frac")
+        <= max_ellipsis_line_frac,
+        "r_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "r_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+        "r_dup_lines": F.coalesce(F.col("dup_line_frac"), F.lit(0.0))
+        <= max_dup_line_frac,
+        "r_dup_line_chars": F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0))
+        <= max_dup_line_char_frac,
+    }
+    out = t
+    passed = None
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        passed = cond if passed is None else (passed & cond)
+    return out.withColumn("gopher_pass", passed)
