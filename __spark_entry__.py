@@ -3056,6 +3056,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_dup_line_frac=0.05,
         )
 
+    def _source_shingles(spark, sf_dir):
+        # per-source 3-word shingle stream: the value domain the KMV
+        # sketches summarize (~2.4k distinct shingles per source)
+        from couch_to_postgres_spark.extensions.dedup import word_shingles
+
+        return _docs(spark, sf_dir).select(
+            "source", F.explode(word_shingles("text", 3)).alias("shingle")
+        )
+
+    def x_bottomk_sketch(spark, sf_dir):
+        # per-source bottom-16 KMV sketch over 3-word shingles: the k
+        # smallest md5 values of the distinct shingle domain — exactly
+        # deterministic (no RNG), so the oracle replays it bit-for-bit.
+        # Two-level skew-proof plan: per-(group,partition) local
+        # bottom-k, bounded-fan-in array merge, no per-group window
+        from couch_to_postgres_spark.extensions.sketch import bottomk_sketch
+
+        sk = bottomk_sketch(
+            _source_shingles(spark, sf_dir), "source", F.col("shingle"), k=16
+        )
+        return sk.select(
+            "source",
+            "k_used",
+            F.round("u_k", 6).alias("u_k"),
+            F.array_join("sketch", ",").alias("sketch_csv"),
+        )
+
+    def x_sketch_distinct(spark, sf_dir):
+        # KMV distinct-count estimation from the sketch alone:
+        # D-hat = (k-1)/u_k vs the exact distinct, per l_returnflag
+        # (~11k distinct orderkeys each; k=128 -> ~9% expected error).
+        # The estimate reads O(k) state; only the exactness check scans
+        from couch_to_postgres_spark.extensions.sketch import (
+            bottomk_sketch,
+            distinct_estimate,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sk = distinct_estimate(
+            bottomk_sketch(li, "l_returnflag", F.col("l_orderkey"), k=128),
+            k=128,
+        ).drop("sketch", "u_k")
+        exact = li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_orderkey").alias("exact_distinct")
+        )
+        return sk.join(exact, "l_returnflag").select(
+            "l_returnflag",
+            "k_used",
+            "distinct_est",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+
+    def x_sketch_jaccard(spark, sf_dir):
+        # pairwise source similarity from sketches ALONE (coordinated
+        # bottom-k sample of each union): 20 sources -> 190 pairs read
+        # G*k hashes total, never the corpus. jaccard_est vs the shingle
+        # sets' true overlap is pinned by the DuckDB replay
+        from couch_to_postgres_spark.extensions.sketch import (
+            bottomk_sketch,
+            sketch_jaccard,
+        )
+
+        sk = bottomk_sketch(
+            _source_shingles(spark, sf_dir), "source", F.col("shingle"), k=64
+        )
+        return sketch_jaccard(sk, "source", k=64)
+
     return {
         # --- ROUND-6 TOP BLOCK (the driver checks the first ~50
         # insertion-order keys; re-derive each round from
@@ -3077,6 +3149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_c4_clean": x_c4_clean,
         "x_line_repetition": x_line_repetition,
         "x_gopher_rules": x_gopher_rules,
+        "x_bottomk_sketch": x_bottomk_sketch,
+        "x_sketch_distinct": x_sketch_distinct,
+        "x_sketch_jaccard": x_sketch_jaccard,
         # (2) round-6 re-checks: code touched this round
         "x_target_mix": x_target_mix,
         "x_mix_report": x_mix_report,
@@ -3116,15 +3191,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b25_view_projection": b25_view_projection,
         "b26_update_where": b26_update_where,
         "b27_insert": b27_insert,
-        "b29_count": b29_count,
-        "a05_cdc_merge": a05_cdc_merge,
-        "a07_type_filter": a07_type_filter,
         # (4) never-driver-checked rows-only key (declared: zlib)
         "x_compression": x_compression,
         # --- below the driver budget: every key here is driver-green
         # from r01-r05 (or rows-only by declared necessity, kept last).
-        # a17/a18/a19 rotated out of the prefix to make room for the
-        # line-hygiene family (r01-green, unchanged code)
+        # a17/a18/a19 + b29/a05/a07 rotated out of the prefix to make
+        # room for the line-hygiene + sketch families (r01-green,
+        # unchanged code)
+        "b29_count": b29_count,
+        "a05_cdc_merge": a05_cdc_merge,
+        "a07_type_filter": a07_type_filter,
         "a17_bulk_chunks": a17_bulk_chunks,
         "a18_filtered_subset": a18_filtered_subset,
         "a19_reconciliation": a19_reconciliation,
@@ -3300,6 +3376,19 @@ def _hexval8_sql(expr: str, start: int = 1) -> str:
     return f"({terms})"
 
 
+def _hexval8_of_hex_sql(expr: str) -> str:
+    """Like :func:`_hexval8_sql` but over an ALREADY-hex string (no
+    md5 applied) — used by the KMV sketch oracles, whose stored hashes
+    are themselves md5 hex. Each digit term is an exact integer in
+    DOUBLE, so the sum is order-independent and bit-equal to Spark's
+    conv(substring(h,1,8),16,10)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {1 + i}, 1)) - 1) * {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
 # word-shingle builder shared by the dedup oracles (3-word shingles,
 # mirroring extensions.dedup.word_shingles)
 _SHINGLES = """
@@ -3456,6 +3545,128 @@ def oracle_sql() -> dict[str, str]:
         # at k words per line (list slice is 1-based end-inclusive:
         # ws[g*k+1 : g*k+k] is exactly k words, clamped on the last
         # line), then replay the C4/Gopher list-function rules
+        # KMV bottom-k sketch family (sketch.py): the sketch is the k
+        # smallest DISTINCT md5(value) hex strings per group — pure
+        # order statistics, no RNG, so row_number over the distinct
+        # hash set replays it exactly. u_k = (hexval8(h_k)+0.5)/2^32,
+        # the repo-wide open-interval normalization
+        "x_bottomk_sketch": f"""
+            WITH words AS (
+                SELECT source,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            shingled AS (
+                SELECT source, s.shingle
+                FROM words, UNNEST(
+                    CASE WHEN len(ws) >= 3
+                         THEN [array_to_string(ws[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(ws) - 2)]
+                         ELSE []::VARCHAR[] END
+                ) AS s(shingle)
+            ),
+            hs AS (SELECT DISTINCT source, md5(shingle) AS h FROM shingled),
+            rk AS (
+                SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS r
+                FROM hs
+            )
+            SELECT source,
+                   CAST(count(*) AS INT) AS k_used,
+                   CASE WHEN count(*) >= 16
+                        THEN round(({_hexval8_of_hex_sql('max(h)')} + 0.5)
+                                   / 4294967296.0, 6) END AS u_k,
+                   string_agg(h, ',' ORDER BY h) AS sketch_csv
+            FROM rk WHERE r <= 16 GROUP BY source
+        """,
+        "x_sketch_distinct": f"""
+            WITH hs AS (
+                SELECT DISTINCT l_returnflag,
+                       md5(CAST(l_orderkey AS VARCHAR)) AS h
+                FROM lineitem
+            ),
+            rk AS (
+                SELECT l_returnflag, h,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY h) AS r
+                FROM hs
+            ),
+            sk AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS INT) AS k_used,
+                       round(CASE WHEN count(*) >= 128
+                             THEN 127.0 / (({_hexval8_of_hex_sql('max(h)')}
+                                            + 0.5) / 4294967296.0)
+                             ELSE CAST(count(*) AS DOUBLE) END, 2)
+                           AS distinct_est
+                FROM rk WHERE r <= 128 GROUP BY l_returnflag
+            ),
+            ex AS (
+                SELECT l_returnflag,
+                       CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                           AS exact_distinct
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT s.l_returnflag, s.k_used, s.distinct_est,
+                   e.exact_distinct,
+                   round(abs(s.distinct_est - e.exact_distinct)
+                         / e.exact_distinct, 4) AS rel_err
+            FROM sk s JOIN ex e USING (l_returnflag)
+        """,
+        # pairwise Jaccard from the coordinated bottom-64 union sample:
+        # membership of each union-sample hash in both sketches is
+        # exact, so the estimator is a deterministic function of the
+        # two sketches
+        "x_sketch_jaccard": """
+            WITH words AS (
+                SELECT source,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            shingled AS (
+                SELECT source, s.shingle
+                FROM words, UNNEST(
+                    CASE WHEN len(ws) >= 3
+                         THEN [array_to_string(ws[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(ws) - 2)]
+                         ELSE []::VARCHAR[] END
+                ) AS s(shingle)
+            ),
+            hs AS (SELECT DISTINCT source, md5(shingle) AS h FROM shingled),
+            rk AS (
+                SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS r
+                FROM hs
+            ),
+            sk AS (SELECT source, h FROM rk WHERE r <= 64),
+            srcs AS (SELECT DISTINCT source FROM sk),
+            pairs AS (
+                SELECT a.source AS g_a, b.source AS g_b
+                FROM srcs a JOIN srcs b ON a.source < b.source
+            ),
+            m AS (
+                SELECT p.g_a, p.g_b, s.h,
+                       max(CASE WHEN s.source = p.g_a THEN 1 ELSE 0 END)
+                           AS in_a,
+                       max(CASE WHEN s.source = p.g_b THEN 1 ELSE 0 END)
+                           AS in_b
+                FROM pairs p JOIN sk s ON s.source IN (p.g_a, p.g_b)
+                GROUP BY p.g_a, p.g_b, s.h
+            ),
+            u AS (
+                SELECT *, row_number() OVER (PARTITION BY g_a, g_b
+                                             ORDER BY h) AS r
+                FROM m
+            )
+            SELECT g_a, g_b,
+                   CAST(count(*) AS INT) AS k_union,
+                   CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                            THEN 1 ELSE 0 END) AS INT) AS inter_k,
+                   round(sum(CASE WHEN in_a = 1 AND in_b = 1
+                             THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 4) AS jaccard_est
+            FROM u WHERE r <= 64 GROUP BY g_a, g_b
+        """,
         "x_c4_clean": """
             WITH words AS (
                 SELECT doc_id,

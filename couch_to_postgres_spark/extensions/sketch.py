@@ -1,0 +1,222 @@
+"""Mergeable bottom-k (KMV) hash sketches: O(k)-state per group distinct
+counting, set similarity, and streaming maintenance.
+
+The reference (couch-to-postgres, lib/index.js) mirrors documents and
+leaves analytics to Postgres; corpus monitoring at 100 TB needs
+cardinality and overlap answers WITHOUT a distinct-shuffle over the
+corpus. A bottom-k sketch — the k smallest md5 values of a group's
+value domain (Bar-Yossef et al. 2002; Beyer et al. 2007 "KMV") — is:
+
+* **exactly deterministic** (md5 is a fixed function, the k-th order
+  statistic is unique — no RNG, so an external SQL engine replays the
+  sketch bit-for-bit, unlike HLL register layouts);
+* **mergeable**: bottomk(A ∪ B) = k smallest of bottomk(A) ∪ bottomk(B)
+  — union, intersection, and streaming append all compose from sketches
+  alone, never the base data;
+* **small**: k · 32 bytes per group, independent of corpus size.
+
+Estimators (all closed-form over the sketch, no data access):
+
+* distinct count: D̂ = (k-1) / u_k where u_k is the k-th smallest hash
+  normalized to (0,1) — the classic KMV estimator; when a group has
+  fewer than k distinct values the sketch IS the value set and the
+  count is exact;
+* Jaccard: J(A,B) ≈ |bottomk(A∪B) ∩ A ∩ B| / |bottomk(A∪B)| — the
+  bottom-k coordinated-sample estimator (works because bottom-k of the
+  union is a uniform sample of A∪B, and membership of a union-sample
+  hash in both sketches is exact).
+
+Plan shape (the MapReduce mergeable-sketch discipline, skew-proof):
+local per-(group, input-partition) distinct bottom-k via hash
+aggregation (state bounded by per-partition distinct values — sized by
+``spark.sql.files.maxPartitionBytes``, not by the group), then a
+bounded-fan-in tree merge on arrays of ≤ k hashes. NO per-group window,
+no ``partitionBy(group)`` row funnel: a group 1000× larger than the
+rest still lands as ≤ n_partitions small arrays, merged ``fanin`` at a
+time. Hash normalization uses (hexval8 + 0.5) / 2^32 — the repo-wide
+convention that keeps the value strictly inside (0,1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hash_u(h: Column | str) -> Column:
+    """Normalize the first 8 hex chars of an md5 string to (0,1):
+    (value + 0.5) / 2^32. Exact in DOUBLE (value < 2^32), never 0 or 1."""
+    v = F.conv(F.substring(_col(h), 1, 8), 16, 10).cast("double")
+    return (v + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def _merge_sketches(col: Column, k: int) -> Column:
+    """k smallest distinct hashes across an array-of-arrays column —
+    the bottom-k merge (hex md5 strings sort lexically = numerically)."""
+    return F.slice(F.array_sort(F.array_distinct(F.flatten(col))), 1, k)
+
+
+def bottomk_sketch(
+    df: DataFrame,
+    group_col: str,
+    value: Column | str,
+    k: int = 64,
+    fanin: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k sketch of ``value``'s distinct domain:
+    ``(group_col, sketch array<string>, k_used, u_k)`` where ``sketch``
+    holds the ≤ k smallest ``md5(value)`` hex strings, ``k_used`` its
+    size, and ``u_k`` the normalized largest retained hash (null when
+    the group has < k distinct values — the sketch is then exact).
+
+    Two-level skew-proof plan: (1) hash-aggregate a distinct bottom-k
+    per (group, input partition) — map-side state is bounded by the
+    partition's distinct values, never the group's; (2) tree-merge the
+    per-partition arrays with bounded fan-in (``pid % fanin`` buckets,
+    then one array of ≤ fanin·k ≤ ~4k hashes per group). Both shuffles
+    move only k-length arrays. At 100 TB the heaviest group costs the
+    same as the lightest: there is no per-group sort anywhere.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.md5(_col(value).cast("string"))
+    loc = (
+        df.select(
+            F.col(group_col),
+            h.alias("h"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .groupBy(group_col, "pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("sk"))
+    )
+    mid = (
+        loc.withColumn("b", F.col("pid") % F.lit(fanin))
+        .groupBy(group_col, "b")
+        .agg(_merge_sketches(F.collect_list("sk"), k).alias("sk"))
+    )
+    top = mid.groupBy(group_col).agg(
+        _merge_sketches(F.collect_list("sk"), k).alias("sketch")
+    )
+    return top.select(
+        group_col,
+        "sketch",
+        F.size("sketch").alias("k_used"),
+        F.when(
+            F.size("sketch") >= k, hash_u(F.element_at("sketch", k))
+        ).alias("u_k"),
+    )
+
+
+def distinct_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """KMV distinct-count estimate from :func:`bottomk_sketch` output:
+    D̂ = (k-1)/u_k when the sketch is full, else exactly ``k_used``
+    (fewer than k distinct values means the sketch IS the domain).
+    Adds ``distinct_est`` (double, rounded to 2dp); pure projection."""
+    return sketches.withColumn(
+        "distinct_est",
+        F.round(
+            F.when(
+                F.col("u_k").isNotNull(), F.lit(k - 1) / F.col("u_k")
+            ).otherwise(F.col("k_used").cast("double")),
+            2,
+        ),
+    )
+
+
+def sketch_jaccard(
+    sketches: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise Jaccard estimates between every two groups, from their
+    sketches ALONE: for each pair, take the k smallest hashes of the
+    sketch union (a uniform sample of A∪B) and count how many appear in
+    both sketches. Returns ``(g_a, g_b, k_union, inter_k, jaccard_est)``
+    for g_a < g_b.
+
+    The pair join is sketch × sketch — G groups means G·k hashes total,
+    so even 10^4 groups is a ~10 MB broadcast; the base data is never
+    touched. All array ops are JVM built-ins (no UDF)."""
+    a = sketches.select(
+        F.col(group_col).alias("g_a"), F.col("sketch").alias("sk_a")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("g_b"), F.col("sketch").alias("sk_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+    union_k = F.slice(
+        F.array_sort(F.array_distinct(F.concat("sk_a", "sk_b"))), 1, k
+    )
+    inter = F.array_intersect(
+        union_k, F.array_intersect("sk_a", "sk_b")
+    )
+    return pairs.select(
+        "g_a",
+        "g_b",
+        F.size(union_k).alias("k_union"),
+        F.size(inter).alias("inter_k"),
+        F.round(F.size(inter) / F.size(union_k).cast("double"), 4).alias(
+            "jaccard_est"
+        ),
+    )
+
+
+def merge_sketch_tables(
+    old: DataFrame, new: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Merge two sketch tables (full-outer on the group): the bottom-k
+    of the union per group. This is the streaming maintenance step —
+    state in, state out, O(groups · k) regardless of how much data each
+    table summarized. Recomputes ``k_used`` / ``u_k`` for the merged
+    sketch."""
+    o = old.select(group_col, F.col("sketch").alias("sk_o"))
+    n = new.select(group_col, F.col("sketch").alias("sk_n"))
+    merged = o.join(n, group_col, "full_outer").select(
+        group_col,
+        _merge_sketches(
+            F.array(
+                F.coalesce("sk_o", F.array()), F.coalesce("sk_n", F.array())
+            ),
+            k,
+        ).alias("sketch"),
+    )
+    return merged.select(
+        group_col,
+        "sketch",
+        F.size("sketch").alias("k_used"),
+        F.when(
+            F.size("sketch") >= k, hash_u(F.element_at("sketch", k))
+        ).alias("u_k"),
+    )
+
+
+def sketch_stream(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    group_col: str,
+    value: Column | str,
+    k: int = 64,
+) -> DataFrame:
+    """``foreachBatch`` body maintaining a per-group sketch table in
+    parquet at ``state_path``: sketch the batch, merge with persisted
+    state, overwrite. Returns the merged table. State is O(groups · k)
+    — the overwrite rewrites sketches, not data, so a 100 TB history
+    costs the same as an empty one. At-least-once replays are absorbed
+    by idempotence: re-merging a batch's hashes is a set union no-op.
+    """
+    from pyspark.errors import AnalysisException
+
+    fresh = bottomk_sketch(batch, group_col, value, k=k)
+    try:
+        old = spark.read.parquet(state_path)
+        merged = merge_sketch_tables(old, fresh, group_col, k=k)
+    except AnalysisException:
+        merged = fresh
+    # sketches are tiny; localCheckpoint breaks the self-read lineage
+    # before the overwrite clobbers the files being read
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(state_path)
+    return merged

@@ -1,0 +1,132 @@
+"""Bottom-k (KMV) sketch family: determinism, exactness below k,
+estimator accuracy, mergeability, streaming maintenance
+(`extensions/sketch.py`).
+
+Reference scope note: couch-to-postgres only mirrors docs; sketches are
+part of this repo's corpus-monitoring stratum (KMV per Beyer et al.
+2007).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions import sketch as S
+
+
+def _md5(v) -> str:
+    return hashlib.md5(str(v).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    # 2 groups; g1 has 5 distinct values (< k), g2 shares two of them
+    rows = [("g1", v) for v in ["a", "b", "c", "d", "e"]] * 2 + [
+        ("g2", v) for v in ["a", "b", "x"]
+    ]
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_sketch_exact_below_k(small):
+    out = {
+        r["g"]: r for r in S.bottomk_sketch(small, "g", "v", k=8).collect()
+    }
+    assert out["g1"]["k_used"] == 5
+    assert out["g1"]["u_k"] is None  # not full -> exact mode
+    assert out["g1"]["sketch"] == sorted(_md5(v) for v in "abcde")
+    est = {
+        r["g"]: r["distinct_est"]
+        for r in S.distinct_estimate(
+            S.bottomk_sketch(small, "g", "v", k=8), k=8
+        ).collect()
+    }
+    assert est == {"g1": 5.0, "g2": 3.0}
+
+
+def test_kmv_estimate_accuracy(spark):
+    # 6000 distinct values, k=128: KMV rel. error ~ 1/sqrt(k-2) ≈ 9%
+    df = spark.range(6000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    est = S.distinct_estimate(
+        S.bottomk_sketch(df, "g", "v", k=128), k=128
+    ).collect()[0]["distinct_est"]
+    assert abs(est - 6000) / 6000 < 0.3
+
+
+def test_sketch_is_mergeable(spark, small):
+    a = small.filter(F.col("v") < "c")
+    b = small.filter(F.col("v") >= "c")
+    whole = {
+        r["g"]: r["sketch"]
+        for r in S.bottomk_sketch(small, "g", "v", k=4).collect()
+    }
+    merged = {
+        r["g"]: r["sketch"]
+        for r in S.merge_sketch_tables(
+            S.bottomk_sketch(a, "g", "v", k=4),
+            S.bottomk_sketch(b, "g", "v", k=4),
+            "g",
+            k=4,
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_jaccard_endpoints_and_middle(spark):
+    # identical sets -> 1.0; disjoint -> 0.0; half-overlap ~ 1/3
+    rows = (
+        [("same1", str(v)) for v in range(200)]
+        + [("same2", str(v)) for v in range(200)]
+        + [("disj", str(v)) for v in range(1000, 1200)]
+        + [("half", str(v)) for v in range(100, 300)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = S.bottomk_sketch(df, "g", "v", k=64)
+    j = {
+        (r["g_a"], r["g_b"]): r["jaccard_est"]
+        for r in S.sketch_jaccard(sk, "g", k=64).collect()
+    }
+    assert j[("same1", "same2")] == 1.0
+    assert j[("disj", "same1")] == 0.0
+    # |half ∩ same1| / |half ∪ same1| = 100/300
+    assert abs(j[("half", "same1")] - 1 / 3) < 0.15
+
+
+def test_stream_maintenance_equals_oneshot_and_replay_safe(
+    spark, tmp_path
+):
+    path = str(tmp_path / "sk_state")
+    full = spark.createDataFrame(
+        [("g", str(v)) for v in range(500)], "g string, v string"
+    )
+    b1 = full.filter(F.col("v").cast("int") < 250)
+    b2 = full.filter(F.col("v").cast("int") >= 250)
+    S.sketch_stream(spark, path, b1, "g", "v", k=32)
+    out = S.sketch_stream(spark, path, b2, "g", "v", k=32).collect()[0]
+    oneshot = S.bottomk_sketch(full, "g", "v", k=32).collect()[0]
+    assert out["sketch"] == oneshot["sketch"]
+    # at-least-once replay of b2 changes nothing (set-union idempotence)
+    replay = S.sketch_stream(spark, path, b2, "g", "v", k=32).collect()[0]
+    assert replay["sketch"] == oneshot["sketch"]
+
+
+def test_no_window_funnel_in_plan(spark, small):
+    plan = (
+        S.bottomk_sketch(small, "g", "v", k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan  # no per-group row_number anywhere
+
+
+def test_hash_u_in_open_interval(spark):
+    df = spark.range(1000).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    )
+    mm = df.select(
+        F.min(S.hash_u("h")).alias("lo"), F.max(S.hash_u("h")).alias("hi")
+    ).collect()[0]
+    assert 0.0 < mm["lo"] and mm["hi"] < 1.0
