@@ -3128,6 +3128,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sketch_jaccard(sk, "source", k=64)
 
+    def _diff_pair(spark, sf_dir):
+        # left = the pristine docs mirror; right = a deterministically
+        # damaged replica: %10==0 missing, %10==1 text corrupted,
+        # spurious 'n<id>' rows for %10==3 (the a05 mutation dialect)
+        from couch_to_postgres_spark.operators.mirror import (
+            docs_mirror,
+            to_mirror,
+        )
+
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        left = docs_mirror(spark, sf_dir)
+        d = _docs(spark, sf_dir)
+        kept = d.filter(F.col("doc_id") % 10 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 1,
+                F.concat(F.col("text"), F.lit(" corrupted")),
+            ).otherwise(F.col("text")),
+        )
+        extra = d.filter(F.col("doc_id") % 10 == 3).withColumn(
+            "rid", F.concat(F.lit("n"), F.col("doc_id").cast("string"))
+        )
+        right = to_mirror(kept, "doc_id", cols).unionByName(
+            to_mirror(extra, "rid", cols)
+        )
+        return left, right
+
+    def x_content_diff(spark, sf_dir):
+        # content-level reconciliation (A19 deepened from counts to
+        # per-doc content): fingerprints project map-side, the
+        # full-outer join shuffles (id, fp) only — the plan test pins
+        # that no Exchange carries the doc column
+        from couch_to_postgres_spark.operators.mirror import content_diff
+
+        left, right = _diff_pair(spark, sf_dir)
+        return content_diff(left, right, include_same=True)
+
+    def x_repair_roundtrip(spark, sf_dir):
+        # the full reconciliation loop: diff -> repair plan (upserts
+        # carry left docs, spurious rows become deletions) -> CDC apply
+        # -> re-diff must report every id 'same'. Convergence is the
+        # oracle: one row ('same', |left|)
+        from couch_to_postgres_spark.operators.cdc import apply_changes
+        from couch_to_postgres_spark.operators.mirror import (
+            content_diff,
+            diff_report,
+            repair_plan,
+        )
+
+        left, right = _diff_pair(spark, sf_dir)
+        plan = repair_plan(content_diff(left, right), left)
+        repaired = apply_changes(right, plan)
+        return diff_report(content_diff(left, repaired, include_same=True))
+
     return {
         # --- ROUND-6 TOP BLOCK (the driver checks the first ~50
         # insertion-order keys; re-derive each round from
@@ -3152,6 +3206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bottomk_sketch": x_bottomk_sketch,
         "x_sketch_distinct": x_sketch_distinct,
         "x_sketch_jaccard": x_sketch_jaccard,
+        "x_content_diff": x_content_diff,
+        "x_repair_roundtrip": x_repair_roundtrip,
         # (2) round-6 re-checks: code touched this round
         "x_target_mix": x_target_mix,
         "x_mix_report": x_mix_report,
@@ -3189,15 +3245,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_coalesce": b21_coalesce,
         "b23_flatmap_emit": b23_flatmap_emit,
         "b25_view_projection": b25_view_projection,
-        "b26_update_where": b26_update_where,
-        "b27_insert": b27_insert,
         # (4) never-driver-checked rows-only key (declared: zlib)
         "x_compression": x_compression,
         # --- below the driver budget: every key here is driver-green
         # from r01-r05 (or rows-only by declared necessity, kept last).
-        # a17/a18/a19 + b29/a05/a07 rotated out of the prefix to make
-        # room for the line-hygiene + sketch families (r01-green,
-        # unchanged code)
+        # a17/a18/a19 + b26/b27/b29/a05/a07 rotated out of the prefix
+        # to make room for the line-hygiene + sketch + reconciliation
+        # families (r01/r02-green, unchanged code)
+        "b26_update_where": b26_update_where,
+        "b27_insert": b27_insert,
         "b29_count": b29_count,
         "a05_cdc_merge": a05_cdc_merge,
         "a07_type_filter": a07_type_filter,
@@ -3545,6 +3601,26 @@ def oracle_sql() -> dict[str, str]:
         # at k words per line (list slice is 1-based end-inclusive:
         # ws[g*k+1 : g*k+k] is exactly k words, clamped on the last
         # line), then replay the C4/Gopher list-function rules
+        # content reconciliation (mirror.py content_diff): the damaged
+        # replica is a pure function of doc_id, so the statuses are too
+        "x_content_diff": """
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN doc_id % 10 = 0 THEN 'only_left'
+                        WHEN doc_id % 10 = 1 THEN 'differs'
+                        ELSE 'same' END AS status
+            FROM documents
+            UNION ALL
+            SELECT 'n' || CAST(doc_id AS VARCHAR) AS id,
+                   'only_right' AS status
+            FROM documents WHERE doc_id % 10 = 3
+        """,
+        # diff -> repair_plan -> cdc apply -> re-diff converges: every
+        # left id reports 'same' (spurious rows deleted, missing and
+        # corrupted docs re-upserted byte-identically)
+        "x_repair_roundtrip": """
+            SELECT 'same' AS status, CAST(count(*) AS BIGINT) AS n
+            FROM documents
+        """,
         # KMV bottom-k sketch family (sketch.py): the sketch is the k
         # smallest DISTINCT md5(value) hex strings per group — pure
         # order statistics, no RNG, so row_number over the distinct

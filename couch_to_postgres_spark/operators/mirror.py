@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MIRROR_SCHEMA = "id string, doc string"
@@ -67,6 +67,86 @@ def events_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``events`` table as a mirror keyed by event_id."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return to_mirror(df, "event_id")
+
+
+def content_diff(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "id",
+    fingerprint: Column | None = None,
+    doc_col: str = "doc",
+    include_same: bool = False,
+) -> DataFrame:
+    """Content-level reconciliation between two snapshots (e.g. a Couch
+    snapshot and its mirror): one row per id with ``status`` in
+    ``only_left | only_right | differs`` (plus ``same`` when
+    ``include_same``). Deepens A19's count reconciliation
+    (reference nagios-check_couch_postgres_count:22-47 compares only
+    cardinalities) to per-document content, the check a user runs when
+    counts match but corruption is suspected.
+
+    ``fingerprint`` is any deterministic Column over each side's row
+    (default ``md5(doc_col)``). The fingerprint projects MAP-SIDE, so
+    the full-outer join shuffles only ``(id, 32-byte fp)`` — never the
+    documents; on a unique id key the shuffle is skew-free, and a
+    mirror bucketed by id joins co-located. 100 TB cost: one scan per
+    side + one id-width shuffle.
+    """
+    fp = fingerprint if fingerprint is not None else F.md5(F.col(doc_col))
+    l = left.select(F.col(id_col).alias("id"), fp.alias("fp_left"))
+    r = right.select(F.col(id_col).alias("id"), fp.alias("fp_right"))
+    j = l.join(r, on="id", how="full_outer")
+    status = (
+        F.when(F.col("fp_right").isNull(), F.lit("only_left"))
+        .when(F.col("fp_left").isNull(), F.lit("only_right"))
+        .when(F.col("fp_left") != F.col("fp_right"), F.lit("differs"))
+        .otherwise(F.lit("same"))
+    )
+    out = j.select("id", status.alias("status"))
+    if not include_same:
+        out = out.filter(F.col("status") != "same")
+    return out
+
+
+def diff_report(diff: DataFrame) -> DataFrame:
+    """Roll a :func:`content_diff` up to ``(status, n)`` — the
+    monitoring surface (zero non-``same`` rows = replica healthy)."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def repair_plan(
+    diff: DataFrame, left: DataFrame, id_col: str = "id", doc_col: str = "doc"
+) -> DataFrame:
+    """Turn a diff into the change batch that makes right ≡ left when
+    applied with :func:`~couch_to_postgres_spark.operators.cdc.apply_changes`:
+    ``only_left``/``differs`` become upserts carrying left's doc,
+    ``only_right`` becomes a deletion. One change per id, so the
+    constant ``seq`` satisfies the per-key-latest contract
+    (CHANGES_SCHEMA). The upsert docs join back to ``left`` by id —
+    only the repair set (small when the replica is mostly healthy)
+    fetches documents.
+    """
+    ups = (
+        diff.filter(F.col("status").isin("only_left", "differs"))
+        .select("id")
+        .join(
+            left.select(F.col(id_col).alias("id"), F.col(doc_col).alias("doc")),
+            on="id",
+        )
+        .select(
+            F.lit(1).cast("long").alias("seq"),
+            "id",
+            F.lit(False).alias("deleted"),
+            "doc",
+        )
+    )
+    dels = diff.filter(F.col("status") == "only_right").select(
+        F.lit(1).cast("long").alias("seq"),
+        "id",
+        F.lit(True).alias("deleted"),
+        F.lit(None).cast("string").alias("doc"),
+    )
+    return ups.unionByName(dels)
 
 
 def count_reconciliation(source_count: int, mirror: DataFrame, threshold: int = 10) -> dict:
