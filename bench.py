@@ -515,6 +515,43 @@ def main() -> None:
 
     bench("q_target_mix", target_mix_bench)
 
+    # r06 session-2 families at sf0.1: the Gopher table is a pure map +
+    # one doc-key aggregate; the KMV sketch moves only k-length arrays
+    # through its two shuffles; content_diff's full-outer join carries
+    # (id, fp) — never the ~200-byte docs
+    from couch_to_postgres_spark.extensions.dedup import word_shingles
+    from couch_to_postgres_spark.extensions.lines import gopher_rules
+    from couch_to_postgres_spark.extensions.sketch import bottomk_sketch
+    from couch_to_postgres_spark.operators.mirror import content_diff
+
+    bench("q_gopher_rules", lambda: gopher_rules(docs).count())
+    bench(
+        "q_bottomk_sketch",
+        lambda: bottomk_sketch(
+            docs.select(
+                "source", F.explode(word_shingles("text", 3)).alias("sh")
+            ),
+            "source",
+            F.col("sh"),
+            k=64,
+        ).count(),
+    )
+    bench(
+        "q_content_diff",  # 600k-row mirror vs a damaged copy
+        lambda: content_diff(
+            big_mirror,
+            big_mirror.filter(
+                F.substring(F.md5("id"), 1, 1) != F.lit("0")
+            ).withColumn(
+                "doc",
+                F.when(
+                    F.substring(F.md5("id"), 2, 1) == F.lit("0"),
+                    F.concat(F.col("doc"), F.lit("x")),
+                ).otherwise(F.col("doc")),
+            ),
+        ).count(),
+    )
+
     bench(
         "q_lineitem_pricing",
         lambda: li.filter(F.col("l_quantity") < 48)

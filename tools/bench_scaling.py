@@ -42,7 +42,10 @@ from bench import lineitem_mirror  # noqa: E402
 from couch_to_postgres_spark.extensions import dedup as X_dedup  # noqa: E402
 from couch_to_postgres_spark.extensions import similarity as X_sim  # noqa: E402
 from couch_to_postgres_spark.extensions import text as X_text  # noqa: E402
+from couch_to_postgres_spark.extensions import lines as X_lines  # noqa: E402
+from couch_to_postgres_spark.extensions import sketch as X_sketch  # noqa: E402
 from couch_to_postgres_spark.extensions.search import bm25_topk  # noqa: E402
+from couch_to_postgres_spark.operators.mirror import content_diff  # noqa: E402
 from couch_to_postgres_spark.operators import query as Q  # noqa: E402
 from couch_to_postgres_spark.operators.cdc import apply_changes  # noqa: E402
 from couch_to_postgres_spark.session import get_spark, load_table  # noqa: E402
@@ -264,6 +267,35 @@ def main() -> None:
             "q_vocab_growth_by_source": lambda:
             vocab_growth_by_group_from_index(
                 spark, t["stats_idx"], bucket_width=100
+            ).count(),
+            # r06 session-2 families: line hygiene is a pure map + one
+            # skew-free doc-key aggregate (expect ~linear); the KMV
+            # sketch shuffles only k-length arrays (expect strongly
+            # sub-linear); content_diff shuffles (id, fp) pairs only
+            # (expect ~linear in id count, independent of doc width)
+            "q_gopher_rules": lambda: X_lines.gopher_rules(docs).count(),
+            "q_bottomk_sketch": lambda: X_sketch.bottomk_sketch(
+                docs.select(
+                    "source",
+                    F.explode(
+                        X_dedup.word_shingles("text", 3)
+                    ).alias("shingle"),
+                ),
+                "source",
+                F.col("shingle"),
+                k=64,
+            ).count(),
+            "q_content_diff": lambda: content_diff(
+                mirror,
+                mirror.filter(
+                    F.substring(F.md5("id"), 1, 1) != F.lit("0")
+                ).withColumn(
+                    "doc",
+                    F.when(
+                        F.substring(F.md5("id"), 2, 1) == F.lit("0"),
+                        F.concat(F.col("doc"), F.lit("x")),
+                    ).otherwise(F.col("doc")),
+                ),
             ).count(),
         }
 
