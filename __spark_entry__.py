@@ -2754,6 +2754,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _stats_index_over_docs(spark, sf_dir, hapax_rate_from_index)
 
 
+    def x_trending(spark, sf_dir):
+        # trending terms from the SAME maintained index state: tail
+        # window (live version seq > 1000 = the second insert batch +
+        # every post-compaction update) vs base rate, smoothed lift,
+        # deterministic (lift, c_tail, token) cut. The planted update
+        # suffix 'spark merge window' must surface as top trenders
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            trending_terms_from_index,
+        )
+
+        return _stats_index_over_docs(
+            spark,
+            sf_dir,
+            lambda s, p: trending_terms_from_index(
+                s, p, split_seq=1000, k=25, min_count=2
+            ),
+        )
+
     def x_hard_negatives(spark, sf_dir):
         # contrastive-training support: per query vector, the most
         # cosine-similar DIFFERENT-label vectors (the near-misses that
@@ -3128,6 +3146,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sketch_jaccard(sk, "source", k=64)
 
+    def x_line_lm_clean(spark, sf_dir):
+        # CCNet-style perplexity line filtering on the 7-words-per-line
+        # re-lining: the self-corpus Jelinek-Mercer LM penalizes lines
+        # whose word ORDER is atypical for the corpus; threshold chosen
+        # so a non-trivial slice of lines drops at sf0.01. Single-word
+        # remainder lines (no bigram) are kept by contract
+        from couch_to_postgres_spark.extensions.lines import line_lm_clean
+
+        return line_lm_clean(_relined(spark, sf_dir, 7), threshold=-6.2)
+
     def _diff_pair(spark, sf_dir):
         # left = the pristine docs mirror; right = a deterministically
         # damaged replica: %10==0 missing, %10==1 text corrupted,
@@ -3208,6 +3236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sketch_jaccard": x_sketch_jaccard,
         "x_content_diff": x_content_diff,
         "x_repair_roundtrip": x_repair_roundtrip,
+        "x_trending": x_trending,
+        "x_line_lm_clean": x_line_lm_clean,
         # (2) round-6 re-checks: code touched this round
         "x_target_mix": x_target_mix,
         "x_mix_report": x_mix_report,
@@ -3243,15 +3273,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_arith": b19_arith,
         "b20_union_all": b20_union_all,
         "b21_coalesce": b21_coalesce,
-        "b23_flatmap_emit": b23_flatmap_emit,
-        "b25_view_projection": b25_view_projection,
         # (4) never-driver-checked rows-only key (declared: zlib)
         "x_compression": x_compression,
         # --- below the driver budget: every key here is driver-green
         # from r01-r05 (or rows-only by declared necessity, kept last).
-        # a17/a18/a19 + b26/b27/b29/a05/a07 rotated out of the prefix
-        # to make room for the line-hygiene + sketch + reconciliation
-        # families (r01/r02-green, unchanged code)
+        # a17/a18/a19 + b23/b25/b26/b27/b29/a05/a07 rotated out of the
+        # prefix to make room for the line-hygiene + sketch +
+        # reconciliation + trending families (r01/r02-green, unchanged
+        # code)
+        "b23_flatmap_emit": b23_flatmap_emit,
+        "b25_view_projection": b25_view_projection,
         "b26_update_where": b26_update_where,
         "b27_insert": b27_insert,
         "b29_count": b29_count,
@@ -3601,6 +3632,121 @@ def oracle_sql() -> dict[str, str]:
         # at k words per line (list slice is 1-based end-inclusive:
         # ws[g*k+1 : g*k+k] is exactly k words, clamped on the last
         # line), then replay the C4/Gopher list-function rules
+        # CCNet-style line-LM filter on the k=7 re-lining: LM tables
+        # from the corpus's line-internal bigrams, per-line mean
+        # ln(0.7*P(w2|w1) + (1.0-0.7)*P(w2)) rounded 4dp, keep null or
+        # >= threshold, rebuild in line order (WITH ORDINALITY is
+        # 1-based; Spark posexplode is 0-based — order is what matters)
+        "x_line_lm_clean": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            relined AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, CAST(ceil(len(ws) / 7.0) AS INT)),
+                           g -> array_to_string(ws[g*7+1 : g*7+7], ' ')) AS lns
+                FROM words WHERE len(ws) > 0
+            ),
+            lw AS (
+                SELECT doc_id, u.line_no, u.line,
+                       list_filter(string_split(u.line, ' '),
+                                   w -> w <> '') AS lws
+                FROM relined,
+                     UNNEST(lns) WITH ORDINALITY AS u(line, line_no)
+            ),
+            bg AS (
+                SELECT doc_id, line_no, b.bg,
+                       string_split(b.bg, ' ')[1] AS w1,
+                       string_split(b.bg, ' ')[2] AS w2
+                FROM lw, UNNEST(
+                    CASE WHEN len(lws) >= 2
+                         THEN [array_to_string(lws[i:i+1], ' ')
+                               FOR i IN generate_series(1, len(lws) - 1)]
+                         ELSE []::VARCHAR[] END
+                ) AS b(bg)
+            ),
+            cbg AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+            cw1 AS (SELECT w1, sum(c2.c_bg) AS c_w1
+                    FROM (SELECT bg, string_split(bg, ' ')[1] AS w1,
+                                 c_bg FROM cbg) c2 GROUP BY w1),
+            cw2 AS (SELECT w2, sum(c2.c_bg) AS c_w2
+                    FROM (SELECT bg, string_split(bg, ' ')[2] AS w2,
+                                 c_bg FROM cbg) c2 GROUP BY w2),
+            tot AS (SELECT sum(c_bg) AS n_tot FROM cbg),
+            sc AS (
+                SELECT bg.doc_id, bg.line_no,
+                       round(avg(ln(
+                           0.7 * (CAST(c_bg AS DOUBLE) / c_w1)
+                           + (1.0 - 0.7) * (CAST(c_w2 AS DOUBLE) / n_tot)
+                       )), 4) AS line_score
+                FROM bg
+                JOIN cbg USING (bg)
+                JOIN cw1 USING (w1)
+                JOIN cw2 USING (w2)
+                CROSS JOIN tot
+                GROUP BY bg.doc_id, bg.line_no
+            ),
+            tagged AS (
+                SELECT l.doc_id, l.line_no, l.line,
+                       (s.line_score IS NULL OR s.line_score >= -6.2)
+                           AS kept
+                FROM lw l LEFT JOIN sc s USING (doc_id, line_no)
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no)
+                       FILTER (WHERE kept) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE kept) AS BIGINT)
+                       AS n_lines_kept
+            FROM tagged GROUP BY doc_id
+            HAVING count(*) FILTER (WHERE kept) > 0
+        """,
+        # trending terms from the maintained index (stats_stream):
+        # replay the harness's final LIVE corpus (post-CDC), split each
+        # doc's tokens by its live version's seq, smoothed rate lift,
+        # same deterministic 3-key cut
+        "x_trending": """
+            WITH live AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 3
+                            THEN text || ' spark merge window'
+                            ELSE text END AS text,
+                       CASE WHEN doc_id % 10 = 3 THEN doc_id + 2000
+                            WHEN doc_id < 250 THEN doc_id
+                            ELSE doc_id + 1000 END AS seq
+                FROM documents WHERE doc_id % 10 <> 7
+            ),
+            tok AS (
+                SELECT seq, u.word AS token
+                FROM (SELECT seq,
+                             list_filter(string_split(text, ' '),
+                                         w -> w <> '') AS ws
+                      FROM live) t, UNNEST(ws) AS u(word)
+            ),
+            per AS (
+                SELECT token,
+                       CAST(sum(CASE WHEN seq <= 1000 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c_base,
+                       CAST(sum(CASE WHEN seq > 1000 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c_tail
+                FROM tok GROUP BY token
+            ),
+            tot AS (
+                SELECT CAST(sum(c_base) AS BIGINT) AS n_base,
+                       CAST(sum(c_tail) AS BIGINT) AS n_tail
+                FROM per
+            )
+            SELECT token, c_base, c_tail,
+                   round(((c_tail + 0.5) / (n_tail + 1.0))
+                         / ((c_base + 0.5) / (n_base + 1.0)), 6) AS lift
+            FROM per, tot
+            WHERE c_tail >= 2
+            ORDER BY lift DESC, c_tail DESC, token
+            LIMIT 25
+        """,
         # content reconciliation (mirror.py content_diff): the damaged
         # replica is a pure function of doc_id, so the statuses are too
         "x_content_diff": """

@@ -154,6 +154,117 @@ def line_repetition(
     )
 
 
+def line_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-line Jelinek-Mercer LM scores: every line of every document
+    with ``line_score`` = mean ``ln(λ·P(w2|w1) + (1−λ)·P(w2))`` over
+    the line's bigrams (rounded 4dp; null for single-word lines), from
+    an LM trained on the corpus's OWN line-internal bigrams.
+
+    A self-corpus LM penalizes *atypical word order* (common words in
+    never-seen-together combinations — shuffled boilerplate, keyword
+    stuffing), NOT novel vocabulary: a once-seen bigram whose ``w1`` is
+    also unique gets P(w2|w1)=1. CCNet's external-KenLM variant plugs in
+    here by swapping the count tables; the plumbing is identical.
+
+    Returns ``(id_col, line_no, line, line_score)``. Plan: one
+    corpus-wide line-bigram explode feeds ONE bigram aggregation from
+    which the w1/w2 marginals and total derive (vocabulary-sized
+    frames); scores group on unique (doc, line_no) keys — skew-free.
+    """
+    from couch_to_postgres_spark.extensions.dedup import word_shingles
+
+    ln = df.select(
+        F.col(id_col),
+        F.posexplode(_line_array(text_col)).alias("line_no", "line"),
+    )
+    bg = (
+        ln.select(
+            id_col,
+            "line_no",
+            F.explode(word_shingles("line", 2)).alias("bg"),
+        )
+        .withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+    )
+    c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_bg_split = c_bg.withColumn("w1", F.split("bg", " ")[0]).withColumn(
+        "w2", F.split("bg", " ")[1]
+    )
+    c_w1 = c_bg_split.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    c_w2 = c_bg_split.groupBy("w2").agg(F.sum("c_bg").alias("c_w2"))
+    n_tot = c_bg.agg(F.sum("c_bg").alias("n_tot"))
+    p = F.lit(lam) * (F.col("c_bg") / F.col("c_w1")) + F.lit(1.0 - lam) * (
+        F.col("c_w2") / F.col("n_tot")
+    )
+    scores = (
+        bg.join(c_bg, "bg")
+        .join(c_w1, "w1")
+        .join(c_w2, "w2")
+        .join(F.broadcast(n_tot))
+        .groupBy(id_col, "line_no")
+        .agg(F.round(F.avg(F.log(p)), 4).alias("line_score"))
+    )
+    return ln.join(scores, on=[id_col, "line_no"], how="left")
+
+
+def line_lm_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    threshold: float = -7.0,
+    drop_empty_docs: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity line filtering (Wenzek et al. 2020 §4.3,
+    re-expressed with the self-corpus LM of :func:`line_lm_scores`):
+    drop lines whose score falls below ``threshold``, rebuild each
+    document from its surviving lines in order.
+
+    Lines with no bigram (null score) carry no LM evidence and are
+    KEPT — brevity is :func:`c4_line_clean`'s job, not the LM's.
+    Returns ``(id_col, clean_text, n_lines, n_lines_kept)``; documents
+    losing every line are removed when ``drop_empty_docs``.
+
+    The rebuild sorts each doc's own lines inside a hash aggregate
+    (per-doc state, no window); at 100 TB the LM tables stay
+    vocab-bounded and everything else is keyed on unique ids.
+    """
+    kept_flag = F.col("line_score").isNull() | (
+        F.col("line_score") >= F.lit(threshold)
+    )
+    tagged = line_lm_scores(df, text_col, id_col, lam).select(
+        id_col, "line_no", "line", kept_flag.alias("kept")
+    )
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"),
+                            F.struct(F.col("line_no"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+    )
+    if drop_empty_docs:
+        rebuilt = rebuilt.filter(F.col("n_lines_kept") > 0)
+    return rebuilt
+
+
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",

@@ -231,6 +231,69 @@ def vocab_growth_from_index(
     ).orderBy("bucket")
 
 
+def trending_terms_from_index(
+    spark: SparkSession,
+    index_path: str,
+    split_seq: int,
+    k: int = 20,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trending terms from the maintained index: the live-corpus tokens
+    whose rate in the TAIL window (doc-version ``seq > split_seq``) most
+    exceeds their BASE-window rate — the "what changed in the crawl
+    since seq S" monitor (template floods, new seeds, topic shifts)
+    answered from postings state, never corpus text.
+
+    Smoothed rate lift per token::
+
+        lift = ((c_tail + 0.5) / (N_tail + 1)) / ((c_base + 0.5) / (N_base + 1))
+
+    (add-half counts / add-one totals keep both windows finite when a
+    token — or a whole window — is empty). Returns the top ``k`` rows
+    ``(token, c_base, c_tail, lift)`` by (lift desc, c_tail desc,
+    token) — a total order, so the cut is deterministic.
+
+    O(index) plan: live postings (the same two skinny aggregates every
+    reader here uses) roll up to one (token → window counts) aggregate
+    with map-side partials; totals broadcast as one row; the final cut
+    is sort+limit ⇒ TakeOrdered — no global sort, no corpus-text read.
+    A doc UPDATED after ``split_seq`` counts wholly in the tail (its
+    live version arrived there), matching CDC visibility semantics.
+    """
+    from couch_to_postgres_spark.streaming.search_stream import _full_postings
+
+    posts = _full_postings(spark, index_path, id_col)
+    live = live_doclen(spark, index_path, id_col).select(id_col, "seq")
+    rows = posts.dropDuplicates([id_col, "token", "seq"]).join(
+        live, on=[id_col, "seq"]
+    )
+    per = rows.groupBy("token").agg(
+        F.sum(F.when(F.col("seq") <= split_seq, F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("c_base"),
+        F.sum(F.when(F.col("seq") > split_seq, F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("c_tail"),
+    )
+    tot = per.agg(
+        F.sum("c_base").cast("long").alias("n_base"),
+        F.sum("c_tail").cast("long").alias("n_tail"),
+    )
+    lift = F.round(
+        ((F.col("c_tail") + F.lit(0.5)) / (F.col("n_tail") + F.lit(1.0)))
+        / ((F.col("c_base") + F.lit(0.5)) / (F.col("n_base") + F.lit(1.0))),
+        6,
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("c_tail") >= min_count)
+        .select("token", "c_base", "c_tail", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.desc("c_tail"), "token")
+        .limit(k)
+    )
+
+
 def vocab_growth_by_group_from_index(
     spark: SparkSession,
     index_path: str,

@@ -20,6 +20,7 @@ EXAMPLES = [
     ("examples/live_daemon_operations.py", [], {}),
     ("examples/incremental_indexes.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
     ("examples/select_training_mix.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
+    ("examples/monitor_and_reconcile.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
 ]
 
 

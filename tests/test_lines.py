@@ -166,3 +166,37 @@ def test_on_relined_corpus(spark, sf_dir):
         )
     ).count()
     assert bad == 0
+
+
+def test_line_lm_scores_penalize_atypical_order(spark):
+    fluent = "alpha beta gamma delta"
+    rows = [(i, fluent + "\n" + fluent) for i in range(1, 9)]
+    rows.append((9, fluent + "\ndelta alpha gamma beta"))  # shuffled words
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = {
+        (r["doc_id"], r["line_no"]): r["line_score"]
+        for r in L.line_lm_scores(df).collect()
+    }
+    # same unigrams, never-seen-together bigrams -> lower score
+    assert sc[(9, 1)] < sc[(9, 0)]
+    thr = (sc[(9, 1)] + sc[(9, 0)]) / 2
+    out = {
+        r["doc_id"]: r for r in L.line_lm_clean(df, threshold=thr).collect()
+    }
+    assert out[9]["n_lines_kept"] == 1 and out[9]["clean_text"] == fluent
+    # fluent docs keep both lines, rebuilt in original order
+    assert out[1]["n_lines_kept"] == 2
+    assert out[1]["clean_text"] == fluent + "\n" + fluent
+
+
+def test_line_lm_unscorable_lines_survive_any_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, "solo\nalpha beta gamma\nalpha beta gamma")],
+        "doc_id long, text string",
+    )
+    # +100 threshold kills every SCORED line; the bigram-less line stays
+    out = L.line_lm_clean(df, threshold=100.0).collect()[0]
+    assert out["n_lines_kept"] == 1 and out["clean_text"] == "solo"
+    # and an impossible-to-fail threshold keeps everything
+    keep_all = L.line_lm_clean(df, threshold=-100.0).collect()[0]
+    assert keep_all["n_lines_kept"] == 3

@@ -208,3 +208,52 @@ def test_vocab_growth_by_group_attributes_updates_to_new_source(spark, index):
     # web keeps its arrival history (alpha, beta @ seq 1); the updated
     # version's tokens (alpha, gamma @ seq 10) count for books
     assert got == [("books", 0, 2, 2), ("web", 0, 2, 2)]
+
+
+def test_trending_terms_planted_spike(spark, index):
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        trending_terms_from_index,
+    )
+
+    # base window (seq <= 100): steady vocabulary
+    _ingest(spark, index, [
+        (1, 1, False, "web", "alpha beta gamma delta"),
+        (2, 2, False, "web", "alpha beta gamma delta"),
+    ])
+    # tail window: 'viral' floods in, everything else holds rate
+    _ingest(spark, index, [
+        (101, 3, False, "web", "alpha beta viral viral viral"),
+        (102, 4, False, "web", "viral viral viral gamma delta"),
+    ])
+    top = trending_terms_from_index(
+        spark, index, split_seq=100, k=3, min_count=1
+    ).collect()
+    assert top[0]["token"] == "viral"
+    assert top[0]["c_base"] == 0 and top[0]["c_tail"] == 6
+    # every returned lift is sorted descending, cut is deterministic
+    lifts = [r["lift"] for r in top]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_trending_updated_doc_counts_wholly_in_tail(spark, index):
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        trending_terms_from_index,
+    )
+
+    _ingest(spark, index, [(1, 1, False, "web", "alpha beta")])
+    # the SAME doc updated after the split: its live version is tail,
+    # so 'alpha beta' contribute nothing to the base window anymore
+    _ingest(spark, index, [(200, 1, False, "web", "alpha rocket")])
+    out = {
+        r["token"]: r
+        for r in trending_terms_from_index(
+            spark, index, split_seq=100, k=10, min_count=1
+        ).collect()
+    }
+    assert out["alpha"]["c_base"] == 0 and out["alpha"]["c_tail"] == 1
+    assert "beta" not in out  # superseded version's tokens are gone
+    # min_count prunes the tail-rare tokens
+    pruned = trending_terms_from_index(
+        spark, index, split_seq=100, k=10, min_count=2
+    ).count()
+    assert pruned == 0
