@@ -3154,7 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remainder lines (no bigram) are kept by contract
         from couch_to_postgres_spark.extensions.lines import line_lm_clean
 
-        return line_lm_clean(_relined(spark, sf_dir, 7), threshold=-6.2)
+        return line_lm_clean(_relined(spark, sf_dir, 7), threshold=-3.47)
 
     def _diff_pair(spark, sf_dir):
         # left = the pristine docs mirror; right = a deterministically
@@ -3650,12 +3650,17 @@ def oracle_sql() -> dict[str, str]:
                            g -> array_to_string(ws[g*7+1 : g*7+7], ' ')) AS lns
                 FROM words WHERE len(ws) > 0
             ),
+            numbered AS (
+                SELECT doc_id,
+                       unnest(lns) AS line,
+                       unnest(range(1, len(lns) + 1)) AS line_no
+                FROM relined
+            ),
             lw AS (
-                SELECT doc_id, u.line_no, u.line,
-                       list_filter(string_split(u.line, ' '),
+                SELECT doc_id, line_no, line,
+                       list_filter(string_split(line, ' '),
                                    w -> w <> '') AS lws
-                FROM relined,
-                     UNNEST(lns) WITH ORDINALITY AS u(line, line_no)
+                FROM numbered
             ),
             bg AS (
                 SELECT doc_id, line_no, b.bg,
@@ -3691,7 +3696,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             tagged AS (
                 SELECT l.doc_id, l.line_no, l.line,
-                       (s.line_score IS NULL OR s.line_score >= -6.2)
+                       (s.line_score IS NULL OR s.line_score >= -3.47)
                            AS kept
                 FROM lw l LEFT JOIN sc s USING (doc_id, line_no)
             )
