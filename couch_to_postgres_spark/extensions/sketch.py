@@ -163,6 +163,28 @@ def sketch_jaccard(
     )
 
 
+def union_sketch(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Collapse a per-group sketch table into ONE corpus-level sketch —
+    the bottom-k of the union of every group's domain. One row:
+    ``(sketch, k_used, u_k)``; feed to :func:`distinct_estimate` for
+    the global distinct count (the cross-source dedup upper bound: how
+    many distinct values survive if all sources merged).
+
+    Mergeability makes this exact w.r.t. the sketches: bottomk(∪ A_g)
+    = k smallest of ∪ bottomk(A_g). Cost is G·k hashes through one
+    driver-free aggregate — the base data is never touched."""
+    top = sketches.agg(
+        _merge_sketches(F.collect_list("sketch"), k).alias("sketch")
+    )
+    return top.select(
+        "sketch",
+        F.size("sketch").alias("k_used"),
+        F.when(
+            F.size("sketch") >= k, hash_u(F.element_at("sketch", k))
+        ).alias("u_k"),
+    )
+
+
 def merge_sketch_tables(
     old: DataFrame, new: DataFrame, group_col: str, k: int = 64
 ) -> DataFrame:

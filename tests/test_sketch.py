@@ -130,3 +130,22 @@ def test_hash_u_in_open_interval(spark):
         F.min(S.hash_u("h")).alias("lo"), F.max(S.hash_u("h")).alias("hi")
     ).collect()[0]
     assert 0.0 < mm["lo"] and mm["hi"] < 1.0
+
+
+def test_union_sketch_global_estimate(spark):
+    # 3 groups with overlapping domains: union distinct = 800
+    rows = (
+        [("a", str(v)) for v in range(500)]
+        + [("b", str(v)) for v in range(300, 700)]
+        + [("c", str(v)) for v in range(600, 800)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    per = S.bottomk_sketch(df, "g", "v", k=64)
+    glob = S.distinct_estimate(S.union_sketch(per, k=64), k=64).collect()[0]
+    assert abs(glob["distinct_est"] - 800) / 800 < 0.35
+    # exactness below k: tiny domains collapse to the exact union
+    tiny = df.filter(F.col("v").cast("int") < 10)
+    g2 = S.distinct_estimate(
+        S.union_sketch(S.bottomk_sketch(tiny, "g", "v", k=64), k=64), k=64
+    ).collect()[0]
+    assert g2["distinct_est"] == 10.0 and g2["u_k"] is None
