@@ -326,15 +326,28 @@ def gopher_rules(
         F.filter(ws, lambda w: F.array_contains(stop_arr, F.lower(w)))
     )
 
+    # degenerate docs (zero words / zero non-empty lines) have no
+    # denominator: their signals are explicitly NULL, and every rule —
+    # and gopher_pass — coalesces to FALSE below, so a downstream
+    # ``WHERE <rule>`` excludes them with the failure RECORDED instead
+    # of silently (NULL is neither true nor false in SQL)
+    n_lines_raw = F.size(lines)
     base = df.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(n_symbols / nwd, 4).alias("symbol_word_ratio"),
-        F.round(bullet_frac, 4).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
-        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        F.round(F.when(n_words > 0, mean_wl), 4).alias("mean_word_len"),
+        F.round(F.when(n_words > 0, n_symbols / nwd), 4).alias(
+            "symbol_word_ratio"
+        ),
+        F.round(F.when(n_lines_raw > 0, bullet_frac), 4).alias(
+            "bullet_line_frac"
+        ),
+        F.round(F.when(n_lines_raw > 0, ellipsis_frac), 4).alias(
+            "ellipsis_line_frac"
+        ),
+        F.round(F.when(n_words > 0, alpha_frac), 4).alias("alpha_word_frac"),
         stop_hits.cast("long").alias("stopword_hits"),
+        (n_words == 0).alias("_degenerate"),
     )
     rep = line_repetition(df, text_col, id_col)
     t = base.join(rep, id_col, "left")
@@ -357,6 +370,9 @@ def gopher_rules(
     out = t
     passed = None
     for name, cond in rules.items():
-        out = out.withColumn(name, cond)
-        passed = cond if passed is None else (passed & cond)
-    return out.withColumn("gopher_pass", passed)
+        guarded = F.when(F.col("_degenerate"), F.lit(False)).otherwise(
+            F.coalesce(cond, F.lit(False))
+        )
+        out = out.withColumn(name, guarded)
+        passed = guarded if passed is None else (passed & guarded)
+    return out.withColumn("gopher_pass", passed).drop("_degenerate")

@@ -615,6 +615,7 @@ def stratified_split(
     eval_per_10: int = 1,
     id_col: str = "doc_id",
     salt: str = "strat1",
+    max_strata: int = 100_000,
 ) -> DataFrame:
     """Stratified train/eval split with EXACT per-stratum proportions:
     within every stratum (e.g. language × length-bucket), exactly
@@ -643,11 +644,31 @@ def stratified_split(
     if not 0 <= eval_per_10 <= 10:
         raise ValueError("eval_per_10 must be in [0, 10]")
     base = df.select(F.col(id_col), *strata_cols)
-    counts = {
-        tuple(r[c] for c in strata_cols): r["_n"]
-        for r in base.groupBy(*strata_cols)
+    # BOUNDED driver state, enforced: the per-stratum quota table (and
+    # _select_topq's verify collect) is strata-cardinality rows, fine
+    # for language × length-bucket but a driver-memory failure mode if
+    # someone strata-keys on a high-cardinality column (domain, doc id).
+    # limit(max+1) caps what the driver can ever receive: either the
+    # collect IS the complete count set, or we raise before collecting
+    # more.
+    count_rows = (
+        base.groupBy(*strata_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(max_strata + 1)
         .collect()
+    )
+    if len(count_rows) > max_strata:
+        raise ValueError(
+            f"stratified_split saw more than max_strata={max_strata} "
+            f"strata for {strata_cols}; the per-stratum quota table is "
+            "driver-resident by design (bounded-cardinality strata such "
+            "as language x length-bucket). For high-cardinality keys use "
+            "cap_per_group_distributed (fully in-plan quotas) or the "
+            "Bernoulli text.hash_split (zero coordination, proportion "
+            "drift), or raise max_strata deliberately."
+        )
+    counts = {
+        tuple(r[c] for c in strata_cols): r["_n"] for r in count_rows
     }
     stats = {
         g: (n, (n * eval_per_10 + 9) // 10) for g, n in counts.items()

@@ -214,6 +214,32 @@ def merge_sketch_tables(
     )
 
 
+def _sketch_state_current(state_path: str) -> str | None:
+    """The live version-directory name recorded in the pointer file, or
+    None when no committed state exists yet."""
+    import os
+
+    try:
+        with open(os.path.join(state_path, "_CURRENT")) as fh:
+            name = fh.read().strip()
+        return name or None
+    except OSError:
+        return None
+
+
+def read_sketch_state(spark, state_path: str) -> DataFrame | None:
+    """The committed sketch table at ``state_path``, or None before the
+    first :func:`sketch_stream` batch commits. Readers only ever see a
+    fully-written version directory (the pointer is swapped AFTER the
+    parquet write completes)."""
+    import os
+
+    cur = _sketch_state_current(state_path)
+    if cur is None:
+        return None
+    return spark.read.parquet(os.path.join(state_path, cur))
+
+
 def sketch_stream(
     spark,
     state_path: str,
@@ -222,23 +248,47 @@ def sketch_stream(
     value: Column | str,
     k: int = 64,
 ) -> DataFrame:
-    """``foreachBatch`` body maintaining a per-group sketch table in
-    parquet at ``state_path``: sketch the batch, merge with persisted
-    state, overwrite. Returns the merged table. State is O(groups · k)
-    — the overwrite rewrites sketches, not data, so a 100 TB history
-    costs the same as an empty one. At-least-once replays are absorbed
-    by idempotence: re-merging a batch's hashes is a set union no-op.
-    """
-    from pyspark.errors import AnalysisException
+    """``foreachBatch`` body maintaining a per-group sketch table under
+    ``state_path``: sketch the batch, merge with persisted state, commit.
+    Returns the merged table. State is O(groups · k) — each commit
+    rewrites sketches, not data, so a 100 TB history costs the same as
+    an empty one. At-least-once replays are absorbed by idempotence:
+    re-merging a batch's hashes is a set union no-op.
+
+    Crash safety (versioned state + pointer, never overwrite-in-place):
+    the merged table is written to a NEW version directory
+    ``state_path/v-<n+1>`` and only then does an atomic pointer swap
+    (``os.replace`` of ``_CURRENT``) make it live; prior versions are
+    pruned best-effort afterwards. A crash at ANY point leaves the
+    pointer on a complete older version, and the replayed batch
+    re-merges into it — the former overwrite-in-place plan had a window
+    (truncate → rewrite) where a crash lost ALL history and the next
+    batch silently restarted the sketch from empty. On HDFS/S3 swap the
+    local ``open``/``os.replace`` for the Hadoop FileSystem
+    create+rename (rename is atomic on HDFS; S3 needs a pointer object
+    PUT, which is atomic per-key) — same note as
+    ``ann.compact_ivf_index``."""
+    import os
+    import shutil
 
     fresh = bottomk_sketch(batch, group_col, value, k=k)
-    try:
-        old = spark.read.parquet(state_path)
+    cur = _sketch_state_current(state_path)
+    if cur is None:
+        merged, next_n = fresh, 0
+    else:
+        old = spark.read.parquet(os.path.join(state_path, cur))
         merged = merge_sketch_tables(old, fresh, group_col, k=k)
-    except AnalysisException:
-        merged = fresh
-    # sketches are tiny; localCheckpoint breaks the self-read lineage
-    # before the overwrite clobbers the files being read
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(state_path)
-    return merged
+        next_n = int(cur.split("-")[1]) + 1
+    next_name = f"v-{next_n:010d}"
+    # write the new version FIRST (the old version is never touched,
+    # so no lineage-breaking checkpoint is needed either)
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, next_name))
+    tmp = os.path.join(state_path, "_CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(next_name + "\n")
+    os.replace(tmp, os.path.join(state_path, "_CURRENT"))  # atomic commit
+    # prune superseded versions (best-effort; orphans are harmless)
+    for name in os.listdir(state_path):
+        if name.startswith("v-") and name != next_name:
+            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
+    return spark.read.parquet(os.path.join(state_path, next_name))

@@ -85,14 +85,26 @@ def content_diff(
     cardinalities) to per-document content, the check a user runs when
     counts match but corruption is suspected.
 
-    ``fingerprint`` is any deterministic Column over each side's row
-    (default ``md5(doc_col)``). The fingerprint projects MAP-SIDE, so
+    ``fingerprint`` is any deterministic Column over each side's row.
+    The default is ``md5(doc_col)`` with a NULL doc mapped to the
+    sentinel ``"<null>"`` (not a hex string, so it can never collide
+    with a real md5, and it is distinct from ``md5('')``): a bare
+    ``md5(doc)`` is NULL for a NULL doc, which would misclassify a row
+    present on BOTH sides as only_left/only_right — and a NULL left doc
+    would then make the repair → apply → re-diff loop never converge to
+    ``same``. Ids are assumed unique per side (the mirror contract; a
+    duplicated id fans out through the join). The fingerprint projects
+    MAP-SIDE, so
     the full-outer join shuffles only ``(id, 32-byte fp)`` — never the
     documents; on a unique id key the shuffle is skew-free, and a
     mirror bucketed by id joins co-located. 100 TB cost: one scan per
     side + one id-width shuffle.
     """
-    fp = fingerprint if fingerprint is not None else F.md5(F.col(doc_col))
+    fp = (
+        fingerprint
+        if fingerprint is not None
+        else F.coalesce(F.md5(F.col(doc_col)), F.lit("<null>"))
+    )
     l = left.select(F.col(id_col).alias("id"), fp.alias("fp_left"))
     r = right.select(F.col(id_col).alias("id"), fp.alias("fp_right"))
     j = l.join(r, on="id", how="full_outer")

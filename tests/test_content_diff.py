@@ -88,3 +88,31 @@ def test_empty_right_everything_only_left(spark, pair):
     # repair plan rebuilds from scratch; convergence still holds
     repaired = apply_changes(empty, M.repair_plan(d, left))
     assert M.content_diff(left, repaired).count() == 0
+
+
+def test_null_docs_fingerprint_null_safe(spark):
+    # a row with a NULL doc on BOTH sides is 'same' (not only_left +
+    # only_right), and NULL is distinct from the empty string
+    left = spark.createDataFrame(
+        [("1", None), ("2", ""), ("3", None)], M.MIRROR_SCHEMA
+    )
+    right = spark.createDataFrame(
+        [("1", None), ("2", None), ("3", "x")], M.MIRROR_SCHEMA
+    )
+    d = {
+        r["id"]: r["status"]
+        for r in M.content_diff(left, right, include_same=True).collect()
+    }
+    assert d == {"1": "same", "2": "differs", "3": "differs"}
+
+
+def test_repair_converges_with_null_left_doc(spark):
+    # a NULL left doc must not wedge the repair loop: after one
+    # repair_plan -> apply_changes round, re-diff is empty
+    left = spark.createDataFrame(
+        [("1", None), ("2", "{'a':2}")], M.MIRROR_SCHEMA
+    )
+    right = spark.createDataFrame([("2", "{'a':9}")], M.MIRROR_SCHEMA)
+    plan = M.repair_plan(M.content_diff(left, right), left)
+    repaired = apply_changes(right, plan)
+    assert M.content_diff(left, repaired).count() == 0

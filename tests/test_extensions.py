@@ -2039,6 +2039,25 @@ def test_stratified_split_exact_proportions(spark):
     assert a == b
 
 
+def test_stratified_split_guards_strata_cardinality(spark):
+    # the per-stratum quota table is driver-resident: stratifying on a
+    # high-cardinality key must RAISE (naming the distributed
+    # alternatives), not OOM the driver; the guard's limit(max+1) also
+    # means the driver never receives more than max_strata+1 rows
+    from couch_to_postgres_spark.extensions.sampling import stratified_split
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("key")
+    )
+    with pytest.raises(ValueError, match="max_strata"):
+        stratified_split(df, ["key"], eval_per_10=2, max_strata=10)
+    # within the bound it still works
+    assert (
+        stratified_split(df, ["key"], eval_per_10=2, max_strata=50).count()
+        == 50
+    )
+
+
 def test_select_topq_equals_window_plan_on_skew(spark):
     """The threshold-refinement selection (resample_to_mix /
     stratified_split's engine) must return EXACTLY the rows the naive

@@ -200,3 +200,24 @@ def test_line_lm_unscorable_lines_survive_any_threshold(spark):
     # and an impossible-to-fail threshold keeps everything
     keep_all = L.line_lm_clean(df, threshold=-100.0).collect()[0]
     assert keep_all["n_lines_kept"] == 3
+
+
+def test_gopher_rules_degenerate_docs_fail_every_rule(spark):
+    # zero-word / zero-line docs have no denominators: signals are NULL
+    # but every rule — and gopher_pass — must be FALSE (not NULL), so a
+    # downstream WHERE <rule> excludes them with the failure recorded
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \n  \n "), (3, "A real sentence with words.")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in L.gopher_rules(df, min_words=1).collect()}
+    rule_cols = [c for c in out[1].asDict() if c.startswith("r_")]
+    for d in (1, 2):
+        assert out[d]["mean_word_len"] is None
+        assert out[d]["bullet_line_frac"] is None
+        for c in rule_cols:
+            assert out[d][c] is False, (d, c)
+        assert out[d]["gopher_pass"] is False
+    # the real doc keeps real booleans
+    assert out[3]["gopher_pass"] in (True, False)
+    assert all(out[3][c] is not None for c in rule_cols)

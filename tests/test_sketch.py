@@ -149,3 +149,37 @@ def test_union_sketch_global_estimate(spark):
         S.union_sketch(S.bottomk_sketch(tiny, "g", "v", k=64), k=64), k=64
     ).collect()[0]
     assert g2["distinct_est"] == 10.0 and g2["u_k"] is None
+
+
+def test_stream_state_commit_is_versioned_and_crash_safe(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "sk_vstate")
+    assert S.read_sketch_state(spark, path) is None  # pre-first-commit
+    b1 = spark.createDataFrame(
+        [("g", str(v)) for v in range(100)], "g string, v string"
+    )
+    b2 = spark.createDataFrame(
+        [("g", str(v)) for v in range(100, 200)], "g string, v string"
+    )
+    S.sketch_stream(spark, path, b1, "g", "v", k=16)
+    committed = S.read_sketch_state(spark, path).collect()[0]["sketch"]
+
+    # simulate a crash AFTER the new version dir is written but BEFORE
+    # the pointer swap: an orphan version directory appears; the
+    # pointer still names the complete old state, and the replayed
+    # batch re-merges into it — history is never lost
+    orphan = os.path.join(path, "v-0000000001")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk"), "w") as fh:
+        fh.write("partial write")
+    assert S.read_sketch_state(spark, path).collect()[0]["sketch"] == committed
+
+    out = S.sketch_stream(spark, path, b2, "g", "v", k=16).collect()[0]
+    oneshot = S.bottomk_sketch(b1.unionByName(b2), "g", "v", k=16).collect()[0]
+    assert out["sketch"] == oneshot["sketch"]
+    # exactly one live version dir survives + the pointer names it
+    vdirs = [n for n in os.listdir(path) if n.startswith("v-")]
+    with open(os.path.join(path, "_CURRENT")) as fh:
+        cur = fh.read().strip()
+    assert vdirs == [cur]
