@@ -2556,6 +2556,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, d.filter(F.col("source") == "src0"), k=50
         ).select("doc_id", "source", "log_ratio")
 
+    def x_dsir_select_bigk(spark, sf_dir):
+        # the r06-verdict weak item, fixed and driver-pinned: selection
+        # at a CORPUS-FRACTION k (40% here) through the FORCED
+        # threshold-refinement path (method="threshold" — quantile
+        # bracket, exact-count verify, map-side keep, band-only
+        # ranking; driver state independent of k), which must equal
+        # the oracle's ORDER BY log_ratio DESC, doc_id LIMIT k row for
+        # row. TakeOrdered would heap-merge partitions x k rows on the
+        # driver - an OOM at DSIR's real selection rates
+        from couch_to_postgres_spark.extensions.selection import dsir_select
+
+        d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+        return dsir_select(
+            d, d.filter(F.col("source") == "src0"), k=200,
+            method="threshold",
+        ).select("doc_id", "source", "log_ratio")
+
     def x_target_mix_skew(spark, sf_dir):
         # the round-6 threshold-refinement selection engine under GROUP
         # SKEW: src0 (25 docs at sf0.01) vs everything-else (475),
@@ -3222,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one never-checked rows-only key (zlib has no SQL form) takes
         # the final slot, per the r05 verdict. ---
         # (1) round-6 additions (full-value oracles)
+        "x_dsir_select_bigk": x_dsir_select_bigk,
         "x_dsir_weights": x_dsir_weights,
         "x_dsir_select": x_dsir_select,
         "x_dsir_resample": x_dsir_resample,
@@ -4130,6 +4148,56 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN scored s USING (doc_id)
             ORDER BY s.log_ratio DESC, d.doc_id
             LIMIT 50
+        """,
+        "x_dsir_select_bigk": """
+            WITH wd AS (
+                SELECT doc_id, source,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, source,
+                       list_concat(ws, CASE WHEN len(ws) >= 2
+                           THEN list_transform(range(1, len(ws)),
+                                               i -> ws[i] || ' ' || ws[i+1])
+                           ELSE CAST([] AS VARCHAR[]) END) AS gs
+                FROM wd
+            ),
+            occ AS (
+                SELECT doc_id, source, substr(md5(g.g), 1, 2) AS bucket
+                FROM grams, UNNEST(gs) AS g(g)
+            ),
+            raw_counts AS (
+                SELECT bucket, CAST(count(*) AS DOUBLE) AS c_r
+                FROM occ GROUP BY bucket
+            ),
+            tgt_counts AS (
+                SELECT bucket, CAST(count(*) AS DOUBLE) AS c_t
+                FROM occ WHERE source = 'src0' GROUP BY bucket
+            ),
+            totals AS (
+                SELECT (SELECT sum(c_r) FROM raw_counts) AS n_r,
+                       (SELECT coalesce(sum(c_t), 0) FROM tgt_counts) AS n_t
+            ),
+            terms AS (
+                SELECT r.bucket,
+                       CAST(round(ln(
+                           ((coalesce(t.c_t, 0) + 1.0) / (tot.n_t + 256.0))
+                           / ((r.c_r + 1.0) / (tot.n_r + 256.0))
+                       ), 6) AS DECIMAL(18,6)) AS term
+                FROM raw_counts r
+                LEFT JOIN tgt_counts t USING (bucket), totals tot
+            ),
+            scored AS (
+                SELECT o.doc_id,
+                       CAST(round(sum(term), 4) AS DOUBLE) AS log_ratio
+                FROM occ o JOIN terms USING (bucket)
+                GROUP BY o.doc_id
+            )
+            SELECT d.doc_id, d.source, s.log_ratio
+            FROM documents d JOIN scored s USING (doc_id)
+            ORDER BY s.log_ratio DESC, d.doc_id
+            LIMIT 200
         """,
         "x_dsir_resample": """
             WITH wd AS (

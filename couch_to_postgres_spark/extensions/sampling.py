@@ -47,6 +47,40 @@ def _topq_bounds(n: int, q: int, mult: float) -> tuple[int, int]:
     return (lo, hi)
 
 
+def _band_select(j, group_cols, order_cols, band_cond):
+    """The boundary-band ranking shared by every threshold-refinement
+    selector: rank ONLY the rows inside the bracket band (never the
+    corpus) and take each group's remaining quota ``_q - _clo``. With
+    empty ``group_cols`` the window is global — safe because the band
+    is bracket-bounded, not corpus-sized."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*group_cols).orderBy(*order_cols)
+        if group_cols
+        else W.orderBy(*order_cols)
+    )
+    return (
+        j.filter(band_cond)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_q") - F.col("_clo"))
+    )
+
+
+def _band_cut(j, group_cols, order_cols, keep_cond, band_cond, out_cols):
+    """keep-set ∪ band-selected — the common SELECT step of
+    :func:`_select_topq`, :func:`cap_per_group_distributed`, and
+    :func:`select_topk_by_key`: rows proven inside the cut are kept
+    MAP-SIDE (no shuffle), only the band is ranked."""
+    return (
+        j.filter(keep_cond)
+        .select(out_cols)
+        .unionByName(
+            _band_select(j, group_cols, order_cols, band_cond).select(out_cols)
+        )
+    )
+
+
 def _select_topq(
     df: DataFrame,
     group_cols: list[str],
@@ -166,23 +200,13 @@ def _select_topq(
     )
     keep_low = F.col("_kn") < F.col("_lo")
     in_band = (F.col("_kn") >= F.col("_lo")) & (F.col("_kn") < F.col("_hi"))
-
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(*group_cols).orderBy(F.col("_k"), F.col(id_col))
-    band_sel = (
-        j.filter(in_band)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("_q") - F.col("_clo"))
-    )
+    order_cols = [F.col("_k"), F.col(id_col)]
     helper_cols = ["_k", "_kn", "_lo", "_hi", "_q", "_clo"]
     if flag is None:
-        out_cols = df.columns
-        return (
-            j.filter(keep_low)
-            .select(out_cols)
-            .unionByName(band_sel.select(out_cols))
+        return _band_cut(
+            j, group_cols, order_cols, keep_low, in_band, df.columns
         )
+    band_sel = _band_select(j, group_cols, order_cols, in_band)
     bsel = band_sel.select(F.col(id_col).alias("_bid")).withColumn(
         "_bsel", F.lit(True)
     )
@@ -334,8 +358,6 @@ def cap_per_group_distributed(
     splits fine — it is the window/groupBy funnel that cannot).
     Trade-off vs the window plan: ~3 corpus passes instead of 1 — use
     :func:`cap_per_group` when every group comfortably fits one task."""
-    from pyspark.sql import Window as W
-
     key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
     knum = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
     base = df.withColumn("_k", key).withColumn("_kn", knum)
@@ -389,16 +411,103 @@ def cap_per_group_distributed(
         F.col("_clo"),
     )
     j = base.join(info, group_col)
-    w = W.partitionBy(group_col).orderBy(F.col("_k"), F.col(id_col))
-    band_sel = (
-        j.filter((F.col("_kn") >= F.col("_lo")) & (F.col("_kn") < F.col("_hi")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("_q") - F.col("_clo"))
+    return _band_cut(
+        j,
+        [group_col],
+        [F.col("_k"), F.col(id_col)],
+        F.col("_kn") < F.col("_lo"),
+        (F.col("_kn") >= F.col("_lo")) & (F.col("_kn") < F.col("_hi")),
+        df.columns,
     )
-    return (
-        j.filter(F.col("_kn") < F.col("_lo"))
-        .select(df.columns)
-        .unionByName(band_sel.select(df.columns))
+
+
+def select_topk_by_key(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    rel_err: float | None = None,
+    _diag: dict | None = None,
+) -> DataFrame:
+    """EXACTLY the ``k`` rows with the largest ``key_col`` (id ascending
+    tie-break — the same deterministic order as
+    ``ORDER BY key DESC, id LIMIT k``), selected WITHOUT
+    TakeOrderedAndProject and without a global sort.
+
+    Why: ``orderBy(key.desc()).limit(k)`` is the right plan for small k
+    (per-partition top-k map-side, heap-merge on the driver) but the
+    driver merge materializes ~partitions × k rows — at a DSIR-realistic
+    selection rate (k = a corpus fraction, millions–billions of rows at
+    100 TB) that is a driver OOM, not a plan. This helper applies the
+    repo's threshold-refinement discipline (:func:`_select_topq`) to a
+    GLOBAL cut on an arbitrary numeric key: the key is not md5-uniform,
+    so the bracket comes from a SAMPLED QUANTILE of the key
+    (``approxQuantile``, Greenwald-Khanna — driver state is the sketch,
+    never rows) instead of binomial driver math:
+
+    1. BRACKET: quantile values (lo, hi) around rank n-k with margin
+       2·rel_err on each side.
+    2. VERIFY (exact): one aggregate counts rows strictly above ``hi``
+       (``c_above``, all provably selected) and at-or-above ``lo``
+       (``c_ge``, the selection certainly inside). Bracket holds iff
+       ``c_above <= k <= c_ge``; a miss widens ×8 and retries, and the
+       final attempt degenerates to an exact full ranking (one task —
+       the documented never-in-practice fallback, same contract as
+       ``_select_topq``'s (0, SPACE)).
+    3. SELECT via :func:`_band_cut`: rows above ``hi`` kept MAP-SIDE;
+       only the ~4·rel_err·n-row band [lo, hi] flows through the global
+       ranking window, taking ``k - c_above`` rows.
+
+    Rows with a NULL key are excluded (they cannot rank; DSIR callers
+    join scores inner, so none exist there). Ties are exact: every tie
+    of the ``hi`` bracket value lands in the band and resolves by id.
+    ``rel_err`` defaults to ``max(1e-6, min(0.01, 2000/n))`` — a few
+    thousand band rows regardless of n. ``_diag`` (tests) receives the
+    attempt count and exact band size."""
+    if k <= 0:
+        return df.limit(0)
+    base = df.filter(F.col(key_col).isNotNull())
+    n = base.count()
+    if k >= n:
+        return base
+    e = rel_err if rel_err is not None else max(1e-6, min(0.01, 2000.0 / n))
+    p = (n - k) / n
+    key = F.col(key_col)
+    c_above = 0
+    keep_cond = F.lit(False)
+    band_cond = F.lit(True)
+    for attempt in range(4):
+        if attempt == 3:
+            # degenerate: exact full ranking (keep nothing map-side,
+            # band = everything) — termination never rests on the sketch
+            c_above, keep_cond, band_cond = 0, F.lit(False), F.lit(True)
+            break
+        m = 2.0 * e * (8.0**attempt)
+        lo_val, hi_val = base.approxQuantile(
+            key_col, [max(0.0, p - m), min(1.0, p + m)], e
+        )
+        row = base.agg(
+            F.sum((key > F.lit(hi_val)).cast("long")).alias("c_above"),
+            F.sum((key >= F.lit(lo_val)).cast("long")).alias("c_ge"),
+        ).collect()[0]
+        if row["c_above"] <= k <= row["c_ge"]:
+            c_above = int(row["c_above"])
+            keep_cond = key > F.lit(hi_val)
+            band_cond = (key >= F.lit(lo_val)) & (key <= F.lit(hi_val))
+            if _diag is not None:
+                _diag["attempts"] = attempt + 1
+                _diag["band_rows"] = int(row["c_ge"] - row["c_above"])
+            break
+    j = base.withColumn("_q", F.lit(int(k)).cast("long")).withColumn(
+        "_clo", F.lit(c_above).cast("long")
+    )
+    return _band_cut(
+        j,
+        [],
+        [key.desc(), F.col(id_col)],
+        keep_cond,
+        band_cond,
+        df.columns,
     )
 
 

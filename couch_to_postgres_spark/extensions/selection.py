@@ -21,9 +21,14 @@ Spark-first shape (everything JVM-side, no UDFs):
   (bounded by the bucket space, never the vocabulary) against the
   exploded n-gram stream, then a per-doc sum — partial-aggregated
   map-side before its one doc-keyed shuffle.
-* selection is ``orderBy(...).limit(k)`` — Spark's
-  TakeOrderedAndProject (per-partition top-k, driver heap-merge),
-  never a global sort or a global ranking window.
+* selection switches plans by k: ``orderBy(...).limit(k)``
+  (TakeOrderedAndProject — per-partition top-k, driver heap-merge of
+  partitions × k rows) for report-sized k, and the quantile-bracketed
+  threshold-refinement cut (:func:`sampling.select_topk_by_key` —
+  map-side keep + band-only window, driver state independent of k) at
+  DSIR-realistic selection rates, where the heap-merge itself would be
+  the driver OOM. Never a global sort or corpus-wide ranking window
+  on either path.
 
 Numeric discipline (the repo's KL/BM25 contract): each per-occurrence
 log-ratio term is rounded to 6 dp and summed as DECIMAL
@@ -165,6 +170,44 @@ def dsir_importance(
     )
 
 
+#: above this k, ``orderBy().limit(k)``'s driver heap-merge
+#: (partitions × k rows on the driver) stops being a plan and becomes
+#: an OOM; the threshold-refinement cut takes over.
+TAKEORDERED_MAX_K = 100_000
+
+
+def _topk_by_log_ratio(
+    joined: DataFrame, key_col: str, k: int, id_col: str, method: str
+) -> DataFrame:
+    """The selection cut shared by :func:`dsir_select` and
+    :func:`dsir_resample`: identical output set either way (pinned by
+    tests and the driver oracle), plan chosen by k.
+
+    * ``takeordered`` — ``orderBy(key.desc(), id).limit(k)``:
+      per-partition top-k map-side + driver heap-merge. Right for
+      report-sized k; the driver holds partitions × k rows, so at
+      DSIR's published selection rates (k = a corpus fraction —
+      millions+ of rows at 100 TB) it is a driver OOM.
+    * ``threshold`` — :func:`sampling.select_topk_by_key`: bracket the
+      k-th key with a sampled quantile, verify with one exact count,
+      keep above-bracket rows map-side, rank only the ~constant-size
+      boundary band. Driver state is a quantile sketch + two scalars,
+      independent of k.
+    * ``auto`` — takeordered iff ``k <= TAKEORDERED_MAX_K``.
+    """
+    from couch_to_postgres_spark.extensions.sampling import (
+        select_topk_by_key,
+    )
+
+    if method not in ("auto", "takeordered", "threshold"):
+        raise ValueError(f"unknown selection method: {method!r}")
+    if method == "takeordered" or (
+        method == "auto" and k <= TAKEORDERED_MAX_K
+    ):
+        return joined.orderBy(F.col(key_col).desc(), F.col(id_col)).limit(k)
+    return select_topk_by_key(joined, key_col, k, id_col=id_col)
+
+
 def dsir_select(
     df: DataFrame,
     target_df: DataFrame,
@@ -174,22 +217,22 @@ def dsir_select(
     n: int = 2,
     prefix_len: int = 2,
     alpha: float = 1.0,
+    method: str = "auto",
 ) -> DataFrame:
     """The selection step: the ``k`` most target-like documents of
     ``df`` (highest log importance weight, id tie-break — deterministic
-    across engines and partitionings). Executed as
-    ``orderBy(...).limit(k)`` — TakeOrderedAndProject: k rows per
-    partition map-side, heap-merge on the driver; a global ranking
-    window would funnel the corpus through one task. Returns the
-    original columns plus ``log_ratio``."""
+    across engines, partitionings, and selection ``method``). Returns
+    the original columns plus ``log_ratio``.
+
+    Scale: DSIR's published use selects a CORPUS FRACTION, not a
+    report — see :func:`_topk_by_log_ratio` for how the plan switches
+    from TakeOrdered (small k; driver heap-merge of partitions × k
+    rows) to the driver-bounded threshold-refinement cut (large k)."""
     scores = dsir_importance(
         df, target_df, text_col, id_col, n, prefix_len, alpha
     )
-    return (
-        df.join(scores.select(id_col, "log_ratio"), id_col)
-        .orderBy(F.col("log_ratio").desc(), F.col(id_col))
-        .limit(k)
-    )
+    joined = df.join(scores.select(id_col, "log_ratio"), id_col)
+    return _topk_by_log_ratio(joined, "log_ratio", k, id_col, method)
 
 
 def dsir_resample(
@@ -202,6 +245,7 @@ def dsir_resample(
     prefix_len: int = 2,
     alpha: float = 1.0,
     salt: str = "dsir1",
+    method: str = "auto",
 ) -> DataFrame:
     """DSIR's published selection step is RESAMPLING, not top-k: draw
     ``k`` documents WITHOUT replacement with probability proportional to
@@ -211,11 +255,13 @@ def dsir_resample(
     ``log_ratio + Gumbel(u)`` with ``Gumbel(u) = −ln(−ln u)`` and ``u``
     the deterministic uniform from ``md5(salt:id)`` — the log-space
     sibling of :func:`sampling.weighted_sample_topn`'s A-ES key, so
-    astronomically small weights never underflow ``exp``. Executed as
-    TakeOrderedAndProject; re-dealt by ``salt``; engine-stable (6 dp
-    rounding + id tie-break; ``u = (v+0.5)/2^32 ∈ (0,1)`` keeps both
-    logs finite at the range ends; ``+0.0`` collapses IEEE −0.0 for
-    Spark's sort, where −0.0 < 0.0)."""
+    astronomically small weights never underflow ``exp``. Re-dealt by
+    ``salt``; engine-stable (6 dp rounding + id tie-break;
+    ``u = (v+0.5)/2^32 ∈ (0,1)`` keeps both logs finite at the range
+    ends; ``+0.0`` collapses IEEE −0.0 for Spark's sort, where
+    −0.0 < 0.0). The cut over the Gumbel key switches plans by k
+    exactly like :func:`dsir_select` (see :func:`_topk_by_log_ratio`)
+    — DSIR-realistic k never heap-merges on the driver."""
     scores = dsir_importance(
         df, target_df, text_col, id_col, n, prefix_len, alpha
     )
@@ -228,10 +274,9 @@ def dsir_resample(
         float(1 << 32)
     )
     key = F.round(F.col("log_ratio") - F.log(-F.log(u)), 6) + F.lit(0.0)
-    return (
-        df.join(scores.select(id_col, "log_ratio"), id_col)
-        .withColumn("_g_key", key)
-        .orderBy(F.col("_g_key").desc(), F.col(id_col))
-        .limit(k)
-        .drop("_g_key")
+    joined = df.join(scores.select(id_col, "log_ratio"), id_col).withColumn(
+        "_g_key", key
+    )
+    return _topk_by_log_ratio(joined, "_g_key", k, id_col, method).drop(
+        "_g_key"
     )

@@ -2582,3 +2582,100 @@ def test_cap_per_group_distributed_window_sees_only_band(spark):
     assert plan.count("Window") == 1, plan
     below = plan[plan.find("Window"):]
     assert "_kn" in below and "Filter" in below, plan
+
+
+def test_select_topk_by_key_equals_takeordered(spark):
+    """The quantile-bracketed global top-k (select_topk_by_key) must
+    return EXACTLY orderBy(key.desc(), id).limit(k) — heavy ties
+    included (keys rounded to 1dp so hundreds of rows share a key) —
+    across small k, corpus-fraction k, boundary k, and k > n."""
+    from couch_to_postgres_spark.extensions.sampling import (
+        select_topk_by_key,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.round(
+            F.sin(F.col("id").cast("double")) * 10, 1
+        ).alias("score"),
+    )
+    ref_all = [
+        r["doc_id"]
+        for r in df.orderBy(F.col("score").desc(), "doc_id").collect()
+    ]
+    for k in (1, 17, 500, 2500, 4999, 5000, 6000):
+        diag = {}
+        got = sorted(
+            r["doc_id"]
+            for r in select_topk_by_key(
+                df, "score", k, id_col="doc_id", _diag=diag
+            ).collect()
+        )
+        assert got == sorted(ref_all[:k]), k
+        if 0 < k < 5000:
+            # the band stays sketch-bounded — never corpus-sized
+            assert diag.get("band_rows", 0) < 2500, (k, diag)
+
+
+def test_select_topk_by_key_no_takeordered_no_global_sort(spark):
+    from couch_to_postgres_spark.extensions.sampling import (
+        select_topk_by_key,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).cast("double").alias("score"),
+    )
+    import re
+
+    plan = (
+        select_topk_by_key(df, "score", 900, id_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Catalyst may rewrite the band's row_number window into a
+    # TakeOrdered — ON THE BAND, which is ideal. The scale property is
+    # that every TakeOrdered limit is BAND-bounded (quota = k - c_above
+    # ≤ band ≤ sketch-bounded), never k: the k=900 driver heap-merge is
+    # exactly what this plan must not contain.
+    for lim in re.findall(r"TakeOrderedAndProject\(limit=(\d+)", plan):
+        assert int(lim) < 200, plan
+    # and no global sort (Exchange rangepartitioning) anywhere
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_dsir_select_threshold_path_equals_takeordered(spark, sf_dir):
+    from couch_to_postgres_spark.extensions import selection as SEL
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    tgt = docs.filter(F.col("source") == "src0")
+    a = sorted(
+        r["doc_id"]
+        for r in SEL.dsir_select(
+            docs, tgt, k=200, method="takeordered"
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in SEL.dsir_select(
+            docs, tgt, k=200, method="threshold"
+        ).collect()
+    )
+    assert a == b and len(a) == 200
+    # resample too: the Gumbel key rides the same cut
+    ra = sorted(
+        r["doc_id"]
+        for r in SEL.dsir_resample(
+            docs, tgt, k=150, method="takeordered"
+        ).collect()
+    )
+    rb = sorted(
+        r["doc_id"]
+        for r in SEL.dsir_resample(
+            docs, tgt, k=150, method="threshold"
+        ).collect()
+    )
+    assert ra == rb and len(ra) == 150
