@@ -81,11 +81,23 @@ class Daemon:
     :meth:`watchdog` restarts any enabled feed whose query died.
     """
 
-    def __init__(self, spark: SparkSession, registry_path: str, data_root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry_path: str,
+        data_root: str,
+        search_compaction_debt: float = 0.1,
+    ):
         self.spark = spark
         self.registry_path = registry_path
         self.data_root = data_root
         self.queries: dict[str, object] = {}  # feed name -> StreamingQuery
+        #: watchdog trigger: compact a feed's BM25 index when its
+        #: churn-rows-per-live-doc (`index_status`'s compaction_debt)
+        #: exceeds this — read amplification between compactions is
+        #: bounded by the update rate, and this bounds the update rate
+        #: a read must absorb
+        self.search_compaction_debt = search_compaction_debt
 
     def mirror_path(self, fc: FeedConfig) -> str:
         return os.path.join(self.data_root, "mirrors", fc.table + ".parquet")
@@ -170,11 +182,32 @@ class Daemon:
                 done = compact_mirror(self.spark, mp)
                 if done:
                     compacted[fc.name] = done
+        # compaction POLICY for the searchable twin, not just the
+        # mechanism: when a search-flagged feed's index has accumulated
+        # more churn than the threshold (tail+tombstone rows per live
+        # doc — what every from-index read must merge), rewrite the
+        # base in place. Serialized against in-flight index appends by
+        # the shared per-path lock.
+        search_compacted = {}
+        for fc in registry.values():
+            sip = self.search_index_path(fc)
+            if sip is None or not fc.enabled:
+                continue
+            from couch_to_postgres_spark.streaming.search_stream import (
+                compact_index_inplace,
+                index_status,
+            )
+
+            debt = index_status(self.spark, sip).get("compaction_debt")
+            if debt is not None and debt > self.search_compaction_debt:
+                compact_index_inplace(self.spark, sip)
+                search_compacted[fc.name] = debt
         return {
             "stopped": stopped,
             "restarted": restarted,
             "started": started,
             "compacted": compacted,
+            "search_compacted": search_compacted,
         }
 
     def status(self) -> dict:

@@ -169,7 +169,29 @@ def search_index_batch(
     exact merge path sees the partial batch's doclen rows, which is
     harmless at-least-once state the replay overwrites); the reverse
     order could leave tail postings that a doclen-only probe misses.
-    Do not reorder the appends."""
+    Do not reorder the appends.
+
+    Appends run under the per-path lock (same registry as the
+    partitioned mirror's merges) so the daemon watchdog's IN-PLACE
+    compaction (:func:`compact_index_inplace`) can never swap the index
+    out from under a half-written batch."""
+    from couch_to_postgres_spark.streaming.partitioned import _path_lock
+
+    with _path_lock(index_path):
+        return _search_index_batch_locked(
+            spark, index_path, changes, text_col, id_col, seq_col, deleted_col
+        )
+
+
+def _search_index_batch_locked(
+    spark: SparkSession,
+    index_path: str,
+    changes: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_col: str,
+    deleted_col: str,
+) -> SearchIndexBatchStats:
     doclen_path, postings_path, tomb_path = _paths(index_path)
 
     latest = (
@@ -505,6 +527,51 @@ def compact_index(
         [(int(token_buckets), int(st["n_live"]), float(st["sum_dl"] or 0.0))],
         "token_buckets int, n_live long, sum_dl double",
     ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+
+def compact_index_inplace(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "doc_id",
+    token_buckets: int | None = None,
+) -> None:
+    """Compact an LSM search index IN PLACE — the daemon watchdog's
+    maintenance step when ``compaction_debt`` crosses its threshold:
+    :func:`compact_index` into a staging sibling, then swap directories.
+
+    Runs under the same per-path lock as :func:`search_index_batch`, so
+    a concurrent micro-batch either lands fully before the snapshot or
+    fully after the swap — never half in a directory that is about to
+    be replaced. ``token_buckets`` defaults to the bucket count already
+    recorded in the index's base meta (layout continuity; 64 when the
+    index has never been compacted). The swap uses local renames — on
+    HDFS swap via the FileSystem API (rename is atomic there); on S3
+    stage to a new prefix and move a pointer, as in
+    ``ann.compact_ivf_index``."""
+    import shutil
+
+    from couch_to_postgres_spark.streaming.partitioned import _path_lock
+
+    with _path_lock(index_path):
+        if token_buckets is None:
+            _, _, meta_path = _base_paths(index_path)
+            meta_rows = _read_or_empty(
+                spark, meta_path, "token_buckets int"
+            ).collect()
+            token_buckets = (
+                int(meta_rows[0]["token_buckets"]) if meta_rows else 64
+            )
+        staging = index_path.rstrip("/") + ".compacting"
+        shutil.rmtree(staging, ignore_errors=True)
+        compact_index(
+            spark, index_path, staging, id_col=id_col,
+            token_buckets=token_buckets,
+        )
+        old = index_path.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(index_path, old)
+        os.rename(staging, index_path)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def search_index_stream(

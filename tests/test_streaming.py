@@ -235,7 +235,10 @@ def test_control_plane_http(spark, sf_dir, tmp):
         assert st["feed-beta"]["doc_count"] > 0
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/_watchdog") as r:
             wd = json.loads(r.read())
-        assert set(wd) == {"stopped", "restarted", "started", "compacted"}
+        assert set(wd) == {
+            "stopped", "restarted", "started", "compacted",
+            "search_compacted",
+        }
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/_fsck") as r:
             fs = json.loads(r.read())
         assert set(fs) == {"feed-alpha", "feed-beta"}
@@ -503,4 +506,90 @@ def test_daemon_feed_search_index(spark, sf_dir, tmp):
     assert si["base_present"] is False and si["token_buckets"] is None
     assert si["tail_doclen_rows"] >= si["live_docs"]
     assert si["compaction_debt"] is not None and si["compaction_debt"] >= 1.0
+    d.stop_all()
+
+
+def test_watchdog_compacts_search_index_on_debt(spark, sf_dir, tmp):
+    """Compaction POLICY, not just mechanism: the watchdog compacts a
+    search-flagged feed's BM25 index in place when compaction_debt
+    (churn rows per live doc — what every from-index read must merge)
+    crosses the daemon threshold; below it, the index is left alone.
+    Query answers are preserved across the in-place swap."""
+    from couch_to_postgres_spark.streaming.daemon import FeedConfig
+    from couch_to_postgres_spark.streaming.search_stream import (
+        bm25_topk_from_index,
+        index_status,
+        search_index_batch,
+    )
+
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    write_change_log(changes, f"{tmp}/log")
+    save_registry(
+        f"{tmp}/registry.json",
+        [
+            FeedConfig(
+                name="search-feed",
+                changes_path=f"{tmp}/log",
+                search_index=True,
+            )
+        ],
+    )
+    d = Daemon(
+        spark, f"{tmp}/registry.json", f"{tmp}/data",
+        search_compaction_debt=0.2,
+    )
+    d.find_feeds()
+    d.await_all()
+    sidx = f"{tmp}/data/search/search_feed"
+    qtab = spark.createDataFrame(
+        [(1, "click"), (1, "view")], "query_id int, term string"
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in bm25_topk_from_index(spark, sidx, qtab, k=5).collect()
+    )
+
+    # a never-compacted index is ALL tail (debt >= 1.0): the first
+    # watchdog pass establishes the base
+    r1 = d.watchdog()
+    d.await_all()
+    assert r1["search_compacted"].get("search-feed", 0) >= 1.0
+    st = index_status(spark, sidx)
+    assert st["base_present"] and st["compaction_debt"] == 0.0
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in bm25_topk_from_index(spark, sidx, qtab, k=5).collect()
+    )
+    assert got == want  # in-place swap preserved every answer
+
+    # small churn (1 doc) stays under the 0.2 threshold: no compaction
+    def churn(ids, seq0):
+        batch = spark.createDataFrame(
+            [(seq0 + i, str(i), False, "click view churned text")
+             for i in ids],
+            "seq long, doc_id string, deleted boolean, text string",
+        )
+        search_index_batch(spark, sidx, batch)
+
+    churn([0], 10**15)
+    r2 = d.watchdog()
+    d.await_all()
+    assert "search-feed" not in r2["search_compacted"]
+    assert index_status(spark, sidx)["tail_doclen_rows"] == 1
+
+    # heavy churn (> 20% of live docs) crosses it: watchdog compacts,
+    # debt resets, the churned text is searchable from the new base
+    n_live = st["live_docs"]
+    churn(range(max(2, int(n_live * 0.3))), 2 * 10**15)
+    r3 = d.watchdog()
+    d.await_all()
+    assert r3["search_compacted"].get("search-feed", 0) > 0.2
+    st3 = index_status(spark, sidx)
+    assert st3["compaction_debt"] == 0.0 and st3["live_docs"] == n_live
+    ch_hits = bm25_topk_from_index(
+        spark, sidx,
+        spark.createDataFrame([(9, "churned")], "query_id int, term string"),
+        k=3,
+    )
+    assert ch_hits.count() > 0
     d.stop_all()
