@@ -2573,6 +2573,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             method="threshold",
         ).select("doc_id", "source", "log_ratio")
 
+    def x_phrase(spark, sf_dir):
+        # exact phrase search: position-exact word-sequence matching as
+        # a pure codegen map (zero shuffles) - the order-aware
+        # complement to BM25's bag-of-words ranking; composes with the
+        # inverted index by running over candidate sets
+        from couch_to_postgres_spark.extensions.phrase import phrase_hits
+
+        return phrase_hits(_docs(spark, sf_dir), "table hash")
+
+    def x_phrase_proximity(spark, sf_dir):
+        # NEAR/k: both terms within 3 word positions, min pairwise
+        # occurrence distance - classic IR proximity, one shuffle-free
+        # scan, O(n_a * n_b) per doc on two fixed terms
+        from couch_to_postgres_spark.extensions.phrase import (
+            proximity_hits,
+        )
+
+        return proximity_hits(_docs(spark, sf_dir), "spark", "window", 3)
+
+    def x_phrase_batch(spark, sf_dir):
+        # many phrases, ONE corpus scan (the bm25_topk_batch
+        # amortization discipline): blocklist sweeps / benchmark-prompt
+        # decontamination shapes
+        from couch_to_postgres_spark.extensions.phrase import (
+            phrase_match_batch,
+        )
+
+        return phrase_match_batch(
+            _docs(spark, sf_dir),
+            ["table hash", "merge group", "customer join"],
+        )
+
+    def x_reservoir_incremental(spark, sf_dir):
+        # streaming per-group uniform reservoir with O(groups*k) state:
+        # two micro-batches maintained through the versioned-pointer
+        # state commit must equal the batch cap_per_group over the
+        # union (the md5-key sample is arrival-order- and
+        # batch-boundary-independent, unlike Vitter reservoirs) - the
+        # oracle IS that ranking-window definition
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.extensions.sketch import (
+            reservoir_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="reservoir_")
+        try:
+            d = _docs(spark, sf_dir).select("doc_id", "source")
+            reservoir_stream(
+                spark, work, d.filter(F.col("doc_id") % 2 == 0),
+                "source", k=12,
+            )
+            out = reservoir_stream(
+                spark, work, d.filter(F.col("doc_id") % 2 == 1),
+                "source", k=12,
+            )
+            return out.select("doc_id", "source").localCheckpoint(
+                eager=True
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_target_mix_skew(spark, sf_dir):
         # the round-6 threshold-refinement selection engine under GROUP
         # SKEW: src0 (25 docs at sf0.01) vs everything-else (475),
@@ -3228,87 +3291,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return diff_report(content_diff(left, repaired, include_same=True))
 
     return {
-        # --- ROUND-6 TOP BLOCK (the driver checks the first ~50
+        # --- ROUND-7 TOP BLOCK (the driver checks the first ~50
         # insertion-order keys; re-derive each round from
-        # CORRECTNESS_r{N}.json). Order: (1) round-6 additions, never
-        # driver-checked; (2) re-checks of every query whose code path
-        # was touched this round (quota-selection rewrite, dedup_clusters
-        # pointer-jumping, IVF tombstone probes, index feed persist) -
-        # regression insurance where it matters; (3) rotation of the
-        # OLDEST r01-green keys (last checked five rounds ago); (4) the
-        # one never-checked rows-only key (zlib has no SQL form) takes
-        # the final slot, per the r05 verdict. ---
-        # (1) round-6 additions (full-value oracles)
+        # CORRECTNESS_r{N}.json). Order: (1) round-7 additions,
+        # never driver-checked; (2) re-checks of every query whose
+        # code path was touched this round (threshold-refinement
+        # shared core + select_topk_by_key, DSIR method switch,
+        # gopher degenerate guards, content_diff null-safe
+        # fingerprint, sketch versioned state, search-index batch
+        # lock + stats/vocab readers that ingest through it); (3)
+        # rotation of the NEXT-OLDEST green keys (the r02-era e/x
+        # block, last checked at r02 - the r01 b-block was re-
+        # checked r06 and rotates out); (4) the one rows-only key
+        # (zlib has no SQL form) keeps the tail slot per the r05
+        # verdict. ---
+        # (1) round-7 additions (full-value oracles)
         "x_dsir_select_bigk": x_dsir_select_bigk,
+        "x_phrase": x_phrase,
+        "x_phrase_proximity": x_phrase_proximity,
+        "x_phrase_batch": x_phrase_batch,
+        "x_reservoir_incremental": x_reservoir_incremental,
+        # (2) round-7 re-checks: code touched this round
         "x_dsir_weights": x_dsir_weights,
         "x_dsir_select": x_dsir_select,
         "x_dsir_resample": x_dsir_resample,
+        "x_target_mix": x_target_mix,
         "x_target_mix_skew": x_target_mix_skew,
-        "x_vocab_growth_by_source": x_vocab_growth_by_source,
+        "x_mix_report": x_mix_report,
+        "x_stratified_split": x_stratified_split,
         "x_cap_distributed": x_cap_distributed,
         "x_c4_clean": x_c4_clean,
         "x_line_repetition": x_line_repetition,
         "x_gopher_rules": x_gopher_rules,
+        "x_line_lm_clean": x_line_lm_clean,
+        "x_content_diff": x_content_diff,
+        "x_repair_roundtrip": x_repair_roundtrip,
         "x_bottomk_sketch": x_bottomk_sketch,
         "x_sketch_distinct": x_sketch_distinct,
         "x_sketch_jaccard": x_sketch_jaccard,
-        "x_content_diff": x_content_diff,
-        "x_repair_roundtrip": x_repair_roundtrip,
-        "x_trending": x_trending,
-        "x_line_lm_clean": x_line_lm_clean,
-        # (2) round-6 re-checks: code touched this round
-        "x_target_mix": x_target_mix,
-        "x_mix_report": x_mix_report,
-        "x_stratified_split": x_stratified_split,
-        "x_cluster_sizes": x_cluster_sizes,
-        "x_near_dedup_best": x_near_dedup_best,
-        "x_ann_ivf_incremental": x_ann_ivf_incremental,
-        "x_semantic_dedup_incremental": x_semantic_dedup_incremental,
         "x_bm25_lsm": x_bm25_lsm,
         "x_bm25_incremental": x_bm25_incremental,
         "x_kl_incremental": x_kl_incremental,
         "x_hapax_incremental": x_hapax_incremental,
         "x_vocab_growth_incremental": x_vocab_growth_incremental,
-        "x_ann_recall": x_ann_recall,
-        # (3) rotation: oldest green keys (r01), regression insurance
-        "b01_point_lookup": b01_point_lookup,
-        "b02_projection": b02_projection,
-        "b05_flagship": b05_flagship,
-        "b08_ordering_pitfall": b08_ordering_pitfall,
-        "b09_distinct": b09_distinct,
-        "b10_group_count": b10_group_count,
-        "b10v_group_count_variant": b10v_group_count_variant,
-        "b11_having": b11_having,
-        "b12_cte_pipeline": b12_cte_pipeline,
-        "b13_chunks": b13_chunks,
-        "b14_key_expansion": b14_key_expansion,
-        "b14v_key_expansion_variant": b14v_key_expansion_variant,
-        "b14b_json_each": b14b_json_each,
-        "b15_json_to_recordset": b15_json_to_recordset,
-        "b16_json_agg": b16_json_agg,
-        "b17_set_key": b17_set_key,
-        "b18_string_fns": b18_string_fns,
-        "b19_arith": b19_arith,
-        "b20_union_all": b20_union_all,
-        "b21_coalesce": b21_coalesce,
-        # (4) never-driver-checked rows-only key (declared: zlib)
-        "x_compression": x_compression,
-        # --- below the driver budget: every key here is driver-green
-        # from r01-r05 (or rows-only by declared necessity, kept last).
-        # a17/a18/a19 + b23/b25/b26/b27/b29/a05/a07 rotated out of the
-        # prefix to make room for the line-hygiene + sketch +
-        # reconciliation + trending families (r01/r02-green, unchanged
-        # code)
-        "b23_flatmap_emit": b23_flatmap_emit,
-        "b25_view_projection": b25_view_projection,
-        "b26_update_where": b26_update_where,
-        "b27_insert": b27_insert,
-        "b29_count": b29_count,
-        "a05_cdc_merge": a05_cdc_merge,
-        "a07_type_filter": a07_type_filter,
-        "a17_bulk_chunks": a17_bulk_chunks,
-        "a18_filtered_subset": a18_filtered_subset,
-        "a19_reconciliation": a19_reconciliation,
+        "x_vocab_growth_by_source": x_vocab_growth_by_source,
+        "x_trending": x_trending,
+        # (3) rotation: next-oldest green keys (r02)
         "e01_props_extract": e01_props_extract,
         "e02_type_counts": e02_type_counts,
         "e26_sessionize_skew_safe": e26_sessionize_skew_safe,
@@ -3329,6 +3357,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_robust_z": x_robust_z,
         "x_chi2_source_lang": x_chi2_source_lang,
         "e27_event_transitions": e27_event_transitions,
+        # (4) never-driver-checked rows-only key (declared: zlib)
+        "x_compression": x_compression,
+        # --- below the driver budget: every key here is driver-
+        # green from r01-r06 (or rows-only by declared necessity).
+        # The r01 b-block (b01-b21) re-checked green in r06 and
+        # rotates below the fold this round.
+        "x_cluster_sizes": x_cluster_sizes,
+        "x_near_dedup_best": x_near_dedup_best,
+        "x_ann_ivf_incremental": x_ann_ivf_incremental,
+        "x_semantic_dedup_incremental": x_semantic_dedup_incremental,
+        "x_ann_recall": x_ann_recall,
+        "b01_point_lookup": b01_point_lookup,
+        "b02_projection": b02_projection,
+        "b05_flagship": b05_flagship,
+        "b08_ordering_pitfall": b08_ordering_pitfall,
+        "b09_distinct": b09_distinct,
+        "b10_group_count": b10_group_count,
+        "b10v_group_count_variant": b10v_group_count_variant,
+        "b11_having": b11_having,
+        "b12_cte_pipeline": b12_cte_pipeline,
+        "b13_chunks": b13_chunks,
+        "b14_key_expansion": b14_key_expansion,
+        "b14v_key_expansion_variant": b14v_key_expansion_variant,
+        "b14b_json_each": b14b_json_each,
+        "b15_json_to_recordset": b15_json_to_recordset,
+        "b16_json_agg": b16_json_agg,
+        "b17_set_key": b17_set_key,
+        "b18_string_fns": b18_string_fns,
+        "b19_arith": b19_arith,
+        "b20_union_all": b20_union_all,
+        "b21_coalesce": b21_coalesce,
+        "b23_flatmap_emit": b23_flatmap_emit,
+        "b25_view_projection": b25_view_projection,
+        "b26_update_where": b26_update_where,
+        "b27_insert": b27_insert,
+        "b29_count": b29_count,
+        "a05_cdc_merge": a05_cdc_merge,
+        "a07_type_filter": a07_type_filter,
+        "a17_bulk_chunks": a17_bulk_chunks,
+        "a18_filtered_subset": a18_filtered_subset,
+        "a19_reconciliation": a19_reconciliation,
         "x_novelty": x_novelty,
         "x_gini_sources": x_gini_sources,
         "e28_session_length_stats": e28_session_length_stats,
@@ -4198,6 +4267,80 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN scored s USING (doc_id)
             ORDER BY s.log_ratio DESC, d.doc_id
             LIMIT 200
+        """,
+        "x_phrase": """
+            WITH wd AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            hits AS (
+                SELECT doc_id,
+                       list_filter(range(1, greatest(len(ws) - 2 + 2, 1)),
+                                   i -> ws[i:i+1] = ['table','hash']) AS pos
+                FROM wd WHERE len(ws) >= 2
+            )
+            SELECT doc_id,
+                   CAST(len(pos) AS BIGINT) AS n_hits,
+                   CAST(pos[1] AS INTEGER) AS first_pos
+            FROM hits WHERE len(pos) > 0
+        """,
+        "x_phrase_proximity": """
+            WITH wd AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id,
+                       list_filter(range(1, len(ws)+1), i -> ws[i] = 'spark') AS pa,
+                       list_filter(range(1, len(ws)+1), i -> ws[i] = 'window') AS pb
+                FROM wd
+            )
+            SELECT doc_id,
+                   CAST(len(pa) AS BIGINT) AS n_a,
+                   CAST(len(pb) AS BIGINT) AS n_b,
+                   CAST(list_min(flatten(list_transform(pa,
+                        x -> list_transform(pb, y -> abs(x - y)))))
+                        AS INTEGER) AS min_dist
+            FROM pos
+            WHERE len(pa) > 0 AND len(pb) > 0
+              AND list_min(flatten(list_transform(pa,
+                    x -> list_transform(pb, y -> abs(x - y))))) <= 3
+        """,
+        "x_phrase_batch": """
+            WITH wd AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            ph AS (
+                SELECT * FROM (VALUES
+                    (['table','hash'], 'table hash'),
+                    (['merge','group'], 'merge group'),
+                    (['customer','join'], 'customer join')
+                ) AS t(target, phrase)
+            ),
+            hits AS (
+                SELECT wd.doc_id, ph.phrase,
+                       len(list_filter(range(1, greatest(len(ws) - 2 + 2, 1)),
+                                       i -> ws[i:i+1] = target)) AS n
+                FROM wd, ph WHERE len(ws) >= 2
+            )
+            SELECT doc_id, phrase, CAST(n AS BIGINT) AS n_hits
+            FROM hits WHERE n > 0
+        """,
+        "x_reservoir_incremental": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('res1:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, source FROM ranked WHERE rn <= 12
         """,
         "x_dsir_resample": """
             WITH wd AS (

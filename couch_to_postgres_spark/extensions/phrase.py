@@ -1,0 +1,158 @@
+"""Exact phrase and proximity search over document text.
+
+BM25 (``extensions/search.py``, ``streaming/search_stream.py``) ranks by
+bag-of-words statistics; a training-data pipeline also needs ORDER-aware
+matching — find documents containing an exact word sequence ("terms of
+service"), or two terms within a window (contract-clause mining, quote
+attribution, template detection). The reference (couch-to-postgres)
+leaves this to Postgres ``LIKE``/tsquery over the mirrored docs
+(README.md:142-155 shows the LIKE surface); here the operators are
+engine-native and position-exact rather than substring-approximate.
+
+Plan shape — deliberately the cheapest possible: every operator is a
+pure higher-order-function projection over ``split(text)`` (whole-stage
+codegen, zero shuffles, zero UDFs). At 100 TB a phrase scan is ONE pass
+that prunes to the text column, and it composes with the inverted
+index: run the cheap BM25/token candidate query first
+(``bm25_topk_from_index`` or a token-bucket postings probe), then apply
+:func:`phrase_hits` to the candidate docs only — position verification
+never needs its own index because it only ever runs on candidate sets.
+
+Position convention is 1-based (the first word is position 1), matching
+SQL list indexing so an external engine replays results verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.text import _words
+
+
+def _phrase_words(phrase: str) -> list[str]:
+    ws = [w for w in phrase.split(" ") if w]
+    if not ws:
+        raise ValueError("phrase must contain at least one word")
+    return ws
+
+
+def phrase_positions(
+    text_col: str | Column, phrase: str
+) -> Column:
+    """Array of 1-based word positions where the exact word sequence
+    ``phrase`` starts in the space-tokenized text (overlapping
+    occurrences all count: "a a a" contains "a a" at [1, 2]). Pure
+    column expression — compose freely inside selects/filters."""
+    pw = _phrase_words(phrase)
+    m = len(pw)
+    ws = _words(text_col)
+    target = F.array(*[F.lit(w) for w in pw])
+    # greatest(..., 1): Spark's sequence(1, 0) counts DOWN to [1, 0] and
+    # slice() rejects start 0 — the when-guard below makes the clamped
+    # [1] unreachable anyway, belt and braces
+    starts = F.sequence(F.lit(1), F.greatest(F.size(ws) - m + 1, F.lit(1)))
+    return F.when(F.size(ws) >= m, F.filter(
+        starts, lambda i: F.slice(ws, i, m) == target
+    )).otherwise(F.array().cast("array<int>"))
+
+
+def phrase_hits(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents containing the exact word sequence ``phrase``:
+    ``(id_col, n_hits, first_pos)`` for matching docs only. One
+    codegen'd scan, no shuffle — the distributed grep a pipeline runs
+    for template/boilerplate phrases, licensing strings, or benchmark
+    prompts; feed it a BM25 candidate set to make it index-assisted."""
+    pos = phrase_positions(text_col, phrase)
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(pos).cast("long").alias("n_hits"),
+            F.element_at(pos, 1).alias("first_pos"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def proximity_hits(
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_dist: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents where ``term_a`` and ``term_b`` both occur within
+    ``max_dist`` word positions: ``(id_col, n_a, n_b, min_dist)`` for
+    docs meeting the bound. ``min_dist`` is the smallest |pos_a − pos_b|
+    over all occurrence pairs — the NEAR/k operator of classic IR.
+
+    The pairwise distance is a per-document higher-order expression
+    (O(n_a · n_b) per doc — occurrence counts of two fixed terms, not
+    document length); still a single shuffle-free scan."""
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    ws = _words(text_col)
+    # empty-doc guard: sequence(1, 0) counts DOWN to [1, 0] and
+    # element_at would then index an empty array (ANSI error)
+    idx = F.when(F.size(ws) > 0, F.sequence(F.lit(1), F.size(ws))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def positions_of(term: str) -> Column:
+        return F.filter(idx, lambda i: F.element_at(ws, i) == F.lit(term))
+
+    pa, pb = positions_of(term_a), positions_of(term_b)
+    dists = F.flatten(
+        F.transform(pa, lambda x: F.transform(pb, lambda y: F.abs(x - y)))
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(pa).cast("long").alias("n_a"),
+            F.size(pb).cast("long").alias("n_b"),
+            F.array_min(dists).alias("min_dist"),
+        )
+        .filter(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("min_dist") <= max_dist)
+        )
+    )
+
+
+def phrase_match_batch(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Many phrases in ONE scan: ``(id_col, phrase, n_hits)`` per
+    (doc, matching phrase). The phrase list projects as parallel column
+    expressions and the results stack via a posexploded array — the
+    corpus is still read exactly once (the batch-amortization
+    discipline of ``bm25_topk_batch``). Use for blocklist sweeps and
+    benchmark-prompt decontamination passes with tens-to-hundreds of
+    phrases; beyond that, pre-filter with the inverted index."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    counts = F.array(
+        *[F.size(phrase_positions(text_col, p)) for p in phrases]
+    )
+    names = F.array(*[F.lit(p) for p in phrases])
+    pairs = F.arrays_zip(names.alias("phrase"), counts.alias("n"))
+    row = F.explode(pairs).alias("ph")
+    return (
+        df.select(F.col(id_col), row)
+        .select(
+            id_col,
+            F.col("ph.phrase").alias("phrase"),
+            F.col("ph.n").cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )

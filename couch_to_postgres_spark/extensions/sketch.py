@@ -269,26 +269,88 @@ def sketch_stream(
     PUT, which is atomic per-key) — same note as
     ``ann.compact_ivf_index``."""
     import os
-    import shutil
 
     fresh = bottomk_sketch(batch, group_col, value, k=k)
     cur = _sketch_state_current(state_path)
     if cur is None:
-        merged, next_n = fresh, 0
+        merged = fresh
     else:
         old = spark.read.parquet(os.path.join(state_path, cur))
         merged = merge_sketch_tables(old, fresh, group_col, k=k)
-        next_n = int(cur.split("-")[1]) + 1
+    return _commit_versioned(spark, state_path, merged)
+
+
+def _commit_versioned(spark, state_path: str, df: DataFrame) -> DataFrame:
+    """Commit ``df`` as the next state version under ``state_path`` and
+    return it re-read from disk: write the NEW version directory first
+    (the version being read is never touched, so no lineage-breaking
+    checkpoint is needed), atomically swap the ``_CURRENT`` pointer,
+    prune superseded versions best-effort (orphans are harmless). The
+    crash-safety contract is documented on :func:`sketch_stream`."""
+    import os
+    import shutil
+
+    cur = _sketch_state_current(state_path)
+    next_n = int(cur.split("-")[1]) + 1 if cur else 0
     next_name = f"v-{next_n:010d}"
-    # write the new version FIRST (the old version is never touched,
-    # so no lineage-breaking checkpoint is needed either)
-    merged.write.mode("overwrite").parquet(os.path.join(state_path, next_name))
+    df.write.mode("overwrite").parquet(os.path.join(state_path, next_name))
     tmp = os.path.join(state_path, "_CURRENT.tmp")
     with open(tmp, "w") as fh:
         fh.write(next_name + "\n")
     os.replace(tmp, os.path.join(state_path, "_CURRENT"))  # atomic commit
-    # prune superseded versions (best-effort; orphans are harmless)
     for name in os.listdir(state_path):
         if name.startswith("v-") and name != next_name:
             shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
     return spark.read.parquet(os.path.join(state_path, next_name))
+
+
+def reservoir_stream(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    group_col: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "res1",
+) -> DataFrame:
+    """Streaming per-group uniform sample with O(groups · k) state — the
+    reservoir-sampling operator for an unbounded feed: after ANY number
+    of micro-batches the state holds, per group, exactly the rows whose
+    ``md5(salt:id)`` keys are the k smallest seen so far. Because that
+    set is a deterministic function of the ids (not of arrival order or
+    batch boundaries), the maintained reservoir is IDENTICAL to
+    ``sampling.cap_per_group`` over the union of all batches — a
+    batch-replayable, engine-replayable uniform sample (the md5 keys
+    are uniform whatever the id distribution), unlike classic
+    Vitter-style reservoirs whose contents depend on arrival order and
+    RNG state.
+
+    ``foreachBatch`` body: rank state ∪ batch per group, keep k,
+    commit via the versioned-pointer discipline of
+    :func:`sketch_stream` (crash anywhere leaves the previous complete
+    reservoir). At-least-once replays are absorbed by a (group, id)
+    dropDuplicates — re-offering a row a reservoir already judged is a
+    no-op either way. The ranking window's input is state (groups · k)
+    ∪ batch — bounded by the batch contract, never by history; a
+    group's TOTAL history never funnels anywhere.
+
+    The batch's columns are the payload and must be stable across
+    batches; returns the committed reservoir (payload + ``_rk`` key,
+    kept so merges never recompute hashes)."""
+    import os
+
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    cand = batch.withColumn("_rk", key)
+    cur = _sketch_state_current(state_path)
+    if cur is not None:
+        old = spark.read.parquet(os.path.join(state_path, cur))
+        cand = old.unionByName(cand).dropDuplicates([group_col, id_col])
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.col("_rk"), F.col(id_col))
+    kept = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return _commit_versioned(spark, state_path, kept)

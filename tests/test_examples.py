@@ -21,6 +21,7 @@ EXAMPLES = [
     ("examples/incremental_indexes.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
     ("examples/select_training_mix.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
     ("examples/monitor_and_reconcile.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
+    ("examples/phrase_and_reservoir.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
 ]
 
 

@@ -1,0 +1,102 @@
+"""Exact phrase / proximity search (`extensions/phrase.py`).
+
+Reference scope note: couch-to-postgres leaves text search to Postgres
+LIKE over the mirrored docs (README.md:142-155); position-exact phrase
+and NEAR/k matching are this repo's engine-native deepening of that
+surface.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions import phrase as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the terms of service apply to the terms of service here"),
+        (2, "terms and conditions of the service"),
+        (3, "a a a b"),
+        (4, ""),
+        (5, "service terms"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_phrase_hits_counts_and_positions(docs):
+    out = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in P.phrase_hits(docs, "terms of service").collect()
+    }
+    assert out == {1: (2, 2)}  # positions 2 and 8, 1-based
+
+
+def test_phrase_overlapping_occurrences(docs):
+    out = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in P.phrase_hits(docs, "a a").collect()
+    }
+    assert out == {3: (2, 1)}  # overlapping starts 1 and 2
+
+
+def test_phrase_longer_than_doc_and_empty_doc(docs):
+    assert (
+        P.phrase_hits(docs, "a a a b c d e f").count() == 0
+    )  # longer than any doc: no crash, no hits
+    one = P.phrase_hits(docs, "service terms").collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in one] == [(5, 1)]
+
+
+def test_phrase_requires_nonempty():
+    with pytest.raises(ValueError):
+        P._phrase_words("  ")
+
+
+def test_proximity_min_distance(docs):
+    out = {
+        r["doc_id"]: (r["n_a"], r["n_b"], r["min_dist"])
+        for r in P.proximity_hits(docs, "terms", "service", 3).collect()
+    }
+    # doc1: terms at 2,8; service at 4,10 -> min |2-4| = 2
+    # doc2: terms at 1, service at 6 -> dist 5 > 3 (excluded)
+    # doc5: service 1, terms 2 -> dist 1
+    assert out == {1: (2, 2, 2), 5: (1, 1, 1)}
+    wide = {
+        r["doc_id"]: r["min_dist"]
+        for r in P.proximity_hits(docs, "terms", "service", 5).collect()
+    }
+    assert wide == {1: 2, 2: 5, 5: 1}
+
+
+def test_phrase_match_batch_one_scan(docs):
+    out = sorted(
+        (r["doc_id"], r["phrase"], r["n_hits"])
+        for r in P.phrase_match_batch(
+            docs, ["terms of service", "a a", "service"]
+        ).collect()
+    )
+    assert out == [
+        (1, "service", 2),
+        (1, "terms of service", 2),
+        (2, "service", 1),
+        (3, "a a", 2),
+        (5, "service", 1),
+    ]
+
+
+def test_phrase_scan_is_shuffle_free(docs):
+    plan = (
+        P.phrase_hits(docs, "terms of service")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure codegen map — one scan
+    plan_b = (
+        P.phrase_match_batch(docs, ["x y", "service"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan_b

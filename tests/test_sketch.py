@@ -183,3 +183,66 @@ def test_stream_state_commit_is_versioned_and_crash_safe(spark, tmp_path):
     with open(os.path.join(path, "_CURRENT")) as fh:
         cur = fh.read().strip()
     assert vdirs == [cur]
+
+
+def test_reservoir_stream_equals_cap_per_group_any_batching(spark, tmp_path):
+    """The maintained reservoir is batch-boundary-independent: after
+    streaming N batches it equals cap_per_group over the union, and
+    replaying a batch changes nothing."""
+    from couch_to_postgres_spark.extensions.sampling import cap_per_group
+
+    full = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), "payload-%d" % i) for i in range(300)],
+        "doc_id long, source string, text string",
+    )
+    want = sorted(
+        (r["doc_id"], r["source"])
+        for r in cap_per_group(
+            full, "source", k=10, id_col="doc_id", salt="res1"
+        ).collect()
+    )
+
+    def run(splits):
+        path = str(tmp_path / ("res_%d" % len(splits)))
+        out = None
+        for lo, hi in splits:
+            b = full.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            out = S.reservoir_stream(
+                spark, path, b, "source", k=10, id_col="doc_id"
+            )
+        return path, sorted(
+            (r["doc_id"], r["source"]) for r in out.collect()
+        )
+
+    p2, two = run([(0, 150), (150, 300)])
+    _, five = run([(0, 60), (60, 120), (120, 180), (180, 240), (240, 300)])
+    assert two == want and five == want
+    # payload survives
+    cols = set(
+        S.read_sketch_state(spark, p2).columns
+    )
+    assert {"doc_id", "source", "text", "_rk"} <= cols
+    # at-least-once replay: re-offering an old batch is a no-op
+    replay = S.reservoir_stream(
+        spark,
+        p2,
+        full.filter(F.col("doc_id") < 150),
+        "source",
+        k=10,
+        id_col="doc_id",
+    )
+    assert sorted((r["doc_id"], r["source"]) for r in replay.collect()) == want
+
+
+def test_reservoir_state_is_bounded(spark, tmp_path):
+    # state rows never exceed groups*k no matter how much history flowed
+    path = str(tmp_path / "res_bounded")
+    for b in range(4):
+        batch = spark.createDataFrame(
+            [(b * 1000 + i, "g", "t") for i in range(500)],
+            "doc_id long, source string, text string",
+        )
+        out = S.reservoir_stream(spark, path, batch, "source", k=7)
+    assert out.count() == 7
