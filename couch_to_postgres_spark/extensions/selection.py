@@ -50,31 +50,41 @@ from pyspark.sql import functions as F
 from couch_to_postgres_spark.extensions.text import _words
 
 
-def _ngram_buckets(text_col: str, n: int, prefix_len: int) -> Column:
-    """Array of hashed-n-gram bucket keys for one document: md5-prefix
-    buckets of all 1..n-grams of the space-tokenized text. Pure column
-    expression (whole-stage codegen); the 1-based ``element_at``
-    indexing mirrors 1-based SQL lists so an oracle replays it
-    verbatim."""
+def _ngram_buckets_of_words(ws: Column, n: int, prefix_len: int) -> Column:
+    """Array of hashed-n-gram bucket keys from a PRE-PROJECTED words
+    array: md5-prefix buckets of all 1..n-grams. The 1-based
+    ``element_at`` indexing mirrors 1-based SQL lists so an oracle
+    replays it verbatim.
+
+    Callers must project the words array in a separate select first
+    (:func:`_with_words`): higher-order-function lambdas are not
+    whole-stage-codegen'd, so an inlined ``filter(split(text))`` here
+    re-tokenizes the document once per reference — the optimized plan
+    of the former inline form carried FIVE copies of it."""
     if n < 1 or n > 2:
         raise ValueError("n must be 1 (unigrams) or 2 (adds bigrams)")
-    words = _words(text_col)
-    grams = words
+    grams = ws
     if n == 2:
-        bigrams = F.expr(
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
             # element_at is 1-based (unlike the 0-based [] operator),
             # matching DuckDB/Postgres list indexing term for term
-            f"transform(sequence(1, size(filter(split({text_col}, ' '), "
-            f"w -> w != '')) - 1), "
-            f"i -> concat(element_at(filter(split({text_col}, ' '), "
-            f"w -> w != ''), i), ' ', "
-            f"element_at(filter(split({text_col}, ' '), w -> w != ''), "
-            f"i + 1)))"
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
         )
-        grams = F.concat(words, F.when(F.size(words) >= 2, bigrams).otherwise(
+        grams = F.concat(ws, F.when(F.size(ws) >= 2, bigrams).otherwise(
             F.array().cast("array<string>")
         ))
     return F.transform(grams, lambda g: F.substring(F.md5(g), 1, prefix_len))
+
+
+def _with_words(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """Project the tokenized words array ONCE (``_ws``), keeping
+    ``keep`` columns. A separate select survives CollapseProject (the
+    alias is referenced repeatedly by non-cheap lambdas), so downstream
+    n-gram expressions read an attribute instead of re-tokenizing."""
+    return df.select(*keep, _words(text_col).alias("_ws"))
 
 
 def ngram_bucket_counts(
@@ -88,8 +98,11 @@ def ngram_bucket_counts(
     at most ``16^prefix_len`` rows after map-side partial combine —
     corpus-size-independent state, the whole point of hashed features."""
     return (
-        df.select(
-            F.explode(_ngram_buckets(text_col, n, prefix_len)).alias("bucket")
+        _with_words(df, text_col)
+        .select(
+            F.explode(
+                _ngram_buckets_of_words(F.col("_ws"), n, prefix_len)
+            ).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -156,9 +169,11 @@ def dsir_importance(
     raw_counts = ngram_bucket_counts(df, text_col, n, prefix_len)
     target_counts = ngram_bucket_counts(target_df, text_col, n, prefix_len)
     table = dsir_log_ratio_table(target_counts, raw_counts, prefix_len, alpha)
-    occ = df.select(
+    occ = _with_words(df, text_col, id_col).select(
         F.col(id_col),
-        F.explode(_ngram_buckets(text_col, n, prefix_len)).alias("bucket"),
+        F.explode(
+            _ngram_buckets_of_words(F.col("_ws"), n, prefix_len)
+        ).alias("bucket"),
     )
     return (
         occ.join(F.broadcast(table), "bucket")
