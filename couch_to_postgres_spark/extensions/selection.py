@@ -192,22 +192,36 @@ TAKEORDERED_MAX_K = 100_000
 
 
 def _topk_by_log_ratio(
-    joined: DataFrame, key_col: str, k: int, id_col: str, method: str
+    df: DataFrame,
+    scores: DataFrame,
+    key_col: str,
+    k: int,
+    id_col: str,
+    method: str,
 ) -> DataFrame:
     """The selection cut shared by :func:`dsir_select` and
-    :func:`dsir_resample`: identical output set either way (pinned by
-    tests and the driver oracle), plan chosen by k.
+    :func:`dsir_resample` — ``scores`` is the SKINNY per-doc key table
+    (id + log_ratio [+ sampling key]), ``df`` the payload. Identical
+    output set either way (pinned by tests and the driver oracle), plan
+    chosen by k:
 
-    * ``takeordered`` — ``orderBy(key.desc(), id).limit(k)``:
-      per-partition top-k map-side + driver heap-merge. Right for
-      report-sized k; the driver holds partitions × k rows, so at
-      DSIR's published selection rates (k = a corpus fraction —
+    * ``takeordered`` — ``join(payload).orderBy(key.desc(), id)
+      .limit(k)``: per-partition top-k map-side + driver heap-merge.
+      Right for report-sized k; the driver holds partitions × k rows,
+      so at DSIR's published selection rates (k = a corpus fraction —
       millions+ of rows at 100 TB) it is a driver OOM.
-    * ``threshold`` — :func:`sampling.select_topk_by_key`: bracket the
-      k-th key with a sampled quantile, verify with one exact count,
-      keep above-bracket rows map-side, rank only the ~constant-size
-      boundary band. Driver state is a quantile sketch + two scalars,
-      independent of k.
+    * ``threshold`` — :func:`sampling.select_topk_by_key` over the
+      scores table: bracket the k-th key with a sampled quantile,
+      verify with one exact count, keep above-bracket rows map-side,
+      rank only the ~constant-size boundary band. Driver state is a
+      quantile sketch + two scalars, independent of k. The cut makes a
+      constant number of passes (count, quantile sketch, exact verify,
+      output), so the scores table is MATERIALIZED first
+      (``localCheckpoint(eager)`` — bytes per row, not documents, and
+      it breaks the lineage back to scoring: re-deriving the DSIR
+      pipeline per pass would tokenize the corpus four times); the
+      payload joins back AFTER selection, once, on the uniform id key,
+      so document text never rides through the cut's passes either.
     * ``auto`` — takeordered iff ``k <= TAKEORDERED_MAX_K``.
     """
     from couch_to_postgres_spark.extensions.sampling import (
@@ -219,8 +233,14 @@ def _topk_by_log_ratio(
     if method == "takeordered" or (
         method == "auto" and k <= TAKEORDERED_MAX_K
     ):
-        return joined.orderBy(F.col(key_col).desc(), F.col(id_col)).limit(k)
-    return select_topk_by_key(joined, key_col, k, id_col=id_col)
+        return (
+            df.join(scores, id_col)
+            .orderBy(F.col(key_col).desc(), F.col(id_col))
+            .limit(k)
+        )
+    skinny = scores.localCheckpoint(eager=True)
+    sel = select_topk_by_key(skinny, key_col, k, id_col=id_col)
+    return df.join(sel, id_col)
 
 
 def dsir_select(
@@ -246,8 +266,10 @@ def dsir_select(
     scores = dsir_importance(
         df, target_df, text_col, id_col, n, prefix_len, alpha
     )
-    joined = df.join(scores.select(id_col, "log_ratio"), id_col)
-    return _topk_by_log_ratio(joined, "log_ratio", k, id_col, method)
+    return _topk_by_log_ratio(
+        df, scores.select(id_col, "log_ratio"), "log_ratio", k, id_col,
+        method,
+    )
 
 
 def dsir_resample(
@@ -289,9 +311,7 @@ def dsir_resample(
         float(1 << 32)
     )
     key = F.round(F.col("log_ratio") - F.log(-F.log(u)), 6) + F.lit(0.0)
-    joined = df.join(scores.select(id_col, "log_ratio"), id_col).withColumn(
-        "_g_key", key
-    )
-    return _topk_by_log_ratio(joined, "_g_key", k, id_col, method).drop(
+    keyed = scores.select(id_col, "log_ratio", key.alias("_g_key"))
+    return _topk_by_log_ratio(df, keyed, "_g_key", k, id_col, method).drop(
         "_g_key"
     )
