@@ -247,6 +247,7 @@ def sketch_stream(
     group_col: str,
     value: Column | str,
     k: int = 64,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """``foreachBatch`` body maintaining a per-group sketch table under
     ``state_path``: sketch the batch, merge with persisted state, commit.
@@ -267,41 +268,129 @@ def sketch_stream(
     local ``open``/``os.replace`` for the Hadoop FileSystem
     create+rename (rename is atomic on HDFS; S3 needs a pointer object
     PUT, which is atomic per-key) — same note as
-    ``ann.compact_ivf_index``."""
+    ``ann.compact_ivf_index``.
+
+    The whole read→merge→commit span holds the shared per-path lock
+    (``partitioned._path_lock`` — same discipline as
+    ``search_index_batch``): one streaming query serializes its own
+    ``foreachBatch`` calls, but the daemon can drive multiple feeds,
+    and two unserialized writers on one state path would both read the
+    same old version and the second commit would silently drop the
+    first's batch (lost update), beyond racing the pointer swap."""
     import os
 
-    fresh = bottomk_sketch(batch, group_col, value, k=k)
-    cur = _sketch_state_current(state_path)
-    if cur is None:
-        merged = fresh
-    else:
-        old = spark.read.parquet(os.path.join(state_path, cur))
-        merged = merge_sketch_tables(old, fresh, group_col, k=k)
-    return _commit_versioned(spark, state_path, merged)
+    from couch_to_postgres_spark.streaming.partitioned import _path_lock
+
+    with _path_lock(state_path):
+        fresh = bottomk_sketch(batch, group_col, value, k=k)
+        cur = _sketch_state_current(state_path)
+        if cur is None:
+            merged = fresh
+        else:
+            old = spark.read.parquet(os.path.join(state_path, cur))
+            merged = merge_sketch_tables(old, fresh, group_col, k=k)
+        return _commit_versioned(spark, state_path, merged, batch_id=batch_id)
 
 
-def _commit_versioned(spark, state_path: str, df: DataFrame) -> DataFrame:
+#: how long SUPERSEDED state versions stay on disk after a pointer swap.
+#: A reader that resolved ``_CURRENT`` just before a commit holds a lazy
+#: DataFrame pinned to the old version's absolute paths; instant pruning
+#: could delete its parquet files mid-scan. Superseded versions are
+#: therefore retained in place (their paths stay valid — a rename into a
+#: trash dir would break pinned paths just like a delete) and pruned only
+#: once older than this window, mirroring ``partitioned.TRASH_GRACE_SECONDS``.
+STATE_RETAIN_SECONDS = 300.0
+
+
+def _commit_versioned(
+    spark, state_path: str, df: DataFrame, batch_id: int | None = None
+) -> DataFrame:
     """Commit ``df`` as the next state version under ``state_path`` and
     return it re-read from disk: write the NEW version directory first
     (the version being read is never touched, so no lineage-breaking
     checkpoint is needed), atomically swap the ``_CURRENT`` pointer,
-    prune superseded versions best-effort (orphans are harmless). The
+    record commit metadata for the control plane (``_META.json``,
+    atomic), and prune superseded versions older than
+    :data:`STATE_RETAIN_SECONDS` (never the one just superseded-moments-
+    ago — in-flight readers keep valid paths for the grace window;
+    orphans are harmless). Runs under the shared per-path lock — the
+    same discipline as ``search_index_batch`` — so two writers on one
+    state path can never interleave the write→swap→prune sequence. The
     crash-safety contract is documented on :func:`sketch_stream`."""
+    import json
     import os
     import shutil
+    import time
+
+    from couch_to_postgres_spark.streaming.partitioned import _path_lock
+
+    with _path_lock(state_path):
+        cur = _sketch_state_current(state_path)
+        next_n = int(cur.split("-")[1]) + 1 if cur else 0
+        next_name = f"v-{next_n:010d}"
+        df.write.mode("overwrite").parquet(
+            os.path.join(state_path, next_name)
+        )
+        tmp = os.path.join(state_path, "_CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(next_name + "\n")
+        os.replace(tmp, os.path.join(state_path, "_CURRENT"))  # atomic
+        meta = {
+            "version": next_name,
+            "version_n": next_n,
+            "batch_id": batch_id,
+            "committed_unix": round(time.time(), 3),
+        }
+        mtmp = os.path.join(state_path, "_META.json.tmp")
+        with open(mtmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(mtmp, os.path.join(state_path, "_META.json"))
+        cutoff = time.time() - STATE_RETAIN_SECONDS
+        for name in os.listdir(state_path):
+            if not name.startswith("v-") or name == next_name:
+                continue
+            p = os.path.join(state_path, name)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    return spark.read.parquet(os.path.join(state_path, next_name))
+
+
+def sketch_state_status(spark, state_path: str) -> dict | None:
+    """Control-plane health for one versioned state path (the number the
+    daemon's `/_status` surfaces per sketch/reservoir-flagged feed, the
+    same way search-flagged feeds surface ``index_status``): live
+    version, last-commit batch id and time, committed row count, and how
+    many superseded versions still sit in the retention window. None
+    when nothing has committed yet."""
+    import json
+    import os
 
     cur = _sketch_state_current(state_path)
-    next_n = int(cur.split("-")[1]) + 1 if cur else 0
-    next_name = f"v-{next_n:010d}"
-    df.write.mode("overwrite").parquet(os.path.join(state_path, next_name))
-    tmp = os.path.join(state_path, "_CURRENT.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(next_name + "\n")
-    os.replace(tmp, os.path.join(state_path, "_CURRENT"))  # atomic commit
-    for name in os.listdir(state_path):
-        if name.startswith("v-") and name != next_name:
-            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
-    return spark.read.parquet(os.path.join(state_path, next_name))
+    if cur is None:
+        return None
+    meta = {}
+    try:
+        with open(os.path.join(state_path, "_META.json")) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    try:
+        versions_on_disk = sum(
+            1 for n in os.listdir(state_path) if n.startswith("v-")
+        )
+    except OSError:
+        versions_on_disk = 1
+    return {
+        "version": cur,
+        "version_n": int(cur.split("-")[1]),
+        "rows": spark.read.parquet(os.path.join(state_path, cur)).count(),
+        "batch_id": meta.get("batch_id"),
+        "committed_unix": meta.get("committed_unix"),
+        "versions_retained": versions_on_disk - 1,
+    }
 
 
 def reservoir_stream(
@@ -312,6 +401,8 @@ def reservoir_stream(
     k: int = 100,
     id_col: str = "doc_id",
     salt: str = "res1",
+    seq_col: str | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Streaming per-group uniform sample with O(groups · k) state — the
     reservoir-sampling operator for an unbounded feed: after ANY number
@@ -328,29 +419,53 @@ def reservoir_stream(
     ``foreachBatch`` body: rank state ∪ batch per group, keep k,
     commit via the versioned-pointer discipline of
     :func:`sketch_stream` (crash anywhere leaves the previous complete
-    reservoir). At-least-once replays are absorbed by a (group, id)
-    dropDuplicates — re-offering a row a reservoir already judged is a
-    no-op either way. The ranking window's input is state (groups · k)
-    ∪ batch — bounded by the batch contract, never by history; a
-    group's TOTAL history never funnels anywhere.
+    reservoir), the whole span under the shared per-path lock (two
+    writers on one state path would otherwise lose an update — see
+    :func:`sketch_stream`). The ranking window's input is state
+    (groups · k) ∪ batch — bounded by the batch contract, never by
+    history; a group's TOTAL history never funnels anywhere.
+
+    Re-offered ids resolve DETERMINISTICALLY, never by an arbitrary
+    duplicate drop (whose kept payload would depend on partitioning):
+    when ``seq_col`` names a CDC sequence column the max-seq row wins
+    (the live document version — a replayed STALE payload can never
+    clobber a newer committed one); without a seq the incoming batch
+    row beats state, so a re-offer carrying an updated payload refreshes
+    the reservoir. MEMBERSHIP is unaffected either way — the md5 key
+    ranks on (salt, id) alone — so an at-least-once replay is still a
+    selection no-op.
 
     The batch's columns are the payload and must be stable across
     batches; returns the committed reservoir (payload + ``_rk`` key,
     kept so merges never recompute hashes)."""
     import os
 
+    from couch_to_postgres_spark.streaming.partitioned import _path_lock
+
     key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
-    cand = batch.withColumn("_rk", key)
-    cur = _sketch_state_current(state_path)
-    if cur is not None:
-        old = spark.read.parquet(os.path.join(state_path, cur))
-        cand = old.unionByName(cand).dropDuplicates([group_col, id_col])
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(group_col).orderBy(F.col("_rk"), F.col(id_col))
-    kept = (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
-    return _commit_versioned(spark, state_path, kept)
+    with _path_lock(state_path):
+        cand = batch.withColumn("_rk", key).withColumn("_pref", F.lit(1))
+        cur = _sketch_state_current(state_path)
+        if cur is not None:
+            old = spark.read.parquet(
+                os.path.join(state_path, cur)
+            ).withColumn("_pref", F.lit(0))
+            cand = old.unionByName(cand)
+        dup_order = (
+            [F.col(seq_col).desc()] if seq_col else []
+        ) + [F.col("_pref").desc()]
+        dw = W.partitionBy(group_col, id_col).orderBy(*dup_order)
+        cand = (
+            cand.withColumn("_dn", F.row_number().over(dw))
+            .filter(F.col("_dn") == 1)
+            .drop("_dn", "_pref")
+        )
+        w = W.partitionBy(group_col).orderBy(F.col("_rk"), F.col(id_col))
+        kept = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        return _commit_versioned(spark, state_path, kept, batch_id=batch_id)

@@ -113,6 +113,15 @@ class Daemon:
             return None
         return os.path.join(self.data_root, "search", fc.table)
 
+    def sketch_state_root(self, fc: FeedConfig) -> str:
+        """Where a feed's versioned sketch/reservoir state dirs live by
+        convention: any ``sketch_stream``/``reservoir_stream`` state path
+        placed under ``<data_root>/state/<table>/<name>`` is discovered
+        by :meth:`status` (no registry flag needed — presence of a
+        committed ``_CURRENT`` pointer IS the opt-in), the same way
+        search-flagged feeds surface ``index_status``."""
+        return os.path.join(self.data_root, "state", fc.table)
+
     def find_feeds(self, trigger: dict | None = None) -> list[str]:
         """Start one streaming query per enabled registry feed not already
         running (A10). Mirror/checkpoint dirs are created on demand (A13).
@@ -248,6 +257,28 @@ class Daemon:
                 )
 
                 search = index_status(self.spark, sip)
+            # versioned sketch/reservoir state health (VERDICT r07 #7):
+            # every committed state dir under the feed's conventional
+            # state root reports its live version, row count, and
+            # last-commit batch — the same operator surface the search
+            # index gets
+            sketch_states = None
+            sroot = self.sketch_state_root(fc)
+            if os.path.isdir(sroot):
+                from couch_to_postgres_spark.extensions.sketch import (
+                    sketch_state_status,
+                )
+
+                found = {
+                    name: sketch_state_status(
+                        self.spark, os.path.join(sroot, name)
+                    )
+                    for name in sorted(os.listdir(sroot))
+                    if os.path.exists(
+                        os.path.join(sroot, name, "_CURRENT")
+                    )
+                }
+                sketch_states = found or None
             out[fc.name] = {
                 "enabled": fc.enabled,
                 "alive": alive,
@@ -255,6 +286,7 @@ class Daemon:
                 "doc_count": mirror_doc_count(self.spark, mp),
                 "layout": layout,
                 "search_index": search,
+                "sketch_states": sketch_states,
                 "last_progress": {
                     k: progress.get(k)
                     for k in (

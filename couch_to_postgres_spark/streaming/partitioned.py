@@ -77,14 +77,18 @@ DELTA_SCHEMA = "epoch long, seq long, id string, deleted boolean, doc string"
 # on the stream thread, and both move directories. A real multi-driver
 # deployment serializes maintenance through its table format or job
 # scheduler; in one process a lock per path is sufficient.
-_PATH_LOCKS: dict[str, threading.Lock] = {}
+_PATH_LOCKS: dict[str, threading.RLock] = {}
 _PATH_LOCKS_GUARD = threading.Lock()
 
 
-def _path_lock(path: str) -> threading.Lock:
+def _path_lock(path: str) -> threading.RLock:
+    # RLock (same-thread reentrant, cross-thread exclusive): public
+    # entry points lock the whole read→transform→commit span while
+    # inner commit helpers (sketch._commit_versioned) lock their own
+    # swap — both hold the one per-path lock without deadlocking.
     key = os.path.abspath(path)
     with _PATH_LOCKS_GUARD:
-        return _PATH_LOCKS.setdefault(key, threading.Lock())
+        return _PATH_LOCKS.setdefault(key, threading.RLock())
 
 
 #: how long replaced bucket/delta dirs are RETAINED after a swap — an

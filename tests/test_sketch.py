@@ -178,11 +178,26 @@ def test_stream_state_commit_is_versioned_and_crash_safe(spark, tmp_path):
     out = S.sketch_stream(spark, path, b2, "g", "v", k=16).collect()[0]
     oneshot = S.bottomk_sketch(b1.unionByName(b2), "g", "v", k=16).collect()[0]
     assert out["sketch"] == oneshot["sketch"]
-    # exactly one live version dir survives + the pointer names it
-    vdirs = [n for n in os.listdir(path) if n.startswith("v-")]
+    # the pointer names a complete live version, and the SUPERSEDED
+    # version is RETAINED for the grace window (a reader that resolved
+    # _CURRENT just before the commit keeps valid parquet paths — the
+    # r07 ADVICE fix; instant pruning could delete files mid-scan)
+    vdirs = set(n for n in os.listdir(path) if n.startswith("v-"))
     with open(os.path.join(path, "_CURRENT")) as fh:
         cur = fh.read().strip()
-    assert vdirs == [cur]
+    assert cur in vdirs
+    assert "v-0000000000" in vdirs  # superseded, inside retention
+    # …and pruned once past the retention window
+    old_retain = S.STATE_RETAIN_SECONDS
+    S.STATE_RETAIN_SECONDS = 0.0
+    try:
+        S.sketch_stream(spark, path, b2, "g", "v", k=16)  # replay commit
+    finally:
+        S.STATE_RETAIN_SECONDS = old_retain
+    vdirs2 = [n for n in os.listdir(path) if n.startswith("v-")]
+    with open(os.path.join(path, "_CURRENT")) as fh:
+        cur2 = fh.read().strip()
+    assert vdirs2 == [cur2]
 
 
 def test_reservoir_stream_equals_cap_per_group_any_batching(spark, tmp_path):
@@ -246,3 +261,108 @@ def test_reservoir_state_is_bounded(spark, tmp_path):
         )
         out = S.reservoir_stream(spark, path, batch, "source", k=7)
     assert out.count() == 7
+
+
+def test_two_interleaved_writers_serialize(spark, tmp_path):
+    """VERDICT r07 #4: the daemon can drive multiple feeds onto one
+    state path; two UNSERIALIZED writers would both read the same old
+    version and the second commit would silently drop the first's batch
+    (lost update), beyond racing the _CURRENT swap. With the whole
+    read→merge→commit span under the shared per-path lock, concurrent
+    writers end with exactly one live version containing EVERY batch."""
+    import os
+    import threading
+
+    path = str(tmp_path / "sk_concurrent")
+    full = spark.createDataFrame(
+        [("g", str(v)) for v in range(400)], "g string, v string"
+    )
+    batches = [
+        full.filter(
+            (F.col("v").cast("int") >= i * 100)
+            & (F.col("v").cast("int") < (i + 1) * 100)
+        )
+        for i in range(4)
+    ]
+    barrier = threading.Barrier(4)
+    errors = []
+
+    def writer(b):
+        try:
+            barrier.wait(timeout=60)
+            S.sketch_stream(spark, path, b, "g", "v", k=32)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in batches]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    # no lost batches: final state == one-shot sketch of the union
+    got = S.read_sketch_state(spark, path).collect()[0]["sketch"]
+    want = S.bottomk_sketch(full, "g", "v", k=32).collect()[0]["sketch"]
+    assert got == want
+    # exactly one LIVE version (pointer resolves; retained superseded
+    # versions are grace-window recovery copies, not live state)
+    with open(os.path.join(path, "_CURRENT")) as fh:
+        cur = fh.read().strip()
+    assert cur in set(os.listdir(path))
+
+
+def test_reservoir_changed_payload_resolves_deterministically(
+    spark, tmp_path
+):
+    """r07 ADVICE: a re-offered id whose payload CHANGED between batches
+    (normal in a CDC feed) must resolve deterministically — never an
+    arbitrary dropDuplicates pick. Without a seq the incoming batch row
+    wins (refresh); with seq_col the max-seq row wins, so a replayed
+    STALE payload can never clobber a newer committed one."""
+    # no seq: batch refreshes the payload
+    p1 = str(tmp_path / "res_noseq")
+    b1 = spark.createDataFrame(
+        [(1, "g", "old-text")], "doc_id long, source string, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "g", "new-text")], "doc_id long, source string, text string"
+    )
+    S.reservoir_stream(spark, p1, b1, "source", k=5)
+    out = S.reservoir_stream(spark, p1, b2, "source", k=5).collect()
+    assert [r["text"] for r in out] == ["new-text"]
+
+    # seq: newest version wins; a stale replay is a no-op
+    p2 = str(tmp_path / "res_seq")
+    v1 = spark.createDataFrame(
+        [(1, "g", "v1", 10)],
+        "doc_id long, source string, text string, seq long",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "g", "v2", 20)],
+        "doc_id long, source string, text string, seq long",
+    )
+    S.reservoir_stream(spark, p2, v1, "source", k=5, seq_col="seq")
+    S.reservoir_stream(spark, p2, v2, "source", k=5, seq_col="seq")
+    stale_replay = S.reservoir_stream(
+        spark, p2, v1, "source", k=5, seq_col="seq"
+    ).collect()
+    assert [(r["text"], r["seq"]) for r in stale_replay] == [("v2", 20)]
+
+
+def test_sketch_state_status_reports_health(spark, tmp_path):
+    """VERDICT r07 #7: versioned state dirs report version, row count,
+    and last-commit batch for the daemon control plane."""
+    path = str(tmp_path / "sk_health")
+    assert S.sketch_state_status(spark, path) is None  # pre-commit
+    b = spark.createDataFrame(
+        [("g%d" % (i % 3), str(i)) for i in range(90)],
+        "g string, v string",
+    )
+    S.sketch_stream(spark, path, b, "g", "v", k=8, batch_id=0)
+    S.sketch_stream(spark, path, b, "g", "v", k=8, batch_id=1)
+    st = S.sketch_state_status(spark, path)
+    assert st["version"] == "v-0000000001" and st["version_n"] == 1
+    assert st["rows"] == 3  # one sketch row per group
+    assert st["batch_id"] == 1
+    assert st["committed_unix"] is not None
+    assert st["versions_retained"] >= 1  # grace-window copy of v-0
