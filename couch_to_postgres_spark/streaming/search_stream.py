@@ -544,13 +544,30 @@ def compact_index_inplace(
     fully after the swap — never half in a directory that is about to
     be replaced. ``token_buckets`` defaults to the bucket count already
     recorded in the index's base meta (layout continuity; 64 when the
-    index has never been compacted). The swap uses local renames — on
-    HDFS swap via the FileSystem API (rename is atomic there); on S3
-    stage to a new prefix and move a pointer, as in
-    ``ann.compact_ivf_index``."""
+    index has never been compacted).
+
+    Swap discipline (the daemon watchdog triggers this automatically,
+    so UNLOCKED readers — ``bm25_topk_from_index``, ``index_status`` —
+    can race it): the index ROOT is never renamed or removed; instead
+    each COMPONENT directory (base/doclen/postings/tombstones) is
+    retired into the index's hidden ``.trash`` (grace-window GC, the
+    exact mechanism of ``partitioned._retire``) and the staged
+    replacement renamed into place. A reader planning mid-swap can see
+    a component transiently absent — ``_read_components`` degrades that
+    to an empty frame, not a path-not-found crash — and a reader that
+    PLANNED before the swap races file replacement exactly as
+    partitioned.py documents for its bucket swaps: recovery window, not
+    snapshot isolation. The former implementation renamed the root away
+    (a window where ``index_path`` did not exist) and ``rmtree``'d the
+    old tree instantly. On HDFS swap via the FileSystem API (rename is
+    atomic there); on S3 stage to a new prefix and move a pointer, as
+    in ``ann.compact_ivf_index``."""
     import shutil
 
-    from couch_to_postgres_spark.streaming.partitioned import _path_lock
+    from couch_to_postgres_spark.streaming.partitioned import (
+        _path_lock,
+        _retire,
+    )
 
     with _path_lock(index_path):
         if token_buckets is None:
@@ -567,11 +584,16 @@ def compact_index_inplace(
             spark, index_path, staging, id_col=id_col,
             token_buckets=token_buckets,
         )
-        old = index_path.rstrip("/") + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(index_path, old)
-        os.rename(staging, index_path)
-        shutil.rmtree(old, ignore_errors=True)
+        # component-level swap under the live root: retire old pieces
+        # into .trash (grace-window recovery, never instant delete),
+        # move staged pieces in. The root itself never vanishes.
+        for comp in ("base", "doclen", "postings", "tombstones", "attrs"):
+            old_comp = os.path.join(index_path, comp)
+            new_comp = os.path.join(staging, comp)
+            _retire(old_comp, index_path)
+            if os.path.exists(new_comp):
+                os.rename(new_comp, old_comp)
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def search_index_stream(

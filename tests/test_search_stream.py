@@ -307,3 +307,45 @@ def test_string_doc_ids_no_tombstones(spark, index):
     got3 = bm25_topk_from_index(spark, compacted, qtab, k=6)
     assert _rows(got3) == _rows(bm25_topk_batch(corpus2, qtab, k=6))
     assert live_doclen(spark, compacted).count() == len(DOCS) - 1
+
+
+def test_inplace_compaction_swap_retires_to_trash(spark, index):
+    """r07 ADVICE (medium): the in-place compaction swap must never
+    leave a window where the index ROOT does not exist, and replaced
+    components go to the grace-window ``.trash`` (recovery copies),
+    never an instant rmtree — the daemon watchdog triggers this
+    automatically while unlocked readers can race it."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index_inplace,
+        index_status,
+    )
+
+    search_index_batch(
+        spark, index, _changes(spark, [(s, d, False, t) for s, (d, t) in
+                                       enumerate(DOCS, start=1)])
+    )
+    search_index_batch(
+        spark, index,
+        _changes(spark, [(10, 2, False, "merge conflicts everywhere"),
+                         (11, 4, True, None)]),
+    )
+    qtab = _qtab(spark)
+    want = _rows(bm25_topk_from_index(spark, index, qtab, k=6))
+    pre_components = {
+        n for n in os.listdir(index) if not n.startswith(".")
+    }
+    compact_index_inplace(spark, index, token_buckets=8)
+    # root survived, results identical, base present / tail cleared
+    assert os.path.isdir(index)
+    assert _rows(bm25_topk_from_index(spark, index, qtab, k=6)) == want
+    st = index_status(spark, index)
+    assert st["base_present"] and st["tail_doclen_rows"] == 0
+    assert st["tombstones"] == 0
+    # every replaced component is a recovery copy in .trash, not deleted
+    trash = os.path.join(index, ".trash")
+    assert os.path.isdir(trash)
+    retired = {n.split("-", 1)[1] for n in os.listdir(trash)}
+    assert pre_components <= retired
+    # and no sibling root leftovers from the old rename-the-root swap
+    assert not os.path.exists(index.rstrip("/") + ".old")
+    assert not os.path.exists(index.rstrip("/") + ".compacting")
