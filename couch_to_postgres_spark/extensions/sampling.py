@@ -20,6 +20,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 #: the per-group selection key space: first 15 hex chars of the md5 key
 #: as an integer — 60 bits, comfortably inside BIGINT for both Spark and
@@ -421,12 +422,132 @@ def cap_per_group_distributed(
     )
 
 
+#: tie-split gives up (and the plain band window runs) when the band
+#: holds more distinct key values than this — a huge band with MANY
+#: distinct keys is a bracket miss, not a tie problem, and collecting
+#: an unbounded tier table would violate the bounded-driver discipline.
+MAX_TIE_TIERS = 10_000
+
+
+def _tie_split_cut(
+    base: DataFrame,
+    out_cols,
+    key_col: str,
+    id_col: str,
+    k: int,
+    c_above: int,
+    keep_cond,
+    band_cond,
+    max_band_rows: int,
+    _diag: dict | None,
+) -> DataFrame | None:
+    """Split an oversized (tie-dominated) verify band so no corpus-sized
+    window ever runs (the r07 ADVICE hot-spot: a constant or coarsely
+    rounded key makes the exact band [lo, hi] corpus-sized, and the
+    single-partition global ranking window becomes an executor OOM at
+    exactly the scale :func:`select_topk_by_key` exists for):
+
+    1. TIER: aggregate the band per distinct key value (≤
+       :data:`MAX_TIE_TIERS` tiny rows to the driver — a tie-dominated
+       band has FEW distinct keys by construction; more than that means
+       the band is big for some other reason and the caller keeps the
+       plain band window).
+    2. Driver prefix-sum over tiers (key desc): tiers fully inside the
+       quota are kept MAP-SIDE (``key >= cutoff`` — no shuffle, no
+       window); exactly ONE boundary tier needs a partial take of its
+       ``q2`` id-ascending rows.
+    3. BOUNDARY: if the tier is window-sized, rank it directly; a huge
+       tie with a NUMERIC id recurses into the quantile-bracketed cut
+       on the negated id (ids are unique, so the recursion's band is
+       sketch-bounded and terminates); a huge tie with a STRING id
+       falls back to the single window (documented residual — sampled
+       quantiles need a numeric domain; ``_diag`` flags it).
+
+    Returns None when not applicable (caller falls back)."""
+    from pyspark.sql import Window as W
+
+    key = F.col(key_col)
+    tiers = (
+        base.filter(band_cond)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(key.desc())
+        .limit(MAX_TIE_TIERS + 1)
+        .collect()
+    )
+    if len(tiers) > MAX_TIE_TIERS:
+        if _diag is not None:
+            _diag["tie_split"] = {"path": "skipped-many-tiers"}
+        return None
+    remaining = k - c_above
+    cutoff_val = None  # lowest FULLY-kept key value
+    boundary_val = None
+    boundary_rows = 0
+    q2 = 0
+    for t in tiers:
+        c = int(t["_c"])
+        if remaining >= c:
+            remaining -= c
+            cutoff_val = t[key_col]
+            if remaining == 0:
+                break
+        else:
+            boundary_val, boundary_rows, q2 = t[key_col], c, remaining
+            break
+    if q2 == 0 and remaining > 0:
+        return None  # can't happen post-verify (c_ge >= k); be safe
+    full_cond = (
+        keep_cond if cutoff_val is None else (keep_cond | (key >= F.lit(cutoff_val)))
+    )
+    parts = [base.filter(full_cond).select(out_cols)]
+    path = "no-boundary"
+    if q2 > 0:
+        btier = base.filter(key == F.lit(boundary_val))
+        id_is_numeric = isinstance(
+            base.schema[id_col].dataType, NumericType
+        )
+        if boundary_rows > max_band_rows and id_is_numeric:
+            path = "boundary-recurse"
+            sub = select_topk_by_key(
+                btier.withColumn("_negid", -F.col(id_col)),
+                "_negid",
+                q2,
+                id_col=id_col,
+                max_band_rows=max_band_rows,
+            ).drop("_negid")
+        else:
+            path = (
+                "boundary-window"
+                if boundary_rows <= max_band_rows
+                else "boundary-window-unbounded"  # string-id residual
+            )
+            w = W.orderBy(F.col(id_col))
+            sub = (
+                btier.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= q2)
+                .drop("_rn")
+            )
+        parts.append(sub.select(out_cols))
+    if _diag is not None:
+        _diag["tie_split"] = {
+            "path": path,
+            "tiers": len(tiers),
+            "boundary_rows": boundary_rows,
+            "q2": q2,
+        }
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def select_topk_by_key(
     df: DataFrame,
     key_col: str,
     k: int,
     id_col: str = "doc_id",
     rel_err: float | None = None,
+    max_band_rows: int = 1_000_000,
     _diag: dict | None = None,
 ) -> DataFrame:
     """EXACTLY the ``k`` rows with the largest ``key_col`` (id ascending
@@ -462,8 +583,21 @@ def select_topk_by_key(
     join scores inner, so none exist there). Ties are exact: every tie
     of the ``hi`` bracket value lands in the band and resolves by id.
     ``rel_err`` defaults to ``max(1e-6, min(0.01, 2000/n))`` — a few
-    thousand band rows regardless of n. ``_diag`` (tests) receives the
-    attempt count and exact band size."""
+    thousand band rows regardless of n.
+
+    TIED / LOW-CARDINALITY KEYS (r07 ADVICE): the "band stays
+    sketch-bounded" property assumes near-continuous keys; a constant
+    or coarsely rounded key can make the exact band corpus-sized, and
+    the global ranking window would funnel it through one task. When
+    the verified band exceeds ``max_band_rows``, :func:`_tie_split_cut`
+    takes over: per-distinct-key tier counts (bounded driver metadata),
+    map-side keep of whole tiers, and a partial take of the ONE
+    boundary tier — windowed if it fits, recursed through this same
+    quantile machinery on the (unique, hence tie-free) numeric id if
+    not. The only residual single-window case is a > ``max_band_rows``
+    tie on a STRING id (sampled quantiles need a numeric domain) —
+    flagged in ``_diag``. ``_diag`` (tests) receives the attempt count,
+    exact band size, and the tie-split decision."""
     if k <= 0:
         return df.limit(0)
     base = df.filter(F.col(key_col).isNotNull())
@@ -476,11 +610,16 @@ def select_topk_by_key(
     c_above = 0
     keep_cond = F.lit(False)
     band_cond = F.lit(True)
+    band_rows = n
     for attempt in range(4):
         if attempt == 3:
             # degenerate: exact full ranking (keep nothing map-side,
             # band = everything) — termination never rests on the sketch
             c_above, keep_cond, band_cond = 0, F.lit(False), F.lit(True)
+            band_rows = n
+            if _diag is not None:
+                _diag["attempts"] = attempt + 1
+                _diag["band_rows"] = band_rows
             break
         m = 2.0 * e * (8.0**attempt)
         lo_val, hi_val = base.approxQuantile(
@@ -494,10 +633,26 @@ def select_topk_by_key(
             c_above = int(row["c_above"])
             keep_cond = key > F.lit(hi_val)
             band_cond = (key >= F.lit(lo_val)) & (key <= F.lit(hi_val))
+            band_rows = int(row["c_ge"] - row["c_above"])
             if _diag is not None:
                 _diag["attempts"] = attempt + 1
-                _diag["band_rows"] = int(row["c_ge"] - row["c_above"])
+                _diag["band_rows"] = band_rows
             break
+    if band_rows > max_band_rows:
+        out = _tie_split_cut(
+            base,
+            df.columns,
+            key_col,
+            id_col,
+            k,
+            c_above,
+            keep_cond,
+            band_cond,
+            max_band_rows,
+            _diag,
+        )
+        if out is not None:
+            return out
     j = base.withColumn("_q", F.lit(int(k)).cast("long")).withColumn(
         "_clo", F.lit(c_above).cast("long")
     )

@@ -2679,3 +2679,104 @@ def test_dsir_select_threshold_path_equals_takeordered(spark, sf_dir):
         ).collect()
     )
     assert ra == rb and len(ra) == 150
+
+
+def test_select_topk_by_key_tied_keys_split(spark):
+    """r07 ADVICE: with heavily tied / low-cardinality keys the exact
+    verify band can be corpus-sized and would funnel through one global
+    window task. Above max_band_rows the tie-split takes over: whole
+    tiers keep map-side, only the ONE boundary tier takes a partial —
+    recursing through the quantile cut on the (unique) numeric id, so
+    no window input ever exceeds the cap. Results stay EXACTLY
+    orderBy(key.desc(), id).limit(k)."""
+    from couch_to_postgres_spark.extensions.sampling import (
+        select_topk_by_key,
+    )
+
+    # coarse key: 4 distinct values over 4000 rows
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("double").alias("score"),
+    )
+    ref = [
+        r["doc_id"]
+        for r in df.orderBy(F.col("score").desc(), "doc_id").collect()
+    ]
+    for k, want_path in (
+        (1500, "boundary-recurse"),  # boundary tier 1000 rows > cap
+        (1000, "no-boundary"),  # quota lands exactly on a tier edge
+    ):
+        diag = {}
+        got = sorted(
+            r["doc_id"]
+            for r in select_topk_by_key(
+                df, "score", k, id_col="doc_id", max_band_rows=100,
+                _diag=diag,
+            ).collect()
+        )
+        assert got == sorted(ref[:k]), k
+        assert diag["tie_split"]["path"] == want_path, (k, diag)
+
+    # constant key (the degenerate worst case): every row ties
+    const = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("score")
+    )
+    diag = {}
+    got = sorted(
+        r["doc_id"]
+        for r in select_topk_by_key(
+            const, "score", 700, id_col="doc_id", max_band_rows=100,
+            _diag=diag,
+        ).collect()
+    )
+    assert got == list(range(700))
+    assert diag["tie_split"]["path"] == "boundary-recurse"
+
+    # string ids: a > cap tie cannot recurse through sampled quantiles
+    # (non-numeric domain) — documented residual single window, flagged
+    sdf = spark.range(1200).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        F.lit(2.0).alias("score"),
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in sdf.orderBy(F.col("score").desc(), "doc_id")
+        .limit(300)
+        .collect()
+    )
+    diag = {}
+    got = sorted(
+        r["doc_id"]
+        for r in select_topk_by_key(
+            sdf, "score", 300, id_col="doc_id", max_band_rows=100,
+            _diag=diag,
+        ).collect()
+    )
+    assert got == want
+    assert diag["tie_split"]["path"] == "boundary-window-unbounded"
+
+
+def test_select_topk_tie_split_no_oversized_window(spark):
+    """Plan shape under the tie-split: any TakeOrdered/window limit in
+    the executed plan is boundary-quota-sized, and the map-side tier
+    keep carries no window at all."""
+    from couch_to_postgres_spark.extensions.sampling import (
+        select_topk_by_key,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("double").alias("score"),
+    )
+    diag = {}
+    sel = select_topk_by_key(
+        df, "score", 1500, id_col="doc_id", max_band_rows=100, _diag=diag
+    )
+    assert sel.count() == 1500
+    # the recursion's inner cut re-brackets on the unique id: its band
+    # is sketch-bounded again, never the 1000-row tier
+    import re
+
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"TakeOrderedAndProject\(limit=(\d+)", plan):
+        assert int(m.group(1)) <= 600, plan[:2000]
