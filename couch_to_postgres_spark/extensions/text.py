@@ -606,10 +606,12 @@ def interpolated_logprob_score(
     omitted."""
     from couch_to_postgres_spark.extensions.dedup import word_shingles
 
+    # the occurrence stream is the ONLY corpus-sized frame: it carries
+    # exactly (id, bg) — the w1/w2 splits live on the vocab-sized count
+    # table below, never here (two redundant string columns on the big
+    # side of the one join would be pure shuffle bytes)
     bg = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, 2)).alias("bg")
-    ).withColumn("w1", F.split(F.col("bg"), " ")[0]).withColumn(
-        "w2", F.split(F.col("bg"), " ")[1]
     )
     # ONE corpus-wide aggregation builds the bigram table; the w1/w2
     # marginals and the corpus total all derive from it (vocabulary-sized
