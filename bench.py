@@ -563,7 +563,6 @@ def main() -> None:
         c4_line_clean,
         line_lm_clean,
     )
-    from couch_to_postgres_spark.extensions.selection import dsir_select
     from couch_to_postgres_spark.extensions.sketch import sketch_stream
 
     relined = docs.select(
@@ -574,18 +573,42 @@ def main() -> None:
     bench("q_line_lm_clean", lambda: line_lm_clean(relined).count())
     relined.unpersist()
 
-    # DSIR selection at a corpus-fraction k through the FORCED
-    # threshold-refinement path (the r06 weak item's fix): k = 40% of
-    # the corpus, where TakeOrdered's driver heap-merge is the plan
-    # this replaces
+    # DSIR at a corpus-fraction k, DECOMPOSED (VERDICT r07 #1): the r07
+    # leg timed scoring + cut through one lambda and its two same-round
+    # reps differed 7.8x (3.9 s vs 30.3 s). Quiet-box reruns of the
+    # identical r07 code measure 2.7-4.7 s across 3 in-process reps —
+    # the 30.3 s rep was host contention landing on the combined leg
+    # (nothing in it was cache-reuse-dependent: the scores were already
+    # localCheckpoint-materialized before the cut's passes). Decomposed,
+    # each measurement is single-purpose: q_dsir_score_bigk times the
+    # scoring pipeline alone (one action); the scored table is then
+    # written to parquet UNTIMED and q_dsir_cut_bigk times the FORCED
+    # threshold-refinement cut (the r06 weak item's fix — k = 40% of
+    # the corpus, where TakeOrdered's driver heap-merge stops being a
+    # plan) + the payload join over the stored scores, ~0.8 s and
+    # stable.
+    from couch_to_postgres_spark.extensions.sampling import (
+        select_topk_by_key,
+    )
+    from couch_to_postgres_spark.extensions.selection import dsir_importance
+
     dsir_docs = docs.select("doc_id", "source", "text")
+    dsir_target = dsir_docs.filter(F.col("source") == "src0")
     bench(
-        "q_dsir_select_bigk",
-        lambda: dsir_select(
-            dsir_docs,
-            dsir_docs.filter(F.col("source") == "src0"),
-            k=int(n_docs * 0.4),
-            method="threshold",
+        "q_dsir_score_bigk",
+        lambda: dsir_importance(dsir_docs, dsir_target).count(),
+    )
+    dsir_scores_path = os.path.join(tmp, "dsir_scores.parquet")
+    dsir_importance(dsir_docs, dsir_target).write.mode("overwrite").parquet(
+        dsir_scores_path
+    )
+    dsir_scores = spark.read.parquet(dsir_scores_path)
+    dsir_scores.count()  # warm the freshly-written scores (page cache)
+    k_big = int(n_docs * 0.4)
+    bench(
+        "q_dsir_cut_bigk",
+        lambda: dsir_docs.join(
+            select_topk_by_key(dsir_scores, "log_ratio", k_big), "doc_id"
         ).count(),
     )
 
@@ -644,7 +667,7 @@ def main() -> None:
         # one-time) are warmed before any timer starts. Matches BASELINE.md,
         # whose reference numbers come from a long-running daemon and an
         # OS-cached Postgres table, not a cold process.
-        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; partitioned-write benches (q_cdc_incremental*, *_rewrite) report MEDIAN of 3 reps (OS-writeback noise); matches BASELINE's long-running-daemon measurement. Shared-host caveat: single-shot timings on this box vary up to 2x run-to-run on the heavy queries (observed same-code spread e.g. q_winnow_spans 3.7-13.6 s) - compare trends/geomean across rounds, not single numbers. Since r06 a SECOND same-round run is committed as bench_out_rep2.json so per-round spread is separable from code movement (r06 reps: geomean ratio 0.967 across 31 queries, only q_bm25_index_build outside +-30%)",
+        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; partitioned-write benches (q_cdc_incremental*, *_rewrite) report MEDIAN of 3 reps (OS-writeback noise); matches BASELINE's long-running-daemon measurement. Shared-host caveat: single-shot timings on this box vary up to 2x run-to-run on the heavy queries (observed same-code spread e.g. q_winnow_spans 3.7-13.6 s) - compare trends/geomean across rounds, not single numbers. Since r06 a SECOND same-round run is committed as bench_out_rep2.json so per-round spread is separable from code movement. r08 note: r07's combined q_dsir_select_bigk leg (3.9 s vs 30.3 s reps, 7.8x) was host contention on a multi-second leg, not cache reuse - quiet-box reruns of the identical r07 code measured 2.7-4.7 s over 3 in-process reps; the leg is now DECOMPOSED into q_dsir_score_bigk (scoring alone) and q_dsir_cut_bigk (threshold cut + payload join over parquet-materialized scores, untimed setup) so each number is single-purpose",
         "ivf_recall_at_5": ivf_recall,
         "ivf_recall_at_5_nprobe8": ivf_recall_8,
         "docs": n_docs,
@@ -660,27 +683,38 @@ def main() -> None:
     }
     shutil.rmtree(tmp, ignore_errors=True)
 
-    # Artifact robustness (VERDICT r03 #1): BENCH_r03.json came back
-    # "parsed": null because the final JSON line raced the Spark JVM's
-    # async executor shutdown (RejectedExecutionException stack traces on
-    # stderr interleaving with — or, in the driver's capture, burying —
-    # the one stdout line that matters).  Order of operations now:
-    #   1. stop any live streaming queries (none should survive the timed
-    #      section, but be defensive),
-    #   2. spark.stop() and WAIT for it, so no executor-shutdown noise can
-    #      be emitted after this point,
-    #   3. persist the JSON to bench_out.json next to this script — a file
-    #      can never lose a stdout race,
-    #   4. hard-silence fd 2 (dup2 /dev/null): the JVM shares the process
-    #      stderr fd, and pyspark 4.x's executor shutdown can still emit
-    #      an async NPE stack AFTER spark.stop() returns (BENCH_r04's
-    #      "tail" noise) — nothing useful goes to stderr past this point,
-    #   5. print the JSON as the absolute last stdout line.
-    payload = json.dumps(out)
+    # Artifact robustness (VERDICT r03 #1 + r07 #2): BENCH_r03 came back
+    # "parsed": null from executor-shutdown stderr noise; the fixes below
+    # (stop streams → spark.stop() → silence fd 2 → print last) handled
+    # that, yet BENCH_r07 was null AGAIN for a different reason: the
+    # driver retains only the LAST 2000 characters of stdout as its
+    # parse window, and the full document (40 query timings + the long
+    # methodology note) had grown to 2016 bytes — the head of the JSON
+    # fell off the window and the parse failed on a truncated line.
+    # stdout therefore carries a SLIM payload (compact separators, no
+    # methodology/extras — asserted < 1900 bytes with auto-shedding of
+    # optional keys) while the FULL document goes to bench_out.json.
+    full_payload = json.dumps(out)
+    slim = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "docs": out["docs"],
+        "cdc_docs_per_sec": out["cdc_docs_per_sec"],
+        "stream_changes_per_sec": out["stream_changes_per_sec"],
+    }
+    payload = json.dumps(slim, separators=(",", ":"))
+    for optional in ("stream_changes_per_sec", "cdc_docs_per_sec", "docs"):
+        if len(payload) < 1900:
+            break
+        slim.pop(optional, None)
+        payload = json.dumps(slim, separators=(",", ":"))
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
     try:
         with open(out_path, "w") as fh:
-            fh.write(payload + "\n")
+            fh.write(full_payload + "\n")
     except OSError:
         pass  # file copy is belt-and-braces; stdout remains the contract
     sys.stdout.flush()
