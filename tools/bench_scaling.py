@@ -323,6 +323,18 @@ def main() -> None:
                     "doc_id", X_lines.as_lines("text").alias("text")
                 )
             ).count(),
+            # r08: the join-bytes lever (VERDICT r07 #6) — same query,
+            # occurrence-stream join keyed on xxhash64(bg) with the
+            # string dropped before the shuffle. If the 10x ratio does
+            # not move vs q_line_lm_clean, the family's floor is the
+            # bigram count aggregation (vocab-sized partials via
+            # map-side combine), not join bytes
+            "q_line_lm_hashed": lambda: X_lines.line_lm_clean(
+                docs.select(
+                    "doc_id", X_lines.as_lines("text").alias("text")
+                ),
+                hashed_keys=True,
+            ).count(),
             # r07: trending reader (VERDICT r06 #6) — O(index) claim,
             # grouped on the live postings split recent-vs-before
             "q_trending": lambda: trending_terms_from_index(
@@ -349,14 +361,22 @@ def main() -> None:
             ).count(),
         }
 
+    # optional subset: `python tools/bench_scaling.py q_a q_b` times only
+    # the named legs (focused re-measures; the canonical run is all legs)
+    only = set(sys.argv[1:])
+
+    def selected(t):
+        qs = queries(t)
+        return {n: f for n, f in qs.items() if not only or n in only}
+
     # warm each query's pipeline once at the SMALL scale (JIT/codegen),
     # then time small and large in the same process
-    for fn in queries(scales["sf0.1"]).values():
+    for fn in selected(scales["sf0.1"]).values():
         fn()
 
     results: dict[str, dict] = {}
     for scale, t in scales.items():
-        for name, fn in queries(t).items():
+        for name, fn in selected(t).items():
             os.sync()
             t0 = time.time()
             fn()
