@@ -491,6 +491,58 @@ def main() -> None:
         "q_bm25_from_index_recompacted",  # compaction restores the fast path
         lambda: bm25_topk_from_index(spark, lsm_dir2, idx_qtab, k=20).collect(),
     )
+
+    # r08 (VERDICT r07 #3): index-assisted phrase search on a RARE
+    # phrase — a specific key-value word sequence ('l_extendedprice
+    # <one price>', the price token's df ≈ 1 in 600k docs). The full
+    # scan runs the position-verify HOF on every doc; the indexed path
+    # reads the compacted base's df table, probes ONLY the rare term's
+    # token bucket (the ubiquitous 'l_extendedprice' key token is
+    # df-capped out of the probe), semi-joins the handful of candidate
+    # ids, and verifies positions on those docs alone. Setup (untimed):
+    # the corpus deduped by id (the synthetic mirror has duplicate ids;
+    # the index keeps one live version per id, so equal results need
+    # one row per id on the scan side too) + its own compacted index.
+    from couch_to_postgres_spark.extensions.phrase import (
+        phrase_hits,
+        phrase_hits_indexed,
+    )
+
+    phrase_corpus_path = os.path.join(tmp, "phrase_corpus.parquet")
+    search_corpus.dropDuplicates(["id"]).write.mode("overwrite").parquet(
+        phrase_corpus_path
+    )
+    phrase_corpus = spark.read.parquet(phrase_corpus_path)
+    phrase_corpus.count()  # warm page cache
+    phrase_idx_raw = os.path.join(lsm_root, "phrase_raw")
+    phrase_idx = os.path.join(lsm_root, "phrase_idx")
+    search_index_batch(
+        spark,
+        phrase_idx_raw,
+        phrase_corpus.select(
+            F.monotonically_increasing_id().alias("seq"),
+            F.col("id").alias("doc_id"),
+            F.lit(False).alias("deleted"),
+            "text",
+        ),
+        id_col="doc_id",
+    )
+    compact_index(spark, phrase_idx_raw, phrase_idx, token_buckets=64)
+    rare_price = li.select("l_extendedprice").first()[0]
+    rare_phrase = f"l_extendedprice {rare_price}"
+    bench(
+        "q_phrase_scan",
+        lambda: phrase_hits(
+            phrase_corpus, rare_phrase, id_col="id"
+        ).count(),
+    )
+    bench(
+        "q_phrase_indexed",
+        lambda: phrase_hits_indexed(
+            spark, phrase_idx, phrase_corpus, rare_phrase,
+            id_col="id", index_id_col="doc_id",
+        ).count(),
+    )
     _shutil.rmtree(lsm_root, ignore_errors=True)
 
     # the r06 quota-selection engine at 600k rows with a 75%-dominant

@@ -126,41 +126,89 @@ def proximity_hits(
     )
 
 
+def _probe_terms(
+    spark, index_path: str, terms: list[str], max_df_frac: float
+) -> list[str]:
+    """The subset of phrase terms worth probing the index for — the
+    classic rarest-word heuristic, made exact by the compacted base's
+    vocab-sized ``dfs`` statistics (written at compaction): terms whose
+    base document frequency exceeds ``max_df_frac`` of the live corpus
+    contribute almost no candidate pruning but cost a corpus-
+    proportional postings read (a JSON-key token like
+    ``l_extendedprice`` appears in EVERY doc), so they are skipped.
+    At least the rarest term always survives; a term the dfs table has
+    never seen (tail-only, post-compaction) counts as df 0 — probing it
+    is cheap by definition. Falls back to all terms on an uncompacted
+    index (no dfs). Correctness is unaffected either way: candidates =
+    docs holding ALL probed terms, a superset of the true phrase hits;
+    the driver-side df lookup is ≤ len(terms) rows."""
+    import os
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    base = os.path.join(index_path, "base")
+    try:
+        dfs = spark.read.parquet(os.path.join(base, "dfs"))
+        meta = spark.read.parquet(os.path.join(base, "meta")).collect()
+    except AnalysisException:
+        return terms
+    if not meta or "n_live" not in meta[0].asDict():
+        return terms
+    n_live = float(meta[0]["n_live"]) or 1.0
+    rows = dfs.filter(F.col("token").isin(terms)).collect()
+    df_by = {r["token"]: float(r["dft"]) for r in rows}
+    rare = [t for t in terms if df_by.get(t, 0.0) <= max_df_frac * n_live]
+    if not rare:
+        rare = [min(terms, key=lambda t: df_by.get(t, 0.0))]
+    return rare
+
+
 def phrase_candidate_ids(
     spark,
     index_path: str,
     phrase: str,
     id_col: str = "doc_id",
+    index_id_col: str | None = None,
+    max_df_frac: float = 0.25,
 ) -> DataFrame:
-    """LIVE doc ids whose indexed token set contains EVERY distinct word
+    """LIVE doc ids whose indexed token set contains every PROBED word
     of ``phrase`` — the inverted-index probe behind
     :func:`phrase_hits_indexed`. Sound because the LSM search index
     (``streaming/search_stream.py``) tokenizes with the SAME ``_words``
     as the phrase operators: a doc the full scan would match contains
     every phrase word as a token, so it has a live posting for each and
     survives the probe (no false drops; positions are verified on the
-    candidates). Probing ALL the phrase's terms subsumes the classic
-    rarest-word heuristic — the all-terms intersection is at most the
-    rarest term's postings, and the ``token IN (…)`` filter pushes into
-    both parquet scans with ``token_bucket`` partition pruning on the
-    compacted base, so the probe's bytes are postings-of-the-terms, not
-    the index."""
+    candidates). Probe terms come from :func:`_probe_terms` — the
+    rarest-word discipline driven by the compacted base's df table, so
+    a ubiquitous token never drags a corpus-proportional postings read
+    into the probe — and the ``token IN (…)`` filter pushes into both
+    parquet scans with ``token_bucket`` partition pruning on the
+    compacted base, so the probe's bytes are postings-of-the-rare-terms,
+    not the index.
+
+    ``index_id_col`` names the id column the index was BUILT with when
+    it differs from the caller's ``id_col`` (e.g. an index maintained
+    over a mirror whose ids surface as ``doc_id`` probed for a corpus
+    frame keyed ``id``); the candidate frame comes back renamed to
+    ``id_col``."""
     from couch_to_postgres_spark.streaming.search_stream import (
         live_doclen,
         query_postings,
     )
 
+    iid = index_id_col or id_col
     terms = sorted(set(_phrase_words(phrase)))
-    hit = query_postings(spark, index_path, terms, id_col).dropDuplicates(
-        [id_col, "token", "seq"]
+    probe = _probe_terms(spark, index_path, terms, max_df_frac)
+    hit = query_postings(spark, index_path, probe, iid).dropDuplicates(
+        [iid, "token", "seq"]
     )
-    live = live_doclen(spark, index_path, id_col).select(id_col, "seq")
+    live = live_doclen(spark, index_path, iid).select(iid, "seq")
     return (
-        hit.join(live, on=[id_col, "seq"])
-        .groupBy(id_col)
+        hit.join(live, on=[iid, "seq"])
+        .groupBy(iid)
         .agg(F.count_distinct("token").alias("_nt"))
-        .filter(F.col("_nt") == len(terms))
-        .select(id_col)
+        .filter(F.col("_nt") == len(probe))
+        .select(F.col(iid).alias(id_col))
     )
 
 
@@ -171,10 +219,13 @@ def phrase_hits_indexed(
     phrase: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index_id_col: str | None = None,
+    max_df_frac: float = 0.25,
+    max_checkpoint_candidates: int = 100_000,
 ) -> DataFrame:
     """:func:`phrase_hits`, index-assisted (VERDICT r07 #3 — the
     composition the module docstring promises): probe the LSM search
-    index's postings for the phrase's terms
+    index's postings for the phrase's rare terms
     (:func:`phrase_candidate_ids`), semi-join the candidate ids onto
     ``df``, verify positions on the candidates only. Returns exactly the
     full scan's rows — same columns, same values — whenever ``df``'s
@@ -183,11 +234,30 @@ def phrase_hits_indexed(
     state). The reference's query surface is built on exactly this
     make-scans-cheap-via-the-mirror move (README.md:142-155); at 100 TB
     a rare phrase costs two skinny postings scans + a position check on
-    the handful of candidate docs, instead of tokenizing the corpus."""
-    cand = phrase_candidate_ids(spark, index_path, phrase, id_col)
-    return phrase_hits(
-        df.join(cand, on=id_col, how="left_semi"), phrase, text_col, id_col
+    the handful of candidate docs, instead of tokenizing the corpus.
+
+    Plan subtlety (measured, not guessed): Catalyst PUSHES the
+    position-verify filter below the semi-join — it only references the
+    corpus side — which would run the expensive higher-order verify on
+    every doc and then join, defeating the probe. When the candidate
+    set is small (≤ ``max_checkpoint_candidates``, counted from the
+    skinny probe plan), the pruned rows are materialized
+    (``localCheckpoint``) so the verify provably runs on candidates
+    only; a candidate set bigger than that means the phrase's rarest
+    term is common enough that verifying inline during the scan IS the
+    right plan, and the plain pushed-down shape is kept."""
+    cand = phrase_candidate_ids(
+        spark,
+        index_path,
+        phrase,
+        id_col,
+        index_id_col=index_id_col,
+        max_df_frac=max_df_frac,
     )
+    pruned = df.join(cand, on=id_col, how="left_semi")
+    if cand.count() <= max_checkpoint_candidates:
+        pruned = pruned.localCheckpoint(eager=True)
+    return phrase_hits(pruned, phrase, text_col, id_col)
 
 
 def phrase_match_batch(

@@ -495,6 +495,20 @@ def compact_index(
         .partitionBy("token_bucket")
         .parquet(base_postings_path)
     )
+    # vocab-sized per-token document frequencies over the compacted
+    # base — the probe-planning statistic (rarest-term selection in
+    # phrase_candidate_ids; a df-capped BM25 could use it too). Derived
+    # FROM the base postings just written so it is exactly consistent
+    # with them; tail appends after this compaction are simply unknown
+    # to it, which only ever makes a term LOOK rarer — safe for probe
+    # selection, never used for correctness.
+    (
+        spark.read.parquet(base_postings_path)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("dft"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, "base", "dfs"))
+    )
     # carry per-doc attribute state (stats_stream's doc→source map, or
     # any other seq-wins attrs file) through compaction: keep the max-seq
     # row per LIVE doc, written as out tail (future appends still win)

@@ -185,3 +185,48 @@ def test_phrase_hits_indexed_respects_live_versions(spark, docs, tmp_path):
     )
     assert got == want
     assert [r[0] for r in got] == [2]
+
+
+def test_probe_skips_ubiquitous_terms_on_compacted_index(
+    spark, docs, tmp_path
+):
+    """With a compacted base, the probe consults the vocab-sized dfs
+    table and skips terms above max_df_frac (a ubiquitous token would
+    drag a corpus-proportional postings read into the probe); results
+    stay exactly the full scan's."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index,
+        search_index_batch,
+    )
+
+    raw = str(tmp_path / "raw_idx")
+    base = str(tmp_path / "base_idx")
+    changes = docs.select(
+        F.col("doc_id").alias("seq"),
+        "doc_id",
+        F.lit(False).alias("deleted"),
+        "text",
+    )
+    search_index_batch(spark, raw, changes, id_col="doc_id")
+    compact_index(spark, raw, base, token_buckets=8)
+
+    # 'the' is in 2/5 docs (df 0.4 > 0.25), 'terms' in 3/5 — only
+    # 'service' (2/5)… all small here; force selection with a tight cap
+    terms = sorted(set("the terms of service".split()))
+    probe = P._probe_terms(spark, base, terms, max_df_frac=0.45)
+    assert set(probe) < set(terms)  # something was skipped
+    assert probe  # never empty
+    # end-to-end equality through the df-aware probe
+    want = sorted(
+        tuple(r) for r in P.phrase_hits(docs, "terms of service").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in P.phrase_hits_indexed(
+            spark, base, docs, "terms of service", max_df_frac=0.45
+        ).collect()
+    )
+    assert got == want
+    # a phrase made ONLY of ubiquitous terms still probes the rarest one
+    only = P._probe_terms(spark, base, ["the", "terms"], max_df_frac=0.01)
+    assert len(only) == 1
