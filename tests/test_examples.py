@@ -22,6 +22,7 @@ EXAMPLES = [
     ("examples/select_training_mix.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
     ("examples/monitor_and_reconcile.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
     ("examples/phrase_and_reservoir.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
+    ("examples/indexed_search_operations.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
 ]
 
 
