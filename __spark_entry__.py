@@ -2673,6 +2673,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_proximity_indexed(spark, sf_dir):
+        # NEAR/k through the same rare-term postings probe as
+        # x_phrase_indexed - both terms must be present, so the
+        # candidate semi-join prunes before the O(n_a*n_b) distance
+        # verify; oracle is x_phrase_proximity's full-scan SQL by
+        # construction
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.extensions.phrase import (
+            proximity_hits_indexed,
+        )
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch,
+        )
+
+        docs = _docs(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="prox_idx_")
+        try:
+            search_index_batch(
+                spark,
+                work,
+                docs.select(
+                    F.col("doc_id").cast("long").alias("seq"),
+                    "doc_id",
+                    F.lit(False).alias("deleted"),
+                    "text",
+                ),
+                id_col="doc_id",
+            )
+            return proximity_hits_indexed(
+                spark, work, docs, "spark", "window", 3
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_topk_tied(spark, sf_dir):
         # tied-key selection guard (r08, the r07 ADVICE hot-spot):
         # a coarse 1000-char bucket score gives ~3 distinct key values
@@ -3406,7 +3442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compaction swap, interpolated-LM column prune); (3)
         # rotation of the NEXT-OLDEST green keys: the 28-key r01
         # cohort (j01-j08 TPC-H, e03-e16 events, a-series CDC,
-        # b23-b29) minus x_encode/x_vocab which wait for r09; (4)
+        # b23-b29) minus x_encode/x_vocab/x_approx_distinct which
+        # wait for r09; (4)
         # the one rows-only key (zlib has no SQL form) keeps the
         # tail slot per the r05 verdict. ---
         # (1) round-8 additions (full-value oracles)
@@ -3414,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_topk_tied": x_topk_tied,
         "x_line_lm_hashed": x_line_lm_hashed,
         "x_reservoir_payload": x_reservoir_payload,
+        "x_proximity_indexed": x_proximity_indexed,
         # (2) round-8 re-checks: code touched this round
         "x_phrase": x_phrase,
         "x_phrase_proximity": x_phrase_proximity,
@@ -3460,13 +3498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b26_update_where": b26_update_where,
         "b27_insert": b27_insert,
         "b29_count": b29_count,
-        "x_approx_distinct": x_approx_distinct,
         # (4) never-driver-checked rows-only key (declared: zlib)
         "x_compression": x_compression,
         # --- below the driver budget: every key here is driver-
         # green from r01-r07 (or rows-only by declared necessity).
         # The r07 top block (dsir/stats/line families + the r02-era
         # rotation) re-checked green in r07 and rotates below.
+        "x_approx_distinct": x_approx_distinct,
         "x_dsir_weights": x_dsir_weights,
         "x_dsir_select": x_dsir_select,
         "x_dsir_resample": x_dsir_resample,
@@ -8168,5 +8206,6 @@ def oracle_sql() -> dict[str, str]:
     # their full-scan / string-keyed siblings' rows by construction -
     # each shares that sibling's oracle verbatim
     oracles["x_phrase_indexed"] = oracles["x_phrase"]
+    oracles["x_proximity_indexed"] = oracles["x_phrase_proximity"]
     oracles["x_line_lm_hashed"] = oracles["x_line_lm_clean"]
     return oracles

@@ -163,6 +163,41 @@ def _probe_terms(
     return rare
 
 
+def proximity_hits_indexed(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_dist: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_id_col: str | None = None,
+    max_df_frac: float = 0.25,
+    max_checkpoint_candidates: int = 100_000,
+) -> DataFrame:
+    """:func:`proximity_hits`, index-assisted: a NEAR/k match needs
+    BOTH terms present, so the same rare-term postings probe that
+    serves phrases (:func:`_candidate_ids`) prunes the candidate docs
+    before the O(n_a·n_b) pairwise-distance verify runs — same rows as
+    the full scan whenever ``df``'s rows are indexed live, same
+    candidate-materialization guard as :func:`phrase_hits_indexed`
+    (Catalyst would otherwise push the distance verify below the
+    semi-join and run it corpus-wide)."""
+    cand = _candidate_ids(
+        spark,
+        index_path,
+        sorted({term_a, term_b}),
+        id_col,
+        index_id_col,
+        max_df_frac,
+    )
+    pruned = df.join(cand, on=id_col, how="left_semi")
+    if cand.count() <= max_checkpoint_candidates:
+        pruned = pruned.localCheckpoint(eager=True)
+    return proximity_hits(pruned, term_a, term_b, max_dist, text_col, id_col)
+
+
 def phrase_candidate_ids(
     spark,
     index_path: str,
@@ -191,13 +226,32 @@ def phrase_candidate_ids(
     over a mirror whose ids surface as ``doc_id`` probed for a corpus
     frame keyed ``id``); the candidate frame comes back renamed to
     ``id_col``."""
+    return _candidate_ids(
+        spark,
+        index_path,
+        sorted(set(_phrase_words(phrase))),
+        id_col,
+        index_id_col,
+        max_df_frac,
+    )
+
+
+def _candidate_ids(
+    spark,
+    index_path: str,
+    terms: list[str],
+    id_col: str,
+    index_id_col: str | None,
+    max_df_frac: float,
+) -> DataFrame:
+    """Shared probe core: live doc ids holding every probed term (see
+    :func:`phrase_candidate_ids` for the soundness argument)."""
     from couch_to_postgres_spark.streaming.search_stream import (
         live_doclen,
         query_postings,
     )
 
     iid = index_id_col or id_col
-    terms = sorted(set(_phrase_words(phrase)))
     probe = _probe_terms(spark, index_path, terms, max_df_frac)
     hit = query_postings(spark, index_path, probe, iid).dropDuplicates(
         [iid, "token", "seq"]

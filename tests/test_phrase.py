@@ -230,3 +230,35 @@ def test_probe_skips_ubiquitous_terms_on_compacted_index(
     # a phrase made ONLY of ubiquitous terms still probes the rarest one
     only = P._probe_terms(spark, base, ["the", "terms"], max_df_frac=0.01)
     assert len(only) == 1
+
+
+def test_proximity_hits_indexed_equals_full_scan(spark, docs, tmp_path):
+    """NEAR/k through the same rare-term probe: candidates need both
+    terms, the pairwise-distance verify runs on candidates only."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        search_index_batch,
+    )
+
+    index = str(tmp_path / "prox_idx")
+    search_index_batch(
+        spark,
+        index,
+        docs.select(
+            F.col("doc_id").alias("seq"),
+            "doc_id",
+            F.lit(False).alias("deleted"),
+            "text",
+        ),
+        id_col="doc_id",
+    )
+    for a, b, d in (("terms", "service", 3), ("a", "b", 1), ("q", "z", 5)):
+        want = sorted(
+            tuple(r) for r in P.proximity_hits(docs, a, b, d).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in P.proximity_hits_indexed(
+                spark, index, docs, a, b, d
+            ).collect()
+        )
+        assert got == want, (a, b, d)

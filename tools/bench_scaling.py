@@ -196,6 +196,60 @@ def main() -> None:
                 df.count()
         t["mirror_rows"] = t["mirror"].count()
 
+    # r08 phrase-search setup (gated: the deduped corpus + compacted
+    # index per scale cost minutes at 6M docs — built only when the
+    # phrase legs are requested or the full run executes)
+    only_early = set(sys.argv[1:])
+    if not only_early or only_early & {"q_phrase_scan", "q_phrase_indexed"}:
+        from couch_to_postgres_spark.streaming.search_stream import (
+            compact_index,
+            search_index_batch,
+        )
+
+        rare_price = (
+            spark.read.parquet(m1_path)
+            .select(
+                F.get_json_object("doc", "$.l_extendedprice").alias("p")
+            )
+            .first()["p"]
+        )
+        for scale_name, mpath in (
+            ("sf0.1", m1_path),
+            ("sf1(synth)", m10_path),
+        ):
+            t = scales[scale_name]
+            cpath = os.path.join(tmp, f"phrase_corpus_{scale_name}")
+            (
+                spark.read.parquet(mpath)
+                .select(
+                    "id",
+                    F.regexp_replace(
+                        F.col("doc"), '[,:"{}]', " "
+                    ).alias("text"),
+                )
+                .dropDuplicates(["id"])
+                .write.mode("overwrite")
+                .parquet(cpath)
+            )
+            raw = os.path.join(tmp, f"phrase_raw_{scale_name}")
+            idx = os.path.join(tmp, f"phrase_idx_{scale_name}")
+            pc = spark.read.parquet(cpath)
+            search_index_batch(
+                spark,
+                raw,
+                pc.select(
+                    F.monotonically_increasing_id().alias("seq"),
+                    F.col("id").alias("doc_id"),
+                    F.lit(False).alias("deleted"),
+                    "text",
+                ),
+                id_col="doc_id",
+            )
+            compact_index(spark, raw, idx, token_buckets=64)
+            t["phrase_corpus"] = cpath
+            t["phrase_idx"] = idx
+            t["rare_phrase"] = f"l_extendedprice {rare_price}"
+
     def queries(t):
         mirror, docs, ev, emb = t["mirror"], t["docs"], t["events"], t["emb"]
 
@@ -207,7 +261,7 @@ def main() -> None:
             apply_changes(mirror.limit(0), changes, broadcast_changes=False).count()
 
         id_parts = F.split(F.col("id"), "-")
-        return {
+        q = {
             "q_group_count": lambda: Q.group_count(mirror, "l_returnflag").collect(),
             "q_key_expansion": lambda: Q.key_expansion(mirror, "l_returnflag").collect(),
             "q_cdc_apply": cdc_apply,
@@ -360,6 +414,27 @@ def main() -> None:
                 id_col="id",
             ).count(),
         }
+        # r08: index-assisted phrase search at volume (only when the
+        # phrase setup ran — see the `want` gate). The scan's cost is
+        # corpus-proportional (position-verify HOF on every doc); the
+        # indexed probe reads the rare term's postings bucket + the
+        # skinny doclen, so its 10x ratio should sit far below the
+        # scan's
+        if t.get("phrase_idx"):
+            from couch_to_postgres_spark.extensions.phrase import (
+                phrase_hits,
+                phrase_hits_indexed,
+            )
+
+            pc = spark.read.parquet(t["phrase_corpus"])
+            q["q_phrase_scan"] = lambda: phrase_hits(
+                pc, t["rare_phrase"], id_col="id"
+            ).count()
+            q["q_phrase_indexed"] = lambda: phrase_hits_indexed(
+                spark, t["phrase_idx"], pc, t["rare_phrase"],
+                id_col="id", index_id_col="doc_id",
+            ).count()
+        return q
 
     # optional subset: `python tools/bench_scaling.py q_a q_b` times only
     # the named legs (focused re-measures; the canonical run is all legs)
