@@ -191,7 +191,7 @@ def proximity_hits_indexed(
         id_col,
         index_id_col,
         max_df_frac,
-    )
+    ).localCheckpoint(eager=True)
     pruned = df.join(cand, on=id_col, how="left_semi")
     if cand.count() <= max_checkpoint_candidates:
         pruned = pruned.localCheckpoint(eager=True)
@@ -245,21 +245,30 @@ def _candidate_ids(
     max_df_frac: float,
 ) -> DataFrame:
     """Shared probe core: live doc ids holding every probed term (see
-    :func:`phrase_candidate_ids` for the soundness argument)."""
+    :func:`phrase_candidate_ids` for the soundness argument). On a
+    read-mostly index (compacted base, no tail, no tombstones —
+    :func:`search_stream.base_is_live`) the base postings ARE the live
+    set, unique per (doc, token), so the probe is ONE bucket-pruned
+    aggregate with no live-version join and no replay dedup shuffle;
+    any churn since compaction falls back to the exact merge path."""
     from couch_to_postgres_spark.streaming.search_stream import (
+        base_is_live,
         live_doclen,
         query_postings,
     )
 
     iid = index_id_col or id_col
     probe = _probe_terms(spark, index_path, terms, max_df_frac)
-    hit = query_postings(spark, index_path, probe, iid).dropDuplicates(
-        [iid, "token", "seq"]
-    )
-    live = live_doclen(spark, index_path, iid).select(iid, "seq")
+    if base_is_live(spark, index_path):
+        hit = query_postings(spark, index_path, probe, iid)
+    else:
+        hit = query_postings(spark, index_path, probe, iid).dropDuplicates(
+            [iid, "token", "seq"]
+        )
+        live = live_doclen(spark, index_path, iid).select(iid, "seq")
+        hit = hit.join(live, on=[iid, "seq"])
     return (
-        hit.join(live, on=[iid, "seq"])
-        .groupBy(iid)
+        hit.groupBy(iid)
         .agg(F.count_distinct("token").alias("_nt"))
         .filter(F.col("_nt") == len(probe))
         .select(F.col(iid).alias(id_col))
@@ -299,7 +308,11 @@ def phrase_hits_indexed(
     (``localCheckpoint``) so the verify provably runs on candidates
     only; a candidate set bigger than that means the phrase's rarest
     term is common enough that verifying inline during the scan IS the
-    right plan, and the plain pushed-down shape is kept."""
+    right plan, and the plain pushed-down shape is kept.
+
+    The candidate ids themselves are materialized once (skinny —
+    ids only) so the probe's postings aggregate executes a single time
+    instead of once for the size decision and again inside the join."""
     cand = phrase_candidate_ids(
         spark,
         index_path,
@@ -307,7 +320,7 @@ def phrase_hits_indexed(
         id_col,
         index_id_col=index_id_col,
         max_df_frac=max_df_frac,
-    )
+    ).localCheckpoint(eager=True)
     pruned = df.join(cand, on=id_col, how="left_semi")
     if cand.count() <= max_checkpoint_candidates:
         pruned = pruned.localCheckpoint(eager=True)

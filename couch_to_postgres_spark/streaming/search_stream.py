@@ -320,6 +320,28 @@ def _full_postings(
     )
 
 
+def base_is_live(spark: SparkSession, index_path: str) -> bool:
+    """True when the compacted base IS the live corpus: stats-bearing
+    meta present, no tail doclen, no tombstones — the same read-mostly
+    test ``bm25_topk_from_index``'s fast path applies (safe on tail-
+    DOCLEN absence alone because ``search_index_batch`` appends doclen
+    before postings — its documented write-order invariant). Callers
+    can then skip the live-version merge entirely: every base postings
+    row is live and unique (compaction dropped dead versions and
+    deduplicated replays)."""
+
+    def _has(p: str) -> bool:
+        try:
+            spark.read.parquet(p)
+            return True
+        except AnalysisException:
+            return False
+
+    doclen_path, _, tomb_path = _paths(index_path)
+    _, _, meta_path = _base_paths(index_path)
+    return _has(meta_path) and not _has(doclen_path) and not _has(tomb_path)
+
+
 def query_postings(
     spark: SparkSession,
     index_path: str,
