@@ -464,9 +464,23 @@ def bm25_topk_from_index(
         .select(id_col, "token", "tf")
         .persist()
     )
-    dft = tf_live.groupBy("token").agg(
-        F.count(F.lit(1)).cast("double").alias("dft")
+    # per-token document frequency over the live set. Read-mostly fast
+    # path: the compacted base's precomputed dfs table (written at
+    # compaction, exactly the live set's frequencies when no tail or
+    # tombstone exists) — skips a groupBy over the hit slice, which is
+    # corpus-proportional for a stop-word-like term. Any churn since
+    # compaction falls back to the exact aggregate.
+    dfs_df = (
+        _try(os.path.join(index_path, "base", "dfs")) if fast else None
     )
+    if dfs_df is not None:
+        dft = dfs_df.filter(F.col("token").isin(terms)).select(
+            "token", F.col("dft").cast("double").alias("dft")
+        )
+    else:
+        dft = tf_live.groupBy("token").agg(
+            F.count(F.lit(1)).cast("double").alias("dft")
+        )
     if max_df_frac is not None:
         dft = dft.crossJoin(F.broadcast(stats)).filter(
             F.col("dft") <= F.lit(max_df_frac) * F.col("n")
