@@ -2709,6 +2709,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_dsir_incremental(spark, sf_dir):
+        # streaming DSIR (r08): the raw hashed-n-gram LM maintained as
+        # versioned state across two micro-batches + one replayed batch
+        # (marker-guarded no-op - counts are not idempotent under naive
+        # re-merge), then scored from state. Bucket counts merge
+        # additively, so this equals batch dsir_importance over the
+        # union EXACTLY - the oracle is x_dsir_weights' SQL
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.extensions.selection import (
+            dsir_importance_incremental,
+            ngram_lm_stream,
+        )
+
+        d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+        work = tempfile.mkdtemp(prefix="dsir_lm_state_")
+        try:
+            b1 = d.filter(F.col("doc_id") % 2 == 0)
+            b2 = d.filter(F.col("doc_id") % 2 == 1)
+            ngram_lm_stream(spark, work, b1, batch_id=0)
+            ngram_lm_stream(spark, work, b2, batch_id=1)
+            ngram_lm_stream(spark, work, b1, batch_id=0)  # replay no-op
+            return dsir_importance_incremental(
+                spark, work, d, d.filter(F.col("source") == "src0")
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_topk_tied(spark, sf_dir):
         # tied-key selection guard (r08, the r07 ADVICE hot-spot):
         # a coarse 1000-char bucket score gives ~3 distinct key values
@@ -3442,8 +3471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compaction swap, interpolated-LM column prune); (3)
         # rotation of the NEXT-OLDEST green keys: the 28-key r01
         # cohort (j01-j08 TPC-H, e03-e16 events, a-series CDC,
-        # b23-b29) minus x_encode/x_vocab/x_approx_distinct which
-        # wait for r09; (4)
+        # b23-b29) minus x_encode/x_vocab/x_approx_distinct/b29_count
+        # which wait for r09; (4)
         # the one rows-only key (zlib has no SQL form) keeps the
         # tail slot per the r05 verdict. ---
         # (1) round-8 additions (full-value oracles)
@@ -3452,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_line_lm_hashed": x_line_lm_hashed,
         "x_reservoir_payload": x_reservoir_payload,
         "x_proximity_indexed": x_proximity_indexed,
+        "x_dsir_incremental": x_dsir_incremental,
         # (2) round-8 re-checks: code touched this round
         "x_phrase": x_phrase,
         "x_phrase_proximity": x_phrase_proximity,
@@ -3497,7 +3527,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b25_view_projection": b25_view_projection,
         "b26_update_where": b26_update_where,
         "b27_insert": b27_insert,
-        "b29_count": b29_count,
         # (4) never-driver-checked rows-only key (declared: zlib)
         "x_compression": x_compression,
         # --- below the driver budget: every key here is driver-
@@ -3505,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The r07 top block (dsir/stats/line families + the r02-era
         # rotation) re-checked green in r07 and rotates below.
         "x_approx_distinct": x_approx_distinct,
+        "b29_count": b29_count,
         "x_dsir_weights": x_dsir_weights,
         "x_dsir_select": x_dsir_select,
         "x_dsir_resample": x_dsir_resample,
@@ -8207,5 +8237,7 @@ def oracle_sql() -> dict[str, str]:
     # each shares that sibling's oracle verbatim
     oracles["x_phrase_indexed"] = oracles["x_phrase"]
     oracles["x_proximity_indexed"] = oracles["x_phrase_proximity"]
+    # streaming-LM scoring equals batch scoring exactly (additive counts)
+    oracles["x_dsir_incremental"] = oracles["x_dsir_weights"]
     oracles["x_line_lm_hashed"] = oracles["x_line_lm_clean"]
     return oracles

@@ -169,6 +169,20 @@ def dsir_importance(
     raw_counts = ngram_bucket_counts(df, text_col, n, prefix_len)
     target_counts = ngram_bucket_counts(target_df, text_col, n, prefix_len)
     table = dsir_log_ratio_table(target_counts, raw_counts, prefix_len, alpha)
+    return _score_against_table(df, table, text_col, id_col, n, prefix_len)
+
+
+def _score_against_table(
+    df: DataFrame,
+    table: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    prefix_len: int,
+) -> DataFrame:
+    """The scoring tail shared by :func:`dsir_importance` and the
+    incremental path: explode the doc n-gram buckets, broadcast-join
+    the (bucket-space-bounded) log-ratio table, decimal-sum per doc."""
     occ = _with_words(df, text_col, id_col).select(
         F.col(id_col),
         F.explode(
@@ -183,6 +197,113 @@ def dsir_importance(
             F.round(F.sum("term"), 4).cast("double").alias("log_ratio"),
         )
     )
+
+
+def ngram_lm_stream(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    prefix_len: int = 2,
+    batch_id: int = 0,
+) -> DataFrame:
+    """``foreachBatch`` body maintaining a hashed-n-gram LM as versioned
+    state — the streaming half of DSIR: bucket counts merge ADDITIVELY,
+    so the maintained LM after any batch sequence equals
+    :func:`ngram_bucket_counts` over the union, and incremental scoring
+    is EXACTLY batch scoring (pinned by the ``x_dsir_incremental``
+    oracle). State is two kinds of row in one frame —
+    ``('bucket', <hex-prefix>, c)`` totals plus one
+    ``('batch', <batch_id>, c)`` marker per absorbed batch — bounded by
+    ``16^prefix_len`` + batches, never the corpus.
+
+    Replay safety is NOT count idempotence (re-adding a batch's counts
+    would double them, unlike the sketch families' set unions): a batch
+    whose marker is already present is a NO-OP, so at-least-once
+    delivery with a stable ``batch_id`` (Spark's epoch id) is exact.
+    Commits go through the shared versioned-pointer discipline
+    (:func:`sketch._commit_versioned` — per-path lock, atomic swap,
+    grace-retained predecessors)."""
+    from couch_to_postgres_spark.extensions.sketch import (
+        _commit_versioned,
+        read_sketch_state,
+    )
+    from couch_to_postgres_spark.streaming.partitioned import _path_lock
+
+    with _path_lock(state_path):
+        cur = read_sketch_state(spark, state_path)
+        key = str(batch_id)
+        if cur is not None and (
+            cur.filter(
+                (F.col("kind") == "batch") & (F.col("key") == key)
+            ).limit(1).count()
+            > 0
+        ):
+            return cur  # at-least-once replay: already absorbed
+        fresh = ngram_bucket_counts(batch, text_col, n, prefix_len)
+        fresh_rows = fresh.select(
+            F.lit("bucket").alias("kind"),
+            F.col("bucket").alias("key"),
+            F.col("c"),
+        )
+        marker = fresh.agg(
+            F.lit("batch").alias("kind"),
+            F.lit(key).alias("key"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("c"),
+        )
+        merged = fresh_rows.unionByName(marker)
+        if cur is not None:
+            merged = (
+                cur.unionByName(merged)
+                .groupBy("kind", "key")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        return _commit_versioned(spark, state_path, merged, batch_id=batch_id)
+
+
+def lm_counts_from_state(spark, state_path: str) -> DataFrame | None:
+    """The maintained LM's ``(bucket, c)`` table (the
+    :func:`ngram_bucket_counts` shape), or None before the first
+    commit."""
+    from couch_to_postgres_spark.extensions.sketch import read_sketch_state
+
+    st = read_sketch_state(spark, state_path)
+    if st is None:
+        return None
+    return st.filter(F.col("kind") == "bucket").select(
+        F.col("key").alias("bucket"), "c"
+    )
+
+
+def dsir_importance_incremental(
+    spark,
+    raw_state_path: str,
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    prefix_len: int = 2,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights with the RAW LM read from maintained
+    state (:func:`ngram_lm_stream`) instead of refit from the corpus —
+    the from-index reader of the selection family: a standing ingest
+    keeps the LM current and any number of scoring passes reuse it
+    without re-tokenizing history. Equal to :func:`dsir_importance`
+    over the union of every absorbed batch, exactly (additive counts).
+    The target LM stays a fit-on-demand aggregate — targets are small
+    by DSIR's construction."""
+    raw_counts = lm_counts_from_state(spark, raw_state_path)
+    if raw_counts is None:
+        raise ValueError(
+            f"no committed LM state at {raw_state_path}; "
+            "run ngram_lm_stream first"
+        )
+    target_counts = ngram_bucket_counts(target_df, text_col, n, prefix_len)
+    table = dsir_log_ratio_table(target_counts, raw_counts, prefix_len, alpha)
+    return _score_against_table(df, table, text_col, id_col, n, prefix_len)
 
 
 #: above this k, ``orderBy().limit(k)``'s driver heap-merge

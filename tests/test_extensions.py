@@ -2780,3 +2780,68 @@ def test_select_topk_tie_split_no_oversized_window(spark):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     for m in re.finditer(r"TakeOrderedAndProject\(limit=(\d+)", plan):
         assert int(m.group(1)) <= 600, plan[:2000]
+
+
+def test_ngram_lm_stream_incremental_equals_batch(spark, tmp_path):
+    """Streaming DSIR: bucket counts merge additively, so scoring
+    against the maintained LM state equals refitting on the union —
+    exactly. A replayed batch_id is a no-op (counts are NOT idempotent
+    under naive re-merge, so the marker check is the replay guard)."""
+    from couch_to_postgres_spark.extensions.selection import (
+        dsir_importance,
+        dsir_importance_incremental,
+        lm_counts_from_state,
+        ngram_lm_stream,
+    )
+
+    rows = [
+        (i, "src%d" % (i % 3), "the quick crawl doc %d about spark rows" % i)
+        for i in range(60)
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    b1 = full.filter(F.col("doc_id") < 30)
+    b2 = full.filter(F.col("doc_id") >= 30)
+    state = str(tmp_path / "lm_state")
+
+    ngram_lm_stream(spark, state, b1, batch_id=0)
+    ngram_lm_stream(spark, state, b2, batch_id=1)
+    ngram_lm_stream(spark, state, b1, batch_id=0)  # replay: must be a no-op
+
+    from couch_to_postgres_spark.extensions.selection import (
+        ngram_bucket_counts,
+    )
+
+    want_counts = sorted(
+        (r["bucket"], r["c"]) for r in ngram_bucket_counts(full).collect()
+    )
+    got_counts = sorted(
+        (r["bucket"], r["c"])
+        for r in lm_counts_from_state(spark, state).collect()
+    )
+    assert got_counts == want_counts
+
+    target = full.filter(F.col("source") == "src0")
+    want = sorted(
+        tuple(r) for r in dsir_importance(full, target).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in dsir_importance_incremental(
+            spark, state, full, target
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ngram_lm_stream_unreplayed_state_raises(spark, tmp_path):
+    from couch_to_postgres_spark.extensions.selection import (
+        dsir_importance_incremental,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no committed LM state"):
+        dsir_importance_incremental(
+            spark, str(tmp_path / "nope"), df, df
+        )
