@@ -2738,6 +2738,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_contamination_indexed(spark, sf_dir):
+        # decontamination FROM the maintained shingle index (r08): the
+        # train split ingested once through shingle_changes (the LSM
+        # machinery maintains 32-hex shingle fingerprints as tokens),
+        # then the eval split probed against live postings - train text
+        # is never re-shingled at query time. Same values as the batch
+        # operator, so the oracle is x_contamination's SQL
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch,
+        )
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            contamination_from_index,
+            shingle_changes,
+        )
+
+        d = X_text.hash_split(_docs(spark, sf_dir))
+        work = tempfile.mkdtemp(prefix="shingle_idx_")
+        try:
+            ch = d.filter(F.col("split") == "train").select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id",
+                F.lit(False).alias("deleted"),
+                "text",
+            )
+            search_index_batch(
+                spark, work, shingle_changes(ch), id_col="doc_id"
+            )
+            return contamination_from_index(
+                spark, work, d.filter(F.col("split") == "eval")
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_topk_tied(spark, sf_dir):
         # tied-key selection guard (r08, the r07 ADVICE hot-spot):
         # a coarse 1000-char bucket score gives ~3 distinct key values
@@ -3471,8 +3507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compaction swap, interpolated-LM column prune); (3)
         # rotation of the NEXT-OLDEST green keys: the 28-key r01
         # cohort (j01-j08 TPC-H, e03-e16 events, a-series CDC,
-        # b23-b29) minus x_encode/x_vocab/x_approx_distinct/b29_count
-        # which wait for r09; (4)
+        # b23-b29) minus x_encode/x_vocab/x_approx_distinct/
+        # b29_count/b27_insert which wait for r09; (4)
         # the one rows-only key (zlib has no SQL form) keeps the
         # tail slot per the r05 verdict. ---
         # (1) round-8 additions (full-value oracles)
@@ -3482,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_reservoir_payload": x_reservoir_payload,
         "x_proximity_indexed": x_proximity_indexed,
         "x_dsir_incremental": x_dsir_incremental,
+        "x_contamination_indexed": x_contamination_indexed,
         # (2) round-8 re-checks: code touched this round
         "x_phrase": x_phrase,
         "x_phrase_proximity": x_phrase_proximity,
@@ -3526,7 +3563,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b23_flatmap_emit": b23_flatmap_emit,
         "b25_view_projection": b25_view_projection,
         "b26_update_where": b26_update_where,
-        "b27_insert": b27_insert,
         # (4) never-driver-checked rows-only key (declared: zlib)
         "x_compression": x_compression,
         # --- below the driver budget: every key here is driver-
@@ -3535,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation) re-checked green in r07 and rotates below.
         "x_approx_distinct": x_approx_distinct,
         "b29_count": b29_count,
+        "b27_insert": b27_insert,
         "x_dsir_weights": x_dsir_weights,
         "x_dsir_select": x_dsir_select,
         "x_dsir_resample": x_dsir_resample,
@@ -8239,5 +8276,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_proximity_indexed"] = oracles["x_phrase_proximity"]
     # streaming-LM scoring equals batch scoring exactly (additive counts)
     oracles["x_dsir_incremental"] = oracles["x_dsir_weights"]
+    # index-answered decontamination equals the batch scan by construction
+    oracles["x_contamination_indexed"] = oracles["x_contamination"]
     oracles["x_line_lm_hashed"] = oracles["x_line_lm_clean"]
     return oracles

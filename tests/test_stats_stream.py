@@ -257,3 +257,77 @@ def test_trending_updated_doc_counts_wholly_in_tail(spark, index):
         spark, index, split_seq=100, k=10, min_count=2
     ).count()
     assert pruned == 0
+
+
+def test_contamination_from_shingle_index_equals_batch(spark, tmp_path):
+    """Decontamination from a maintained shingle index: the same
+    (id, n_shingles, n_overlap, overlap_frac) values as the batch
+    operator over the LIVE train corpus — across inserts, an update
+    that REMOVES a contaminating shingle, a delete, and a replay."""
+    from couch_to_postgres_spark.extensions.text import contamination
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index,
+        search_index_batch,
+    )
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        contamination_from_index,
+        shingle_changes,
+    )
+
+    train_v1 = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "benchmark answer alpha beta gamma delta"),
+        (3, "totally unrelated text about spark shuffles"),
+    ]
+    eval_rows = [
+        (100, "quick brown fox jumps again"),        # overlaps doc 1
+        (101, "answer alpha beta gamma in the eval"),  # overlaps doc 2 v1
+        (102, "nothing shared here at all friends"),
+        (103, "xy"),  # shorter than a shingle: zero-shingle guard
+    ]
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    index = str(tmp_path / "shingle_idx")
+
+    def ingest(rows, start_seq):
+        ch = spark.createDataFrame(
+            [(start_seq + i, d, deleted, t) for i, (d, deleted, t) in enumerate(rows)],
+            "seq long, doc_id long, deleted boolean, text string",
+        )
+        search_index_batch(
+            spark, index, shingle_changes(ch), id_col="doc_id"
+        )
+
+    ingest([(d, False, t) for d, t in train_v1], 1)
+    # update doc 2 so the 'answer alpha beta' overlap DISAPPEARS from
+    # the live corpus; delete doc 3; replay doc 1's original row
+    ingest([(2, False, "rewritten clean content entirely new words"),
+            (3, True, None)], 10)
+    ingest([(1, False, train_v1[0][1])], 1)  # replay (same seq)
+
+    live_train = spark.createDataFrame(
+        [(1, train_v1[0][1]), (2, "rewritten clean content entirely new words")],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        tuple(r) for r in contamination(live_train, eval_df).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in contamination_from_index(spark, index, eval_df).collect()
+    )
+    assert got == want
+    # the eval doc overlapping only the SUPERSEDED version reads clean
+    by_id = {r[0]: r for r in got}
+    assert by_id[101][2] == 0  # n_overlap gone with the update
+    assert by_id[100][2] > 0
+    assert by_id[103][1] == 0  # zero shingles, no crash, frac 0
+    # compaction changes nothing (fast path takes over)
+    compacted = str(tmp_path / "shingle_idx_base")
+    compact_index(spark, index, compacted, token_buckets=8)
+    got2 = sorted(
+        tuple(r)
+        for r in contamination_from_index(
+            spark, compacted, eval_df
+        ).collect()
+    )
+    assert got2 == want
