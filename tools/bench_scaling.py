@@ -250,6 +250,40 @@ def main() -> None:
             t["phrase_idx"] = idx
             t["rare_phrase"] = f"l_extendedprice {rare_price}"
 
+    # r08 decontamination setup (gated like the phrase legs): a shingle
+    # index per scale over the documents train split — the batch scan
+    # re-shingles that split per run, the indexed probe reads live
+    # postings tokens instead
+    if not only_early or only_early & {
+        "q_contamination_scan", "q_contamination_indexed",
+    }:
+        from couch_to_postgres_spark.extensions.text import hash_split
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch as _sib,
+        )
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            shingle_changes,
+        )
+
+        for scale_name in ("sf0.1", "sf1(synth)"):
+            t = scales[scale_name]
+            split = hash_split(t["docs"])
+            sidx = os.path.join(tmp, f"decon_idx_{scale_name}")
+            _sib(
+                spark,
+                sidx,
+                shingle_changes(
+                    split.filter(F.col("split") == "train").select(
+                        F.col("doc_id").cast("long").alias("seq"),
+                        "doc_id",
+                        F.lit(False).alias("deleted"),
+                        "text",
+                    )
+                ),
+                id_col="doc_id",
+            )
+            t["decon_idx"] = sidx
+
     def queries(t):
         mirror, docs, ev, emb = t["mirror"], t["docs"], t["events"], t["emb"]
 
@@ -433,6 +467,26 @@ def main() -> None:
             q["q_phrase_indexed"] = lambda: phrase_hits_indexed(
                 spark, t["phrase_idx"], pc, t["rare_phrase"],
                 id_col="id", index_id_col="doc_id",
+            ).count()
+        # r08: decontamination — batch re-shingles the train split per
+        # run; the indexed probe reads live postings tokens (O(index))
+        if t.get("decon_idx"):
+            from couch_to_postgres_spark.extensions.text import (
+                contamination,
+                hash_split,
+            )
+            from couch_to_postgres_spark.streaming.stats_stream import (
+                contamination_from_index,
+            )
+
+            split = hash_split(docs)
+            tr = split.filter(F.col("split") == "train")
+            ev = split.filter(F.col("split") == "eval")
+            q["q_contamination_scan"] = lambda: contamination(
+                tr, ev
+            ).count()
+            q["q_contamination_indexed"] = lambda: contamination_from_index(
+                spark, t["decon_idx"], ev
             ).count()
         return q
 
