@@ -2774,6 +2774,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_decontaminate_indexed(spark, sf_dir):
+        # drop-side decontamination FROM the shingle index (r08): same
+        # train/eval split and 10% threshold as x_decontaminate, train
+        # ingested once, contaminated ids detected from live postings -
+        # shares that key's oracle by exact-equality construction
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch,
+        )
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            decontaminate_from_index,
+            shingle_changes,
+        )
+
+        d = _docs(spark, sf_dir)
+        train = d.filter(F.col("source") != "src0")
+        work = tempfile.mkdtemp(prefix="decon_idx_")
+        try:
+            search_index_batch(
+                spark,
+                work,
+                shingle_changes(
+                    train.select(
+                        F.col("doc_id").cast("long").alias("seq"),
+                        "doc_id",
+                        F.lit(False).alias("deleted"),
+                        "text",
+                    )
+                ),
+                id_col="doc_id",
+            )
+            return decontaminate_from_index(
+                spark,
+                work,
+                train,
+                d.filter(F.col("source") == "src0"),
+                max_overlap_frac=0.1,
+            ).select("doc_id", "source", "n_chars").localCheckpoint(
+                eager=True
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_topk_tied(spark, sf_dir):
         # tied-key selection guard (r08, the r07 ADVICE hot-spot):
         # a coarse 1000-char bucket score gives ~3 distinct key values
@@ -3508,7 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation of the NEXT-OLDEST green keys: the 28-key r01
         # cohort (j01-j08 TPC-H, e03-e16 events, a-series CDC,
         # b23-b29) minus x_encode/x_vocab/x_approx_distinct/
-        # b29_count/b27_insert which wait for r09; (4)
+        # b29_count/b27_insert/b26_update_where which wait for r09; (4)
         # the one rows-only key (zlib has no SQL form) keeps the
         # tail slot per the r05 verdict. ---
         # (1) round-8 additions (full-value oracles)
@@ -3519,6 +3564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_proximity_indexed": x_proximity_indexed,
         "x_dsir_incremental": x_dsir_incremental,
         "x_contamination_indexed": x_contamination_indexed,
+        "x_decontaminate_indexed": x_decontaminate_indexed,
         # (2) round-8 re-checks: code touched this round
         "x_phrase": x_phrase,
         "x_phrase_proximity": x_phrase_proximity,
@@ -3562,7 +3608,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_reconciliation": a19_reconciliation,
         "b23_flatmap_emit": b23_flatmap_emit,
         "b25_view_projection": b25_view_projection,
-        "b26_update_where": b26_update_where,
         # (4) never-driver-checked rows-only key (declared: zlib)
         "x_compression": x_compression,
         # --- below the driver budget: every key here is driver-
@@ -3571,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation) re-checked green in r07 and rotates below.
         "x_approx_distinct": x_approx_distinct,
         "b29_count": b29_count,
+        "b26_update_where": b26_update_where,
         "b27_insert": b27_insert,
         "x_dsir_weights": x_dsir_weights,
         "x_dsir_select": x_dsir_select,
@@ -8278,5 +8324,6 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_dsir_incremental"] = oracles["x_dsir_weights"]
     # index-answered decontamination equals the batch scan by construction
     oracles["x_contamination_indexed"] = oracles["x_contamination"]
+    oracles["x_decontaminate_indexed"] = oracles["x_decontaminate"]
     oracles["x_line_lm_hashed"] = oracles["x_line_lm_clean"]
     return oracles

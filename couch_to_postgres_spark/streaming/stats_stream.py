@@ -458,3 +458,61 @@ def contamination_from_index(
             4,
         ).alias("overlap_frac"),
     )
+
+
+def decontaminate_from_index(
+    spark: SparkSession,
+    index_path: str,
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_overlap_frac: float = 0.0,
+) -> DataFrame:
+    """Drop-side decontamination from the maintained shingle index —
+    the complement of :func:`contamination_from_index`, matching
+    :func:`extensions.text.decontaminate`'s values (same drop rule:
+    ``n_overlap > n_shingles * max_overlap_frac`` over DISTINCT
+    shingles; the index's doclen IS each live doc's distinct-shingle
+    count, since :func:`shingle_changes` dedupes before fingerprinting).
+
+    Train text is never re-shingled: detection is the (small, broadcast)
+    eval fingerprint vocabulary joined against live postings, the
+    per-doc rollup reads skinny index state, and only the contaminated
+    id set — small by a decontamination run's premise — reaches the
+    anti-join against ``train``. The asymmetry the batch operator
+    exploits (tiny eval, huge train) is kept; the train-side shingle
+    explode it still pays per run is what the index amortizes away.
+    ``train`` should be the indexed live corpus (the steady state when
+    both are maintained from the same feed)."""
+    from couch_to_postgres_spark.extensions.dedup import word_shingles
+    from couch_to_postgres_spark.streaming.search_stream import (
+        _full_postings,
+        base_is_live,
+        live_doclen,
+    )
+
+    eval_tokens = (
+        eval_df.select(
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+        )
+        .distinct()
+        .select(F.md5("shingle").alias("token"))
+    )
+    postings = _full_postings(spark, index_path, id_col)
+    live = live_doclen(spark, index_path, id_col)
+    if not base_is_live(spark, index_path):
+        postings = postings.join(live.select(id_col, "seq"), on=[id_col, "seq"])
+    hits = (
+        postings.join(F.broadcast(eval_tokens), "token")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    contaminated = (
+        live.select(id_col, "dl")
+        .join(hits, id_col)
+        .filter(F.col("_ov") > F.col("dl") * F.lit(max_overlap_frac))
+        .select(id_col)
+    )
+    return train.join(F.broadcast(contaminated), on=id_col, how="left_anti")

@@ -331,3 +331,60 @@ def test_contamination_from_shingle_index_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got2 == want
+
+
+def test_decontaminate_from_index_equals_batch(spark, tmp_path):
+    """Drop-side decontamination from the shingle index: the surviving
+    train set equals text.decontaminate over the live corpus, including
+    the threshold rule (count comparison, not rounded fracs) and docs
+    the eval set doesn't touch."""
+    from couch_to_postgres_spark.extensions.text import decontaminate
+    from couch_to_postgres_spark.streaming.search_stream import (
+        search_index_batch,
+    )
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        decontaminate_from_index,
+        shingle_changes,
+    )
+
+    train_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "benchmark answer alpha beta gamma delta epsilon zeta"),
+        (3, "totally unrelated text about spark shuffles and rows"),
+        (4, "xy"),  # zero shingles: must always survive
+    ]
+    eval_rows = [
+        (100, "benchmark answer alpha beta gamma overlap heavy"),
+        (101, "quick brown fox appears briefly"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    index = str(tmp_path / "decon_idx")
+    search_index_batch(
+        spark,
+        index,
+        shingle_changes(
+            train.select(
+                F.col("doc_id").alias("seq"),
+                "doc_id",
+                F.lit(False).alias("deleted"),
+                "text",
+            )
+        ),
+        id_col="doc_id",
+    )
+    for frac in (0.0, 0.1, 0.5):
+        want = sorted(
+            r["doc_id"]
+            for r in decontaminate(
+                train, eval_df, max_overlap_frac=frac
+            ).collect()
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in decontaminate_from_index(
+                spark, index, train, eval_df, max_overlap_frac=frac
+            ).collect()
+        )
+        assert got == want, frac
+    assert 4 in got  # the zero-shingle doc survived every threshold
