@@ -479,14 +479,18 @@ def main() -> None:
                 contamination_from_index,
             )
 
+            # NB: must NOT rebind `ev` — the q_sessionize lambda above
+            # closed over `ev` as t["events"]; a rebind here would make
+            # it sessionize the docs split (no user_id/ts —
+            # AnalysisException at warm time on the canonical full run)
             split = hash_split(docs)
             tr = split.filter(F.col("split") == "train")
-            ev = split.filter(F.col("split") == "eval")
+            ev_docs = split.filter(F.col("split") == "eval")
             q["q_contamination_scan"] = lambda: contamination(
-                tr, ev
+                tr, ev_docs
             ).count()
             q["q_contamination_indexed"] = lambda: contamination_from_index(
-                spark, t["decon_idx"], ev
+                spark, t["decon_idx"], ev_docs
             ).count()
         return q
 
