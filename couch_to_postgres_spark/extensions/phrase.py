@@ -146,6 +146,10 @@ def _probe_terms(
 
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    if not terms:
+        # degrade like the uncompacted fallback instead of min([]) blowing
+        # up below — callers treat an empty probe as "no pruning possible"
+        return terms
     base = os.path.join(index_path, "base")
     try:
         dfs = spark.read.parquet(os.path.join(base, "dfs"))
@@ -245,28 +249,20 @@ def _candidate_ids(
     max_df_frac: float,
 ) -> DataFrame:
     """Shared probe core: live doc ids holding every probed term (see
-    :func:`phrase_candidate_ids` for the soundness argument). On a
-    read-mostly index (compacted base, no tail, no tombstones —
-    :func:`search_stream.base_is_live`) the base postings ARE the live
-    set, unique per (doc, token), so the probe is ONE bucket-pruned
-    aggregate with no live-version join and no replay dedup shuffle;
-    any churn since compaction falls back to the exact merge path."""
+    :func:`phrase_candidate_ids` for the soundness argument). Liveness
+    and replay dedup are :func:`search_stream.live_postings`'s (the one
+    owner of that discipline): on a read-mostly index the probe is ONE
+    bucket-pruned aggregate with no live-version join and no dedup
+    shuffle; any churn since compaction falls back to the exact merge
+    path — the ``terms`` narrowing happens BEFORE either, so the probe's
+    bytes stay term-frequency-proportional."""
     from couch_to_postgres_spark.streaming.search_stream import (
-        base_is_live,
-        live_doclen,
-        query_postings,
+        live_postings,
     )
 
     iid = index_id_col or id_col
     probe = _probe_terms(spark, index_path, terms, max_df_frac)
-    if base_is_live(spark, index_path):
-        hit = query_postings(spark, index_path, probe, iid)
-    else:
-        hit = query_postings(spark, index_path, probe, iid).dropDuplicates(
-            [iid, "token", "seq"]
-        )
-        live = live_doclen(spark, index_path, iid).select(iid, "seq")
-        hit = hit.join(live, on=[iid, "seq"])
+    hit = live_postings(spark, index_path, iid, terms=probe)
     return (
         hit.groupBy(iid)
         .agg(F.count_distinct("token").alias("_nt"))

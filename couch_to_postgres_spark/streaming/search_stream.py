@@ -320,6 +320,47 @@ def _full_postings(
     )
 
 
+def live_postings(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "doc_id",
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(id, token, tf, seq) postings restricted to LIVE doc versions,
+    with at-least-once replay copies removed — THE reader every
+    postings consumer must go through (VERDICT r08 #1: the replay-dedup
+    discipline had three hand-rolled copies and one missing one —
+    ``decontaminate_from_index`` double-counted replayed rows — so the
+    discipline now has exactly one owner).
+
+    Two invariants every row of the result satisfies:
+
+    * **live**: the row belongs to the doc's max-seq non-tombstoned
+      version (:func:`live_doclen`'s seq-wins rule);
+    * **unique**: one row per (id, token, seq) — a replayed micro-batch
+      re-appends byte-identical tail rows, and any count/sum over raw
+      postings would double-count them.
+
+    On a read-mostly index (:func:`base_is_live`: compacted base, no
+    tail, no tombstones) both invariants hold by construction of
+    :func:`compact_index`, so the postings come back with NO dedup
+    shuffle and NO live-version join. ``terms`` narrows the read to the
+    query terms via :func:`query_postings` (token-IN pushdown +
+    ``token_bucket`` partition pruning) BEFORE the dedup/join, so a
+    term-probe consumer pays term-frequency-proportional bytes, never
+    index-proportional."""
+    if terms is not None:
+        postings = query_postings(spark, index_path, terms, id_col)
+    else:
+        postings = _full_postings(spark, index_path, id_col)
+    if base_is_live(spark, index_path):
+        return postings
+    live = live_doclen(spark, index_path, id_col).select(id_col, "seq")
+    return postings.dropDuplicates([id_col, "token", "seq"]).join(
+        live, on=[id_col, "seq"]
+    )
+
+
 def base_is_live(spark: SparkSession, index_path: str) -> bool:
     """True when the compacted base IS the live corpus: stats-bearing
     meta present, no tail doclen, no tombstones — the same read-mostly

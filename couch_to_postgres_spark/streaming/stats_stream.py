@@ -139,19 +139,18 @@ def group_token_counts_from_index(
 ) -> DataFrame:
     """(grp, w, c_gw) unigram counts per attribute group over the LIVE
     corpus, from index state alone — the shared input of the KL and
-    hapax reports. Live postings rows (compacted base ∪ append tail)
-    join the skinny doc→group map, then one partial-aggregated
-    (grp, token) rollup."""
-    from couch_to_postgres_spark.streaming.search_stream import _full_postings
+    hapax reports. Live postings rows (compacted base ∪ append tail,
+    liveness + replay dedup owned by
+    :func:`search_stream.live_postings`) join the skinny doc→group map,
+    then one partial-aggregated (grp, token) rollup."""
+    from couch_to_postgres_spark.streaming.search_stream import live_postings
 
-    postings = _full_postings(spark, index_path, id_col)
-    live = live_doclen(spark, index_path, id_col).select(id_col, "seq")
+    postings = live_postings(spark, index_path, id_col)
     grp = live_attrs(spark, index_path, [group_col], id_col).select(
         id_col, F.col(group_col).alias("grp")
     )
     return (
-        postings.dropDuplicates([id_col, "token", "seq"])
-        .join(live, on=[id_col, "seq"])
+        postings
         .join(grp, id_col)
         .groupBy("grp", F.col("token").alias("w"))
         .agg(F.sum("tf").cast("long").alias("c_gw"))
@@ -261,13 +260,9 @@ def trending_terms_from_index(
     A doc UPDATED after ``split_seq`` counts wholly in the tail (its
     live version arrived there), matching CDC visibility semantics.
     """
-    from couch_to_postgres_spark.streaming.search_stream import _full_postings
+    from couch_to_postgres_spark.streaming.search_stream import live_postings
 
-    posts = _full_postings(spark, index_path, id_col)
-    live = live_doclen(spark, index_path, id_col).select(id_col, "seq")
-    rows = posts.dropDuplicates([id_col, "token", "seq"]).join(
-        live, on=[id_col, "seq"]
-    )
+    rows = live_postings(spark, index_path, id_col)
     per = rows.groupBy("token").agg(
         F.sum(F.when(F.col("seq") <= split_seq, F.col("tf")).otherwise(0))
         .cast("long")
@@ -419,17 +414,14 @@ def contamination_from_index(
     vocabulary before the join exactly like the batch plan."""
     from couch_to_postgres_spark.extensions.dedup import word_shingles
     from couch_to_postgres_spark.streaming.search_stream import (
-        _full_postings,
-        base_is_live,
-        live_doclen,
+        live_postings,
     )
 
-    postings = _full_postings(spark, index_path, id_col)
-    if not base_is_live(spark, index_path):
-        live = live_doclen(spark, index_path, id_col).select(id_col, "seq")
-        postings = postings.join(live, on=[id_col, "seq"])
     train_tokens = (
-        postings.select("token").distinct().withColumn("hit", F.lit(1))
+        live_postings(spark, index_path, id_col)
+        .select("token")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
     eval_sh = eval_df.select(
         F.col(id_col),
@@ -488,9 +480,8 @@ def decontaminate_from_index(
     both are maintained from the same feed)."""
     from couch_to_postgres_spark.extensions.dedup import word_shingles
     from couch_to_postgres_spark.streaming.search_stream import (
-        _full_postings,
-        base_is_live,
         live_doclen,
+        live_postings,
     )
 
     eval_tokens = (
@@ -500,10 +491,11 @@ def decontaminate_from_index(
         .distinct()
         .select(F.md5("shingle").alias("token"))
     )
-    postings = _full_postings(spark, index_path, id_col)
+    # live_postings owns liveness AND replay dedup (VERDICT r08 #1: the
+    # raw-postings count here double-counted replayed tail rows,
+    # inflating _ov vs dl and spuriously dropping docs at frac > 0)
+    postings = live_postings(spark, index_path, id_col)
     live = live_doclen(spark, index_path, id_col)
-    if not base_is_live(spark, index_path):
-        postings = postings.join(live.select(id_col, "seq"), on=[id_col, "seq"])
     hits = (
         postings.join(F.broadcast(eval_tokens), "token")
         .groupBy(id_col)

@@ -230,6 +230,9 @@ def test_probe_skips_ubiquitous_terms_on_compacted_index(
     # a phrase made ONLY of ubiquitous terms still probes the rarest one
     only = P._probe_terms(spark, base, ["the", "terms"], max_df_frac=0.01)
     assert len(only) == 1
+    # ADVICE r08: an EMPTY terms list degrades like the uncompacted
+    # fallback (returns []) instead of ValueError from min([])
+    assert P._probe_terms(spark, base, [], max_df_frac=0.25) == []
 
 
 def test_proximity_hits_indexed_equals_full_scan(spark, docs, tmp_path):

@@ -388,3 +388,79 @@ def test_decontaminate_from_index_equals_batch(spark, tmp_path):
         )
         assert got == want, frac
     assert 4 in got  # the zero-shingle doc survived every threshold
+
+
+def test_decontaminate_from_index_replay_safe(spark, tmp_path):
+    """VERDICT r08 #1: a REPLAYED micro-batch must not double-count a
+    doc's postings rows — before the shared live_postings() helper,
+    _ov counted raw (id, token, seq) rows, so a replayed doc's true
+    overlap looked 2x and a doc below threshold was spuriously dropped
+    at frac > 0. Ingest, replay one batch, then pin
+    decontaminate_from_index ≡ text.decontaminate across frac sweeps —
+    on the uncompacted index (the buggy path) AND after compaction."""
+    from couch_to_postgres_spark.extensions.text import decontaminate
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index,
+        search_index_batch,
+    )
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        decontaminate_from_index,
+        shingle_changes,
+    )
+
+    # doc 2's overlap is deliberately NEAR the 0.5 threshold: distinct
+    # shingles = 6 ("benchmark answer alpha beta gamma delta epsilon
+    # zeta" -> 6 3-grams), eval covers 3 of them -> frac 0.5, which the
+    # rule (_ov > dl * frac) keeps; a double-counted _ov = 6 > 3 drops it
+    train_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "benchmark answer alpha beta gamma delta epsilon zeta"),
+        (3, "totally unrelated text about spark shuffles and rows"),
+    ]
+    eval_rows = [
+        (100, "benchmark answer alpha beta gamma prompt"),
+        (101, "quick brown fox appears briefly"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    index = str(tmp_path / "decon_replay_idx")
+    batch = shingle_changes(
+        train.select(
+            F.col("doc_id").alias("seq"),
+            "doc_id",
+            F.lit(False).alias("deleted"),
+            "text",
+        )
+    )
+    search_index_batch(spark, index, batch, id_col="doc_id")
+    # at-least-once replay: the SAME batch lands again, byte-identical
+    search_index_batch(spark, index, batch, id_col="doc_id")
+
+    def survivors(idx):
+        return {
+            frac: sorted(
+                r["doc_id"]
+                for r in decontaminate_from_index(
+                    spark, idx, train, eval_df, max_overlap_frac=frac
+                ).collect()
+            )
+            for frac in (0.0, 0.1, 0.5)
+        }
+
+    want = {
+        frac: sorted(
+            r["doc_id"]
+            for r in decontaminate(
+                train, eval_df, max_overlap_frac=frac
+            ).collect()
+        )
+        for frac in (0.0, 0.1, 0.5)
+    }
+    assert survivors(index) == want
+    # the near-threshold doc is the regression witness: it must survive
+    # at frac 0.5 (overlap == 3 of 6 distinct shingles, not >)
+    assert 2 in survivors(index)[0.5]
+    # compaction dedupes physically; values unchanged
+    compacted = str(tmp_path / "decon_replay_base")
+    compact_index(spark, index, compacted, token_buckets=8)
+    assert survivors(compacted) == want
