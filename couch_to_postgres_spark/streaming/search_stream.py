@@ -687,6 +687,226 @@ def compact_index_inplace(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def compact_index_incremental(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "doc_id",
+) -> dict:
+    """Fold the append tail into ONLY the token buckets it touches —
+    the maintenance step that keeps recurring compaction cost
+    churn-proportional instead of corpus-proportional (VERDICT r08 #2;
+    the precedent is ``ann.compact_ivf_index``'s affected-cell-only
+    compaction). :func:`compact_index_inplace` rewrites the WHOLE base
+    even when a micro-batch touched a handful of tokens; at 100 TB the
+    base is the corpus and that rewrite is the one remaining repeated
+    corpus-proportional job. Here:
+
+    * **affected buckets** = buckets of the tail postings' tokens ∪
+      buckets holding BASE rows of churned docs (docs with a tail
+      version or a tombstone — their old rows may sit in buckets the
+      new version's tokens never touch). The second set comes from a
+      column-pruned scan of base postings (id + the partition value
+      only, never tf/token bytes) semi-joined to the skinny churned-id
+      set;
+    * per-bucket postings are rebuilt for affected buckets only (base
+      slice ∪ tail, replay-deduped, live-filtered) and swapped in
+      directory-by-directory under the existing ``.trash`` grace
+      machinery — **unaffected bucket directories are left
+      bit-identical** (pinned by test);
+    * ``doclen`` / ``dfs`` / ``meta`` / ``attrs`` are vocab- or
+      doc-count-sized (skinny) and are rewritten exactly as
+      :func:`compact_index` builds them — dfs rows for unaffected
+      buckets carry over unchanged, affected buckets recount from the
+      staged postings, so the table never drifts from the base;
+    * the tail dirs retire last, AFTER the refreshed meta lands, so the
+      read-mostly fast path can never pair fresh "no tail" with stale
+      corpus stats. A crash anywhere mid-swap leaves base ∪ tail
+      at-least-once state every reader already tolerates
+      (:func:`live_postings` dedup; liveness is max-seq).
+
+    Falls back to a FULL :func:`compact_index_inplace` when the index
+    has never been compacted (no base layout to scope to); returns a
+    stats dict (``mode`` = ``full`` | ``noop`` | ``incremental``,
+    affected/total bucket counts) the daemon watchdog logs."""
+    import shutil
+
+    from couch_to_postgres_spark.streaming.partitioned import (
+        _path_lock,
+        _retire,
+    )
+
+    with _path_lock(index_path):
+        doclen_path, postings_path, tomb_path = _paths(index_path)
+        base_doclen_path, base_postings_path, meta_path = _base_paths(
+            index_path
+        )
+        meta_rows = _read_or_empty(
+            spark, meta_path, "token_buckets int"
+        ).collect()
+        if not meta_rows:
+            compact_index_inplace(spark, index_path, id_col=id_col)
+            return {"mode": "full"}
+        n_buckets = int(meta_rows[0]["token_buckets"])
+
+        schema_dl = f"{id_col} long, dl double, seq long"
+        schema_tb = f"{id_col} long, seq long"
+        tail_dl, tomb = _read_components(
+            spark, [(doclen_path, schema_dl), (tomb_path, schema_tb)], id_col
+        )
+        if tail_dl.isEmpty() and tomb.isEmpty():
+            return {
+                "mode": "noop",
+                "affected_buckets": 0,
+                "total_buckets": n_buckets,
+            }
+
+        # churned docs: any doc with a tail version or a tombstone — its
+        # BASE rows (possibly in buckets the new version never touches)
+        # must be re-evaluated for liveness
+        churned = (
+            tail_dl.select(id_col)
+            .unionByName(tomb.select(id_col))
+            .distinct()
+        )
+        schema_po = f"{id_col} long, token string, tf double, seq long"
+        tail_po, base_po = _read_components(
+            spark,
+            [(postings_path, schema_po), (base_postings_path, schema_po)],
+            id_col,
+        )
+        tail_buckets = tail_po.select(
+            F.pmod(F.hash("token"), F.lit(n_buckets)).alias("b")
+        ).distinct()
+        if "token_bucket" in base_po.columns:
+            # column-pruned: only the id column + the partition value are
+            # read from the base — never token/tf bytes
+            base_buckets = (
+                base_po.join(F.broadcast(churned), on=id_col, how="left_semi")
+                .select(F.col("token_bucket").alias("b"))
+                .distinct()
+            )
+        else:  # a base written without bucket layout: everything affected
+            base_buckets = spark.range(n_buckets).select(
+                F.col("id").cast("int").alias("b")
+            )
+        affected = sorted(
+            r["b"]
+            for r in tail_buckets.unionByName(base_buckets).distinct().collect()
+        )  # driver-bounded: <= token_buckets ints
+
+        staging = index_path.rstrip("/") + ".compacting-incr"
+        shutil.rmtree(staging, ignore_errors=True)
+        live = live_doclen(spark, index_path, id_col).persist()
+        live.count()
+
+        # affected-bucket postings: base slice (partition-pruned read) ∪
+        # the whole tail (every tail row's bucket is affected by
+        # construction), replay-deduped, live-filtered — exactly
+        # compact_index's merge, scoped to the churned buckets
+        if "token_bucket" in base_po.columns:
+            base_aff = base_po.filter(
+                F.col("token_bucket").isin(affected)
+            ).drop("token_bucket")
+        else:
+            base_aff = base_po
+        merged = (
+            base_aff.select(id_col, "token", "tf", "seq")
+            .unionByName(tail_po.select(id_col, "token", "tf", "seq"))
+            .join(live.select(id_col, "seq"), on=[id_col, "seq"], how="left_semi")
+            .dropDuplicates([id_col, "token", "seq"])
+            .withColumn(
+                "token_bucket", F.pmod(F.hash("token"), F.lit(n_buckets))
+            )
+        )
+        staged_postings = os.path.join(staging, "postings")
+        merged.write.mode("overwrite").partitionBy("token_bucket").parquet(
+            staged_postings
+        )
+        # dfs: carry unaffected buckets' rows, recount affected buckets
+        # from the postings just staged (exactly consistent, same as the
+        # full rebuild would produce)
+        dfs_path = os.path.join(index_path, "base", "dfs")
+        old_dfs = _read_or_empty(spark, dfs_path, "token string, dft double")
+        kept_dfs = old_dfs.filter(
+            ~F.pmod(F.hash("token"), F.lit(n_buckets)).isin(affected)
+        )
+        # a zero-survivor write leaves only _SUCCESS (schema inference
+        # would fail) — the affected buckets' vocabulary is then empty
+        new_dfs = _read_or_empty(
+            spark, staged_postings, f"{id_col} long, token string, tf double, seq long"
+        ).groupBy("token").agg(
+            F.count(F.lit(1)).cast("double").alias("dft")
+        )
+        staged_dfs = os.path.join(staging, "dfs")
+        kept_dfs.unionByName(new_dfs).write.mode("overwrite").parquet(
+            staged_dfs
+        )
+        staged_doclen = os.path.join(staging, "doclen")
+        live.write.mode("overwrite").parquet(staged_doclen)
+        st = live.agg(
+            F.count(F.lit(1)).alias("n_live"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        staged_meta = os.path.join(staging, "meta")
+        spark.createDataFrame(
+            [(n_buckets, int(st["n_live"]), float(st["sum_dl"] or 0.0))],
+            "token_buckets int, n_live long, sum_dl double",
+        ).coalesce(1).write.mode("overwrite").parquet(staged_meta)
+        # attrs (if present): latest per live doc, as compact_index does
+        staged_attrs = None
+        try:
+            attrs = spark.read.parquet(os.path.join(index_path, "attrs"))
+        except AnalysisException:
+            attrs = None
+        if attrs is not None:
+            other = [c for c in attrs.columns if c not in (id_col, "seq")]
+            latest = attrs.groupBy(id_col).agg(
+                F.max("seq").alias("seq"),
+                *[F.max_by(c, "seq").alias(c) for c in other],
+            )
+            staged_attrs = os.path.join(staging, "attrs")
+            (
+                latest.join(live.select(id_col), id_col)
+                .select(id_col, *other, "seq")
+                .write.mode("overwrite")
+                .parquet(staged_attrs)
+            )
+        live.unpersist()
+
+        # swap — base components first (per-bucket for postings; the
+        # unaffected bucket dirs are never touched), tail dirs retire
+        # LAST so "no tail" can only become true after the fresh meta
+        # and doclen are in place (the fast path's consistency), and
+        # tombstones retire only after the dead rows are really gone
+        # from the swapped-in base
+        for b in affected:
+            old_b = os.path.join(base_postings_path, f"token_bucket={b}")
+            new_b = os.path.join(staged_postings, f"token_bucket={b}")
+            _retire(old_b, index_path)
+            if os.path.exists(new_b):
+                os.makedirs(base_postings_path, exist_ok=True)
+                os.rename(new_b, old_b)
+        for old_comp, new_comp in (
+            (dfs_path, staged_dfs),
+            (base_doclen_path, staged_doclen),
+            (meta_path, staged_meta),
+        ):
+            _retire(old_comp, index_path)
+            os.rename(new_comp, old_comp)
+        if staged_attrs is not None:
+            old_attrs = os.path.join(index_path, "attrs")
+            _retire(old_attrs, index_path)
+            os.rename(staged_attrs, old_attrs)
+        for tail_dir in (doclen_path, postings_path, tomb_path):
+            _retire(tail_dir, index_path)
+        shutil.rmtree(staging, ignore_errors=True)
+        return {
+            "mode": "incremental",
+            "affected_buckets": len(affected),
+            "total_buckets": n_buckets,
+            "affected": affected,
+        }
+
+
 def search_index_stream(
     spark: SparkSession,
     changes_stream: DataFrame,

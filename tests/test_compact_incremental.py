@@ -1,0 +1,240 @@
+"""Bucket-scoped incremental index compaction (VERDICT r08 #2):
+``compact_index_incremental`` folds the append tail into ONLY the token
+buckets it touches — unaffected bucket directories stay bit-identical —
+while query answers, doclen, dfs, and meta end up exactly what a full
+rewrite would produce. Precedent: ``ann.compact_ivf_index``'s
+affected-cell-only compaction and its bit-identical-untouched-files
+test."""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.search import bm25_topk_batch
+from couch_to_postgres_spark.streaming.search_stream import (
+    base_is_live,
+    bm25_topk_from_index,
+    compact_index,
+    compact_index_incremental,
+    compact_index_inplace,
+    live_doclen,
+    search_index_batch,
+)
+
+DOCS = [
+    (1, "spark merges the window rows before the shuffle"),
+    (2, "window functions rank rows inside a spark partition"),
+    (3, "the merge statement upserts changed rows"),
+    (4, "couch documents replicate through the changes feed"),
+    (5, "spark spark spark tuning guide for the shuffle"),
+    (6, "feed the window with late arriving rows"),
+    (7, "quorum reads hedge against a slow replica node"),
+    (8, "broadcast joins skip the shuffle for small tables"),
+]
+
+N_BUCKETS = 32
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, doc_id long, deleted boolean, text string"
+    )
+
+
+def _qtab(spark):
+    return spark.createDataFrame(
+        [(1, "spark"), (1, "window"), (2, "merge"), (2, "rows"),
+         (3, "quorum"), (3, "feed")],
+        "query_id int, term string",
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in df.collect()
+    )
+
+
+def _bucket_snapshot(index):
+    """{bucket_dir: {filename: md5}} over base/postings — the
+    bit-identical witness."""
+    root = os.path.join(index, "base", "postings")
+    snap = {}
+    for d in os.listdir(root):
+        if not d.startswith("token_bucket="):
+            continue
+        files = {}
+        full = os.path.join(root, d)
+        for f in sorted(os.listdir(full)):
+            with open(os.path.join(full, f), "rb") as fh:
+                files[f] = hashlib.md5(fh.read()).hexdigest()
+        snap[d] = files
+    return snap
+
+
+@pytest.fixture()
+def compacted(spark, tmp_path):
+    """An index with an established base (full compaction) and no tail."""
+    index = str(tmp_path / "idx")
+    search_index_batch(
+        spark, index,
+        _changes(spark, [(s, d, False, t)
+                         for s, (d, t) in enumerate(DOCS, start=1)]),
+    )
+    compact_index_inplace(spark, index, token_buckets=N_BUCKETS)
+    return index
+
+
+def test_incremental_equals_full_and_untouched_buckets_bit_identical(
+    spark, compacted, tmp_path
+):
+    index = compacted
+    before = _bucket_snapshot(index)
+    # churn: update doc 2 (its OLD base rows must die in buckets the new
+    # text never touches), insert doc 9, delete doc 5, replay the insert
+    new2 = "merge conflicts resolved by the latest revision"
+    churn = [
+        (20, 2, False, new2),
+        (21, 9, False, "zebra quagga yak exotic unseen tokens"),
+        (22, 5, True, None),
+    ]
+    search_index_batch(spark, index, _changes(spark, churn))
+    search_index_batch(  # at-least-once replay of the same batch
+        spark, index, _changes(spark, churn)
+    )
+    done = compact_index_incremental(spark, index)
+    assert done["mode"] == "incremental"
+    assert 0 < done["affected_buckets"] < done["total_buckets"] == N_BUCKETS
+
+    # unaffected bucket dirs are BIT-IDENTICAL; affected ones were swapped
+    after = _bucket_snapshot(index)
+    affected = {f"token_bucket={b}" for b in done["affected"]}
+    untouched = set(before) - affected
+    assert untouched, "test corpus must leave some buckets untouched"
+    for d in untouched:
+        assert after.get(d) == before[d], f"unaffected {d} was rewritten"
+
+    # the result IS the read-mostly state a full rewrite would produce
+    assert base_is_live(spark, index)
+    final_docs = [(d, new2 if d == 2 else t) for d, t in DOCS if d != 5]
+    final_docs.append((9, "zebra quagga yak exotic unseen tokens"))
+    qtab = _qtab(spark)
+    got = bm25_topk_from_index(spark, index, qtab, k=6)
+    want = bm25_topk_batch(
+        spark.createDataFrame(final_docs, "doc_id long, text string"),
+        qtab, k=6,
+    )
+    assert _rows(got) == _rows(want)
+    live = {r["doc_id"] for r in live_doclen(spark, index).collect()}
+    assert live == {1, 2, 3, 4, 6, 7, 8, 9}
+
+    # dfs never drifts from the base: equal to a from-scratch full
+    # compaction over the same live corpus
+    ref = str(tmp_path / "ref_idx")
+    search_index_batch(
+        spark, ref,
+        _changes(spark, [(s, d, False, t)
+                         for s, (d, t) in enumerate(final_docs, start=1)]),
+    )
+    ref_base = str(tmp_path / "ref_base")
+    compact_index(spark, ref, ref_base, token_buckets=N_BUCKETS)
+    want_dfs = sorted(
+        (r["token"], r["dft"])
+        for r in spark.read.parquet(
+            os.path.join(ref_base, "base", "dfs")
+        ).collect()
+    )
+    got_dfs = sorted(
+        (r["token"], r["dft"])
+        for r in spark.read.parquet(
+            os.path.join(index, "base", "dfs")
+        ).collect()
+    )
+    assert got_dfs == want_dfs
+
+
+def test_incremental_noop_when_no_churn(spark, compacted):
+    before = _bucket_snapshot(compacted)
+    done = compact_index_incremental(spark, compacted)
+    assert done["mode"] == "noop" and done["affected_buckets"] == 0
+    assert _bucket_snapshot(compacted) == before
+
+
+def test_incremental_falls_back_to_full_without_base(spark, tmp_path):
+    index = str(tmp_path / "fresh_idx")
+    search_index_batch(
+        spark, index,
+        _changes(spark, [(s, d, False, t)
+                         for s, (d, t) in enumerate(DOCS, start=1)]),
+    )
+    done = compact_index_incremental(spark, index)
+    assert done["mode"] == "full"
+    assert base_is_live(spark, index)
+    qtab = _qtab(spark)
+    got = bm25_topk_from_index(spark, index, qtab, k=6)
+    want = bm25_topk_batch(
+        spark.createDataFrame(DOCS, "doc_id long, text string"), qtab, k=6
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_incremental_delete_only_churn(spark, compacted):
+    """A tombstone with NO new version: the dead doc's base rows are
+    scrubbed from every bucket that held them, nothing else moves."""
+    index = compacted
+    n_before = live_doclen(spark, index).count()
+    search_index_batch(spark, index, _changes(spark, [(30, 5, True, None)]))
+    done = compact_index_incremental(spark, index)
+    assert done["mode"] == "incremental"
+    assert base_is_live(spark, index)
+    live = {r["doc_id"] for r in live_doclen(spark, index).collect()}
+    assert live == {1, 2, 3, 4, 6, 7, 8} and len(live) == n_before - 1
+    # doc 5's signature token is gone from the index entirely
+    from couch_to_postgres_spark.streaming.search_stream import (
+        live_postings,
+    )
+
+    assert (
+        live_postings(spark, index, terms=["tuning"]).count() == 0
+    )
+    # stats carried correctly: meta n_live matches
+    meta = spark.read.parquet(os.path.join(index, "base", "meta")).collect()
+    assert meta[0]["n_live"] == 7
+
+
+def test_incremental_attrs_carry_through(spark, tmp_path):
+    """The stats attrs file (doc → source) survives bucket-scoped
+    compaction as latest-per-live-doc, exactly like the full rewrite."""
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        live_attrs,
+        stats_index_batch,
+    )
+
+    index = str(tmp_path / "attrs_idx")
+    rows = [(s, d, False, f"s{d % 2}", t)
+            for s, (d, t) in enumerate(DOCS, start=1)]
+    stats_index_batch(
+        spark, index,
+        spark.createDataFrame(
+            rows,
+            "seq long, doc_id long, deleted boolean, source string, text string",
+        ),
+    )
+    compact_index_inplace(spark, index, token_buckets=N_BUCKETS)
+    stats_index_batch(
+        spark, index,
+        spark.createDataFrame(
+            [(40, 1, False, "s9", "totally new text for doc one")],
+            "seq long, doc_id long, deleted boolean, source string, text string",
+        ),
+    )
+    done = compact_index_incremental(spark, index)
+    assert done["mode"] == "incremental"
+    got = {
+        r["doc_id"]: r["source"]
+        for r in live_attrs(spark, index).collect()
+    }
+    assert got[1] == "s9" and len(got) == len(DOCS)
