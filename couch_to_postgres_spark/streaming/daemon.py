@@ -42,6 +42,10 @@ class FeedConfig:
     feed: str | None = None  # None | "longpoll" (HTTP source mode)
     inactivity_ms: int | None = None  # longpoll hold window (default 30 s)
     search_index: bool = False  # also maintain the live BM25 index
+    #: also maintain the live decontamination SHINGLE index (the same
+    #: LSM machinery over md5 shingle fingerprints — stats_stream.
+    #: shingle_changes ∘ search_index_batch) from the same micro-batches
+    shingle_index: bool = False
 
     @property
     def table(self) -> str:
@@ -113,6 +117,17 @@ class Daemon:
             return None
         return os.path.join(self.data_root, "search", fc.table)
 
+    def shingle_index_path(self, fc: FeedConfig) -> str | None:
+        """Per-feed live decontamination shingle index root
+        (``fc.shingle_index`` opt-in) — maintained from the same
+        micro-batches as the mirror (pipeline ``_feed_shingle_index``),
+        so ``contamination_from_index`` / ``decontaminate_from_index``
+        answer benchmark-decontamination queries without ever
+        re-shingling the train corpus."""
+        if not fc.shingle_index:
+            return None
+        return os.path.join(self.data_root, "shingles", fc.table)
+
     def sketch_state_root(self, fc: FeedConfig) -> str:
         """Where a feed's versioned sketch/reservoir state dirs live by
         convention: any ``sketch_stream``/``reservoir_stream`` state path
@@ -145,6 +160,7 @@ class Daemon:
                     trigger=trigger,
                     query_name=f"feed:{fc.name}",
                     search_index_path=self.search_index_path(fc),
+                    shingle_index_path=self.shingle_index_path(fc),
                 )
             else:
                 q = follow(
@@ -155,6 +171,7 @@ class Daemon:
                     trigger=trigger,
                     query_name=f"feed:{fc.name}",
                     search_index_path=self.search_index_path(fc),
+                    shingle_index_path=self.shingle_index_path(fc),
                 )
             self.queries[fc.name] = q
             started.append(fc.name)
@@ -197,26 +214,35 @@ class Daemon:
         # doc — what every from-index read must merge), rewrite the
         # base in place. Serialized against in-flight index appends by
         # the shared per-path lock.
-        search_compacted = {}
+        search_compacted: dict = {}
+        shingle_compacted: dict = {}
         for fc in registry.values():
-            sip = self.search_index_path(fc)
-            if sip is None or not fc.enabled:
-                continue
-            from couch_to_postgres_spark.streaming.search_stream import (
-                compact_index_inplace,
-                index_status,
-            )
+            for sip, bucket in (
+                (self.search_index_path(fc), search_compacted),
+                (self.shingle_index_path(fc), shingle_compacted),
+            ):
+                if sip is None or not fc.enabled:
+                    continue
+                from couch_to_postgres_spark.streaming.search_stream import (
+                    compact_index_incremental,
+                    index_status,
+                )
 
-            debt = index_status(self.spark, sip).get("compaction_debt")
-            if debt is not None and debt > self.search_compaction_debt:
-                compact_index_inplace(self.spark, sip)
-                search_compacted[fc.name] = debt
+                debt = index_status(self.spark, sip).get("compaction_debt")
+                if debt is not None and debt > self.search_compaction_debt:
+                    # bucket-scoped compaction (VERDICT r08 #2): folds
+                    # the tail into only the token buckets it touched;
+                    # the first compaction of a fresh index falls back
+                    # to the full rewrite internally
+                    compact_index_incremental(self.spark, sip)
+                    bucket[fc.name] = debt
         return {
             "stopped": stopped,
             "restarted": restarted,
             "started": started,
             "compacted": compacted,
             "search_compacted": search_compacted,
+            "shingle_compacted": shingle_compacted,
         }
 
     def status(self) -> dict:
@@ -257,6 +283,17 @@ class Daemon:
                 )
 
                 search = index_status(self.spark, sip)
+            # shingle-flagged feeds surface the decontamination index's
+            # health the same way (it IS the same LSM index structure —
+            # live fingerprints, churn, compaction debt)
+            shp = self.shingle_index_path(fc)
+            shingle = None
+            if shp is not None:
+                from couch_to_postgres_spark.streaming.search_stream import (
+                    index_status,
+                )
+
+                shingle = index_status(self.spark, shp)
             # versioned sketch/reservoir state health (VERDICT r07 #7):
             # every committed state dir under the feed's conventional
             # state root reports its live version, row count, and
@@ -286,6 +323,7 @@ class Daemon:
                 "doc_count": mirror_doc_count(self.spark, mp),
                 "layout": layout,
                 "search_index": search,
+                "shingle_index": shingle,
                 "sketch_states": sketch_states,
                 "last_progress": {
                     k: progress.get(k)

@@ -199,24 +199,19 @@ def upsert_mirror(
                 os.remove(p)
 
 
-def _feed_search_index(
+def _latest_text_changes(
     batch: DataFrame,
-    search_index_path: str,
     type_filter: str | None,
     map_hook: Callable[[Column], Column] | None,
     search_text: Callable[[Column], Column] | None,
-) -> None:
-    """Keep the streaming BM25 index in step with the mirror from the
-    SAME micro-batch: per-key latest change after the shared
-    ``filtered_latest`` type-filter (the two states cannot drift on
-    filter semantics), ``map_hook`` applied before tokenization, the
-    default ``search_text`` stripping JSON punctuation so keys and
-    values index as terms; deletes tombstone. Shared by ``follow`` and
-    ``follow_couch``."""
+) -> DataFrame:
+    """The (seq, doc_id, deleted, text) change frame both index twins
+    consume: per-key latest change after the shared ``filtered_latest``
+    type-filter (index state cannot drift from the mirror on filter
+    semantics), ``map_hook`` applied before tokenization, the default
+    ``search_text`` stripping JSON punctuation so keys and values index
+    as terms; deletes carry NULL text (the tombstone does the work)."""
     from couch_to_postgres_spark.operators.cdc import filtered_latest
-    from couch_to_postgres_spark.streaming.search_stream import (
-        search_index_batch,
-    )
 
     lat = filtered_latest(batch, type_filter)
     doc = F.col("doc")
@@ -227,16 +222,65 @@ def _feed_search_index(
         if search_text is not None
         else F.regexp_replace(doc, '[,:"{}]', " ")
     )
+    return lat.select(
+        F.col("seq").cast("long").alias("seq"),
+        F.col("id").alias("doc_id"),
+        F.col("deleted").cast("boolean").alias("deleted"),
+        F.when(F.col("deleted"), F.lit(None).cast("string"))
+        .otherwise(text)
+        .alias("text"),
+    )
+
+
+def _feed_search_index(
+    batch: DataFrame,
+    search_index_path: str,
+    type_filter: str | None,
+    map_hook: Callable[[Column], Column] | None,
+    search_text: Callable[[Column], Column] | None,
+) -> None:
+    """Keep the streaming BM25 index in step with the mirror from the
+    SAME micro-batch (change frame: :func:`_latest_text_changes`).
+    Shared by ``follow`` and ``follow_couch``."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        search_index_batch,
+    )
+
     search_index_batch(
         batch.sparkSession,
         search_index_path,
-        lat.select(
-            F.col("seq").cast("long").alias("seq"),
-            F.col("id").alias("doc_id"),
-            F.col("deleted").cast("boolean").alias("deleted"),
-            F.when(F.col("deleted"), F.lit(None).cast("string"))
-            .otherwise(text)
-            .alias("text"),
+        _latest_text_changes(batch, type_filter, map_hook, search_text),
+    )
+
+
+def _feed_shingle_index(
+    batch: DataFrame,
+    shingle_index_path: str,
+    type_filter: str | None,
+    map_hook: Callable[[Column], Column] | None,
+    search_text: Callable[[Column], Column] | None,
+    shingle_n: int = 3,
+) -> None:
+    """Keep the decontamination SHINGLE index in step with the mirror
+    from the SAME micro-batch (VERDICT r08 #4): the identical change
+    frame the BM25 twin consumes, re-expressed through
+    ``stats_stream.shingle_changes`` so the SAME LSM index machinery
+    maintains md5 shingle fingerprints as tokens — liveness, tombstones,
+    watchdog compaction, and ``contamination_from_index`` /
+    ``decontaminate_from_index`` all come for free."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        search_index_batch,
+    )
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        shingle_changes,
+    )
+
+    search_index_batch(
+        batch.sparkSession,
+        shingle_index_path,
+        shingle_changes(
+            _latest_text_changes(batch, type_filter, map_hook, search_text),
+            shingle_n=shingle_n,
         ),
     )
 
@@ -257,6 +301,7 @@ def follow(
     num_buckets: int | None = None,
     search_index_path: str | None = None,
     search_text: Callable[[Column], Column] | None = None,
+    shingle_index_path: str | None = None,
 ) -> StreamingQuery:
     """Start one feed's replication query (the `engine.follow(db)` API —
     the reference's `new PostgresCouchDB(...).start()`,
@@ -273,6 +318,12 @@ def follow(
     punctuation so keys and values index as terms). Replay-safe for the
     index's own reason: re-appended rows are byte-identical, liveness is
     max-seq.
+
+    ``shingle_index_path`` maintains the decontamination SHINGLE index
+    the same way (``_feed_shingle_index``: the identical change frame
+    through ``stats_stream.shingle_changes``), so benchmark
+    decontamination reads live index state instead of re-shingling the
+    mirror per run.
 
     ``sink`` picks the mirror layout: ``"partitioned"`` (default) merges
     into the bucket-partitioned mirror — per-batch cost O(touched
@@ -330,7 +381,7 @@ def follow(
             batch = batch.filter(F.col("_corrupt_record").isNull()).drop(
                 "_corrupt_record"
             )
-        elif search_index_path is not None:
+        elif search_index_path is not None or shingle_index_path is not None:
             # the index feed re-runs the batch source on top of the
             # mirror merge's own actions (and search_index_batch itself
             # runs several) — persist once so the change-log scan is
@@ -370,6 +421,11 @@ def follow(
             if search_index_path is not None:
                 _feed_search_index(
                     batch, search_index_path, type_filter, map_hook,
+                    search_text,
+                )
+            if shingle_index_path is not None:
+                _feed_shingle_index(
+                    batch, shingle_index_path, type_filter, map_hook,
                     search_text,
                 )
         finally:
@@ -413,6 +469,7 @@ def follow_couch(
     password: str | None = None,
     search_index_path: str | None = None,
     search_text: Callable[[Column], Column] | None = None,
+    shingle_index_path: str | None = None,
 ) -> StreamingQuery:
     """`follow` against a LIVE CouchDB `_changes` feed via the
     ``format("couchdb")`` data source (offset = couch ``since``, durable
@@ -423,8 +480,9 @@ def follow_couch(
     connection, newline-delimited incremental lines — lib/index.js:50-53);
     ``limit`` is the A2 admission-control page bound. No quarantine option: the source
     parses upstream and surfaces transport errors typed (no_db_file ≠
-    transient). ``search_index_path``/``search_text`` maintain the live
-    BM25 index from the same micro-batches, exactly as in
+    transient). ``search_index_path``/``search_text``/
+    ``shingle_index_path`` maintain the live BM25 / decontamination
+    shingle indexes from the same micro-batches, exactly as in
     :func:`follow`."""
     from couch_to_postgres_spark.sources.couchdb_source import register
 
@@ -457,7 +515,7 @@ def follow_couch(
         elif _current_version(mirror_path) is not None:
             use_partitioned = False
         raw = None
-        if search_index_path is not None:
+        if search_index_path is not None or shingle_index_path is not None:
             # persist: the index feed would otherwise re-pull the
             # micro-batch from the live _changes source on top of the
             # merge's own actions (see follow._merge)
@@ -485,6 +543,11 @@ def follow_couch(
             if search_index_path is not None:
                 _feed_search_index(
                     batch, search_index_path, type_filter, map_hook,
+                    search_text,
+                )
+            if shingle_index_path is not None:
+                _feed_shingle_index(
+                    batch, shingle_index_path, type_filter, map_hook,
                     search_text,
                 )
         finally:

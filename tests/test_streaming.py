@@ -595,6 +595,90 @@ def test_watchdog_compacts_search_index_on_debt(spark, sf_dir, tmp):
     d.stop_all()
 
 
+def test_daemon_feed_shingle_index(spark, sf_dir, tmp):
+    """FeedConfig(shingle_index=True) (VERDICT r08 #4): the daemon
+    maintains a per-feed decontamination shingle index under
+    data_root/shingles/<table> from the same micro-batches as the
+    mirror; post-drain, contamination answered FROM that index equals
+    batch text.contamination over the final mirror (same JSON-stripping
+    normalization), deletes included. /_status surfaces its health and
+    the watchdog's debt policy compacts it like the search twin."""
+    import os as _os
+
+    from couch_to_postgres_spark.extensions.text import contamination
+    from couch_to_postgres_spark.streaming.search_stream import (
+        index_status,
+        live_doclen,
+    )
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        contamination_from_index,
+    )
+
+    changes = changes_from_events(spark, sf_dir, delete_type="error").cache()
+    write_change_log(changes, f"{tmp}/log")
+    save_registry(
+        f"{tmp}/registry.json",
+        [
+            FeedConfig(
+                name="shingle-feed", changes_path=f"{tmp}/log",
+                shingle_index=True,
+            )
+        ],
+    )
+    d = Daemon(
+        spark, f"{tmp}/registry.json", f"{tmp}/data",
+        search_compaction_debt=0.2,
+    )
+    d.find_feeds()
+    d.await_all()
+
+    shidx = f"{tmp}/data/shingles/shingle_feed"
+    assert _os.path.isdir(shidx)
+    corpus = read_mirror(spark, f"{tmp}/data/mirrors/shingle_feed.parquet").select(
+        F.col("id").alias("doc_id"),
+        F.regexp_replace("doc", '[,:"{}]', " ").alias("text"),
+    )
+    # the shingle index's live set IS the mirror (deletes tombstoned)
+    assert live_doclen(spark, shidx).count() == corpus.count()
+    # eval set: two docs lifted from live mirror text (guaranteed
+    # overlap) + one clean
+    lifted = [
+        (100 + i, " ".join(r["text"].split()[:9]))
+        for i, r in enumerate(corpus.orderBy("doc_id").limit(2).collect())
+    ]
+    eval_df = spark.createDataFrame(
+        lifted + [(999, "no shared shingles in this clean sentence")],
+        "doc_id long, text string",
+    )
+    want = sorted(tuple(r) for r in contamination(corpus, eval_df).collect())
+    got = sorted(
+        tuple(r)
+        for r in contamination_from_index(spark, shidx, eval_df).collect()
+    )
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[100][2] > 0 and by_id[999][2] == 0
+
+    # health on /_status, same surface as the search twin
+    st = d.status()["shingle-feed"]
+    assert st["search_index"] is None
+    assert st["shingle_index"]["live_docs"] == corpus.count()
+    assert st["shingle_index"]["compaction_debt"] >= 1.0  # all-tail
+
+    # the watchdog's debt policy covers the shingle twin: one pass
+    # establishes the base, values unchanged through the swap
+    r1 = d.watchdog()
+    d.await_all()
+    assert r1["shingle_compacted"].get("shingle-feed", 0) >= 1.0
+    assert index_status(spark, shidx)["compaction_debt"] == 0.0
+    got2 = sorted(
+        tuple(r)
+        for r in contamination_from_index(spark, shidx, eval_df).collect()
+    )
+    assert got2 == want
+    d.stop_all()
+
+
 def test_daemon_status_reports_sketch_state_health(spark, sf_dir, tmp):
     """VERDICT r07 #7: any versioned sketch/reservoir state committed
     under data_root/state/<table>/<name> surfaces its live version, row
