@@ -1487,14 +1487,24 @@ def source_overlap(
     # audit: 3 shingle explosions -> 1). Distinct output is
     # vocabulary×group-sized, far smaller than the exploded corpus;
     # released below once the pair result materializes.
-    gs = (
-        df.select(
-            F.col(group_col).alias("g"),
-            F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
-        )
-        .distinct()
-        .persist()
-    )
+    gs = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
+    ).distinct()
+    return group_set_overlap(gs)
+
+
+def group_set_overlap(gs: DataFrame) -> DataFrame:
+    """Pairwise-Jaccard core over a distinct ``(g, sh)`` membership
+    frame — the shared aggregation stage of :func:`source_overlap`
+    (shingles fresh from corpus text) and
+    ``stats_stream.source_overlap_from_index`` (fingerprints from live
+    shingle-index postings), so the two paths cannot drift numerically
+    (the ``bm25_rank_components`` discipline). Input rows MUST already
+    be distinct per (g, sh); emits ``(group_a, group_b, n_shared,
+    jaccard)`` for ``group_a < group_b``, eagerly materialized (at most
+    C(groups, 2) rows)."""
+    gs = gs.persist()
     sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         gs.alias("a")

@@ -358,6 +358,7 @@ def shingle_changes(
     seq_col: str = "seq",
     deleted_col: str = "deleted",
     shingle_n: int = 3,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Re-express a CDC changes frame so the LSM index machinery
     maintains a SHINGLE index: the ``text`` becomes the space-joined
@@ -367,7 +368,11 @@ def shingle_changes(
     both retrieval (word tokens) and decontamination (shingle
     fingerprints); liveness, tombstones, compaction, bucket pruning,
     and the watchdog policy all come for free. Deleted rows pass
-    through (their text is irrelevant; the tombstone does the work)."""
+    through (their text is irrelevant; the tombstone does the work).
+    ``keep_cols`` carries attribute columns (e.g. ``source``) through
+    unchanged so :func:`stats_index_batch` can maintain the doc→attr
+    map alongside the shingle postings (the grouped readers —
+    :func:`source_overlap_from_index` — need it)."""
     from couch_to_postgres_spark.extensions.dedup import word_shingles
 
     fingerprints = F.array_join(
@@ -384,6 +389,7 @@ def shingle_changes(
         F.when(F.col(deleted_col), F.lit(None))
         .otherwise(fingerprints)
         .alias("text"),
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 
@@ -508,3 +514,86 @@ def decontaminate_from_index(
         .select(id_col)
     )
     return train.join(F.broadcast(contaminated), on=id_col, how="left_anti")
+
+
+def novelty_from_index(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty answered FROM a maintained shingle index
+    (VERDICT r08 #6): the fraction of a doc's distinct shingles whose
+    FIRST carrier (min id) is the doc itself — same
+    ``(id, n_shingles, n_novel, novelty_frac)`` contract and values as
+    :func:`extensions.text.novelty_curve` over the equivalent live
+    corpus (md5 fingerprints stand in for raw shingles on the grouping
+    key; docs shorter than one shingle are absent in both).
+
+    Why it exists: the batch operator re-shingles the corpus per run —
+    the same cost :func:`contamination_from_index` amortizes away. Here
+    the distinct (doc, shingle) pair set IS the live postings
+    (:func:`shingle_changes` dedupes before fingerprinting), so the
+    plan is one (token → min id) aggregate plus one per-doc count over
+    index state — O(index), corpus text never read. Each doc's
+    ``n_shingles`` is its index doclen (the distinct-shingle count by
+    construction), so the per-doc branch is a skinny doclen read, not a
+    second postings pass."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        live_doclen,
+        live_postings,
+    )
+
+    pairs = live_postings(spark, index_path, id_col)
+    novel_per_doc = (
+        pairs.groupBy("token")
+        .agg(F.min(id_col).alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+        .withColumnRenamed("first_doc", id_col)
+    )
+    per_doc = (
+        live_doclen(spark, index_path, id_col)
+        .filter(F.col("dl") > 0)
+        .select(id_col, F.col("dl").cast("long").alias("n_shingles"))
+    )
+    return per_doc.join(novel_per_doc, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles"), 4
+        ).alias("novelty_frac"),
+    )
+
+
+def source_overlap_from_index(
+    spark: SparkSession,
+    index_path: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise source Jaccard answered FROM a maintained shingle index
+    (VERDICT r08 #6): same ``(group_a, group_b, n_shared, jaccard)``
+    contract and values as :func:`extensions.dedup.source_overlap` over
+    the equivalent live corpus — the aggregation stage is literally
+    shared (:func:`dedup.group_set_overlap`), only the distinct
+    (group, shingle) membership frame differs: live postings joined to
+    the live doc→group attrs map instead of a fresh corpus re-shingle.
+    Requires the index to have been maintained with
+    :func:`stats_index_batch` over ``shingle_changes(...,
+    keep_cols=[group_col])`` so the attrs file exists."""
+    from couch_to_postgres_spark.extensions.dedup import group_set_overlap
+    from couch_to_postgres_spark.streaming.search_stream import (
+        live_postings,
+    )
+
+    grp = live_attrs(spark, index_path, [group_col], id_col).select(
+        id_col, F.col(group_col).alias("g")
+    )
+    gs = (
+        live_postings(spark, index_path, id_col)
+        .join(grp, id_col)
+        .select("g", F.col("token").alias("sh"))
+        .distinct()
+    )
+    return group_set_overlap(gs)

@@ -390,6 +390,114 @@ def test_decontaminate_from_index_equals_batch(spark, tmp_path):
     assert 4 in got  # the zero-shingle doc survived every threshold
 
 
+def test_novelty_from_index_equals_batch(spark, tmp_path):
+    """Novelty answered from the shingle index: same rows as
+    text.novelty_curve over the live corpus — across an update that
+    changes first-carriership, a delete, a replay, and compaction."""
+    from couch_to_postgres_spark.extensions.text import novelty_curve
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index,
+        search_index_batch,
+    )
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        novelty_from_index,
+        shingle_changes,
+    )
+
+    v1 = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma totally new ending"),  # shares 1's prefix
+        (3, "completely fresh words appear here"),
+        (4, "xy"),  # zero shingles: absent from both outputs
+    ]
+    index = str(tmp_path / "novelty_idx")
+
+    def ingest(rows, start_seq):
+        ch = spark.createDataFrame(
+            [(start_seq + i, d, deleted, t)
+             for i, (d, deleted, t) in enumerate(rows)],
+            "seq long, doc_id long, deleted boolean, text string",
+        )
+        search_index_batch(spark, index, shingle_changes(ch), id_col="doc_id")
+
+    ingest([(d, False, t) for d, t in v1], 1)
+    # update doc 1 away from the shared prefix (doc 2 becomes the first
+    # carrier of 'alpha beta gamma'), delete doc 3, replay doc 2's row
+    ingest([(1, False, "moved on to entirely different content"),
+            (3, True, None)], 10)
+    ingest([(2, False, v1[1][1])], 2)  # replay (same seq)
+
+    live = spark.createDataFrame(
+        [(1, "moved on to entirely different content"), (2, v1[1][1]),
+         (4, "xy")],
+        "doc_id long, text string",
+    )
+    want = sorted(tuple(r) for r in novelty_curve(live).collect())
+    got = sorted(
+        tuple(r) for r in novelty_from_index(spark, index).collect()
+    )
+    assert got == want and len(got) == 2  # doc 4 absent (zero shingles)
+    compacted = str(tmp_path / "novelty_base")
+    compact_index(spark, index, compacted, token_buckets=8)
+    got2 = sorted(
+        tuple(r) for r in novelty_from_index(spark, compacted).collect()
+    )
+    assert got2 == want
+
+
+def test_source_overlap_from_index_equals_batch(spark, tmp_path):
+    """Pairwise source Jaccard from the shingle index (attrs carried by
+    shingle_changes keep_cols): same rows as dedup.source_overlap over
+    the live corpus, including after an update flips a doc's source."""
+    from couch_to_postgres_spark.extensions.dedup import source_overlap
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        shingle_changes,
+        source_overlap_from_index,
+        stats_index_batch,
+    )
+
+    v1 = [
+        (1, "a", "the quick brown fox jumps high"),
+        (2, "a", "pack my box with five dozen jugs"),
+        (3, "b", "the quick brown fox naps instead"),   # overlaps src a
+        (4, "c", "entirely disjoint vocabulary lives here"),
+    ]
+    index = str(tmp_path / "overlap_idx")
+
+    def ingest(rows, start_seq):
+        ch = spark.createDataFrame(
+            [(start_seq + i, d, deleted, s, t)
+             for i, (d, deleted, s, t) in enumerate(rows)],
+            "seq long, doc_id long, deleted boolean, source string, text string",
+        )
+        stats_index_batch(
+            spark, index,
+            shingle_changes(ch, keep_cols=["source"]),
+            id_col="doc_id",
+        )
+
+    ingest([(d, False, s, t) for d, s, t in v1], 1)
+    # doc 3 moves to source c (its overlap moves with it)
+    ingest([(3, False, "c", "the quick brown fox naps instead")], 10)
+
+    live = spark.createDataFrame(
+        [(1, "a", v1[0][2]), (2, "a", v1[1][2]),
+         (3, "c", v1[2][2]), (4, "c", v1[3][2])],
+        "doc_id long, source string, text string",
+    )
+    want = sorted(
+        tuple(r) for r in source_overlap(live).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in source_overlap_from_index(spark, index).collect()
+    )
+    assert got == want
+    # source b vanished with the move; a–c share the fox shingles
+    assert all(r[0] != "b" and r[1] != "b" for r in got)
+    assert any(r[2] > 0 for r in got)
+
+
 def test_decontaminate_from_index_replay_safe(spark, tmp_path):
     """VERDICT r08 #1: a REPLAYED micro-batch must not double-count a
     doc's postings rows — before the shared live_postings() helper,
