@@ -2819,6 +2819,177 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_decontaminate_replayed(spark, sf_dir):
+        # r09 (VERDICT r08 #1 regression witness): x_decontaminate_indexed
+        # with the train ingest REPLAYED — the at-least-once transport
+        # case. Before search_stream.live_postings() owned replay dedup,
+        # the doubled postings rows inflated the overlap count against
+        # the (single-counted) doclen and spuriously dropped docs at the
+        # 10% threshold; now the key shares x_decontaminate's oracle by
+        # exact-equality construction, replay or not.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch,
+        )
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            decontaminate_from_index,
+            shingle_changes,
+        )
+
+        d = _docs(spark, sf_dir)
+        train = d.filter(F.col("source") != "src0")
+        work = tempfile.mkdtemp(prefix="decon_replay_idx_")
+        try:
+            batch = shingle_changes(
+                train.select(
+                    F.col("doc_id").cast("long").alias("seq"),
+                    "doc_id",
+                    F.lit(False).alias("deleted"),
+                    "text",
+                )
+            )
+            search_index_batch(spark, work, batch, id_col="doc_id")
+            # the replay: the SAME batch lands again, byte-identical
+            search_index_batch(spark, work, batch, id_col="doc_id")
+            return decontaminate_from_index(
+                spark,
+                work,
+                train,
+                d.filter(F.col("source") == "src0"),
+                max_overlap_frac=0.1,
+            ).select("doc_id", "source", "n_chars").localCheckpoint(
+                eager=True
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    def x_novelty_indexed(spark, sf_dir):
+        # per-doc novelty FROM the maintained shingle index (r09,
+        # VERDICT r08 #6): the live postings ARE the distinct
+        # (doc, shingle) pair set, so first-carriership is one
+        # (token -> min id) aggregate and n_shingles is the doclen read
+        # — the corpus is never re-shingled at query time. Shares
+        # x_novelty's oracle by exact-equality construction.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch,
+        )
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            novelty_from_index,
+            shingle_changes,
+        )
+
+        work = tempfile.mkdtemp(prefix="novelty_idx_")
+        try:
+            ch = _docs(spark, sf_dir).select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id",
+                F.lit(False).alias("deleted"),
+                "text",
+            )
+            search_index_batch(
+                spark, work, shingle_changes(ch), id_col="doc_id"
+            )
+            return novelty_from_index(spark, work).localCheckpoint(
+                eager=True
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    def x_source_overlap_indexed(spark, sf_dir):
+        # pairwise source jaccard FROM the shingle index + its attrs map
+        # (r09, VERDICT r08 #6): shingle_changes(keep_cols=['source'])
+        # carries the attribute through stats_index_batch, and the
+        # pairwise aggregation stage is LITERALLY the batch operator's
+        # (dedup.group_set_overlap) — shares x_source_overlap's oracle.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            shingle_changes,
+            source_overlap_from_index,
+            stats_index_batch,
+        )
+
+        work = tempfile.mkdtemp(prefix="overlap_idx_")
+        try:
+            ch = _docs(spark, sf_dir).select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id",
+                F.lit(False).alias("deleted"),
+                "source",
+                "text",
+            )
+            stats_index_batch(
+                spark,
+                work,
+                shingle_changes(ch, keep_cols=["source"]),
+                id_col="doc_id",
+            )
+            return source_overlap_from_index(spark, work)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    def x_compact_incremental(spark, sf_dir):
+        # bucket-scoped incremental compaction (r09, VERDICT r08 #2):
+        # the exact x_bm25_incremental state machine (two inserts, a
+        # full in-place compaction establishing the base, then the
+        # update/delete churn batch folded in by
+        # compact_index_incremental — only the churned token buckets
+        # rewritten), answered from the resulting read-mostly index.
+        # Shares x_bm25_incremental's oracle: the final live corpus is
+        # identical by construction.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.search_stream import (
+            bm25_topk_from_index,
+            compact_index_inplace,
+            compact_index_incremental,
+            search_index_batch,
+        )
+
+        base = _docs(spark, sf_dir).select("doc_id", "text")
+        work = tempfile.mkdtemp(prefix="bm25_incr_idx_")
+        try:
+            b1 = base.filter(F.col("doc_id") < 250).select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            )
+            b2 = base.filter(F.col("doc_id") >= 250).select(
+                (F.col("doc_id") + 1000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            )
+            upd = base.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"),
+                F.concat(
+                    F.col("text"), F.lit(" spark merge window")
+                ).alias("text"),
+            )
+            dele = base.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("string").alias("text"),
+            )
+            search_index_batch(spark, work, b1)
+            search_index_batch(spark, work, b2)
+            compact_index_inplace(spark, work, token_buckets=32)
+            search_index_batch(spark, work, upd.unionByName(dele))
+            done = compact_index_incremental(spark, work)
+            assert done["mode"] == "incremental", done
+            qtab = spark.createDataFrame(
+                [(1, "spark"), (1, "window"), (2, "merge"), (2, "rows")],
+                "query_id int, term string",
+            )
+            return bm25_topk_from_index(spark, work, qtab, k=15)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_topk_tied(spark, sf_dir):
         # tied-key selection guard (r08, the r07 ADVICE hot-spot):
         # a coarse 1000-char bucket score gives ~3 distinct key values
@@ -3541,31 +3712,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return diff_report(content_diff(left, repaired, include_same=True))
 
     return {
-        # --- ROUND-8 TOP BLOCK (the driver checks the first ~50
+        # --- ROUND-9 TOP BLOCK (the driver checks the first ~50
         # insertion-order keys; re-derive each round from
-        # CORRECTNESS_r{N}.json). Order: (1) round-8 additions,
-        # never driver-checked; (2) re-checks of every query whose
-        # code path was touched this round (phrase probe family,
-        # reservoir/sketch versioned-state locking + deterministic
-        # payload resolution, select_topk_by_key tie split +
-        # sampling band core, line-LM hashed-key join, search-index
-        # compaction swap, interpolated-LM column prune); (3)
-        # rotation of the NEXT-OLDEST green keys: the 28-key r01
-        # cohort (j01-j08 TPC-H, e03-e16 events, a-series CDC,
-        # b23-b29) minus x_encode/x_vocab/x_approx_distinct/
-        # b29_count/b27_insert/b26_update_where which wait for r09; (4)
-        # the one rows-only key (zlib has no SQL form) keeps the
-        # tail slot per the r05 verdict. ---
-        # (1) round-8 additions (full-value oracles)
+        # CORRECTNESS_r{N}.json). Order: (1) round-9 additions, never
+        # driver-checked; (2) the six keys the r08 rotation declared as
+        # waiting for r09; (3) re-checks of every query whose code path
+        # was touched this round (the live_postings owner refactor
+        # covers the indexed phrase/proximity probes, indexed
+        # contamination/decontamination, and the kl/hapax/trending
+        # stats readers; group_set_overlap factoring covers
+        # x_source_overlap; x_novelty shares code with the new indexed
+        # sibling; the bm25 pair rides the search_stream module edit);
+        # (4) rotation of the NEXT-OLDEST green keys (last checked r07:
+        # the dsir/line/stats families + the r02-era diagnostics
+        # cohort); (5) the one rows-only key (zlib has no SQL form)
+        # keeps the tail slot per the r05 verdict. The r08 top block
+        # (sketch/sampling families, j/e/a/b r01 cohort) re-checked
+        # green in r08 and rotates below. ---
+        # (1) round-9 additions (full-value oracles, each shared with
+        # its batch/fully-rebuilt sibling by construction)
+        "x_decontaminate_replayed": x_decontaminate_replayed,
+        "x_novelty_indexed": x_novelty_indexed,
+        "x_source_overlap_indexed": x_source_overlap_indexed,
+        "x_compact_incremental": x_compact_incremental,
+        # (2) the r08-declared waiting keys
+        "x_encode": x_encode,
+        "x_vocab": x_vocab,
+        "x_approx_distinct": x_approx_distinct,
+        "b29_count": b29_count,
+        "b27_insert": b27_insert,
+        "b26_update_where": b26_update_where,
+        # (3) round-9 re-checks: code touched this round
         "x_phrase_indexed": x_phrase_indexed,
+        "x_proximity_indexed": x_proximity_indexed,
+        "x_contamination_indexed": x_contamination_indexed,
+        "x_decontaminate_indexed": x_decontaminate_indexed,
+        "x_kl_incremental": x_kl_incremental,
+        "x_hapax_incremental": x_hapax_incremental,
+        "x_trending": x_trending,
+        "x_bm25_lsm": x_bm25_lsm,
+        "x_bm25_incremental": x_bm25_incremental,
+        "x_source_overlap": x_source_overlap,
+        "x_novelty": x_novelty,
+        # (4) rotation: next-oldest green keys (last checked r07)
+        "x_dsir_weights": x_dsir_weights,
+        "x_dsir_select": x_dsir_select,
+        "x_dsir_resample": x_dsir_resample,
+        "x_c4_clean": x_c4_clean,
+        "x_line_repetition": x_line_repetition,
+        "x_gopher_rules": x_gopher_rules,
+        "x_content_diff": x_content_diff,
+        "x_repair_roundtrip": x_repair_roundtrip,
+        "x_vocab_growth_incremental": x_vocab_growth_incremental,
+        "x_vocab_growth_by_source": x_vocab_growth_by_source,
+        "e01_props_extract": e01_props_extract,
+        "e02_type_counts": e02_type_counts,
+        "e26_sessionize_skew_safe": e26_sessionize_skew_safe,
+        "x_bm25": x_bm25,
+        "x_pmi": x_pmi,
+        "x_pii_scan": x_pii_scan,
+        "x_outlier_trim": x_outlier_trim,
+        "x_cdc_chunks": x_cdc_chunks,
+        "x_shared_chunks": x_shared_chunks,
+        "x_entropy": x_entropy,
+        "x_zipf": x_zipf,
+        "x_contamination_by_source": x_contamination_by_source,
+        "x_bm25_batch": x_bm25_batch,
+        "x_hard_negatives": x_hard_negatives,
+        "x_drift_ks": x_drift_ks,
+        "x_robust_z": x_robust_z,
+        "x_chi2_source_lang": x_chi2_source_lang,
+        "e27_event_transitions": e27_event_transitions,
+        # (5) never-driver-checked rows-only key (declared: zlib)
+        "x_compression": x_compression,
+        # --- below the driver budget: every key here is driver-
+        # green from r01-r08 (or rows-only by declared necessity).
+        # The r08 top block re-checked green in r08 and rotates first.
         "x_topk_tied": x_topk_tied,
         "x_line_lm_hashed": x_line_lm_hashed,
         "x_reservoir_payload": x_reservoir_payload,
-        "x_proximity_indexed": x_proximity_indexed,
         "x_dsir_incremental": x_dsir_incremental,
-        "x_contamination_indexed": x_contamination_indexed,
-        "x_decontaminate_indexed": x_decontaminate_indexed,
-        # (2) round-8 re-checks: code touched this round
         "x_phrase": x_phrase,
         "x_phrase_proximity": x_phrase_proximity,
         "x_phrase_batch": x_phrase_batch,
@@ -3582,10 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_mix_report": x_mix_report,
         "x_weighted_sample": x_weighted_sample,
         "x_line_lm_clean": x_line_lm_clean,
-        "x_bm25_lsm": x_bm25_lsm,
-        "x_bm25_incremental": x_bm25_incremental,
         "x_interp_score": x_interp_score,
-        # (3) rotation: next-oldest green keys (r01 cohort)
         "j01_orders_by_nation": j01_orders_by_nation,
         "j03_segment_top_orders": j03_segment_top_orders,
         "j04_brand_nation_volume": j04_brand_nation_volume,
@@ -3608,48 +3831,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_reconciliation": a19_reconciliation,
         "b23_flatmap_emit": b23_flatmap_emit,
         "b25_view_projection": b25_view_projection,
-        # (4) never-driver-checked rows-only key (declared: zlib)
-        "x_compression": x_compression,
-        # --- below the driver budget: every key here is driver-
-        # green from r01-r07 (or rows-only by declared necessity).
-        # The r07 top block (dsir/stats/line families + the r02-era
-        # rotation) re-checked green in r07 and rotates below.
-        "x_approx_distinct": x_approx_distinct,
-        "b29_count": b29_count,
-        "b26_update_where": b26_update_where,
-        "b27_insert": b27_insert,
-        "x_dsir_weights": x_dsir_weights,
-        "x_dsir_select": x_dsir_select,
-        "x_dsir_resample": x_dsir_resample,
-        "x_c4_clean": x_c4_clean,
-        "x_line_repetition": x_line_repetition,
-        "x_gopher_rules": x_gopher_rules,
-        "x_content_diff": x_content_diff,
-        "x_repair_roundtrip": x_repair_roundtrip,
-        "x_kl_incremental": x_kl_incremental,
-        "x_hapax_incremental": x_hapax_incremental,
-        "x_vocab_growth_incremental": x_vocab_growth_incremental,
-        "x_vocab_growth_by_source": x_vocab_growth_by_source,
-        "x_trending": x_trending,
-        "e01_props_extract": e01_props_extract,
-        "e02_type_counts": e02_type_counts,
-        "e26_sessionize_skew_safe": e26_sessionize_skew_safe,
-        "x_bm25": x_bm25,
-        "x_pmi": x_pmi,
-        "x_pii_scan": x_pii_scan,
-        "x_source_overlap": x_source_overlap,
-        "x_outlier_trim": x_outlier_trim,
-        "x_cdc_chunks": x_cdc_chunks,
-        "x_shared_chunks": x_shared_chunks,
-        "x_entropy": x_entropy,
-        "x_zipf": x_zipf,
-        "x_contamination_by_source": x_contamination_by_source,
-        "x_bm25_batch": x_bm25_batch,
-        "x_hard_negatives": x_hard_negatives,
-        "x_drift_ks": x_drift_ks,
-        "x_robust_z": x_robust_z,
-        "x_chi2_source_lang": x_chi2_source_lang,
-        "e27_event_transitions": e27_event_transitions,
         "x_cluster_sizes": x_cluster_sizes,
         "x_near_dedup_best": x_near_dedup_best,
         "x_ann_ivf_incremental": x_ann_ivf_incremental,
@@ -3675,7 +3856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_arith": b19_arith,
         "b20_union_all": b20_union_all,
         "b21_coalesce": b21_coalesce,
-        "x_novelty": x_novelty,
         "x_gini_sources": x_gini_sources,
         "e28_session_length_stats": e28_session_length_stats,
         "x_dup_rate_by_source": x_dup_rate_by_source,
@@ -3787,8 +3967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_logfreq_score": x_logfreq_score,
         "x_chunk": x_chunk,
         "j02_lineitem_pricing": j02_lineitem_pricing,
-        "x_vocab": x_vocab,
-        "x_encode": x_encode,
         "x_quality_classifier": x_quality_classifier,
     }
 
@@ -8326,4 +8504,12 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_contamination_indexed"] = oracles["x_contamination"]
     oracles["x_decontaminate_indexed"] = oracles["x_decontaminate"]
     oracles["x_line_lm_hashed"] = oracles["x_line_lm_clean"]
+    # r09: replayed ingest must not change the drop set (live_postings
+    # replay dedup); the index-answered novelty/source-overlap readers
+    # and the bucket-scoped-compaction BM25 equal their batch / fully-
+    # rebuilt siblings by construction — each shares that oracle
+    oracles["x_decontaminate_replayed"] = oracles["x_decontaminate"]
+    oracles["x_novelty_indexed"] = oracles["x_novelty"]
+    oracles["x_source_overlap_indexed"] = oracles["x_source_overlap"]
+    oracles["x_compact_incremental"] = oracles["x_bm25_incremental"]
     return oracles
