@@ -80,6 +80,10 @@ def main() -> None:
     big_mirror.count()
 
     timings: dict[str, float] = {}
+    # non-timing evidence (e.g. the incremental compaction's
+    # affected-bucket counts) — lands in the FULL bench_out.json doc,
+    # never the slim stdout payload
+    extras: dict = {}
 
     def bench(name: str, fn) -> None:
         # flush pending writeback from prep/previous queries BEFORE the
@@ -492,6 +496,41 @@ def main() -> None:
         lambda: bm25_topk_from_index(spark, lsm_dir2, idx_qtab, k=20).collect(),
     )
 
+    # r09 (VERDICT r08 #2): bucket-scoped compaction. Bucket pruning only
+    # pays when the churn VOCABULARY covers a small fraction of buckets —
+    # a ~20-distinct-token doc touches ~20 of 64 buckets, so at the 64-
+    # bucket layout above almost any churn is whole-base. The at-scale
+    # layout sizes token_buckets in the hundreds-to-thousands (each
+    # bucket dir a shrinking base fraction); here: a 512-bucket base
+    # (full rewrite timed as the honest comparator), then a 3-doc
+    # micro-batch (a trickle feed's steady state) folded in by
+    # compact_index_incremental — only the churned buckets rewritten.
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index_incremental,
+    )
+
+    lsm_dir3 = os.path.join(lsm_root, "idx3")
+    bench(
+        "q_bm25_lsm_compact_512",  # full rewrite at the at-scale layout
+        lambda: compact_index(spark, lsm_dir2, lsm_dir3, token_buckets=512),
+    )
+    churn_ids = [r["id"] for r in search_corpus.select("id").limit(3).collect()]
+    small_churn = search_corpus.filter(F.col("id").isin(churn_ids)).select(
+        (F.lit(9 * 10**15) + F.abs(F.hash("id"))).alias("seq"),
+        F.col("id").alias("doc_id"),
+        F.lit(False).alias("deleted"),
+        F.concat(F.col("text"), F.lit(" churn9 rail")).alias("text"),
+    )
+    search_index_batch(spark, lsm_dir3, small_churn, id_col="doc_id")
+    incr_stats = {}
+    bench(
+        "q_bm25_lsm_compact_incr",
+        lambda: incr_stats.update(compact_index_incremental(spark, lsm_dir3)),
+    )
+    # the pruning evidence rides the full doc (bench_out.json), not the
+    # slim stdout payload
+    extras["compact_incr"] = incr_stats
+
     # r08 (VERDICT r07 #3): index-assisted phrase search on a RARE
     # phrase — a specific key-value word sequence ('l_extendedprice
     # <one price>', the price token's df ≈ 1 in 600k docs). The full
@@ -732,6 +771,7 @@ def main() -> None:
         )
         if timings.get("q_stream_catchup")
         else None,
+        **extras,
     }
     shutil.rmtree(tmp, ignore_errors=True)
 

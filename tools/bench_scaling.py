@@ -200,7 +200,11 @@ def main() -> None:
     # index per scale cost minutes at 6M docs — built only when the
     # phrase legs are requested or the full run executes)
     only_early = set(sys.argv[1:])
-    if not only_early or only_early & {"q_phrase_scan", "q_phrase_indexed"}:
+    if not only_early or only_early & {
+        "q_phrase_scan", "q_phrase_indexed",
+        # the r09 crossover legs reuse the deduped phrase corpus
+        "q_contam_mirror_scan", "q_contam_mirror_indexed",
+    }:
         from couch_to_postgres_spark.streaming.search_stream import (
             compact_index,
             search_index_batch,
@@ -283,6 +287,55 @@ def main() -> None:
                 id_col="doc_id",
             )
             t["decon_idx"] = sidx
+
+    # r09 (VERDICT r08 #5): the decontamination CROSSOVER demonstrated at
+    # the 600k/6M-doc mirror corpus, not extrapolated — SCALING.md r08
+    # honestly reported the indexed path flat but losing in absolute
+    # seconds at 5k-50k docs (fixed costs). Setup (untimed): a shingle
+    # index per scale over the deduped phrase corpus; the EVAL set is
+    # fixed (~500 docs of 1x corpus text) while train grows 10x — the
+    # real benchmark-decontamination shape. The batch leg re-shingles
+    # the train corpus per run (cost tracks corpus); the indexed leg
+    # reads live postings tokens (cost tracks the index).
+    if scales["sf0.1"].get("phrase_corpus") and (
+        not only_early
+        or only_early & {"q_contam_mirror_scan", "q_contam_mirror_indexed"}
+    ):
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch as _sib_m,
+        )
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            shingle_changes as _shch_m,
+        )
+
+        ev_path = os.path.join(tmp, "mirror_eval.parquet")
+        (
+            spark.read.parquet(scales["sf0.1"]["phrase_corpus"])
+            .filter(F.abs(F.hash("id")) % 1200 == 3)
+            .select(
+                F.abs(F.hash("id")).cast("long").alias("doc_id"), "text"
+            )
+            .write.mode("overwrite")
+            .parquet(ev_path)
+        )
+        for scale_name in ("sf0.1", "sf1(synth)"):
+            t = scales[scale_name]
+            midx = os.path.join(tmp, f"decon_mirror_idx_{scale_name}")
+            _sib_m(
+                spark,
+                midx,
+                _shch_m(
+                    spark.read.parquet(t["phrase_corpus"]).select(
+                        F.monotonically_increasing_id().alias("seq"),
+                        F.col("id").alias("doc_id"),
+                        F.lit(False).alias("deleted"),
+                        "text",
+                    )
+                ),
+                id_col="doc_id",
+            )
+            t["decon_mirror_idx"] = midx
+            t["mirror_eval"] = ev_path
 
     def queries(t):
         mirror, docs, ev, emb = t["mirror"], t["docs"], t["events"], t["emb"]
