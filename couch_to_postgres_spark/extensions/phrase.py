@@ -159,6 +159,20 @@ def _probe_terms(
     if not meta or "n_live" not in meta[0].asDict():
         return terms
     n_live = float(meta[0]["n_live"]) or 1.0
+    if "token_bucket" in dfs.columns:
+        # bucketed dfs layout (r09): prune the stats read to the terms'
+        # buckets, exactly like the postings scan
+        from couch_to_postgres_spark.streaming.search_stream import (
+            _term_buckets,
+        )
+
+        dfs = dfs.filter(
+            F.col("token_bucket").isin(
+                _term_buckets(
+                    spark, terms, int(meta[0]["token_buckets"])
+                )
+            )
+        )
     rows = dfs.filter(F.col("token").isin(terms)).collect()
     df_by = {r["token"]: float(r["dft"]) for r in rows}
     rare = [t for t in terms if df_by.get(t, 0.0) <= max_df_frac * n_live]

@@ -515,6 +515,14 @@ def bm25_topk_from_index(
         _try(os.path.join(index_path, "base", "dfs")) if fast else None
     )
     if dfs_df is not None:
+        if "token_bucket" in dfs_df.columns:
+            # the bucketed dfs layout prunes the stats read to the query
+            # terms' buckets, exactly like the postings scan
+            dfs_df = dfs_df.filter(
+                F.col("token_bucket").isin(
+                    _term_buckets(spark, terms, int(m["token_buckets"]))
+                )
+            )
         dft = dfs_df.filter(F.col("token").isin(terms)).select(
             "token", F.col("dft").cast("double").alias("dft")
         )
@@ -554,11 +562,31 @@ def compact_index(
     log-structured-merge discipline): the append-only tail stays cheap
     to write, the compacted base cheap to read; read amplification
     between compactions is bounded by the update rate, not corpus size.
-    ``index_path`` may itself carry a base — compaction merges it."""
+    ``index_path`` may itself carry a base — compaction merges it.
+
+    Base layout (everything the incremental compactor's cost model
+    depends on — see :func:`compact_index_incremental`):
+
+    * ``base/postings`` partitioned by ``token_bucket`` (query-term and
+      compaction reads prune to buckets);
+    * ``base/dfs`` ALSO partitioned by ``token_bucket`` — the df table
+      is vocab-sized, and on corpora whose vocabulary grows with the
+      corpus (numeric-heavy docs) a flat dfs rewrite would be the
+      incremental path's hidden corpus-proportional job;
+    * ``base/doclen`` partitioned by ``id_bucket = pmod(hash(id), n)``
+      and carrying a ``buckets`` column — the doc's distinct token
+      buckets. A churned doc's OLD rows can then be located without any
+      postings scan: read the doc's doclen row (id-bucket-pruned) and
+      explode ``buckets``.
+
+    Every partitioned write clusters rows by the partition column
+    first: without the repartition every shuffle task writes a file
+    into every bucket dir (tasks × buckets tiny files — measured 7×
+    slower at 512 buckets), and bucket-pruned reads open ~1 file per
+    bucket instead of one per task."""
     base_doclen_path, base_postings_path, meta_path = _base_paths(out_path)
     live = live_doclen(spark, index_path, id_col).persist()
     live.count()
-    live.write.mode("overwrite").parquet(base_doclen_path)
     postings = _full_postings(spark, index_path, id_col)
     (
         postings.join(
@@ -568,29 +596,49 @@ def compact_index(
         .withColumn(
             "token_bucket", F.pmod(F.hash("token"), F.lit(token_buckets))
         )
-        # cluster rows by their output partition BEFORE the partitioned
-        # write: without this every shuffle task writes a file into
-        # every bucket dir (tasks × buckets tiny files — measured 7x
-        # slower at 512 buckets); with it each dir gets ~1 file, which
-        # is also what the bucket-pruned READ path wants to open
         .repartition(F.col("token_bucket"))
         .write.mode("overwrite")
         .partitionBy("token_bucket")
         .parquet(base_postings_path)
     )
-    # vocab-sized per-token document frequencies over the compacted
-    # base — the probe-planning statistic (rarest-term selection in
-    # phrase_candidate_ids; a df-capped BM25 could use it too). Derived
+    # per-token document frequencies over the compacted base — the
+    # probe-planning statistic (rarest-term selection in
+    # phrase_candidate_ids; the read-mostly BM25 df fast path). Derived
     # FROM the base postings just written so it is exactly consistent
     # with them; tail appends after this compaction are simply unknown
     # to it, which only ever makes a term LOOK rarer — safe for probe
     # selection, never used for correctness.
+    written = spark.read.parquet(base_postings_path)
     (
-        spark.read.parquet(base_postings_path)
-        .groupBy("token")
+        written.groupBy("token_bucket", "token")
         .agg(F.count(F.lit(1)).cast("double").alias("dft"))
+        .repartition(F.col("token_bucket"))
         .write.mode("overwrite")
+        .partitionBy("token_bucket")
         .parquet(os.path.join(out_path, "base", "dfs"))
+    )
+    # doclen with the per-doc token-bucket set (zero-postings docs get
+    # an empty array) in the id-hash partition layout
+    doc_buckets = written.groupBy(id_col).agg(
+        F.collect_set("token_bucket").alias("buckets")
+    )
+    (
+        live.join(doc_buckets, id_col, "left")
+        .select(
+            id_col,
+            "dl",
+            "seq",
+            F.coalesce(F.col("buckets"), F.array().cast("array<int>")).alias(
+                "buckets"
+            ),
+            F.pmod(F.hash(F.col(id_col)), F.lit(token_buckets)).alias(
+                "id_bucket"
+            ),
+        )
+        .repartition(F.col("id_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("id_bucket")
+        .parquet(base_doclen_path)
     )
     # carry per-doc attribute state (stats_stream's doc→source map, or
     # any other seq-wins attrs file) through compaction: keep the max-seq
@@ -698,40 +746,49 @@ def compact_index_incremental(
     index_path: str,
     id_col: str = "doc_id",
 ) -> dict:
-    """Fold the append tail into ONLY the token buckets it touches —
-    the maintenance step that keeps recurring compaction cost
+    """Fold the append tail into ONLY the buckets it touches — the
+    maintenance step that keeps recurring compaction cost
     churn-proportional instead of corpus-proportional (VERDICT r08 #2;
     the precedent is ``ann.compact_ivf_index``'s affected-cell-only
     compaction). :func:`compact_index_inplace` rewrites the WHOLE base
     even when a micro-batch touched a handful of tokens; at 100 TB the
     base is the corpus and that rewrite is the one remaining repeated
-    corpus-proportional job. Here:
+    corpus-proportional job.
 
-    * **affected buckets** = buckets of the tail postings' tokens ∪
-      buckets holding BASE rows of churned docs (docs with a tail
-      version or a tombstone — their old rows may sit in buckets the
-      new version's tokens never touch). The second set comes from a
-      column-pruned scan of base postings (id + the partition value
-      only, never tf/token bytes) semi-joined to the skinny churned-id
-      set;
-    * per-bucket postings are rebuilt for affected buckets only (base
-      slice ∪ tail, replay-deduped, live-filtered) and swapped in
-      directory-by-directory under the existing ``.trash`` grace
-      machinery — **unaffected bucket directories are left
-      bit-identical** (pinned by test);
-    * ``doclen`` / ``dfs`` / ``meta`` / ``attrs`` are vocab- or
-      doc-count-sized (skinny) and are rewritten exactly as
-      :func:`compact_index` builds them — dfs rows for unaffected
-      buckets carry over unchanged, affected buckets recount from the
-      staged postings, so the table never drifts from the base;
-    * the tail dirs retire last, AFTER the refreshed meta lands, so the
-      read-mostly fast path can never pair fresh "no tail" with stale
-      corpus stats. A crash anywhere mid-swap leaves base ∪ tail
+    Cost model — nothing here scales with the corpus (given bucket
+    count sized so buckets stay bounded; grow it with the corpus the
+    way IVF grows cells):
+
+    * **discovery is churn-proportional, not a scan**: a churned doc's
+      old rows are located from its base DOCLEN row's ``buckets``
+      column (id-bucket-pruned read), never by scanning base postings —
+      the first implementation's column-pruned id scan was measured
+      corpus-proportional and replaced;
+    * **liveness is churn-scoped**: non-churned base rows are live and
+      unique by the compaction invariant, so only churned-doc rows pay
+      the dedup + max-seq merge (tail-sized), and the old global
+      live-join and global replay-dedup shuffles are gone;
+    * **every state component swaps per-bucket**: postings and dfs by
+      ``token_bucket``, doclen by ``id_bucket`` — unaffected bucket
+      dirs stay BIT-IDENTICAL (pinned by test). dfs/doclen being
+      bucketed matters as much as postings: on corpora whose vocabulary
+      grows with the corpus a flat dfs rewrite was the hidden
+      corpus-proportional job;
+    * **meta updates by exact delta** (old affected-doclen contribution
+      out, staged contribution in) — no corpus-wide aggregate;
+    * the tail dirs retire LAST, after the refreshed meta/doclen land,
+      so the read-mostly fast path can never pair "no tail" with stale
+      stats; a crash anywhere mid-swap leaves base ∪ tail
       at-least-once state every reader already tolerates
-      (:func:`live_postings` dedup; liveness is max-seq).
+      (:func:`live_postings`; liveness is max-seq).
+
+    Residuals, documented: ``attrs`` (when present) is still a full
+    latest-per-live-doc rewrite — doc-count-sized, flat layout for
+    tail-append compatibility; and a LEGACY base (written before the
+    bucketed doclen/dfs layout) upgrades via one full rewrite.
 
     Falls back to a FULL :func:`compact_index_inplace` when the index
-    has never been compacted (no base layout to scope to); returns a
+    has never been compacted or carries the legacy layout; returns a
     stats dict (``mode`` = ``full`` | ``noop`` | ``incremental``,
     affected/total bucket counts) the daemon watchdog logs."""
     import shutil
@@ -741,13 +798,22 @@ def compact_index_incremental(
         _retire,
     )
 
+    def _swap_buckets(old_root: str, staged_root: str, prefix: str, keys):
+        for k in keys:
+            old_d = os.path.join(old_root, f"{prefix}={k}")
+            new_d = os.path.join(staged_root, f"{prefix}={k}")
+            _retire(old_d, index_path)
+            if os.path.exists(new_d):
+                os.makedirs(old_root, exist_ok=True)
+                os.rename(new_d, old_d)
+
     with _path_lock(index_path):
         doclen_path, postings_path, tomb_path = _paths(index_path)
         base_doclen_path, base_postings_path, meta_path = _base_paths(
             index_path
         )
         meta_rows = _read_or_empty(
-            spark, meta_path, "token_buckets int"
+            spark, meta_path, "token_buckets int, n_live long, sum_dl double"
         ).collect()
         if not meta_rows:
             compact_index_inplace(spark, index_path, id_col=id_col)
@@ -765,14 +831,42 @@ def compact_index_incremental(
                 "affected_buckets": 0,
                 "total_buckets": n_buckets,
             }
+        try:
+            base_dl = spark.read.parquet(base_doclen_path)
+        except AnalysisException:
+            base_dl = None
+        if base_dl is None or not {"buckets", "id_bucket"} <= set(
+            base_dl.columns
+        ):
+            # legacy (pre-bucketed-doclen) base: upgrade via one full
+            # rewrite — every compaction after this one is incremental
+            compact_index_inplace(spark, index_path, id_col=id_col)
+            return {"mode": "full"}
 
-        # churned docs: any doc with a tail version or a tombstone — its
-        # BASE rows (possibly in buckets the new version never touches)
-        # must be re-evaluated for liveness
+        # churned docs: any doc with a tail version or a tombstone.
+        # Tail-sized; persisted — it anchors every churn-scoped join.
         churned = (
             tail_dl.select(id_col)
             .unionByName(tomb.select(id_col))
             .distinct()
+            .persist()
+        )
+        aff_id_buckets = sorted(
+            r["b"]
+            for r in churned.select(
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        # churned docs' OLD doclen rows — id-bucket-pruned read, the
+        # discovery source for their old token buckets AND the
+        # old-version seq for liveness
+        base_dl_churned = (
+            base_dl.filter(F.col("id_bucket").isin(aff_id_buckets))
+            .join(churned, on=id_col, how="left_semi")
+            .select(id_col, "dl", "seq", "buckets")
+            .persist()
         )
         schema_po = f"{id_col} long, token string, tf double, seq long"
         tail_po, base_po = _read_components(
@@ -780,85 +874,161 @@ def compact_index_incremental(
             [(postings_path, schema_po), (base_postings_path, schema_po)],
             id_col,
         )
-        tail_buckets = tail_po.select(
+        if "token_bucket" not in base_po.columns:
+            # half-written/recovering base: scope can't be trusted
+            churned.unpersist()
+            base_dl_churned.unpersist()
+            compact_index_inplace(spark, index_path, id_col=id_col)
+            return {"mode": "full"}
+        tail_tok_buckets = tail_po.select(
             F.pmod(F.hash("token"), F.lit(n_buckets)).alias("b")
         ).distinct()
-        if "token_bucket" in base_po.columns:
-            # column-pruned: only the id column + the partition value are
-            # read from the base — never token/tf bytes
-            base_buckets = (
-                base_po.join(F.broadcast(churned), on=id_col, how="left_semi")
-                .select(F.col("token_bucket").alias("b"))
-                .distinct()
-            )
-        else:  # a base written without bucket layout: everything affected
-            base_buckets = spark.range(n_buckets).select(
-                F.col("id").cast("int").alias("b")
-            )
+        old_tok_buckets = base_dl_churned.select(
+            F.explode("buckets").alias("b")
+        ).distinct()
         affected = sorted(
             r["b"]
-            for r in tail_buckets.unionByName(base_buckets).distinct().collect()
+            for r in tail_tok_buckets.unionByName(old_tok_buckets)
+            .distinct()
+            .collect()
         )  # driver-bounded: <= token_buckets ints
+
+        # churn-scoped liveness: max-seq over (old base version ∪ tail
+        # versions) minus higher-seq tombstones — tail-sized everywhere
+        cand = base_dl_churned.select(id_col, "dl", "seq").unionByName(
+            tail_dl.select(id_col, "dl", "seq")
+        )
+        latest = cand.groupBy(id_col).agg(
+            F.max("seq").alias("seq"), F.max_by("dl", "seq").alias("dl")
+        )
+        tomb_max = tomb.groupBy(id_col).agg(F.max("seq").alias("_tomb_seq"))
+        churned_live = (
+            latest.join(tomb_max, id_col, "left")
+            .filter(
+                F.col("_tomb_seq").isNull()
+                | (F.col("_tomb_seq") < F.col("seq"))
+            )
+            .select(id_col, "dl", "seq")
+            .persist()
+        )
 
         staging = index_path.rstrip("/") + ".compacting-incr"
         shutil.rmtree(staging, ignore_errors=True)
-        live = live_doclen(spark, index_path, id_col).persist()
-        live.count()
 
-        # affected-bucket postings: base slice (partition-pruned read) ∪
-        # the whole tail (every tail row's bucket is affected by
-        # construction), replay-deduped, live-filtered — exactly
-        # compact_index's merge, scoped to the churned buckets
-        if "token_bucket" in base_po.columns:
-            base_aff = base_po.filter(
-                F.col("token_bucket").isin(affected)
-            ).drop("token_bucket")
-        else:
-            base_aff = base_po
-        merged = (
-            base_aff.select(id_col, "token", "tf", "seq")
+        # affected-bucket postings. Non-churned base rows are live and
+        # unique by the compaction invariant — they pass through with no
+        # join and no dedup; only churned-doc rows (old base slice ∪ the
+        # whole tail, both churn-proportional) pay the replay dedup and
+        # the live-version filter.
+        base_aff = base_po.filter(F.col("token_bucket").isin(affected)).drop(
+            "token_bucket"
+        ).select(id_col, "token", "tf", "seq")
+        keep = base_aff.join(churned, on=id_col, how="left_anti")
+        churn_rows = (
+            base_aff.join(churned, on=id_col, how="left_semi")
             .unionByName(tail_po.select(id_col, "token", "tf", "seq"))
-            .join(live.select(id_col, "seq"), on=[id_col, "seq"], how="left_semi")
             .dropDuplicates([id_col, "token", "seq"])
-            .withColumn(
-                "token_bucket", F.pmod(F.hash("token"), F.lit(n_buckets))
+            .join(
+                churned_live.select(id_col, "seq"),
+                on=[id_col, "seq"],
+                how="left_semi",
             )
         )
+        merged = keep.unionByName(churn_rows).withColumn(
+            "token_bucket", F.pmod(F.hash("token"), F.lit(n_buckets))
+        )
         staged_postings = os.path.join(staging, "postings")
-        # same clustering-before-partitioned-write as compact_index
         merged.repartition(F.col("token_bucket")).write.mode(
             "overwrite"
         ).partitionBy("token_bucket").parquet(staged_postings)
-        # dfs: carry unaffected buckets' rows, recount affected buckets
-        # from the postings just staged (exactly consistent, same as the
-        # full rebuild would produce)
-        dfs_path = os.path.join(index_path, "base", "dfs")
-        old_dfs = _read_or_empty(spark, dfs_path, "token string, dft double")
-        kept_dfs = old_dfs.filter(
-            ~F.pmod(F.hash("token"), F.lit(n_buckets)).isin(affected)
+        staged_po = _read_or_empty(
+            spark,
+            staged_postings,
+            f"{id_col} long, token string, tf double, seq long, token_bucket int",
         )
-        # a zero-survivor write leaves only _SUCCESS (schema inference
-        # would fail) — the affected buckets' vocabulary is then empty
-        new_dfs = _read_or_empty(
-            spark, staged_postings, f"{id_col} long, token string, tf double, seq long"
-        ).groupBy("token").agg(
-            F.count(F.lit(1)).cast("double").alias("dft")
-        )
+        # dfs: recount ONLY the affected token buckets from the staged
+        # postings; unaffected dfs bucket dirs are never touched
         staged_dfs = os.path.join(staging, "dfs")
-        kept_dfs.unionByName(new_dfs).write.mode("overwrite").parquet(
-            staged_dfs
+        (
+            staged_po.groupBy("token_bucket", "token")
+            .agg(F.count(F.lit(1)).cast("double").alias("dft"))
+            .repartition(F.col("token_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("token_bucket")
+            .parquet(staged_dfs)
+        )
+        # doclen: rewrite ONLY the affected id buckets — their
+        # non-churned rows pass through, churned docs re-enter with
+        # their LIVE version + fresh token-bucket sets (from the staged
+        # postings, which hold every live churned row by construction)
+        dl_keep = (
+            base_dl.filter(F.col("id_bucket").isin(aff_id_buckets))
+            .join(churned, on=id_col, how="left_anti")
+            .select(id_col, "dl", "seq", "buckets")
+        )
+        churned_buckets = (
+            staged_po.join(churned, on=id_col, how="left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("token_bucket").alias("buckets"))
+        )
+        dl_new = (
+            churned_live.join(churned_buckets, id_col, "left")
+            .select(
+                id_col,
+                "dl",
+                "seq",
+                F.coalesce(
+                    F.col("buckets"), F.array().cast("array<int>")
+                ).alias("buckets"),
+            )
         )
         staged_doclen = os.path.join(staging, "doclen")
-        live.write.mode("overwrite").parquet(staged_doclen)
-        st = live.agg(
-            F.count(F.lit(1)).alias("n_live"), F.sum("dl").alias("sum_dl")
-        ).collect()[0]
+        (
+            dl_keep.unionByName(dl_new)
+            .withColumn(
+                "id_bucket",
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)),
+            )
+            .repartition(F.col("id_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("id_bucket")
+            .parquet(staged_doclen)
+        )
+        # meta by exact delta: affected id buckets' old contribution out,
+        # staged contribution in — no corpus-wide aggregate
+        old_c = (
+            base_dl.filter(F.col("id_bucket").isin(aff_id_buckets))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
+            )
+            .collect()[0]
+        )
+        new_c = (
+            _read_or_empty(
+                spark,
+                staged_doclen,
+                f"{id_col} long, dl double, seq long",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
+            )
+            .collect()[0]
+        )
+        n_live = int(meta_rows[0]["n_live"]) - int(old_c["n"]) + int(new_c["n"])
+        sum_dl = (
+            float(meta_rows[0]["sum_dl"] or 0.0)
+            - float(old_c["s"])
+            + float(new_c["s"])
+        )
         staged_meta = os.path.join(staging, "meta")
         spark.createDataFrame(
-            [(n_buckets, int(st["n_live"]), float(st["sum_dl"] or 0.0))],
+            [(n_buckets, n_live, sum_dl)],
             "token_buckets int, n_live long, sum_dl double",
         ).coalesce(1).write.mode("overwrite").parquet(staged_meta)
-        # attrs (if present): latest per live doc, as compact_index does
+        # attrs (if present): latest per live doc — the documented
+        # doc-count-sized residual (flat layout, tail-append compatible)
         staged_attrs = None
         try:
             attrs = spark.read.parquet(os.path.join(index_path, "attrs"))
@@ -866,39 +1036,45 @@ def compact_index_incremental(
             attrs = None
         if attrs is not None:
             other = [c for c in attrs.columns if c not in (id_col, "seq")]
-            latest = attrs.groupBy(id_col).agg(
+            latest_a = attrs.groupBy(id_col).agg(
                 F.max("seq").alias("seq"),
                 *[F.max_by(c, "seq").alias(c) for c in other],
             )
+            alive = (
+                base_dl.select(id_col)
+                .join(churned, on=id_col, how="left_anti")
+                .unionByName(churned_live.select(id_col))
+            )
             staged_attrs = os.path.join(staging, "attrs")
             (
-                latest.join(live.select(id_col), id_col)
+                latest_a.join(alive, id_col, "left_semi")
                 .select(id_col, *other, "seq")
                 .write.mode("overwrite")
                 .parquet(staged_attrs)
             )
-        live.unpersist()
+        churned.unpersist()
+        base_dl_churned.unpersist()
+        churned_live.unpersist()
 
-        # swap — base components first (per-bucket for postings; the
-        # unaffected bucket dirs are never touched), tail dirs retire
-        # LAST so "no tail" can only become true after the fresh meta
-        # and doclen are in place (the fast path's consistency), and
-        # tombstones retire only after the dead rows are really gone
-        # from the swapped-in base
-        for b in affected:
-            old_b = os.path.join(base_postings_path, f"token_bucket={b}")
-            new_b = os.path.join(staged_postings, f"token_bucket={b}")
-            _retire(old_b, index_path)
-            if os.path.exists(new_b):
-                os.makedirs(base_postings_path, exist_ok=True)
-                os.rename(new_b, old_b)
-        for old_comp, new_comp in (
-            (dfs_path, staged_dfs),
-            (base_doclen_path, staged_doclen),
-            (meta_path, staged_meta),
-        ):
-            _retire(old_comp, index_path)
-            os.rename(new_comp, old_comp)
+        # swap — base components first (per-bucket: unaffected dirs are
+        # never touched), tail dirs retire LAST so "no tail" can only
+        # become true after the fresh meta and doclen are in place (the
+        # fast path's consistency), and tombstones retire only after
+        # the dead rows are really gone from the swapped-in base
+        _swap_buckets(
+            base_postings_path, staged_postings, "token_bucket", affected
+        )
+        _swap_buckets(
+            os.path.join(index_path, "base", "dfs"),
+            staged_dfs,
+            "token_bucket",
+            affected,
+        )
+        _swap_buckets(
+            base_doclen_path, staged_doclen, "id_bucket", aff_id_buckets
+        )
+        _retire(meta_path, index_path)
+        os.rename(staged_meta, meta_path)
         if staged_attrs is not None:
             old_attrs = os.path.join(index_path, "attrs")
             _retire(old_attrs, index_path)
@@ -911,6 +1087,7 @@ def compact_index_incremental(
             "affected_buckets": len(affected),
             "total_buckets": n_buckets,
             "affected": affected,
+            "affected_id_buckets": aff_id_buckets,
         }
 
 

@@ -58,13 +58,13 @@ def _rows(df):
     )
 
 
-def _bucket_snapshot(index):
-    """{bucket_dir: {filename: md5}} over base/postings — the
-    bit-identical witness."""
-    root = os.path.join(index, "base", "postings")
+def _bucket_snapshot(index, component="postings", prefix="token_bucket"):
+    """{bucket_dir: {filename: md5}} over a bucketed base component —
+    the bit-identical witness."""
+    root = os.path.join(index, "base", component)
     snap = {}
     for d in os.listdir(root):
-        if not d.startswith("token_bucket="):
+        if not d.startswith(f"{prefix}="):
             continue
         files = {}
         full = os.path.join(root, d)
@@ -93,6 +93,8 @@ def test_incremental_equals_full_and_untouched_buckets_bit_identical(
 ):
     index = compacted
     before = _bucket_snapshot(index)
+    before_dfs = _bucket_snapshot(index, "dfs")
+    before_dl = _bucket_snapshot(index, "doclen", "id_bucket")
     # churn: update doc 2 (its OLD base rows must die in buckets the new
     # text never touches), insert doc 9, delete doc 5, replay the insert
     new2 = "merge conflicts resolved by the latest revision"
@@ -109,13 +111,23 @@ def test_incremental_equals_full_and_untouched_buckets_bit_identical(
     assert done["mode"] == "incremental"
     assert 0 < done["affected_buckets"] < done["total_buckets"] == N_BUCKETS
 
-    # unaffected bucket dirs are BIT-IDENTICAL; affected ones were swapped
-    after = _bucket_snapshot(index)
+    # unaffected bucket dirs are BIT-IDENTICAL across ALL bucketed
+    # components; affected ones were swapped
     affected = {f"token_bucket={b}" for b in done["affected"]}
-    untouched = set(before) - affected
-    assert untouched, "test corpus must leave some buckets untouched"
-    for d in untouched:
-        assert after.get(d) == before[d], f"unaffected {d} was rewritten"
+    aff_id = {f"id_bucket={b}" for b in done["affected_id_buckets"]}
+    for snap_before, snap_after, aff in (
+        (before, _bucket_snapshot(index), affected),
+        (before_dfs, _bucket_snapshot(index, "dfs"), affected),
+        (
+            before_dl,
+            _bucket_snapshot(index, "doclen", "id_bucket"),
+            aff_id,
+        ),
+    ):
+        untouched = set(snap_before) - aff
+        assert untouched, "test corpus must leave some buckets untouched"
+        for d in untouched:
+            assert snap_after.get(d) == snap_before[d], f"{d} rewritten"
 
     # the result IS the read-mostly state a full rewrite would produce
     assert base_is_live(spark, index)

@@ -237,7 +237,7 @@ def test_control_plane_http(spark, sf_dir, tmp):
             wd = json.loads(r.read())
         assert set(wd) == {
             "stopped", "restarted", "started", "compacted",
-            "search_compacted",
+            "search_compacted", "shingle_compacted",
         }
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/_fsck") as r:
             fs = json.loads(r.read())

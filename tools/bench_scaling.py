@@ -614,12 +614,17 @@ def main() -> None:
                 F.col("id").alias("doc_id"), "text"
             )
             ev_m = spark.read.parquet(t["mirror_eval"])
+            # .count() would let Catalyst ELIMINATE the train-side join
+            # entirely (left join with a unique right key whose columns
+            # feed only the agg values, and count() prunes the values) —
+            # measured: 0.4 s "re-shingling" 6M docs. Summing n_overlap
+            # forces the train side to actually compute.
             q["q_contam_mirror_scan"] = lambda: _contam_m(
                 pc_m, ev_m
-            ).count()
+            ).agg(F.sum("n_overlap")).collect()
             q["q_contam_mirror_indexed"] = lambda: _cfi_m(
                 spark, t["decon_mirror_idx"], ev_m
-            ).count()
+            ).agg(F.sum("n_overlap")).collect()
         # r08: decontamination — batch re-shingles the train split per
         # run; the indexed probe reads live postings tokens (O(index))
         if t.get("decon_idx"):
@@ -638,12 +643,14 @@ def main() -> None:
             split = hash_split(docs)
             tr = split.filter(F.col("split") == "train")
             ev_docs = split.filter(F.col("split") == "eval")
+            # sum(n_overlap), not count(): see the mirror pair's comment
+            # (count() lets Catalyst eliminate the train-side join)
             q["q_contamination_scan"] = lambda: contamination(
                 tr, ev_docs
-            ).count()
+            ).agg(F.sum("n_overlap")).collect()
             q["q_contamination_indexed"] = lambda: contamination_from_index(
                 spark, t["decon_idx"], ev_docs
-            ).count()
+            ).agg(F.sum("n_overlap")).collect()
         return q
 
     # optional subset: `python tools/bench_scaling.py q_a q_b` times only
