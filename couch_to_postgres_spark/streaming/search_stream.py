@@ -745,6 +745,7 @@ def compact_index_incremental(
     spark: SparkSession,
     index_path: str,
     id_col: str = "doc_id",
+    diag: dict | None = None,
 ) -> dict:
     """Fold the append tail into ONLY the buckets it touches — the
     maintenance step that keeps recurring compaction cost
@@ -807,6 +808,16 @@ def compact_index_incremental(
                 os.makedirs(old_root, exist_ok=True)
                 os.rename(new_d, old_d)
 
+    import time as _time
+
+    _t0 = [_time.monotonic()]
+
+    def _mark(phase: str) -> None:
+        if diag is not None:
+            now = _time.monotonic()
+            diag[phase] = round(now - _t0[0], 3)
+            _t0[0] = now
+
     with _path_lock(index_path):
         doclen_path, postings_path, tomb_path = _paths(index_path)
         base_doclen_path, base_postings_path, meta_path = _base_paths(
@@ -831,18 +842,45 @@ def compact_index_incremental(
                 "affected_buckets": 0,
                 "total_buckets": n_buckets,
             }
-        try:
-            base_dl = spark.read.parquet(base_doclen_path)
-        except AnalysisException:
-            base_dl = None
-        if base_dl is None or not {"buckets", "id_bucket"} <= set(
-            base_dl.columns
+
+        # layout check WITHOUT a full dataset listing: the bucketed base
+        # writes id_bucket=/token_bucket= partition dirs; their absence
+        # means a legacy or half-written base → one full rewrite
+        # upgrades it. (Local-FS dir probes, like the swap machinery; on
+        # HDFS/S3 this is a FileSystem listStatus / table-format
+        # manifest read.)
+        def _has_prefix(root: str, prefix: str) -> bool:
+            try:
+                return any(e.startswith(prefix) for e in os.listdir(root))
+            except OSError:
+                return False
+
+        if not _has_prefix(base_doclen_path, "id_bucket=") or not _has_prefix(
+            base_postings_path, "token_bucket="
         ):
-            # legacy (pre-bucketed-doclen) base: upgrade via one full
-            # rewrite — every compaction after this one is incremental
             compact_index_inplace(spark, index_path, id_col=id_col)
             return {"mode": "full"}
 
+        def _pruned_read(root, prefix, keys, schema):
+            """Open ONLY the named bucket dirs (``basePath`` keeps the
+            partition column). Constructing a reader on the WHOLE
+            dataset costs a full file listing — measured 10-15 s per
+            dataset at 5120 buckets — so the affected slice is named
+            explicitly and the other thousands of dirs are never
+            touched; a missing dir just means that bucket never
+            materialized."""
+            dirs = [
+                d
+                for d in (
+                    os.path.join(root, f"{prefix}={k}") for k in keys
+                )
+                if os.path.exists(d)
+            ]
+            if not dirs:
+                return spark.createDataFrame([], schema)
+            return spark.read.option("basePath", root).parquet(*dirs)
+
+        _mark("probe")
         # churned docs: any doc with a tail version or a tombstone.
         # Tail-sized; persisted — it anchors every churn-scoped join.
         churned = (
@@ -859,27 +897,28 @@ def compact_index_incremental(
             .distinct()
             .collect()
         )
-        # churned docs' OLD doclen rows — id-bucket-pruned read, the
-        # discovery source for their old token buckets AND the
-        # old-version seq for liveness
+        id_t = dict(tail_dl.dtypes).get(id_col, "long")
+        # the affected id buckets' doclen rows — opened by dir name,
+        # never a full doclen listing
+        base_dl_aff = _pruned_read(
+            base_doclen_path,
+            "id_bucket",
+            aff_id_buckets,
+            f"{id_col} {id_t}, dl double, seq long, "
+            "buckets array<int>, id_bucket int",
+        ).persist()
+        # churned docs' OLD doclen rows — the discovery source for their
+        # old token buckets AND the old-version seq for liveness
         base_dl_churned = (
-            base_dl.filter(F.col("id_bucket").isin(aff_id_buckets))
-            .join(churned, on=id_col, how="left_semi")
+            base_dl_aff.join(churned, on=id_col, how="left_semi")
             .select(id_col, "dl", "seq", "buckets")
             .persist()
         )
-        schema_po = f"{id_col} long, token string, tf double, seq long"
-        tail_po, base_po = _read_components(
-            spark,
-            [(postings_path, schema_po), (base_postings_path, schema_po)],
-            id_col,
+        _mark("churned_discovery")
+        schema_po = f"{id_col} {id_t}, token string, tf double, seq long"
+        tail_po = _read_or_empty(spark, postings_path, schema_po).select(
+            id_col, "token", "tf", "seq"
         )
-        if "token_bucket" not in base_po.columns:
-            # half-written/recovering base: scope can't be trusted
-            churned.unpersist()
-            base_dl_churned.unpersist()
-            compact_index_inplace(spark, index_path, id_col=id_col)
-            return {"mode": "full"}
         tail_tok_buckets = tail_po.select(
             F.pmod(F.hash("token"), F.lit(n_buckets)).alias("b")
         ).distinct()
@@ -893,6 +932,7 @@ def compact_index_incremental(
             .collect()
         )  # driver-bounded: <= token_buckets ints
 
+        _mark("affected_buckets")
         # churn-scoped liveness: max-seq over (old base version ∪ tail
         # versions) minus higher-seq tombstones — tail-sized everywhere
         cand = base_dl_churned.select(id_col, "dl", "seq").unionByName(
@@ -912,16 +952,22 @@ def compact_index_incremental(
             .persist()
         )
 
+        _mark("churned_live")
         staging = index_path.rstrip("/") + ".compacting-incr"
         shutil.rmtree(staging, ignore_errors=True)
 
-        # affected-bucket postings. Non-churned base rows are live and
-        # unique by the compaction invariant — they pass through with no
-        # join and no dedup; only churned-doc rows (old base slice ∪ the
-        # whole tail, both churn-proportional) pay the replay dedup and
-        # the live-version filter.
-        base_aff = base_po.filter(F.col("token_bucket").isin(affected)).drop(
-            "token_bucket"
+        # affected-bucket postings — opened by dir name (see
+        # _pruned_read). Non-churned base rows are live and unique by
+        # the compaction invariant — they pass through with no join and
+        # no dedup; only churned-doc rows (old base slice ∪ the whole
+        # tail, both churn-proportional) pay the replay dedup and the
+        # live-version filter.
+        base_aff = _pruned_read(
+            base_postings_path,
+            "token_bucket",
+            affected,
+            f"{id_col} {id_t}, token string, tf double, seq long, "
+            "token_bucket int",
         ).select(id_col, "token", "tf", "seq")
         keep = base_aff.join(churned, on=id_col, how="left_anti")
         churn_rows = (
@@ -941,6 +987,7 @@ def compact_index_incremental(
         merged.repartition(F.col("token_bucket")).write.mode(
             "overwrite"
         ).partitionBy("token_bucket").parquet(staged_postings)
+        _mark("staged_postings")
         staged_po = _read_or_empty(
             spark,
             staged_postings,
@@ -957,14 +1004,13 @@ def compact_index_incremental(
             .partitionBy("token_bucket")
             .parquet(staged_dfs)
         )
+        _mark("staged_dfs")
         # doclen: rewrite ONLY the affected id buckets — their
         # non-churned rows pass through, churned docs re-enter with
         # their LIVE version + fresh token-bucket sets (from the staged
         # postings, which hold every live churned row by construction)
-        dl_keep = (
-            base_dl.filter(F.col("id_bucket").isin(aff_id_buckets))
-            .join(churned, on=id_col, how="left_anti")
-            .select(id_col, "dl", "seq", "buckets")
+        dl_keep = base_dl_aff.join(churned, on=id_col, how="left_anti").select(
+            id_col, "dl", "seq", "buckets"
         )
         churned_buckets = (
             staged_po.join(churned, on=id_col, how="left_semi")
@@ -994,10 +1040,11 @@ def compact_index_incremental(
             .partitionBy("id_bucket")
             .parquet(staged_doclen)
         )
+        _mark("staged_doclen")
         # meta by exact delta: affected id buckets' old contribution out,
         # staged contribution in — no corpus-wide aggregate
         old_c = (
-            base_dl.filter(F.col("id_bucket").isin(aff_id_buckets))
+            base_dl_aff
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
@@ -1027,6 +1074,7 @@ def compact_index_incremental(
             [(n_buckets, n_live, sum_dl)],
             "token_buckets int, n_live long, sum_dl double",
         ).coalesce(1).write.mode("overwrite").parquet(staged_meta)
+        _mark("meta_delta")
         # attrs (if present): latest per live doc — the documented
         # doc-count-sized residual (flat layout, tail-append compatible)
         staged_attrs = None
@@ -1040,8 +1088,11 @@ def compact_index_incremental(
                 F.max("seq").alias("seq"),
                 *[F.max_by(c, "seq").alias(c) for c in other],
             )
+            # the one remaining full-doclen read, paid only when an
+            # attrs file exists (the documented doc-count-sized residual)
             alive = (
-                base_dl.select(id_col)
+                spark.read.parquet(base_doclen_path)
+                .select(id_col)
                 .join(churned, on=id_col, how="left_anti")
                 .unionByName(churned_live.select(id_col))
             )
@@ -1052,7 +1103,9 @@ def compact_index_incremental(
                 .write.mode("overwrite")
                 .parquet(staged_attrs)
             )
+        _mark("attrs")
         churned.unpersist()
+        base_dl_aff.unpersist()
         base_dl_churned.unpersist()
         churned_live.unpersist()
 
@@ -1061,6 +1114,7 @@ def compact_index_incremental(
         # become true after the fresh meta and doclen are in place (the
         # fast path's consistency), and tombstones retire only after
         # the dead rows are really gone from the swapped-in base
+        _mark("unpersist")
         _swap_buckets(
             base_postings_path, staged_postings, "token_bucket", affected
         )
@@ -1079,9 +1133,11 @@ def compact_index_incremental(
             old_attrs = os.path.join(index_path, "attrs")
             _retire(old_attrs, index_path)
             os.rename(staged_attrs, old_attrs)
+        _mark("swaps")
         for tail_dir in (doclen_path, postings_path, tomb_path):
             _retire(tail_dir, index_path)
         shutil.rmtree(staging, ignore_errors=True)
+        _mark("tail_retire")
         return {
             "mode": "incremental",
             "affected_buckets": len(affected),
