@@ -2978,7 +2978,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             search_index_batch(spark, work, b1)
             search_index_batch(spark, work, b2)
-            compact_index_inplace(spark, work, token_buckets=32)
+            # 8x2 = 16 rewrite units — sized for the 500-doc driver
+            # corpus (the at-scale sizing discipline, applied downward)
+            compact_index_inplace(
+                spark, work, token_buckets=8, id_subbuckets=2
+            )
             search_index_batch(spark, work, upd.unionByName(dele))
             done = compact_index_incremental(spark, work)
             assert done["mode"] == "incremental", done

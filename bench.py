@@ -511,7 +511,10 @@ def main() -> None:
 
     lsm_dir3 = os.path.join(lsm_root, "idx3")
     bench(
-        "q_bm25_lsm_compact_512",  # full rewrite at the at-scale layout
+        # full rewrite at the at-scale layout: 512 token buckets x 16 id
+        # sub-buckets = 8192 bounded rewrite units (leg name kept for
+        # round-over-round continuity)
+        "q_bm25_lsm_compact_512",
         lambda: compact_index(spark, lsm_dir2, lsm_dir3, token_buckets=512),
     )
     churn_ids = [r["id"] for r in search_corpus.select("id").limit(3).collect()]

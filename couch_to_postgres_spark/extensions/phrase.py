@@ -173,7 +173,14 @@ def _probe_terms(
                 )
             )
         )
-    rows = dfs.filter(F.col("token").isin(terms)).collect()
+    # the two-level dfs layout stores per-(bucket, id_sub) PARTIAL
+    # counts — summing is a no-op on a single-row-per-token dfs
+    rows = (
+        dfs.filter(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.sum("dft").alias("dft"))
+        .collect()
+    )
     df_by = {r["token"]: float(r["dft"]) for r in rows}
     rare = [t for t in terms if df_by.get(t, 0.0) <= max_df_frac * n_live]
     if not rare:

@@ -58,20 +58,25 @@ def _rows(df):
     )
 
 
-def _bucket_snapshot(index, component="postings", prefix="token_bucket"):
-    """{bucket_dir: {filename: md5}} over a bucketed base component —
-    the bit-identical witness."""
+def _bucket_snapshot(index, component="postings"):
+    """{relative_partition_dir: {filename: md5}} over a bucketed base
+    component's LEAF partition dirs — the bit-identical witness. Walks
+    nested (token_bucket=X/id_sub=Y) and flat (id_bucket=N) layouts
+    alike."""
     root = os.path.join(index, "base", component)
     snap = {}
-    for d in os.listdir(root):
-        if not d.startswith(f"{prefix}="):
+    for dirpath, dirnames, filenames in os.walk(root):
+        data = [f for f in filenames if not f.startswith(("_", "."))]
+        if not data:
+            continue
+        rel = os.path.relpath(dirpath, root)
+        if rel == ".":
             continue
         files = {}
-        full = os.path.join(root, d)
-        for f in sorted(os.listdir(full)):
-            with open(os.path.join(full, f), "rb") as fh:
+        for f in sorted(data):
+            with open(os.path.join(dirpath, f), "rb") as fh:
                 files[f] = hashlib.md5(fh.read()).hexdigest()
-        snap[d] = files
+        snap[rel] = files
     return snap
 
 
@@ -94,7 +99,7 @@ def test_incremental_equals_full_and_untouched_buckets_bit_identical(
     index = compacted
     before = _bucket_snapshot(index)
     before_dfs = _bucket_snapshot(index, "dfs")
-    before_dl = _bucket_snapshot(index, "doclen", "id_bucket")
+    before_dl = _bucket_snapshot(index, "doclen")
     # churn: update doc 2 (its OLD base rows must die in buckets the new
     # text never touches), insert doc 9, delete doc 5, replay the insert
     new2 = "merge conflicts resolved by the latest revision"
@@ -109,23 +114,22 @@ def test_incremental_equals_full_and_untouched_buckets_bit_identical(
     )
     done = compact_index_incremental(spark, index)
     assert done["mode"] == "incremental"
-    assert 0 < done["affected_buckets"] < done["total_buckets"] == N_BUCKETS
+    assert 0 < done["affected_pairs"] < N_BUCKETS * done["id_subbuckets"]
+    assert done["total_buckets"] == N_BUCKETS
 
-    # unaffected bucket dirs are BIT-IDENTICAL across ALL bucketed
-    # components; affected ones were swapped
-    affected = {f"token_bucket={b}" for b in done["affected"]}
+    # unaffected partition dirs are BIT-IDENTICAL across ALL bucketed
+    # components; affected ones were swapped. The affected unit is the
+    # (token_bucket, id_sub) PAIR: a hot bucket touched by the churn
+    # still keeps its other id_sub dirs byte-identical.
+    affected = set(done["affected_dirs"])
     aff_id = {f"id_bucket={b}" for b in done["affected_id_buckets"]}
     for snap_before, snap_after, aff in (
         (before, _bucket_snapshot(index), affected),
         (before_dfs, _bucket_snapshot(index, "dfs"), affected),
-        (
-            before_dl,
-            _bucket_snapshot(index, "doclen", "id_bucket"),
-            aff_id,
-        ),
+        (before_dl, _bucket_snapshot(index, "doclen"), aff_id),
     ):
         untouched = set(snap_before) - aff
-        assert untouched, "test corpus must leave some buckets untouched"
+        assert untouched, "test corpus must leave some dirs untouched"
         for d in untouched:
             assert snap_after.get(d) == snap_before[d], f"{d} rewritten"
 
@@ -171,7 +175,7 @@ def test_incremental_equals_full_and_untouched_buckets_bit_identical(
 def test_incremental_noop_when_no_churn(spark, compacted):
     before = _bucket_snapshot(compacted)
     done = compact_index_incremental(spark, compacted)
-    assert done["mode"] == "noop" and done["affected_buckets"] == 0
+    assert done["mode"] == "noop" and done["affected_pairs"] == 0
     assert _bucket_snapshot(compacted) == before
 
 

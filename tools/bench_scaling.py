@@ -360,7 +360,11 @@ def main() -> None:
             compact_index as _ci512,
         )
 
-        for scale_name, n_b in (("sf0.1", 512), ("sf1(synth)", 5120)):
+        # with the (token_bucket × id_sub=16) two-level layout the unit
+        # count is the PRODUCT — 64×16=1024 units at 600k docs,
+        # 512×16=8192 at 6M — so unit size stays bounded as the corpus
+        # grows without exploding directory counts
+        for scale_name, n_b in (("sf0.1", 64), ("sf1(synth)", 512)):
             t = scales[scale_name]
             idx512 = os.path.join(tmp, f"compact512_{scale_name}")
             _ci512(spark, t["phrase_raw"], idx512, token_buckets=n_b)
