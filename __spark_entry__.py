@@ -3163,7 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for b in (b1, b2):
                 search_index_batch(spark, raw, b)
             lsm = os.path.join(work, "lsm")
-            compact_index(spark, raw, lsm, token_buckets=16)
+            compact_index(spark, raw, lsm, token_buckets=16, id_subbuckets=2)
             tail = base.filter(F.col("doc_id") % 10 == 3).select(
                 (F.col("doc_id") + 2000).cast("long").alias("seq"),
                 "doc_id", F.lit(False).alias("deleted"),
@@ -3219,7 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             stats_index_batch(spark, work, b1)
             stats_index_batch(spark, work, b2)
-            compact_index(spark, work, comp, token_buckets=16)
+            compact_index(spark, work, comp, token_buckets=16, id_subbuckets=2)
             upd = base.filter(F.col("doc_id") % 10 == 3).select(
                 (F.col("doc_id") + 2000).cast("long").alias("seq"),
                 "doc_id", F.lit(False).alias("deleted"), "source",

@@ -55,7 +55,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs driver + all 32 executor threads in ONE JVM:
+        # 8g was undersized for that thread count (constant GCLocker
+        # stalls in the logs; a 6M-doc ingest OOMed building the 10x
+        # scaling corpus) while the box has 128 GiB. 24g leaves ample
+        # room for the OS page cache the parquet reads lean on; on a
+        # real cluster this is per-executor sizing instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # driver-generated parquet stores TIMESTAMP(NANOS); Spark has no

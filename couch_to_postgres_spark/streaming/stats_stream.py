@@ -423,18 +423,31 @@ def contamination_from_index(
         live_postings,
     )
 
-    train_tokens = (
-        live_postings(spark, index_path, id_col)
-        .select("token")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
     eval_sh = eval_df.select(
         F.col(id_col),
         F.explode_outer(word_shingles(text_col, shingle_n)).alias(
             "shingle"
         ),
     ).distinct()
+    eval_vocab = (
+        eval_sh.filter(F.col("shingle").isNotNull())
+        .select(F.md5("shingle").alias("token"))
+        .distinct()
+    )
+    # semi-join the postings against the BROADCAST eval vocabulary
+    # BEFORE the distinct: a token outside the eval set can never
+    # produce a hit, so values are unchanged — but the shuffle drops
+    # from the train shingle vocabulary (corpus-scale on short-doc
+    # corpora) to the hit set (eval-scale). Measured: the old
+    # corpus-wide distinct made this path scale 7.5x at 10x data,
+    # same as the batch re-shingle it exists to beat.
+    train_tokens = (
+        live_postings(spark, index_path, id_col)
+        .select("token")
+        .join(F.broadcast(eval_vocab), "token", "left_semi")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
     joined = eval_sh.withColumn("token", F.md5("shingle")).join(
         train_tokens, "token", "left"
     )
