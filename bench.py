@@ -496,27 +496,19 @@ def main() -> None:
         lambda: bm25_topk_from_index(spark, lsm_dir2, idx_qtab, k=20).collect(),
     )
 
-    # r09 (VERDICT r08 #2): bucket-scoped compaction. Bucket pruning only
-    # pays when the churn VOCABULARY covers a small fraction of buckets —
-    # a ~20-distinct-token doc touches ~20 of 64 buckets, so at the 64-
-    # bucket layout above almost any churn is whole-base. The at-scale
-    # layout sizes token_buckets in the hundreds-to-thousands (each
-    # bucket dir a shrinking base fraction); here: a 512-bucket base
-    # (full rewrite timed as the honest comparator), then a 3-doc
-    # micro-batch (a trickle feed's steady state) folded in by
-    # compact_index_incremental — only the churned buckets rewritten.
+    # r09 (VERDICT r08 #2): bucket-scoped compaction against the SAME
+    # layout q_bm25_lsm_compact just rebuilt (64 token buckets x 16 id
+    # sub-buckets = 1024 rewrite units at 600k docs — the sub-bucket
+    # level is what keeps a Zipf-head token's bucket from dragging the
+    # whole corpus into every churn; see SCALING.md r09). A 3-doc
+    # micro-batch (a trickle feed's steady state) lands as tail, then
+    # compact_index_incremental folds it into only the (token_bucket,
+    # id_sub) pairs it touches — the honest comparator is the full
+    # rewrite above.
     from couch_to_postgres_spark.streaming.search_stream import (
         compact_index_incremental,
     )
 
-    lsm_dir3 = os.path.join(lsm_root, "idx3")
-    bench(
-        # full rewrite at the at-scale layout: 512 token buckets x 16 id
-        # sub-buckets = 8192 bounded rewrite units (leg name kept for
-        # round-over-round continuity)
-        "q_bm25_lsm_compact_512",
-        lambda: compact_index(spark, lsm_dir2, lsm_dir3, token_buckets=512),
-    )
     churn_ids = [r["id"] for r in search_corpus.select("id").limit(3).collect()]
     small_churn = search_corpus.filter(F.col("id").isin(churn_ids)).select(
         (F.lit(9 * 10**15) + F.abs(F.hash("id"))).alias("seq"),
@@ -524,14 +516,16 @@ def main() -> None:
         F.lit(False).alias("deleted"),
         F.concat(F.col("text"), F.lit(" churn9 rail")).alias("text"),
     )
-    search_index_batch(spark, lsm_dir3, small_churn, id_col="doc_id")
+    search_index_batch(spark, lsm_dir2, small_churn, id_col="doc_id")
     incr_stats = {}
     bench(
         "q_bm25_lsm_compact_incr",
-        lambda: incr_stats.update(compact_index_incremental(spark, lsm_dir3)),
+        lambda: incr_stats.update(compact_index_incremental(spark, lsm_dir2)),
     )
     # the pruning evidence rides the full doc (bench_out.json), not the
-    # slim stdout payload
+    # slim stdout payload (affected_dirs dropped there: pair-count and
+    # bucket-count tell the story)
+    incr_stats.pop("affected_dirs", None)
     extras["compact_incr"] = incr_stats
 
     # r08 (VERDICT r07 #3): index-assisted phrase search on a RARE
@@ -761,7 +755,7 @@ def main() -> None:
         # one-time) are warmed before any timer starts. Matches BASELINE.md,
         # whose reference numbers come from a long-running daemon and an
         # OS-cached Postgres table, not a cold process.
-        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; partitioned-write benches (q_cdc_incremental*, *_rewrite) report MEDIAN of 3 reps (OS-writeback noise); matches BASELINE's long-running-daemon measurement. Shared-host caveat: single-shot timings on this box vary up to 2x run-to-run on the heavy queries (observed same-code spread e.g. q_winnow_spans 3.7-13.6 s) - compare trends/geomean across rounds, not single numbers. Since r06 a SECOND same-round run is committed as bench_out_rep2.json so per-round spread is separable from code movement. r08 note: r07's combined q_dsir_select_bigk leg (3.9 s vs 30.3 s reps, 7.8x) was host contention on a multi-second leg, not cache reuse - quiet-box reruns of the identical r07 code measured 2.7-4.7 s over 3 in-process reps; the leg is now DECOMPOSED into q_dsir_score_bigk (scoring alone) and q_dsir_cut_bigk (threshold cut + payload join over parquet-materialized scores, untimed setup) so each number is single-purpose",
+        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; partitioned-write benches (q_cdc_incremental*, *_rewrite) report MEDIAN of 3 reps (OS-writeback noise); matches BASELINE's long-running-daemon measurement. Shared-host caveat: single-shot timings on this box vary up to 2x run-to-run on the heavy queries (observed same-code spread e.g. q_winnow_spans 3.7-13.6 s) - compare trends/geomean across rounds, not single numbers. Since r06 a SECOND same-round run is committed as bench_out_rep2.json so per-round spread is separable from code movement. r08 note: r07's combined q_dsir_select_bigk leg (3.9 s vs 30.3 s reps, 7.8x) was host contention on a multi-second leg, not cache reuse - quiet-box reruns of the identical r07 code measured 2.7-4.7 s over 3 in-process reps; the leg is now DECOMPOSED into q_dsir_score_bigk (scoring alone) and q_dsir_cut_bigk (threshold cut + payload join over parquet-materialized scores, untimed setup) so each number is single-purpose. r09 note: q_bm25_lsm_compact now builds the two-level (token_bucket x id_sub) base with the per-doc buckets column and partial-dfs (+~60% vs r08's flat layout, mostly 1024-dir write overhead at this scale) - that machinery is what makes the NEW q_bm25_lsm_compact_incr leg churn-proportional (flat 1.2x at 10x data, SCALING.md r09), and steady-state maintenance runs the incremental leg, not the full rewrite",
         "ivf_recall_at_5": ivf_recall,
         "ivf_recall_at_5_nprobe8": ivf_recall_8,
         "docs": n_docs,
