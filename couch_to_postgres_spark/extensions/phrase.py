@@ -147,8 +147,11 @@ def _probe_terms(
     from pyspark.errors.exceptions.captured import AnalysisException
 
     if not terms:
-        # degrade like the uncompacted fallback instead of min([]) blowing
-        # up below — callers treat an empty probe as "no pruning possible"
+        # an empty probe list would NOT mean "no pruning" downstream:
+        # _candidate_ids filters _nt == len(probe) == 0 over an empty
+        # postings frame, i.e. zero candidates — so empty input is
+        # rejected loudly there (matching _phrase_words) and this guard
+        # only keeps a direct _probe_terms call from min([])-crashing
         return terms
     base = os.path.join(index_path, "base")
     try:
@@ -281,6 +284,12 @@ def _candidate_ids(
         live_postings,
     )
 
+    if not terms:
+        # loud, like _phrase_words: an empty term set would otherwise
+        # filter _nt == 0 over an empty postings frame and silently
+        # return ZERO candidates — neither "matches nothing" nor "no
+        # pruning", just a trap (ADVICE r09)
+        raise ValueError("terms must be non-empty")
     iid = index_id_col or id_col
     probe = _probe_terms(spark, index_path, terms, max_df_frac)
     hit = live_postings(spark, index_path, iid, terms=probe)

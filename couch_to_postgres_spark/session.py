@@ -12,6 +12,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default sized from the host's physical RAM (~1/4,
+    clamped to [2g, 24g]) so the single local-mode JVM neither starves
+    at 32 threads on a big box nor over-asks on a small one; the
+    ``SPARK_GRAFT_DRIVER_MEM`` env var overrides in either direction."""
+    try:
+        total_gib = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) / (1024**3)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(2, min(24, int(total_gib // 4)))}g"
+
+
 def get_spark(
     app_name: str = "couch-to-postgres-spark",
     cpus: str | int | None = None,
@@ -58,10 +72,17 @@ def get_spark(
         # local mode runs driver + all 32 executor threads in ONE JVM:
         # 8g was undersized for that thread count (constant GCLocker
         # stalls in the logs; a 6M-doc ingest OOMed building the 10x
-        # scaling corpus) while the box has 128 GiB. 24g leaves ample
-        # room for the OS page cache the parquet reads lean on; on a
+        # scaling corpus) while the bench box has 128 GiB. Size from the
+        # HOST's RAM rather than hardcoding the bench box's 24g (ADVICE
+        # r09: a fixed 24g heap fails JVM startup / swaps on small
+        # dev/CI machines): ~1/4 of physical memory, clamped to [2g,
+        # 24g], leaves room for the OS page cache the parquet reads
+        # lean on; SPARK_GRAFT_DRIVER_MEM overrides either way. On a
         # real cluster this is per-executor sizing instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # driver-generated parquet stores TIMESTAMP(NANOS); Spark has no

@@ -46,6 +46,10 @@ class FeedConfig:
     #: LSM machinery over md5 shingle fingerprints — stats_stream.
     #: shingle_changes ∘ search_index_batch) from the same micro-batches
     shingle_index: bool = False
+    #: shingle width the decontamination index fingerprints (ADVICE r09:
+    #: recorded in the index so a reader probing with a different n
+    #: fails loudly instead of silently matching nothing)
+    shingle_n: int = 3
 
     @property
     def table(self) -> str:
@@ -102,6 +106,11 @@ class Daemon:
         #: bounded by the update rate, and this bounds the update rate
         #: a read must absorb
         self.search_compaction_debt = search_compaction_debt
+        #: last watchdog-triggered index compaction per feed+twin
+        #: (VERDICT r09 #5): operators should see maintenance cost —
+        #: mode, affected pairs, churned docs, phase timings — on
+        #: `/_status` without reading logs
+        self._last_maintenance: dict[str, dict] = {}
 
     def mirror_path(self, fc: FeedConfig) -> str:
         return os.path.join(self.data_root, "mirrors", fc.table + ".parquet")
@@ -161,6 +170,7 @@ class Daemon:
                     query_name=f"feed:{fc.name}",
                     search_index_path=self.search_index_path(fc),
                     shingle_index_path=self.shingle_index_path(fc),
+                    shingle_n=fc.shingle_n,
                 )
             else:
                 q = follow(
@@ -172,6 +182,7 @@ class Daemon:
                     query_name=f"feed:{fc.name}",
                     search_index_path=self.search_index_path(fc),
                     shingle_index_path=self.shingle_index_path(fc),
+                    shingle_n=fc.shingle_n,
                 )
             self.queries[fc.name] = q
             started.append(fc.name)
@@ -217,9 +228,9 @@ class Daemon:
         search_compacted: dict = {}
         shingle_compacted: dict = {}
         for fc in registry.values():
-            for sip, bucket in (
-                (self.search_index_path(fc), search_compacted),
-                (self.shingle_index_path(fc), shingle_compacted),
+            for sip, twin, bucket in (
+                (self.search_index_path(fc), "search", search_compacted),
+                (self.shingle_index_path(fc), "shingle", shingle_compacted),
             ):
                 if sip is None or not fc.enabled:
                     continue
@@ -233,9 +244,26 @@ class Daemon:
                     # bucket-scoped compaction (VERDICT r08 #2): folds
                     # the tail into only the token buckets it touched;
                     # the first compaction of a fresh index falls back
-                    # to the full rewrite internally
-                    compact_index_incremental(self.spark, sip)
-                    bucket[fc.name] = debt
+                    # to the full rewrite internally. The telemetry the
+                    # fold already computes (VERDICT r09 #5) rides the
+                    # watchdog result and the feed's `/_status` row.
+                    diag: dict = {}
+                    done = compact_index_incremental(
+                        self.spark, sip, diag=diag
+                    )
+                    telemetry = {
+                        "debt": debt,
+                        "mode": done.get("mode"),
+                        "affected_pairs": done.get("affected_pairs"),
+                        "affected_buckets": done.get("affected_buckets"),
+                        "total_buckets": done.get("total_buckets"),
+                        "churned_docs": done.get("churned_docs"),
+                        "phase_timings": diag or None,
+                    }
+                    bucket[fc.name] = telemetry
+                    self._last_maintenance.setdefault(fc.name, {})[
+                        twin
+                    ] = telemetry
         return {
             "stopped": stopped,
             "restarted": restarted,
@@ -324,6 +352,10 @@ class Daemon:
                 "layout": layout,
                 "search_index": search,
                 "shingle_index": shingle,
+                # last watchdog-triggered compaction per index twin
+                # (mode/affected_pairs/churned_docs/phase_timings) —
+                # maintenance cost belongs on the operator surface
+                "index_maintenance": self._last_maintenance.get(fc.name),
                 "sketch_states": sketch_states,
                 "last_progress": {
                     k: progress.get(k)

@@ -267,14 +267,19 @@ def _feed_shingle_index(
     ``stats_stream.shingle_changes`` so the SAME LSM index machinery
     maintains md5 shingle fingerprints as tokens — liveness, tombstones,
     watchdog compaction, and ``contamination_from_index`` /
-    ``decontaminate_from_index`` all come for free."""
+    ``decontaminate_from_index`` all come for free. The shingle width
+    is recorded next to the index (``record_shingle_n``) so a reader
+    probing with a different ``shingle_n`` fails loudly instead of
+    silently matching nothing (ADVICE r09)."""
     from couch_to_postgres_spark.streaming.search_stream import (
         search_index_batch,
     )
     from couch_to_postgres_spark.streaming.stats_stream import (
+        record_shingle_n,
         shingle_changes,
     )
 
+    record_shingle_n(batch.sparkSession, shingle_index_path, shingle_n)
     search_index_batch(
         batch.sparkSession,
         shingle_index_path,
@@ -302,6 +307,7 @@ def follow(
     search_index_path: str | None = None,
     search_text: Callable[[Column], Column] | None = None,
     shingle_index_path: str | None = None,
+    shingle_n: int = 3,
 ) -> StreamingQuery:
     """Start one feed's replication query (the `engine.follow(db)` API —
     the reference's `new PostgresCouchDB(...).start()`,
@@ -323,7 +329,8 @@ def follow(
     the same way (``_feed_shingle_index``: the identical change frame
     through ``stats_stream.shingle_changes``), so benchmark
     decontamination reads live index state instead of re-shingling the
-    mirror per run.
+    mirror per run; ``shingle_n`` picks the fingerprinted n-gram width
+    and is recorded in the index so mismatched readers fail loudly.
 
     ``sink`` picks the mirror layout: ``"partitioned"`` (default) merges
     into the bucket-partitioned mirror — per-batch cost O(touched
@@ -426,7 +433,7 @@ def follow(
             if shingle_index_path is not None:
                 _feed_shingle_index(
                     batch, shingle_index_path, type_filter, map_hook,
-                    search_text,
+                    search_text, shingle_n=shingle_n,
                 )
         finally:
             # unpersist the RAW batch: the upsert only unpersists its
@@ -470,6 +477,7 @@ def follow_couch(
     search_index_path: str | None = None,
     search_text: Callable[[Column], Column] | None = None,
     shingle_index_path: str | None = None,
+    shingle_n: int = 3,
 ) -> StreamingQuery:
     """`follow` against a LIVE CouchDB `_changes` feed via the
     ``format("couchdb")`` data source (offset = couch ``since``, durable
@@ -548,7 +556,7 @@ def follow_couch(
             if shingle_index_path is not None:
                 _feed_shingle_index(
                     batch, shingle_index_path, type_filter, map_hook,
-                    search_text,
+                    search_text, shingle_n=shingle_n,
                 )
         finally:
             if raw is not None:

@@ -548,13 +548,34 @@ def bm25_topk_from_index(
     return out
 
 
+def _auto_id_subbuckets(n_live: int) -> int:
+    """Corpus-adaptive ``id_sub`` fan-out for the two-level base layout
+    (VERDICT r09 #1): the sub-bucket level exists ONLY to cap the
+    incremental compactor's rewrite unit on Zipf-head token buckets —
+    whose row count is bounded by the live doc count — so its fan-out
+    must GROW with the corpus and stay 1 below it. A fixed 16 at a
+    600 k-doc corpus bought nothing and cost +59% full-rewrite time
+    (token_buckets × 16 output dirs of write/listing overhead); the
+    measured-good points are n_sub=1 at 600 k docs (the r08 flat layout)
+    and n_sub=16 at 6 M docs (the r09 flat-at-10× incremental fold), and
+    doubling per ~600 k docs reproduces both. Power-of-two steps keep
+    dir counts tidy; 256 caps driver-side pair enumeration
+    (token_buckets × n_sub ints) at any corpus this layout precedes
+    re-sharding for."""
+    per_sub = 600_000
+    n = 1
+    while n * per_sub < n_live and n < 256:
+        n *= 2
+    return n
+
+
 def compact_index(
     spark: SparkSession,
     index_path: str,
     out_path: str,
     id_col: str = "doc_id",
     token_buckets: int = 64,
-    id_subbuckets: int = 16,
+    id_subbuckets: int | None = None,
 ) -> None:
     """Rewrite the index keeping only LIVE rows, into ``out_path/base``:
     ``base/doclen`` (live rows only), ``base/postings`` laid out in
@@ -581,7 +602,11 @@ def compact_index(
       count and any churned doc touches it — measured 69% of all rows
       behind 46/5120 "affected buckets". Sub-bucketing by id caps the
       rewrite unit at bucket_rows/id_subbuckets, and a churned doc
-      lands in exactly ONE id_sub;
+      lands in exactly ONE id_sub. ``id_subbuckets=None`` (the
+      default) sizes the fan-out from the live doc count
+      (:func:`_auto_id_subbuckets`): 1 at small corpora — where the
+      layout degenerates to the flat one and the fan-out would be pure
+      write overhead — doubling per ~600 k docs;
     * ``base/dfs`` partitioned the same way, holding PARTIAL per-token
       document frequencies (readers sum partials over a token's
       sub-dirs — vocab-slice cheap) so the incremental compactor can
@@ -601,7 +626,9 @@ def compact_index(
     bucket instead of one per task."""
     base_doclen_path, base_postings_path, meta_path = _base_paths(out_path)
     live = live_doclen(spark, index_path, id_col).persist()
-    live.count()
+    n_live_now = live.count()
+    if id_subbuckets is None:
+        id_subbuckets = _auto_id_subbuckets(n_live_now)
     postings = _full_postings(spark, index_path, id_col)
     (
         postings.join(
@@ -713,7 +740,14 @@ def compact_index_inplace(
     fully after the swap — never half in a directory that is about to
     be replaced. ``token_buckets`` defaults to the bucket count already
     recorded in the index's base meta (layout continuity; 64 when the
-    index has never been compacted).
+    index has never been compacted). ``id_subbuckets`` is deliberately
+    NOT carried over from meta: a full rewrite re-lays every dir anyway,
+    so it re-sizes from the CURRENT live doc count
+    (:func:`_auto_id_subbuckets`) — the corpus may have grown (or
+    shrunk) since the fan-out was last picked, and the stale value is
+    exactly the fixed-16-at-600 k mistake the auto-sizing exists to
+    avoid. The incremental compactor, which must preserve the layout it
+    folds into, keeps reading n_sub from meta.
 
     Swap discipline (the daemon watchdog triggers this automatically,
     so UNLOCKED readers — ``bm25_topk_from_index``, ``index_status`` —
@@ -739,24 +773,16 @@ def compact_index_inplace(
     )
 
     with _path_lock(index_path):
-        if token_buckets is None or id_subbuckets is None:
+        if token_buckets is None:
             _, _, meta_path = _base_paths(index_path)
             meta_rows = _read_or_empty(
                 spark,
                 meta_path,
                 "token_buckets int, id_subbuckets int",
             ).collect()
-            if token_buckets is None:
-                token_buckets = (
-                    int(meta_rows[0]["token_buckets"]) if meta_rows else 64
-                )
-            if id_subbuckets is None:
-                got = (
-                    meta_rows[0].asDict().get("id_subbuckets")
-                    if meta_rows
-                    else None
-                )
-                id_subbuckets = int(got) if got else 16
+            token_buckets = (
+                int(meta_rows[0]["token_buckets"]) if meta_rows else 64
+            )
         staging = index_path.rstrip("/") + ".compacting"
         shutil.rmtree(staging, ignore_errors=True)
         compact_index(
@@ -876,6 +902,7 @@ def compact_index_incremental(
         if tail_dl.isEmpty() and tomb.isEmpty():
             return {
                 "mode": "noop",
+                "churned_docs": 0,
                 "affected_pairs": 0,
                 "total_buckets": n_buckets,
             }
@@ -923,6 +950,10 @@ def compact_index_incremental(
             .distinct()
             .persist()
         )
+        # materializes the persist; the count itself is the headline
+        # telemetry number (watchdog `/_status`: how much churn this
+        # maintenance pass actually folded)
+        n_churned = churned.count()
         aff_id_buckets = sorted(
             r["b"]
             for r in churned.select(
@@ -1024,10 +1055,14 @@ def compact_index_incremental(
         merged.repartition(F.col("token_bucket"), F.col("id_sub")).write.mode(
             "overwrite"
         ).partitionBy("token_bucket", "id_sub").parquet(staged_postings)
+        # empty-read fallback schema carries the tail's ACTUAL id type
+        # (never-cast-ids rule): if churn deleted every live row in the
+        # affected pairs, a hardcoded bigint empty frame joining
+        # string-id `churned` would ANSI-cast-throw mid-compaction
         staged_po = _read_or_empty(
             spark,
             staged_postings,
-            f"{id_col} long, token string, tf double, seq long, "
+            f"{id_col} {id_t}, token string, tf double, seq long, "
             "token_bucket int, id_sub int",
         )
         _mark("staged_postings")
@@ -1090,7 +1125,7 @@ def compact_index_incremental(
             _read_or_empty(
                 spark,
                 staged_doclen,
-                f"{id_col} long, dl double, seq long",
+                f"{id_col} {id_t}, dl double, seq long",
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -1172,6 +1207,7 @@ def compact_index_incremental(
         _mark("tail_retire")
         return {
             "mode": "incremental",
+            "churned_docs": n_churned,
             "affected_pairs": len(pairs),
             "affected_buckets": len({tb for tb, _ in pairs}),
             "total_buckets": n_buckets,

@@ -393,6 +393,59 @@ def shingle_changes(
     )
 
 
+def _shingle_meta_path(index_path: str) -> str:
+    return os.path.join(index_path, "shingle_meta")
+
+
+def record_shingle_n(
+    spark: SparkSession, index_path: str, shingle_n: int
+) -> None:
+    """Record the shingle width the index is maintained with (ADVICE
+    r09: md5 fingerprints of different n-grams never match, so a reader
+    probing with the wrong ``shingle_n`` silently gets ZERO overlap —
+    the worst possible failure mode for a decontamination gate). One-row
+    parquet next to the index components; write-once, and a later
+    ingest declaring a DIFFERENT width fails loudly instead of mixing
+    incomparable fingerprints into one postings file. Idempotent per
+    micro-batch (re-asserting the same width is a 1-row read)."""
+    existing = _read_or_empty(
+        spark, _shingle_meta_path(index_path), "shingle_n int"
+    ).collect()
+    if existing:
+        got = int(existing[0]["shingle_n"])
+        if got != int(shingle_n):
+            raise ValueError(
+                f"shingle index at {index_path} was built with "
+                f"shingle_n={got}; refusing to ingest shingle_n="
+                f"{shingle_n} fingerprints into it"
+            )
+        return
+    spark.createDataFrame(
+        [(int(shingle_n),)], "shingle_n int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _shingle_meta_path(index_path)
+    )
+
+
+def _check_shingle_n(
+    spark: SparkSession, index_path: str, shingle_n: int
+) -> None:
+    """Reader-side guard: if the index records its shingle width
+    (:func:`record_shingle_n` — every daemon-maintained index does),
+    a query declaring a different width raises instead of returning
+    all-zero overlaps. An unmarked (legacy / hand-built) index passes —
+    the caller is asserting the width themselves."""
+    existing = _read_or_empty(
+        spark, _shingle_meta_path(index_path), "shingle_n int"
+    ).collect()
+    if existing and int(existing[0]["shingle_n"]) != int(shingle_n):
+        raise ValueError(
+            f"shingle index at {index_path} holds shingle_n="
+            f"{int(existing[0]['shingle_n'])} fingerprints; a "
+            f"shingle_n={shingle_n} probe can never match them"
+        )
+
+
 def contamination_from_index(
     spark: SparkSession,
     index_path: str,
@@ -423,6 +476,7 @@ def contamination_from_index(
         live_postings,
     )
 
+    _check_shingle_n(spark, index_path, shingle_n)
     eval_sh = eval_df.select(
         F.col(id_col),
         F.explode_outer(word_shingles(text_col, shingle_n)).alias(
@@ -503,6 +557,7 @@ def decontaminate_from_index(
         live_postings,
     )
 
+    _check_shingle_n(spark, index_path, shingle_n)
     eval_tokens = (
         eval_df.select(
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle")

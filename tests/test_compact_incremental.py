@@ -82,14 +82,23 @@ def _bucket_snapshot(index, component="postings"):
 
 @pytest.fixture()
 def compacted(spark, tmp_path):
-    """An index with an established base (full compaction) and no tail."""
+    """An index with an established base (full compaction) and no tail.
+
+    ``id_subbuckets`` is pinned > 1 here ON PURPOSE: the default
+    auto-sizing (``_auto_id_subbuckets``) correctly degenerates to 1 on
+    a corpus this small, and these tests exist to witness the two-level
+    (token_bucket × id_sub) pair scoping — explicit override keeps that
+    layout under test while production picks the fan-out from corpus
+    size."""
     index = str(tmp_path / "idx")
     search_index_batch(
         spark, index,
         _changes(spark, [(s, d, False, t)
                          for s, (d, t) in enumerate(DOCS, start=1)]),
     )
-    compact_index_inplace(spark, index, token_buckets=N_BUCKETS)
+    compact_index_inplace(
+        spark, index, token_buckets=N_BUCKETS, id_subbuckets=4
+    )
     return index
 
 
@@ -157,19 +166,66 @@ def test_incremental_equals_full_and_untouched_buckets_bit_identical(
     )
     ref_base = str(tmp_path / "ref_base")
     compact_index(spark, ref, ref_base, token_buckets=N_BUCKETS)
-    want_dfs = sorted(
-        (r["token"], r["dft"])
-        for r in spark.read.parquet(
-            os.path.join(ref_base, "base", "dfs")
-        ).collect()
+
+    # dfs rows are PER-PAIR PARTIALS whose granularity follows the
+    # layout's id_sub fan-out (pinned 4 here vs the reference's
+    # auto-sized 1) — readers sum a token's partials, so the
+    # layout-independent invariant is the per-token sum
+    def _dfs_by_token(path):
+        return sorted(
+            (r["token"], r["dft"])
+            for r in spark.read.parquet(os.path.join(path, "base", "dfs"))
+            .groupBy("token")
+            .agg(F.sum("dft").alias("dft"))
+            .collect()
+        )
+
+    assert _dfs_by_token(index) == _dfs_by_token(ref_base)
+
+
+def test_id_subbuckets_auto_size(spark, tmp_path):
+    """VERDICT r09 #1: the id_sub fan-out scales with the corpus instead
+    of a fixed 16 — 1 at small corpora (where the two-level layout
+    degenerates to the flat one: no write/listing overhead for a level
+    that bounds nothing), doubling per ~600 k live docs toward the
+    measured-good 16 at 6 M, capped at 256."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        _auto_id_subbuckets,
     )
-    got_dfs = sorted(
-        (r["token"], r["dft"])
-        for r in spark.read.parquet(
-            os.path.join(index, "base", "dfs")
-        ).collect()
+
+    assert _auto_id_subbuckets(0) == 1
+    assert _auto_id_subbuckets(600_000) == 1  # the r08 flat layout
+    assert _auto_id_subbuckets(600_001) == 2
+    assert _auto_id_subbuckets(6_000_000) == 16  # the r09 flat-at-10x point
+    assert _auto_id_subbuckets(10**12) == 256  # driver-bounded pair cap
+
+    # end-to-end: a small corpus compacts into id_sub=0-only dirs (the
+    # flat layout), meta records the picked fan-out, and the incremental
+    # fold keeps working against it
+    index = str(tmp_path / "auto_idx")
+    search_index_batch(
+        spark, index,
+        _changes(spark, [(s, d, False, t)
+                         for s, (d, t) in enumerate(DOCS, start=1)]),
     )
-    assert got_dfs == want_dfs
+    compact_index_inplace(spark, index, token_buckets=N_BUCKETS)
+    meta = spark.read.parquet(os.path.join(index, "base", "meta")).collect()
+    assert meta[0]["id_subbuckets"] == 1
+    subdirs = {
+        os.path.basename(p)
+        for p in os.listdir(os.path.join(index, "base", "postings"))
+        if p.startswith("token_bucket=")
+    }
+    assert subdirs  # bucketed layout present
+    for d in subdirs:
+        inner = os.listdir(os.path.join(index, "base", "postings", d))
+        assert [e for e in inner if e.startswith("id_sub=")] == ["id_sub=0"]
+    search_index_batch(
+        spark, index, _changes(spark, [(50, 1, False, "fresh words here")])
+    )
+    done = compact_index_incremental(spark, index)
+    assert done["mode"] == "incremental" and done["id_subbuckets"] == 1
+    assert base_is_live(spark, index)
 
 
 def test_incremental_noop_when_no_churn(spark, compacted):
@@ -219,6 +275,41 @@ def test_incremental_delete_only_churn(spark, compacted):
     # stats carried correctly: meta n_live matches
     meta = spark.read.parquet(os.path.join(index, "base", "meta")).collect()
     assert meta[0]["n_live"] == 7
+
+
+def test_incremental_string_ids_delete_all_churn(spark, tmp_path):
+    """ADVICE r09: on a STRING-id corpus whose churn deletes every live
+    row in the affected pairs, the staged postings/doclen writes come
+    back EMPTY and their fallback read schemas must carry the corpus's
+    id dtype — a hardcoded bigint empty frame would ANSI-cast-throw
+    against the string-id churn set mid-compaction."""
+    index = str(tmp_path / "sid_idx")
+    rows = [(s, f"{d}-6", False, t) for s, (d, t) in enumerate(DOCS, start=1)]
+    search_index_batch(
+        spark, index,
+        spark.createDataFrame(
+            rows, "seq long, doc_id string, deleted boolean, text string"
+        ),
+    )
+    compact_index_inplace(
+        spark, index, token_buckets=N_BUCKETS, id_subbuckets=4
+    )
+    # tombstone EVERY live doc: the affected pairs end up with zero live
+    # rows, so the staged postings dataset is empty on read-back
+    search_index_batch(
+        spark, index,
+        spark.createDataFrame(
+            [(100 + i, f"{d}-6", True, None)
+             for i, (d, _) in enumerate(DOCS)],
+            "seq long, doc_id string, deleted boolean, text string",
+        ),
+    )
+    done = compact_index_incremental(spark, index)
+    assert done["mode"] == "incremental"
+    assert done["churned_docs"] == len(DOCS)
+    assert live_doclen(spark, index).count() == 0
+    meta = spark.read.parquet(os.path.join(index, "base", "meta")).collect()
+    assert meta[0]["n_live"] == 0
 
 
 def test_incremental_attrs_carry_through(spark, tmp_path):

@@ -230,9 +230,14 @@ def test_probe_skips_ubiquitous_terms_on_compacted_index(
     # a phrase made ONLY of ubiquitous terms still probes the rarest one
     only = P._probe_terms(spark, base, ["the", "terms"], max_df_frac=0.01)
     assert len(only) == 1
-    # ADVICE r08: an EMPTY terms list degrades like the uncompacted
-    # fallback (returns []) instead of ValueError from min([])
+    # ADVICE r08/r09: _probe_terms keeps the defensive [] for a direct
+    # empty call, but the probe PATH rejects empty terms loudly — an
+    # empty probe would filter _nt == 0 over an empty postings frame and
+    # silently return zero candidates (neither "matches nothing" nor
+    # "no pruning"), so _candidate_ids raises like _phrase_words does
     assert P._probe_terms(spark, base, [], max_df_frac=0.25) == []
+    with pytest.raises(ValueError, match="non-empty"):
+        P._candidate_ids(spark, base, [], "doc_id", None, 0.25)
 
 
 def test_proximity_hits_indexed_equals_full_scan(spark, docs, tmp_path):

@@ -197,3 +197,15 @@ def test_corrupt_mirror_meta_fails_loudly(spark, sf_dir, tmp_path):
         f.write("{not json")
     with pytest.raises(ValueError, match="corrupt mirror meta"):
         read_meta(p)
+
+
+def test_default_driver_mem_sized_from_host_ram():
+    """ADVICE r09: the driver-heap default scales with the HOST's RAM
+    (~1/4, clamped to [2g, 24g]) instead of hardcoding the 128 GiB bench
+    box's 24g — a fixed 24g request fails JVM startup or swaps on small
+    dev/CI machines. SPARK_GRAFT_DRIVER_MEM still overrides upward."""
+    from couch_to_postgres_spark.session import _default_driver_mem
+
+    v = _default_driver_mem()
+    assert v.endswith("g")
+    assert 2 <= int(v[:-1]) <= 24

@@ -333,6 +333,117 @@ def test_contamination_from_shingle_index_equals_batch(spark, tmp_path):
     assert got2 == want
 
 
+def test_shingle_n_recorded_and_mismatch_fails_loudly(spark, tmp_path):
+    """ADVICE r09: md5 fingerprints of different n-grams NEVER match, so
+    a reader probing a shingle index with the wrong ``shingle_n`` would
+    silently report zero contamination — the worst failure mode for a
+    decontamination gate. The width is recorded at ingest
+    (``record_shingle_n``) and both ingest and readers reject a
+    mismatching width instead of returning empty results."""
+    import pytest
+
+    from couch_to_postgres_spark.streaming.search_stream import (
+        search_index_batch,
+    )
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        contamination_from_index,
+        decontaminate_from_index,
+        record_shingle_n,
+        shingle_changes,
+    )
+
+    index = str(tmp_path / "marked_idx")
+    train = spark.createDataFrame(
+        [(1, 1, False, "the quick brown fox jumps over the lazy dog")],
+        "seq long, doc_id long, deleted boolean, text string",
+    )
+    train_df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    record_shingle_n(spark, index, 4)
+    search_index_batch(spark, index, shingle_changes(train, shingle_n=4))
+    eval_df = spark.createDataFrame(
+        [(100, "quick brown fox jumps high")], "doc_id long, text string"
+    )
+    # matching width: reads work, overlap found
+    got = contamination_from_index(
+        spark, index, eval_df, shingle_n=4
+    ).collect()
+    assert got[0]["n_overlap"] > 0
+    # re-asserting the same width is idempotent
+    record_shingle_n(spark, index, 4)
+    # a different width is rejected at ingest AND on every reader
+    with pytest.raises(ValueError, match="shingle_n"):
+        record_shingle_n(spark, index, 3)
+    with pytest.raises(ValueError, match="shingle_n"):
+        contamination_from_index(spark, index, eval_df, shingle_n=3)
+    with pytest.raises(ValueError, match="shingle_n"):
+        decontaminate_from_index(
+            spark, index, train_df, eval_df, shingle_n=5
+        )
+    # an UNMARKED (hand-built) index keeps working: caller asserts width
+    bare = str(tmp_path / "bare_idx")
+    search_index_batch(spark, bare, shingle_changes(train, shingle_n=3))
+    assert (
+        contamination_from_index(spark, bare, eval_df, shingle_n=3)
+        .collect()[0]["n_overlap"]
+        > 0
+    )
+
+
+def test_daemon_shingle_feed_records_width(spark, tmp_path):
+    """The daemon-maintained shingle index carries its width: a
+    FeedConfig(shingle_index=True, shingle_n=4) feed writes the marker,
+    and a default-width (n=3) reader fails loudly instead of silently
+    matching nothing (the exact trap ADVICE r09 names)."""
+    import pytest
+
+    from couch_to_postgres_spark.streaming.daemon import (
+        Daemon,
+        FeedConfig,
+        save_registry,
+    )
+    from couch_to_postgres_spark.streaming.stats_stream import (
+        contamination_from_index,
+    )
+
+    from couch_to_postgres_spark.sources.changes import write_change_log
+
+    logdir = str(tmp_path / "log")
+    doc = (
+        '{"_id": "d1", "_rev": "1-a", '
+        '"text": "the quick brown fox jumps over the dog"}'
+    )
+    write_change_log(
+        spark.createDataFrame(
+            [(1, "d1", False, doc)],
+            "seq long, id string, deleted boolean, doc string",
+        ),
+        logdir,
+    )
+    reg = str(tmp_path / "registry.json")
+    save_registry(
+        reg,
+        [FeedConfig(name="wide-feed", changes_path=logdir,
+                    shingle_index=True, shingle_n=4)],
+    )
+    d = Daemon(spark, reg, str(tmp_path / "data"))
+    d.find_feeds()
+    d.await_all()
+    shidx = str(tmp_path / "data" / "shingles" / "wide_feed")
+    eval_df = spark.createDataFrame(
+        [(1, "quick brown fox jumps")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="shingle_n"):
+        contamination_from_index(spark, shidx, eval_df)  # default n=3
+    got = contamination_from_index(
+        spark, shidx, eval_df, shingle_n=4
+    ).collect()
+    assert got[0]["n_shingles"] > 0
+    d.stop_all()
+
+
 def test_decontaminate_from_index_equals_batch(spark, tmp_path):
     """Drop-side decontamination from the shingle index: the surviving
     train set equals text.decontaminate over the live corpus, including

@@ -553,7 +553,11 @@ def test_watchdog_compacts_search_index_on_debt(spark, sf_dir, tmp):
     # watchdog pass establishes the base
     r1 = d.watchdog()
     d.await_all()
-    assert r1["search_compacted"].get("search-feed", 0) >= 1.0
+    m1 = r1["search_compacted"]["search-feed"]
+    assert m1["debt"] >= 1.0
+    # maintenance telemetry rides the watchdog result (VERDICT r09 #5):
+    # the first compaction of a fresh index is the full-rewrite fallback
+    assert m1["mode"] == "full"
     st = index_status(spark, sidx)
     assert st["base_present"] and st["compaction_debt"] == 0.0
     got = sorted(
@@ -583,7 +587,21 @@ def test_watchdog_compacts_search_index_on_debt(spark, sf_dir, tmp):
     churn(range(max(2, int(n_live * 0.3))), 2 * 10**15)
     r3 = d.watchdog()
     d.await_all()
-    assert r3["search_compacted"].get("search-feed", 0) > 0.2
+    m3 = r3["search_compacted"]["search-feed"]
+    assert m3["debt"] > 0.2
+    # second pass folds incrementally and reports its cost: churned doc
+    # count, affected (token_bucket x id_sub) pairs out of the total,
+    # and per-phase wall-clock — the numbers an operator needs to judge
+    # maintenance load without reading logs
+    assert m3["mode"] == "incremental"
+    assert m3["churned_docs"] >= 2
+    assert 0 < m3["affected_pairs"]
+    assert m3["total_buckets"] > 0
+    assert m3["phase_timings"] and "swaps" in m3["phase_timings"]
+    # ... and the same telemetry lands on the feed's /_status row
+    maint = d.status()["search-feed"]["index_maintenance"]
+    assert maint["search"]["mode"] == "incremental"
+    assert maint["search"]["churned_docs"] == m3["churned_docs"]
     st3 = index_status(spark, sidx)
     assert st3["compaction_debt"] == 0.0 and st3["live_docs"] == n_live
     ch_hits = bm25_topk_from_index(
@@ -669,7 +687,7 @@ def test_daemon_feed_shingle_index(spark, sf_dir, tmp):
     # establishes the base, values unchanged through the swap
     r1 = d.watchdog()
     d.await_all()
-    assert r1["shingle_compacted"].get("shingle-feed", 0) >= 1.0
+    assert r1["shingle_compacted"]["shingle-feed"]["debt"] >= 1.0
     assert index_status(spark, shidx)["compaction_debt"] == 0.0
     got2 = sorted(
         tuple(r)
