@@ -497,10 +497,12 @@ def main() -> None:
     )
 
     # r09 (VERDICT r08 #2): bucket-scoped compaction against the SAME
-    # layout q_bm25_lsm_compact just rebuilt (64 token buckets x 16 id
-    # sub-buckets = 1024 rewrite units at 600k docs — the sub-bucket
-    # level is what keeps a Zipf-head token's bucket from dragging the
-    # whole corpus into every churn; see SCALING.md r09). A 3-doc
+    # layout q_bm25_lsm_compact just rebuilt (64 token buckets x the
+    # auto-sized id_sub fan-out — 4 at 600k docs since r10; the
+    # sub-bucket level is what keeps a Zipf-head token's bucket from
+    # dragging the whole corpus into every churn, and its fan-out now
+    # grows with the corpus instead of paying 16's write overhead at
+    # every scale; see SCALING.md r09/r10). A 3-doc
     # micro-batch (a trickle feed's steady state) lands as tail, then
     # compact_index_incremental folds it into only the (token_bucket,
     # id_sub) pairs it touches — the honest comparator is the full

@@ -550,23 +550,28 @@ def bm25_topk_from_index(
 
 def _auto_id_subbuckets(n_live: int) -> int:
     """Corpus-adaptive ``id_sub`` fan-out for the two-level base layout
-    (VERDICT r09 #1): the sub-bucket level exists ONLY to cap the
-    incremental compactor's rewrite unit on Zipf-head token buckets —
-    whose row count is bounded by the live doc count — so its fan-out
-    must GROW with the corpus and stay 1 below it. A fixed 16 at a
-    600 k-doc corpus bought nothing and cost +59% full-rewrite time
-    (token_buckets × 16 output dirs of write/listing overhead); the
-    measured-good points are n_sub=1 at 600 k docs (the r08 flat layout)
-    and n_sub=16 at 6 M docs (the r09 flat-at-10× incremental fold), and
-    doubling per ~600 k docs reproduces both. Power-of-two steps keep
-    dir counts tidy; 256 caps driver-side pair enumeration
-    (token_buckets × n_sub ints) at any corpus this layout precedes
-    re-sharding for."""
-    per_sub = 600_000
-    n = 1
-    while n * per_sub < n_live and n < 256:
-        n *= 2
-    return n
+    (VERDICT r09 #1): the sub-bucket level caps the incremental
+    compactor's rewrite unit on Zipf-head token buckets — churn vocab
+    ALWAYS contains the ubiquitous JSON-key tokens, so the affected
+    bucket set always includes the head buckets and ``n_sub`` is the
+    only lever on how much of them one churned doc drags into a fold.
+    It trades directly against full-rewrite + listing overhead
+    (token_buckets × n_sub output dirs), so it must grow with the
+    corpus and stay small below it. Fit to the measured points
+    (sf0.1 sweep, r10; 6 M-doc SCALING, r09): a fixed 16 at 600 k docs
+    cost +59% full-rewrite time for nothing; n_sub=1 at 60 k docs
+    (fixed job costs dominate any fold there), n_sub≈4 at 600 k (full
+    rewrite 18.6 s vs 29.1 s at 16, fold 12.2 s vs 14.6 s at 1), and
+    n_sub=16 at 6 M (the flat-at-10× fold) lie on ``(n_live/60k)^0.6``
+    — ×4 fan-out per ×10 docs. Power-of-two steps keep dir counts
+    tidy; 256 caps driver-side pair enumeration (token_buckets × n_sub
+    ints) at any corpus this layout precedes re-sharding for."""
+    import math
+
+    if n_live <= 60_000:
+        return 1
+    raw = (n_live / 60_000) ** 0.6
+    return min(256, 2 ** round(math.log2(raw)))
 
 
 def compact_index(
@@ -606,7 +611,7 @@ def compact_index(
       default) sizes the fan-out from the live doc count
       (:func:`_auto_id_subbuckets`): 1 at small corpora — where the
       layout degenerates to the flat one and the fan-out would be pure
-      write overhead — doubling per ~600 k docs;
+      write overhead — growing ×4 per ×10 docs (4 at 600 k, 16 at 6 M);
     * ``base/dfs`` partitioned the same way, holding PARTIAL per-token
       document frequencies (readers sum partials over a token's
       sub-dirs — vocab-slice cheap) so the incremental compactor can

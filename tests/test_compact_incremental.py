@@ -194,8 +194,8 @@ def test_id_subbuckets_auto_size(spark, tmp_path):
     )
 
     assert _auto_id_subbuckets(0) == 1
-    assert _auto_id_subbuckets(600_000) == 1  # the r08 flat layout
-    assert _auto_id_subbuckets(600_001) == 2
+    assert _auto_id_subbuckets(60_000) == 1  # fixed job costs dominate
+    assert _auto_id_subbuckets(600_000) == 4  # r10 sweep sweet spot
     assert _auto_id_subbuckets(6_000_000) == 16  # the r09 flat-at-10x point
     assert _auto_id_subbuckets(10**12) == 256  # driver-bounded pair cap
 
