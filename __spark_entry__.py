@@ -2994,6 +2994,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_compact_auto(spark, sf_dir):
+        # corpus-adaptive base layout (r10, VERDICT r09 #1): the exact
+        # x_bm25_incremental state machine, compacted with NO explicit
+        # sizing — compact_index_inplace picks id_subbuckets from the
+        # live doc count via _auto_id_subbuckets (=1 for the 500-doc
+        # driver corpus: the two-level layout degenerates to the flat
+        # one where the fan-out would be pure write overhead; it grows
+        # x4 per x10 docs toward the measured-flat 16 at 6M). The
+        # asserted layout pins the sizing; the returned ranking pins
+        # that the auto-sized base answers exactly like a fresh scan.
+        # Shares x_bm25_incremental's oracle: the final live corpus is
+        # identical by construction.
+        import os as _os
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.search_stream import (
+            _auto_id_subbuckets,
+            bm25_topk_from_index,
+            compact_index_inplace,
+            search_index_batch,
+        )
+
+        base = _docs(spark, sf_dir).select("doc_id", "text")
+        work = tempfile.mkdtemp(prefix="bm25_auto_idx_")
+        try:
+            b1 = base.filter(F.col("doc_id") < 250).select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            )
+            b2 = base.filter(F.col("doc_id") >= 250).select(
+                (F.col("doc_id") + 1000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            )
+            upd = base.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"),
+                F.concat(
+                    F.col("text"), F.lit(" spark merge window")
+                ).alias("text"),
+            )
+            dele = base.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("string").alias("text"),
+            )
+            for b in (b1, b2, upd.unionByName(dele)):
+                search_index_batch(spark, work, b)
+            compact_index_inplace(spark, work)  # all sizing auto
+            meta = spark.read.parquet(
+                _os.path.join(work, "base", "meta")
+            ).collect()[0]
+            assert meta["id_subbuckets"] == _auto_id_subbuckets(
+                meta["n_live"]
+            ), meta
+            qtab = spark.createDataFrame(
+                [(1, "spark"), (1, "window"), (2, "merge"), (2, "rows")],
+                "query_id int, term string",
+            )
+            return bm25_topk_from_index(spark, work, qtab, k=15)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_topk_tied(spark, sf_dir):
         # tied-key selection guard (r08, the r07 ADVICE hot-spot):
         # a coarse 1000-char bucket score gives ~3 distinct key values
@@ -3716,49 +3779,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return diff_report(content_diff(left, repaired, include_same=True))
 
     return {
-        # --- ROUND-9 TOP BLOCK (the driver checks the first ~50
+        # --- ROUND-10 TOP BLOCK (the driver checks the first ~50
         # insertion-order keys; re-derive each round from
-        # CORRECTNESS_r{N}.json). Order: (1) round-9 additions, never
-        # driver-checked; (2) the six keys the r08 rotation declared as
-        # waiting for r09; (3) re-checks of every query whose code path
-        # was touched this round (the live_postings owner refactor
-        # covers the indexed phrase/proximity probes, indexed
-        # contamination/decontamination, and the kl/hapax/trending
-        # stats readers; group_set_overlap factoring covers
-        # x_source_overlap; x_novelty shares code with the new indexed
-        # sibling; the bm25 pair rides the search_stream module edit);
-        # (4) rotation of the NEXT-OLDEST green keys (last checked r07:
-        # the dsir/line/stats families + the r02-era diagnostics
-        # cohort); (5) the one rows-only key (zlib has no SQL form)
-        # keeps the tail slot per the r05 verdict. The r08 top block
-        # (sketch/sampling families, j/e/a/b r01 cohort) re-checked
-        # green in r08 and rotates below. ---
-        # (1) round-9 additions (full-value oracles, each shared with
-        # its batch/fully-rebuilt sibling by construction)
+        # CORRECTNESS_r{N}.json). r10 rotation policy (VERDICT r09
+        # #2): EVERY key in this window carries a full-value DuckDB
+        # oracle — the rows-only keys (x_compression,
+        # x_quality_classifier: zlib / LBFGS have no SQL form; both
+        # pytest-pinned) live BELOW the fold so no checked slot is
+        # spent on a 'no_oracle' row. Order: (1) the round-10
+        # addition; (2) re-checks of every query whose code path was
+        # touched this round (the id_subbuckets auto-sizing +
+        # telemetry edits ride the compactor and search_stream, the
+        # shingle_n guard rides the contamination/decontamination
+        # readers, the empty-terms guard rides the indexed
+        # phrase/proximity probes, and the q_target_mix profile work
+        # rides the sampling family); (3) rotation of the OLDEST
+        # green keys — the r02 cohort, last value-checked eight
+        # rounds ago (35 of its 47 value-oracled keys; the remaining
+        # 12 are first in line for r11). The r09 top block re-checked
+        # green in r09 and rotates below. ---
+        # (1) round-10 addition (shares x_bm25_incremental's oracle)
+        "x_compact_auto": x_compact_auto,
+        # (2) round-10 re-checks: code touched this round
+        "x_compact_incremental": x_compact_incremental,
+        "x_bm25_lsm": x_bm25_lsm,
+        "x_bm25_incremental": x_bm25_incremental,
+        "x_phrase_indexed": x_phrase_indexed,
+        "x_proximity_indexed": x_proximity_indexed,
+        "x_contamination_indexed": x_contamination_indexed,
+        "x_decontaminate_indexed": x_decontaminate_indexed,
         "x_decontaminate_replayed": x_decontaminate_replayed,
         "x_novelty_indexed": x_novelty_indexed,
         "x_source_overlap_indexed": x_source_overlap_indexed,
-        "x_compact_incremental": x_compact_incremental,
-        # (2) the r08-declared waiting keys
+        "x_target_mix": x_target_mix,
+        "x_target_mix_skew": x_target_mix_skew,
+        "x_topk_tied": x_topk_tied,
+        "x_cap_distributed": x_cap_distributed,
+        # (3) rotation: the oldest green cohort (last checked r02)
+        "e13_setops_users": e13_setops_users,
+        "e17_price_histogram": e17_price_histogram,
+        "e22_range_frame_sum": e22_range_frame_sum,
+        "e23_ntile_quartiles": e23_ntile_quartiles,
+        "e24_asof_next_purchase": e24_asof_next_purchase,
+        "e25_cumulative_distinct_users": e25_cumulative_distinct_users,
+        "j02_lineitem_pricing": j02_lineitem_pricing,
+        "j16_big_order_customers": j16_big_order_customers,
+        "j17_supplier_part_counts": j17_supplier_part_counts,
+        "j18_dominant_suppliers": j18_dominant_suppliers,
+        "j19_important_part_stock": j19_important_part_stock,
+        "j20_idle_customers": j20_idle_customers,
+        "j21_cheapest_supplier_per_part": j21_cheapest_supplier_per_part,
+        "j22_returnflag_priority": j22_returnflag_priority,
+        "j23_promo_revenue_share": j23_promo_revenue_share,
+        "j24_disjunctive_predicates": j24_disjunctive_predicates,
+        "j25_nation_pair_volume": j25_nation_pair_volume,
+        "j26_brand_market_share": j26_brand_market_share,
+        "j27_priority_order_counts": j27_priority_order_counts,
+        "j28_forecast_revenue": j28_forecast_revenue,
+        "j29_profit_by_nation_year": j29_profit_by_nation_year,
+        "j30_top_returned_customers": j30_top_returned_customers,
+        "j31_order_count_distribution": j31_order_count_distribution,
+        "j32_top_supplier": j32_top_supplier,
+        "j33_small_quantity_revenue": j33_small_quantity_revenue,
+        "j34_sole_returning_supplier": j34_sole_returning_supplier,
+        "x_approx_quantiles": x_approx_quantiles,
+        "x_approx_topk": x_approx_topk,
+        "x_bigram_score": x_bigram_score,
+        "x_cap_per_source": x_cap_per_source,
+        "x_chunk": x_chunk,
+        "x_cross_dedup": x_cross_dedup,
+        "x_decontaminate": x_decontaminate,
+        "x_dedup_minhash_km": x_dedup_minhash_km,
+        "x_jl_projection": x_jl_projection,
+        # --- below the driver budget: every key here is driver-
+        # green from r01-r09 (or rows-only by declared necessity:
+        # x_compression [zlib], x_quality_classifier [LBFGS] are
+        # deliberately kept out of the checked window and pinned by
+        # pytest instead). The r09 top block re-checked green in r09
+        # and rotates first. ---
         "x_encode": x_encode,
         "x_vocab": x_vocab,
         "x_approx_distinct": x_approx_distinct,
         "b29_count": b29_count,
         "b27_insert": b27_insert,
         "b26_update_where": b26_update_where,
-        # (3) round-9 re-checks: code touched this round
-        "x_phrase_indexed": x_phrase_indexed,
-        "x_proximity_indexed": x_proximity_indexed,
-        "x_contamination_indexed": x_contamination_indexed,
-        "x_decontaminate_indexed": x_decontaminate_indexed,
         "x_kl_incremental": x_kl_incremental,
         "x_hapax_incremental": x_hapax_incremental,
         "x_trending": x_trending,
-        "x_bm25_lsm": x_bm25_lsm,
-        "x_bm25_incremental": x_bm25_incremental,
         "x_source_overlap": x_source_overlap,
         "x_novelty": x_novelty,
-        # (4) rotation: next-oldest green keys (last checked r07)
         "x_dsir_weights": x_dsir_weights,
         "x_dsir_select": x_dsir_select,
         "x_dsir_resample": x_dsir_resample,
@@ -3787,12 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_robust_z": x_robust_z,
         "x_chi2_source_lang": x_chi2_source_lang,
         "e27_event_transitions": e27_event_transitions,
-        # (5) never-driver-checked rows-only key (declared: zlib)
         "x_compression": x_compression,
-        # --- below the driver budget: every key here is driver-
-        # green from r01-r08 (or rows-only by declared necessity).
-        # The r08 top block re-checked green in r08 and rotates first.
-        "x_topk_tied": x_topk_tied,
         "x_line_lm_hashed": x_line_lm_hashed,
         "x_reservoir_payload": x_reservoir_payload,
         "x_dsir_incremental": x_dsir_incremental,
@@ -3805,9 +3909,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sketch_jaccard": x_sketch_jaccard,
         "x_sketch_merge": x_sketch_merge,
         "x_dsir_select_bigk": x_dsir_select_bigk,
-        "x_cap_distributed": x_cap_distributed,
-        "x_target_mix": x_target_mix,
-        "x_target_mix_skew": x_target_mix_skew,
         "x_stratified_split": x_stratified_split,
         "x_mix_report": x_mix_report,
         "x_weighted_sample": x_weighted_sample,
@@ -3924,53 +4025,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_contamination": x_contamination,
         "x_semantic_dedup": x_semantic_dedup,
         "x_ann_ivf": x_ann_ivf,
-        "x_dedup_minhash_km": x_dedup_minhash_km,
-        "x_cross_dedup": x_cross_dedup,
         "x_winnow_spans": x_winnow_spans,
         "x_winnow_occurrences": x_winnow_occurrences,
         "x_mask_spans": x_mask_spans,
         "x_lang_id_multi": x_lang_id_multi,
         "x_lang_mixture": x_lang_mixture,
         "x_len_histogram": x_len_histogram,
-        "x_decontaminate": x_decontaminate,
-        "x_jl_projection": x_jl_projection,
         "x_zorder": x_zorder,
-        "j16_big_order_customers": j16_big_order_customers,
-        "j17_supplier_part_counts": j17_supplier_part_counts,
-        "j18_dominant_suppliers": j18_dominant_suppliers,
-        "j19_important_part_stock": j19_important_part_stock,
-        "j20_idle_customers": j20_idle_customers,
-        "j21_cheapest_supplier_per_part": j21_cheapest_supplier_per_part,
-        "e22_range_frame_sum": e22_range_frame_sum,
-        "e25_cumulative_distinct_users": e25_cumulative_distinct_users,
-        "e24_asof_next_purchase": e24_asof_next_purchase,
-        "j28_forecast_revenue": j28_forecast_revenue,
-        "j29_profit_by_nation_year": j29_profit_by_nation_year,
-        "j30_top_returned_customers": j30_top_returned_customers,
-        "j31_order_count_distribution": j31_order_count_distribution,
-        "j32_top_supplier": j32_top_supplier,
-        "j33_small_quantity_revenue": j33_small_quantity_revenue,
-        "j34_sole_returning_supplier": j34_sole_returning_supplier,
-        "j27_priority_order_counts": j27_priority_order_counts,
-        "j26_brand_market_share": j26_brand_market_share,
-        "j25_nation_pair_volume": j25_nation_pair_volume,
-        "j22_returnflag_priority": j22_returnflag_priority,
-        "j23_promo_revenue_share": j23_promo_revenue_share,
-        "j24_disjunctive_predicates": j24_disjunctive_predicates,
-        "e23_ntile_quartiles": e23_ntile_quartiles,
-        "x_approx_topk": x_approx_topk,
-        "x_cap_per_source": x_cap_per_source,
         "x_token_budget": x_token_budget,
         "x_quantize": x_quantize,
         "x_shards": x_shards,
         "x_rep_signals": x_rep_signals,
-        "x_bigram_score": x_bigram_score,
-        "e17_price_histogram": e17_price_histogram,
-        "x_approx_quantiles": x_approx_quantiles,
-        "e13_setops_users": e13_setops_users,
         "x_logfreq_score": x_logfreq_score,
-        "x_chunk": x_chunk,
-        "j02_lineitem_pricing": j02_lineitem_pricing,
         "x_quality_classifier": x_quality_classifier,
     }
 
@@ -8516,4 +8582,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_novelty_indexed"] = oracles["x_novelty"]
     oracles["x_source_overlap_indexed"] = oracles["x_source_overlap"]
     oracles["x_compact_incremental"] = oracles["x_bm25_incremental"]
+    # r10: the auto-sized (corpus-adaptive id_subbuckets) compacted base
+    # answers exactly like the explicitly-sized one — same final corpus
+    oracles["x_compact_auto"] = oracles["x_bm25_incremental"]
     return oracles
