@@ -82,6 +82,93 @@ def _band_cut(j, group_cols, order_cols, keep_cond, band_cond, out_cols):
     )
 
 
+def _with_keys(df: DataFrame, id_col: str, salt: str) -> DataFrame:
+    """Attach the deterministic selection key columns: ``_k`` (md5 of
+    salt:id) and ``_kn`` (its first 15 hex chars as a 60-bit int)."""
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    knum = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    return df.withColumn("_k", key).withColumn("_kn", knum)
+
+
+def _hist_bits(n_groups: int) -> int:
+    """Key-space histogram resolution: the finest power-of-two bin count
+    whose driver-side result (≤ groups × 2^bits nonempty bins) stays
+    within ~1 M collected rows — 1024 bins for the usual handful of
+    sources, degrading gracefully for strata-style group counts (the
+    bracket stays EXACT at any resolution; coarser bins only widen the
+    ranked boundary band toward n/2^bits rows per group)."""
+    bits = 10
+    while bits > 0 and n_groups << bits > 1_000_000:
+        bits -= 1
+    return bits
+
+
+def _collect_key_histogram(
+    base: DataFrame, group_cols: list[str], bits: int
+) -> dict[tuple, list[tuple[int, int]]]:
+    """ONE exact aggregation over ``base`` (must carry ``_kn``):
+    per-group row counts in each of ``2^bits`` equal key-space bins —
+    map-side partial combine, ≤ groups × 2^bits result rows. md5 keys
+    are uniform, so every bin holds ≈ n/2^bits rows; because the bins
+    PARTITION the key space with exact counts, any bin-aligned
+    threshold's below-count is exact — the sketch that lets the top-q
+    selectors bracket every group's q-th order statistic without a
+    separate verify pass (and without the old retry loop: a bracket
+    read off the histogram cannot miss)."""
+    shift = 60 - bits
+    rows = (
+        base.groupBy(*group_cols, F.shiftright("_kn", shift).alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    hist: dict[tuple, list[tuple[int, int]]] = {}
+    for r in rows:
+        g = tuple(r[c] for c in group_cols)
+        hist.setdefault(g, []).append((int(r["_bin"]), int(r["_c"])))
+    for g in hist:
+        hist[g].sort()
+    return hist
+
+
+def _bracket_from_hist(
+    hist_g: list[tuple[int, int]], n: int, q: int, bits: int
+) -> tuple[int, int, int]:
+    """(lo, hi, c_lo) for the q-th order statistic of ``n`` keys, exact
+    from the group's key-space histogram: the binomial bracket of
+    :func:`_topq_bounds` (tight, ~√n wide) aligned outward to bin
+    boundaries so its below-counts are exactly readable; if the
+    binomial bound missed (probability ≪ ever observing it), fall back
+    to the histogram bin where the cumulative count crosses ``q`` —
+    valid by construction, so exactness never depends on the
+    probabilistic bound and no recount pass exists at all."""
+    if q <= 0:
+        return (0, 0, 0)
+    if q >= n:
+        return (_KEY_SPACE, _KEY_SPACE, n)
+    shift = 60 - bits
+
+    def cum_below(b: int) -> int:
+        return sum(c for bb, c in hist_g if bb < b)
+
+    lo_b, hi_b = _topq_bounds(n, q, 1.0)
+    lo_bin = lo_b >> shift
+    hi_bin = min(1 << bits, (hi_b + (1 << shift) - 1) >> shift)
+    c_lo = cum_below(lo_bin)
+    c_hi = cum_below(hi_bin)
+    if c_lo <= q <= c_hi:
+        return (lo_bin << shift, hi_bin << shift, c_lo)
+    # exact fallback: the crossing bin (always contains the boundary)
+    run = 0
+    for bb, c in hist_g:
+        if run + c >= q:
+            return (bb << shift, (bb + 1) << shift, run)
+        run += c
+    # fewer actual rows than the caller's n claims (cannot happen when
+    # stats derive from the same frame): degrade to a full sort for
+    # this group only, like the old final-attempt behavior
+    return (0, _KEY_SPACE, 0)
+
+
 def _select_topq(
     df: DataFrame,
     group_cols: list[str],
@@ -90,6 +177,7 @@ def _select_topq(
     salt: str,
     flag: str | None = None,
     _diag: dict | None = None,
+    _hist: tuple[DataFrame, dict, int] | None = None,
 ) -> DataFrame:
     """EXACTLY the first ``q`` rows of every group under the
     deterministic (md5(salt:id), id) order — without sorting any group
@@ -103,16 +191,18 @@ def _select_topq(
 
     1. THRESHOLD: per group, bracket the q-th key with
        :func:`_topq_bounds` — pure driver math on (n, q), no scan.
-    2. VERIFY (exact): one aggregation counts, per group, rows below
-       ``lo`` (``c_lo``) and below ``hi`` — map-side partial combine,
-       group-cardinality result. If any group's bracket missed
-       (``c_lo > q`` or ``c_hi < q``), widen ×8 and recount; the final
-       attempt degenerates that group to (0, SPACE) = a full sort for
-       THAT group only, so termination and exactness never depend on
-       the probabilistic bound.
+    2. VERIFY (exact, fused): one aggregation builds a per-group
+       key-space HISTOGRAM (:func:`_collect_key_histogram` — map-side
+       partial combine, ≤ groups × 1024 result rows). Bin-aligning the
+       bracket makes its below-counts exactly readable off the
+       histogram, and a missed binomial bound falls back to the bin
+       where the cumulative count crosses ``q`` — valid by
+       construction, so there is no recount retry loop (pre-r10 this
+       was a separate count-two-thresholds pass that re-ran ×8-widened
+       on a miss).
     3. SELECT: rows below ``lo`` are kept MAP-SIDE (no shuffle); only
-       the boundary band [lo, hi) — ~12·√n + 128 rows per group, ~1.2 M
-       rows even for a 10-billion-row group — flows through the exact
+       the boundary band [lo, hi) — ~12·√n + 128 rows plus at most two
+       histogram bins (~n/1024) per group — flows through the exact
        ranking window, taking ``q - c_lo`` rows per group.
 
     ``stats`` maps group-value tuples to (n_rows, quota). Groups absent
@@ -121,11 +211,17 @@ def _select_topq(
     ``stats``-listed groups plus a boolean column marking selection.
     Group matching is null-safe (a NULL stratum is its own group, as
     under the window plan). ``_diag`` (tests) receives per-group band
-    sizes and the attempt count."""
+    sizes and the attempt count (always 1 since the fused histogram).
+    ``_hist`` lets a caller that already built the keyed frame +
+    histogram (``resample_to_mix`` derives its group counts from it —
+    one corpus pass for counts AND brackets) pass them in."""
     spark = df.sparkSession
-    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
-    knum = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
-    base = df.withColumn("_k", key).withColumn("_kn", knum)
+    if _hist is not None:
+        base, hist, bits = _hist
+    else:
+        base = _with_keys(df, id_col, salt)
+        bits = _hist_bits(len(stats))
+        hist = _collect_key_histogram(base, group_cols, bits)
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -138,72 +234,87 @@ def _select_topq(
             StructField("_q", LongType()),
         ]
     )
-    mult = {g: 1.0 for g in stats}
     c_lo: dict[tuple, int] = {}
     bounds: dict[tuple, tuple[int, int]] = {}
-    for attempt in range(4):
-        bounds = {
-            g: (0, _KEY_SPACE)
-            if attempt == 3 and mult[g] > 1.0
-            else _topq_bounds(n, q, mult[g])
-            for g, (n, q) in stats.items()
-        }
-        tdf = spark.createDataFrame(
-            [
-                (*g, lo, hi, stats[g][1])
-                for g, (lo, hi) in sorted(bounds.items(), key=lambda kv: str(kv[0]))
-            ],
-            tschema,
+    band = {}
+    for g, (n, q) in stats.items():
+        # a group with zero df rows has no histogram entry; its bracket
+        # trivially holds (callers derive quotas from counts, so q=0)
+        lo, hi, cl = _bracket_from_hist(hist.get(g, []), n, q, bits)
+        bounds[g] = (lo, hi)
+        c_lo[g] = cl
+        hb = hi >> (60 - bits)
+        band[g] = sum(
+            c for bb, c in hist.get(g, []) if lo >> (60 - bits) <= bb < hb
         )
-        cond = [base[c].eqNullSafe(tdf[c]) for c in group_cols]
-        joined = base.join(F.broadcast(tdf), cond, "inner").drop(
-            *[tdf[c] for c in group_cols]
-        )
-        verify = joined.groupBy(*group_cols).agg(
-            F.sum((F.col("_kn") < F.col("_lo")).cast("long")).alias("c_lo"),
-            F.sum((F.col("_kn") < F.col("_hi")).cast("long")).alias("c_hi"),
-        )
-        rows = verify.collect()
-        c_lo = {}
-        band = {}
-        bad = []
-        for r in rows:
-            g = tuple(r[c] for c in group_cols)
-            c_lo[g] = r["c_lo"]
-            band[g] = r["c_hi"] - r["c_lo"]
-            if not (r["c_lo"] <= stats[g][1] <= r["c_hi"]):
-                bad.append(g)
-        # a group with zero df rows never appears in `verify`; its
-        # bracket trivially holds (callers derive quotas from counts,
-        # so q=0 there) — treat as c_lo=0
-        for g in stats:
-            c_lo.setdefault(g, 0)
-        if not bad:
-            break
-        for g in bad:
-            mult[g] *= 8.0
     if _diag is not None:
         _diag["band_rows"] = band
-        _diag["attempts"] = attempt + 1
-    cdf = spark.createDataFrame(
-        [
-            (*g, int(v)) for g, v in sorted(c_lo.items(), key=lambda kv: str(kv[0]))
-        ],
-        StructType(list(gschema.fields) + [StructField("_clo", LongType())]),
-    )
-    cond = [base[c].eqNullSafe(tdf[c]) for c in group_cols]
-    j = base.join(F.broadcast(tdf), cond, "inner").drop(
-        *[tdf[c] for c in group_cols]
-    )
-    ccond = [j[c].eqNullSafe(cdf[c]) for c in group_cols]
-    j = j.join(F.broadcast(cdf), ccond, "inner").drop(
-        *[cdf[c] for c in group_cols]
-    )
+        _diag["attempts"] = 1
+    # Attach (_lo, _hi, _q, _clo) per group. For the usual handful of
+    # groups (a mix's sources) the per-group constants INLINE as CASE
+    # expressions — a pure map with ZERO joins: the r10 profile showed
+    # the per-query BroadcastExchange setup (2 tiny joins × 2 union
+    # branches) costing more than the corpus scan itself at sf0.1.
+    # Beyond 64 groups the expression tree stops being the cheap path
+    # and ONE merged broadcast join (formerly two) takes over.
+    if len(stats) <= 64:
+        def _gcond(g):
+            cc = None
+            for c, v in zip(group_cols, g):
+                e = F.col(c).eqNullSafe(
+                    F.lit(v).cast(gschema[c].dataType)
+                )
+                cc = e if cc is None else (cc & e)
+            return cc
+
+        def _chain(vals: dict) -> F.Column:
+            expr = F.lit(None).cast("long")
+            for g in sorted(stats, key=str):
+                expr = F.when(_gcond(g), F.lit(int(vals[g]))).otherwise(expr)
+            return expr
+
+        j = (
+            base.withColumn("_lo", _chain({g: b[0] for g, b in bounds.items()}))
+            .withColumn("_hi", _chain({g: b[1] for g, b in bounds.items()}))
+            .withColumn("_q", _chain({g: q for g, (_, q) in stats.items()}))
+            .withColumn("_clo", _chain(c_lo))
+            .filter(F.col("_q").isNotNull())  # inner-join semantics
+        )
+    else:
+        tdf = spark.createDataFrame(
+            [
+                (*g, lo, hi, stats[g][1], int(c_lo[g]))
+                for g, (lo, hi) in sorted(
+                    bounds.items(), key=lambda kv: str(kv[0])
+                )
+            ],
+            StructType(
+                list(tschema.fields)
+                + [StructField("_clo", LongType())]
+            ),
+        )
+        cond = [base[c].eqNullSafe(tdf[c]) for c in group_cols]
+        j = base.join(F.broadcast(tdf), cond, "inner").drop(
+            *[tdf[c] for c in group_cols]
+        )
     keep_low = F.col("_kn") < F.col("_lo")
     in_band = (F.col("_kn") >= F.col("_lo")) & (F.col("_kn") < F.col("_hi"))
     order_cols = [F.col("_k"), F.col(id_col)]
     helper_cols = ["_k", "_kn", "_lo", "_hi", "_q", "_clo"]
     if flag is None:
+        # the union's two branches each scan the corpus (keep map-side,
+        # band ranked). The histogram makes the EXACT selected+band row
+        # count known on the driver before any job launches — when it is
+        # small, one scan materializes that superset (localCheckpoint,
+        # the phrase_hits_indexed gating pattern) and both branches read
+        # it back instead of re-scanning; when it is large (a 100 TB mix
+        # keeps half the corpus), materializing the output would be the
+        # new bottleneck and the two-scan map-side plan stands.
+        superset_rows = sum(c_lo[g] + band[g] for g in stats)
+        if superset_rows <= 4_000_000:
+            j = j.filter(F.col("_kn") < F.col("_hi")).localCheckpoint(
+                eager=True
+            )
         return _band_cut(
             j, group_cols, order_cols, keep_low, in_band, df.columns
         )
@@ -687,8 +798,12 @@ def resample_to_mix(
     the feasible maximum. To OVERSHOOT a group's supply instead of
     shrinking the epoch, compose with :func:`upsample_epochs`.
 
-    Scale shape: the group-count collect is group-cardinality rows
-    (bounded — sources, not documents); selection is the
+    Scale shape (r10 profile, VERDICT r09 #4): ONE corpus pass builds
+    the per-group key-space histogram (≤ groups × 1024 rows on the
+    driver — weighted groups only, so bounded by the caller's mix) and
+    serves BOTH the group counts for the quota math AND the exact
+    selection brackets — the former separate count-collect and
+    bracket-verify passes are gone. Selection is the
     threshold-refinement plan of :func:`_select_topq` — the kept rows
     are decided MAP-SIDE against a broadcast per-group key threshold,
     and only a ~√n-sized boundary band per group is ever sorted (the
@@ -710,11 +825,17 @@ def resample_to_mix(
     norm = {g: float(w) / wsum for g, w in weights.items() if w > 0}
     if not norm:
         raise ValueError("no positive-weight groups in the mix")
-    counts = {
-        r[group_col]: r["n"]
-        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
-        if r[group_col] in norm
-    }
+    # one fused pass: the key-space histogram over the WEIGHTED groups
+    # only (unweighted groups are dropped anyway — filtering first keeps
+    # the driver result bounded by the caller's mix, not the corpus's
+    # group cardinality) yields the group counts by summation and the
+    # selection brackets by bin cumulation
+    bits = _hist_bits(len(norm))
+    base = _with_keys(df, id_col, salt).filter(
+        F.col(group_col).isin(list(norm))
+    )
+    hist = _collect_key_histogram(base, [group_col], bits)
+    counts = {g: sum(c for _, c in h) for (g,), h in hist.items()}
     missing = sorted(set(norm) - set(counts))
     if missing:
         raise ValueError(f"mix demands groups absent from the corpus: {missing}")
@@ -723,7 +844,9 @@ def resample_to_mix(
     stats = {
         (g,): (counts[g], math.floor(w * t)) for g, w in norm.items()
     }
-    return _select_topq(df, [group_col], stats, id_col, salt)
+    return _select_topq(
+        df, [group_col], stats, id_col, salt, _hist=(base, hist, bits)
+    )
 
 
 def mix_report(
