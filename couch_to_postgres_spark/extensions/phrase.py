@@ -153,29 +153,45 @@ def _probe_terms(
         # rejected loudly there (matching _phrase_words) and this guard
         # only keeps a direct _probe_terms call from min([])-crashing
         return terms
+    from couch_to_postgres_spark.streaming.search_stream import (
+        _has_partition_prefix,
+        _open_partition_dirs,
+        _term_buckets,
+    )
+
     base = os.path.join(index_path, "base")
+    dfs_root = os.path.join(base, "dfs")
     try:
-        dfs = spark.read.parquet(os.path.join(base, "dfs"))
         meta = spark.read.parquet(os.path.join(base, "meta")).collect()
     except AnalysisException:
         return terms
     if not meta or "n_live" not in meta[0].asDict():
         return terms
     n_live = float(meta[0]["n_live"]) or 1.0
-    if "token_bucket" in dfs.columns:
-        # bucketed dfs layout (r09): prune the stats read to the terms'
-        # buckets, exactly like the postings scan
-        from couch_to_postgres_spark.streaming.search_stream import (
-            _term_buckets,
-        )
-
-        dfs = dfs.filter(
-            F.col("token_bucket").isin(
-                _term_buckets(
+    if _has_partition_prefix(dfs_root, "token_bucket="):
+        # bucketed dfs layout (r09): open ONLY the terms' bucket dirs by
+        # name (r10, VERDICT r09 #6 — a whole-root reader pays a full
+        # file listing at scaled bucket counts, which would put a
+        # directory-count cost inside every phrase probe's planning)
+        dfs = _open_partition_dirs(
+            spark,
+            dfs_root,
+            [
+                f"token_bucket={b}"
+                for b in _term_buckets(
                     spark, terms, int(meta[0]["token_buckets"])
                 )
-            )
+            ],
         )
+        if dfs is None:
+            # no bucket dir for any term: every term has df 0 — all are
+            # maximally rare, probe them all
+            return terms
+    else:
+        try:
+            dfs = spark.read.parquet(dfs_root)  # legacy flat dfs
+        except AnalysisException:
+            return terms
     # the two-level dfs layout stores per-(bucket, id_sub) PARTIAL
     # counts — summing is a no-op on a single-row-per-token dfs
     rows = (

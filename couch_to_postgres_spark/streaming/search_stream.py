@@ -128,6 +128,38 @@ def _read_components(
     return out
 
 
+def _has_partition_prefix(root: str, prefix: str) -> bool:
+    """True when ``root`` holds ``prefix``-style partition dirs —
+    the layout probe that decides whether a by-name pruned open is
+    possible. Local-FS dir probe, like the swap machinery; on HDFS/S3
+    this is a FileSystem listStatus / table-format manifest read."""
+    try:
+        return any(e.startswith(prefix) for e in os.listdir(root))
+    except OSError:
+        return False
+
+
+def _open_partition_dirs(spark, root: str, rel_dirs) -> DataFrame | None:
+    """Construct a reader over ONLY the named partition dirs of a
+    bucketed component (``basePath`` keeps the partition columns).
+    Constructing a reader over the whole root pays a full file LISTING
+    at DataFrame-construction time — measured 10-15 s on a 5 k-dir
+    dataset (SCALING.md r09) — even when execution would partition-prune
+    every other dir; when the caller already knows the bucket set (query
+    terms → token buckets via meta, churned ids → id buckets), opening
+    the dirs by name skips the listing entirely. A missing dir just
+    means that bucket never materialized. Returns ``None`` when none of
+    the named dirs exist (caller supplies its empty frame)."""
+    dirs = [
+        d
+        for d in (os.path.join(root, rel) for rel in rel_dirs)
+        if os.path.exists(d)
+    ]
+    if not dirs:
+        return None
+    return spark.read.option("basePath", root).parquet(*dirs)
+
+
 def _paths(index_path: str) -> tuple[str, str, str]:
     return (
         os.path.join(index_path, "doclen"),
@@ -391,29 +423,53 @@ def query_postings(
 ) -> DataFrame:
     """(id, token, tf, seq) rows matching the query terms: compacted
     base ∪ append tail. The term filter pushes into both parquet scans;
-    on the base the scan ALSO prunes to the ``token_bucket=N`` partition
-    directories holding the query terms (bucket ids from ``base/meta``),
-    so an un-compacted-since append tail is the only unpruned bytes —
-    bounded by the update rate between compactions, not corpus size."""
+    on a bucketed base the ``token_bucket=N`` partition dirs holding the
+    query terms are opened BY NAME (bucket ids from ``base/meta``;
+    r10, VERDICT r09 #6) — constructing a reader over the whole base
+    root pays a full file listing at scaled bucket counts even though
+    execution would prune, so the probe's planning cost now scales with
+    the term set, not the directory count. An un-compacted-since append
+    tail is the only unpruned bytes — bounded by the update rate
+    between compactions, not corpus size."""
     _, postings_path, _ = _paths(index_path)
     _, base_postings_path, meta_path = _base_paths(index_path)
     schema = f"{id_col} long, token string, tf double, seq long"
-    tail, base = _read_components(
-        spark, [(postings_path, schema), (base_postings_path, schema)], id_col
-    )
+    meta = _read_or_empty(spark, meta_path, "token_buckets int").collect()
+    base = None
+    if meta and _has_partition_prefix(base_postings_path, "token_bucket="):
+        n_buckets = int(meta[0]["token_buckets"])
+        base = _open_partition_dirs(
+            spark,
+            base_postings_path,
+            [
+                f"token_bucket={b}"
+                for b in _term_buckets(spark, terms, n_buckets)
+            ],
+        )
+    else:
+        # legacy flat base (or a non-local FS where the dir probe is
+        # blind): read-attempt the whole component as before
+        try:
+            base = spark.read.parquet(base_postings_path)
+        except AnalysisException:
+            base = None
+    try:
+        tail = spark.read.parquet(postings_path)
+    except AnalysisException:
+        tail = None
+    # never-cast-ids: whichever component is missing takes the id dtype
+    # of the sibling that exists (the _read_components discipline)
+    like = base if base is not None else tail
+    if like is not None and id_col in dict(like.dtypes):
+        id_t = dict(like.dtypes)[id_col]
+        schema = f"{id_col} {id_t}, token string, tf double, seq long"
+    if base is None:
+        base = spark.createDataFrame([], schema)
+    if tail is None:
+        tail = spark.createDataFrame([], schema)
     tail = tail.filter(F.col("token").isin(terms)).select(
         id_col, "token", "tf", "seq"
     )
-    if "token_bucket" in base.columns:
-        meta = _read_or_empty(spark, meta_path, "token_buckets int").collect()
-        if meta:
-            n_buckets = meta[0]["token_buckets"]
-            base = base.filter(
-                F.col("token_bucket").isin(
-                    _term_buckets(spark, terms, n_buckets)
-                )
-            )
-        base = base.drop("token_bucket", "id_sub")
     base = base.filter(F.col("token").isin(terms)).select(
         id_col, "token", "tf", "seq"
     )
@@ -511,18 +567,31 @@ def bm25_topk_from_index(
     # tombstone exists) — skips a groupBy over the hit slice, which is
     # corpus-proportional for a stop-word-like term. Any churn since
     # compaction falls back to the exact aggregate.
-    dfs_df = (
-        _try(os.path.join(index_path, "base", "dfs")) if fast else None
-    )
-    if dfs_df is not None:
-        if "token_bucket" in dfs_df.columns:
-            # the bucketed dfs layout prunes the stats read to the query
-            # terms' buckets, exactly like the postings scan
-            dfs_df = dfs_df.filter(
-                F.col("token_bucket").isin(
-                    _term_buckets(spark, terms, int(m["token_buckets"]))
-                )
+    dfs_root = os.path.join(index_path, "base", "dfs")
+    dfs_df = None
+    if fast:
+        if _has_partition_prefix(dfs_root, "token_bucket="):
+            # bucketed dfs layout: open ONLY the query terms' bucket
+            # dirs by name (r10, VERDICT r09 #6 — a whole-root reader
+            # pays a full listing at scaled bucket counts)
+            dfs_df = _open_partition_dirs(
+                spark,
+                dfs_root,
+                [
+                    f"token_bucket={b}"
+                    for b in _term_buckets(
+                        spark, terms, int(m["token_buckets"])
+                    )
+                ],
             )
+            if dfs_df is None:
+                # the terms' buckets never materialized: no live doc
+                # holds any query term — an empty dfs is the exact
+                # statement of that, keeping the fast path
+                dfs_df = spark.createDataFrame([], "token string, dft double")
+        else:
+            dfs_df = _try(dfs_root)  # legacy flat dfs
+    if dfs_df is not None:
         # two-level layout stores per-(bucket, id_sub) PARTIAL counts;
         # summing is also correct (a no-op) on a single-row-per-token dfs
         dft = (
@@ -915,36 +984,21 @@ def compact_index_incremental(
         # layout check WITHOUT a full dataset listing: the current base
         # writes id_bucket=/token_bucket= partition dirs and records
         # id_subbuckets in meta; anything else is a legacy or
-        # half-written base → one full rewrite upgrades it. (Local-FS
-        # dir probes, like the swap machinery; on HDFS/S3 this is a
-        # FileSystem listStatus / table-format manifest read.)
-        def _has_prefix(root: str, prefix: str) -> bool:
-            try:
-                return any(e.startswith(prefix) for e in os.listdir(root))
-            except OSError:
-                return False
-
+        # half-written base → one full rewrite upgrades it.
         if (
             n_sub is None
-            or not _has_prefix(base_doclen_path, "id_bucket=")
-            or not _has_prefix(base_postings_path, "token_bucket=")
+            or not _has_partition_prefix(base_doclen_path, "id_bucket=")
+            or not _has_partition_prefix(base_postings_path, "token_bucket=")
         ):
             compact_index_inplace(spark, index_path, id_col=id_col)
             return {"mode": "full"}
         n_sub = int(n_sub)
 
         def _pruned_read(root, rel_dirs, schema):
-            """Open ONLY the named partition dirs (``basePath`` keeps
-            the partition columns); a missing dir just means that
-            bucket never materialized."""
-            dirs = [
-                d
-                for d in (os.path.join(root, rel) for rel in rel_dirs)
-                if os.path.exists(d)
-            ]
-            if not dirs:
-                return spark.createDataFrame([], schema)
-            return spark.read.option("basePath", root).parquet(*dirs)
+            """:func:`_open_partition_dirs` with an empty-frame fallback
+            (a missing dir just means that bucket never materialized)."""
+            got = _open_partition_dirs(spark, root, rel_dirs)
+            return got if got is not None else spark.createDataFrame([], schema)
 
         _mark("probe")
         # churned docs: any doc with a tail version or a tombstone.

@@ -191,17 +191,21 @@ def test_bucket_pruning_reads_only_matching_dirs(spark, index, tmp_path):
     terms = ["spark", "window"]
     buckets = _term_buckets(spark, terms, 8)
     hits = query_postings(spark, compacted, terms)
-    # the physical plan must carry a non-empty PartitionFilters on
-    # token_bucket (directory pruning) AND push the token filter into
-    # the parquet scan (inputFiles() can't show this — it lists the
-    # relation's files before partition pruning)
+    # r10 (VERDICT r09 #6): the base's matching token_bucket dirs are
+    # opened BY NAME — the pruning happens at LISTING time, before the
+    # planner ever sees the other directories (a whole-root reader pays
+    # a full file listing at scaled bucket counts even though execution
+    # would partition-prune). inputFiles() therefore shows it directly:
+    # every listed base file lives under a matching bucket dir.
+    base_files = [
+        f for f in hits.inputFiles() if "/base/postings/" in f
+    ]
+    assert base_files, "base postings files must be read"
+    want_dirs = {f"token_bucket={b}" for b in buckets}
+    for f in base_files:
+        assert any(d in f for d in want_dirs), f
+    # the token filter still pushes into the parquet scan
     plan = hits._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: " in plan, plan
-    partition_part = plan.split("PartitionFilters: ")[1].split("]")[0]
-    want_filter = f"IN ({','.join(str(b) for b in buckets)})"
-    assert "token_bucket" in partition_part and want_filter in partition_part, (
-        partition_part
-    )
     assert "PushedFilters: [In(token, [spark,window])" in plan
     # and the pruned read still returns exactly the matching rows
     got = {(r["doc_id"], r["token"]) for r in hits.collect()}
