@@ -470,9 +470,22 @@ def contamination_from_index(
     only the EVAL side — benchmarks, small by construction — is
     shingled fresh. The join key is a uniform 32-hex fingerprint: no
     hot keys, and the train side collapses to its distinct shingle
-    vocabulary before the join exactly like the batch plan."""
+    vocabulary before the join exactly like the batch plan.
+
+    Read-mostly fast path (r10, VERDICT r09 #3): contamination only
+    needs MEMBERSHIP in the train vocabulary, and on a compacted index
+    with no churn (``base_is_live``) the base's ``dfs`` table already
+    enumerates exactly the live distinct fingerprints — so the train
+    side reads the VOCAB-sized dfs instead of the postings (which carry
+    one row per (doc, shingle) and outweigh the corpus text itself;
+    SCALING.md r09's honest negative). The more cross-doc repetition —
+    boilerplate, templates, the long-doc regime — the further vocab
+    bytes fall below text bytes and the further ahead the index pulls.
+    Any churn since compaction falls back to the exact live-postings
+    merge."""
     from couch_to_postgres_spark.extensions.dedup import word_shingles
     from couch_to_postgres_spark.streaming.search_stream import (
+        base_is_live,
         live_postings,
     )
 
@@ -488,6 +501,22 @@ def contamination_from_index(
         .select(F.md5("shingle").alias("token"))
         .distinct()
     )
+    train_src = None
+    if base_is_live(spark, index_path):
+        # vocab-sized membership source: the compacted base's dfs table
+        # holds exactly the live distinct fingerprints (derived FROM the
+        # base postings at compaction; base_is_live ⟹ live == base).
+        # Partial per-(bucket, id_sub) rows may repeat a token across
+        # sub-dirs — the distinct below collapses them.
+        from pyspark.errors import AnalysisException
+
+        dfs_root = os.path.join(index_path, "base", "dfs")
+        try:
+            train_src = spark.read.parquet(dfs_root).select("token")
+        except AnalysisException:  # no dfs: pre-dfs-layout base
+            train_src = None
+    if train_src is None:
+        train_src = live_postings(spark, index_path, id_col).select("token")
     # semi-join the postings against the BROADCAST eval vocabulary
     # BEFORE the distinct: a token outside the eval set can never
     # produce a hit, so values are unchanged — but the shuffle drops
@@ -496,8 +525,7 @@ def contamination_from_index(
     # corpus-wide distinct made this path scale 7.5x at 10x data,
     # same as the batch re-shingle it exists to beat.
     train_tokens = (
-        live_postings(spark, index_path, id_col)
-        .select("token")
+        train_src
         .join(F.broadcast(eval_vocab), "token", "left_semi")
         .distinct()
         .withColumn("hit", F.lit(1))

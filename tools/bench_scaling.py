@@ -80,6 +80,7 @@ def main() -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": str(16 << 20)},
     )
     tmp = tempfile.mkdtemp(prefix="bench_scaling_")
+    extras: dict = {}  # non-timing evidence riding the output JSON
 
     # ---- materialize both scales once (mirrors are stored state) ----
     m1_path = os.path.join(tmp, "mirror_sf01.parquet")
@@ -203,8 +204,10 @@ def main() -> None:
     if not only_early or only_early & {
         "q_phrase_scan", "q_phrase_indexed",
         # the r09 crossover + compaction legs reuse the deduped phrase
-        # corpus / its raw index
+        # corpus / its raw index; the r10 long-doc legs build on the
+        # same corpus
         "q_contam_mirror_scan", "q_contam_mirror_indexed",
+        "q_contam_long_scan", "q_contam_long_indexed",
         "q_compact_full_512", "q_compact_incr_batch",
     }:
         from couch_to_postgres_spark.streaming.search_stream import (
@@ -339,6 +342,114 @@ def main() -> None:
             )
             t["decon_mirror_idx"] = midx
             t["mirror_eval"] = ev_path
+
+    # r10 (VERDICT r09 #3): the LONG-DOC decontamination regime. r09's
+    # honest negative was measured on ~30-word docs, where the shingle
+    # postings outweigh the corpus text (one fat row per (doc, shingle))
+    # and both paths are train-scan-bound. The claim under test here is
+    # the DECOMPOSITION, not a constant: the batch leg's cost tracks
+    # corpus TEXT bytes; the indexed leg — via contamination_from_index's
+    # r10 read-mostly fast path — tracks the compacted base's DFS table,
+    # i.e. the distinct shingle VOCABULARY. Long docs with cross-doc
+    # repetition (boilerplate/templates — here ~600-word docs built by
+    # concatenating 20 mirror docs, whose small-domain fields repeat
+    # shingles heavily, and whose 10x replicas repeat text verbatim) are
+    # exactly the regime where vocab bytes fall below text bytes.
+    # Synthetic caveat recorded with the results: the 10x corpus's vocab
+    # is ~1x by construction (replicas repeat text), so the indexed
+    # leg's flatness is the vocab-tracking claim at its extreme; real
+    # web vocab grows ~Heaps-law sub-linearly, landing in between. Byte
+    # accounting (text vs postings vs dfs parquet bytes, in extras)
+    # keeps the story honest.
+    if scales["sf0.1"].get("phrase_corpus") and (
+        not only_early
+        or only_early & {"q_contam_long_scan", "q_contam_long_indexed"}
+    ):
+        from couch_to_postgres_spark.streaming.search_stream import (
+            compact_index_inplace as _cii_l,
+        )
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch as _sib_l,
+        )
+        from couch_to_postgres_spark.streaming.stats_stream import (
+            shingle_changes as _shch_l,
+        )
+
+        GROUP_L = 20  # ~20 mirror docs -> one ~600-word training doc
+        long_eval_path = os.path.join(tmp, "long_eval.parquet")
+        for scale_name, n_b in (("sf0.1", 64), ("sf1(synth)", 512)):
+            t = scales[scale_name]
+            pc_l = spark.read.parquet(t["phrase_corpus"])
+            k_groups = max(1, pc_l.count() // GROUP_L)
+            lpath = os.path.join(tmp, f"longdocs_{scale_name}.parquet")
+            (
+                pc_l.groupBy(
+                    F.pmod(F.abs(F.hash("id")), F.lit(k_groups))
+                    .cast("long")
+                    .alias("doc_id")
+                )
+                .agg(F.concat_ws(" ", F.collect_list("text")).alias("text"))
+                # AQE coalesces the small agg output to ONE file, which
+                # would serialize the scan leg's shingle explosion into
+                # a single task at the small scale (measured 31 s for a
+                # 10 MB corpus) — spread the stored corpus like any real
+                # mirror is spread
+                .repartition(64)
+                .write.mode("overwrite")
+                .parquet(lpath)
+            )
+            if scale_name == "sf0.1":
+                # FIXED eval set (the benchmark-decontamination shape):
+                # ~200 long docs of 1x corpus text, shared by both scales
+                (
+                    spark.read.parquet(lpath)
+                    .filter(F.col("doc_id") % 150 == 3)
+                    .write.mode("overwrite")
+                    .parquet(long_eval_path)
+                )
+            lidx = os.path.join(tmp, f"long_shingle_idx_{scale_name}")
+            _sib_l(
+                spark,
+                lidx,
+                _shch_l(
+                    spark.read.parquet(lpath).select(
+                        F.col("doc_id").alias("seq"),
+                        "doc_id",
+                        F.lit(False).alias("deleted"),
+                        "text",
+                    )
+                ),
+                id_col="doc_id",
+            )
+            # compacted + tail-free => base_is_live => the indexed leg
+            # reads the vocab-sized dfs, the exact r10 fast path
+            _cii_l(spark, lidx, token_buckets=n_b)
+            t["long_corpus"] = lpath
+            t["long_idx"] = lidx
+            t["long_eval"] = long_eval_path
+
+        def _du_bytes(path: str) -> int:
+            total = 0
+            for dp, _dns, fns in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for f in fns
+                    if not f.startswith((".", "_"))
+                )
+            return total
+
+        extras["contam_long_bytes"] = {
+            sn: {
+                "text_parquet": _du_bytes(scales[sn]["long_corpus"]),
+                "base_postings": _du_bytes(
+                    os.path.join(scales[sn]["long_idx"], "base", "postings")
+                ),
+                "base_dfs": _du_bytes(
+                    os.path.join(scales[sn]["long_idx"], "base", "dfs")
+                ),
+            }
+            for sn in ("sf0.1", "sf1(synth)")
+        }
 
     # r09 (VERDICT r08 #2 at scale): full-rewrite compaction is corpus-
     # proportional (expect ratio ~ data ratio); bucket-scoped incremental
@@ -629,6 +740,27 @@ def main() -> None:
             q["q_contam_mirror_indexed"] = lambda: _cfi_m(
                 spark, t["decon_mirror_idx"], ev_m
             ).agg(F.sum("n_overlap")).collect()
+        # r10 long-doc regime: batch cost tracks corpus TEXT, indexed
+        # cost tracks the compacted dfs VOCAB (read-mostly fast path) —
+        # .agg(sum) forces the train join (the r09 count() trap)
+        if t.get("long_corpus"):
+            from couch_to_postgres_spark.extensions.text import (
+                contamination as _contam_l,
+            )
+            from couch_to_postgres_spark.streaming.stats_stream import (
+                contamination_from_index as _cfi_l,
+            )
+
+            ld_corp = spark.read.parquet(t["long_corpus"])
+            ld_eval = spark.read.parquet(t["long_eval"]).select(
+                (F.col("doc_id") + 10**9).alias("doc_id"), "text"
+            )
+            q["q_contam_long_scan"] = lambda: _contam_l(
+                ld_corp, ld_eval, id_col="doc_id"
+            ).agg(F.sum("n_overlap")).collect()
+            q["q_contam_long_indexed"] = lambda: _cfi_l(
+                spark, t["long_idx"], ld_eval
+            ).agg(F.sum("n_overlap")).collect()
         # r08: decontamination — batch re-shingles the train split per
         # run; the indexed probe reads live postings tokens (O(index))
         if t.get("decon_idx"):
@@ -692,6 +824,8 @@ def main() -> None:
         "note": "ratio ~= data_ratio (10) = linear scaling; sub-linear is "
         "fixed-overhead amortization, super-linear is a scale bug",
     }
+    if extras:
+        out["extras"] = extras
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
 
