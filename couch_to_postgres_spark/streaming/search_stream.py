@@ -128,6 +128,35 @@ def _read_components(
     return out
 
 
+def _all_attrs(
+    spark: SparkSession, index_path: str, id_col: str = "doc_id"
+) -> DataFrame | None:
+    """EVERY attrs row an index carries: the flat append ``attrs`` tail
+    (``stats_index_batch`` writes there) ∪ the id-bucketed ``base/attrs``
+    a compaction laid down (latest-per-live-doc rows — compaction
+    collapses attr version history, the documented append-log caveat).
+    Attr column sets are dynamic, so this reads-attempts both components
+    and unions by name; ``None`` when the index has no attrs at all."""
+    frames = []
+    for p in (
+        os.path.join(index_path, "attrs"),
+        os.path.join(index_path, "base", "attrs"),
+    ):
+        try:
+            df = spark.read.parquet(p)
+        except AnalysisException:
+            continue
+        if "id_bucket" in df.columns:
+            df = df.drop("id_bucket")
+        frames.append(df)
+    if not frames:
+        return None
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def _has_partition_prefix(root: str, prefix: str) -> bool:
     """True when ``root`` holds ``prefix``-style partition dirs —
     the layout probe that decides whether a by-name pruned open is
@@ -761,11 +790,13 @@ def compact_index(
     )
     # carry per-doc attribute state (stats_stream's doc→source map, or
     # any other seq-wins attrs file) through compaction: keep the max-seq
-    # row per LIVE doc, written as out tail (future appends still win)
-    try:
-        attrs = spark.read.parquet(os.path.join(index_path, "attrs"))
-    except AnalysisException:
-        attrs = None
+    # row per LIVE doc, written into ``base/attrs`` partitioned by the
+    # SAME id hash bucket as doclen (r10: the flat attrs rewrite was the
+    # incremental compactor's last doc-count-proportional residual — a
+    # bucketed base lets the fold rewrite only the id buckets its churn
+    # touched). Future ``stats_index_batch`` appends land in the flat
+    # ``attrs`` tail and win by max-seq in every reader.
+    attrs = _all_attrs(spark, index_path, id_col)
     if attrs is not None:
         other = [c for c in attrs.columns if c not in (id_col, "seq")]
         latest = attrs.groupBy(id_col).agg(
@@ -774,9 +805,18 @@ def compact_index(
         )
         (
             latest.join(live.select(id_col), id_col)
-            .select(id_col, *other, "seq")
+            .select(
+                id_col,
+                *other,
+                "seq",
+                F.pmod(F.hash(F.col(id_col)), F.lit(token_buckets)).alias(
+                    "id_bucket"
+                ),
+            )
+            .repartition(F.col("id_bucket"))
             .write.mode("overwrite")
-            .parquet(os.path.join(out_path, "attrs"))
+            .partitionBy("id_bucket")
+            .parquet(os.path.join(out_path, "base", "attrs"))
         )
     # corpus stats ride the meta file: with no tail yet, a query takes
     # N/avgdl from here and skips the per-query corpus-wide doclen
@@ -919,9 +959,12 @@ def compact_index_incremental(
       rewrote; doclen swaps per affected ``id_bucket``; meta updates by
       exact delta — no corpus-wide aggregate anywhere.
 
-    Residuals, documented: ``attrs`` (when present) is a doc-count-sized
-    flat rewrite (tail-append compatible), and a LEGACY base (flat dfs /
-    un-sub-bucketed postings) upgrades via one full rewrite.
+    Residuals, documented: a LEGACY base (flat dfs / un-sub-bucketed
+    postings) upgrades via one full rewrite, and a legacy FLAT ``attrs``
+    file migrates into the id-bucketed ``base/attrs`` layout with one
+    final doc-count-sized pass — after which the attrs fold is
+    churn-scoped like everything else (r10: this was the last
+    doc-count-proportional residual).
 
     Falls back to a FULL :func:`compact_index_inplace` when the index
     has never been compacted or carries the legacy layout; returns a
@@ -1204,32 +1247,108 @@ def compact_index_incremental(
             "token_buckets int, id_subbuckets int, n_live long, sum_dl double",
         ).coalesce(1).write.mode("overwrite").parquet(staged_meta)
         _mark("meta_delta")
-        # attrs (if present): latest per live doc — the documented
-        # doc-count-sized residual (flat layout, tail-append compatible)
+        # attrs (if present): latest per live doc. Since r10 the base
+        # attrs live id-bucketed next to doclen, so the steady-state
+        # fold rewrites ONLY the affected id buckets (churn-scoped —
+        # this was the last doc-count-proportional residual); a legacy
+        # FLAT attrs file migrates into the bucketed layout with one
+        # final doc-count-sized pass.
         staged_attrs = None
+        attrs_mode = None
+        base_attrs_root = os.path.join(index_path, "base", "attrs")
+        has_base_attrs = _has_partition_prefix(base_attrs_root, "id_bucket=")
         try:
-            attrs = spark.read.parquet(os.path.join(index_path, "attrs"))
+            tail_attrs = spark.read.parquet(os.path.join(index_path, "attrs"))
         except AnalysisException:
-            attrs = None
-        if attrs is not None:
-            other = [c for c in attrs.columns if c not in (id_col, "seq")]
-            latest_a = attrs.groupBy(id_col).agg(
+            tail_attrs = None
+        if has_base_attrs:
+            aff_dirs_a = [f"id_bucket={b}" for b in aff_id_buckets]
+            base_a_aff = _open_partition_dirs(
+                spark, base_attrs_root, aff_dirs_a
+            )
+            if base_a_aff is not None:
+                base_a_aff = base_a_aff.drop("id_bucket")
+            parts = [
+                df for df in (base_a_aff, tail_attrs) if df is not None
+            ]
+        if has_base_attrs and parts:
+            attrs_mode = "pruned"
+            staged_attrs = os.path.join(staging, "attrs")
+            like_a = base_a_aff if base_a_aff is not None else tail_attrs
+            other = [
+                c for c in like_a.columns if c not in (id_col, "seq")
+            ]
+            cand_a = parts[0]
+            for df in parts[1:]:
+                cand_a = cand_a.unionByName(df, allowMissingColumns=True)
+            # every attrs tail row's doc is churned (stats_index_batch
+            # writes attrs only alongside an ingest that also wrote the
+            # doclen tail), so: non-churned affected-bucket rows pass
+            # through; churned docs re-enter with their max-seq attrs,
+            # restricted to the live set
+            keep_a = (
+                base_a_aff.join(churned, on=id_col, how="left_anti")
+                if base_a_aff is not None
+                else None
+            )
+            new_a = (
+                cand_a.join(churned, on=id_col, how="left_semi")
+                .groupBy(id_col)
+                .agg(
+                    F.max("seq").alias("seq"),
+                    *[F.max_by(c, "seq").alias(c) for c in other],
+                )
+                .join(churned_live.select(id_col), id_col, "left_semi")
+                .select(id_col, *other, "seq")
+            )
+            staged_a = (
+                keep_a.select(id_col, *other, "seq").unionByName(new_a)
+                if keep_a is not None
+                else new_a
+            )
+            (
+                staged_a.withColumn(
+                    "id_bucket",
+                    F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)),
+                )
+                .repartition(F.col("id_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("id_bucket")
+                .parquet(staged_attrs)
+            )
+        elif tail_attrs is not None:
+            # one-time migration: the flat file holds latest rows for
+            # EVERY doc (old-layout compaction output ∪ appends), so
+            # this last pass is doc-count-sized by necessity; every
+            # later fold is churn-scoped
+            attrs_mode = "migrated"
+            staged_attrs = os.path.join(staging, "attrs")
+            other = [
+                c for c in tail_attrs.columns if c not in (id_col, "seq")
+            ]
+            latest_a = tail_attrs.groupBy(id_col).agg(
                 F.max("seq").alias("seq"),
                 *[F.max_by(c, "seq").alias(c) for c in other],
             )
-            # the one remaining full-doclen read, paid only when an
-            # attrs file exists (the documented doc-count-sized residual)
             alive = (
                 spark.read.parquet(base_doclen_path)
                 .select(id_col)
                 .join(churned, on=id_col, how="left_anti")
                 .unionByName(churned_live.select(id_col))
             )
-            staged_attrs = os.path.join(staging, "attrs")
             (
                 latest_a.join(alive, id_col, "left_semi")
-                .select(id_col, *other, "seq")
+                .select(
+                    id_col,
+                    *other,
+                    "seq",
+                    F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias(
+                        "id_bucket"
+                    ),
+                )
+                .repartition(F.col("id_bucket"))
                 .write.mode("overwrite")
+                .partitionBy("id_bucket")
                 .parquet(staged_attrs)
             )
         _mark("attrs")
@@ -1255,18 +1374,32 @@ def compact_index_incremental(
         )
         _retire(meta_path, index_path)
         os.rename(staged_meta, meta_path)
-        if staged_attrs is not None:
-            old_attrs = os.path.join(index_path, "attrs")
-            _retire(old_attrs, index_path)
-            os.rename(staged_attrs, old_attrs)
+        if attrs_mode == "pruned":
+            # only the churn's id-bucket dirs move; every other
+            # base/attrs dir is never touched (bit-identical, by test)
+            _swap_dirs(
+                base_attrs_root,
+                staged_attrs,
+                [f"id_bucket={b}" for b in aff_id_buckets],
+            )
+        elif attrs_mode == "migrated":
+            os.makedirs(os.path.dirname(base_attrs_root), exist_ok=True)
+            os.rename(staged_attrs, base_attrs_root)
         _mark("swaps")
-        for tail_dir in (doclen_path, postings_path, tomb_path):
+        tails = [doclen_path, postings_path, tomb_path]
+        if attrs_mode is not None:
+            # the flat attrs tail is folded into base/attrs above —
+            # retire it with the other tails (after the base swaps, so
+            # a racing reader sees base∪tail or base-only, never neither)
+            tails.append(os.path.join(index_path, "attrs"))
+        for tail_dir in tails:
             _retire(tail_dir, index_path)
         shutil.rmtree(staging, ignore_errors=True)
         _mark("tail_retire")
         return {
             "mode": "incremental",
             "churned_docs": n_churned,
+            "attrs_mode": attrs_mode,
             "affected_pairs": len(pairs),
             "affected_buckets": len({tb for tb, _ in pairs}),
             "total_buckets": n_buckets,

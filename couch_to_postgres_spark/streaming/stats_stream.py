@@ -118,7 +118,12 @@ def live_attrs(
     schema = ", ".join(
         [f"{id_col} {id_t}"] + [f"{c} string" for c in attr_cols] + ["seq long"]
     )
-    attrs = _read_or_empty(spark, _attrs_path(index_path), schema)
+    # flat append tail ∪ id-bucketed base (r10 layout) — one reader
+    from couch_to_postgres_spark.streaming.search_stream import _all_attrs
+
+    attrs = _all_attrs(spark, index_path, id_col)
+    if attrs is None:
+        attrs = spark.createDataFrame([], schema)
     latest = (
         attrs.groupBy(id_col)
         .agg(
@@ -322,11 +327,14 @@ def vocab_growth_by_group_from_index(
     posts = _full_postings(spark, index_path, id_col)
     live_all = live_doclen(spark, index_path, id_col)
     id_t = dict(live_all.dtypes)[id_col]
-    attrs = _read_or_empty(
-        spark,
-        _attrs_path(index_path),
-        f"{id_col} {id_t}, {group_col} string, seq long",
-    ).select(id_col, F.col(group_col).alias("grp"), "seq")
+    from couch_to_postgres_spark.streaming.search_stream import _all_attrs
+
+    attrs_all = _all_attrs(spark, index_path, id_col)
+    if attrs_all is None:
+        attrs_all = spark.createDataFrame(
+            [], f"{id_col} {id_t}, {group_col} string, seq long"
+        )
+    attrs = attrs_all.select(id_col, F.col(group_col).alias("grp"), "seq")
     first = (
         posts.join(attrs, on=[id_col, "seq"])
         .groupBy("grp", "token")
