@@ -82,6 +82,16 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench_scaling_")
     extras: dict = {}  # non-timing evidence riding the output JSON
 
+    def _du_bytes(path: str) -> int:
+        total = 0
+        for dp, _dns, fns in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for f in fns
+                if not f.startswith((".", "_"))
+            )
+        return total
+
     # ---- materialize both scales once (mirrors are stored state) ----
     m1_path = os.path.join(tmp, "mirror_sf01.parquet")
     lineitem_mirror(spark, sf_dir).write.mode("overwrite").parquet(m1_path)
@@ -305,8 +315,16 @@ def main() -> None:
     # reads live postings tokens (cost tracks the index).
     if scales["sf0.1"].get("phrase_corpus") and (
         not only_early
-        or only_early & {"q_contam_mirror_scan", "q_contam_mirror_indexed"}
+        or only_early
+        & {
+            "q_contam_mirror_scan",
+            "q_contam_mirror_indexed",
+            "q_contam_mirror_dfs",
+        }
     ):
+        from couch_to_postgres_spark.streaming.search_stream import (
+            compact_index_inplace as _cii_m,
+        )
         from couch_to_postgres_spark.streaming.search_stream import (
             search_index_batch as _sib_m,
         )
@@ -342,6 +360,37 @@ def main() -> None:
             )
             t["decon_mirror_idx"] = midx
             t["mirror_eval"] = ev_path
+            # r10: a COMPACTED twin of the same index — base_is_live, so
+            # contamination_from_index takes the vocab-sized dfs fast
+            # path. The short-doc regime's r09 negative (postings ≈ text
+            # bytes) is exactly what the dfs read sidesteps whenever the
+            # corpus carries cross-doc shingle repetition.
+            midx_c = os.path.join(tmp, f"decon_mirror_idx_c_{scale_name}")
+            _sib_m(
+                spark,
+                midx_c,
+                _shch_m(
+                    spark.read.parquet(t["phrase_corpus"]).select(
+                        F.monotonically_increasing_id().alias("seq"),
+                        F.col("id").alias("doc_id"),
+                        F.lit(False).alias("deleted"),
+                        "text",
+                    )
+                ),
+                id_col="doc_id",
+            )
+            _cii_m(
+                spark, midx_c,
+                token_buckets=64 if scale_name == "sf0.1" else 512,
+            )
+            t["decon_mirror_idx_c"] = midx_c
+            extras.setdefault("contam_mirror_bytes", {})[scale_name] = {
+                "text_parquet": _du_bytes(t["phrase_corpus"]),
+                "base_postings": _du_bytes(
+                    os.path.join(midx_c, "base", "postings")
+                ),
+                "base_dfs": _du_bytes(os.path.join(midx_c, "base", "dfs")),
+            }
 
     # r10 (VERDICT r09 #3): the LONG-DOC decontamination regime. r09's
     # honest negative was measured on ~30-word docs, where the shingle
@@ -427,16 +476,6 @@ def main() -> None:
             t["long_corpus"] = lpath
             t["long_idx"] = lidx
             t["long_eval"] = long_eval_path
-
-        def _du_bytes(path: str) -> int:
-            total = 0
-            for dp, _dns, fns in os.walk(path):
-                total += sum(
-                    os.path.getsize(os.path.join(dp, f))
-                    for f in fns
-                    if not f.startswith((".", "_"))
-                )
-            return total
 
         extras["contam_long_bytes"] = {
             sn: {
@@ -740,6 +779,12 @@ def main() -> None:
             q["q_contam_mirror_indexed"] = lambda: _cfi_m(
                 spark, t["decon_mirror_idx"], ev_m
             ).agg(F.sum("n_overlap")).collect()
+            if t.get("decon_mirror_idx_c"):
+                # same values off the COMPACTED twin: base_is_live, so
+                # the train side reads the vocab-sized dfs (r10)
+                q["q_contam_mirror_dfs"] = lambda: _cfi_m(
+                    spark, t["decon_mirror_idx_c"], ev_m
+                ).agg(F.sum("n_overlap")).collect()
         # r10 long-doc regime: batch cost tracks corpus TEXT, indexed
         # cost tracks the compacted dfs VOCAB (read-mostly fast path) —
         # .agg(sum) forces the train join (the r09 count() trap)
