@@ -72,6 +72,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from couch_to_postgres_spark.extensions.search import bm25_rank_components
 from couch_to_postgres_spark.extensions.text import _words
+from couch_to_postgres_spark.streaming.meta_io import (
+    read_meta_rows,
+    write_meta_rows,
+)
 
 
 @dataclass
@@ -441,7 +445,11 @@ def base_is_live(spark: SparkSession, index_path: str) -> bool:
 
     doclen_path, _, tomb_path = _paths(index_path)
     _, _, meta_path = _base_paths(index_path)
-    return _has(meta_path) and not _has(doclen_path) and not _has(tomb_path)
+    return (
+        bool(read_meta_rows(spark, meta_path, "token_buckets int"))
+        and not _has(doclen_path)
+        and not _has(tomb_path)
+    )
 
 
 def query_postings(
@@ -463,7 +471,7 @@ def query_postings(
     _, postings_path, _ = _paths(index_path)
     _, base_postings_path, meta_path = _base_paths(index_path)
     schema = f"{id_col} long, token string, tf double, seq long"
-    meta = _read_or_empty(spark, meta_path, "token_buckets int").collect()
+    meta = read_meta_rows(spark, meta_path, "token_buckets int")
     base = None
     if meta and _has_partition_prefix(base_postings_path, "token_bucket="):
         n_buckets = int(meta[0]["token_buckets"])
@@ -550,15 +558,15 @@ def bm25_topk_from_index(
     # tail doclen having landed first.
     doclen_path, _, tomb_path = _paths(index_path)
     base_doclen_path, _, meta_path = _base_paths(index_path)
-    meta_df = _try(meta_path)
+    meta_rows = read_meta_rows(spark, meta_path, "token_buckets int")
     fast = (
-        meta_df is not None
-        and "n_live" in meta_df.columns
+        bool(meta_rows)
+        and "n_live" in meta_rows[0]
         and _try(doclen_path) is None
         and _try(tomb_path) is None
     )
     if fast:
-        m = meta_df.collect()[0]
+        m = meta_rows[0]
         n_live = float(m["n_live"])
         stats = spark.createDataFrame(
             [(n_live, (m["sum_dl"] / n_live) if n_live else 0.0)],
@@ -825,9 +833,12 @@ def compact_index(
         F.count(F.lit(1)).alias("n_live"), F.sum("dl").alias("sum_dl")
     ).collect()[0]
     live.unpersist()
-    # 1-row meta parquet (not a driver-side json write): lands on
-    # whatever filesystem the index lives on
-    spark.createDataFrame(
+    # 1-row meta parquet (not a driver-side json write): same directory
+    # layout on whatever filesystem the index lives on — pyarrow-direct
+    # on a local path, Spark job elsewhere (meta_io)
+    write_meta_rows(
+        spark,
+        meta_path,
         [(
             int(token_buckets),
             int(id_subbuckets),
@@ -835,7 +846,7 @@ def compact_index(
             float(st["sum_dl"] or 0.0),
         )],
         "token_buckets int, id_subbuckets int, n_live long, sum_dl double",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    )
 
 
 def compact_index_inplace(
@@ -889,11 +900,11 @@ def compact_index_inplace(
     with _path_lock(index_path):
         if token_buckets is None:
             _, _, meta_path = _base_paths(index_path)
-            meta_rows = _read_or_empty(
+            meta_rows = read_meta_rows(
                 spark,
                 meta_path,
                 "token_buckets int, id_subbuckets int",
-            ).collect()
+            )
             token_buckets = (
                 int(meta_rows[0]["token_buckets"]) if meta_rows else 64
             )
@@ -1000,16 +1011,16 @@ def compact_index_incremental(
         base_doclen_path, base_postings_path, meta_path = _base_paths(
             index_path
         )
-        meta_rows = _read_or_empty(
+        meta_rows = read_meta_rows(
             spark,
             meta_path,
             "token_buckets int, id_subbuckets int, n_live long, sum_dl double",
-        ).collect()
+        )
         if not meta_rows:
             compact_index_inplace(spark, index_path, id_col=id_col)
             return {"mode": "full"}
         n_buckets = int(meta_rows[0]["token_buckets"])
-        n_sub = meta_rows[0].asDict().get("id_subbuckets")
+        n_sub = meta_rows[0].get("id_subbuckets")
 
         schema_dl = f"{id_col} long, dl double, seq long"
         schema_tb = f"{id_col} long, seq long"
@@ -1052,18 +1063,14 @@ def compact_index_incremental(
             .distinct()
             .persist()
         )
-        # materializes the persist; the count itself is the headline
-        # telemetry number (watchdog `/_status`: how much churn this
-        # maintenance pass actually folded)
-        n_churned = churned.count()
-        aff_id_buckets = sorted(
-            r["b"]
-            for r in churned.select(
-                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
-            )
-            .distinct()
-            .collect()
-        )
+        # one job materializes the persist AND yields both discovery
+        # outputs: the churn count (headline `/_status` telemetry) and
+        # the affected id buckets (driver-bounded: <= n_buckets rows)
+        bucket_counts = churned.groupBy(
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+        ).count().collect()
+        n_churned = sum(int(r["count"]) for r in bucket_counts)
+        aff_id_buckets = sorted(r["b"] for r in bucket_counts)
         id_t = dict(tail_dl.dtypes).get(id_col, "long")
         # the affected id buckets' doclen rows — opened by dir name,
         # never a full doclen listing
@@ -1223,6 +1230,7 @@ def compact_index_incremental(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
         ).collect()[0]
+        _mark("meta_old_c")
         new_c = (
             _read_or_empty(
                 spark,
@@ -1235,6 +1243,7 @@ def compact_index_incremental(
             )
             .collect()[0]
         )
+        _mark("meta_new_c")
         n_live = int(meta_rows[0]["n_live"]) - int(old_c["n"]) + int(new_c["n"])
         sum_dl = (
             float(meta_rows[0]["sum_dl"] or 0.0)
@@ -1242,10 +1251,12 @@ def compact_index_incremental(
             + float(new_c["s"])
         )
         staged_meta = os.path.join(staging, "meta")
-        spark.createDataFrame(
+        write_meta_rows(
+            spark,
+            staged_meta,
             [(n_buckets, n_sub, n_live, sum_dl)],
             "token_buckets int, id_subbuckets int, n_live long, sum_dl double",
-        ).coalesce(1).write.mode("overwrite").parquet(staged_meta)
+        )
         _mark("meta_delta")
         # attrs (if present): latest per live doc. Since r10 the base
         # attrs live id-bucketed next to doclen, so the steady-state
@@ -1474,7 +1485,7 @@ def index_status(
     n_tomb = _read_or_empty(
         spark, tomb_path, f"{id_col} string, seq long"
     ).count()
-    meta_rows = _read_or_empty(spark, meta_path, "token_buckets int").collect()
+    meta_rows = read_meta_rows(spark, meta_path, "token_buckets int")
     token_buckets = (
         int(meta_rows[0]["token_buckets"]) if meta_rows else None
     )

@@ -48,6 +48,10 @@ from couch_to_postgres_spark.extensions.text import (
     hapax_from_group_counts,
     kl_from_group_counts,
 )
+from couch_to_postgres_spark.streaming.meta_io import (
+    read_meta_rows,
+    write_meta_rows,
+)
 from couch_to_postgres_spark.streaming.search_stream import (
     SearchIndexBatchStats,
     _read_or_empty,
@@ -416,9 +420,9 @@ def record_shingle_n(
     ingest declaring a DIFFERENT width fails loudly instead of mixing
     incomparable fingerprints into one postings file. Idempotent per
     micro-batch (re-asserting the same width is a 1-row read)."""
-    existing = _read_or_empty(
+    existing = read_meta_rows(
         spark, _shingle_meta_path(index_path), "shingle_n int"
-    ).collect()
+    )
     if existing:
         got = int(existing[0]["shingle_n"])
         if got != int(shingle_n):
@@ -428,10 +432,11 @@ def record_shingle_n(
                 f"{shingle_n} fingerprints into it"
             )
         return
-    spark.createDataFrame(
-        [(int(shingle_n),)], "shingle_n int"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _shingle_meta_path(index_path)
+    write_meta_rows(
+        spark,
+        _shingle_meta_path(index_path),
+        [(int(shingle_n),)],
+        "shingle_n int",
     )
 
 
@@ -443,9 +448,9 @@ def _check_shingle_n(
     a query declaring a different width raises instead of returning
     all-zero overlaps. An unmarked (legacy / hand-built) index passes —
     the caller is asserting the width themselves."""
-    existing = _read_or_empty(
+    existing = read_meta_rows(
         spark, _shingle_meta_path(index_path), "shingle_n int"
-    ).collect()
+    )
     if existing and int(existing[0]["shingle_n"]) != int(shingle_n):
         raise ValueError(
             f"shingle index at {index_path} holds shingle_n="
