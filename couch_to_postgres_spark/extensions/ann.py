@@ -295,9 +295,11 @@ def append_to_ivf_index(
     discipline. Returns the number of vectors appended."""
     import os
 
+    from couch_to_postgres_spark.streaming.meta_io import read_meta_rows
+
     cents = {
         r["cell"]: list(r["centroid"])
-        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+        for r in read_meta_rows(spark, os.path.join(path, "centroids"))
     }
     centroids = [cents[i] for i in sorted(cents)]
     assign = {"vectorized": assign_cells, "hof": assign_cells_hof}[assigner]
@@ -462,9 +464,11 @@ def ivf_topk_indexed(
     one the index was built/appended with (see :func:`build_ivf_index`)."""
     import os
 
+    from couch_to_postgres_spark.streaming.meta_io import read_meta_rows
+
     cents = {
         r["cell"]: list(r["centroid"])
-        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+        for r in read_meta_rows(spark, os.path.join(path, "centroids"))
     }
     centroids = [cents[i] for i in sorted(cents)]
     assign = {"vectorized": assign_cells, "hof": assign_cells_hof}[assigner]

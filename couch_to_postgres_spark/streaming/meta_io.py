@@ -63,9 +63,12 @@ def _fields(schema: str) -> list[tuple[str, str]]:
     return out
 
 
-def read_meta_rows(spark: SparkSession, path: str, schema: str) -> list[dict]:
+def read_meta_rows(spark: SparkSession, path: str) -> list[dict]:
     """All rows of a tiny meta table as plain dicts; ``[]`` when the
-    table doesn't exist yet. Local paths never launch a Spark job."""
+    table doesn't exist yet. Local paths never launch a Spark job.
+    Reads are schema-free (parquet self-describes) — only writes need
+    the DDL. Handles any column types pyarrow does, including the IVF
+    centroid arrays."""
     local = _local(path)
     if local is not None:
         try:

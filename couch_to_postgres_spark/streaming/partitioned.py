@@ -393,17 +393,22 @@ def _upsert_locked(
     num_buckets = resolve_num_buckets(path, num_buckets)
     batch = batch.persist()
     try:
-        n_batch = batch.count()
         if num_buckets is None:
+            n_batch = batch.count()
             num_buckets = auto_num_buckets(n_batch)
-        touched = sorted(
-            r["bucket"]
-            for r in batch.select(
+            bucket_rows = batch.groupBy(
                 bucket_of(F.col("id"), num_buckets).alias("bucket")
-            )
-            .distinct()
-            .collect()
-        )
+            ).count().collect()
+        else:
+            # one job materializes the persist and yields BOTH the batch
+            # size and the touched buckets (driver-bounded: <= num_buckets
+            # rows) — this runs per micro-batch, so job launches are the
+            # trickle-feed floor
+            bucket_rows = batch.groupBy(
+                bucket_of(F.col("id"), num_buckets).alias("bucket")
+            ).count().collect()
+            n_batch = sum(int(r["count"]) for r in bucket_rows)
+        touched = sorted(r["bucket"] for r in bucket_rows)
         if not touched:
             return []
         if meta is None:  # bootstrap: always a full layout write
@@ -496,13 +501,17 @@ def _append_delta(
         "doc",
         bucket_of(F.col("id"), num_buckets).alias("bucket"),
     )
-    n_appended = rows.count()
+    from pyspark.sql import Observation
+
+    obs = Observation()
     (
-        rows.repartition("bucket")  # one file per touched bucket, not per task
+        rows.observe(obs, F.count(F.lit(1)).alias("n"))
+        .repartition("bucket")  # one file per touched bucket, not per task
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(_delta_path(path))
     )
+    n_appended = int(obs.get["n"])
     meta["delta_rows"] = int(meta.get("delta_rows") or 0) + n_appended
     write_meta(path, meta)
     if count_views:

@@ -259,6 +259,8 @@ def _search_index_batch_locked(
 ) -> SearchIndexBatchStats:
     doclen_path, postings_path, tomb_path = _paths(index_path)
 
+    from pyspark.sql import Observation
+
     latest = (
         changes.groupBy(id_col)
         .agg(
@@ -269,15 +271,30 @@ def _search_index_batch_locked(
                     F.col(text_col).alias("text"),
                 ),
                 F.col(seq_col),
-            ).alias("c")
+            ).alias("c"),
+            F.count(F.lit(1)).alias("_n_changes"),
         )
-        .select(id_col, "c.seq", "c.deleted", "c.text")
+        .select(id_col, "c.seq", "c.deleted", "c.text", "_n_changes")
         .persist()
     )
-    arrived = changes.count()
+    # ONE job yields every batch stat except the postings count (which
+    # the write action itself observes below) and materializes the
+    # persist — a micro-batch used to pay 6-7 job launches here, pure
+    # fixed overhead at trickle-feed batch sizes
+    counts = latest.agg(
+        F.coalesce(F.sum("_n_changes"), F.lit(0)).alias("arrived"),
+        F.coalesce(
+            F.sum(F.when(~F.col("deleted"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_up"),
+        F.coalesce(
+            F.sum(F.when(F.col("deleted"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_del"),
+    ).collect()[0]
+    arrived, n_up, n_del = (
+        int(counts["arrived"]), int(counts["n_up"]), int(counts["n_del"])
+    )
 
-    upserts = latest.filter(~F.col("deleted")).persist()
-    n_up = upserts.count()
+    upserts = latest.filter(~F.col("deleted"))
 
     words = _words("text")
     doclen_rows = upserts.select(
@@ -292,24 +309,22 @@ def _search_index_batch_locked(
         .groupBy(id_col, "token", "seq")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .select(id_col, "token", "tf", F.col("seq").cast("long").alias("seq"))
-        .persist()
     )
-    n_postings = postings_rows.count()
+    obs = Observation()
     # doclen FIRST — the from-index fast path's safety depends on this
     # order (see the docstring's write-order invariant)
     doclen_rows.write.mode("append").parquet(doclen_path)
-    postings_rows.write.mode("append").parquet(postings_path)
+    postings_rows.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).parquet(postings_path)
+    n_postings = int(obs.get["n"])
 
-    deletes = latest.filter(F.col("deleted")).select(
-        F.col(id_col), F.col("seq").cast("long").alias("seq")
-    )
-    n_del = latest.filter(F.col("deleted")).count()
     if n_del:
-        deletes.write.mode("append").parquet(tomb_path)
+        latest.filter(F.col("deleted")).select(
+            F.col(id_col), F.col("seq").cast("long").alias("seq")
+        ).write.mode("append").parquet(tomb_path)
 
     latest.unpersist()
-    upserts.unpersist()
-    postings_rows.unpersist()
     return SearchIndexBatchStats(
         arrived=arrived, upserts=n_up, deletes=n_del, postings_rows=n_postings
     )
@@ -446,7 +461,7 @@ def base_is_live(spark: SparkSession, index_path: str) -> bool:
     doclen_path, _, tomb_path = _paths(index_path)
     _, _, meta_path = _base_paths(index_path)
     return (
-        bool(read_meta_rows(spark, meta_path, "token_buckets int"))
+        bool(read_meta_rows(spark, meta_path))
         and not _has(doclen_path)
         and not _has(tomb_path)
     )
@@ -471,7 +486,7 @@ def query_postings(
     _, postings_path, _ = _paths(index_path)
     _, base_postings_path, meta_path = _base_paths(index_path)
     schema = f"{id_col} long, token string, tf double, seq long"
-    meta = read_meta_rows(spark, meta_path, "token_buckets int")
+    meta = read_meta_rows(spark, meta_path)
     base = None
     if meta and _has_partition_prefix(base_postings_path, "token_bucket="):
         n_buckets = int(meta[0]["token_buckets"])
@@ -558,7 +573,7 @@ def bm25_topk_from_index(
     # tail doclen having landed first.
     doclen_path, _, tomb_path = _paths(index_path)
     base_doclen_path, _, meta_path = _base_paths(index_path)
-    meta_rows = read_meta_rows(spark, meta_path, "token_buckets int")
+    meta_rows = read_meta_rows(spark, meta_path)
     fast = (
         bool(meta_rows)
         and "n_live" in meta_rows[0]
@@ -900,11 +915,7 @@ def compact_index_inplace(
     with _path_lock(index_path):
         if token_buckets is None:
             _, _, meta_path = _base_paths(index_path)
-            meta_rows = read_meta_rows(
-                spark,
-                meta_path,
-                "token_buckets int, id_subbuckets int",
-            )
+            meta_rows = read_meta_rows(spark, meta_path)
             token_buckets = (
                 int(meta_rows[0]["token_buckets"]) if meta_rows else 64
             )
@@ -1011,11 +1022,7 @@ def compact_index_incremental(
         base_doclen_path, base_postings_path, meta_path = _base_paths(
             index_path
         )
-        meta_rows = read_meta_rows(
-            spark,
-            meta_path,
-            "token_buckets int, id_subbuckets int, n_live long, sum_dl double",
-        )
+        meta_rows = read_meta_rows(spark, meta_path)
         if not meta_rows:
             compact_index_inplace(spark, index_path, id_col=id_col)
             return {"mode": "full"}
@@ -1485,7 +1492,7 @@ def index_status(
     n_tomb = _read_or_empty(
         spark, tomb_path, f"{id_col} string, seq long"
     ).count()
-    meta_rows = read_meta_rows(spark, meta_path, "token_buckets int")
+    meta_rows = read_meta_rows(spark, meta_path)
     token_buckets = (
         int(meta_rows[0]["token_buckets"]) if meta_rows else None
     )

@@ -420,9 +420,7 @@ def record_shingle_n(
     ingest declaring a DIFFERENT width fails loudly instead of mixing
     incomparable fingerprints into one postings file. Idempotent per
     micro-batch (re-asserting the same width is a 1-row read)."""
-    existing = read_meta_rows(
-        spark, _shingle_meta_path(index_path), "shingle_n int"
-    )
+    existing = read_meta_rows(spark, _shingle_meta_path(index_path))
     if existing:
         got = int(existing[0]["shingle_n"])
         if got != int(shingle_n):
@@ -448,9 +446,7 @@ def _check_shingle_n(
     a query declaring a different width raises instead of returning
     all-zero overlaps. An unmarked (legacy / hand-built) index passes —
     the caller is asserting the width themselves."""
-    existing = read_meta_rows(
-        spark, _shingle_meta_path(index_path), "shingle_n int"
-    )
+    existing = read_meta_rows(spark, _shingle_meta_path(index_path))
     if existing and int(existing[0]["shingle_n"]) != int(shingle_n):
         raise ValueError(
             f"shingle index at {index_path} holds shingle_n="
