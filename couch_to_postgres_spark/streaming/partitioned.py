@@ -511,7 +511,13 @@ def _append_delta(
         .partitionBy("bucket")
         .parquet(_delta_path(path))
     )
-    n_appended = int(obs.get["n"])
+    try:
+        n_appended = int(obs.get["n"])
+    except Exception:
+        # a provably-empty append (type_filter dropped the whole batch)
+        # can be optimizer-eliminated before CollectMetrics fires —
+        # count the lineage directly (trivial in exactly that case)
+        n_appended = rows.count()
     meta["delta_rows"] = int(meta.get("delta_rows") or 0) + n_appended
     write_meta(path, meta)
     if count_views:

@@ -317,7 +317,13 @@ def _search_index_batch_locked(
     postings_rows.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
         "append"
     ).parquet(postings_path)
-    n_postings = int(obs.get["n"])
+    try:
+        n_postings = int(obs.get["n"])
+    except Exception:
+        # a provably-empty write (delete-only batch) can be optimizer-
+        # eliminated before CollectMetrics fires — count the lineage
+        # directly (trivial in exactly that case)
+        n_postings = postings_rows.count()
 
     if n_del:
         latest.filter(F.col("deleted")).select(
@@ -1182,19 +1188,34 @@ def compact_index_incremental(
             "token_bucket int, id_sub int",
         )
         _mark("staged_postings")
-        # dfs: recount ONLY the affected pairs from the staged postings
-        # (partial per-pair counts — readers sum a token's partials);
-        # unaffected dfs pair dirs are never touched
+        # dfs + doclen are INDEPENDENT derivations of the staged
+        # postings (both read the files just written, never each
+        # other's output) — run their write jobs concurrently on two
+        # driver threads; Spark schedules concurrent actions in one
+        # session natively. The doclen write carries an Observation so
+        # the meta delta's "new" contribution is counted DURING the
+        # write instead of by a follow-up aggregate job, and the "old"
+        # contribution (a tiny agg over the affected buckets' base
+        # doclen) overlaps on the main thread.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.sql import Observation
+
         staged_dfs = os.path.join(staging, "dfs")
-        (
-            staged_po.groupBy("token_bucket", "id_sub", "token")
-            .agg(F.count(F.lit(1)).cast("double").alias("dft"))
-            .repartition(F.col("token_bucket"), F.col("id_sub"))
-            .write.mode("overwrite")
-            .partitionBy("token_bucket", "id_sub")
-            .parquet(staged_dfs)
-        )
-        _mark("staged_dfs")
+
+        def _write_dfs() -> None:
+            # recount ONLY the affected pairs from the staged postings
+            # (partial per-pair counts — readers sum a token's
+            # partials); unaffected dfs pair dirs are never touched
+            (
+                staged_po.groupBy("token_bucket", "id_sub", "token")
+                .agg(F.count(F.lit(1)).cast("double").alias("dft"))
+                .repartition(F.col("token_bucket"), F.col("id_sub"))
+                .write.mode("overwrite")
+                .partitionBy("token_bucket", "id_sub")
+                .parquet(staged_dfs)
+            )
+
         # doclen: rewrite ONLY the affected id buckets — their
         # non-churned rows pass through, churned docs re-enter with
         # their LIVE version + fresh token-bucket sets (from the staged
@@ -1219,37 +1240,62 @@ def compact_index_incremental(
             )
         )
         staged_doclen = os.path.join(staging, "doclen")
-        (
-            dl_keep.unionByName(dl_new)
-            .withColumn(
-                "id_bucket",
-                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)),
+        new_obs = Observation()
+
+        def _write_doclen() -> None:
+            (
+                dl_keep.unionByName(dl_new)
+                .observe(
+                    new_obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
+                )
+                .withColumn(
+                    "id_bucket",
+                    F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)),
+                )
+                .repartition(F.col("id_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("id_bucket")
+                .parquet(staged_doclen)
             )
-            .repartition(F.col("id_bucket"))
-            .write.mode("overwrite")
-            .partitionBy("id_bucket")
-            .parquet(staged_doclen)
-        )
-        _mark("staged_doclen")
-        # meta by exact delta: affected id buckets' old contribution out,
-        # staged contribution in — no corpus-wide aggregate
-        old_c = base_dl_aff.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
-        ).collect()[0]
-        _mark("meta_old_c")
-        new_c = (
-            _read_or_empty(
-                spark,
-                staged_doclen,
-                f"{id_col} {id_t}, dl double, seq long",
-            )
-            .agg(
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            dfs_f = pool.submit(_write_dfs)
+            dl_f = pool.submit(_write_doclen)
+            # meta "old" contribution: affected id buckets' old rows out
+            # — a tiny agg over already-persisted base_dl_aff, overlapped
+            # with the two staged writes
+            old_c = base_dl_aff.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
+            ).collect()[0]
+            dfs_f.result()
+            _mark("staged_dfs")
+            dl_f.result()
+        _mark("staged_doclen")
+        # meta by exact delta: old contribution out, staged contribution
+        # in (observed during the doclen write) — no corpus-wide
+        # aggregate anywhere
+        try:
+            new_c = new_obs.get
+        except Exception:
+            # a fully-empty staged doclen (churn deleted every doc in
+            # the affected buckets) can be optimizer-eliminated before
+            # the CollectMetrics node fires — recount the (empty) staged
+            # output directly
+            new_c = (
+                _read_or_empty(
+                    spark,
+                    staged_doclen,
+                    f"{id_col} {id_t}, dl double, seq long",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
         _mark("meta_new_c")
         n_live = int(meta_rows[0]["n_live"]) - int(old_c["n"]) + int(new_c["n"])
         sum_dl = (
