@@ -593,9 +593,10 @@ def bm25_topk_from_index(
             [(n_live, (m["sum_dl"] / n_live) if n_live else 0.0)],
             "n double, avgdl double",
         )
+        # used once below (the per-candidate dl join) — no persist
         live = spark.read.parquet(base_doclen_path).select(
             id_col, "dl", "seq"
-        ).persist()
+        )
     else:
         live = live_doclen(spark, index_path, id_col).persist()
         stats = live.agg(
@@ -604,21 +605,30 @@ def bm25_topk_from_index(
         )
     # token IN (...) reaches the parquet scans as pushed filters (plus
     # token_bucket partition pruning on the compacted base); the
-    # surviving slice is query-hit-proportional. dropDuplicates absorbs
-    # at-least-once replay copies (byte-identical rows) on that slice,
-    # never corpus-wide.
-    hit = query_postings(spark, index_path, terms, id_col).dropDuplicates(
-        [id_col, "token", "seq"]
-    )
-    # live-version filter. Deliberately hint-free: for rare terms the hit
-    # slice is tiny and AQE broadcasts it; for a high-df (stop-word-like)
-    # term the slice is corpus-proportional and a forced broadcast would
-    # OOM at scale — AQE keeps it a shuffle join instead.
-    tf_live = (
-        hit.join(live.select(id_col, "seq"), on=[id_col, "seq"])
-        .select(id_col, "token", "tf")
-        .persist()
-    )
+    # surviving slice is query-hit-proportional.
+    hit = query_postings(spark, index_path, terms, id_col)
+    if fast:
+        # base-is-live invariant: every base postings row is live and
+        # unique (compaction dropped dead versions and deduplicated
+        # replays) and the tail is empty (the fast gate, plus the
+        # doclen-before-postings write-order invariant) — the replay
+        # dedup and the live-version join are provable no-ops here, so
+        # skip their two shuffles outright.
+        tf_live = hit.select(id_col, "token", "tf")
+    else:
+        # dropDuplicates absorbs at-least-once replay copies
+        # (byte-identical rows) on the hit slice, never corpus-wide.
+        # Live-version filter: deliberately hint-free — for rare terms
+        # the hit slice is tiny and AQE broadcasts it; for a high-df
+        # (stop-word-like) term the slice is corpus-proportional and a
+        # forced broadcast would OOM at scale — AQE keeps it a shuffle
+        # join instead.
+        tf_live = (
+            hit.dropDuplicates([id_col, "token", "seq"])
+            .join(live.select(id_col, "seq"), on=[id_col, "seq"])
+            .select(id_col, "token", "tf")
+            .persist()
+        )
     # per-token document frequency over the live set. Read-mostly fast
     # path: the compacted base's precomputed dfs table (written at
     # compaction, exactly the live set's frequencies when no tail or
@@ -658,6 +668,10 @@ def bm25_topk_from_index(
             .agg(F.sum("dft").cast("double").alias("dft"))
         )
     else:
+        # this branch references tf_live twice (df counting + scoring):
+        # make sure it is cached — the fast path above skips the persist
+        # because the normal fast route (precomputed dfs) scans it once
+        tf_live = tf_live.persist()
         dft = tf_live.groupBy("token").agg(
             F.count(F.lit(1)).cast("double").alias("dft")
         )
