@@ -1188,9 +1188,18 @@ def compact_index_incremental(
             .withColumn("id_sub", sub_of_id)
         )
         staged_postings = os.path.join(staging, "postings")
-        merged.repartition(F.col("token_bucket"), F.col("id_sub")).write.mode(
-            "overwrite"
-        ).partitionBy("token_bucket", "id_sub").parquet(staged_postings)
+        # no repartition before the partitioned write: the keep side —
+        # ~all of the data — was READ dir-clustered from the affected
+        # pair dirs and only passed through broadcast joins against the
+        # tiny churn set (map-side, partitioning preserved), so each
+        # write task already holds rows of ~one pair and a shuffle here
+        # would move the whole affected slice to restore a clustering it
+        # never lost. The churn slice's rows fan a handful of extra
+        # small files across its pairs — rewritten away by the next fold
+        # that touches those dirs, never accumulated.
+        merged.write.mode("overwrite").partitionBy(
+            "token_bucket", "id_sub"
+        ).parquet(staged_postings)
         # empty-read fallback schema carries the tail's ACTUAL id type
         # (never-cast-ids rule): if churn deleted every live row in the
         # affected pairs, a hardcoded bigint empty frame joining
@@ -1525,14 +1534,77 @@ def search_index_stream(
     return writer.start()
 
 
+def _live_delta_for_churn(
+    spark: SparkSession, index_path: str, id_col: str, n_buckets: int
+) -> int:
+    """EXACT net change in live-doc count contributed by the
+    post-compaction churn (tail appends + tombstones), computed
+    churn-proportionally: the churned ids' old base doclen rows are
+    opened id-bucket-pruned (never a full base listing or scan) and
+    their current liveness resolved with the same max-seq-minus-
+    tombstone rule the compactor uses. Every frame here is churn- or
+    affected-bucket-sized; ``index_status`` adds the result to the
+    meta's ``n_live`` so a watchdog tick never aggregates the corpus."""
+    doclen_path, _, tomb_path = _paths(index_path)
+    base_doclen_path, _, _ = _base_paths(index_path)
+    tail_dl, tomb = _read_components(
+        spark,
+        [
+            (doclen_path, f"{id_col} long, dl double, seq long"),
+            (tomb_path, f"{id_col} long, seq long"),
+        ],
+        id_col,
+    )
+    churned = (
+        tail_dl.select(id_col).unionByName(tomb.select(id_col)).distinct()
+    ).persist()
+    try:
+        aff = [
+            r["b"]
+            for r in churned.select(
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+            ).distinct().collect()
+        ]
+        base_aff = _open_partition_dirs(
+            spark, base_doclen_path, [f"id_bucket={b}" for b in aff]
+        )
+        if base_aff is None:
+            id_t = dict(tail_dl.dtypes).get(id_col, "long")
+            base_aff = spark.createDataFrame(
+                [], f"{id_col} {id_t}, dl double, seq long"
+            )
+        # base rows are unique per doc by the compaction invariant
+        base_churned = base_aff.join(churned, id_col, "left_semi").select(
+            id_col, "seq"
+        )
+        latest = (
+            base_churned.unionByName(tail_dl.select(id_col, "seq"))
+            .groupBy(id_col)
+            .agg(F.max("seq").alias("seq"))
+        )
+        tmax = tomb.groupBy(id_col).agg(F.max("seq").alias("_t"))
+        live_now = latest.join(tmax, id_col, "left").filter(
+            F.col("_t").isNull() | (F.col("_t") < F.col("seq"))
+        )
+        return live_now.count() - base_churned.count()
+    finally:
+        churned.unpersist()
+
+
 def index_status(
     spark: SparkSession, index_path: str, id_col: str = "doc_id"
 ) -> dict:
     """Operator health numbers for one LSM search index — the payload the
     daemon's `/_status` control plane surfaces per search-flagged feed:
 
-    * ``live_docs`` — current live corpus size (the two skinny
-      aggregates of :func:`live_doclen`, never postings or text);
+    * ``live_docs`` — current live corpus size, EXACT and
+      churn-proportional: on a stats-bearing compacted base it is the
+      meta's ``n_live`` adjusted by the churned ids' live delta (their
+      old base rows read id-bucket-pruned, their live status resolved
+      tail-side — the incremental compactor's exact discovery
+      discipline), so a watchdog tick never aggregates the corpus; a
+      never-compacted / legacy index falls back to the two skinny
+      aggregates of :func:`live_doclen` (still never postings or text);
     * ``tail_doclen_rows`` / ``tombstones`` — post-compaction churn:
       the read path merges these on every query, so together they ARE
       the compaction-debt signal (``compaction_debt`` = churn rows per
@@ -1543,9 +1615,7 @@ def index_status(
     All probes are read-attempt (:func:`_read_or_empty`) — correct on
     HDFS/S3, never a driver-local stat."""
     doclen_path, _, tomb_path = _paths(index_path)
-    _, _, meta_path = _base_paths(index_path)
-    live = live_doclen(spark, index_path, id_col)
-    n_live = live.count()
+    base_doclen_path, _, meta_path = _base_paths(index_path)
     tail_rows = _read_or_empty(
         spark, doclen_path, f"{id_col} string, dl double, seq long"
     ).count()
@@ -1556,6 +1626,22 @@ def index_status(
     token_buckets = (
         int(meta_rows[0]["token_buckets"]) if meta_rows else None
     )
+    n_live = None
+    if (
+        meta_rows
+        and "n_live" in meta_rows[0]
+        and _has_partition_prefix(base_doclen_path, "id_bucket=")
+    ):
+        if tail_rows == 0 and n_tomb == 0:
+            # read-mostly steady state: meta IS the live count
+            n_live = int(meta_rows[0]["n_live"])
+        else:
+            n_live = int(meta_rows[0]["n_live"]) + _live_delta_for_churn(
+                spark, index_path, id_col, int(meta_rows[0]["token_buckets"])
+            )
+    if n_live is None:
+        # never-compacted or legacy base: exact skinny aggregate
+        n_live = live_doclen(spark, index_path, id_col).count()
     churn = tail_rows + n_tomb
     return {
         "live_docs": n_live,

@@ -353,3 +353,59 @@ def test_inplace_compaction_swap_retires_to_trash(spark, index):
     # and no sibling root leftovers from the old rename-the-root swap
     assert not os.path.exists(index.rstrip("/") + ".old")
     assert not os.path.exists(index.rstrip("/") + ".compacting")
+
+
+def test_index_status_live_docs_exact_without_corpus_aggregate(
+    spark, index, tmp_path
+):
+    """live_docs must stay EXACT through every churn shape (new doc,
+    update, delete, delete-of-new, replay) while being computed from
+    meta + churn-proportional reads on a compacted base — pinned by
+    equality with the exact live_doclen aggregate at every step."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index_inplace,
+        index_status,
+    )
+
+    search_index_batch(
+        spark, index, _changes(spark, [(i, i, False, t) for i, t in DOCS])
+    )
+    compact_index_inplace(spark, index, token_buckets=8)
+
+    def check():
+        st = index_status(spark, index)
+        assert st["live_docs"] == live_doclen(spark, index).count()
+        return st
+
+    assert check()["live_docs"] == 6  # steady state: meta is the count
+
+    # new doc + update of an existing doc in one tail batch
+    search_index_batch(
+        spark, index, _changes(spark, [
+            (10, 7, False, "a brand new document about spark"),
+            (11, 1, False, "doc one rewritten, still about windows"),
+        ]),
+    )
+    assert check()["live_docs"] == 7
+
+    # delete an old base doc and the new doc
+    search_index_batch(
+        spark, index, _changes(spark, [
+            (12, 2, True, None),
+            (13, 7, True, None),
+        ]),
+    )
+    assert check()["live_docs"] == 5
+
+    # replayed tail batch (byte-identical) must not change the count
+    search_index_batch(
+        spark, index, _changes(spark, [
+            (12, 2, True, None),
+            (13, 7, True, None),
+        ]),
+    )
+    assert check()["live_docs"] == 5
+
+    # tombstone for an id the index never saw: churn, not a live doc
+    search_index_batch(spark, index, _changes(spark, [(14, 99, True, None)]))
+    assert check()["live_docs"] == 5
