@@ -153,6 +153,7 @@ def _probe_terms(
         # rejected loudly there (matching _phrase_words) and this guard
         # only keeps a direct _probe_terms call from min([])-crashing
         return terms
+    from couch_to_postgres_spark.streaming.meta_io import read_meta_rows
     from couch_to_postgres_spark.streaming.search_stream import (
         _has_partition_prefix,
         _open_partition_dirs,
@@ -161,11 +162,8 @@ def _probe_terms(
 
     base = os.path.join(index_path, "base")
     dfs_root = os.path.join(base, "dfs")
-    try:
-        meta = spark.read.parquet(os.path.join(base, "meta")).collect()
-    except AnalysisException:
-        return terms
-    if not meta or "n_live" not in meta[0].asDict():
+    meta = read_meta_rows(spark, os.path.join(base, "meta"))
+    if not meta or "n_live" not in meta[0]:
         return terms
     n_live = float(meta[0]["n_live"]) or 1.0
     if _has_partition_prefix(dfs_root, "token_bucket="):

@@ -373,20 +373,53 @@ def live_doclen(
     )
 
 
+def _spark_hash_str(s: str, seed: int = 42) -> int:
+    """Driver-side twin of ``F.hash`` over ONE string column: Spark's
+    ``Murmur3_x86_32.hashUnsafeBytes`` on the UTF-8 bytes, seed 42,
+    signed-int32 result. Spark deviates from canonical murmur3 in the
+    tail — each remaining byte (SIGNED) runs through the full
+    mixK1/mixH1 round individually — replicated here. The drift hazard
+    of reimplementing an engine hash is pinned by
+    ``test_search_stream.test_spark_hash_str_matches_engine``: any Spark
+    upgrade that changed this hash would fail that test loudly, not
+    probe wrong buckets silently."""
+    data = s.encode("utf-8")
+    n = len(data)
+    mask = 0xFFFFFFFF
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & mask
+
+    def mix(h1: int, k1: int) -> int:
+        k1 = rotl((k1 * c1) & mask, 15)
+        k1 = (k1 * c2) & mask
+        h1 ^= k1
+        return (rotl(h1, 13) * 5 + 0xE6546B64) & mask
+
+    h1 = seed & mask
+    for i in range(0, n - n % 4, 4):
+        h1 = mix(h1, int.from_bytes(data[i:i + 4], "little"))
+    for i in range(n - n % 4, n):
+        b = data[i]
+        h1 = mix(h1, b - 256 if b >= 128 else b)
+    h1 ^= n
+    h1 = ((h1 ^ (h1 >> 16)) * 0x85EBCA6B) & mask
+    h1 = ((h1 ^ (h1 >> 13)) * 0xC2B2AE35) & mask
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
 def _term_buckets(
     spark: SparkSession, terms: list[str], n_buckets: int
 ) -> list[int]:
     """The ``pmod(hash(token), n_buckets)`` bucket ids for the query
-    terms, computed by the SAME JVM hash that laid the base out (a tiny
-    terms-sized job — driver-side reimplementation of Spark's Murmur3
-    would be a drift hazard)."""
-    rows = (
-        spark.createDataFrame([(t,) for t in terms], "token string")
-        .select(F.pmod(F.hash("token"), F.lit(n_buckets)).alias("b"))
-        .distinct()
-        .collect()
-    )
-    return sorted(r["b"] for r in rows)
+    terms — driver-side (:func:`_spark_hash_str`, engine-equality
+    pinned), so planning a bucket-pruned probe launches no Spark job.
+    ``% n_buckets`` with a positive modulus matches ``F.pmod`` on a
+    negative hash."""
+    del spark  # kept for call-site compatibility; no job is launched
+    return sorted({_spark_hash_str(t) % n_buckets for t in terms})
 
 
 def _full_postings(

@@ -409,3 +409,39 @@ def test_index_status_live_docs_exact_without_corpus_aggregate(
     # tombstone for an id the index never saw: churn, not a live doc
     search_index_batch(spark, index, _changes(spark, [(14, 99, True, None)]))
     assert check()["live_docs"] == 5
+
+
+def test_spark_hash_str_matches_engine(spark):
+    """_spark_hash_str must equal F.hash(string) byte-for-byte — the pin
+    that makes the driver-side bucket computation safe. Covers every
+    UTF-8 tail length (0-3 residual bytes), multi-byte code points,
+    high-bit (signed-byte) tails, and long strings."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        _spark_hash_str,
+    )
+
+    cases = [
+        "", "a", "ab", "abc", "abcd", "abcde",
+        "RAIL", "TRUCK", "l_extendedprice", "churn9",
+        "é", "héllo wörld", "日本語テキスト", "emoji 🙂 tail",
+        "ÿ", "aÿ", "abÿ", "abcÿ",  # high-bit byte at every tail offset
+        "x" * 100, "tok_" + "9" * 37,
+    ]
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(c,) for c in cases], "s string")
+        .select("s", F.hash("s").alias("h"))
+        .collect()
+    }
+    for c in cases:
+        assert _spark_hash_str(c) == got[c], repr(c)
+    # and the pmod identity used by _term_buckets
+    pm = {
+        r["s"]: r["b"]
+        for r in spark.createDataFrame([(c,) for c in cases if c], "s string")
+        .select("s", F.pmod(F.hash("s"), F.lit(64)).alias("b"))
+        .collect()
+    }
+    for c in cases:
+        if c:
+            assert _spark_hash_str(c) % 64 == pm[c], repr(c)
