@@ -501,23 +501,19 @@ def _append_delta(
         "doc",
         bucket_of(F.col("id"), num_buckets).alias("bucket"),
     )
-    from pyspark.sql import Observation
-
-    obs = Observation()
+    # a plain count, not an Observation riding the write: a
+    # runtime-empty observed write (type_filter dropping the whole
+    # batch) gets its CollectMetrics optimizer-eliminated and the
+    # dangling observation corrupts the session for later RDD-closure
+    # jobs (found via test_quality_classifier after delete-all churn).
+    # The count recomputes from the persisted batch — one small job.
+    n_appended = rows.count()
     (
-        rows.observe(obs, F.count(F.lit(1)).alias("n"))
-        .repartition("bucket")  # one file per touched bucket, not per task
+        rows.repartition("bucket")  # one file per touched bucket, not per task
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(_delta_path(path))
     )
-    try:
-        n_appended = int(obs.get["n"])
-    except Exception:
-        # a provably-empty append (type_filter dropped the whole batch)
-        # can be optimizer-eliminated before CollectMetrics fires —
-        # count the lineage directly (trivial in exactly that case)
-        n_appended = rows.count()
     meta["delta_rows"] = int(meta.get("delta_rows") or 0) + n_appended
     write_meta(path, meta)
     if count_views:

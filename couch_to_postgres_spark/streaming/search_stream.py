@@ -259,8 +259,6 @@ def _search_index_batch_locked(
 ) -> SearchIndexBatchStats:
     doclen_path, postings_path, tomb_path = _paths(index_path)
 
-    from pyspark.sql import Observation
-
     latest = (
         changes.groupBy(id_col)
         .agg(
@@ -277,10 +275,17 @@ def _search_index_batch_locked(
         .select(id_col, "c.seq", "c.deleted", "c.text", "_n_changes")
         .persist()
     )
-    # ONE job yields every batch stat except the postings count (which
-    # the write action itself observes below) and materializes the
-    # persist — a micro-batch used to pay 6-7 job launches here, pure
-    # fixed overhead at trickle-feed batch sizes
+    # ONE job yields every batch stat — including the postings count,
+    # which equals Σ per-upsert distinct tokens (exactly what the
+    # (id, token, seq) groupBy below emits one row per) — and
+    # materializes the persist. A micro-batch used to pay 6-7 job
+    # launches here, pure fixed overhead at trickle-feed batch sizes.
+    # (An Observation on the postings write would be one job fewer
+    # still, but a runtime-empty observed write — a delete-only batch —
+    # gets its CollectMetrics optimizer-eliminated and the dangling
+    # observation corrupts the session for later RDD-closure jobs;
+    # found by test_quality_classifier after the delete-all-churn test.)
+    words = _words("text")
     counts = latest.agg(
         F.coalesce(F.sum("_n_changes"), F.lit(0)).alias("arrived"),
         F.coalesce(
@@ -289,14 +294,21 @@ def _search_index_batch_locked(
         F.coalesce(
             F.sum(F.when(F.col("deleted"), 1).otherwise(0)), F.lit(0)
         ).alias("n_del"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ~F.col("deleted"), F.size(F.array_distinct(words))
+                )
+            ),
+            F.lit(0),
+        ).alias("n_postings"),
     ).collect()[0]
-    arrived, n_up, n_del = (
-        int(counts["arrived"]), int(counts["n_up"]), int(counts["n_del"])
+    arrived, n_up, n_del, n_postings = (
+        int(counts["arrived"]), int(counts["n_up"]),
+        int(counts["n_del"]), int(counts["n_postings"]),
     )
 
     upserts = latest.filter(~F.col("deleted"))
-
-    words = _words("text")
     doclen_rows = upserts.select(
         F.col(id_col),
         F.size(words).cast("double").alias("dl"),
@@ -310,20 +322,10 @@ def _search_index_batch_locked(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .select(id_col, "token", "tf", F.col("seq").cast("long").alias("seq"))
     )
-    obs = Observation()
     # doclen FIRST — the from-index fast path's safety depends on this
     # order (see the docstring's write-order invariant)
     doclen_rows.write.mode("append").parquet(doclen_path)
-    postings_rows.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "append"
-    ).parquet(postings_path)
-    try:
-        n_postings = int(obs.get["n"])
-    except Exception:
-        # a provably-empty write (delete-only batch) can be optimizer-
-        # eliminated before CollectMetrics fires — count the lineage
-        # directly (trivial in exactly that case)
-        n_postings = postings_rows.count()
+    postings_rows.write.mode("append").parquet(postings_path)
 
     if n_del:
         latest.filter(F.col("deleted")).select(
@@ -1248,14 +1250,9 @@ def compact_index_incremental(
         # postings (both read the files just written, never each
         # other's output) — run their write jobs concurrently on two
         # driver threads; Spark schedules concurrent actions in one
-        # session natively. The doclen write carries an Observation so
-        # the meta delta's "new" contribution is counted DURING the
-        # write instead of by a follow-up aggregate job, and the "old"
-        # contribution (a tiny agg over the affected buckets' base
-        # doclen) overlaps on the main thread.
+        # session natively. The meta delta (a tiny churn-sized
+        # aggregate, see below) overlaps on the main thread.
         from concurrent.futures import ThreadPoolExecutor
-
-        from pyspark.sql import Observation
 
         staged_dfs = os.path.join(staging, "dfs")
 
@@ -1296,16 +1293,10 @@ def compact_index_incremental(
             )
         )
         staged_doclen = os.path.join(staging, "doclen")
-        new_obs = Observation()
 
         def _write_doclen() -> None:
             (
                 dl_keep.unionByName(dl_new)
-                .observe(
-                    new_obs,
-                    F.count(F.lit(1)).alias("n"),
-                    F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
-                )
                 .withColumn(
                     "id_bucket",
                     F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)),
@@ -1319,46 +1310,37 @@ def compact_index_incremental(
         with ThreadPoolExecutor(max_workers=2) as pool:
             dfs_f = pool.submit(_write_dfs)
             dl_f = pool.submit(_write_doclen)
-            # meta "old" contribution: affected id buckets' old rows out
-            # — a tiny agg over already-persisted base_dl_aff, overlapped
-            # with the two staged writes
-            old_c = base_dl_aff.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
-            ).collect()[0]
+            # meta by exact CHURN-sized delta, overlapped with the two
+            # staged writes: non-churned rows pass through both sides of
+            # the bucket rewrite untouched, so the net change is
+            # (churned docs' live rows in) minus (their old base rows
+            # out) — one tiny union-aggregate over two persisted
+            # churn-sized frames. No Observation on the doclen write: a
+            # runtime-empty observed write (churn deleting every doc in
+            # the affected buckets) gets its CollectMetrics optimizer-
+            # eliminated and the dangling observation corrupts the
+            # session for later RDD-closure jobs.
+            delta = (
+                base_dl_churned.select(
+                    F.lit(-1).alias("sgn"), F.col("dl")
+                )
+                .unionByName(
+                    churned_live.select(F.lit(1).alias("sgn"), F.col("dl"))
+                )
+                .agg(
+                    F.coalesce(F.sum("sgn"), F.lit(0)).alias("dn"),
+                    F.coalesce(
+                        F.sum(F.col("sgn") * F.col("dl")), F.lit(0.0)
+                    ).alias("ds"),
+                )
+                .collect()[0]
+            )
             dfs_f.result()
             _mark("staged_dfs")
             dl_f.result()
         _mark("staged_doclen")
-        # meta by exact delta: old contribution out, staged contribution
-        # in (observed during the doclen write) — no corpus-wide
-        # aggregate anywhere
-        try:
-            new_c = new_obs.get
-        except Exception:
-            # a fully-empty staged doclen (churn deleted every doc in
-            # the affected buckets) can be optimizer-eliminated before
-            # the CollectMetrics node fires — recount the (empty) staged
-            # output directly
-            new_c = (
-                _read_or_empty(
-                    spark,
-                    staged_doclen,
-                    f"{id_col} {id_t}, dl double, seq long",
-                )
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
-                )
-                .collect()[0]
-            )
-        _mark("meta_new_c")
-        n_live = int(meta_rows[0]["n_live"]) - int(old_c["n"]) + int(new_c["n"])
-        sum_dl = (
-            float(meta_rows[0]["sum_dl"] or 0.0)
-            - float(old_c["s"])
-            + float(new_c["s"])
-        )
+        n_live = int(meta_rows[0]["n_live"]) + int(delta["dn"])
+        sum_dl = float(meta_rows[0]["sum_dl"] or 0.0) + float(delta["ds"])
         staged_meta = os.path.join(staging, "meta")
         write_meta_rows(
             spark,
