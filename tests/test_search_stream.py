@@ -445,3 +445,59 @@ def test_spark_hash_str_matches_engine(spark):
     for c in cases:
         if c:
             assert _spark_hash_str(c) % 64 == pm[c], repr(c)
+
+
+def test_randomized_lifecycle_equivalence(spark, index):
+    """Seeded random walk over the whole index lifecycle — mixed
+    insert/update/delete batches, probabilistic replays, a full in-place
+    compaction and two incremental folds — asserting after EVERY step
+    that (a) from-index BM25 equals a fresh batch build over the model
+    corpus and (b) index_status.live_docs equals the model's live count.
+    The targeted tests pin each transition; this pins their
+    INTERACTIONS (delete-then-reinsert across a fold, replay landing on
+    a compacted base, fold-after-fold churn)."""
+    import random
+
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index_incremental,
+        compact_index_inplace,
+        index_status,
+    )
+
+    rng = random.Random(20260816)
+    vocab = [
+        "spark", "window", "merge", "rows", "feed",
+        "shuffle", "rank", "late", "tuning", "guide",
+    ]
+    docs: dict[int, str] = {}
+    seq = 0
+    for step in range(7):
+        ops = []
+        for _ in range(rng.randint(1, 5)):
+            seq += 1
+            did = rng.randint(1, 12)
+            if rng.random() < 0.25 and did in docs:
+                ops.append((seq, did, True, None))
+                docs.pop(did)
+            else:
+                text = " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(3, 9))
+                )
+                ops.append((seq, did, False, text))
+                docs[did] = text
+        search_index_batch(spark, index, _changes(spark, ops))
+        if rng.random() < 0.4:  # at-least-once redelivery of the batch
+            search_index_batch(spark, index, _changes(spark, ops))
+        if step == 2:
+            compact_index_inplace(spark, index, token_buckets=8)
+        if step in (4, 6):
+            assert compact_index_incremental(spark, index)["mode"] in (
+                "incremental", "noop"
+            )
+        if docs:
+            got = _rows(bm25_topk_from_index(spark, index, _qtab(spark), k=5))
+            want = _rows(_fresh(spark, list(docs.items()), _qtab(spark), k=5))
+            assert got == want, f"step {step}: index diverged from model"
+        assert index_status(spark, index)["live_docs"] == len(docs), (
+            f"step {step}: live_docs diverged from model"
+        )
