@@ -691,6 +691,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_vector_live(spark, sf_dir):
+        # CDC-maintained VECTOR index (streaming/vector_stream.py:
+        # seq-wins IVF under the change feed), value-oracled end to
+        # end with the fixed-anchor quantizer + hof assigner. The
+        # lifecycle under test: insert every embedding (seq=vec_id),
+        # UPDATE vec_id%10==3 to the vector of vec_id+7 (the new
+        # vector can land in a DIFFERENT cell — the case id-only
+        # tombstones cannot express), redeliver the update batch
+        # (at-least-once replay), DELETE vec_id%9==4, compact to the
+        # live-only base, then DELETE vec_id%11==6 on top of the base
+        # so the query path exercises base + tombstone liveness merge.
+        # The oracle replays the live set (%9<>4 and %11<>6; updated
+        # ids carry the partner vector when vec_id+7 exists),
+        # anchor-assignment, probing, and ranking in DuckDB.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            compact_vector_index,
+            init_vector_index,
+            vector_index_batch,
+            vector_topk_live,
+        )
+
+        e = _emb(spark, sf_dir)
+        cents = _anchor_centroids(spark, sf_dir, 8)
+        work = tempfile.mkdtemp(prefix="vec_live_")
+        try:
+            init_vector_index(
+                spark, work, centroids=cents, assigner="hof"
+            )
+            vector_index_batch(spark, work, e.select(
+                F.col("vec_id").cast("long").alias("seq"),
+                "vec_id", F.lit(False).alias("deleted"), "embedding",
+            ))
+            partner = e.select(
+                F.col("vec_id").alias("pid"),
+                F.col("embedding").alias("pemb"),
+            )
+            upd = (
+                e.filter(F.col("vec_id") % 10 == 3)
+                .join(partner, F.col("pid") == F.col("vec_id") + 7)
+                .select(
+                    (F.lit(1000) + F.col("vec_id")).alias("seq"),
+                    "vec_id", F.lit(False).alias("deleted"),
+                    F.col("pemb").alias("embedding"),
+                )
+            )
+            vector_index_batch(spark, work, upd)
+            vector_index_batch(spark, work, upd)  # replay, absorbed
+            vector_index_batch(spark, work, e.filter(
+                F.col("vec_id") % 9 == 4
+            ).select(
+                (F.lit(2000) + F.col("vec_id")).alias("seq"),
+                "vec_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+            ))
+            compact_vector_index(spark, work)
+            vector_index_batch(spark, work, e.filter(
+                F.col("vec_id") % 11 == 6
+            ).select(
+                (F.lit(3000) + F.col("vec_id")).alias("seq"),
+                "vec_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+            ))
+            return vector_topk_live(
+                spark, work,
+                e.filter(F.col("vec_id") < 5).select("vec_id", "embedding"),
+                k=5, nprobe=4,
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_semantic_dedup_incremental(spark, sf_dir):
         # incremental SemDeDup against the persisted IVF index's LIVE
         # set: build on vec_id<300 (hof quantizer), tombstone %11==5,
@@ -3798,8 +3871,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounds ago (35 of its 47 value-oracled keys; the remaining
         # 12 are first in line for r11). The r09 top block re-checked
         # green in r09 and rotates below. ---
-        # (1) round-10 addition (shares x_bm25_incremental's oracle)
+        # (1) round-10 additions (x_compact_auto shares
+        # x_bm25_incremental's oracle; x_vector_live is the
+        # CDC-maintained vector index, full value oracle)
         "x_compact_auto": x_compact_auto,
+        "x_vector_live": x_vector_live,
         # (2) round-10 re-checks: code touched this round
         "x_compact_incremental": x_compact_incremental,
         "x_bm25_lsm": x_bm25_lsm,
@@ -3850,13 +3926,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cross_dedup": x_cross_dedup,
         "x_decontaminate": x_decontaminate,
         "x_dedup_minhash_km": x_dedup_minhash_km,
-        "x_jl_projection": x_jl_projection,
         # --- below the driver budget: every key here is driver-
         # green from r01-r09 (or rows-only by declared necessity:
         # x_compression [zlib], x_quality_classifier [LBFGS] are
         # deliberately kept out of the checked window and pinned by
         # pytest instead). The r09 top block re-checked green in r09
         # and rotates first. ---
+        "x_jl_projection": x_jl_projection,  # displaced by x_vector_live (r10)
         "x_encode": x_encode,
         "x_vocab": x_vocab,
         "x_approx_distinct": x_approx_distinct,
@@ -6979,6 +7055,87 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY query_id
                                           ORDER BY cosine_r DESC, neighbor_id)
                            AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        # CDC-maintained vector index: the live set after
+        # insert/update(+7 partner)/replay/delete/compact/delete —
+        # %9<>4 and %11<>6 survive; %10==3 ids carry the partner
+        # vector when vec_id+7 exists (the Spark side's update batch
+        # is built with the same inner join). Assignment, probing
+        # (nprobe=4 of the 8 fixed anchors), and ranking replay the
+        # x_ann_ivf chain, with the CORPUS side reading live_vecs.
+        "x_vector_live": """
+            WITH vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            live_vecs AS (
+                SELECT v.vec_id,
+                       CASE WHEN v.vec_id % 10 = 3
+                                 AND v2.vec_id IS NOT NULL
+                            THEN v2.v ELSE v.v END AS v
+                FROM vecs v
+                LEFT JOIN vecs v2 ON v2.vec_id = v.vec_id + 7
+                WHERE v.vec_id % 9 <> 4 AND v.vec_id % 11 <> 6
+            ),
+            anchors AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS av
+                FROM vecs WHERE vec_id < 8
+            ),
+            csims AS (
+                SELECT e.vec_id, a.cell,
+                       round(list_dot_product(e.v, a.av)
+                             / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(a.av, a.av))), 4)
+                           + 0.0 AS c
+                FROM live_vecs e, anchors a
+            ),
+            cranked AS (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY c DESC, cell) AS rnk
+                FROM csims
+            ),
+            corpus_cells AS (
+                SELECT vec_id, cell FROM cranked WHERE rnk = 1
+            ),
+            qsims AS (
+                SELECT e.vec_id, a.cell,
+                       round(list_dot_product(e.v, a.av)
+                             / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(a.av, a.av))), 4)
+                           + 0.0 AS c
+                FROM (SELECT vec_id, v FROM vecs WHERE vec_id < 5) e,
+                     anchors a
+            ),
+            qranked AS (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY c DESC, cell) AS rnk
+                FROM qsims
+            ),
+            q_cells AS (SELECT vec_id, cell FROM qranked WHERE rnk <= 4),
+            sims AS (
+                SELECT DISTINCT q.vec_id AS query_id,
+                       c.vec_id AS neighbor_id,
+                       round(list_dot_product(qv.v, cv.v)
+                             / (sqrt(list_dot_product(qv.v, qv.v))
+                              * sqrt(list_dot_product(cv.v, cv.v))), 4)
+                           AS cosine_r
+                FROM q_cells q
+                JOIN corpus_cells c
+                  ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                JOIN vecs qv ON qv.vec_id = q.vec_id
+                JOIN live_vecs cv ON cv.vec_id = c.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_r DESC,
+                                                   neighbor_id) AS rank
                 FROM sims
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5

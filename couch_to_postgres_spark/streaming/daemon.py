@@ -50,6 +50,15 @@ class FeedConfig:
     #: recorded in the index so a reader probing with a different n
     #: fails loudly instead of silently matching nothing)
     shingle_n: int = 3
+    #: also maintain the live VECTOR index (streaming/vector_stream.py —
+    #: seq-wins IVF over an embedding field in the doc JSON) from the
+    #: same micro-batches
+    vector_index: bool = False
+    #: JSON path of the embedding array inside the doc
+    vector_field: str = "$.embedding"
+    #: coarse-quantizer cell count (trained on the first upsert batch,
+    #: then frozen — recorded in the index's quantizer marker)
+    vector_cells: int = 16
 
     @property
     def table(self) -> str:
@@ -137,6 +146,16 @@ class Daemon:
             return None
         return os.path.join(self.data_root, "shingles", fc.table)
 
+    def vector_index_path(self, fc: FeedConfig) -> str | None:
+        """Per-feed live VECTOR index root (``fc.vector_index`` opt-in) —
+        the mirror's ANN twin, maintained from the same micro-batches
+        (pipeline ``_feed_vector_index``), so similarity search answers
+        from live index state instead of re-embedding-scanning the
+        mirror per query."""
+        if not fc.vector_index:
+            return None
+        return os.path.join(self.data_root, "vectors", fc.table)
+
     def sketch_state_root(self, fc: FeedConfig) -> str:
         """Where a feed's versioned sketch/reservoir state dirs live by
         convention: any ``sketch_stream``/``reservoir_stream`` state path
@@ -171,6 +190,9 @@ class Daemon:
                     search_index_path=self.search_index_path(fc),
                     shingle_index_path=self.shingle_index_path(fc),
                     shingle_n=fc.shingle_n,
+                    vector_index_path=self.vector_index_path(fc),
+                    vector_field=fc.vector_field,
+                    vector_cells=fc.vector_cells,
                 )
             else:
                 q = follow(
@@ -183,6 +205,9 @@ class Daemon:
                     search_index_path=self.search_index_path(fc),
                     shingle_index_path=self.shingle_index_path(fc),
                     shingle_n=fc.shingle_n,
+                    vector_index_path=self.vector_index_path(fc),
+                    vector_field=fc.vector_field,
+                    vector_cells=fc.vector_cells,
                 )
             self.queries[fc.name] = q
             started.append(fc.name)
@@ -264,6 +289,33 @@ class Daemon:
                     self._last_maintenance.setdefault(fc.name, {})[
                         twin
                     ] = telemetry
+        # the VECTOR twin gets the same debt-triggered policy: fold the
+        # tail + tombstones into a live-only base when churn per live
+        # vector crosses the threshold (v1 full live rewrite —
+        # vector_stream documents the affected-cell upgrade path)
+        vector_compacted: dict = {}
+        for fc in registry.values():
+            vip = self.vector_index_path(fc)
+            if vip is None or not fc.enabled:
+                continue
+            from couch_to_postgres_spark.streaming.vector_stream import (
+                compact_vector_index,
+                vector_index_status,
+            )
+
+            vst = vector_index_status(self.spark, vip)
+            debt = vst.get("compaction_debt")
+            if debt is not None and debt > self.search_compaction_debt:
+                done = compact_vector_index(self.spark, vip)
+                telemetry = {
+                    "debt": debt,
+                    "mode": done.get("mode"),
+                    "n_live": done.get("n_live"),
+                }
+                vector_compacted[fc.name] = telemetry
+                self._last_maintenance.setdefault(fc.name, {})[
+                    "vector"
+                ] = telemetry
         return {
             "stopped": stopped,
             "restarted": restarted,
@@ -271,6 +323,7 @@ class Daemon:
             "compacted": compacted,
             "search_compacted": search_compacted,
             "shingle_compacted": shingle_compacted,
+            "vector_compacted": vector_compacted,
         }
 
     def status(self) -> dict:
@@ -322,6 +375,16 @@ class Daemon:
                 )
 
                 shingle = index_status(self.spark, shp)
+            # vector-flagged feeds surface their ANN twin's health the
+            # same way (live vectors, churn, compaction debt, quantizer)
+            vip = self.vector_index_path(fc)
+            vector = None
+            if vip is not None:
+                from couch_to_postgres_spark.streaming.vector_stream import (
+                    vector_index_status,
+                )
+
+                vector = vector_index_status(self.spark, vip)
             # versioned sketch/reservoir state health (VERDICT r07 #7):
             # every committed state dir under the feed's conventional
             # state root reports its live version, row count, and
@@ -352,6 +415,7 @@ class Daemon:
                 "layout": layout,
                 "search_index": search,
                 "shingle_index": shingle,
+                "vector_index": vector,
                 # last watchdog-triggered compaction per index twin
                 # (mode/affected_pairs/churned_docs/phase_timings) —
                 # maintenance cost belongs on the operator surface

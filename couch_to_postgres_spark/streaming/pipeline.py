@@ -290,6 +290,72 @@ def _feed_shingle_index(
     )
 
 
+def _feed_vector_index(
+    batch: DataFrame,
+    vector_index_path: str,
+    type_filter: str | None,
+    map_hook: Callable[[Column], Column] | None,
+    vector_field: str = "$.embedding",
+    vector_cells: int = 16,
+) -> None:
+    """Keep the CDC-maintained VECTOR index
+    (:mod:`streaming.vector_stream`) in step with the mirror from the
+    SAME micro-batch: the per-key latest change after the shared
+    type-filter (index state cannot drift from the mirror on filter
+    semantics), the embedding extracted from the doc JSON at
+    ``vector_field``. Upserts WITHOUT the field are skipped for this
+    index only (the mirror and text twins still see them) — a feed can
+    mix embedded and plain docs.
+
+    Quantizer bootstrap: the first batch carrying upserts trains the
+    coarse centroids (k = min(vector_cells, batch upserts); the
+    quantizer is then FROZEN — standard IVF maintenance, rebuild
+    off-peak on drift). Pre-init delete-only batches are dropped: the
+    change feed delivers a doc's insert before its delete, so a delete
+    arriving before anything was ever indexed tombstones a doc this
+    index never held."""
+    from couch_to_postgres_spark.operators.cdc import filtered_latest
+    from couch_to_postgres_spark.streaming.meta_io import read_meta_rows
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        _quantizer_path,
+        init_vector_index,
+        vector_index_batch,
+    )
+
+    spark = batch.sparkSession
+    lat = filtered_latest(batch, type_filter)
+    doc = F.col("doc")
+    if map_hook is not None:
+        doc = map_hook(doc)
+    changes = lat.select(
+        F.col("seq").cast("long").alias("seq"),
+        F.col("id").alias("vec_id"),
+        F.col("deleted").cast("boolean").alias("deleted"),
+        F.when(F.col("deleted"), F.lit(None).cast("array<double>"))
+        .otherwise(
+            F.from_json(
+                F.get_json_object(doc, vector_field), "array<double>"
+            )
+        )
+        .alias("embedding"),
+    ).filter(F.col("deleted") | F.col("embedding").isNotNull())
+    if not read_meta_rows(spark, _quantizer_path(vector_index_path)):
+        sample = changes.filter(~F.col("deleted")).persist()
+        try:
+            n_up = sample.count()
+            if n_up == 0:
+                return  # pre-init delete-only batch (see docstring)
+            init_vector_index(
+                spark,
+                vector_index_path,
+                sample=sample,
+                n_cells=min(int(vector_cells), n_up),
+            )
+        finally:
+            sample.unpersist()
+    vector_index_batch(spark, vector_index_path, changes)
+
+
 def follow(
     spark: SparkSession,
     changes_path: str,
@@ -308,6 +374,9 @@ def follow(
     search_text: Callable[[Column], Column] | None = None,
     shingle_index_path: str | None = None,
     shingle_n: int = 3,
+    vector_index_path: str | None = None,
+    vector_field: str = "$.embedding",
+    vector_cells: int = 16,
 ) -> StreamingQuery:
     """Start one feed's replication query (the `engine.follow(db)` API —
     the reference's `new PostgresCouchDB(...).start()`,
@@ -388,7 +457,11 @@ def follow(
             batch = batch.filter(F.col("_corrupt_record").isNull()).drop(
                 "_corrupt_record"
             )
-        elif search_index_path is not None or shingle_index_path is not None:
+        elif (
+            search_index_path is not None
+            or shingle_index_path is not None
+            or vector_index_path is not None
+        ):
             # the index feed re-runs the batch source on top of the
             # mirror merge's own actions (and search_index_batch itself
             # runs several) — persist once so the change-log scan is
@@ -435,6 +508,11 @@ def follow(
                     batch, shingle_index_path, type_filter, map_hook,
                     search_text, shingle_n=shingle_n,
                 )
+            if vector_index_path is not None:
+                _feed_vector_index(
+                    batch, vector_index_path, type_filter, map_hook,
+                    vector_field=vector_field, vector_cells=vector_cells,
+                )
         finally:
             # unpersist the RAW batch: the upsert only unpersists its
             # own (filtered) child, so without this a processingTime
@@ -478,6 +556,9 @@ def follow_couch(
     search_text: Callable[[Column], Column] | None = None,
     shingle_index_path: str | None = None,
     shingle_n: int = 3,
+    vector_index_path: str | None = None,
+    vector_field: str = "$.embedding",
+    vector_cells: int = 16,
 ) -> StreamingQuery:
     """`follow` against a LIVE CouchDB `_changes` feed via the
     ``format("couchdb")`` data source (offset = couch ``since``, durable
@@ -523,7 +604,11 @@ def follow_couch(
         elif _current_version(mirror_path) is not None:
             use_partitioned = False
         raw = None
-        if search_index_path is not None or shingle_index_path is not None:
+        if (
+            search_index_path is not None
+            or shingle_index_path is not None
+            or vector_index_path is not None
+        ):
             # persist: the index feed would otherwise re-pull the
             # micro-batch from the live _changes source on top of the
             # merge's own actions (see follow._merge)
@@ -557,6 +642,11 @@ def follow_couch(
                 _feed_shingle_index(
                     batch, shingle_index_path, type_filter, map_hook,
                     search_text, shingle_n=shingle_n,
+                )
+            if vector_index_path is not None:
+                _feed_vector_index(
+                    batch, vector_index_path, type_filter, map_hook,
+                    vector_field=vector_field, vector_cells=vector_cells,
                 )
         finally:
             if raw is not None:

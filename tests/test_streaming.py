@@ -237,7 +237,7 @@ def test_control_plane_http(spark, sf_dir, tmp):
             wd = json.loads(r.read())
         assert set(wd) == {
             "stopped", "restarted", "started", "compacted",
-            "search_compacted", "shingle_compacted",
+            "search_compacted", "shingle_compacted", "vector_compacted",
         }
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/_fsck") as r:
             fs = json.loads(r.read())
@@ -730,4 +730,121 @@ def test_daemon_status_reports_sketch_state_health(spark, sf_dir, tmp):
     assert h["batch_id"] == 1
     # feeds with no committed state report None
     assert st["feed-beta"]["sketch_states"] is None
+    d.stop_all()
+
+
+def test_daemon_maintains_vector_index(spark, sf_dir, tmp):
+    """A vector_index-flagged feed maintains the seq-wins IVF twin
+    (streaming/vector_stream.py) from the same micro-batches as the
+    mirror: post-drain, live ANN top-k answered FROM the index equals
+    brute-force cosine over the mirror's live embeddings — updates
+    (vectors moving cells) and deletes included. /_status surfaces its
+    health and the watchdog's debt policy compacts it like the other
+    twins."""
+    from couch_to_postgres_spark.extensions.ann import _score_probed
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        vector_index_status,
+        vector_topk_live,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 60
+    )
+
+    def _doc_changes(src, seq_col, id_col, deleted):
+        return src.select(
+            seq_col.cast("long").alias("seq"),
+            id_col.cast("string").alias("id"),
+            F.lit(deleted).alias("deleted"),
+            F.lit(None).cast("string").alias("doc")
+            if deleted
+            else F.to_json(F.struct("embedding", "label")).alias("doc"),
+        )
+
+    ins = _doc_changes(emb, F.col("vec_id"), F.col("vec_id"), False)
+    # ids 0-4 updated to the embeddings of ids 10-14 (vectors MOVE)
+    upd = _doc_changes(
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)),
+        F.lit(1000) + F.col("vec_id"),
+        F.col("vec_id") - 10,
+        False,
+    )
+    # ids 20-24 deleted
+    dels = _doc_changes(
+        emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 25)),
+        F.lit(2000) + F.col("vec_id"),
+        F.col("vec_id"),
+        True,
+    )
+    write_change_log(ins.unionByName(upd).unionByName(dels), f"{tmp}/log")
+    save_registry(
+        f"{tmp}/registry.json",
+        [
+            FeedConfig(
+                name="vec-feed", changes_path=f"{tmp}/log",
+                vector_index=True, vector_cells=4,
+            )
+        ],
+    )
+    d = Daemon(
+        spark, f"{tmp}/registry.json", f"{tmp}/data",
+        search_compaction_debt=0.2,
+    )
+    d.find_feeds()
+    d.await_all()
+
+    vidx = f"{tmp}/data/vectors/vec_feed"
+    import os as _os
+
+    assert _os.path.isdir(vidx)
+    # the live model: the mirror's current embeddings (55 live docs)
+    mirror = read_mirror(spark, f"{tmp}/data/mirrors/vec_feed.parquet")
+    live_model = mirror.select(
+        F.col("id").alias("vec_id"),
+        F.from_json(
+            F.get_json_object("doc", "$.embedding"), "array<double>"
+        ).alias("embedding"),
+        F.lit(0).alias("cell"),
+    )
+    assert live_model.count() == 55
+    queries = emb.filter(
+        (F.col("vec_id") >= 30) & (F.col("vec_id") < 33)
+    ).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    got = sorted(
+        tuple(r)
+        for r in vector_topk_live(
+            spark, vidx, queries, k=5, nprobe=4
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _score_probed(
+            queries.select("vec_id", "embedding", F.lit(0).alias("cell")),
+            live_model, 5, "vec_id", "embedding",
+        ).collect()
+    )
+    assert got == want and len(got) == 15
+
+    # health on /_status, same surface as the other twins
+    st = d.status()["vec-feed"]
+    assert st["vector_index"]["live_vectors"] == 55
+    assert st["vector_index"]["n_cells"] == 4
+    assert st["vector_index"]["compaction_debt"] is not None
+
+    # the watchdog's debt policy covers the vector twin: one pass
+    # establishes the live-only base, values unchanged through the swap
+    r1 = d.watchdog()
+    d.await_all()
+    assert r1["vector_compacted"]["vec-feed"]["n_live"] == 55
+    st2 = vector_index_status(spark, vidx)
+    assert st2["compaction_debt"] == 0.0 and st2["base_present"]
+    got2 = sorted(
+        tuple(r)
+        for r in vector_topk_live(
+            spark, vidx, queries, k=5, nprobe=4
+        ).collect()
+    )
+    assert got2 == want
     d.stop_all()
