@@ -3860,17 +3860,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x_quality_classifier: zlib / LBFGS have no SQL form; both
         # pytest-pinned) live BELOW the fold so no checked slot is
         # spent on a 'no_oracle' row. Order: (1) the round-10
-        # addition; (2) re-checks of every query whose code path was
-        # touched this round (the id_subbuckets auto-sizing +
-        # telemetry edits ride the compactor and search_stream, the
-        # shingle_n guard rides the contamination/decontamination
-        # readers, the empty-terms guard rides the indexed
-        # phrase/proximity probes, and the q_target_mix profile work
-        # rides the sampling family); (3) rotation of the OLDEST
-        # green keys — the r02 cohort, last value-checked eight
-        # rounds ago (35 of its 47 value-oracled keys; the remaining
-        # 12 are first in line for r11). The r09 top block re-checked
-        # green in r09 and rotates below. ---
+        # additions (x_compact_auto; x_vector_live — the
+        # CDC-maintained vector index, displacing x_jl_projection
+        # below the fold to keep the window at 50); (2) re-checks of
+        # every query whose code path was touched this round (the
+        # id_subbuckets auto-sizing + telemetry edits ride the
+        # compactor and search_stream — as do the second-wave
+        # meta_io / job-budget / fast-path changes — the shingle_n
+        # guard rides the contamination/decontamination readers, the
+        # empty-terms guard rides the indexed phrase/proximity
+        # probes, and the q_target_mix profile work rides the
+        # sampling family); (3) rotation of the OLDEST green keys —
+        # the r02 cohort, last value-checked eight rounds ago (34 of
+        # its 47 value-oracled keys; the rest are first in line for
+        # r11). Full 50-key window dress-rehearsed green at sf0.01
+        # twice this round (after the job-budget wave and after
+        # x_vector_live landed). ---
         # (1) round-10 additions (x_compact_auto shares
         # x_bm25_incremental's oracle; x_vector_live is the
         # CDC-maintained vector index, full value oracle)
