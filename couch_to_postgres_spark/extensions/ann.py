@@ -158,10 +158,14 @@ def assign_cells(
     vec_col: str = "embedding",
     nprobe: int = 1,
     out_col: str = "cell",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector its ``nprobe`` nearest centroid ids (cosine).
     One row per (vector, probed cell); ``nprobe=1`` for corpus layout,
-    >1 for query-side probing. Vectorized numpy per Arrow batch."""
+    >1 for query-side probing. Vectorized numpy per Arrow batch.
+    ``extra_cols`` ride through the projection (e.g. the vector
+    index's ``seq``) so callers never pay a rejoin for columns the
+    assignment dropped."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType
@@ -180,6 +184,7 @@ def assign_cells(
 
     return corpus.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.col(vec_col),
         F.explode(_nearest(F.col(vec_col))).alias(out_col),
     )
@@ -192,6 +197,7 @@ def assign_cells_hof(
     vec_col: str = "embedding",
     nprobe: int = 1,
     out_col: str = "cell",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """:func:`assign_cells` as pure JVM fold expressions — the
     oracle-replicable variant. Cosine to each centroid is a sequential
@@ -226,6 +232,7 @@ def assign_cells_hof(
     probes = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
     return corpus.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.col(vec_col),
         F.explode(F.transform(probes, lambda s: s["cell"])).alias(out_col),
     )

@@ -289,28 +289,45 @@ class Daemon:
                     self._last_maintenance.setdefault(fc.name, {})[
                         twin
                     ] = telemetry
-        # the VECTOR twin gets the same debt-triggered policy: fold the
-        # tail + tombstones into a live-only base when churn per live
-        # vector crosses the threshold (v1 full live rewrite —
-        # vector_stream documents the affected-cell upgrade path)
+        # the VECTOR twin gets the same debt-triggered policy AND the
+        # same churn-proportional mechanism (r11): fold tail +
+        # tombstones into only the affected cell/id-bucket dirs when
+        # churn per live vector crosses the threshold — the first
+        # compaction of a fresh index falls back to the full rewrite
+        # internally, exactly like the search twin. The watchdog also
+        # force-flushes a pre-init bootstrap buffer: a trickle feed
+        # that never reached vector_cells upserts gets its quantizer
+        # trained on whatever accumulated (trained < configured is
+        # surfaced as quantizer_degraded in `/_status`).
         vector_compacted: dict = {}
         for fc in registry.values():
             vip = self.vector_index_path(fc)
             if vip is None or not fc.enabled:
                 continue
             from couch_to_postgres_spark.streaming.vector_stream import (
-                compact_vector_index,
+                compact_vector_index_incremental,
+                flush_pending,
                 vector_index_status,
             )
 
             vst = vector_index_status(self.spark, vip)
+            if vst["n_cells"] is None and vst["pending_upserts"]:
+                flush_pending(self.spark, vip, n_cells=fc.vector_cells)
+                vst = vector_index_status(self.spark, vip)
             debt = vst.get("compaction_debt")
             if debt is not None and debt > self.search_compaction_debt:
-                done = compact_vector_index(self.spark, vip)
+                diag: dict = {}
+                done = compact_vector_index_incremental(
+                    self.spark, vip, diag=diag
+                )
                 telemetry = {
                     "debt": debt,
                     "mode": done.get("mode"),
                     "n_live": done.get("n_live"),
+                    "churned_docs": done.get("churned_docs"),
+                    "affected_cells": done.get("affected_cells"),
+                    "total_cells": done.get("total_cells"),
+                    "phase_timings": diag or None,
                 }
                 vector_compacted[fc.name] = telemetry
                 self._last_maintenance.setdefault(fc.name, {})[

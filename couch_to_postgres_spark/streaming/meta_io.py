@@ -26,7 +26,6 @@ data-plane components (postings, doclen, dfs) stay Spark jobs.
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 import pyarrow as pa
@@ -85,13 +84,24 @@ def read_meta_rows(spark: SparkSession, path: str) -> list[dict]:
         return []
 
 
+_META_PART = "part-00000-meta.parquet"
+
+
 def write_meta_rows(
     spark: SparkSession, path: str, rows: list[tuple], schema: str
 ) -> None:
-    """Overwrite a tiny meta table. Local paths: pyarrow part file
-    staged in a sibling dir then renamed into place (the missing-dir
-    window is strictly smaller than Spark's own non-atomic overwrite).
-    Non-local: the original coalesce(1) Spark write."""
+    """Overwrite a tiny meta table. Local paths: the single canonical
+    part file is replaced ATOMICALLY inside the existing directory
+    (dot-prefixed temp → ``os.replace``), so the directory never
+    disappears — a lock-free reader racing the swap sees the old row or
+    the new row, never ``[]`` (an r10 staged-dir rename had a
+    rmtree→rename window in which e.g. ``query_postings`` silently
+    skipped the whole compacted base — ADVICE r10). Stale foreign part
+    files (a dir a Spark ``coalesce(1)`` write laid down before this
+    fast path existed) are unlinked after the replace; in that
+    one-time-transition window a reader can see the OLD row — a stale
+    read, never an empty one. Non-local: the original coalesce(1)
+    Spark write."""
     local = _local(path)
     if local is None:
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
@@ -104,12 +114,17 @@ def write_meta_rows(
     table = pa.table(
         {n: list(c) for (n, _), c in zip(fields, cols)}, schema=arrow_schema
     )
-    staged = f"{local.rstrip('/')}.__metatmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(staged, exist_ok=True)
+    os.makedirs(local, exist_ok=True)
+    tmp = os.path.join(local, f".meta-{uuid.uuid4().hex[:8]}.tmp")
     try:
-        pq.write_table(table, os.path.join(staged, "part-00000-meta.parquet"))
-        if os.path.exists(local):
-            shutil.rmtree(local)
-        os.rename(staged, local)
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(local, _META_PART))
     finally:
-        shutil.rmtree(staged, ignore_errors=True)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    for f in os.listdir(local):
+        if not f.startswith((".", "_")) and f != _META_PART:
+            try:
+                os.unlink(os.path.join(local, f))
+            except OSError:
+                pass  # a concurrent GC got it first — already gone

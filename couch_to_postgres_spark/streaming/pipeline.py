@@ -303,22 +303,29 @@ def _feed_vector_index(
     SAME micro-batch: the per-key latest change after the shared
     type-filter (index state cannot drift from the mirror on filter
     semantics), the embedding extracted from the doc JSON at
-    ``vector_field``. Upserts WITHOUT the field are skipped for this
-    index only (the mirror and text twins still see them) — a feed can
-    mix embedded and plain docs.
+    ``vector_field``. An upsert WITHOUT the field is a TOMBSTONE for
+    this index only (the mirror and text twins still see the doc) — a
+    previously-embedded doc updated to a version without the field
+    must leave the ANN results, and a never-embedded doc's tombstone
+    is harmless (ADVICE r10; a feed can mix embedded and plain docs).
 
-    Quantizer bootstrap: the first batch carrying upserts trains the
-    coarse centroids (k = min(vector_cells, batch upserts); the
-    quantizer is then FROZEN — standard IVF maintenance, rebuild
-    off-peak on drift). Pre-init delete-only batches are dropped: the
-    change feed delivers a doc's insert before its delete, so a delete
-    arriving before anything was ever indexed tombstones a doc this
-    index never held."""
+    Quantizer bootstrap: pre-init batches BUFFER into the index's
+    ``pending`` dir until enough upserts exist to train the full
+    configured cell count — a trickle feed's 1-2-doc first batch must
+    not freeze a 1-2-cell quantizer and silently degrade IVF pruning
+    to near-full scans (ADVICE r10). The flush trains on the buffered
+    latest versions, ingests the buffer as one batch, and FREEZES the
+    quantizer (standard IVF maintenance, rebuild off-peak on drift).
+    A small feed that never reaches ``vector_cells`` upserts is
+    force-flushed by the daemon watchdog (trained < configured is
+    then surfaced as ``quantizer_degraded`` in `/_status`)."""
     from couch_to_postgres_spark.operators.cdc import filtered_latest
     from couch_to_postgres_spark.streaming.meta_io import read_meta_rows
     from couch_to_postgres_spark.streaming.vector_stream import (
+        _pending_path,
         _quantizer_path,
-        init_vector_index,
+        append_pending,
+        flush_pending,
         vector_index_batch,
     )
 
@@ -327,32 +334,32 @@ def _feed_vector_index(
     doc = F.col("doc")
     if map_hook is not None:
         doc = map_hook(doc)
+    emb = F.from_json(
+        F.get_json_object(doc, vector_field), "array<double>"
+    )
     changes = lat.select(
         F.col("seq").cast("long").alias("seq"),
         F.col("id").alias("vec_id"),
-        F.col("deleted").cast("boolean").alias("deleted"),
-        F.when(F.col("deleted"), F.lit(None).cast("array<double>"))
-        .otherwise(
-            F.from_json(
-                F.get_json_object(doc, vector_field), "array<double>"
-            )
-        )
-        .alias("embedding"),
-    ).filter(F.col("deleted") | F.col("embedding").isNotNull())
+        # field-less upserts tombstone (never silently skip: the doc's
+        # OLD vector would otherwise stay live in the index forever)
+        (F.col("deleted").cast("boolean") | emb.isNull()).alias("deleted"),
+        F.when(F.col("deleted").cast("boolean"), F.lit(None).cast(
+            "array<double>"
+        )).otherwise(emb).alias("embedding"),
+    )
     if not read_meta_rows(spark, _quantizer_path(vector_index_path)):
-        sample = changes.filter(~F.col("deleted")).persist()
-        try:
-            n_up = sample.count()
-            if n_up == 0:
-                return  # pre-init delete-only batch (see docstring)
-            init_vector_index(
-                spark,
-                vector_index_path,
-                sample=sample,
-                n_cells=min(int(vector_cells), n_up),
+        buffered = append_pending(spark, vector_index_path, changes)
+        if buffered >= int(vector_cells):
+            flush_pending(
+                spark, vector_index_path, n_cells=int(vector_cells)
             )
-        finally:
-            sample.unpersist()
+        return
+    # at-least-once recovery: a crash between quantizer init and the
+    # pending ingest leaves the buffer behind — drain it first
+    if os.path.isdir(_pending_path(vector_index_path)):
+        flush_pending(
+            spark, vector_index_path, n_cells=int(vector_cells)
+        )
     vector_index_batch(spark, vector_index_path, changes)
 
 

@@ -297,7 +297,16 @@ def _search_index_batch_locked(
         F.coalesce(
             F.sum(
                 F.when(
-                    ~F.col("deleted"), F.size(F.array_distinct(words))
+                    ~F.col("deleted"),
+                    # a NULL-text upsert (custom search_text hook) holds
+                    # zero postings; bare size(NULL) is -1 (legacy
+                    # sizeOfNull) and would skew the stat (ADVICE r10)
+                    F.greatest(
+                        F.coalesce(
+                            F.size(F.array_distinct(words)), F.lit(0)
+                        ),
+                        F.lit(0),
+                    ),
                 )
             ),
             F.lit(0),
@@ -311,7 +320,10 @@ def _search_index_batch_locked(
     upserts = latest.filter(~F.col("deleted"))
     doclen_rows = upserts.select(
         F.col(id_col),
-        F.size(words).cast("double").alias("dl"),
+        # NULL-text upserts hold zero tokens (same guard as n_postings)
+        F.greatest(F.coalesce(F.size(words), F.lit(0)), F.lit(0))
+        .cast("double")
+        .alias("dl"),
         F.col("seq").cast("long").alias("seq"),
     )
     postings_rows = (

@@ -19,19 +19,32 @@ State (all plain parquet under one index root):
   anchors) and FROZEN — appends and queries reuse it (standard IVF
   maintenance; monitor drift and rebuild off-peak, as
   ``ann.ivf_index_stats`` documents);
-* ``<index>/quantizer``  — 1-row config marker (assigner, n_cells),
-  recorded write-once so a later batch or query declaring a different
-  quantizer fails loudly instead of probing wrong cells silently (the
-  ``shingle_n`` lesson, ADVICE r09);
-* ``<index>/ids``        — TAIL (vec_id, seq): one skinny row per
-  ingested vector VERSION — the liveness sidecar (``doclen``'s role);
+* ``<index>/quantizer``  — 1-row config marker (assigner, n_cells,
+  configured_cells), recorded write-once so a later batch or query
+  declaring a different quantizer fails loudly instead of probing
+  wrong cells silently (the ``shingle_n`` lesson, ADVICE r09); the
+  trained-vs-configured pair surfaces bootstrap degradation in
+  ``/_status`` (ADVICE r10);
+* ``<index>/pending``    — pre-init bootstrap buffer: raw change rows
+  accumulated until enough upserts exist to train a full-width
+  quantizer (a trickle feed's 2-doc first batch must not freeze a
+  2-cell quantizer forever — ADVICE r10; :func:`flush_pending`);
 * ``<index>/cells``      — TAIL (vec_id, seq, embedding, cell) in
-  ``cell=N`` partition dirs, append-only;
+  ``cell=N`` partition dirs, append-only — one row per ingested
+  vector VERSION. Liveness needs only its (vec_id, seq) columns, and
+  parquet column projection keeps those reads skinny, so no separate
+  tail ids sidecar exists (r11: the r10 layout carried one, which
+  cost every micro-batch a fourth write job and bought nothing the
+  column-pruned cells read doesn't);
 * ``<index>/tombstones`` — (vec_id, seq) delete markers;
 * ``<index>/base/``      — compacted base: ``base/cells`` (live rows
-  only, one per doc, ``cell=N`` dirs), ``base/ids`` (their skinny
-  (vec_id, seq)), ``base/meta`` (1-row: n_cells, n_live — the
-  read-mostly fast-path stats).
+  only, one per doc, ``cell=N`` dirs), ``base/ids`` ((vec_id, seq,
+  cell) — the skinny liveness sidecar, laid out in ``id_bucket=H``
+  dirs (H = pmod(hash(id), id_buckets)) and carrying each doc's CELL
+  so the incremental compactor can find a churned doc's old cell from
+  an id-bucket-pruned read, never a base/cells scan — ``doclen``'s
+  ``buckets``-column role), ``base/meta`` (1-row: n_cells, n_live,
+  id_buckets — the read-mostly fast-path stats + layout continuity).
 
 Liveness rule (query-time, no state rewrite): a doc's live vector is
 its max-seq version unless a higher-seq tombstone exists. Updates
@@ -42,19 +55,25 @@ the search index and the CDC merge.
 Plan shape at 100 TB:
 
 * ingest is O(changed docs): assign cells for the batch (one Arrow
-  pass), three skinny appends — the corpus is never rescanned;
+  pass, seq carried through the assigner — no rejoin), two skinny
+  appends (cells, tombstones) — the corpus is never rescanned;
 * a query probes ``nprobe`` cells: the base dirs are opened BY NAME
   (never a full listing — VERDICT r09 #6), the tail is
-  update-rate-bounded, and liveness joins only skinny (id, seq) frames;
-* on a compacted churn-free index the probed slice IS live and unique
-  (same theorem as ``bm25_topk_from_index``'s fast path: the gate is
-  tail/tombstone absence, safe because ``ids`` is appended BEFORE
-  ``cells`` — the doclen-before-postings write-order invariant), so the
+  update-rate-bounded, and liveness joins only skinny (id, seq)
+  projections;
+* on a compacted churn-free index (no tail, no tombstones,
+  stats-bearing meta) the probed slice IS live and unique — the
   replay dedup and liveness join are skipped outright;
-* compaction is a full live-only rewrite of the cells (v1 — honest for
-  an embedding-sized store; the churn-proportional affected-cell fold
-  is the same upgrade path the search index walked in r09/r10, with
-  ``compact_ivf_index``'s affected-cell discovery as the template).
+* compaction is churn-proportional (:func:`compact_vector_index_incremental`,
+  r11 — the same affected-unit fold the search index walked in
+  r09/r10, ``compact_index_incremental`` being the template): churned
+  ids → their OLD cells from the id-bucket-pruned ``base/ids`` read
+  and their NEW cells from the tail itself; only those ``cell=N``
+  dirs (and the churned ids' ``id_bucket=H`` dirs) are rewritten,
+  every other dir passes through untouched (bit-identical, by test);
+  meta updates by exact churn-sized delta. The full live-only rewrite
+  (:func:`compact_vector_index`) remains as the first-compaction /
+  legacy-layout upgrade path only.
 
 Reference parity note: the reference (couch-to-postgres, lib/index.js)
 has no vector search; this is extension-stratum capability for the
@@ -82,12 +101,20 @@ from couch_to_postgres_spark.streaming.meta_io import (
     write_meta_rows,
 )
 from couch_to_postgres_spark.streaming.search_stream import (
+    _has_partition_prefix,
     _open_partition_dirs,
     _read_components,
     _read_or_empty,
 )
 
 _ASSIGNERS = {"vectorized": assign_cells, "hof": assign_cells_hof}
+
+#: ``base/ids`` partition fan-out — the unit the incremental compactor
+#: rewrites per churned id bucket. Fixed like the search index's 64
+#: token buckets: the sidecar is SKINNY (id, seq, cell), so a bucket
+#: stays small far past the corpus sizes where postings needed
+#: auto-sized sub-buckets.
+DEFAULT_ID_BUCKETS = 64
 
 
 @dataclass
@@ -97,9 +124,8 @@ class VectorIndexBatchStats:
     deletes: int
 
 
-def _paths(index_path: str) -> tuple[str, str, str]:
+def _paths(index_path: str) -> tuple[str, str]:
     return (
-        os.path.join(index_path, "ids"),
         os.path.join(index_path, "cells"),
         os.path.join(index_path, "tombstones"),
     )
@@ -122,6 +148,10 @@ def _quantizer_path(index_path: str) -> str:
     return os.path.join(index_path, "quantizer")
 
 
+def _pending_path(index_path: str) -> str:
+    return os.path.join(index_path, "pending")
+
+
 def init_vector_index(
     spark: SparkSession,
     index_path: str,
@@ -131,12 +161,16 @@ def init_vector_index(
     vec_col: str = "embedding",
     assigner: str = "vectorized",
     seed: int = 13,
+    configured_cells: int | None = None,
 ) -> list[list[float]]:
     """Train (or accept) the coarse quantizer and record it. Idempotent:
     re-initialising with the SAME (assigner, n_cells) returns the
     existing centroids untouched (the quantizer is frozen by contract);
     a different configuration raises instead of silently mixing two
-    incompatible cell layouts in one index."""
+    incompatible cell layouts in one index. ``configured_cells`` records
+    the cell count the OPERATOR asked for when it exceeds what the
+    bootstrap sample could train (``/_status`` surfaces the mismatch as
+    ``quantizer_degraded`` — ADVICE r10)."""
     if assigner not in _ASSIGNERS:
         raise ValueError(f"unknown assigner {assigner!r}")
     existing = read_meta_rows(spark, _quantizer_path(index_path))
@@ -171,8 +205,12 @@ def init_vector_index(
     write_meta_rows(
         spark,
         _quantizer_path(index_path),
-        [(assigner, len(centroids))],
-        "assigner string, n_cells int",
+        [(
+            assigner,
+            len(centroids),
+            int(configured_cells) if configured_cells else len(centroids),
+        )],
+        "assigner string, n_cells int, configured_cells int",
     )
     return centroids
 
@@ -196,6 +234,97 @@ def _quantizer(
     return q[0]["assigner"], cents, int(q[0]["n_cells"])
 
 
+def append_pending(
+    spark: SparkSession, index_path: str, changes: DataFrame
+) -> int:
+    """Buffer a PRE-INIT micro-batch (raw (seq, id, deleted, embedding)
+    rows, deletes included — a pre-init insert→delete sequence must not
+    resurrect the doc when the buffer flushes) and return the total
+    buffered upsert count — the caller's flush trigger. The buffer is
+    bootstrap-window-sized by construction (the first batch with enough
+    upserts flushes it), so the count-back read is trivially cheap."""
+    changes.write.mode("append").parquet(_pending_path(index_path))
+    return pending_upsert_count(spark, index_path)
+
+
+def pending_upsert_count(spark: SparkSession, index_path: str) -> int:
+    """Upsert rows buffered in ``pending`` (0 when no buffer exists)."""
+    pend = _read_or_empty(
+        spark,
+        _pending_path(index_path),
+        "vec_id long, seq long, deleted boolean, embedding array<double>",
+    )
+    return pend.filter(~F.col("deleted")).count()
+
+
+def flush_pending(
+    spark: SparkSession,
+    index_path: str,
+    n_cells: int,
+    assigner: str = "vectorized",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> "VectorIndexBatchStats | None":
+    """Train the quantizer on the buffered upserts' LATEST versions,
+    ingest the whole buffer as one batch, and retire the buffer. Trains
+    ``min(n_cells, buffered upserts)`` cells, recording ``n_cells`` as
+    ``configured_cells`` so a forced small-feed flush is visible in
+    `/_status`. No-op (returns None) when the buffer holds no upserts —
+    deletes alone can't train a quantizer, and they only ever tombstone
+    docs this index never held. Idempotent against a crash between the
+    quantizer write and the ingest: re-entry sees the quantizer and
+    ingests the still-present buffer (:func:`_drain_pending`'s path)."""
+    from couch_to_postgres_spark.streaming.partitioned import (
+        _path_lock,
+        _retire,
+    )
+
+    with _path_lock(index_path):
+        pend_path = _pending_path(index_path)
+        try:
+            pend = spark.read.parquet(pend_path)
+        except Exception:
+            return None
+        if not read_meta_rows(spark, _quantizer_path(index_path)):
+            latest_up = (
+                pend.groupBy(id_col)
+                .agg(
+                    F.max_by(
+                        F.struct(
+                            F.col("deleted").alias("deleted"),
+                            F.col(vec_col).alias("vec"),
+                        ),
+                        F.col("seq"),
+                    ).alias("c")
+                )
+                .filter(~F.col("c.deleted"))
+                .select(F.col("c.vec").alias(vec_col))
+                .persist()
+            )
+            try:
+                n_up = latest_up.count()
+                if n_up == 0:
+                    return None
+                init_vector_index(
+                    spark,
+                    index_path,
+                    sample=latest_up,
+                    n_cells=min(int(n_cells), n_up),
+                    vec_col=vec_col,
+                    assigner=assigner,
+                    seed=seed,
+                    configured_cells=int(n_cells),
+                )
+            finally:
+                latest_up.unpersist()
+        stats = vector_index_batch(
+            spark, index_path, pend, id_col=id_col, vec_col=vec_col
+        )
+        _retire(pend_path, index_path)
+        return stats
+
+
 def vector_index_batch(
     spark: SparkSession,
     index_path: str,
@@ -209,20 +338,19 @@ def vector_index_batch(
     (seq, id, deleted, embedding) — upserts carry the new vector,
     deletes carry ``deleted=true`` (vector ignored). Multiple changes
     to one doc in a batch collapse to the max-seq one. Cost is
-    O(changed docs): one Arrow cell-assignment pass over the batch and
-    three skinny appends.
-
-    Write-order INVARIANT (load-bearing, the doclen-before-postings
-    argument): ``ids`` is appended BEFORE ``cells``, so
-    :func:`vector_topk_live`'s read-mostly gate — which decides "no
-    tail" from ids/tombstone absence — can never miss tail cell rows; a
-    crash between the appends leaves ids without cells, which only
-    disables the fast path (the exact merge sees at-least-once state
-    the replay overwrites)."""
+    O(changed docs) and the JOB budget is three launches (two for an
+    upsert-only batch): one folded stats aggregate that also
+    materializes the per-id collapse, the cells append (seq rides the
+    assigner's passthrough — no rejoin), and the tombstone append.
+    The read-mostly fast-path gate reads the cells/tombstone data dirs
+    themselves, so there is no sidecar write and no write-order
+    invariant to preserve (r11; the r10 layout's tail ids file was a
+    fourth job per batch whose only role the column-pruned cells read
+    covers)."""
     from couch_to_postgres_spark.streaming.partitioned import _path_lock
 
     assigner, cents, _ = _quantizer(spark, index_path)
-    ids_path, cells_path, tomb_path = _paths(index_path)
+    cells_path, tomb_path = _paths(index_path)
     with _path_lock(index_path):
         latest = (
             changes.groupBy(id_col)
@@ -256,18 +384,11 @@ def vector_index_batch(
             upserts = latest.filter(~F.col("deleted")).select(
                 id_col, "seq", F.col("vec").alias(vec_col)
             )
-            # ids FIRST — the fast-path gate's safety depends on this
-            # order (see the docstring's write-order invariant)
-            upserts.select(id_col, "seq").write.mode("append").parquet(
-                ids_path
-            )
-            assigned = _ASSIGNERS[assigner](
-                upserts, cents, id_col, vec_col, nprobe=1
-            )
-            # assign_cells projects (id, vec, cell) — rejoin the batch
-            # for seq (batch-sized broadcast join, never corpus-sized)
             (
-                assigned.join(upserts.select(id_col, "seq"), id_col)
+                _ASSIGNERS[assigner](
+                    upserts, cents, id_col, vec_col, nprobe=1,
+                    extra_cols=("seq",),
+                )
                 .select(id_col, "seq", vec_col, "cell")
                 .write.mode("append")
                 .partitionBy("cell")
@@ -288,21 +409,26 @@ def live_vector_ids(
 ) -> DataFrame:
     """(id, seq) of every LIVE vector: max-seq version per doc over
     (base ∪ tail) minus higher-seq tombstones. All three inputs are
-    SKINNY (id, seq) frames — the embedding column is never read."""
-    ids_path, _, tomb_path = _paths(index_path)
+    SKINNY (id, seq) projections — base liveness reads the (id, seq,
+    cell) sidecar, tail liveness column-prunes the cells files (parquet
+    reads only those columns' pages; the embedding column never moves)."""
+    cells_path, tomb_path = _paths(index_path)
     base_ids_path, _, _ = _base_paths(index_path)
     schema = f"{id_col} long, seq long"
     tail, base, tomb = _read_components(
         spark,
-        [(ids_path, schema), (base_ids_path, schema), (tomb_path, schema)],
+        [(cells_path, schema), (base_ids_path, schema), (tomb_path, schema)],
         id_col,
     )
     latest = (
-        tail.unionByName(base)
+        tail.select(id_col, "seq")
+        .unionByName(base.select(id_col, "seq"))
         .groupBy(id_col)
         .agg(F.max("seq").alias("seq"))
     )
-    tmax = tomb.groupBy(id_col).agg(F.max("seq").alias("_t"))
+    tmax = tomb.select(id_col, "seq").groupBy(id_col).agg(
+        F.max("seq").alias("_t")
+    )
     return (
         latest.join(tmax, id_col, "left")
         .filter(F.col("_t").isNull() | (F.col("_t") < F.col("seq")))
@@ -336,16 +462,19 @@ def vector_topk_live(
     The probed slice is O(nprobe/n_cells) of the index: base cell dirs
     are opened by name, the tail is filtered to the probed cells
     (update-rate-sized since the last compaction). On a compacted
-    churn-free index (stats-bearing meta, no tail ids, no tombstones)
-    the slice is live and unique by the compaction invariant — no
-    dedup, no liveness join."""
+    churn-free index (stats-bearing meta, no tail, no tombstones) the
+    slice is live and unique by the compaction invariant — no dedup, no
+    liveness join. The query-side assignment runs twice (once for the
+    probed-cell list, once inside scoring) rather than persisting
+    q_cells: a query-sized Arrow pass repeated is cheaper than a cached
+    block a long-running daemon leaks until session GC (ADVICE r10)."""
     assigner, cents, _ = _quantizer(spark, index_path)
-    ids_path, cells_path, tomb_path = _paths(index_path)
+    cells_path, tomb_path = _paths(index_path)
     _, base_cells_path, meta_path = _base_paths(index_path)
 
     q_cells = _ASSIGNERS[assigner](
         queries, cents, id_col, vec_col, nprobe=nprobe
-    ).persist()
+    )
     probed = sorted(
         r["cell"] for r in q_cells.select("cell").distinct().collect()
     )
@@ -378,7 +507,7 @@ def vector_topk_live(
     fast = (
         bool(meta_rows)
         and "n_live" in meta_rows[0]
-        and _try(spark, ids_path) is None
+        and tail_all is None
         and _try(spark, tomb_path) is None
     )
     if not fast:
@@ -398,16 +527,18 @@ def compact_vector_index(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    id_buckets: int = DEFAULT_ID_BUCKETS,
 ) -> dict:
-    """Fold base ∪ tail into a live-only base and clear tail +
-    tombstones — the maintenance step that restores the read-mostly
-    fast path (and bounds deleted-data retention). Runs under the
-    per-path lock; components swap via ``_retire`` (grace-window trash,
-    never instant delete), so unlocked readers racing the swap degrade
-    to the documented recovery window, exactly as
-    ``compact_index_inplace`` describes. v1 rewrites every live cell
-    row (embedding-sized, one pass); the churn-proportional
-    affected-cell fold is the search index's documented upgrade path."""
+    """FULL fold of base ∪ tail into a live-only base, clearing tail +
+    tombstones — the first-compaction / legacy-layout-upgrade path (it
+    lays down the id-bucketed ``base/ids`` sidecar the incremental fold
+    needs). Steady-state maintenance goes through
+    :func:`compact_vector_index_incremental` instead — this rewrite is
+    corpus-proportional by construction. Runs under the per-path lock;
+    components swap via ``_retire`` (grace-window trash, never instant
+    delete), so unlocked readers racing the swap degrade to the
+    documented recovery window, exactly as ``compact_index_inplace``
+    describes."""
     import shutil
 
     from couch_to_postgres_spark.streaming.partitioned import (
@@ -416,7 +547,7 @@ def compact_vector_index(
     )
 
     _, _, n_cells = _quantizer(spark, index_path)
-    ids_path, cells_path, tomb_path = _paths(index_path)
+    cells_path, tomb_path = _paths(index_path)
     base_ids_path, base_cells_path, meta_path = _base_paths(index_path)
     with _path_lock(index_path):
         live = live_vector_ids(spark, index_path, id_col).persist()
@@ -443,8 +574,19 @@ def compact_vector_index(
             "overwrite"
         ).partitionBy("cell").parquet(staged_cells)
         staged_ids = os.path.join(staging, "ids")
-        live_rows.select(id_col, "seq").write.mode("overwrite").parquet(
-            staged_ids
+        (
+            live_rows.select(
+                id_col,
+                "seq",
+                "cell",
+                F.pmod(F.hash(F.col(id_col)), F.lit(id_buckets)).alias(
+                    "id_bucket"
+                ),
+            )
+            .repartition(F.col("id_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("id_bucket")
+            .parquet(staged_ids)
         )
         n_live = int(
             live_rows.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
@@ -454,8 +596,8 @@ def compact_vector_index(
         write_meta_rows(
             spark,
             staged_meta,
-            [(int(n_cells), n_live)],
-            "n_cells int, n_live long",
+            [(int(n_cells), n_live, int(id_buckets))],
+            "n_cells int, n_live long, id_buckets int",
         )
         live.unpersist()
         for old, new in (
@@ -467,10 +609,304 @@ def compact_vector_index(
             os.makedirs(os.path.dirname(old), exist_ok=True)
             if os.path.exists(new):
                 os.rename(new, old)
-        for tail_dir in (ids_path, cells_path, tomb_path):
+        # retire the tails (plus a legacy r10 tail "ids" dir, if this
+        # index predates the sidecar-free tail layout)
+        for tail_dir in (
+            cells_path, tomb_path, os.path.join(index_path, "ids")
+        ):
             _retire(tail_dir, index_path)
         shutil.rmtree(staging, ignore_errors=True)
         return {"mode": "full", "n_live": n_live}
+
+
+def compact_vector_index_incremental(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    diag: dict | None = None,
+) -> dict:
+    """Fold the tail into ONLY the cell directories it touches — the
+    steady-state maintenance step the daemon watchdog runs, keeping
+    recurring compaction cost churn-proportional instead of
+    corpus-proportional (VERDICT r10 #1; ``compact_index_incremental``
+    is the template, ``ann.compact_ivf_index``'s affected-cell
+    discovery the precedent).
+
+    Cost model — every stage is churn- or affected-slice-proportional:
+
+    * **churned ids** come from the tail's column-pruned (id) read ∪
+      tombstones — update-rate-sized;
+    * **old cells** come from the churned ids' ``base/ids`` rows,
+      opened by ``id_bucket=H`` dir NAME (never a base/cells scan —
+      the ``doclen.buckets`` discovery trick); **new cells** from the
+      tail rows themselves. The affected set is their union —
+      driver-bounded at n_cells ints;
+    * **non-churned rows in affected cells pass through** with no join
+      and no dedup (live and unique by the compaction invariant); only
+      churned-doc rows (old base slice ∪ the tail, both
+      churn-proportional) pay the replay dedup and seq-wins liveness
+      merge — all on skinny frames until the single embedding-bearing
+      rewrite of the affected dirs;
+    * **meta updates by exact churn-sized delta** (live churned
+      versions in, old base versions out) — no corpus aggregate;
+    * unaffected ``cell=N`` and ``id_bucket=H`` dirs are never opened,
+      never rewritten (bit-identical, by test).
+
+    Falls back to the FULL :func:`compact_vector_index` when the index
+    has never been compacted or carries the legacy (r10, flat
+    ``base/ids``) layout. Returns the stats dict the daemon watchdog
+    logs (``mode`` = ``full`` | ``noop`` | ``incremental``, churn and
+    affected-dir counts, updated ``n_live``); ``diag`` collects phase
+    wall-times like the search compactor's."""
+    import shutil
+    import time as _time
+
+    from couch_to_postgres_spark.streaming.partitioned import (
+        _path_lock,
+        _retire,
+    )
+
+    _t0 = [_time.monotonic()]
+
+    def _mark(phase: str) -> None:
+        if diag is not None:
+            now = _time.monotonic()
+            diag[phase] = round(now - _t0[0], 3)
+            _t0[0] = now
+
+    with _path_lock(index_path):
+        cells_path, tomb_path = _paths(index_path)
+        base_ids_path, base_cells_path, meta_path = _base_paths(index_path)
+        meta_rows = read_meta_rows(spark, meta_path)
+        if (
+            not meta_rows
+            or "id_buckets" not in meta_rows[0]
+            or not _has_partition_prefix(base_ids_path, "id_bucket=")
+        ):
+            # never compacted, or a legacy base without the bucketed
+            # sidecar — one full rewrite lays down the foldable layout
+            done = compact_vector_index(spark, index_path, id_col, vec_col)
+            return {**done, "mode": "full"}
+        n_id_buckets = int(meta_rows[0]["id_buckets"])
+        n_cells = int(meta_rows[0]["n_cells"])
+
+        schema = f"{id_col} long, seq long"
+        tail, tomb = _read_components(
+            spark, [(cells_path, schema), (tomb_path, schema)], id_col
+        )
+        tail_skinny = (
+            tail.select(id_col, "seq", "cell")
+            if "cell" in tail.columns
+            else tail.select(
+                id_col, "seq", F.lit(None).cast("int").alias("cell")
+            )
+        )
+        if tail_skinny.isEmpty() and tomb.isEmpty():
+            return {
+                "mode": "noop",
+                "churned_docs": 0,
+                "affected_cells": 0,
+                "total_cells": n_cells,
+                "n_live": int(meta_rows[0]["n_live"]),
+            }
+
+        _mark("probe")
+        # churned docs: any doc with a tail version or a tombstone.
+        # Tail-sized; persisted — it anchors every churn-scoped join.
+        churned = (
+            tail_skinny.select(id_col)
+            .unionByName(tomb.select(id_col))
+            .distinct()
+            .persist()
+        )
+        # one job materializes the persist AND yields both discovery
+        # outputs: the churn count and the affected id buckets
+        # (driver-bounded: <= id_buckets rows)
+        bucket_counts = churned.groupBy(
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_id_buckets)).alias("b")
+        ).count().collect()
+        n_churned = sum(int(r["count"]) for r in bucket_counts)
+        aff_id_buckets = sorted(r["b"] for r in bucket_counts)
+        id_t = dict(tail_skinny.dtypes).get(id_col, "long")
+
+        def _pruned_read(root, rel_dirs, schema):
+            got = _open_partition_dirs(spark, root, rel_dirs)
+            return (
+                got
+                if got is not None
+                else spark.createDataFrame([], schema)
+            )
+
+        # the affected id buckets' sidecar rows — opened by dir name
+        base_ids_aff = _pruned_read(
+            base_ids_path,
+            [f"id_bucket={b}" for b in aff_id_buckets],
+            f"{id_col} {id_t}, seq long, cell int, id_bucket int",
+        ).persist()
+        # churned docs' OLD sidecar rows: their old CELL (the dir their
+        # superseded embedding row still occupies) + old seq for the
+        # liveness merge and the meta delta
+        base_ids_churned = (
+            base_ids_aff.join(churned, on=id_col, how="left_semi")
+            .select(id_col, "seq", "cell")
+            .persist()
+        )
+        _mark("churned_discovery")
+        # affected cells: old ∪ new — both churn-sized aggregates
+        aff_cells = sorted(
+            r["cell"]
+            for r in base_ids_churned.select("cell")
+            .unionByName(tail_skinny.select("cell"))
+            .filter(F.col("cell").isNotNull())
+            .distinct()
+            .collect()
+        )  # driver-bounded: <= n_cells ints
+        cell_dirs = [f"cell={c}" for c in aff_cells]
+
+        _mark("affected_cells")
+        # churn-scoped liveness: max-seq over (old base version ∪ tail
+        # versions) minus higher-seq tombstones — tail-sized everywhere
+        cand = base_ids_churned.select(id_col, "seq").unionByName(
+            tail_skinny.select(id_col, "seq")
+        )
+        latest = cand.groupBy(id_col).agg(F.max("seq").alias("seq"))
+        tomb_max = tomb.select(id_col, "seq").groupBy(id_col).agg(
+            F.max("seq").alias("_tomb_seq")
+        )
+        churned_live = (
+            latest.join(tomb_max, id_col, "left")
+            .filter(
+                F.col("_tomb_seq").isNull()
+                | (F.col("_tomb_seq") < F.col("seq"))
+            )
+            .select(id_col, "seq")
+            .persist()
+        )
+
+        _mark("churned_live")
+        staging = index_path.rstrip("/") + ".compacting-vec-incr"
+        shutil.rmtree(staging, ignore_errors=True)
+
+        # affected-cell embedding rows — opened by dir name. Non-churned
+        # rows pass through joinless; churned-doc rows (old base slice ∪
+        # the whole tail) pay the replay dedup and the live-version
+        # filter. This is the ONLY embedding-bearing stage.
+        base_c_aff = _pruned_read(
+            base_cells_path,
+            cell_dirs,
+            f"{id_col} {id_t}, seq long, {vec_col} array<double>, cell int",
+        ).select(id_col, "seq", vec_col, "cell")
+        keep = base_c_aff.join(churned, on=id_col, how="left_anti")
+        tail_rows = (
+            tail.select(id_col, "seq", vec_col, "cell")
+            if "cell" in tail.columns
+            else spark.createDataFrame(
+                [],
+                f"{id_col} {id_t}, seq long, {vec_col} array<double>, "
+                "cell int",
+            )
+        )
+        churn_rows = (
+            base_c_aff.join(churned, on=id_col, how="left_semi")
+            .unionByName(tail_rows)
+            .dropDuplicates([id_col, "seq"])
+            .join(churned_live, on=[id_col, "seq"], how="left_semi")
+        )
+        staged_cells = os.path.join(staging, "cells")
+        # no repartition: the keep side was read dir-clustered from the
+        # affected cell dirs and only passed a broadcast anti-join
+        # (map-side, clustering preserved) — the compact_index_incremental
+        # argument verbatim
+        keep.unionByName(churn_rows).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(staged_cells)
+        # read the staged rows back for the sidecar derivation (the
+        # staged-postings pattern — never re-run the merge lineage); the
+        # empty-read fallback carries the tail's id dtype
+        # (never-cast-ids rule)
+        staged_c = _read_or_empty(
+            spark,
+            staged_cells,
+            f"{id_col} {id_t}, seq long, {vec_col} array<double>, cell int",
+        )
+        _mark("staged_cells")
+        # sidecar: affected id buckets only — non-churned rows pass
+        # through, live churned versions re-enter with their NEW cell
+        ids_keep = base_ids_aff.join(churned, on=id_col, how="left_anti").select(
+            id_col, "seq", "cell"
+        )
+        ids_new = staged_c.join(churned, on=id_col, how="left_semi").select(
+            id_col, "seq", "cell"
+        )
+        (
+            ids_keep.unionByName(ids_new)
+            .withColumn(
+                "id_bucket",
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_id_buckets)),
+            )
+            .repartition(F.col("id_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("id_bucket")
+            .parquet(os.path.join(staging, "ids"))
+        )
+        _mark("staged_ids")
+        # meta by exact churn-sized delta: live churned versions in,
+        # old base versions out — one tiny union-aggregate
+        delta = (
+            base_ids_churned.select(F.lit(-1).alias("sgn"))
+            .unionByName(churned_live.select(F.lit(1).alias("sgn")))
+            .agg(F.coalesce(F.sum("sgn"), F.lit(0)).alias("dn"))
+            .collect()[0]
+        )
+        n_live = int(meta_rows[0]["n_live"]) + int(delta["dn"])
+        staged_meta = os.path.join(staging, "meta")
+        write_meta_rows(
+            spark,
+            staged_meta,
+            [(n_cells, n_live, n_id_buckets)],
+            "n_cells int, n_live long, id_buckets int",
+        )
+        _mark("meta_delta")
+        churned.unpersist()
+        base_ids_aff.unpersist()
+        base_ids_churned.unpersist()
+        churned_live.unpersist()
+
+        def _swap_dirs(old_root: str, staged_root: str, rel_dirs) -> None:
+            for rel in rel_dirs:
+                old_d = os.path.join(old_root, rel)
+                new_d = os.path.join(staged_root, rel)
+                _retire(old_d, index_path)
+                if os.path.exists(new_d):
+                    os.makedirs(os.path.dirname(old_d), exist_ok=True)
+                    os.rename(new_d, old_d)
+
+        # swap — base dirs first (per affected dir: everything else is
+        # never touched), tails retire LAST so "no tail" can only become
+        # true after the fresh base and meta are in place (the fast
+        # path's consistency)
+        _swap_dirs(base_cells_path, staged_cells, cell_dirs)
+        _swap_dirs(
+            base_ids_path,
+            os.path.join(staging, "ids"),
+            [f"id_bucket={b}" for b in aff_id_buckets],
+        )
+        _retire(meta_path, index_path)
+        os.rename(staged_meta, meta_path)
+        for tail_dir in (cells_path, tomb_path):
+            _retire(tail_dir, index_path)
+        shutil.rmtree(staging, ignore_errors=True)
+        _mark("swaps")
+        return {
+            "mode": "incremental",
+            "churned_docs": n_churned,
+            "affected_cells": len(aff_cells),
+            "total_cells": n_cells,
+            "affected_id_buckets": aff_id_buckets,
+            "id_buckets": n_id_buckets,
+            "n_live": n_live,
+        }
 
 
 def vector_index_status(
@@ -478,14 +914,17 @@ def vector_index_status(
 ) -> dict:
     """Operator health for one vector index — the `/_status` payload:
     live count, post-compaction churn (tail versions + tombstones =
-    the compaction-debt signal), quantizer shape. The live count is
-    meta-exact on a churn-free compacted base; with churn it is one
-    aggregate over the SKINNY (id, seq) components — never the
-    embeddings."""
-    ids_path, _, tomb_path = _paths(index_path)
+    the compaction-debt signal), quantizer shape — including trained vs
+    configured cells (``quantizer_degraded`` marks a bootstrap that
+    trained fewer cells than asked, ADVICE r10) — and any pre-init
+    bootstrap buffer. The live count is meta-exact on a churn-free
+    compacted base; with churn it is one aggregate over the SKINNY
+    (id, seq) projections — never the embeddings (tail row counts come
+    from parquet footer metadata)."""
+    cells_path, tomb_path = _paths(index_path)
     _, _, meta_path = _base_paths(index_path)
     schema = f"{id_col} long, seq long"
-    tail_rows = _read_or_empty(spark, ids_path, schema).count()
+    tail_rows = _read_or_empty(spark, cells_path, schema).count()
     n_tomb = _read_or_empty(spark, tomb_path, schema).count()
     meta_rows = read_meta_rows(spark, meta_path)
     q = read_meta_rows(spark, _quantizer_path(index_path))
@@ -494,12 +933,23 @@ def vector_index_status(
     else:
         n_live = live_vector_ids(spark, index_path, id_col).count()
     churn = tail_rows + n_tomb
+    trained = int(q[0]["n_cells"]) if q else None
+    configured = (
+        int(q[0].get("configured_cells") or trained) if q else None
+    )
     return {
         "live_vectors": n_live,
         "tail_rows": tail_rows,
         "tombstones": n_tomb,
         "base_present": bool(meta_rows),
-        "n_cells": int(q[0]["n_cells"]) if q else None,
+        "n_cells": trained,
+        "configured_cells": configured,
+        "quantizer_degraded": (
+            trained < configured if q else False
+        ),
         "assigner": q[0]["assigner"] if q else None,
+        "pending_upserts": (
+            pending_upsert_count(spark, index_path) if not q else 0
+        ),
         "compaction_debt": round(churn / n_live, 4) if n_live else None,
     }

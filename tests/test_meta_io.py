@@ -96,3 +96,33 @@ def test_write_rejects_nested_ddl(spark, tmp_path):
         write_meta_rows(
             spark, str(tmp_path / "m"), [([1],)], "xs array<int>"
         )
+
+
+def test_overwrite_is_atomic_in_place(spark, tmp_path):
+    """The swap replaces the canonical part file inside the existing
+    directory — the dir NEVER disappears, so a lock-free reader racing
+    the rewrite can see the old row or the new row but never []
+    (ADVICE r10: the staged-dir rename had a rmtree->rename window)."""
+    p = str(tmp_path / "meta")
+    write_meta_rows(spark, p, [(64, 4, 100, 5.0)], DDL)
+    ino_dir = os.stat(p).st_ino
+    write_meta_rows(spark, p, [(64, 4, 200, 9.0)], DDL)
+    assert os.stat(p).st_ino == ino_dir  # same directory, swapped file
+    files = [f for f in os.listdir(p) if not f.startswith((".", "_"))]
+    assert files == ["part-00000-meta.parquet"]
+    assert read_meta_rows(spark, p)[0]["n_live"] == 200
+
+
+def test_overwrite_upgrades_spark_written_dir(spark, tmp_path):
+    """A dir a Spark coalesce(1) write laid down (foreign part names,
+    _SUCCESS marker) converges to the single canonical part on the
+    first driver-side rewrite — stale parts unlinked, no duplicates."""
+    p = str(tmp_path / "meta_legacy")
+    spark.createDataFrame([(64, 4, 100, 5.0)], DDL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    write_meta_rows(spark, p, [(64, 4, 300, 7.0)], DDL)
+    rows = read_meta_rows(spark, p)
+    assert len(rows) == 1 and rows[0]["n_live"] == 300
+    files = [f for f in os.listdir(p) if not f.startswith((".", "_"))]
+    assert files == ["part-00000-meta.parquet"]

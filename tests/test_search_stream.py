@@ -501,3 +501,23 @@ def test_randomized_lifecycle_equivalence(spark, index):
         assert index_status(spark, index)["live_docs"] == len(docs), (
             f"step {step}: live_docs diverged from model"
         )
+
+
+def test_null_text_upsert_counts_zero_postings(spark, index):
+    """A custom search_text hook can yield NULL text for an upsert: it
+    must contribute ZERO postings and dl=0 — bare size(NULL) is -1
+    (legacy sizeOfNull) and skewed both the batch-stats telemetry and
+    the doclen row (ADVICE r10)."""
+    st = search_index_batch(spark, index, _changes(spark, [
+        (1, 1, False, "spark merges rows"),
+        (2, 2, False, None),
+    ]))
+    assert st.upserts == 2
+    assert st.postings_rows == 3  # only doc 1's distinct tokens
+    import os
+
+    dl = {
+        r["doc_id"]: r["dl"]
+        for r in spark.read.parquet(os.path.join(index, "doclen")).collect()
+    }
+    assert dl[2] == 0.0 and dl[1] == 3.0

@@ -226,3 +226,281 @@ def test_live_vector_ids_model(spark, index):
         for r in live_vector_ids(spark, index).collect()
     }
     assert live == {(1, 10), (3, 3), (4, 4), (5, 5), (6, 6)}
+
+
+# ---------------------------------------------------------------------------
+# r11: churn-proportional incremental compaction, job budget, bootstrap
+# ---------------------------------------------------------------------------
+
+def _dir_snapshot(root):
+    """{relpath: (size, sha)} of every data file under root."""
+    import hashlib
+
+    snap = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                b = fh.read()
+            snap[os.path.relpath(p, root)] = (
+                len(b), hashlib.sha256(b).hexdigest()
+            )
+    return snap
+
+
+def test_incremental_compact_equals_full_and_restores_fast_path(
+    spark, index
+):
+    """Churn on a compacted base, folded incrementally, must give the
+    same live results as the from-tail merge and the same state shape
+    as a full rewrite (no tail, no tombstones, meta-exact live count)."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    # first compaction: falls back to the FULL rewrite internally
+    st0 = compact_vector_index_incremental(spark, index)
+    assert st0["mode"] == "full" and st0["n_live"] == len(V0)
+    # churn: an update that MOVES cells (+x -> +y), a delete, an insert
+    model = {**V0, 1: [0.05, 0.95], 7: [-0.9, -0.1]}
+    model.pop(5)
+    vector_index_batch(spark, index, _changes(spark, [
+        (10, 1, False, model[1]),
+        (11, 5, True, None),
+        (12, 7, False, model[7]),
+    ]))
+    before = _rows(vector_topk_live(
+        spark, index, _queries(spark, model), k=4, nprobe=len(ANCHORS)
+    ))
+    diag = {}
+    st = compact_vector_index_incremental(spark, index, diag=diag)
+    assert st["mode"] == "incremental"
+    assert st["churned_docs"] == 3
+    assert st["n_live"] == len(model)
+    # old cells of 1 (+x) and 5 (-y), new cells of 1 (+y) and 7 (-x)
+    assert 0 < st["affected_cells"] <= st["total_cells"]
+    assert diag and "staged_cells" in diag and "swaps" in diag
+    after = _rows(vector_topk_live(
+        spark, index, _queries(spark, model), k=4, nprobe=len(ANCHORS)
+    ))
+    assert before == after
+    _check(spark, index, model)
+    status = vector_index_status(spark, index)
+    assert status["tail_rows"] == 0 and status["tombstones"] == 0
+    assert status["live_vectors"] == len(model)
+    assert status["compaction_debt"] == 0.0
+    # idempotent second fold: nothing to do
+    st2 = compact_vector_index_incremental(spark, index)
+    assert st2["mode"] == "noop" and st2["n_live"] == len(model)
+
+
+def test_incremental_compact_touches_only_affected_dirs(spark, index):
+    """Unaffected cell= and id_bucket= dirs must be BIT-IDENTICAL
+    through an incremental fold — the churn-proportionality invariant
+    (the fold opens affected dirs by name; everything else is never
+    read, never rewritten)."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    compact_vector_index_incremental(spark, index)  # full: lays the base
+    pre_cells = _dir_snapshot(os.path.join(index, "base", "cells"))
+    pre_ids = _dir_snapshot(os.path.join(index, "base", "ids"))
+    # churn ONLY doc 3 (+y cell) in place — the +x/-x/-y cells and every
+    # other id bucket must pass through untouched
+    vector_index_batch(
+        spark, index, _changes(spark, [(10, 3, False, [0.2, 0.8])])
+    )
+    st = compact_vector_index_incremental(spark, index)
+    assert st["mode"] == "incremental" and st["affected_cells"] == 1
+    post_cells = _dir_snapshot(os.path.join(index, "base", "cells"))
+    post_ids = _dir_snapshot(os.path.join(index, "base", "ids"))
+    changed_cells = {
+        p.split(os.sep)[0]
+        for p in set(pre_cells) ^ set(post_cells)
+        | {p for p in pre_cells if post_cells.get(p) != pre_cells[p]}
+    }
+    assert changed_cells == {"cell=1"}
+    changed_ids = {
+        p.split(os.sep)[0]
+        for p in set(pre_ids) ^ set(post_ids)
+        | {p for p in pre_ids if post_ids.get(p) != pre_ids[p]}
+    }
+    # doc 3 hashes into exactly one id bucket
+    assert len(changed_ids) == 1 and all(
+        b.startswith("id_bucket=") for b in changed_ids
+    )
+    _check(spark, index, {**V0, 3: [0.2, 0.8]})
+
+
+def test_incremental_compact_delete_only_churn(spark, index):
+    """Tombstone-only churn (no tail cells) still folds: the dead doc's
+    OLD cell is discovered from the id-bucketed base/ids sidecar."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    compact_vector_index_incremental(spark, index)
+    model = dict(V0)
+    model.pop(4)
+    vector_index_batch(spark, index, _changes(spark, [(10, 4, True, None)]))
+    st = compact_vector_index_incremental(spark, index)
+    assert st["mode"] == "incremental" and st["n_live"] == len(model)
+    assert st["affected_cells"] == 1  # doc 4's -x cell only
+    _check(spark, index, model)
+    assert vector_index_status(spark, index)["tombstones"] == 0
+
+
+def test_batch_job_budget(spark, index):
+    """Per-micro-batch Spark-job budget (VERDICT r10 #4): the folded
+    stats aggregate (4 jobs under AQE — shuffle stages + cache build)
+    plus ONE write per component touched. The r10 layout paid a tail
+    ids write and a cells-side rejoin on every batch; this pins the
+    sidecar-free shape so it can't regress."""
+    sc = spark.sparkContext
+
+    def jobs(tag, fn):
+        sc.setJobGroup(tag, tag)
+        fn()
+        sc.setJobGroup("idle", "idle")
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    n_up = jobs("vjb-up", lambda: vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    ))
+    assert n_up <= 5
+    n_mixed = jobs("vjb-mixed", lambda: vector_index_batch(
+        spark, index,
+        _changes(spark, [(10, 1, False, [0.0, 1.0]), (11, 2, True, None)]),
+    ))
+    assert n_mixed <= 6
+
+
+def test_pending_bootstrap_defers_tiny_first_batch(spark, tmp_path):
+    """A 2-upsert trickle first batch must NOT freeze a 2-cell
+    quantizer (ADVICE r10): it buffers; the flush trains the full
+    configured width once enough upserts accumulate, and the buffered
+    docs (deletes included, in seq order) land in the index."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        append_pending,
+        flush_pending,
+        pending_upsert_count,
+    )
+
+    p = str(tmp_path / "boot_index")
+    n1 = append_pending(spark, p, _changes(spark, [
+        (1, 1, False, [0.9, 0.1]), (2, 2, False, [0.1, 0.9]),
+    ]))
+    assert n1 == 2 == pending_upsert_count(spark, p)
+    # a pre-init delete buffers too — flushing must not resurrect doc 2
+    append_pending(spark, p, _changes(spark, [(3, 2, True, None)]))
+    append_pending(spark, p, _changes(spark, [
+        (4, 3, False, [-0.8, 0.1]), (5, 4, False, [0.1, -0.9]),
+        (6, 5, False, [0.7, 0.7]),
+    ]))
+    st = flush_pending(spark, p, n_cells=4)
+    assert st is not None and st.deletes == 1
+    status = vector_index_status(spark, p)
+    assert status["n_cells"] == 4
+    assert status["configured_cells"] == 4
+    assert not status["quantizer_degraded"]
+    assert status["live_vectors"] == 4  # 1, 3, 4, 5 — doc 2 deleted
+    assert status["pending_upserts"] == 0
+    assert not os.path.isdir(os.path.join(p, "pending"))
+
+
+def test_forced_flush_marks_degraded_quantizer(spark, tmp_path):
+    """A small feed force-flushed below the configured width trains
+    min(n_cells, upserts) cells and `/_status` surfaces the mismatch
+    instead of silently near-full-scanning (ADVICE r10)."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        append_pending,
+        flush_pending,
+    )
+
+    p = str(tmp_path / "tiny_index")
+    append_pending(spark, p, _changes(spark, [
+        (1, 1, False, [0.9, 0.1]), (2, 2, False, [0.1, 0.9]),
+    ]))
+    st = flush_pending(spark, p, n_cells=16)
+    assert st is not None and st.upserts == 2
+    status = vector_index_status(spark, p)
+    assert status["n_cells"] == 2
+    assert status["configured_cells"] == 16
+    assert status["quantizer_degraded"]
+    assert status["live_vectors"] == 2
+
+
+def test_flush_pending_noop_without_upserts(spark, tmp_path):
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        append_pending,
+        flush_pending,
+    )
+
+    p = str(tmp_path / "del_only")
+    append_pending(spark, p, _changes(spark, [(1, 9, True, None)]))
+    assert flush_pending(spark, p, n_cells=4) is None
+    assert vector_index_status(spark, p)["n_cells"] is None
+
+
+def test_field_removal_tombstones_stale_vector(spark, tmp_path):
+    """Pipeline-level (ADVICE r10): a doc indexed with an embedding,
+    then UPDATED to a version WITHOUT the field, must leave the ANN
+    results — a field-less upsert is a tombstone for this index, and a
+    never-embedded doc's tombstone is harmless."""
+    import json
+
+    from couch_to_postgres_spark.streaming.pipeline import (
+        _feed_vector_index,
+    )
+
+    p = str(tmp_path / "field_idx")
+
+    def batch(rows):
+        # (seq, id, deleted, doc-json)
+        return spark.createDataFrame(
+            rows, "seq long, id string, deleted boolean, doc string"
+        )
+
+    docs = [
+        (i, str(i), False, json.dumps({"embedding": v}))
+        for i, v in V0.items()
+    ]
+    # a never-embedded doc rides the same feed from the start
+    docs.append((7, "7", False, json.dumps({"title": "plain"})))
+    _feed_vector_index(batch(docs), p, None, None, vector_cells=4)
+    q = spark.createDataFrame(
+        [("q", [0.9, 0.2])], "vec_id string, embedding array<double>"
+    )
+    first = {
+        r["neighbor_id"]
+        for r in vector_topk_live(spark, p, q, k=6, nprobe=4).collect()
+    }
+    assert first == {str(i) for i in V0}
+    # doc 1 updated WITHOUT the field -> must disappear from results
+    _feed_vector_index(
+        batch([(10, "1", False, json.dumps({"title": "no vec"}))]),
+        p, None, None, vector_cells=4,
+    )
+    second = {
+        r["neighbor_id"]
+        for r in vector_topk_live(spark, p, q, k=6, nprobe=4).collect()
+    }
+    assert second == {str(i) for i in V0 if i != 1}
+    st = vector_index_status(spark, p)
+    assert st["live_vectors"] == len(V0) - 1
