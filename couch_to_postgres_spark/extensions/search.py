@@ -23,7 +23,18 @@ Plan shape at 100 TB (the reason this looks the way it does):
   are reproducible across engines and partitionings;
 * shared subtrees (doc lengths, term frequencies) are persisted, the
   tiny top-k result is materialized eagerly, and the caches release
-  before returning — the near_dedup lifecycle discipline.
+  before returning — the near_dedup lifecycle discipline;
+* the doclen pass and the term-filtered tf pass are DELIBERATELY two
+  independent corpus scans, not one fused pass: they are independent
+  shuffle-map stages of one job, so the scheduler runs them
+  CONCURRENTLY — wall ≈ max(pass), not sum. Three fused single-scan
+  shapes were measured against this in r11 (cache (id, dl, hits);
+  carry dl through the hit explode + drop the doclen join;
+  explode-all + conditional agg) and every one was 5-60% SLOWER at
+  600 k docs (interleaved same-session A/B: two-pass 6.06-6.77 s,
+  best fusion 6.51-7.10 s) because fusing serializes the work behind
+  one cache/Generate chain. The r10 bench drift on q_bm25_batch100
+  (+10%) did not reproduce under that A/B — environmental, watch only.
 """
 
 from __future__ import annotations
