@@ -284,6 +284,61 @@ def main() -> None:
         ).collect(),
     )
 
+    # the LIVE vector index (r11): CDC-maintained twin with churn on top
+    # of a compacted base — the query merges base + tail + tombstones
+    # (the steady-state read shape between watchdog folds), and the
+    # maintenance leg is the churn-proportional fold itself
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+        init_vector_index,
+        vector_index_batch,
+        vector_topk_live,
+    )
+
+    vlive_path = os.path.join(tmp, "vector_live_index")
+    vlive_anchors = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    init_vector_index(spark, vlive_path, centroids=vlive_anchors)
+    vector_index_batch(spark, vlive_path, emb.select(
+        F.col("vec_id").cast("long").alias("seq"), "vec_id",
+        F.lit(False).alias("deleted"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    ))
+    compact_vector_index_incremental(spark, vlive_path)  # lays the base
+    vector_index_batch(spark, vlive_path, emb.filter(
+        F.col("vec_id") % 10 == 3
+    ).select(
+        (F.lit(10_000_000) + F.col("vec_id")).alias("seq"), "vec_id",
+        F.lit(False).alias("deleted"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    ))
+    bench(
+        "q_vector_topk_live",
+        lambda: vector_topk_live(
+            spark, vlive_path,
+            emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding"),
+            k=5, nprobe=4,
+        ).collect(),
+    )
+
+    vlive_seq = [20_000_000]
+
+    def vector_fold() -> None:
+        vlive_seq[0] += 1_000_000
+        vector_index_batch(spark, vlive_path, emb.filter(
+            F.col("vec_id") % 50 == 7
+        ).select(
+            (F.lit(vlive_seq[0]) + F.col("vec_id")).alias("seq"), "vec_id",
+            F.lit(False).alias("deleted"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        ))
+        out = compact_vector_index_incremental(spark, vlive_path)
+        assert out["mode"] == "incremental", out
+
+    bench_median("q_vector_fold_incr", vector_fold)
+
     # recall/latency trade tracked per round (outside the timers): how much
     # of the EXACT top-5 the nprobe=4 probed search recovers for a 50-query
     # panel. The number that justifies q_ann_ivf_indexed's speed.

@@ -218,6 +218,7 @@ def main() -> None:
         # same corpus
         "q_contam_mirror_scan", "q_contam_mirror_indexed",
         "q_contam_long_scan", "q_contam_long_indexed",
+        "q_phrase_long_scan", "q_phrase_long_indexed",
         "q_compact_full_512", "q_compact_incr_batch",
     }:
         from couch_to_postgres_spark.streaming.search_stream import (
@@ -412,7 +413,10 @@ def main() -> None:
     # keeps the story honest.
     if scales["sf0.1"].get("phrase_corpus") and (
         not only_early
-        or only_early & {"q_contam_long_scan", "q_contam_long_indexed"}
+        or only_early & {
+            "q_contam_long_scan", "q_contam_long_indexed",
+            "q_phrase_long_scan", "q_phrase_long_indexed",
+        }
     ):
         from couch_to_postgres_spark.streaming.search_stream import (
             compact_index_inplace as _cii_l,
@@ -476,6 +480,24 @@ def main() -> None:
             t["long_corpus"] = lpath
             t["long_idx"] = lidx
             t["long_eval"] = long_eval_path
+            # r11 (VERDICT r10 #5): a WORD search index over the SAME
+            # long corpus, for the phrase-probe economics in the
+            # large-postings-per-doc regime (the shingle index above
+            # serves contamination; phrase probes read word postings)
+            lwidx = os.path.join(tmp, f"long_word_idx_{scale_name}")
+            _sib_l(
+                spark,
+                lwidx,
+                spark.read.parquet(lpath).select(
+                    F.col("doc_id").alias("seq"),
+                    "doc_id",
+                    F.lit(False).alias("deleted"),
+                    "text",
+                ),
+                id_col="doc_id",
+            )
+            _cii_l(spark, lwidx, token_buckets=n_b)
+            t["long_word_idx"] = lwidx
 
         extras["contam_long_bytes"] = {
             sn: {
@@ -521,6 +543,76 @@ def main() -> None:
             t["idx512"] = idx512
             t["idx512_buckets"] = n_b
             t["churn_seq"] = [10**15]  # mutable per-call seq high-water
+
+    # r11 (VERDICT r10 #1 at scale): the VECTOR index's compaction pair.
+    # Corpus = the embeddings table replicated x300 (600k vs 6M 64-dim
+    # vectors), fixed-anchor quantizer with the cell count scaling like
+    # IVF's sqrt-N discipline (64 at 600k, 256 at 6M) so cell size stays
+    # bounded. The full leg rewrites every live embedding (expect ratio ~
+    # data ratio); the incremental leg ingests a 5-vector churn batch and
+    # folds only its affected cell dirs + churned id buckets (expect
+    # ~flat — the search index's r09/r10 shape, now on embedding-sized
+    # state where the full rewrite hurts the most).
+    if not only_early or only_early & {
+        "q_vector_compact_full", "q_vector_compact_incr"
+    }:
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            compact_vector_index as _cvf,
+        )
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            init_vector_index as _ivi,
+        )
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            vector_index_batch as _vib,
+        )
+
+        VEC_MULT = 300
+        for scale_name, v_cells in (("sf0.1", 64), ("sf1(synth)", 256)):
+            t = scales[scale_name]
+            vpath = os.path.join(tmp, f"vec_idx_{scale_name}")
+            vecs = (
+                t["emb"]
+                .crossJoin(
+                    spark.range(VEC_MULT).select(F.col("id").alias("rep"))
+                )
+                .select(
+                    (
+                        F.col("vec_id") + F.col("rep") * F.lit(100_000_000)
+                    ).alias("vec_id"),
+                    F.col("embedding").cast("array<double>").alias(
+                        "embedding"
+                    ),
+                )
+            )
+            anchors = [
+                [float(x) for x in r["embedding"]]
+                for r in t["emb"]
+                .filter(F.col("vec_id") % 97 < v_cells)  # spread anchors
+                .orderBy("vec_id")
+                .limit(v_cells)
+                .collect()
+            ]
+            _ivi(spark, vpath, centroids=anchors)
+            _vib(
+                spark,
+                vpath,
+                vecs.select(
+                    F.col("vec_id").alias("seq"),
+                    "vec_id",
+                    F.lit(False).alias("deleted"),
+                    "embedding",
+                ),
+            )
+            _cvf(spark, vpath)  # setup: lay the live-only v2 base
+            t["vec_idx"] = vpath
+            t["vec_seq"] = [10**15]
+            t["vec_churn"] = vecs.limit(5).localCheckpoint(eager=True)
+        extras["vector_index_bytes"] = {
+            sn: _du_bytes(
+                os.path.join(scales[sn]["vec_idx"], "base", "cells")
+            )
+            for sn in ("sf0.1", "sf1(synth)")
+        }
 
     def queries(t):
         mirror, docs, ev, emb = t["mirror"], t["docs"], t["events"], t["emb"]
@@ -753,6 +845,45 @@ def main() -> None:
 
             q["q_compact_full_512"] = _compact_full
             q["q_compact_incr_batch"] = _compact_incr_batch
+        # r11: the VECTOR twin's compaction pair — full live rewrite
+        # (corpus-proportional, embedding-sized) vs the affected-cell
+        # fold over a 5-vector churn (churn-proportional; the assert
+        # pins that the leg really measured the incremental path)
+        if t.get("vec_idx"):
+            from couch_to_postgres_spark.streaming.vector_stream import (
+                compact_vector_index as _cvf_q,
+            )
+            from couch_to_postgres_spark.streaming.vector_stream import (
+                compact_vector_index_incremental as _cvi_q,
+            )
+            from couch_to_postgres_spark.streaming.vector_stream import (
+                vector_index_batch as _vib_q,
+            )
+
+            def _vector_full():
+                _cvf_q(spark, t["vec_idx"])
+
+            def _vector_incr():
+                t["vec_seq"][0] += 1_000_000
+                vseq0 = t["vec_seq"][0]
+                _vib_q(
+                    spark,
+                    t["vec_idx"],
+                    t["vec_churn"].select(
+                        (
+                            F.lit(vseq0)
+                            + F.pmod(F.col("vec_id"), F.lit(1_000_000))
+                        ).alias("seq"),
+                        "vec_id",
+                        F.lit(False).alias("deleted"),
+                        "embedding",
+                    ),
+                )
+                vout = _cvi_q(spark, t["vec_idx"])
+                assert vout["mode"] == "incremental", vout
+
+            q["q_vector_compact_full"] = _vector_full
+            q["q_vector_compact_incr"] = _vector_incr
         # r09 crossover: same pair over the 600k/6M MIRROR corpus with a
         # FIXED eval set — the batch leg re-shingles the growing train
         # corpus per run, the indexed leg reads live postings tokens
@@ -806,6 +937,27 @@ def main() -> None:
             q["q_contam_long_indexed"] = lambda: _cfi_l(
                 spark, t["long_idx"], ld_eval
             ).agg(F.sum("n_overlap")).collect()
+        # r11: the phrase-probe economics in the LONG-DOC regime
+        # (~600 words/doc — per-doc postings are large, candidate
+        # verification re-reads long texts). The scan position-verifies
+        # every doc; the probe reads the rarest word's postings bucket
+        # and verifies only candidates
+        if t.get("long_word_idx"):
+            from couch_to_postgres_spark.extensions.phrase import (
+                phrase_hits as _ph_l,
+            )
+            from couch_to_postgres_spark.extensions.phrase import (
+                phrase_hits_indexed as _phi_l,
+            )
+
+            ld_pc = spark.read.parquet(t["long_corpus"])
+            q["q_phrase_long_scan"] = lambda: _ph_l(
+                ld_pc, t["rare_phrase"], id_col="doc_id"
+            ).count()
+            q["q_phrase_long_indexed"] = lambda: _phi_l(
+                spark, t["long_word_idx"], ld_pc, t["rare_phrase"],
+                id_col="doc_id", index_id_col="doc_id",
+            ).count()
         # r08: decontamination — batch re-shingles the train split per
         # run; the indexed probe reads live postings tokens (O(index))
         if t.get("decon_idx"):
