@@ -841,6 +841,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_vector_rebuild(spark, sf_dir):
+        # r11: the OFF-PEAK quantizer rebuild — the one sanctioned way
+        # to change the frozen (assigner, n_cells) config
+        # (vector_stream.rebuild_vector_quantizer). Lifecycle: init on
+        # the 8 fixed anchors, ingest all, DELETE %7==2, REBUILD onto a
+        # DIFFERENT 5-anchor quantizer (vectors 10..14 — every live
+        # vector re-assigns), then DELETE %5==0 on top of the rebuilt
+        # base so the query still exercises tail-tombstone liveness.
+        # The oracle replays the final live set, the NEW anchors'
+        # assignment, nprobe=3 probing, and ranking in DuckDB — a
+        # rebuild must be observationally equivalent to having built on
+        # the new quantizer from scratch.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            init_vector_index,
+            rebuild_vector_quantizer,
+            vector_index_batch,
+            vector_topk_live,
+        )
+
+        e = _emb(spark, sf_dir)
+        cents_a = _anchor_centroids(spark, sf_dir, 8)
+        cents_b = [
+            [float(x) for x in r["embedding"]]
+            for r in sorted(
+                e.filter(
+                    (F.col("vec_id") >= 10) & (F.col("vec_id") < 15)
+                ).select("vec_id", "embedding").collect(),
+                key=lambda r: r["vec_id"],
+            )
+        ]
+        work = tempfile.mkdtemp(prefix="vec_rebuild_")
+        try:
+            init_vector_index(
+                spark, work, centroids=cents_a, assigner="hof"
+            )
+            vector_index_batch(spark, work, e.select(
+                F.col("vec_id").cast("long").alias("seq"),
+                "vec_id", F.lit(False).alias("deleted"), "embedding",
+            ))
+            vector_index_batch(spark, work, e.filter(
+                F.col("vec_id") % 7 == 2
+            ).select(
+                (F.lit(2000) + F.col("vec_id")).alias("seq"),
+                "vec_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+            ))
+            st = rebuild_vector_quantizer(
+                spark, work, centroids=cents_b, assigner="hof"
+            )
+            if st["n_cells"] != 5 or st["prev_cells"] != 8:
+                raise RuntimeError(f"unexpected rebuild shape: {st}")
+            vector_index_batch(spark, work, e.filter(
+                F.col("vec_id") % 5 == 0
+            ).select(
+                (F.lit(3000) + F.col("vec_id")).alias("seq"),
+                "vec_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+            ))
+            return vector_topk_live(
+                spark, work,
+                e.filter(F.col("vec_id") < 5).select("vec_id", "embedding"),
+                k=5, nprobe=3,
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_semantic_dedup_incremental(spark, sf_dir):
         # incremental SemDeDup against the persisted IVF index's LIVE
         # set: build on vec_id<300 (hof quantizer), tombstone %11==5,
@@ -3935,8 +4004,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every key here carries a full-value DuckDB oracle (the
         # rows-only-by-necessity keys x_compression /
         # x_quality_classifier stay below the fold, pytest-pinned).
-        # Order: (1) the round-11 addition (x_vector_live_incr — the
-        # churn-proportional vector-index fold, VERDICT r10 #1);
+        # Order: (1) the round-11 additions (x_vector_live_incr — the
+        # churn-proportional vector-index fold, VERDICT r10 #1 — and
+        # x_vector_rebuild — the off-peak quantizer retrain, the
+        # sanctioned frozen-config change);
         # (2) re-checks of every query whose code path was touched
         # this round: the vector-stream v2 layout rides
         # x_vector_live; the atomic meta_io swap + the NULL-text
@@ -3956,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) round-11 addition (shares x_vector_live's oracle: same
         # live set, different maintenance history — by construction)
         "x_vector_live_incr": x_vector_live_incr,
+        "x_vector_rebuild": x_vector_rebuild,
         # (2) round-11 re-checks: code touched this round
         "x_vector_live": x_vector_live,
         "x_compact_incremental": x_compact_incremental,
@@ -4008,15 +4080,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_centroids": x_centroids,
         "x_contamination": x_contamination,
         "x_corpus_stats": x_corpus_stats,
-        "x_embed_stats": x_embed_stats,
         # --- below the driver budget: every key here is driver-
         # green from r01-r10 (or rows-only by declared necessity:
         # x_compression [zlib], x_quality_classifier [LBFGS] are
         # deliberately kept out of the checked window and pinned by
         # pytest instead). The r10 top block re-checked green in r10
         # and rotates last; next in line for r12 is the balance of
-        # the r03 cohort (x_fingerprint, x_hash_split, x_lang_id,
-        # x_mixture, x_salted_agg, x_tfidf, ...).
+        # the r03 cohort (x_embed_stats — displaced mid-r11 by the
+        # second addition x_vector_rebuild — plus x_fingerprint,
+        # x_hash_split, x_lang_id, x_mixture, x_salted_agg, x_tfidf,
+        # ...).
+        "x_embed_stats": x_embed_stats,
         "x_target_mix": x_target_mix,
         "x_target_mix_skew": x_target_mix_skew,
         "x_topk_tied": x_topk_tied,
@@ -8833,4 +8907,78 @@ def oracle_sql() -> dict[str, str]:
     # must not change ANN answers), so its oracle is that query's
     # oracle, by construction — the x_bm25_lsm precedent
     oracles["x_vector_live_incr"] = oracles["x_vector_live"]
+    # r11: the quantizer REBUILD must be observationally equivalent to
+    # having built on the new quantizer from scratch: live set =
+    # %7<>2 (pre-rebuild deletes folded) and %5<>0 (post-rebuild tail
+    # tombstones); assignment/probing/ranking replay with the NEW
+    # anchors (vectors 10..14 -> cells 0..4), nprobe=3
+    oracles["x_vector_rebuild"] = """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        live_vecs AS (
+            SELECT vec_id, v FROM vecs
+            WHERE vec_id % 7 <> 2 AND vec_id % 5 <> 0
+        ),
+        anchors AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                   v AS av
+            FROM vecs WHERE vec_id >= 10 AND vec_id < 15
+        ),
+        csims AS (
+            SELECT e.vec_id, a.cell,
+                   round(list_dot_product(e.v, a.av)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(a.av, a.av))), 4)
+                       + 0.0 AS c
+            FROM live_vecs e, anchors a
+        ),
+        cranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, cell) AS rnk
+            FROM csims
+        ),
+        corpus_cells AS (
+            SELECT vec_id, cell FROM cranked WHERE rnk = 1
+        ),
+        qsims AS (
+            SELECT e.vec_id, a.cell,
+                   round(list_dot_product(e.v, a.av)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(a.av, a.av))), 4)
+                       + 0.0 AS c
+            FROM (SELECT vec_id, v FROM vecs WHERE vec_id < 5) e,
+                 anchors a
+        ),
+        qranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, cell) AS rnk
+            FROM qsims
+        ),
+        q_cells AS (SELECT vec_id, cell FROM qranked WHERE rnk <= 3),
+        sims AS (
+            SELECT DISTINCT q.vec_id AS query_id,
+                   c.vec_id AS neighbor_id,
+                   round(list_dot_product(qv.v, cv.v)
+                         / (sqrt(list_dot_product(qv.v, qv.v))
+                          * sqrt(list_dot_product(cv.v, cv.v))), 4)
+                       AS cosine_r
+            FROM q_cells q
+            JOIN corpus_cells c
+              ON q.cell = c.cell AND q.vec_id <> c.vec_id
+            JOIN vecs qv ON qv.vec_id = q.vec_id
+            JOIN live_vecs cv ON cv.vec_id = c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_r DESC,
+                                               neighbor_id) AS rank
+            FROM sims
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """
     return oracles

@@ -472,6 +472,27 @@ class Daemon:
                 out[fc.name] = validate_mirror(self.spark, mp)
         return out
 
+    def balance(self) -> dict:
+        """Quantizer drift report per vector-flagged feed — the
+        `/_balance` control-plane surface an operator reads to decide
+        when an off-peak :func:`rebuild_vector_quantizer` pays. Kept
+        OFF the watchdog tick: the report joins skinny frames per index
+        (cheap but not free), and rebuild scheduling is an operator
+        decision, never an automatic corpus-proportional job."""
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            vector_index_balance,
+        )
+
+        out = {}
+        for fc in load_registry(self.registry_path):
+            vip = self.vector_index_path(fc)
+            out[fc.name] = (
+                vector_index_balance(self.spark, vip)
+                if vip is not None
+                else None
+            )
+        return out
+
     def run_supervisor(
         self,
         poll_seconds: float = 50.0,
@@ -511,8 +532,10 @@ class Daemon:
 
 def serve_control_plane(daemon: Daemon, port: int = 0) -> tuple[ThreadingHTTPServer, int]:
     """HTTP control plane (A15): GET /_status → daemon.status() JSON;
-    GET /_watchdog → run one watchdog pass; GET /_finder → find_feeds.
-    Returns (server, bound_port); server runs on a daemon thread."""
+    GET /_watchdog → run one watchdog pass; GET /_finder → find_feeds;
+    GET /_fsck → mirror integrity; GET /_balance → vector quantizer
+    drift. Returns (server, bound_port); server runs on a daemon
+    thread."""
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802
@@ -524,6 +547,8 @@ def serve_control_plane(daemon: Daemon, port: int = 0) -> tuple[ThreadingHTTPSer
                 payload = {"started": daemon.find_feeds()}
             elif self.path == "/_fsck":
                 payload = daemon.fsck()
+            elif self.path == "/_balance":
+                payload = daemon.balance()
             else:
                 self.send_response(404)
                 self.end_headers()

@@ -73,7 +73,14 @@ Plan shape at 100 TB:
   every other dir passes through untouched (bit-identical, by test);
   meta updates by exact churn-sized delta. The full live-only rewrite
   (:func:`compact_vector_index`) remains as the first-compaction /
-  legacy-layout upgrade path only.
+  legacy-layout upgrade path only;
+* the quantizer lifecycle is complete and honest: buffered bootstrap
+  (full configured width), frozen serving, drift monitoring on skinny
+  frames (:func:`vector_index_balance` — `/_balance`), and the
+  operator-scheduled off-peak retrain
+  (:func:`rebuild_vector_quantizer` — the one sanctioned config
+  change; corpus-proportional by nature, which is why the watchdog
+  never triggers it).
 
 Reference parity note: the reference (couch-to-postgres, lib/index.js)
 has no vector search; this is extension-stratum capability for the
@@ -349,9 +356,14 @@ def vector_index_batch(
     covers)."""
     from couch_to_postgres_spark.streaming.partitioned import _path_lock
 
-    assigner, cents, _ = _quantizer(spark, index_path)
     cells_path, tomb_path = _paths(index_path)
     with _path_lock(index_path):
+        # quantizer read INSIDE the lock: a rebuild
+        # (:func:`rebuild_vector_quantizer`) swaps centroids + base
+        # under the same lock, and a batch assigning cells with the
+        # OLD centroids into the NEW layout would write tail rows that
+        # probed reads silently miss
+        assigner, cents, _ = _quantizer(spark, index_path)
         latest = (
             changes.groupBy(id_col)
             .agg(
@@ -953,3 +965,213 @@ def vector_index_status(
         ),
         "compaction_debt": round(churn / n_live, 4) if n_live else None,
     }
+
+
+def vector_index_balance(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> dict:
+    """Cell-balance report for the frozen coarse quantizer — the drift
+    signal an operator watches to decide when an off-peak
+    :func:`rebuild_vector_quantizer` pays (standard IVF maintenance; a
+    corpus whose distribution has drifted from the training sample
+    piles live vectors into few cells and nprobe pruning degrades
+    toward a full scan). Computed ENTIRELY on skinny (id, seq, cell)
+    frames — the base/ids sidecar plus the tail's pruned columns; the
+    embeddings never move. One driver-bounded collect (<= n_cells
+    rows)."""
+    cells_path, _ = _paths(index_path)
+    base_ids_path, _, _ = _base_paths(index_path)
+    q = read_meta_rows(spark, _quantizer_path(index_path))
+    if not q:
+        return {
+            "n_cells": None,
+            "live_vectors": 0,
+            "populated_cells": 0,
+            "empty_cells": None,
+            "max_cell_rows": 0,
+            "mean_cell_rows": 0.0,
+            "skew": None,
+        }
+    n_cells = int(q[0]["n_cells"])
+    schema = f"{id_col} long, seq long, cell int"
+    tail, base = _read_components(
+        spark, [(cells_path, schema), (base_ids_path, schema)], id_col
+    )
+    placed = (
+        tail.select(id_col, "seq", "cell")
+        .unionByName(base.select(id_col, "seq", "cell"))
+        .dropDuplicates([id_col, "seq"])
+    )
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in placed.join(
+            live_vector_ids(spark, index_path, id_col),
+            on=[id_col, "seq"],
+            how="left_semi",
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    live = sum(counts.values())
+    mean = live / n_cells if n_cells else 0.0
+    mx = max(counts.values(), default=0)
+    return {
+        "n_cells": n_cells,
+        "live_vectors": live,
+        "populated_cells": len(counts),
+        "empty_cells": n_cells - len(counts),
+        "max_cell_rows": mx,
+        "mean_cell_rows": round(mean, 2),
+        # max/mean: 1.0 = perfectly balanced; n_cells = everything in
+        # one cell (nprobe=1 reads the whole corpus)
+        "skew": round(mx / mean, 2) if mean else None,
+    }
+
+
+def rebuild_vector_quantizer(
+    spark: SparkSession,
+    index_path: str,
+    n_cells: int | None = None,
+    centroids: list[list[float]] | None = None,
+    assigner: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+    id_buckets: int = DEFAULT_ID_BUCKETS,
+) -> dict:
+    """Retrain (or accept) NEW coarse centroids and rewrite the base
+    under them — the documented off-peak answer to quantizer drift
+    (:func:`vector_index_balance`) and to a degraded bootstrap
+    (``quantizer_degraded`` in `/_status`), and the ONE sanctioned way
+    to change the frozen (assigner, n_cells) configuration. Trains on
+    the LIVE vectors (``train_centroids``' sample cap bounds the fit)
+    unless explicit ``centroids`` are given; defaults keep the current
+    assigner and cell count.
+
+    Cost is one full live rewrite — deliberately identical in shape to
+    :func:`compact_vector_index` (every embedding re-assigns, so
+    corpus-proportional is the floor, not a design miss) — which is
+    exactly why the DAEMON never triggers it: rebuilds are
+    operator-scheduled off-peak, while the watchdog's recurring step
+    stays the churn-proportional fold. Serialized against ingest by
+    the per-path lock (batches read the quantizer inside it); LOCK-FREE
+    readers racing the swap can probe stale cells for the swap's
+    duration — the documented recovery-window trade, here applied to
+    the centroids too."""
+    import shutil
+
+    from couch_to_postgres_spark.streaming.partitioned import (
+        _path_lock,
+        _retire,
+    )
+
+    with _path_lock(index_path):
+        old_assigner, _, old_n = _quantizer(spark, index_path)
+        use_assigner = assigner or old_assigner
+        if use_assigner not in _ASSIGNERS:
+            raise ValueError(f"unknown assigner {use_assigner!r}")
+        cells_path, tomb_path = _paths(index_path)
+        base_ids_path, base_cells_path, meta_path = _base_paths(index_path)
+        live = live_vector_ids(spark, index_path, id_col).persist()
+        frames = [
+            f.select(id_col, "seq", vec_col)
+            for f in (_try(spark, base_cells_path), _try(spark, cells_path))
+            if f is not None
+        ]
+        if not frames:
+            live.unpersist()
+            raise ValueError(
+                f"vector index at {index_path} holds no vectors to "
+                f"rebuild the quantizer from"
+            )
+        allc = frames[0]
+        for f in frames[1:]:
+            allc = allc.unionByName(f)
+        live_rows = (
+            allc.dropDuplicates([id_col, "seq"])
+            .join(live, on=[id_col, "seq"], how="left_semi")
+            .persist()
+        )
+        if centroids is None:
+            centroids = train_centroids(
+                live_rows, n_cells or old_n, vec_col, seed
+            )
+        assigned = _ASSIGNERS[use_assigner](
+            live_rows, centroids, id_col, vec_col, nprobe=1,
+            extra_cols=("seq",),
+        ).select(id_col, "seq", vec_col, "cell")
+        staging = index_path.rstrip("/") + ".rebuilding-vec"
+        shutil.rmtree(staging, ignore_errors=True)
+        staged_cells = os.path.join(staging, "cells")
+        assigned.repartition(F.col("cell")).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(staged_cells)
+        # sidecar + count from the staged files (never re-run the
+        # assignment lineage)
+        staged_c = _read_or_empty(
+            spark,
+            staged_cells,
+            f"{id_col} long, seq long, {vec_col} array<double>, cell int",
+        )
+        staged_ids = os.path.join(staging, "ids")
+        (
+            staged_c.select(
+                id_col,
+                "seq",
+                "cell",
+                F.pmod(F.hash(F.col(id_col)), F.lit(id_buckets)).alias(
+                    "id_bucket"
+                ),
+            )
+            .repartition(F.col("id_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("id_bucket")
+            .parquet(staged_ids)
+        )
+        n_live = int(
+            staged_c.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        )
+        live_rows.unpersist()
+        live.unpersist()
+        staged_meta = os.path.join(staging, "meta")
+        write_meta_rows(
+            spark,
+            staged_meta,
+            [(len(centroids), n_live, int(id_buckets))],
+            "n_cells int, n_live long, id_buckets int",
+        )
+        # swap the BASE first, then the quantizer: a racing reader sees
+        # (old centroids, new base) — stale-probe window — rather than
+        # (new centroids, no base)
+        for old, new in (
+            (base_cells_path, staged_cells),
+            (base_ids_path, staged_ids),
+            (meta_path, staged_meta),
+        ):
+            _retire(old, index_path)
+            os.makedirs(os.path.dirname(old), exist_ok=True)
+            if os.path.exists(new):
+                os.rename(new, old)
+        for tail_dir in (cells_path, tomb_path):
+            _retire(tail_dir, index_path)
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _centroids_path(index_path)
+        )
+        write_meta_rows(
+            spark,
+            _quantizer_path(index_path),
+            [(use_assigner, len(centroids), len(centroids))],
+            "assigner string, n_cells int, configured_cells int",
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        return {
+            "mode": "rebuild",
+            "n_live": n_live,
+            "n_cells": len(centroids),
+            "prev_cells": old_n,
+            "assigner": use_assigner,
+        }

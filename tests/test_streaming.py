@@ -833,6 +833,12 @@ def test_daemon_maintains_vector_index(spark, sf_dir, tmp):
     assert st["vector_index"]["n_cells"] == 4
     assert st["vector_index"]["compaction_debt"] is not None
 
+    # quantizer drift on /_balance (r11): per-cell live placement over
+    # skinny frames — the operator's rebuild-scheduling signal
+    bal = d.balance()["vec-feed"]
+    assert bal["n_cells"] == 4 and bal["live_vectors"] == 55
+    assert bal["populated_cells"] >= 1 and bal["skew"] >= 1.0
+
     # the watchdog's debt policy covers the vector twin: one pass
     # establishes the live-only base, values unchanged through the swap
     r1 = d.watchdog()

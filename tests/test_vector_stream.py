@@ -504,3 +504,122 @@ def test_field_removal_tombstones_stale_vector(spark, tmp_path):
     assert second == {str(i) for i in V0 if i != 1}
     st = vector_index_status(spark, p)
     assert st["live_vectors"] == len(V0) - 1
+
+
+# ---------------------------------------------------------------------------
+# r11: quantizer lifecycle completion — balance monitoring + off-peak rebuild
+# ---------------------------------------------------------------------------
+
+def test_balance_tracks_live_cells(spark, index):
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        vector_index_balance,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    # anchors: +x holds {1,2,6}, +y {3}, -x {4}, -y {5}
+    b = vector_index_balance(spark, index)
+    assert b["n_cells"] == 4 and b["live_vectors"] == 6
+    assert b["populated_cells"] == 4 and b["empty_cells"] == 0
+    assert b["max_cell_rows"] == 3 and b["mean_cell_rows"] == 1.5
+    assert b["skew"] == 2.0
+    # doc 1 moves +x -> +y; doc 5 deleted: -y empties, +x thins
+    vector_index_batch(spark, index, _changes(spark, [
+        (10, 1, False, [0.05, 0.95]), (11, 5, True, None),
+    ]))
+    b2 = vector_index_balance(spark, index)
+    assert b2["live_vectors"] == 5
+    assert b2["populated_cells"] == 3 and b2["empty_cells"] == 1
+    # compaction must not change the report (same live placement)
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+    )
+
+    compact_vector_index_incremental(spark, index)
+    assert vector_index_balance(spark, index) == b2
+
+
+def test_balance_uninitialized(spark, tmp_path):
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        vector_index_balance,
+    )
+
+    b = vector_index_balance(spark, str(tmp_path / "none"))
+    assert b["n_cells"] is None and b["live_vectors"] == 0
+
+
+def test_rebuild_quantizer_with_explicit_anchors(spark, tmp_path):
+    """Rebuild is the sanctioned config change: a degraded 2-cell
+    bootstrap rebuilt to the 4-anchor quantizer must re-assign every
+    live vector (results still equal brute force), clear the tails,
+    update the recorded config, and keep serving later batches."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        rebuild_vector_quantizer,
+    )
+
+    p = str(tmp_path / "rebuild_idx")
+    init_vector_index(spark, p, centroids=ANCHORS[:2], assigner="hof")
+    vector_index_batch(
+        spark, p,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    model = dict(V0)
+    model.pop(2)
+    vector_index_batch(spark, p, _changes(spark, [(10, 2, True, None)]))
+    st = rebuild_vector_quantizer(
+        spark, p, centroids=ANCHORS, assigner="hof"
+    )
+    assert st == {
+        "mode": "rebuild", "n_live": 5, "n_cells": 4,
+        "prev_cells": 2, "assigner": "hof",
+    }
+    status = vector_index_status(spark, p)
+    assert status["n_cells"] == 4 and not status["quantizer_degraded"]
+    assert status["tail_rows"] == 0 and status["tombstones"] == 0
+    assert status["live_vectors"] == 5
+    _check(spark, p, model)
+    # 1-probe pruning works on the NEW layout: only the probed new
+    # cell dir opens (the -x anchor holds exactly doc 4)
+    q = spark.createDataFrame(
+        [(100, [-1.0, 0.1])], "vec_id long, embedding array<double>"
+    )
+    got = _rows(vector_topk_live(spark, p, q, k=2, nprobe=1))
+    assert got == [(100, 4, 1)]
+    # later churn keeps working against the rebuilt quantizer
+    model[7] = [0.7, 0.6]
+    vector_index_batch(
+        spark, p, _changes(spark, [(11, 7, False, model[7])])
+    )
+    _check(spark, p, model)
+
+
+def test_rebuild_quantizer_trains_on_live(spark, tmp_path):
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        rebuild_vector_quantizer,
+        vector_index_balance,
+    )
+
+    p = str(tmp_path / "retrain_idx")
+    init_vector_index(spark, p, centroids=ANCHORS[:2], assigner="hof")
+    vector_index_batch(
+        spark, p,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    st = rebuild_vector_quantizer(spark, p, n_cells=3)
+    assert st["mode"] == "rebuild" and st["n_cells"] == 3
+    # exhaustive probing is quantizer-independent — results still exact
+    _check(spark, p, V0, k=4)
+    assert vector_index_balance(spark, p)["n_cells"] == 3
+
+
+def test_rebuild_empty_index_raises(spark, tmp_path):
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        rebuild_vector_quantizer,
+    )
+
+    p = str(tmp_path / "empty_idx")
+    init_vector_index(spark, p, centroids=ANCHORS, assigner="hof")
+    with pytest.raises(ValueError, match="no vectors"):
+        rebuild_vector_quantizer(spark, p, centroids=ANCHORS[:2])
