@@ -910,6 +910,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_vector_balance(spark, sf_dir):
+        # r11: the quantizer drift monitor's data frame — per-cell LIVE
+        # vector counts (vector_stream.vector_cell_counts, the skinny
+        # computation /_balance summarizes), value-oracled: after the
+        # x_vector_live churn (update %10==3 to the +7 partner —
+        # vectors MOVE cells — and delete %9==4), the per-cell counts
+        # must equal assigning the live set to the fixed anchors in
+        # DuckDB and counting. Pins that balance reflects the LIVE
+        # placement, not raw appended rows.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            init_vector_index,
+            vector_cell_counts,
+            vector_index_batch,
+        )
+
+        e = _emb(spark, sf_dir)
+        cents = _anchor_centroids(spark, sf_dir, 8)
+        work = tempfile.mkdtemp(prefix="vec_bal_")
+        try:
+            init_vector_index(
+                spark, work, centroids=cents, assigner="hof"
+            )
+            vector_index_batch(spark, work, e.select(
+                F.col("vec_id").cast("long").alias("seq"),
+                "vec_id", F.lit(False).alias("deleted"), "embedding",
+            ))
+            partner = e.select(
+                F.col("vec_id").alias("pid"),
+                F.col("embedding").alias("pemb"),
+            )
+            upd = (
+                e.filter(F.col("vec_id") % 10 == 3)
+                .join(partner, F.col("pid") == F.col("vec_id") + 7)
+                .select(
+                    (F.lit(1000) + F.col("vec_id")).alias("seq"),
+                    "vec_id", F.lit(False).alias("deleted"),
+                    F.col("pemb").alias("embedding"),
+                )
+            )
+            vector_index_batch(spark, work, upd)
+            vector_index_batch(spark, work, e.filter(
+                F.col("vec_id") % 9 == 4
+            ).select(
+                (F.lit(2000) + F.col("vec_id")).alias("seq"),
+                "vec_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+            ))
+            return vector_cell_counts(spark, work).localCheckpoint(
+                eager=True
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_semantic_dedup_incremental(spark, sf_dir):
         # incremental SemDeDup against the persisted IVF index's LIVE
         # set: build on vec_id<300 (hof quantizer), tombstone %11==5,
@@ -4089,7 +4145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r03 cohort (x_embed_stats — displaced mid-r11 by the
         # second addition x_vector_rebuild — plus x_fingerprint,
         # x_hash_split, x_lang_id, x_mixture, x_salted_agg, x_tfidf,
-        # ...).
+        # ...). x_vector_balance (r11, full value oracle) starts here
+        # too — it shares the r11 window's code paths, which are
+        # checked through the three windowed vector keys.
+        "x_vector_balance": x_vector_balance,
         "x_embed_stats": x_embed_stats,
         "x_target_mix": x_target_mix,
         "x_target_mix_skew": x_target_mix_skew,
@@ -8980,5 +9039,45 @@ def oracle_sql() -> dict[str, str]:
             FROM sims
         )
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """
+    # r11: the drift monitor's per-cell LIVE counts — the x_vector_live
+    # churn's live set (update %10==3 to the +7 partner, delete %9==4)
+    # assigned to the 8 fixed anchors and counted per cell
+    oracles["x_vector_balance"] = """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        live_vecs AS (
+            SELECT v.vec_id,
+                   CASE WHEN v.vec_id % 10 = 3
+                             AND v2.vec_id IS NOT NULL
+                        THEN v2.v ELSE v.v END AS v
+            FROM vecs v
+            LEFT JOIN vecs v2 ON v2.vec_id = v.vec_id + 7
+            WHERE v.vec_id % 9 <> 4
+        ),
+        anchors AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                   v AS av
+            FROM vecs WHERE vec_id < 8
+        ),
+        csims AS (
+            SELECT e.vec_id, a.cell,
+                   round(list_dot_product(e.v, a.av)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(a.av, a.av))), 4)
+                       + 0.0 AS c
+            FROM live_vecs e, anchors a
+        ),
+        cranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, cell) AS rnk
+            FROM csims
+        )
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_live
+        FROM cranked WHERE rnk = 1
+        GROUP BY cell
     """
     return oracles

@@ -979,8 +979,6 @@ def vector_index_balance(
     frames — the base/ids sidecar plus the tail's pruned columns; the
     embeddings never move. One driver-bounded collect (<= n_cells
     rows)."""
-    cells_path, _ = _paths(index_path)
-    base_ids_path, _, _ = _base_paths(index_path)
     q = read_meta_rows(spark, _quantizer_path(index_path))
     if not q:
         return {
@@ -993,25 +991,9 @@ def vector_index_balance(
             "skew": None,
         }
     n_cells = int(q[0]["n_cells"])
-    schema = f"{id_col} long, seq long, cell int"
-    tail, base = _read_components(
-        spark, [(cells_path, schema), (base_ids_path, schema)], id_col
-    )
-    placed = (
-        tail.select(id_col, "seq", "cell")
-        .unionByName(base.select(id_col, "seq", "cell"))
-        .dropDuplicates([id_col, "seq"])
-    )
     counts = {
-        int(r["cell"]): int(r["n"])
-        for r in placed.join(
-            live_vector_ids(spark, index_path, id_col),
-            on=[id_col, "seq"],
-            how="left_semi",
-        )
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        int(r["cell"]): int(r["n_live"])
+        for r in vector_cell_counts(spark, index_path, id_col).collect()
     }
     live = sum(counts.values())
     mean = live / n_cells if n_cells else 0.0
@@ -1027,6 +1009,36 @@ def vector_index_balance(
         # one cell (nprobe=1 reads the whole corpus)
         "skew": round(mx / mean, 2) if mean else None,
     }
+
+
+def vector_cell_counts(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """(cell, n_live) — each populated cell's LIVE vector count, the
+    frame :func:`vector_index_balance` summarizes. Skinny throughout:
+    placements come from the base/ids sidecar ∪ the tail's pruned
+    (id, seq, cell) columns, replay-deduped, liveness-filtered against
+    the (id, seq) live set. At most n_cells output rows."""
+    cells_path, _ = _paths(index_path)
+    base_ids_path, _, _ = _base_paths(index_path)
+    schema = f"{id_col} long, seq long, cell int"
+    tail, base = _read_components(
+        spark, [(cells_path, schema), (base_ids_path, schema)], id_col
+    )
+    placed = (
+        tail.select(id_col, "seq", "cell")
+        .unionByName(base.select(id_col, "seq", "cell"))
+        .dropDuplicates([id_col, "seq"])
+    )
+    return (
+        placed.join(
+            live_vector_ids(spark, index_path, id_col),
+            on=[id_col, "seq"],
+            how="left_semi",
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )
 
 
 def rebuild_vector_quantizer(
