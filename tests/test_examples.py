@@ -23,6 +23,7 @@ EXAMPLES = [
     ("examples/monitor_and_reconcile.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
     ("examples/phrase_and_reservoir.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
     ("examples/indexed_search_operations.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
+    ("examples/live_vector_search.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
 ]
 
 
