@@ -4077,9 +4077,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cohort (r03: the a2x incremental views, the e0x-e2x event
         # windows, the j09-j15 TPC-H shapes, and the first ANN/stats
         # extensions — last value-checked eight rounds ago). Full
-        # 50-key window dress-rehearsed green at sf0.01 this round
-        # (50/50 OK, 0 failures, after the vector-stream v2 +
-        # meta_io atomic-swap wave landed). ---
+        # 50-key window dress-rehearsed green at sf0.01 three times
+        # this round (after the vector-stream v2 + meta_io atomic-swap
+        # wave; twice more at end-of-round with x_vector_rebuild in
+        # the window — 50/50 OK, 0 failures each time). ---
         # (1) round-11 addition (shares x_vector_live's oracle: same
         # live set, different maintenance history — by construction)
         "x_vector_live_incr": x_vector_live_incr,
