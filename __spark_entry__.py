@@ -966,6 +966,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_hybrid_live(spark, sf_dir):
+        # r11: HYBRID retrieval — RRF fusion (Cormack et al., SIGIR'09)
+        # over the two LIVE index twins, value-oracled end to end. The
+        # search twin ingests the documents with churn (%10==3 updated
+        # with ' spark merge window', %10==7 deleted); the vector twin
+        # ingests the embeddings with churn (%9==4 deleted); both sides
+        # answer top-15 per query from their maintained state (pruned
+        # postings read / nprobe=4 anchor cells) and the fusion sums
+        # exact DECIMAL reciprocal-rank contributions. Query ids
+        # (10001/10002) sit outside the corpus id space by contract
+        # (hybrid.py docstring). The oracle replays BOTH retrievals
+        # (the x_bm25_incremental BM25 replay over the churned text
+        # corpus; the anchor-assignment ANN replay over the live
+        # vectors) and the RRF arithmetic in DuckDB.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.extensions.hybrid import (
+            hybrid_topk_live,
+        )
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch,
+        )
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            init_vector_index,
+            vector_index_batch,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        e = _emb(spark, sf_dir)
+        cents = _anchor_centroids(spark, sf_dir, 8)
+        work = tempfile.mkdtemp(prefix="hybrid_live_")
+        sidx = f"{work}/search"
+        vidx = f"{work}/vectors"
+        try:
+            search_index_batch(spark, sidx, docs.select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            ))
+            search_index_batch(spark, sidx, docs.filter(
+                F.col("doc_id") % 10 == 3
+            ).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"),
+                F.concat(
+                    F.col("text"), F.lit(" spark merge window")
+                ).alias("text"),
+            ).unionByName(docs.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("string").alias("text"),
+            )))
+            init_vector_index(
+                spark, vidx, centroids=cents, assigner="hof"
+            )
+            vector_index_batch(spark, vidx, e.select(
+                F.col("vec_id").cast("long").alias("seq"),
+                "vec_id", F.lit(False).alias("deleted"), "embedding",
+            ))
+            vector_index_batch(spark, vidx, e.filter(
+                F.col("vec_id") % 9 == 4
+            ).select(
+                (F.lit(2000) + F.col("vec_id")).alias("seq"),
+                "vec_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+            ))
+            terms = spark.createDataFrame(
+                [(10001, "spark"), (10001, "window"),
+                 (10002, "merge"), (10002, "rows")],
+                "query_id long, term string",
+            )
+            vqueries = e.filter(
+                F.col("vec_id").isin(100, 200)
+            ).select(
+                F.when(F.col("vec_id") == 100, F.lit(10001))
+                .otherwise(F.lit(10002)).cast("long").alias("vec_id"),
+                "embedding",
+            )
+            return hybrid_topk_live(
+                spark, sidx, vidx, terms, vqueries,
+                k=10, depth=15, nprobe=4,
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_semantic_dedup_incremental(spark, sf_dir):
         # incremental SemDeDup against the persisted IVF index's LIVE
         # set: build on vec_id<300 (hof quantizer), tombstone %11==5,
@@ -4150,6 +4235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # too — it shares the r11 window's code paths, which are
         # checked through the three windowed vector keys.
         "x_vector_balance": x_vector_balance,
+        "x_hybrid_live": x_hybrid_live,
         "x_embed_stats": x_embed_stats,
         "x_target_mix": x_target_mix,
         "x_target_mix_skew": x_target_mix_skew,
@@ -9080,5 +9166,165 @@ def oracle_sql() -> dict[str, str]:
         SELECT cell, CAST(count(*) AS BIGINT) AS n_live
         FROM cranked WHERE rnk = 1
         GROUP BY cell
+    """
+    # r11: HYBRID retrieval — both retrievals AND the RRF arithmetic
+    # replayed: BM25 over the churned text corpus (the
+    # x_bm25_incremental replay, top-15), ANN over the live vectors
+    # (anchor assignment, nprobe=4, top-15), exact-DECIMAL
+    # reciprocal-rank sums, fused rank <= 10
+    oracles["x_hybrid_live"] = """
+        WITH final AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 3
+                        THEN text || ' spark merge window'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 10 <> 7
+        ),
+        words AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM final
+        ),
+        qterms(query_id, token) AS (
+            VALUES (10001, 'spark'), (10001, 'window'),
+                   (10002, 'merge'), (10002, 'rows')
+        ),
+        doclen AS (
+            SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM words
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+            FROM doclen
+        ),
+        tok AS (
+            SELECT doc_id, w.word AS token
+            FROM words, UNNEST(ws) AS w(word)
+            WHERE w.word IN (SELECT DISTINCT token FROM qterms)
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        dft AS (
+            SELECT token, CAST(count(*) AS DOUBLE) AS dft
+            FROM tf GROUP BY token
+        ),
+        contrib AS (
+            SELECT q.query_id, t.doc_id,
+                   CAST(round(
+                       ln((s.n - d.dft + 0.5) / (d.dft + 0.5) + 1.0)
+                       * (t.tf * 2.2
+                          / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))),
+                       6) AS DECIMAL(18,6)) AS c
+            FROM tf t
+            JOIN dft d USING (token)
+            JOIN doclen l USING (doc_id)
+            JOIN qterms q ON q.token = t.token
+            CROSS JOIN stats s
+        ),
+        lex_scored AS (
+            SELECT query_id, doc_id,
+                   CAST(round(sum(c), 4) AS DOUBLE) AS score
+            FROM contrib GROUP BY query_id, doc_id
+        ),
+        lex_ranked AS (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM lex_scored
+        ),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        live_vecs AS (
+            SELECT vec_id, v FROM vecs WHERE vec_id % 9 <> 4
+        ),
+        anchors AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                   v AS av
+            FROM vecs WHERE vec_id < 8
+        ),
+        csims AS (
+            SELECT e.vec_id, a.cell,
+                   round(list_dot_product(e.v, a.av)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(a.av, a.av))), 4)
+                       + 0.0 AS c
+            FROM live_vecs e, anchors a
+        ),
+        cranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, cell) AS rnk
+            FROM csims
+        ),
+        corpus_cells AS (
+            SELECT vec_id, cell FROM cranked WHERE rnk = 1
+        ),
+        qv AS (
+            SELECT CAST(10001 AS BIGINT) AS query_id, v
+            FROM vecs WHERE vec_id = 100
+            UNION ALL
+            SELECT CAST(10002 AS BIGINT), v FROM vecs WHERE vec_id = 200
+        ),
+        qsims AS (
+            SELECT e.query_id, a.cell,
+                   round(list_dot_product(e.v, a.av)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(a.av, a.av))), 4)
+                       + 0.0 AS c
+            FROM qv e, anchors a
+        ),
+        qranked AS (
+            SELECT query_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, cell) AS rnk
+            FROM qsims
+        ),
+        q_cells AS (SELECT query_id, cell FROM qranked WHERE rnk <= 4),
+        sem_sims AS (
+            SELECT DISTINCT q.query_id, c.vec_id AS doc_id,
+                   round(list_dot_product(qvv.v, cv.v)
+                         / (sqrt(list_dot_product(qvv.v, qvv.v))
+                          * sqrt(list_dot_product(cv.v, cv.v))), 4)
+                       AS cosine_r
+            FROM q_cells q
+            JOIN corpus_cells c ON q.cell = c.cell
+            JOIN qv qvv ON qvv.query_id = q.query_id
+            JOIN live_vecs cv ON cv.vec_id = c.vec_id
+        ),
+        sem_ranked AS (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_r DESC,
+                                               doc_id) AS rank
+            FROM sem_sims
+        ),
+        contrib_all AS (
+            SELECT query_id, doc_id,
+                   CAST(round(1.0 / (60 + rank), 9)
+                        AS DECIMAL(18,9)) AS c
+            FROM lex_ranked WHERE rank <= 15
+            UNION ALL
+            SELECT query_id, doc_id,
+                   CAST(round(1.0 / (60 + rank), 9)
+                        AS DECIMAL(18,9)) AS c
+            FROM sem_ranked WHERE rank <= 15
+        ),
+        fused AS (
+            SELECT query_id, doc_id,
+                   CAST(round(sum(c), 6) AS DOUBLE) AS rrf_score
+            FROM contrib_all GROUP BY query_id, doc_id
+        ),
+        fused_ranked AS (
+            SELECT query_id, doc_id, rrf_score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_score DESC,
+                                               doc_id) AS rank
+            FROM fused
+        )
+        SELECT query_id, doc_id, rrf_score, rank
+        FROM fused_ranked WHERE rank <= 10
     """
     return oracles

@@ -1,0 +1,136 @@
+"""Hybrid retrieval: fuse lexical (BM25) and semantic (ANN) rankings
+over the daemon's LIVE index twins with Reciprocal Rank Fusion.
+
+A feed flagged ``search_index=True, vector_index=True`` maintains both
+a BM25 LSM index and a seq-wins IVF vector index from the same
+micro-batches (:mod:`streaming.search_stream`,
+:mod:`streaming.vector_stream`). Retrieval quality work — eval-set
+curation, hard-negative mining, targeted decontamination — routinely
+needs BOTH signals: lexical matching catches exact terminology the
+embedding blurs, embeddings catch paraphrase the terms miss. RRF
+(Cormack, Clarke & Buettcher, SIGIR 2009) is the standard
+training-free fusion: score(d) = Σ_source 1/(k_rrf + rank_source(d)).
+It uses only RANKS, so the incomparable score scales of BM25 and
+cosine never need calibration.
+
+Plan shape at 100 TB: each source list is top-``depth`` per query —
+query-sized, never corpus-sized — produced by the index readers'
+pruned probes (token-bucket postings reads; nprobe cell dirs opened by
+name). The fusion itself joins two query×depth frames: broadcast-sized
+regardless of corpus. Contributions sum as exact DECIMALs in a fixed
+rounding (the search module's summation-order discipline), so fused
+scores are engine- and partitioning-stable — which is what lets
+x_hybrid_live carry a full DuckDB value oracle.
+
+Reference parity note: the reference (couch-to-postgres) has no ranked
+retrieval at all; this is extension-stratum capability composing the
+two r10/r11 live indexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion over any number of per-query rankings.
+
+    Each input frame holds (query_id, id, rank) rows — ranks 1-based
+    within a query, one row per (query, doc) per source. A doc absent
+    from a source simply contributes nothing for it (the standard RRF
+    convention). Emits (query_id, id, rrf_score, rank) with
+    ``rrf_score = round(Σ round(1/(k_rrf+rank), 9), 6)`` — the inner
+    round makes every contribution an exact DECIMAL(18,9) so the sum is
+    independent of addition order (IEEE double summation is not
+    associative; three-plus sources would otherwise be
+    partitioning-dependent), the outer round is the stable sort key.
+    Ties break by id ascending."""
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking required")
+    contribs = [
+        r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col(rank_col)), 9
+            ).cast("decimal(18,9)").alias("_c"),
+        )
+        for r in rankings
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    scored = allc.groupBy(query_id_col, id_col).agg(
+        F.round(F.sum("_c"), 6).cast("double").alias("rrf_score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "rrf_score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def hybrid_topk_live(
+    spark: SparkSession,
+    search_index_path: str,
+    vector_index_path: str,
+    term_queries: DataFrame,
+    vector_queries: DataFrame,
+    k: int = 10,
+    depth: int = 50,
+    k_rrf: int = 60,
+    nprobe: int = 4,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Fused top-k over the LIVE corpus: BM25 from the maintained LSM
+    index + ANN from the maintained vector index, RRF-combined.
+
+    ``term_queries`` holds (query_id, term) rows; ``vector_queries``
+    holds (<vec_id_col>, embedding) rows whose ids ARE the query ids
+    (the two tables share a query-id space — ask both modalities the
+    same questions). Each side retrieves its top-``depth`` per query
+    from its own pruned index read; docs carried by only one modality
+    contribute only that source's reciprocal rank. Emits
+    (query_id, <id_col>, rrf_score, rank).
+
+    Query ids must be type-compatible with the corpus ids AND disjoint
+    from them: the vector reader's self-exclusion filter
+    (``query_id != neighbor_id``, inherited from the batch IVF's
+    corpus-member-query contract) would silently drop a corpus doc
+    whose id collides with a query id."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        bm25_topk_from_index,
+    )
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        vector_topk_live,
+    )
+
+    lex = bm25_topk_from_index(
+        spark, search_index_path, term_queries, k=depth, id_col=id_col
+    ).select("query_id", id_col, "rank")
+    sem = vector_topk_live(
+        spark, vector_index_path, vector_queries, k=depth, nprobe=nprobe,
+        id_col=vec_id_col,
+    ).select(
+        F.col("query_id"),
+        F.col("neighbor_id").alias(id_col),
+        F.col("rank"),
+    )
+    return rrf_fuse(
+        [lex, sem], k=k, k_rrf=k_rrf, id_col=id_col
+    )

@@ -1,0 +1,147 @@
+"""Hybrid retrieval: RRF fusion must be exact rank arithmetic (decimal
+contributions, engine-stable rounding), respect per-source absence, and
+— composed over the two LIVE index twins — honor seq-wins liveness on
+both sides."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from couch_to_postgres_spark.extensions.hybrid import (
+    hybrid_topk_live,
+    rrf_fuse,
+)
+from couch_to_postgres_spark.streaming.search_stream import (
+    search_index_batch,
+)
+from couch_to_postgres_spark.streaming.vector_stream import (
+    init_vector_index,
+    vector_index_batch,
+)
+
+ANCHORS = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
+
+# doc -> (text, embedding): doc 1 is the lexical hit for "spark window";
+# doc 2 is its semantic near-neighbor but shares no term; doc 3 is both
+DOCS = {
+    1: ("spark window merge", [0.9, 0.1]),
+    2: ("totally unrelated words", [0.95, 0.05]),
+    3: ("spark rows", [0.8, 0.2]),
+    4: ("merge rows stream", [-0.7, 0.2]),
+    5: ("filler text here", [0.1, -0.9]),
+}
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, rank long"
+    )
+
+
+def _contrib(rank, k_rrf=60):
+    return round(1.0 / (k_rrf + rank), 9)
+
+
+def test_rrf_fuse_arithmetic(spark):
+    lex = _ranking(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    sem = _ranking(spark, [(1, 11, 1), (1, 13, 2)])
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([lex, sem], k=10).collect()
+    }
+    # doc 11: both sources; 10/12 lexical-only; 13 semantic-only
+    assert out[11][0] == round(_contrib(2) + _contrib(1), 6)
+    assert out[10][0] == round(_contrib(1), 6)
+    assert out[13][0] == round(_contrib(2), 6)
+    assert out[12][0] == round(_contrib(3), 6)
+    # fused order: 11 (two contributions) first, then 10, 13, 12
+    assert [d for d, (_, rk) in sorted(out.items(), key=lambda kv: kv[1][1])] \
+        == [11, 10, 13, 12]
+
+
+def test_rrf_fuse_three_sources_and_ties(spark):
+    a = _ranking(spark, [(1, 10, 1), (1, 11, 2)])
+    b = _ranking(spark, [(1, 11, 1), (1, 10, 2)])
+    c = _ranking(spark, [(1, 10, 1), (1, 11, 1)])  # tie rank from source c
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([a, b, c], k=10).collect()
+    }
+    # 10: r1+r2+r1, 11: r2+r1+r1 — identical sums => tie => id asc
+    assert out[10][0] == out[11][0]
+    assert out[10][1] == 1 and out[11][1] == 2
+
+
+def test_rrf_fuse_k_cut_and_empty(spark):
+    lex = _ranking(spark, [(1, d, d) for d in range(1, 8)])
+    assert rrf_fuse([lex], k=3).count() == 3
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+@pytest.fixture()
+def twin_indexes(spark, tmp_path):
+    sidx = str(tmp_path / "sidx")
+    vidx = str(tmp_path / "vidx")
+    init_vector_index(spark, vidx, centroids=ANCHORS, assigner="hof")
+    search_index_batch(spark, sidx, spark.createDataFrame(
+        [(i, i, False, t) for i, (t, _) in DOCS.items()],
+        "seq long, doc_id long, deleted boolean, text string",
+    ))
+    vector_index_batch(spark, vidx, spark.createDataFrame(
+        [(i, i, False, v) for i, (_, v) in DOCS.items()],
+        "seq long, vec_id long, deleted boolean, embedding array<double>",
+    ))
+    return sidx, vidx
+
+
+def _queries(spark):
+    terms = spark.createDataFrame(
+        [(1001, "spark"), (1001, "window")], "query_id long, term string"
+    )
+    vecs = spark.createDataFrame(
+        [(1001, [1.0, 0.05])], "vec_id long, embedding array<double>"
+    )
+    return terms, vecs
+
+
+def test_hybrid_composes_both_live_indexes(spark, twin_indexes):
+    sidx, vidx = twin_indexes
+    terms, vecs = _queries(spark)
+    # nprobe=2 probes the +x/+y cells only: semantic candidates are
+    # docs 1/2/3; the -x/-y docs (4, 5) are pruned AND term-less, so
+    # the fusion must not carry them
+    out = hybrid_topk_live(
+        spark, sidx, vidx, terms, vecs, k=5, depth=5, nprobe=2,
+    )
+    rows = {r["doc_id"]: r["rank"] for r in out.collect()}
+    # doc 1 carries both terms AND is a semantic hit -> fused #1; doc 2
+    # rides semantics alone (no term), doc 3 rides both weakly
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == 1
+    cols = out.columns
+    assert cols == ["query_id", "doc_id", "rrf_score", "rank"]
+
+
+def test_hybrid_respects_liveness_on_both_sides(spark, twin_indexes):
+    sidx, vidx = twin_indexes
+    terms, vecs = _queries(spark)
+    before = {r["doc_id"] for r in hybrid_topk_live(
+        spark, sidx, vidx, terms, vecs, k=5, depth=5,
+        nprobe=len(ANCHORS),
+    ).collect()}
+    assert 1 in before
+    # doc 1 deleted from the FEED -> both twins tombstone it
+    search_index_batch(spark, sidx, spark.createDataFrame(
+        [(10, 1, True, None)],
+        "seq long, doc_id long, deleted boolean, text string",
+    ))
+    vector_index_batch(spark, vidx, spark.createDataFrame(
+        [(10, 1, True, None)],
+        "seq long, vec_id long, deleted boolean, embedding array<double>",
+    ))
+    after = {r["doc_id"] for r in hybrid_topk_live(
+        spark, sidx, vidx, terms, vecs, k=5, depth=5,
+        nprobe=len(ANCHORS),
+    ).collect()}
+    assert 1 not in after
+    assert after and after <= before - {1} | after
