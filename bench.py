@@ -339,6 +339,40 @@ def main() -> None:
 
     bench_median("q_vector_fold_incr", vector_fold)
 
+    # hybrid retrieval (r11): RRF over a documents-table BM25 twin and
+    # the vector index above (shared long-id space — docs without a
+    # vector ride the lexical list alone). Setup indexes the documents
+    # once (outside the timer, like every other index build's
+    # amortization argument); the timed query is the fused read:
+    # pruned postings probe + nprobe cell probe + broadcast-sized RRF
+    from couch_to_postgres_spark.extensions.hybrid import hybrid_topk_live
+    from couch_to_postgres_spark.streaming.search_stream import (
+        search_index_batch as _sib_h,
+    )
+
+    hsidx = os.path.join(tmp, "hybrid_search_index")
+    _sib_h(spark, hsidx, docs.select(
+        F.col("doc_id").cast("long").alias("seq"),
+        "doc_id", F.lit(False).alias("deleted"), "text",
+    ))
+    hterms = spark.createDataFrame(
+        [(10_000_001, w) for w in ("spark", "window", "merge")]
+        + [(10_000_002, w) for w in ("vector", "filter", "join")],
+        "query_id long, term string",
+    )
+    hvecs = emb.filter(F.col("vec_id").isin(100, 200)).select(
+        F.when(F.col("vec_id") == 100, F.lit(10_000_001))
+        .otherwise(F.lit(10_000_002)).cast("long").alias("vec_id"),
+        "embedding",
+    )
+    bench(
+        "q_hybrid_topk",
+        lambda: hybrid_topk_live(
+            spark, hsidx, vlive_path, hterms, hvecs,
+            k=20, depth=50, nprobe=4,
+        ).collect(),
+    )
+
     # recall/latency trade tracked per round (outside the timers): how much
     # of the EXACT top-5 the nprobe=4 probed search recovers for a 50-query
     # panel. The number that justifies q_ann_ivf_indexed's speed.
