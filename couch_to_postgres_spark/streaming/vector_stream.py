@@ -465,6 +465,7 @@ def vector_topk_live(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k over the LIVE corpus, answered from the maintained
     index: (query_id, neighbor_id, rank), ranked on rounded cosine with
@@ -479,7 +480,15 @@ def vector_topk_live(
     liveness join. The query-side assignment runs twice (once for the
     probed-cell list, once inside scoring) rather than persisting
     q_cells: a query-sized Arrow pass repeated is cheaper than a cached
-    block a long-running daemon leaks until session GC (ADVICE r10)."""
+    block a long-running daemon leaks until session GC (ADVICE r10).
+
+    ``candidates`` (optional, an id frame) restricts neighbors to the
+    given set — metadata-filtered ANN ("nearest among docs with
+    lang=en"): a semi-join on the probed slice, so the filter pays
+    slice cost, never corpus cost. POST-filter semantics, the standard
+    IVF trade: a highly selective filter thins the probed cells and
+    can return fewer than k rows — raise ``nprobe`` for selective
+    filters."""
     assigner, cents, _ = _quantizer(spark, index_path)
     cells_path, tomb_path = _paths(index_path)
     _, base_cells_path, meta_path = _base_paths(index_path)
@@ -530,6 +539,10 @@ def vector_topk_live(
             live_vector_ids(spark, index_path, id_col),
             on=[id_col, "seq"],
             how="left_semi",
+        )
+    if candidates is not None:
+        slice_df = slice_df.join(
+            candidates.select(id_col).distinct(), id_col, "left_semi"
         )
     return _score_probed(q_cells, slice_df, k, id_col, vec_col)
 
@@ -690,6 +703,13 @@ def compact_vector_index_incremental(
     with _path_lock(index_path):
         cells_path, tomb_path = _paths(index_path)
         base_ids_path, base_cells_path, meta_path = _base_paths(index_path)
+        # a crash can strand this fold's staging sibling; clear it on
+        # entry (every exit path below rewrites or removes it anyway,
+        # but the FULL-fallback path never visits it)
+        shutil.rmtree(
+            index_path.rstrip("/") + ".compacting-vec-incr",
+            ignore_errors=True,
+        )
         meta_rows = read_meta_rows(spark, meta_path)
         if (
             not meta_rows

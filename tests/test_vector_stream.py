@@ -623,3 +623,63 @@ def test_rebuild_empty_index_raises(spark, tmp_path):
     init_vector_index(spark, p, centroids=ANCHORS, assigner="hof")
     with pytest.raises(ValueError, match="no vectors"):
         rebuild_vector_quantizer(spark, p, centroids=ANCHORS[:2])
+
+
+def test_filtered_ann_candidates(spark, index):
+    """Metadata-filtered ANN: the candidates frame restricts neighbors
+    to the given id set (post-filter on the probed slice) and equals
+    brute force over the filtered live model under exhaustive probing;
+    updates/deletes still honor seq-wins liveness inside the filter."""
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    model = {**V0, 1: [0.05, 0.95]}
+    model.pop(5)
+    vector_index_batch(spark, index, _changes(spark, [
+        (10, 1, False, model[1]), (11, 5, True, None),
+    ]))
+    allowed = {1, 2, 5, 6}  # 5 is deleted -> effective {1, 2, 6}
+    cand = spark.createDataFrame(
+        [(i,) for i in allowed], "vec_id long"
+    )
+    got = _rows(vector_topk_live(
+        spark, index, _queries(spark, model), k=4,
+        nprobe=len(ANCHORS), candidates=cand,
+    ))
+    want = _rows(_brute(
+        spark, {i: v for i, v in model.items() if i in allowed},
+        _queries(spark, model), k=4,
+    ))
+    assert got == want
+    assert {n for (_, n, _) in got} <= allowed - {5}
+
+
+def test_stale_staging_dirs_are_harmless(spark, index):
+    """A crash can leave .compacting-vec-incr / .rebuilding-vec staging
+    siblings behind; queries never read them and the next maintenance
+    pass clears and proceeds."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+        rebuild_vector_quantizer,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    for suffix in (".compacting-vec-incr", ".rebuilding-vec"):
+        junk = index.rstrip("/") + suffix
+        os.makedirs(os.path.join(junk, "cells"), exist_ok=True)
+        with open(os.path.join(junk, "cells", "garbage"), "w") as fh:
+            fh.write("not parquet")
+    _check(spark, index, V0)  # queries ignore staging siblings
+    st = compact_vector_index_incremental(spark, index)
+    assert st["mode"] == "full" and st["n_live"] == len(V0)
+    assert not os.path.exists(index.rstrip("/") + ".compacting-vec-incr")
+    done = rebuild_vector_quantizer(
+        spark, index, centroids=ANCHORS, assigner="hof"
+    )
+    assert done["n_live"] == len(V0)
+    assert not os.path.exists(index.rstrip("/") + ".rebuilding-vec")
+    _check(spark, index, V0)
