@@ -1051,6 +1051,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_vector_filtered(spark, sf_dir):
+        # r11: metadata-FILTERED ANN over the live index — "nearest
+        # neighbors whose label is 3" (vector_topk_live(candidates=…):
+        # a semi-join on the probed slice, post-filter semantics).
+        # Liveness composes with the filter: %9==4 docs are deleted
+        # first, so a label-3 doc that was deleted must not surface.
+        # nprobe=4 of the 8 anchors — real pruning; the oracle replays
+        # assignment, probing, the label AND liveness predicates, and
+        # ranking in DuckDB.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            init_vector_index,
+            vector_index_batch,
+            vector_topk_live,
+        )
+
+        e = _emb(spark, sf_dir)
+        cents = _anchor_centroids(spark, sf_dir, 8)
+        work = tempfile.mkdtemp(prefix="vec_filt_")
+        try:
+            init_vector_index(
+                spark, work, centroids=cents, assigner="hof"
+            )
+            vector_index_batch(spark, work, e.select(
+                F.col("vec_id").cast("long").alias("seq"),
+                "vec_id", F.lit(False).alias("deleted"), "embedding",
+            ))
+            vector_index_batch(spark, work, e.filter(
+                F.col("vec_id") % 9 == 4
+            ).select(
+                (F.lit(2000) + F.col("vec_id")).alias("seq"),
+                "vec_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+            ))
+            return vector_topk_live(
+                spark, work,
+                e.filter(F.col("vec_id") < 5).select("vec_id", "embedding"),
+                k=5, nprobe=4,
+                candidates=e.filter(F.col("label") == 3).select("vec_id"),
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_semantic_dedup_incremental(spark, sf_dir):
         # incremental SemDeDup against the persisted IVF index's LIVE
         # set: build on vec_id<300 (hof quantizer), tombstone %11==5,
@@ -4236,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked through the three windowed vector keys.
         "x_vector_balance": x_vector_balance,
         "x_hybrid_live": x_hybrid_live,
+        "x_vector_filtered": x_vector_filtered,
         "x_embed_stats": x_embed_stats,
         "x_target_mix": x_target_mix,
         "x_target_mix_skew": x_target_mix_skew,
@@ -9326,5 +9372,78 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, doc_id, rrf_score, rank
         FROM fused_ranked WHERE rank <= 10
+    """
+    # r11: metadata-filtered ANN — live set (%9<>4) AND label=3; the
+    # probed slice is nprobe=4 of the 8 anchors, so only candidates in
+    # probed cells can surface (post-filter IVF semantics, mirrored
+    # exactly by filtering corpus_cells to the allowed live set)
+    oracles["x_vector_filtered"] = """
+        WITH vecs AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        live_vecs AS (
+            SELECT vec_id, v FROM vecs
+            WHERE vec_id % 9 <> 4 AND label = 3
+        ),
+        anchors AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                   v AS av
+            FROM vecs WHERE vec_id < 8
+        ),
+        csims AS (
+            SELECT e.vec_id, a.cell,
+                   round(list_dot_product(e.v, a.av)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(a.av, a.av))), 4)
+                       + 0.0 AS c
+            FROM live_vecs e, anchors a
+        ),
+        cranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, cell) AS rnk
+            FROM csims
+        ),
+        corpus_cells AS (
+            SELECT vec_id, cell FROM cranked WHERE rnk = 1
+        ),
+        qsims AS (
+            SELECT e.vec_id, a.cell,
+                   round(list_dot_product(e.v, a.av)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(a.av, a.av))), 4)
+                       + 0.0 AS c
+            FROM (SELECT vec_id, v FROM vecs WHERE vec_id < 5) e,
+                 anchors a
+        ),
+        qranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, cell) AS rnk
+            FROM qsims
+        ),
+        q_cells AS (SELECT vec_id, cell FROM qranked WHERE rnk <= 4),
+        sims AS (
+            SELECT DISTINCT q.vec_id AS query_id,
+                   c.vec_id AS neighbor_id,
+                   round(list_dot_product(qv.v, cv.v)
+                         / (sqrt(list_dot_product(qv.v, qv.v))
+                          * sqrt(list_dot_product(cv.v, cv.v))), 4)
+                       AS cosine_r
+            FROM q_cells q
+            JOIN corpus_cells c
+              ON q.cell = c.cell AND q.vec_id <> c.vec_id
+            JOIN vecs qv ON qv.vec_id = q.vec_id
+            JOIN live_vecs cv ON cv.vec_id = c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_r DESC,
+                                               neighbor_id) AS rank
+            FROM sims
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
     """
     return oracles

@@ -126,3 +126,34 @@ def test_overwrite_upgrades_spark_written_dir(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["n_live"] == 300
     files = [f for f in os.listdir(p) if not f.startswith((".", "_"))]
     assert files == ["part-00000-meta.parquet"]
+
+
+def test_concurrent_reader_never_sees_empty(spark, tmp_path):
+    """The ADVICE-r10 regression pin: a lock-free reader racing the
+    atomic in-place swap sees the old row or the new row, NEVER [] —
+    the old staged-dir rename had a rmtree->rename window in which
+    query_postings silently skipped the whole compacted base."""
+    import threading
+
+    p = str(tmp_path / "meta_race")
+    write_meta_rows(spark, p, [(64, 4, 0, 0.0)], DDL)
+    stop = threading.Event()
+    failures = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            i += 1
+            write_meta_rows(spark, p, [(64, 4, i, float(i))], DDL)
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    try:
+        for _ in range(300):
+            rows = read_meta_rows(spark, p)
+            if len(rows) != 1:
+                failures.append(rows)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not failures, f"reader saw non-1-row meta: {failures[:3]}"
