@@ -472,6 +472,39 @@ class Daemon:
                 out[fc.name] = validate_mirror(self.spark, mp)
         return out
 
+    def hybrid_topk(
+        self,
+        feed_name: str,
+        term_queries,
+        vector_queries,
+        **kwargs,
+    ):
+        """Fused lexical+semantic top-k over one feed's LIVE index
+        twins (:func:`extensions.hybrid.hybrid_topk_live`) — the
+        retrieval surface a feed flagged ``search_index=True,
+        vector_index=True`` maintains without any extra state. Raises
+        when the feed lacks either twin (a one-sided fusion is just
+        that side's ranking — call its reader directly)."""
+        from couch_to_postgres_spark.extensions.hybrid import (
+            hybrid_topk_live,
+        )
+
+        registry = {f.name: f for f in load_registry(self.registry_path)}
+        if feed_name not in registry:
+            raise ValueError(f"unknown feed {feed_name!r}")
+        fc = registry[feed_name]
+        sip = self.search_index_path(fc)
+        vip = self.vector_index_path(fc)
+        if sip is None or vip is None:
+            missing = "search" if sip is None else "vector"
+            raise ValueError(
+                f"feed {feed_name!r} does not maintain a {missing} index "
+                f"twin — hybrid retrieval needs both"
+            )
+        return hybrid_topk_live(
+            self.spark, sip, vip, term_queries, vector_queries, **kwargs
+        )
+
     def balance(self) -> dict:
         """Quantizer drift report per vector-flagged feed — the
         `/_balance` control-plane surface an operator reads to decide

@@ -890,3 +890,110 @@ def test_daemon_maintains_vector_index(spark, sf_dir, tmp):
     )
     assert got3 == want
     d.stop_all()
+
+
+def test_daemon_hybrid_retrieval(spark, sf_dir, tmp):
+    """A feed flagged search_index=True AND vector_index=True maintains
+    both twins from the same micro-batches; Daemon.hybrid_topk fuses
+    their live rankings. The pin is compositional: the fused result
+    must equal hand-computed RRF over the two PUBLIC single-twin
+    readers' outputs."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        bm25_topk_from_index,
+    )
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        vector_topk_live,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 40
+    )
+    # doc text carries a label-specific term so the lexical side has
+    # real signal; the embedding rides the same doc JSON for the twin
+    changes = emb.select(
+        F.col("vec_id").cast("long").alias("seq"),
+        F.col("vec_id").cast("string").alias("id"),
+        F.lit(False).alias("deleted"),
+        F.to_json(F.struct(
+            F.concat(
+                F.lit("topic"), F.col("label").cast("string"),
+                F.lit(" corpus doc"),
+            ).alias("text"),
+            F.col("embedding"),
+        )).alias("doc"),
+    )
+    write_change_log(changes, f"{tmp}/log")
+    save_registry(
+        f"{tmp}/registry.json",
+        [
+            FeedConfig(
+                name="hybrid-feed", changes_path=f"{tmp}/log",
+                search_index=True, vector_index=True, vector_cells=4,
+            )
+        ],
+    )
+    d = Daemon(spark, f"{tmp}/registry.json", f"{tmp}/data")
+    d.find_feeds()
+    d.await_all()
+
+    terms = spark.createDataFrame(
+        [("qA", "topic3"), ("qA", "corpus")], "query_id string, term string"
+    )
+    vecs = emb.filter(F.col("vec_id") == 7).select(
+        F.lit("qA").alias("vec_id"), "embedding"
+    )
+    fused = {
+        (r["query_id"], r["doc_id"]): (r["rrf_score"], r["rank"])
+        for r in d.hybrid_topk(
+            "hybrid-feed", terms, vecs, k=8, depth=10, nprobe=4
+        ).collect()
+    }
+    assert fused
+
+    sidx = f"{tmp}/data/search/hybrid_feed"
+    vidx = f"{tmp}/data/vectors/hybrid_feed"
+    lex = {
+        r["doc_id"]: r["rank"]
+        for r in bm25_topk_from_index(
+            spark, sidx, terms, k=10
+        ).collect()
+    }
+    sem = {
+        r["neighbor_id"]: r["rank"]
+        for r in vector_topk_live(
+            spark, vidx, vecs, k=10, nprobe=4
+        ).collect()
+    }
+    expected = {}
+    for doc in set(lex) | set(sem):
+        c = 0.0
+        if doc in lex:
+            c += round(1.0 / (60 + lex[doc]), 9)
+        if doc in sem:
+            c += round(1.0 / (60 + sem[doc]), 9)
+        expected[doc] = round(c, 6)
+    want_order = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    got_order = sorted(fused.items(), key=lambda kv: kv[1][1])
+    assert [(d_, s) for d_, s in want_order] == [
+        (doc, sc) for (_, doc), (sc, _) in got_order
+    ]
+
+    # one-sided feeds refuse with a pointer to the single reader
+    save_registry(
+        f"{tmp}/registry.json",
+        [
+            FeedConfig(
+                name="hybrid-feed", changes_path=f"{tmp}/log",
+                search_index=True, vector_index=True, vector_cells=4,
+            ),
+            FeedConfig(
+                name="lex-only", changes_path=f"{tmp}/log",
+                search_index=True,
+            ),
+        ],
+    )
+    with pytest.raises(ValueError, match="vector index"):
+        d.hybrid_topk("lex-only", terms, vecs)
+    with pytest.raises(ValueError, match="unknown feed"):
+        d.hybrid_topk("nope", terms, vecs)
+    d.stop_all()
