@@ -4190,10 +4190,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every key here carries a full-value DuckDB oracle (the
         # rows-only-by-necessity keys x_compression /
         # x_quality_classifier stay below the fold, pytest-pinned).
-        # Order: (1) the round-11 additions (x_vector_live_incr — the
-        # churn-proportional vector-index fold, VERDICT r10 #1 — and
+        # Order: (1) ALL FIVE round-11 additions (x_vector_live_incr —
+        # the churn-proportional vector-index fold, VERDICT r10 #1;
         # x_vector_rebuild — the off-peak quantizer retrain, the
-        # sanctioned frozen-config change);
+        # sanctioned frozen-config change; x_vector_balance — the
+        # drift monitor's per-cell live counts; x_vector_filtered —
+        # metadata-filtered ANN; x_hybrid_live — RRF fusion over the
+        # BM25 + vector twins);
         # (2) re-checks of every query whose code path was touched
         # this round: the vector-stream v2 layout rides
         # x_vector_live; the atomic meta_io swap + the NULL-text
@@ -4207,14 +4210,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cohort (r03: the a2x incremental views, the e0x-e2x event
         # windows, the j09-j15 TPC-H shapes, and the first ANN/stats
         # extensions — last value-checked eight rounds ago). Full
-        # 50-key window dress-rehearsed green at sf0.01 three times
+        # 50-key window dress-rehearsed green at sf0.01 five times
         # this round (after the vector-stream v2 + meta_io atomic-swap
-        # wave; twice more at end-of-round with x_vector_rebuild in
-        # the window — 50/50 OK, 0 failures each time). ---
+        # wave; after x_vector_rebuild landed; twice more at
+        # end-of-round with all five additions in the window —
+        # 50/50 OK, 0 failures every time). ---
         # (1) round-11 addition (shares x_vector_live's oracle: same
         # live set, different maintenance history — by construction)
         "x_vector_live_incr": x_vector_live_incr,
         "x_vector_rebuild": x_vector_rebuild,
+        "x_vector_balance": x_vector_balance,
+        "x_vector_filtered": x_vector_filtered,
+        "x_hybrid_live": x_hybrid_live,
         # (2) round-11 re-checks: code touched this round
         "x_vector_live": x_vector_live,
         "x_compact_incremental": x_compact_incremental,
@@ -4264,24 +4271,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j14_top_part_per_brand": j14_top_part_per_brand,
         "j15_grouping_sets": j15_grouping_sets,
         "x_ann_ivf": x_ann_ivf,
-        "x_centroids": x_centroids,
-        "x_contamination": x_contamination,
-        "x_corpus_stats": x_corpus_stats,
         # --- below the driver budget: every key here is driver-
         # green from r01-r10 (or rows-only by declared necessity:
         # x_compression [zlib], x_quality_classifier [LBFGS] are
         # deliberately kept out of the checked window and pinned by
         # pytest instead). The r10 top block re-checked green in r10
         # and rotates last; next in line for r12 is the balance of
-        # the r03 cohort (x_embed_stats — displaced mid-r11 by the
-        # second addition x_vector_rebuild — plus x_fingerprint,
-        # x_hash_split, x_lang_id, x_mixture, x_salted_agg, x_tfidf,
-        # ...). x_vector_balance (r11, full value oracle) starts here
-        # too — it shares the r11 window's code paths, which are
-        # checked through the three windowed vector keys.
-        "x_vector_balance": x_vector_balance,
-        "x_hybrid_live": x_hybrid_live,
-        "x_vector_filtered": x_vector_filtered,
+        # the r03 cohort (x_centroids, x_contamination,
+        # x_corpus_stats, x_embed_stats — displaced mid-r11 by the
+        # five additions — plus x_fingerprint, x_hash_split,
+        # x_lang_id, x_mixture, x_salted_agg, x_tfidf, ...).
+        "x_centroids": x_centroids,
+        "x_contamination": x_contamination,
+        "x_corpus_stats": x_corpus_stats,
         "x_embed_stats": x_embed_stats,
         "x_target_mix": x_target_mix,
         "x_target_mix_skew": x_target_mix_skew,
