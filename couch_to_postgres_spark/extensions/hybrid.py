@@ -40,6 +40,7 @@ def rrf_fuse(
     query_id_col: str = "query_id",
     id_col: str = "doc_id",
     rank_col: str = "rank",
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Reciprocal Rank Fusion over any number of per-query rankings.
 
@@ -47,23 +48,31 @@ def rrf_fuse(
     within a query, one row per (query, doc) per source. A doc absent
     from a source simply contributes nothing for it (the standard RRF
     convention). Emits (query_id, id, rrf_score, rank) with
-    ``rrf_score = round(Σ round(1/(k_rrf+rank), 9), 6)`` — the inner
+    ``rrf_score = round(Σ round(w_i/(k_rrf+rank), 9), 6)`` — the inner
     round makes every contribution an exact DECIMAL(18,9) so the sum is
     independent of addition order (IEEE double summation is not
     associative; three-plus sources would otherwise be
     partitioning-dependent), the outer round is the stable sort key.
-    Ties break by id ascending."""
+    Ties break by id ascending. ``weights`` (default all-1.0, one per
+    ranking) is the standard weighted-RRF tuning knob — e.g. 2:1
+    lexical:semantic for terminology-heavy corpora."""
     if not rankings:
         raise ValueError("rrf_fuse: at least one ranking required")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"rrf_fuse: {len(weights)} weights for {len(rankings)} rankings"
+        )
     contribs = [
         r.select(
             F.col(query_id_col),
             F.col(id_col),
             F.round(
-                F.lit(1.0) / (F.lit(k_rrf) + F.col(rank_col)), 9
+                F.lit(float(w)) / (F.lit(k_rrf) + F.col(rank_col)), 9
             ).cast("decimal(18,9)").alias("_c"),
         )
-        for r in rankings
+        for r, w in zip(rankings, weights)
     ]
     allc = contribs[0]
     for c in contribs[1:]:
@@ -96,6 +105,7 @@ def hybrid_topk_live(
     nprobe: int = 4,
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Fused top-k over the LIVE corpus: BM25 from the maintained LSM
     index + ANN from the maintained vector index, RRF-combined.
@@ -132,5 +142,6 @@ def hybrid_topk_live(
         F.col("rank"),
     )
     return rrf_fuse(
-        [lex, sem], k=k, k_rrf=k_rrf, id_col=id_col
+        [lex, sem], k=k, k_rrf=k_rrf, id_col=id_col,
+        weights=weights,  # [w_lexical, w_semantic]
     )

@@ -864,33 +864,47 @@ def compact_vector_index_incremental(
         )
         _mark("staged_cells")
         # sidecar: affected id buckets only — non-churned rows pass
-        # through, live churned versions re-enter with their NEW cell
+        # through, live churned versions re-enter with their NEW cell.
+        # The write derives from the STAGED cells (never the merge
+        # lineage); the meta delta derives from the two persisted
+        # churn-sized frames — independent, so the write runs on a
+        # second driver thread while the delta aggregate overlaps on
+        # the main one (the search fold's staged-write discipline,
+        # ARCHITECTURE.md "Job-launch budget")
+        from concurrent.futures import ThreadPoolExecutor
+
         ids_keep = base_ids_aff.join(churned, on=id_col, how="left_anti").select(
             id_col, "seq", "cell"
         )
         ids_new = staged_c.join(churned, on=id_col, how="left_semi").select(
             id_col, "seq", "cell"
         )
-        (
-            ids_keep.unionByName(ids_new)
-            .withColumn(
-                "id_bucket",
-                F.pmod(F.hash(F.col(id_col)), F.lit(n_id_buckets)),
+
+        def _write_ids() -> None:
+            (
+                ids_keep.unionByName(ids_new)
+                .withColumn(
+                    "id_bucket",
+                    F.pmod(F.hash(F.col(id_col)), F.lit(n_id_buckets)),
+                )
+                .repartition(F.col("id_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("id_bucket")
+                .parquet(os.path.join(staging, "ids"))
             )
-            .repartition(F.col("id_bucket"))
-            .write.mode("overwrite")
-            .partitionBy("id_bucket")
-            .parquet(os.path.join(staging, "ids"))
-        )
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            ids_f = pool.submit(_write_ids)
+            # meta by exact churn-sized delta: live churned versions in,
+            # old base versions out — one tiny union-aggregate
+            delta = (
+                base_ids_churned.select(F.lit(-1).alias("sgn"))
+                .unionByName(churned_live.select(F.lit(1).alias("sgn")))
+                .agg(F.coalesce(F.sum("sgn"), F.lit(0)).alias("dn"))
+                .collect()[0]
+            )
+            ids_f.result()
         _mark("staged_ids")
-        # meta by exact churn-sized delta: live churned versions in,
-        # old base versions out — one tiny union-aggregate
-        delta = (
-            base_ids_churned.select(F.lit(-1).alias("sgn"))
-            .unionByName(churned_live.select(F.lit(1).alias("sgn")))
-            .agg(F.coalesce(F.sum("sgn"), F.lit(0)).alias("dn"))
-            .collect()[0]
-        )
         n_live = int(meta_rows[0]["n_live"]) + int(delta["dn"])
         staged_meta = os.path.join(staging, "meta")
         write_meta_rows(

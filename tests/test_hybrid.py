@@ -145,3 +145,28 @@ def test_hybrid_respects_liveness_on_both_sides(spark, twin_indexes):
     ).collect()}
     assert 1 not in after
     assert after and after <= before - {1} | after
+
+
+def test_weighted_rrf(spark):
+    """Weighted RRF: weights scale each source's reciprocal-rank
+    contribution exactly (decimal arithmetic), and a 2:1 lexical bias
+    flips an otherwise semantic-won fusion."""
+    lex = _ranking(spark, [(1, 10, 1), (1, 11, 2)])
+    sem = _ranking(spark, [(1, 11, 1), (1, 10, 3)])
+    # unweighted: 11 wins (r2+r1 > r1+r3)
+    flat = {r["doc_id"]: r["rank"] for r in rrf_fuse([lex, sem]).collect()}
+    assert flat[11] == 1
+    # 2:1 lexical: 10 wins (2*r1 + r3 > 2*r2 + r1)
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([lex, sem], weights=[2.0, 1.0]).collect()
+    }
+    assert out[10][1] == 1
+    assert out[10][0] == round(
+        round(2.0 / 61, 9) + round(1.0 / 63, 9), 6
+    )
+    assert out[11][0] == round(
+        round(2.0 / 62, 9) + round(1.0 / 61, 9), 6
+    )
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([lex, sem], weights=[1.0])
