@@ -470,6 +470,18 @@ class Daemon:
                 out[fc.name] = {"layout": "flat", "ok": None}
             else:
                 out[fc.name] = validate_mirror(self.spark, mp)
+            # vector-flagged feeds get the index-side integrity check
+            # beside the mirror's (r11): sidecar/cells agreement, base
+            # uniqueness, meta exactness, quantizer consistency
+            vip = self.vector_index_path(fc)
+            if vip is not None:
+                from couch_to_postgres_spark.streaming.vector_stream import (
+                    vector_index_fsck,
+                )
+
+                out[fc.name]["vector_index"] = vector_index_fsck(
+                    self.spark, vip
+                )
         return out
 
     def hybrid_topk(

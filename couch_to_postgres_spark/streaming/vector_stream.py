@@ -1221,3 +1221,113 @@ def rebuild_vector_quantizer(
             "prev_cells": old_n,
             "assigner": use_assigner,
         }
+
+
+def vector_index_fsck(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> dict:
+    """Integrity report for one vector index — the index-side analog of
+    the partitioned mirror's ``validate_mirror`` (`/_fsck`): the checks
+    an operator runs before trusting pruned reads after an incident
+    (crash mid-maintenance, manual surgery, filesystem restore).
+
+    Verifies the invariants every pruned read depends on:
+
+    * **sidecar ↔ cells agreement** — ``base/ids`` and ``base/cells``
+      hold exactly the same (id, seq, cell) placements (a probed read
+      opens cell dirs BY NAME from the sidecar's discovery; a
+      placement present in one but not the other is a silently
+      invisible or undiscoverable vector);
+    * **base uniqueness** — one live row per doc in the base (the
+      compaction invariant the read-mostly fast path skips dedup on);
+    * **meta exactness** — ``base/meta``'s ``n_live`` equals the
+      actual live count (what `/_status` reports churn against);
+    * **quantizer consistency** — centroid count equals the recorded
+      ``n_cells`` and every placed cell id is in range.
+
+    All checks run on SKINNY (id, seq, cell) projections; embeddings
+    are never read. Returns ``{"ok": bool, ...detail}``."""
+    cells_path, tomb_path = _paths(index_path)
+    base_ids_path, base_cells_path, meta_path = _base_paths(index_path)
+    q = read_meta_rows(spark, _quantizer_path(index_path))
+    if not q:
+        return {"ok": None, "reason": "uninitialized (no quantizer)"}
+    n_cells = int(q[0]["n_cells"])
+    n_centroids = len(read_meta_rows(spark, _centroids_path(index_path)))
+    schema = f"{id_col} long, seq long, cell int"
+    base_ids, base_cells = _read_components(
+        spark, [(base_ids_path, schema), (base_cells_path, schema)], id_col
+    )
+    sidecar = base_ids.select(id_col, "seq", "cell")
+    placed = base_cells.select(id_col, "seq", "cell")
+    # one pass over each skinny side: full-outer on the placement key,
+    # counting rows present on only one side + per-doc multiplicity
+    mismatch = (
+        sidecar.withColumn("_s", F.lit(1))
+        .join(
+            placed.withColumn("_p", F.lit(1)),
+            on=[id_col, "seq", "cell"],
+            how="full_outer",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_p").isNull(), 1)), F.lit(0)
+            ).alias("sidecar_only"),
+            F.coalesce(
+                F.sum(F.when(F.col("_s").isNull(), 1)), F.lit(0)
+            ).alias("cells_only"),
+        )
+        .collect()[0]
+    )
+    dup_docs = (
+        placed.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    bad_cells = placed.filter(
+        (F.col("cell") < 0) | (F.col("cell") >= n_cells)
+    ).count()
+    meta_rows = read_meta_rows(spark, meta_path)
+    n_live_meta = (
+        int(meta_rows[0]["n_live"])
+        if meta_rows and "n_live" in meta_rows[0]
+        else None
+    )
+    n_live_actual = live_vector_ids(spark, index_path, id_col).count()
+    tail_rows = _read_or_empty(
+        spark, cells_path, f"{id_col} long, seq long"
+    ).count()
+    n_tomb = _read_or_empty(
+        spark, tomb_path, f"{id_col} long, seq long"
+    ).count()
+    # meta is only claimed exact on a churn-free base; with churn it is
+    # the last compaction's count and the live set legitimately differs
+    meta_exact = (
+        n_live_meta is None
+        or tail_rows > 0
+        or n_tomb > 0
+        or n_live_meta == n_live_actual
+    )
+    ok = (
+        int(mismatch["sidecar_only"]) == 0
+        and int(mismatch["cells_only"]) == 0
+        and dup_docs == 0
+        and bad_cells == 0
+        and meta_exact
+        and n_centroids == n_cells
+    )
+    return {
+        "ok": ok,
+        "sidecar_only_rows": int(mismatch["sidecar_only"]),
+        "cells_only_rows": int(mismatch["cells_only"]),
+        "multi_row_docs_in_base": dup_docs,
+        "out_of_range_cells": bad_cells,
+        "n_live_meta": n_live_meta,
+        "n_live_actual": n_live_actual,
+        "meta_exact": meta_exact,
+        "tail_rows": tail_rows,
+        "tombstones": n_tomb,
+        "n_cells": n_cells,
+        "n_centroids": n_centroids,
+    }

@@ -978,6 +978,13 @@ def test_daemon_hybrid_retrieval(spark, sf_dir, tmp):
         (doc, sc) for (_, doc), (sc, _) in got_order
     ]
 
+    # /_fsck covers the vector twin beside the mirror (r11): the
+    # sidecar/cells/meta invariants hold on the freshly-drained index
+    fs = d.fsck()["hybrid-feed"]
+    assert fs["ok"]  # the mirror side
+    assert fs["vector_index"]["ok"]
+    assert fs["vector_index"]["n_live_actual"] == 40
+
     # one-sided feeds refuse with a pointer to the single reader
     save_registry(
         f"{tmp}/registry.json",

@@ -683,3 +683,61 @@ def test_stale_staging_dirs_are_harmless(spark, index):
     assert done["n_live"] == len(V0)
     assert not os.path.exists(index.rstrip("/") + ".rebuilding-vec")
     _check(spark, index, V0)
+
+
+def test_fsck_clean_and_corrupted(spark, index):
+    """vector_index_fsck passes on every healthy lifecycle state and
+    catches the invariants pruned reads depend on: a sidecar/cells
+    placement divergence and a stale meta count on a churn-free base."""
+    from couch_to_postgres_spark.streaming.meta_io import write_meta_rows
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+        vector_index_fsck,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    st = vector_index_fsck(spark, index)
+    assert st["ok"] and st["n_live_actual"] == len(V0)
+    assert st["meta_exact"]  # no base yet -> nothing to be exact about
+    compact_vector_index_incremental(spark, index)
+    # churn on top of the base: meta is legitimately stale WITH churn
+    vector_index_batch(spark, index, _changes(spark, [(10, 6, True, None)]))
+    st2 = vector_index_fsck(spark, index)
+    assert st2["ok"] and st2["meta_exact"] and st2["tombstones"] == 1
+    compact_vector_index_incremental(spark, index)
+    st3 = vector_index_fsck(spark, index)
+    assert st3["ok"] and st3["n_live_meta"] == st3["n_live_actual"] == 5
+
+    # corruption 1: a forged meta count on a churn-free base
+    write_meta_rows(
+        spark, os.path.join(index, "base", "meta"),
+        [(len(ANCHORS), 99, 64)], "n_cells int, n_live long, id_buckets int",
+    )
+    bad = vector_index_fsck(spark, index)
+    assert not bad["ok"] and not bad["meta_exact"]
+    write_meta_rows(
+        spark, os.path.join(index, "base", "meta"),
+        [(len(ANCHORS), 5, 64)], "n_cells int, n_live long, id_buckets int",
+    )
+    assert vector_index_fsck(spark, index)["ok"]
+
+    # corruption 2: a cell dir removed from base/cells while the
+    # sidecar still advertises its placements
+    import shutil as _sh
+
+    victim = os.path.join(index, "base", "cells", "cell=0")
+    assert os.path.isdir(victim)
+    _sh.rmtree(victim)
+    bad2 = vector_index_fsck(spark, index)
+    assert not bad2["ok"] and bad2["sidecar_only_rows"] > 0
+
+
+def test_fsck_uninitialized(spark, tmp_path):
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        vector_index_fsck,
+    )
+
+    assert vector_index_fsck(spark, str(tmp_path / "no_idx"))["ok"] is None
