@@ -470,9 +470,11 @@ class Daemon:
                 out[fc.name] = {"layout": "flat", "ok": None}
             else:
                 out[fc.name] = validate_mirror(self.spark, mp)
-            # vector-flagged feeds get the index-side integrity check
-            # beside the mirror's (r11): sidecar/cells agreement, base
-            # uniqueness, meta exactness, quantizer consistency
+            # index-flagged feeds get index-side integrity checks
+            # beside the mirror's (r11): the vector twin's
+            # sidecar/cells/meta/quantizer invariants; the search and
+            # shingle twins' meta exactness + sampled postings/dfs/
+            # doclen-discovery agreement
             vip = self.vector_index_path(fc)
             if vip is not None:
                 from couch_to_postgres_spark.streaming.vector_stream import (
@@ -482,6 +484,16 @@ class Daemon:
                 out[fc.name]["vector_index"] = vector_index_fsck(
                     self.spark, vip
                 )
+            for key, sip in (
+                ("search_index", self.search_index_path(fc)),
+                ("shingle_index", self.shingle_index_path(fc)),
+            ):
+                if sip is not None:
+                    from couch_to_postgres_spark.streaming.search_stream import (
+                        search_index_fsck,
+                    )
+
+                    out[fc.name][key] = search_index_fsck(self.spark, sip)
         return out
 
     def hybrid_topk(

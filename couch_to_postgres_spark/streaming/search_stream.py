@@ -1678,3 +1678,168 @@ def index_status(
         "token_buckets": token_buckets,
         "compaction_debt": round(churn / n_live, 4) if n_live else None,
     }
+
+
+def search_index_fsck(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "doc_id",
+    sample_pairs: int = 8,
+    seed: int = 13,
+) -> dict:
+    """Integrity report for one LSM search index's COMPACTED BASE — the
+    invariants every pruned read depends on, verified at BOUNDED cost
+    (the vector twin's :func:`vector_stream.vector_index_fsck` sibling;
+    surfaced per search-flagged feed on `/_fsck`).
+
+    Full-corpus checks run only on SKINNY frames:
+
+    * **meta exactness** — ``n_live``/``sum_dl`` equal one aggregate
+      over ``base/doclen`` (what every read-mostly BM25 fast path
+      scores with);
+    * **base uniqueness** — one doclen row per doc.
+
+    The postings-side checks are SAMPLED — a full postings↔dfs↔doclen
+    audit is corpus-sized by definition, which is exactly the cost an
+    fsck must not impose at 100 TB. ``sample_pairs`` existing
+    ``(token_bucket, id_sub)`` dirs are drawn deterministically
+    (seeded) and opened BY NAME; within each:
+
+    * **dfs agreement** — the pair's partial df counts equal a fresh
+      per-token count of its postings (a drifted dfs silently
+      mis-plans phrase probes and mis-scores the df fast path);
+    * **doclen discovery agreement** — every posting's doc has a base
+      doclen row whose ``buckets`` column contains the pair's
+      token_bucket (the incremental compactor's old-pair discovery
+      reads exactly this; a miss makes churn folds leave stale rows).
+
+    Returns ``{"ok": bool|None, ...detail}``; ``ok=None`` when the
+    index has no compacted base (tail-only indexes have no pruned-read
+    invariants to check — every read merges everything)."""
+    import random
+
+    base_doclen_path, base_postings_path, meta_path = _base_paths(
+        index_path
+    )
+    meta_rows = read_meta_rows(spark, meta_path)
+    if not meta_rows or not _has_partition_prefix(
+        base_doclen_path, "id_bucket="
+    ):
+        return {"ok": None, "reason": "no compacted base"}
+    dl = spark.read.parquet(base_doclen_path)
+    agg = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0.0)).alias("s"),
+        F.coalesce(
+            F.sum(F.when(F.col("dl") < 0, 1).otherwise(0)), F.lit(0)
+        ).alias("neg_dl"),
+    ).collect()[0]
+    n_live_actual = int(agg["n"])
+    sum_dl_actual = float(agg["s"])
+    dup_docs = (
+        dl.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    meta_live_ok = int(meta_rows[0]["n_live"]) == n_live_actual
+    meta_dl_ok = (
+        abs(float(meta_rows[0]["sum_dl"] or 0.0) - sum_dl_actual) < 1e-6
+    )
+
+    # deterministic sample of existing pair dirs (local listing, the
+    # swap machinery's filesystem assumption; HDFS/S3 = listStatus)
+    pair_dirs = []
+    try:
+        for tb in os.listdir(base_postings_path):
+            if not tb.startswith("token_bucket="):
+                continue
+            for sb in os.listdir(os.path.join(base_postings_path, tb)):
+                if sb.startswith("id_sub="):
+                    pair_dirs.append(f"{tb}/{sb}")
+    except OSError:
+        pair_dirs = []
+    rng = random.Random(seed)
+    sampled = sorted(
+        rng.sample(sorted(pair_dirs), min(sample_pairs, len(pair_dirs)))
+    )
+    dfs_mismatch_tokens = 0
+    undiscoverable_rows = 0
+    id_t = dict(dl.dtypes).get(id_col, "string")
+    for rel in sampled:
+        po = _open_partition_dirs(spark, base_postings_path, [rel])
+        if po is None:
+            continue
+        fresh = po.groupBy("token").agg(
+            F.count(F.lit(1)).cast("double").alias("dft_fresh")
+        )
+        stored = _open_partition_dirs(
+            spark, os.path.join(index_path, "base", "dfs"), [rel]
+        )
+        if stored is None:
+            dfs_mismatch_tokens += int(
+                fresh.count()
+            )  # whole pair's dfs partials missing
+        else:
+            dfs_mismatch_tokens += int(
+                fresh.join(
+                    stored.select("token", "dft"), "token", "full_outer"
+                )
+                .filter(
+                    F.col("dft_fresh").isNull()
+                    | F.col("dft").isNull()
+                    | (F.col("dft_fresh") != F.col("dft"))
+                )
+                .count()
+            )
+        # discovery agreement: the pair's docs, looked up in THEIR
+        # id-bucket doclen dirs (opened by name — bounded by the
+        # sample's doc set, never a full doclen read)
+        tb_val = int(rel.split("/")[0].split("=")[1])
+        n_buckets = int(meta_rows[0]["token_buckets"])
+        doc_buckets = sorted(
+            r["b"]
+            for r in po.select(
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
+            ).distinct().collect()
+        )
+        dl_aff = _open_partition_dirs(
+            spark, base_doclen_path,
+            [f"id_bucket={b}" for b in doc_buckets],
+        )
+        if dl_aff is None:
+            undiscoverable_rows += int(po.count())
+            continue
+        undiscoverable_rows += int(
+            po.select(id_col)
+            .distinct()
+            .join(
+                dl_aff.filter(
+                    F.array_contains("buckets", F.lit(tb_val))
+                ).select(id_col),
+                id_col,
+                "left_anti",
+            )
+            .count()
+        )
+    ok = (
+        meta_live_ok
+        and meta_dl_ok
+        and dup_docs == 0
+        and int(agg["neg_dl"]) == 0
+        and dfs_mismatch_tokens == 0
+        and undiscoverable_rows == 0
+    )
+    return {
+        "ok": ok,
+        "n_live_meta": int(meta_rows[0]["n_live"]),
+        "n_live_actual": n_live_actual,
+        "meta_live_ok": meta_live_ok,
+        "meta_sum_dl_ok": meta_dl_ok,
+        "multi_row_docs_in_base": dup_docs,
+        "negative_dl_rows": int(agg["neg_dl"]),
+        "sampled_pair_dirs": sampled,
+        "total_pair_dirs": len(pair_dirs),
+        "dfs_mismatch_tokens": dfs_mismatch_tokens,
+        "undiscoverable_posting_docs": undiscoverable_rows,
+    }

@@ -521,3 +521,69 @@ def test_null_text_upsert_counts_zero_postings(spark, index):
         for r in spark.read.parquet(os.path.join(index, "doclen")).collect()
     }
     assert dl[2] == 0.0 and dl[1] == 3.0
+
+
+def test_search_index_fsck(spark, index, tmp_path):
+    """Bounded integrity check on the compacted base: clean after
+    compaction (and legitimately ok=None before), meta forgery caught,
+    a drifted dfs partial caught within the sampled pair dirs."""
+    from couch_to_postgres_spark.streaming.meta_io import write_meta_rows
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index_inplace,
+        search_index_fsck,
+    )
+
+    search_index_batch(spark, index, _changes(spark, [
+        (1, 1, False, "spark merges rows"),
+        (2, 2, False, "window rows sort"),
+        (3, 3, False, "spark window stream"),
+    ]))
+    assert search_index_fsck(spark, index)["ok"] is None  # tail-only
+    compact_index_inplace(spark, index)
+    st = search_index_fsck(spark, index, sample_pairs=10_000)
+    assert st["ok"]
+    assert st["n_live_meta"] == st["n_live_actual"] == 3
+    assert st["sampled_pair_dirs"] and (
+        len(st["sampled_pair_dirs"]) == st["total_pair_dirs"]
+    )
+
+    # forged meta -> caught
+    import os as _os
+
+    meta_path = _os.path.join(index, "base", "meta")
+    from couch_to_postgres_spark.streaming.meta_io import read_meta_rows
+
+    row = read_meta_rows(spark, meta_path)[0]
+    write_meta_rows(
+        spark, meta_path,
+        [(int(row["token_buckets"]), int(row["id_subbuckets"]), 99,
+          float(row["sum_dl"]))],
+        "token_buckets int, id_subbuckets int, n_live long, sum_dl double",
+    )
+    assert not search_index_fsck(spark, index)["meta_live_ok"]
+    write_meta_rows(
+        spark, meta_path,
+        [(int(row["token_buckets"]), int(row["id_subbuckets"]),
+          int(row["n_live"]), float(row["sum_dl"]))],
+        "token_buckets int, id_subbuckets int, n_live long, sum_dl double",
+    )
+    assert search_index_fsck(spark, index)["ok"]
+
+    # drifted dfs: drop one pair's partials entirely -> every token in
+    # that pair counts as a mismatch (sampled exhaustively here)
+    import shutil as _sh
+
+    dfs_root = _os.path.join(index, "base", "dfs")
+    victim = None
+    for tb in sorted(_os.listdir(dfs_root)):
+        if tb.startswith("token_bucket="):
+            for sb in sorted(_os.listdir(_os.path.join(dfs_root, tb))):
+                if sb.startswith("id_sub="):
+                    victim = _os.path.join(dfs_root, tb, sb)
+                    break
+        if victim:
+            break
+    assert victim
+    _sh.rmtree(victim)
+    bad = search_index_fsck(spark, index, sample_pairs=10_000)
+    assert not bad["ok"] and bad["dfs_mismatch_tokens"] > 0
