@@ -554,7 +554,8 @@ def main() -> None:
     # ~flat — the search index's r09/r10 shape, now on embedding-sized
     # state where the full rewrite hurts the most).
     if not only_early or only_early & {
-        "q_vector_compact_full", "q_vector_compact_incr"
+        "q_vector_compact_full", "q_vector_compact_incr",
+        "q_vector_query",
     }:
         from couch_to_postgres_spark.streaming.vector_stream import (
             compact_vector_index as _cvf,
@@ -884,6 +885,30 @@ def main() -> None:
 
             q["q_vector_compact_full"] = _vector_full
             q["q_vector_compact_incr"] = _vector_incr
+
+            # the QUERY path at scale: nprobe=4 cells opened by name.
+            # Cell counts grow sqrt-N-style with the corpus (64 -> 256),
+            # so the probed slice grows ~sqrt(data) (600k/64*4=37.5k
+            # rows vs 6M/256*4=93.7k — ~2.5x at 10x data), and the
+            # plan never lists or scans unprobed dirs — expect a ratio
+            # well under the data ratio
+            from couch_to_postgres_spark.streaming.vector_stream import (
+                vector_topk_live as _vtl_q,
+            )
+
+            vq = t["emb"].filter(F.col("vec_id") < 3).select(
+                (F.col("vec_id") + F.lit(10**12)).alias("vec_id"),
+                F.col("embedding").cast("array<double>").alias(
+                    "embedding"
+                ),
+            ).localCheckpoint(eager=True)
+
+            def _vector_query():
+                _vtl_q(
+                    spark, t["vec_idx"], vq, k=10, nprobe=4
+                ).collect()
+
+            q["q_vector_query"] = _vector_query
         # r09 crossover: same pair over the 600k/6M MIRROR corpus with a
         # FIXED eval set — the batch leg re-shingles the growing train
         # corpus per run, the indexed leg reads live postings tokens
