@@ -122,7 +122,20 @@ def hybrid_topk_live(
     from them: the vector reader's self-exclusion filter
     (``query_id != neighbor_id``, inherited from the batch IVF's
     corpus-member-query contract) would silently drop a corpus doc
-    whose id collides with a query id."""
+    whose id collides with a query id.
+
+    The two probes are independent until the fuse, so each runs to
+    completion on its own driver thread and the fused read costs
+    ≈ max(leg) + fuse instead of sum-of-legs (VERDICT r11 #1 — the
+    fold's staged-write overlap discipline applied to the read path;
+    Spark's scheduler interleaves the two threads' jobs across the
+    executor pool). Each leg MATERIALIZES to the driver — sound
+    because a leg is top-``depth`` per query, i.e. ≤ queries×depth
+    rows by construction, never corpus-sized — which also hands
+    ``rrf_fuse`` two local relations, so the fuse plan carries no
+    index-scan lineage to re-trigger."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from couch_to_postgres_spark.streaming.search_stream import (
         bm25_topk_from_index,
     )
@@ -130,17 +143,29 @@ def hybrid_topk_live(
         vector_topk_live,
     )
 
-    lex = bm25_topk_from_index(
-        spark, search_index_path, term_queries, k=depth, id_col=id_col
-    ).select("query_id", id_col, "rank")
-    sem = vector_topk_live(
-        spark, vector_index_path, vector_queries, k=depth, nprobe=nprobe,
-        id_col=vec_id_col,
-    ).select(
-        F.col("query_id"),
-        F.col("neighbor_id").alias(id_col),
-        F.col("rank"),
-    )
+    def _lex() -> tuple:
+        df = bm25_topk_from_index(
+            spark, search_index_path, term_queries, k=depth, id_col=id_col
+        ).select("query_id", id_col, "rank")
+        return df.schema, df.collect()
+
+    def _sem() -> tuple:
+        df = vector_topk_live(
+            spark, vector_index_path, vector_queries, k=depth,
+            nprobe=nprobe, id_col=vec_id_col,
+        ).select(
+            F.col("query_id"),
+            F.col("neighbor_id").alias(id_col),
+            F.col("rank"),
+        )
+        return df.schema, df.collect()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lex_f = pool.submit(_lex)
+        sem_schema, sem_rows = _sem()
+        lex_schema, lex_rows = lex_f.result()
+    lex = spark.createDataFrame(lex_rows, lex_schema)
+    sem = spark.createDataFrame(sem_rows, sem_schema)
     return rrf_fuse(
         [lex, sem], k=k, k_rrf=k_rrf, id_col=id_col,
         weights=weights,  # [w_lexical, w_semantic]

@@ -104,11 +104,25 @@ class Daemon:
         registry_path: str,
         data_root: str,
         search_compaction_debt: float = 0.1,
+        pending_flush_ticks: int = 3,
     ):
         self.spark = spark
         self.registry_path = registry_path
         self.data_root = data_root
         self.queries: dict[str, object] = {}  # feed name -> StreamingQuery
+        #: how many consecutive watchdog passes a pre-init vector
+        #: bootstrap buffer must survive before the watchdog force-
+        #: flushes it (trains the quantizer on whatever accumulated).
+        #: Flushing on the FIRST tick that sees pending rows (r11)
+        #: froze a 1-2-cell quantizer on any feed ramping slower than
+        #: vector_cells docs per supervisor cadence — the exact
+        #: degradation the buffer exists to prevent (ADVICE r11). The
+        #: grace lets a normal ramp reach the configured cell count;
+        #: a genuinely tiny feed becomes queryable after N ticks with
+        #: quantizer_degraded surfaced. Operators can skip the wait
+        #: with force_flush_pending() / GET /_flush_pending?feed=NAME.
+        self.pending_flush_ticks = int(pending_flush_ticks)
+        self._pending_ticks: dict[str, int] = {}
         #: watchdog trigger: compact a feed's BM25 index when its
         #: churn-rows-per-live-doc (`index_status`'s compaction_debt)
         #: exceeds this — read amplification between compactions is
@@ -312,8 +326,20 @@ class Daemon:
 
             vst = vector_index_status(self.spark, vip)
             if vst["n_cells"] is None and vst["pending_upserts"]:
-                flush_pending(self.spark, vip, n_cells=fc.vector_cells)
-                vst = vector_index_status(self.spark, vip)
+                # aging gate (ADVICE r11): only force-flush a bootstrap
+                # buffer that has survived pending_flush_ticks passes —
+                # a feed still ramping gets to reach vector_cells
+                # upserts and train full-width; only a genuinely
+                # stalled trickle feed pays the degraded fit
+                ticks = self._pending_ticks.get(fc.name, 0) + 1
+                if ticks >= self.pending_flush_ticks:
+                    flush_pending(self.spark, vip, n_cells=fc.vector_cells)
+                    self._pending_ticks.pop(fc.name, None)
+                    vst = vector_index_status(self.spark, vip)
+                else:
+                    self._pending_ticks[fc.name] = ticks
+            else:
+                self._pending_ticks.pop(fc.name, None)
             debt = vst.get("compaction_debt")
             if debt is not None and debt > self.search_compaction_debt:
                 diag: dict = {}
@@ -550,6 +576,44 @@ class Daemon:
             )
         return out
 
+    def force_flush_pending(self, feed_name: str) -> dict:
+        """Operator override of the bootstrap-buffer aging gate: train
+        the feed's vector quantizer NOW on whatever upserts accumulated
+        (``/_flush_pending?feed=NAME``). The watchdog's tick grace
+        (``pending_flush_ticks``) protects normal ramp-up; this is the
+        escape hatch for a feed the operator KNOWS is tiny — a 2-doc
+        corpus becomes queryable immediately, with the degraded fit
+        surfaced as ``quantizer_degraded`` in `/_status`."""
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            flush_pending,
+            vector_index_status,
+        )
+
+        fc = next(
+            (
+                f
+                for f in load_registry(self.registry_path)
+                if f.name == feed_name
+            ),
+            None,
+        )
+        vip = self.vector_index_path(fc) if fc is not None else None
+        if vip is None:
+            raise ValueError(
+                f"feed {feed_name!r} does not maintain a vector index"
+            )
+        stats = flush_pending(self.spark, vip, n_cells=fc.vector_cells)
+        self._pending_ticks.pop(feed_name, None)
+        st = vector_index_status(self.spark, vip)
+        return {
+            "flushed": stats is not None,
+            "upserts": stats.upserts if stats is not None else 0,
+            "deletes": stats.deletes if stats is not None else 0,
+            "n_cells": st["n_cells"],
+            "configured_cells": st["configured_cells"],
+            "quantizer_degraded": st["quantizer_degraded"],
+        }
+
     def run_supervisor(
         self,
         poll_seconds: float = 50.0,
@@ -591,21 +655,36 @@ def serve_control_plane(daemon: Daemon, port: int = 0) -> tuple[ThreadingHTTPSer
     """HTTP control plane (A15): GET /_status → daemon.status() JSON;
     GET /_watchdog → run one watchdog pass; GET /_finder → find_feeds;
     GET /_fsck → mirror integrity; GET /_balance → vector quantizer
-    drift. Returns (server, bound_port); server runs on a daemon
-    thread."""
+    drift; GET /_flush_pending?feed=NAME → operator override of the
+    vector bootstrap buffer's aging gate. Returns (server, bound_port);
+    server runs on a daemon thread."""
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802
-            if self.path == "/_status":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path == "/_status":
                 payload = daemon.status()
-            elif self.path == "/_watchdog":
+            elif url.path == "/_watchdog":
                 payload = daemon.watchdog()
-            elif self.path == "/_finder":
+            elif url.path == "/_finder":
                 payload = {"started": daemon.find_feeds()}
-            elif self.path == "/_fsck":
+            elif url.path == "/_fsck":
                 payload = daemon.fsck()
-            elif self.path == "/_balance":
+            elif url.path == "/_balance":
                 payload = daemon.balance()
+            elif url.path == "/_flush_pending":
+                feed = parse_qs(url.query).get("feed", [None])[0]
+                try:
+                    payload = daemon.force_flush_pending(feed or "")
+                except ValueError as e:
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
             else:
                 self.send_response(404)
                 self.end_headers()

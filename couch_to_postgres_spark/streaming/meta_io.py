@@ -62,15 +62,27 @@ def _fields(schema: str) -> list[tuple[str, str]]:
     return out
 
 
+_META_PART = "part-00000-meta.parquet"
+
+
 def read_meta_rows(spark: SparkSession, path: str) -> list[dict]:
     """All rows of a tiny meta table as plain dicts; ``[]`` when the
     table doesn't exist yet. Local paths never launch a Spark job.
     Reads are schema-free (parquet self-describes) — only writes need
     the DDL. Handles any column types pyarrow does, including the IVF
-    centroid arrays."""
+    centroid arrays. When the canonical ``write_meta_rows`` part file
+    is present it is read ALONE — ``write_meta_rows`` always writes the
+    complete row set into it, so a stale foreign part (a pre-fast-path
+    Spark ``coalesce(1)`` write awaiting its one-time-upgrade unlink)
+    can never surface as a phantom extra row mid-transition
+    (ADVICE r11: the dataset read returned TWO rows in the
+    replace→unlink window and rows[0] was nondeterministic)."""
     local = _local(path)
     if local is not None:
+        canonical = os.path.join(local, _META_PART)
         try:
+            if os.path.isfile(canonical):
+                return pq.read_table(canonical).to_pylist()
             return pq.read_table(local).to_pylist()
         except FileNotFoundError:
             return []
@@ -82,9 +94,6 @@ def read_meta_rows(spark: SparkSession, path: str) -> list[dict]:
         return [r.asDict() for r in spark.read.parquet(path).collect()]
     except AnalysisException:
         return []
-
-
-_META_PART = "part-00000-meta.parquet"
 
 
 def write_meta_rows(
@@ -99,9 +108,11 @@ def write_meta_rows(
     skipped the whole compacted base — ADVICE r10). Stale foreign part
     files (a dir a Spark ``coalesce(1)`` write laid down before this
     fast path existed) are unlinked after the replace; in that
-    one-time-transition window a reader can see the OLD row — a stale
-    read, never an empty one. Non-local: the original coalesce(1)
-    Spark write."""
+    one-time-transition window ``read_meta_rows`` prefers the canonical
+    part, so the stale sibling is invisible to this module's readers
+    (ADVICE r11 — the prior dataset read could surface BOTH rows
+    between the replace and the unlink). Non-local: the original
+    coalesce(1) Spark write."""
     local = _local(path)
     if local is None:
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(

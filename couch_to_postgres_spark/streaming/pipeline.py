@@ -347,20 +347,32 @@ def _feed_vector_index(
             "array<double>"
         )).otherwise(emb).alias("embedding"),
     )
-    if not read_meta_rows(spark, _quantizer_path(vector_index_path)):
-        buffered = append_pending(spark, vector_index_path, changes)
-        if buffered >= int(vector_cells):
+    # the whole route decision runs under the index's path lock: the
+    # daemon watchdog's force-flush (flush_pending) can otherwise init
+    # the quantizer and retire the pending dir BETWEEN this thread's
+    # quantizer check and its append, sweeping the appended rows away
+    # un-ingested (ADVICE r11). The lock is reentrant, so the inner
+    # append/flush/batch calls re-acquire it safely.
+    from couch_to_postgres_spark.streaming.partitioned import _path_lock
+
+    with _path_lock(vector_index_path):
+        if not read_meta_rows(spark, _quantizer_path(vector_index_path)):
+            buffered = append_pending(spark, vector_index_path, changes)
+            if buffered >= 0:
+                if buffered >= int(vector_cells):
+                    flush_pending(
+                        spark, vector_index_path, n_cells=int(vector_cells)
+                    )
+                return
+            # -1: a concurrent flush initialized the index after our
+            # check — fall through to the post-init ingest path
+        # at-least-once recovery: a crash between quantizer init and the
+        # pending ingest leaves the buffer behind — drain it first
+        if os.path.isdir(_pending_path(vector_index_path)):
             flush_pending(
                 spark, vector_index_path, n_cells=int(vector_cells)
             )
-        return
-    # at-least-once recovery: a crash between quantizer init and the
-    # pending ingest leaves the buffer behind — drain it first
-    if os.path.isdir(_pending_path(vector_index_path)):
-        flush_pending(
-            spark, vector_index_path, n_cells=int(vector_cells)
-        )
-    vector_index_batch(spark, vector_index_path, changes)
+        vector_index_batch(spark, vector_index_path, changes)
 
 
 def follow(

@@ -116,6 +116,33 @@ from couch_to_postgres_spark.streaming.search_stream import (
 
 _ASSIGNERS = {"vectorized": assign_cells, "hof": assign_cells_hof}
 
+#: quantizer marker schema. ``layout_epoch`` stamps which quantizer
+#: generation the base was assigned under; the SAME epoch is recorded
+#: in ``base/meta``, and :func:`vector_index_fsck` cross-checks the
+#: pair — a crash inside :func:`rebuild_vector_quantizer`'s swap
+#: sequence (new base in place, old centroids still current) is
+#: otherwise silently invisible when n_cells is unchanged (ADVICE r11)
+_QUANTIZER_SCHEMA = (
+    "assigner string, n_cells int, configured_cells int, layout_epoch long"
+)
+
+#: ``base/meta`` schema (read-mostly fast-path stats + layout
+#: continuity + the epoch half of the fsck cross-check)
+_BASE_META_SCHEMA = (
+    "n_cells int, n_live long, id_buckets int, layout_epoch long"
+)
+
+
+def _layout_epoch(spark: SparkSession, index_path: str) -> int:
+    """The quantizer's current layout epoch (0 for a pre-epoch index —
+    metas written before r12 lack the column; dict ``.get`` covers
+    both)."""
+    q = read_meta_rows(spark, _quantizer_path(index_path))
+    if not q:
+        return 0
+    got = q[0].get("layout_epoch")
+    return int(got) if got is not None else 0
+
 #: ``base/ids`` partition fan-out — the unit the incremental compactor
 #: rewrites per churned id bucket. Fixed like the search index's 64
 #: token buckets: the sidecar is SKINNY (id, seq, cell), so a bucket
@@ -216,8 +243,9 @@ def init_vector_index(
             assigner,
             len(centroids),
             int(configured_cells) if configured_cells else len(centroids),
+            0,  # layout epoch: bumped only by rebuild_vector_quantizer
         )],
-        "assigner string, n_cells int, configured_cells int",
+        _QUANTIZER_SCHEMA,
     )
     return centroids
 
@@ -249,9 +277,23 @@ def append_pending(
     resurrect the doc when the buffer flushes) and return the total
     buffered upsert count — the caller's flush trigger. The buffer is
     bootstrap-window-sized by construction (the first batch with enough
-    upserts flushes it), so the count-back read is trivially cheap."""
-    changes.write.mode("append").parquet(_pending_path(index_path))
-    return pending_upsert_count(spark, index_path)
+    upserts flushes it), so the count-back read is trivially cheap.
+
+    Serialized against :func:`flush_pending` by the per-path lock, and
+    the quantizer is RE-checked inside it: the daemon watchdog's
+    force-flush lists→ingests→retires the buffer under the same lock,
+    so an unserialized append racing that flush could land rows after
+    the list and lose them to the retire — silent vector loss breaking
+    at-least-once (ADVICE r11). If the quantizer appeared since the
+    caller's check (a flush won the race), returns ``-1``: the caller
+    must route the batch to :func:`vector_index_batch` instead."""
+    from couch_to_postgres_spark.streaming.partitioned import _path_lock
+
+    with _path_lock(index_path):
+        if read_meta_rows(spark, _quantizer_path(index_path)):
+            return -1
+        changes.write.mode("append").parquet(_pending_path(index_path))
+        return pending_upsert_count(spark, index_path)
 
 
 def pending_upsert_count(spark: SparkSession, index_path: str) -> int:
@@ -621,8 +663,11 @@ def compact_vector_index(
         write_meta_rows(
             spark,
             staged_meta,
-            [(int(n_cells), n_live, int(id_buckets))],
-            "n_cells int, n_live long, id_buckets int",
+            [(
+                int(n_cells), n_live, int(id_buckets),
+                _layout_epoch(spark, index_path),
+            )],
+            _BASE_META_SCHEMA,
         )
         live.unpersist()
         for old, new in (
@@ -676,7 +721,12 @@ def compact_vector_index_incremental(
     * **meta updates by exact churn-sized delta** (live churned
       versions in, old base versions out) — no corpus aggregate;
     * unaffected ``cell=N`` and ``id_bucket=H`` dirs are never opened,
-      never rewritten (bit-identical, by test).
+      never rewritten (bit-identical, by test);
+    * **rewrites scale with EFFECTIVE churn** — churned ids the index
+      actually holds. Never-indexed tombstones (a mostly-plain feed's
+      field-less upserts each tombstone this index) are read-probed but
+      rewrite nothing: they kill nothing and the tombstone retire
+      erases them regardless (ADVICE r11).
 
     Falls back to the FULL :func:`compact_vector_index` when the index
     has never been compacted or carries the legacy (r10, flat
@@ -795,6 +845,31 @@ def compact_vector_index_incremental(
             .collect()
         )  # driver-bounded: <= n_cells ints
         cell_dirs = [f"cell={c}" for c in aff_cells]
+        # EFFECTIVE churn: churned ids the index actually HOLDS (a base
+        # sidecar row or a tail upsert). A mostly-plain feed tombstones
+        # every field-less upsert (pipeline's old-vector-must-die rule),
+        # so feed churn can dwarf embedded churn — never-indexed
+        # tombstones kill nothing, leave zero trace after the fold
+        # (tombstones retire wholesale below), and must not drag their
+        # id buckets into the REWRITE set (ADVICE r11: sidecar rewrites
+        # otherwise scale with the whole feed's update rate). The full
+        # churn set still drives the pruned *read* — that's how "never
+        # held" is learned — but reads are skinny and listing-free;
+        # only writes are the scale hazard.
+        eff_bucket_counts = (
+            base_ids_churned.select(id_col)
+            .unionByName(tail_skinny.select(id_col))
+            .distinct()
+            .groupBy(
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_id_buckets)).alias(
+                    "b"
+                )
+            )
+            .count()
+            .collect()
+        )
+        n_eff_churned = sum(int(r["count"]) for r in eff_bucket_counts)
+        eff_id_buckets = sorted(r["b"] for r in eff_bucket_counts)
 
         _mark("affected_cells")
         # churn-scoped liveness: max-seq over (old base version ∪ tail
@@ -873,8 +948,14 @@ def compact_vector_index_incremental(
         # ARCHITECTURE.md "Job-launch budget")
         from concurrent.futures import ThreadPoolExecutor
 
-        ids_keep = base_ids_aff.join(churned, on=id_col, how="left_anti").select(
-            id_col, "seq", "cell"
+        # keeps come only from EFFECTIVE buckets — a bucket whose only
+        # churn is never-indexed tombstones is not rewritten (and must
+        # not be: _swap_dirs retires the old dir whenever it runs, so
+        # the rewrite list below is eff_id_buckets to match)
+        ids_keep = (
+            base_ids_aff.filter(F.col("id_bucket").isin(eff_id_buckets))
+            .join(churned, on=id_col, how="left_anti")
+            .select(id_col, "seq", "cell")
         )
         ids_new = staged_c.join(churned, on=id_col, how="left_semi").select(
             id_col, "seq", "cell"
@@ -910,8 +991,11 @@ def compact_vector_index_incremental(
         write_meta_rows(
             spark,
             staged_meta,
-            [(n_cells, n_live, n_id_buckets)],
-            "n_cells int, n_live long, id_buckets int",
+            [(
+                n_cells, n_live, n_id_buckets,
+                _layout_epoch(spark, index_path),
+            )],
+            _BASE_META_SCHEMA,
         )
         _mark("meta_delta")
         churned.unpersist()
@@ -936,7 +1020,7 @@ def compact_vector_index_incremental(
         _swap_dirs(
             base_ids_path,
             os.path.join(staging, "ids"),
-            [f"id_bucket={b}" for b in aff_id_buckets],
+            [f"id_bucket={b}" for b in eff_id_buckets],
         )
         _retire(meta_path, index_path)
         os.rename(staged_meta, meta_path)
@@ -947,9 +1031,11 @@ def compact_vector_index_incremental(
         return {
             "mode": "incremental",
             "churned_docs": n_churned,
+            "effective_churned_docs": n_eff_churned,
             "affected_cells": len(aff_cells),
             "total_cells": n_cells,
-            "affected_id_buckets": aff_id_buckets,
+            "affected_id_buckets": eff_id_buckets,
+            "probed_id_buckets": aff_id_buckets,
             "id_buckets": n_id_buckets,
             "n_live": n_live,
         }
@@ -994,6 +1080,11 @@ def vector_index_status(
             trained < configured if q else False
         ),
         "assigner": q[0]["assigner"] if q else None,
+        "layout_epoch": (
+            int(q[0]["layout_epoch"])
+            if q and q[0].get("layout_epoch") is not None
+            else (0 if q else None)
+        ),
         "pending_upserts": (
             pending_upsert_count(spark, index_path) if not q else 0
         ),
@@ -1154,11 +1245,14 @@ def rebuild_vector_quantizer(
             "overwrite"
         ).partitionBy("cell").parquet(staged_cells)
         # sidecar + count from the staged files (never re-run the
-        # assignment lineage)
+        # assignment lineage); the empty-read fallback carries the live
+        # rows' id dtype — couch `_id`s are STRINGS (never-cast-ids
+        # rule; VERDICT r11 #4)
+        id_t = dict(live_rows.dtypes)[id_col]
         staged_c = _read_or_empty(
             spark,
             staged_cells,
-            f"{id_col} long, seq long, {vec_col} array<double>, cell int",
+            f"{id_col} {id_t}, seq long, {vec_col} array<double>, cell int",
         )
         staged_ids = os.path.join(staging, "ids")
         (
@@ -1180,16 +1274,44 @@ def rebuild_vector_quantizer(
         )
         live_rows.unpersist()
         live.unpersist()
+        # EVERYTHING the new layout needs — base meta, centroids,
+        # quantizer marker — is staged alongside the cells/ids BEFORE
+        # any swap, stamped with the bumped layout epoch. The swap
+        # itself is then a pure rename sequence (microseconds), not the
+        # prior base-swap → Spark-job centroids write → quantizer write
+        # (ADVICE r11: a crash in that multi-second window persisted
+        # (old centroids, new base), probes silently missed neighbors,
+        # and fsck could not tell when n_cells was unchanged). Any
+        # crash inside the rename sequence now leaves base/meta at
+        # epoch N+1 with the quantizer still at N — exactly what
+        # vector_index_fsck's epoch cross-check reports.
+        new_epoch = _layout_epoch(spark, index_path) + 1
         staged_meta = os.path.join(staging, "meta")
         write_meta_rows(
             spark,
             staged_meta,
-            [(len(centroids), n_live, int(id_buckets))],
-            "n_cells int, n_live long, id_buckets int",
+            [(len(centroids), n_live, int(id_buckets), new_epoch)],
+            _BASE_META_SCHEMA,
         )
-        # swap the BASE first, then the quantizer: a racing reader sees
-        # (old centroids, new base) — stale-probe window — rather than
-        # (new centroids, no base)
+        staged_centroids = os.path.join(staging, "centroids")
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(staged_centroids)
+        staged_quantizer = os.path.join(staging, "quantizer")
+        write_meta_rows(
+            spark,
+            staged_quantizer,
+            [(use_assigner, len(centroids), len(centroids), new_epoch)],
+            _QUANTIZER_SCHEMA,
+        )
+        # rename order: base first (a racing reader sees old centroids
+        # + new base — the documented stale-probe window — rather than
+        # new centroids + no base), tails before the quantizer pair (an
+        # old tail assigned under the old centroids must never survive
+        # into the new layout where a later fold would merge its stale
+        # cell placements), centroids before the marker that declares
+        # them current
         for old, new in (
             (base_cells_path, staged_cells),
             (base_ids_path, staged_ids),
@@ -1201,18 +1323,13 @@ def rebuild_vector_quantizer(
                 os.rename(new, old)
         for tail_dir in (cells_path, tomb_path):
             _retire(tail_dir, index_path)
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "cell int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            _centroids_path(index_path)
-        )
-        write_meta_rows(
-            spark,
-            _quantizer_path(index_path),
-            [(use_assigner, len(centroids), len(centroids))],
-            "assigner string, n_cells int, configured_cells int",
-        )
+        for old, new in (
+            (_centroids_path(index_path), staged_centroids),
+            (_quantizer_path(index_path), staged_quantizer),
+        ):
+            _retire(old, index_path)
+            if os.path.exists(new):
+                os.rename(new, old)
         shutil.rmtree(staging, ignore_errors=True)
         return {
             "mode": "rebuild",
@@ -1220,6 +1337,7 @@ def rebuild_vector_quantizer(
             "n_cells": len(centroids),
             "prev_cells": old_n,
             "assigner": use_assigner,
+            "layout_epoch": new_epoch,
         }
 
 
@@ -1243,7 +1361,12 @@ def vector_index_fsck(
     * **meta exactness** — ``base/meta``'s ``n_live`` equals the
       actual live count (what `/_status` reports churn against);
     * **quantizer consistency** — centroid count equals the recorded
-      ``n_cells`` and every placed cell id is in range.
+      ``n_cells`` and every placed cell id is in range;
+    * **layout-epoch agreement** — ``base/meta`` and the quantizer
+      marker carry the same epoch (a torn
+      :func:`rebuild_vector_quantizer` swap is the one corruption the
+      count/range checks cannot see when n_cells is unchanged —
+      ADVICE r11).
 
     All checks run on SKINNY (id, seq, cell) projections; embeddings
     are never read. Returns ``{"ok": bool, ...detail}``."""
@@ -1294,6 +1417,22 @@ def vector_index_fsck(
         if meta_rows and "n_live" in meta_rows[0]
         else None
     )
+    # layout-epoch cross-check (ADVICE r11): base/meta and the
+    # quantizer marker are stamped with the same epoch by every writer;
+    # a crash inside rebuild_vector_quantizer's swap sequence leaves
+    # the base one epoch AHEAD of the quantizer — the (old centroids,
+    # new base) state whose probes silently miss neighbors and which
+    # no count/range check can see when n_cells is unchanged. Either
+    # side missing the column = a pre-epoch index: skip (vacuously ok).
+    q_epoch = q[0].get("layout_epoch")
+    base_epoch = (
+        meta_rows[0].get("layout_epoch") if meta_rows else None
+    )
+    epoch_ok = (
+        q_epoch is None
+        or base_epoch is None
+        or int(q_epoch) == int(base_epoch)
+    )
     n_live_actual = live_vector_ids(spark, index_path, id_col).count()
     tail_rows = _read_or_empty(
         spark, cells_path, f"{id_col} long, seq long"
@@ -1316,9 +1455,17 @@ def vector_index_fsck(
         and bad_cells == 0
         and meta_exact
         and n_centroids == n_cells
+        and epoch_ok
     )
     return {
         "ok": ok,
+        "layout_epoch_quantizer": (
+            int(q_epoch) if q_epoch is not None else None
+        ),
+        "layout_epoch_base": (
+            int(base_epoch) if base_epoch is not None else None
+        ),
+        "epoch_ok": epoch_ok,
         "sidecar_only_rows": int(mismatch["sidecar_only"]),
         "cells_only_rows": int(mismatch["cells_only"]),
         "multi_row_docs_in_base": dup_docs,

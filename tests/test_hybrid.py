@@ -170,3 +170,38 @@ def test_weighted_rrf(spark):
     )
     with pytest.raises(ValueError, match="weights"):
         rrf_fuse([lex, sem], weights=[1.0])
+
+
+def test_hybrid_on_couch_style_string_ids(spark, tmp_path):
+    """Couch `_id`s ARE strings (reference data model): both twins and
+    the fusion must run on string doc ids end-to-end, with query ids
+    as synthetic non-colliding strings (the docstring contract: shared
+    query-id space, disjoint from corpus ids — the vector reader's
+    self-exclusion would silently drop a colliding corpus doc).
+    VERDICT r11 #6."""
+    sidx = str(tmp_path / "s_sidx")
+    vidx = str(tmp_path / "s_vidx")
+    init_vector_index(spark, vidx, centroids=ANCHORS, assigner="hof")
+    search_index_batch(spark, sidx, spark.createDataFrame(
+        [(i, f"100009-{i}", False, t) for i, (t, _) in DOCS.items()],
+        "seq long, doc_id string, deleted boolean, text string",
+    ))
+    vector_index_batch(spark, vidx, spark.createDataFrame(
+        [(i, f"100009-{i}", False, v) for i, (_, v) in DOCS.items()],
+        "seq long, vec_id string, deleted boolean, embedding array<double>",
+    ))
+    terms = spark.createDataFrame(
+        [("q-1001", "spark"), ("q-1001", "window")],
+        "query_id string, term string",
+    )
+    vecs = spark.createDataFrame(
+        [("q-1001", [1.0, 0.05])], "vec_id string, embedding array<double>"
+    )
+    out = hybrid_topk_live(
+        spark, sidx, vidx, terms, vecs, k=5, depth=5, nprobe=2,
+    )
+    rows = {r["doc_id"]: r["rank"] for r in out.collect()}
+    assert set(rows) == {"100009-1", "100009-2", "100009-3"}
+    assert rows["100009-1"] == 1
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert dict(out.dtypes)["query_id"] == "string"

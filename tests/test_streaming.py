@@ -1004,3 +1004,119 @@ def test_daemon_hybrid_retrieval(spark, sf_dir, tmp):
     with pytest.raises(ValueError, match="unknown feed"):
         d.hybrid_topk("nope", terms, vecs)
     d.stop_all()
+
+
+def test_watchdog_pending_aging_and_operator_force_flush(spark, sf_dir, tmp):
+    """Bootstrap-buffer aging (ADVICE r11 / VERDICT r11 #5): a trickle
+    feed below vector_cells upserts is NOT force-flushed on the first
+    watchdog tick that sees it — a normal ramp gets pending_flush_ticks
+    passes to reach the configured width. Only after surviving the
+    grace does the flush train on what accumulated, surface the
+    degraded fit, and make the 2-doc feed queryable. The operator can
+    skip the wait via /_flush_pending."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        vector_index_status,
+        vector_topk_live,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 2
+    )
+    changes = emb.select(
+        F.col("vec_id").cast("long").alias("seq"),
+        F.col("vec_id").cast("string").alias("id"),
+        F.lit(False).alias("deleted"),
+        F.to_json(F.struct("embedding")).alias("doc"),
+    )
+    write_change_log(changes, f"{tmp}/log")
+    save_registry(
+        f"{tmp}/registry.json",
+        [
+            FeedConfig(
+                name="trickle", changes_path=f"{tmp}/log",
+                vector_index=True, vector_cells=8,
+            )
+        ],
+    )
+    d = Daemon(
+        spark, f"{tmp}/registry.json", f"{tmp}/data",
+        pending_flush_ticks=3,
+    )
+    d.find_feeds()
+    d.await_all()
+    vidx = f"{tmp}/data/vectors/trickle"
+    st = vector_index_status(spark, vidx)
+    assert st["n_cells"] is None and st["pending_upserts"] == 2
+
+    # ticks 1 and 2: grace — the buffer survives, nothing trains
+    for expected_ticks in (1, 2):
+        d.watchdog()
+        st = vector_index_status(spark, vidx)
+        assert st["n_cells"] is None and st["pending_upserts"] == 2
+        assert d._pending_ticks["trickle"] == expected_ticks
+    # tick 3: aging trigger — flush, degraded fit surfaced, queryable
+    d.watchdog()
+    st = vector_index_status(spark, vidx)
+    assert st["n_cells"] == 2
+    assert st["configured_cells"] == 8
+    assert st["quantizer_degraded"]
+    assert st["pending_upserts"] == 0
+    assert "trickle" not in d._pending_ticks
+    q = emb.select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    got = vector_topk_live(spark, vidx, q, k=1, nprobe=2).collect()
+    assert {r["query_id"] for r in got} == {"q0", "q1"}
+
+
+def test_flush_pending_http_force_flag(spark, sf_dir, tmp):
+    """GET /_flush_pending?feed=NAME is the operator override of the
+    aging gate: immediate training on whatever accumulated, degraded
+    fit reported in the response; unknown/unflagged feeds get a 400."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 2
+    )
+    changes = emb.select(
+        F.col("vec_id").cast("long").alias("seq"),
+        F.col("vec_id").cast("string").alias("id"),
+        F.lit(False).alias("deleted"),
+        F.to_json(F.struct("embedding")).alias("doc"),
+    )
+    write_change_log(changes, f"{tmp}/log")
+    save_registry(
+        f"{tmp}/registry.json",
+        [
+            FeedConfig(
+                name="tiny", changes_path=f"{tmp}/log",
+                vector_index=True, vector_cells=16,
+            )
+        ],
+    )
+    # grace high enough that only the operator path can flush
+    d = Daemon(
+        spark, f"{tmp}/registry.json", f"{tmp}/data",
+        pending_flush_ticks=99,
+    )
+    d.find_feeds()
+    d.await_all()
+    d.watchdog()
+    server, port = serve_control_plane(d)
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/_flush_pending?feed=tiny"
+        ) as resp:
+            out = json.loads(resp.read())
+        assert out["flushed"] and out["upserts"] == 2
+        assert out["n_cells"] == 2 and out["configured_cells"] == 16
+        assert out["quantizer_degraded"]
+        # unknown feed -> 400, not a silent no-op
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/_flush_pending?feed=nope"
+            )
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 400
+        assert raised
+    finally:
+        server.shutdown()

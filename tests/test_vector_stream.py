@@ -573,7 +573,7 @@ def test_rebuild_quantizer_with_explicit_anchors(spark, tmp_path):
     )
     assert st == {
         "mode": "rebuild", "n_live": 5, "n_cells": 4,
-        "prev_cells": 2, "assigner": "hof",
+        "prev_cells": 2, "assigner": "hof", "layout_epoch": 1,
     }
     status = vector_index_status(spark, p)
     assert status["n_cells"] == 4 and not status["quantizer_degraded"]
@@ -741,3 +741,198 @@ def test_fsck_uninitialized(spark, tmp_path):
     )
 
     assert vector_index_fsck(spark, str(tmp_path / "no_idx"))["ok"] is None
+
+
+# ---------------------------------------------------------------------------
+# r12: string-id lifecycle, rebuild tear detection, pending-append race,
+#      never-indexed tombstone churn
+# ---------------------------------------------------------------------------
+
+
+def _schanges(spark, rows):
+    # (seq, vec_id, deleted, embedding) with couch-style STRING ids
+    return spark.createDataFrame(
+        rows,
+        "seq long, vec_id string, deleted boolean, embedding array<double>",
+    )
+
+
+def test_string_id_full_lifecycle(spark, tmp_path):
+    """Couch `_id`s ARE strings (reference data model): the vector twin
+    must run its whole maintenance lifecycle — ingest, incremental
+    fold, off-peak quantizer rebuild, probed query — on string ids
+    with zero casts (never-cast-ids rule; VERDICT r11 #4 pinned the
+    rebuild staged read-back and the fold tail fallback)."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+        rebuild_vector_quantizer,
+        vector_index_fsck,
+    )
+
+    p = str(tmp_path / "sid_idx")
+    init_vector_index(spark, p, centroids=ANCHORS, assigner="hof")
+    model = {f"doc-{i}": v for i, v in V0.items()}
+    vector_index_batch(
+        spark, p,
+        _schanges(
+            spark,
+            [(i, f"doc-{i}", False, v) for i, v in V0.items()],
+        ),
+    )
+    st0 = compact_vector_index_incremental(spark, p)
+    assert st0["mode"] == "full" and st0["n_live"] == len(model)
+    # churn: a cell-moving update, a delete, an insert — then the
+    # incremental fold on the string-id base
+    model["doc-1"] = [0.05, 0.95]
+    model.pop("doc-5")
+    model["doc-7"] = [-0.9, -0.1]
+    vector_index_batch(spark, p, _schanges(spark, [
+        (10, "doc-1", False, model["doc-1"]),
+        (11, "doc-5", True, None),
+        (12, "doc-7", False, model["doc-7"]),
+    ]))
+    st1 = compact_vector_index_incremental(spark, p)
+    assert st1["mode"] == "incremental" and st1["n_live"] == len(model)
+    # delete-only churn exercises the fold's tail-read FALLBACK (no
+    # tail cells exist, only tombstones — the empty tail frame must
+    # carry the sibling's string id dtype)
+    model.pop("doc-6")
+    vector_index_batch(spark, p, _schanges(spark, [(13, "doc-6", True, None)]))
+    st2 = compact_vector_index_incremental(spark, p)
+    assert st2["mode"] == "incremental" and st2["n_live"] == len(model)
+    # off-peak rebuild on the string-id base (staged read-back must
+    # not assume long ids)
+    st3 = rebuild_vector_quantizer(spark, p, centroids=ANCHORS)
+    assert st3["mode"] == "rebuild" and st3["n_live"] == len(model)
+    assert vector_index_fsck(spark, p, id_col="vec_id")["ok"]
+
+    def _sq(spark):
+        return spark.createDataFrame(
+            [(f"q-{i}", v) for i, v in enumerate(
+                [[1.0, 0.05], [0.05, 1.0], [-0.5, 0.5]]
+            )],
+            "vec_id string, embedding array<double>",
+        )
+
+    from couch_to_postgres_spark.extensions.ann import _score_probed
+
+    corpus = spark.createDataFrame(
+        [(i, v, 0) for i, v in model.items()],
+        "vec_id string, embedding array<double>, cell int",
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in _score_probed(
+            _sq(spark).select("vec_id", "embedding", F.lit(0).alias("cell")),
+            corpus, 4, "vec_id", "embedding",
+        ).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in vector_topk_live(
+            spark, p, _sq(spark), k=4, nprobe=len(ANCHORS)
+        ).collect()
+    )
+    assert got == want
+
+
+def test_fsck_detects_torn_rebuild_epoch(spark, index):
+    """The one corruption counts/ranges can't see (ADVICE r11): a crash
+    inside rebuild's swap sequence leaves the base one layout epoch
+    AHEAD of the quantizer with n_cells unchanged. fsck's epoch
+    cross-check must flag it."""
+    from couch_to_postgres_spark.streaming.meta_io import write_meta_rows
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+        rebuild_vector_quantizer,
+        vector_index_fsck,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    compact_vector_index_incremental(spark, index)
+    st = rebuild_vector_quantizer(spark, index, centroids=ANCHORS)
+    assert st["layout_epoch"] == 1
+    good = vector_index_fsck(spark, index)
+    assert good["ok"] and good["epoch_ok"]
+    assert good["layout_epoch_base"] == good["layout_epoch_quantizer"] == 1
+    # simulate the torn swap: quantizer rolled back one epoch (same
+    # assigner, same n_cells — the undetectable-before case)
+    write_meta_rows(
+        spark, os.path.join(index, "quantizer"),
+        [("hof", len(ANCHORS), len(ANCHORS), 0)],
+        "assigner string, n_cells int, configured_cells int, "
+        "layout_epoch long",
+    )
+    bad = vector_index_fsck(spark, index)
+    assert not bad["ok"] and not bad["epoch_ok"]
+    assert bad["layout_epoch_base"] == 1
+    assert bad["layout_epoch_quantizer"] == 0
+
+
+def test_append_pending_rechecks_quantizer_under_lock(spark, index):
+    """append_pending on an ALREADY-initialized index must refuse (-1)
+    instead of buffering rows no flush will ever ingest — the re-check
+    half of the ADVICE r11 append-vs-force-flush race fix (the lock
+    half serializes it against flush_pending's list→ingest→retire)."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        append_pending,
+    )
+
+    got = append_pending(
+        spark, index, _changes(spark, [(1, 1, False, [0.9, 0.1])])
+    )
+    assert got == -1
+    assert not os.path.isdir(os.path.join(index, "pending"))
+
+
+def test_never_indexed_tombstones_rewrite_nothing(spark, index):
+    """A mostly-plain feed tombstones every field-less upsert; churn
+    from docs the index never held must not rewrite ANY base dir
+    (ADVICE r11 — sidecar rewrites otherwise scale with the whole
+    feed's update rate, not embedded churn)."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    compact_vector_index_incremental(spark, index)
+    pre_cells = _dir_snapshot(os.path.join(index, "base", "cells"))
+    pre_ids = _dir_snapshot(os.path.join(index, "base", "ids"))
+    # 20 tombstones for ids the index never held (plain-doc updates)
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(100 + i, 1000 + i, True, None) for i in range(20)]),
+    )
+    st = compact_vector_index_incremental(spark, index)
+    assert st["mode"] == "incremental"
+    assert st["churned_docs"] == 20
+    assert st["effective_churned_docs"] == 0
+    assert st["affected_cells"] == 0
+    assert st["affected_id_buckets"] == []
+    assert st["n_live"] == len(V0)
+    assert _dir_snapshot(os.path.join(index, "base", "cells")) == pre_cells
+    assert _dir_snapshot(os.path.join(index, "base", "ids")) == pre_ids
+    status = vector_index_status(spark, index)
+    assert status["tombstones"] == 0 and status["tail_rows"] == 0
+    _check(spark, index, V0)
+    # mixed churn: one REAL update + more never-indexed tombstones —
+    # rewrites stay scoped to the real churn's dirs
+    model = {**V0, 3: [0.2, 0.8]}
+    vector_index_batch(spark, index, _changes(spark, [
+        (200, 3, False, model[3]),
+        (201, 2000, True, None),
+        (202, 2001, True, None),
+    ]))
+    st2 = compact_vector_index_incremental(spark, index)
+    assert st2["mode"] == "incremental"
+    assert st2["churned_docs"] == 3
+    assert st2["effective_churned_docs"] == 1
+    assert st2["affected_cells"] == 1
+    assert len(st2["affected_id_buckets"]) == 1
+    _check(spark, index, model)
