@@ -29,6 +29,8 @@ two r10/r11 live indexes.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -93,6 +95,55 @@ def rrf_fuse(
     )
 
 
+_NINE = Decimal("1e-9")
+_SIX = Decimal("1e-6")
+
+
+def _rrf_fuse_local(
+    rankings: list[list],
+    k: int,
+    k_rrf: int,
+    weights: list[float],
+) -> list[tuple]:
+    """Driver-side RRF over ALREADY-COLLECTED (query_id, id, rank)
+    rows — the fusion :func:`hybrid_topk_live` runs once its two legs
+    are materialized. Sound at any corpus size because each leg is
+    top-``depth`` per query (≤ queries×depth rows by construction);
+    running the 3-job Spark fusion over two ~hundred-row local
+    relations costs ~0.9 s of pure job-launch latency for arithmetic
+    the driver does in microseconds (measured r12).
+
+    BIT-EXACT parity with :func:`rrf_fuse` (pinned by test): Spark's
+    ``round(double, 9)`` is ``BigDecimal.valueOf(x).setScale(9,
+    HALF_UP)`` where ``valueOf`` goes through ``Double.toString``'s
+    shortest round-trip representation — Python's ``repr(float)``
+    produces the same unique shortest form, so
+    ``Decimal(repr(x)).quantize(1e-9, HALF_UP)`` yields the identical
+    DECIMAL(18,9) contribution; the sum is exact in both engines and
+    the final ``round(·, 6) → double`` maps the same way. Tie-break is
+    id ascending — for string ids Python's codepoint order matches
+    Spark's UTF8 binary order on the ASCII ids couch uses."""
+    acc: dict[tuple, Decimal] = {}
+    for rows, w in zip(rankings, weights):
+        for query_id, doc_id, rank in rows:
+            x = float(w) / (k_rrf + rank)  # IEEE double, same as JVM
+            c = Decimal(repr(x)).quantize(_NINE, ROUND_HALF_UP)
+            key = (query_id, doc_id)
+            acc[key] = acc.get(key, Decimal(0)) + c
+    by_query: dict = {}
+    for (query_id, doc_id), s in acc.items():
+        score = float(s.quantize(_SIX, ROUND_HALF_UP))
+        by_query.setdefault(query_id, []).append((doc_id, score))
+    out = []
+    for query_id, docs in by_query.items():
+        docs.sort(key=lambda t: (-t[1], t[0]))
+        out.extend(
+            (query_id, doc_id, score, r)
+            for r, (doc_id, score) in enumerate(docs[:k], start=1)
+        )
+    return out
+
+
 def hybrid_topk_live(
     spark: SparkSession,
     search_index_path: str,
@@ -131,9 +182,11 @@ def hybrid_topk_live(
     Spark's scheduler interleaves the two threads' jobs across the
     executor pool). Each leg MATERIALIZES to the driver — sound
     because a leg is top-``depth`` per query, i.e. ≤ queries×depth
-    rows by construction, never corpus-sized — which also hands
-    ``rrf_fuse`` two local relations, so the fuse plan carries no
-    index-scan lineage to re-trigger."""
+    rows by construction, never corpus-sized — and the RRF itself then
+    runs driver-side (:func:`_rrf_fuse_local`, bit-exact with
+    :func:`rrf_fuse` by test): probe reads are job-LATENCY-bound at
+    this shape, and three more Spark jobs over two hundred-row local
+    relations were ~20%% of the whole fused read (measured r12)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from couch_to_postgres_spark.streaming.search_stream import (
@@ -164,9 +217,23 @@ def hybrid_topk_live(
         lex_f = pool.submit(_lex)
         sem_schema, sem_rows = _sem()
         lex_schema, lex_rows = lex_f.result()
-    lex = spark.createDataFrame(lex_rows, lex_schema)
-    sem = spark.createDataFrame(sem_rows, sem_schema)
-    return rrf_fuse(
-        [lex, sem], k=k, k_rrf=k_rrf, id_col=id_col,
+    if weights is None:
+        weights = [1.0, 1.0]
+    if len(weights) != 2:
+        raise ValueError(f"hybrid_topk_live: 2 weights, got {len(weights)}")
+    fused = _rrf_fuse_local(
+        [
+            [(r[0], r[1], r[2]) for r in lex_rows],
+            [(r[0], r[1], r[2]) for r in sem_rows],
+        ],
+        k=k, k_rrf=k_rrf,
         weights=weights,  # [w_lexical, w_semantic]
+    )
+    # result id dtypes follow the lexical leg's schema (both legs share
+    # the id space by contract; never-cast-ids)
+    types = {f.name: f.dataType.simpleString() for f in lex_schema.fields}
+    return spark.createDataFrame(
+        fused,
+        f"query_id {types['query_id']}, {id_col} {types[id_col]}, "
+        f"rrf_score double, rank long",
     )

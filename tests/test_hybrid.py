@@ -205,3 +205,37 @@ def test_hybrid_on_couch_style_string_ids(spark, tmp_path):
     assert rows["100009-1"] == 1
     assert dict(out.dtypes)["doc_id"] == "string"
     assert dict(out.dtypes)["query_id"] == "string"
+
+
+def test_local_fusion_bit_exact_with_spark_rrf(spark):
+    """hybrid_topk_live's driver-side fusion must produce EXACTLY what
+    the distributed rrf_fuse produces — same decimal contributions,
+    same rounding, same tie-break — on an adversarial panel: many
+    sources, weights, rank collisions, docs present in one/some/all
+    sources, and near-tie sums."""
+    import random
+
+    from couch_to_postgres_spark.extensions.hybrid import _rrf_fuse_local
+
+    rng = random.Random(13)
+    n_sources, n_queries, depth = 4, 7, 25
+    weights = [1.0, 2.0, 0.5, 1.25]
+    rankings = []
+    for _ in range(n_sources):
+        rows = []
+        for q in range(n_queries):
+            docs = rng.sample(range(1000, 1080), depth)
+            rows.extend((q, d, r) for r, d in enumerate(docs, start=1))
+        rankings.append(rows)
+    dfs = [
+        spark.createDataFrame(rows, "query_id long, doc_id long, rank long")
+        for rows in rankings
+    ]
+    want = sorted(
+        tuple(r)
+        for r in rrf_fuse(dfs, k=10, weights=weights).collect()
+    )
+    got = sorted(
+        _rrf_fuse_local(rankings, k=10, k_rrf=60, weights=weights)
+    )
+    assert got == want
