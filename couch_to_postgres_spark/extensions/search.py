@@ -35,6 +35,14 @@ Plan shape at 100 TB (the reason this looks the way it does):
   best fusion 6.51-7.10 s) because fusing serializes the work behind
   one cache/Generate chain. The r10 bench drift on q_bm25_batch100
   (+10%) did not reproduce under that A/B — environmental, watch only.
+  Re-confirmed r12 (VERDICT r11 #2, second interleaved same-session
+  A/B, r10 code vs HEAD, 3 rounds each): q_bm25_batch100 medians
+  r10 6.92/7.24/7.36 s vs HEAD 7.09/7.29/7.53 s and q_cdc_apply
+  r10 1.37/1.45/1.46 s vs HEAD 1.33/1.33/1.57 s — both
+  version-independent; the twice-missed "≤7.0 s both reps" line is a
+  host-condition number for this deliberate full-scan comparator
+  (the index path it exists to contrast reads 2.4-2.5 s), not a
+  regression to fix.
 """
 
 from __future__ import annotations
