@@ -4184,107 +4184,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return diff_report(content_diff(left, repaired, include_same=True))
 
     return {
-        # --- ROUND-11 TOP BLOCK (the driver checks the first ~50
+
+        # --- ROUND-12 TOP BLOCK (the driver checks the first ~50
         # insertion-order keys; re-derive each round from
-        # CORRECTNESS_r{N}.json). Window policy unchanged from r10:
-        # every key here carries a full-value DuckDB oracle (the
-        # rows-only-by-necessity keys x_compression /
-        # x_quality_classifier stay below the fold, pytest-pinned).
-        # Order: (1) ALL FIVE round-11 additions (x_vector_live_incr —
-        # the churn-proportional vector-index fold, VERDICT r10 #1;
-        # x_vector_rebuild — the off-peak quantizer retrain, the
-        # sanctioned frozen-config change; x_vector_balance — the
-        # drift monitor's per-cell live counts; x_vector_filtered —
-        # metadata-filtered ANN; x_hybrid_live — RRF fusion over the
-        # BM25 + vector twins);
-        # (2) re-checks of every query whose code path was touched
-        # this round: the vector-stream v2 layout rides
-        # x_vector_live; the atomic meta_io swap + the NULL-text
-        # stats guard ride every LSM-index reader/compactor (bm25 /
-        # compact / phrase / proximity / contamination /
-        # decontamination / novelty / source-overlap / batch keys);
-        # (3) the r02-cohort rotation COMPLETED: the 13 keys the r10
-        # window comment named "first in line for r11" — with this
-        # block every r02-era value-oracled key has a modern
-        # re-check; (4) rotation continues into the OLDEST remaining
-        # cohort (r03: the a2x incremental views, the e0x-e2x event
-        # windows, the j09-j15 TPC-H shapes, and the first ANN/stats
-        # extensions — last value-checked eight rounds ago). Full
-        # 50-key window dress-rehearsed green at sf0.01 five times
-        # this round (after the vector-stream v2 + meta_io atomic-swap
-        # wave; after x_vector_rebuild landed; twice more at
-        # end-of-round with all five additions in the window —
-        # 50/50 OK, 0 failures every time). ---
-        # (1) round-11 addition (shares x_vector_live's oracle: same
-        # live set, different maintenance history — by construction)
+        # CORRECTNESS_r{N}.json). Window policy unchanged: every key
+        # here carries a full-value DuckDB oracle (the rows-only-by-
+        # necessity keys x_compression / x_quality_classifier stay
+        # below the fold, pytest-pinned).
+        # Order: (1) re-checks of every query whose code path was
+        # touched this round — the six vector/hybrid keys ride the
+        # r12 vector-stream changes (layout-epoch staging in
+        # rebuild_vector_quantizer; effective-churn scoping in the
+        # incremental fold; pending-buffer locking) and
+        # hybrid_topk_live's driver-side RRF (_rrf_fuse_local,
+        # bit-exact with rrf_fuse by test); the six LSM-index keys
+        # represent every reader of read_meta_rows, whose local path
+        # now prefers the canonical part file (ADVICE r11 #4);
+        # (2) rotation into the OLDEST remaining value-checks: the
+        # four keys displaced mid-r11 (x_centroids x_contamination
+        # x_corpus_stats x_embed_stats), the six the r11 comment
+        # named next (x_fingerprint x_hash_split x_lang_id x_mixture
+        # x_salted_agg x_tfidf), then the r03 cohort balance in
+        # below-fold order (x_target_mix.. e13..e25, j02, j16..j32).
+        # Next in line for r13: j33_small_quantity_revenue,
+        # j34_sole_returning_supplier, x_approx_quantiles,
+        # x_approx_topk, x_bigram_score, x_cap_per_source, x_chunk,
+        # x_cross_dedup, x_decontaminate, x_dedup_minhash_km, ... ---
         "x_vector_live_incr": x_vector_live_incr,
         "x_vector_rebuild": x_vector_rebuild,
+        "x_vector_live": x_vector_live,
         "x_vector_balance": x_vector_balance,
         "x_vector_filtered": x_vector_filtered,
         "x_hybrid_live": x_hybrid_live,
-        # (2) round-11 re-checks: code touched this round
-        "x_vector_live": x_vector_live,
         "x_compact_incremental": x_compact_incremental,
         "x_bm25_lsm": x_bm25_lsm,
         "x_bm25_incremental": x_bm25_incremental,
         "x_compact_auto": x_compact_auto,
         "x_bm25_batch": x_bm25_batch,
-        "x_phrase_indexed": x_phrase_indexed,
-        "x_proximity_indexed": x_proximity_indexed,
         "x_contamination_indexed": x_contamination_indexed,
-        "x_decontaminate_indexed": x_decontaminate_indexed,
-        "x_decontaminate_replayed": x_decontaminate_replayed,
-        "x_novelty_indexed": x_novelty_indexed,
-        "x_source_overlap_indexed": x_source_overlap_indexed,
-        # (3) rotation: the 13 remaining r02-cohort keys (last
-        # value-checked r02 — the r10 comment's "first in line")
-        "x_jl_projection": x_jl_projection,
-        "x_lang_id_multi": x_lang_id_multi,
-        "x_lang_mixture": x_lang_mixture,
-        "x_len_histogram": x_len_histogram,
-        "x_logfreq_score": x_logfreq_score,
-        "x_mask_spans": x_mask_spans,
-        "x_quantize": x_quantize,
-        "x_rep_signals": x_rep_signals,
-        "x_shards": x_shards,
-        "x_token_budget": x_token_budget,
-        "x_winnow_occurrences": x_winnow_occurrences,
-        "x_winnow_spans": x_winnow_spans,
-        "x_zorder": x_zorder,
-        # (4) rotation: the oldest remaining cohort (r03)
-        "a20_view_incremental": a20_view_incremental,
-        "a21_view_incremental_sum": a21_view_incremental_sum,
-        "e07_event_gaps": e07_event_gaps,
-        "e08_asof_last_purchase": e08_asof_last_purchase,
-        "e09_range_join_purchases": e09_range_join_purchases,
-        "e10_retention_cohorts": e10_retention_cohorts,
-        "e11_funnel": e11_funnel,
-        "e18_window_navigation": e18_window_navigation,
-        "e19_token_arrays": e19_token_arrays,
-        "e20_session_window_native": e20_session_window_native,
-        "e21_value_zscore": e21_value_zscore,
-        "j09_cube_revenue": j09_cube_revenue,
-        "j10_local_supplier_volume": j10_local_supplier_volume,
-        "j11_price_stats": j11_price_stats,
-        "j12_brand_price_quartiles": j12_brand_price_quartiles,
-        "j13_filtered_agg": j13_filtered_agg,
-        "j14_top_part_per_brand": j14_top_part_per_brand,
-        "j15_grouping_sets": j15_grouping_sets,
-        "x_ann_ivf": x_ann_ivf,
-        # --- below the driver budget: every key here is driver-
-        # green from r01-r10 (or rows-only by declared necessity:
-        # x_compression [zlib], x_quality_classifier [LBFGS] are
-        # deliberately kept out of the checked window and pinned by
-        # pytest instead). The r10 top block re-checked green in r10
-        # and rotates last; next in line for r12 is the balance of
-        # the r03 cohort (x_centroids, x_contamination,
-        # x_corpus_stats, x_embed_stats — displaced mid-r11 by the
-        # five additions — plus x_fingerprint, x_hash_split,
-        # x_lang_id, x_mixture, x_salted_agg, x_tfidf, ...).
         "x_centroids": x_centroids,
         "x_contamination": x_contamination,
         "x_corpus_stats": x_corpus_stats,
         "x_embed_stats": x_embed_stats,
+        "x_fingerprint": x_fingerprint,
+        "x_hash_split": x_hash_split,
+        "x_lang_id": x_lang_id,
+        "x_mixture": x_mixture,
+        "x_salted_agg": x_salted_agg,
+        "x_tfidf": x_tfidf,
         "x_target_mix": x_target_mix,
         "x_target_mix_skew": x_target_mix_skew,
         "x_topk_tied": x_topk_tied,
@@ -4313,6 +4260,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j30_top_returned_customers": j30_top_returned_customers,
         "j31_order_count_distribution": j31_order_count_distribution,
         "j32_top_supplier": j32_top_supplier,
+        # --- below the driver budget: every key here is driver-
+        # green from r01-r11 (or rows-only by declared necessity:
+        # x_compression [zlib], x_quality_classifier [LBFGS] are
+        # deliberately kept out of the checked window and pinned by
+        # pytest instead). Keys keep their prior relative order so
+        # each round's rotation picks up where the last stopped. ---
+        "x_phrase_indexed": x_phrase_indexed,
+        "x_proximity_indexed": x_proximity_indexed,
+        "x_decontaminate_indexed": x_decontaminate_indexed,
+        "x_decontaminate_replayed": x_decontaminate_replayed,
+        "x_novelty_indexed": x_novelty_indexed,
+        "x_source_overlap_indexed": x_source_overlap_indexed,
+        "x_jl_projection": x_jl_projection,
+        "x_lang_id_multi": x_lang_id_multi,
+        "x_lang_mixture": x_lang_mixture,
+        "x_len_histogram": x_len_histogram,
+        "x_logfreq_score": x_logfreq_score,
+        "x_mask_spans": x_mask_spans,
+        "x_quantize": x_quantize,
+        "x_rep_signals": x_rep_signals,
+        "x_shards": x_shards,
+        "x_token_budget": x_token_budget,
+        "x_winnow_occurrences": x_winnow_occurrences,
+        "x_winnow_spans": x_winnow_spans,
+        "x_zorder": x_zorder,
+        "a20_view_incremental": a20_view_incremental,
+        "a21_view_incremental_sum": a21_view_incremental_sum,
+        "e07_event_gaps": e07_event_gaps,
+        "e08_asof_last_purchase": e08_asof_last_purchase,
+        "e09_range_join_purchases": e09_range_join_purchases,
+        "e10_retention_cohorts": e10_retention_cohorts,
+        "e11_funnel": e11_funnel,
+        "e18_window_navigation": e18_window_navigation,
+        "e19_token_arrays": e19_token_arrays,
+        "e20_session_window_native": e20_session_window_native,
+        "e21_value_zscore": e21_value_zscore,
+        "j09_cube_revenue": j09_cube_revenue,
+        "j10_local_supplier_volume": j10_local_supplier_volume,
+        "j11_price_stats": j11_price_stats,
+        "j12_brand_price_quartiles": j12_brand_price_quartiles,
+        "j13_filtered_agg": j13_filtered_agg,
+        "j14_top_part_per_brand": j14_top_part_per_brand,
+        "j15_grouping_sets": j15_grouping_sets,
+        "x_ann_ivf": x_ann_ivf,
         "j33_small_quantity_revenue": j33_small_quantity_revenue,
         "j34_sole_returning_supplier": j34_sole_returning_supplier,
         "x_approx_quantiles": x_approx_quantiles,
@@ -4454,17 +4445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ann_topk_blocked": x_ann_topk_blocked,
         "x_text_features": x_text_features,
         "x_quality_filter": x_quality_filter,
-        "x_lang_id": x_lang_id,
         "x_redact": x_redact,
         "x_length_quantiles": x_length_quantiles,
-        "x_fingerprint": x_fingerprint,
-        "x_hash_split": x_hash_split,
         "x_top_tokens": x_top_tokens,
         "x_leakage_split": x_leakage_split,
         "x_train_pipeline": x_train_pipeline,
-        "x_mixture": x_mixture,
-        "x_salted_agg": x_salted_agg,
-        "x_tfidf": x_tfidf,
         "x_pack": x_pack,
         "x_semantic_dedup": x_semantic_dedup,
         "x_quality_classifier": x_quality_classifier,
