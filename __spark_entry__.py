@@ -1051,6 +1051,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def x_hybrid_filtered(spark, sf_dir):
+        # r12: metadata-FILTERED hybrid retrieval — "fused top-k among
+        # docs whose label is 3" (hybrid_topk_live(candidates=…)
+        # restricts BOTH legs: the lexical leg semi-joins its query-hit
+        # slice with corpus-global stats — idf is a corpus property —
+        # and the vector leg its probed slice, post-filter IVF
+        # semantics). Same twin state and churn as x_hybrid_live (docs
+        # %10==3 updated with ' spark merge window', %10==7 deleted;
+        # vectors %9==4 deleted), so the two oracles differ ONLY by the
+        # candidate predicate — the cleanest pin that the filter (and
+        # nothing else) moved the result. Candidates come from the
+        # embeddings table's label column over the shared id space.
+        import shutil
+        import tempfile
+
+        from couch_to_postgres_spark.extensions.hybrid import (
+            hybrid_topk_live,
+        )
+        from couch_to_postgres_spark.streaming.search_stream import (
+            search_index_batch,
+        )
+        from couch_to_postgres_spark.streaming.vector_stream import (
+            init_vector_index,
+            vector_index_batch,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        e = _emb(spark, sf_dir)
+        cents = _anchor_centroids(spark, sf_dir, 8)
+        work = tempfile.mkdtemp(prefix="hybrid_filt_")
+        sidx = f"{work}/search"
+        vidx = f"{work}/vectors"
+        try:
+            search_index_batch(spark, sidx, docs.select(
+                F.col("doc_id").cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"), "text",
+            ))
+            search_index_batch(spark, sidx, docs.filter(
+                F.col("doc_id") % 10 == 3
+            ).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(False).alias("deleted"),
+                F.concat(
+                    F.col("text"), F.lit(" spark merge window")
+                ).alias("text"),
+            ).unionByName(docs.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 2000).cast("long").alias("seq"),
+                "doc_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("string").alias("text"),
+            )))
+            init_vector_index(
+                spark, vidx, centroids=cents, assigner="hof"
+            )
+            vector_index_batch(spark, vidx, e.select(
+                F.col("vec_id").cast("long").alias("seq"),
+                "vec_id", F.lit(False).alias("deleted"), "embedding",
+            ))
+            vector_index_batch(spark, vidx, e.filter(
+                F.col("vec_id") % 9 == 4
+            ).select(
+                (F.lit(2000) + F.col("vec_id")).alias("seq"),
+                "vec_id", F.lit(True).alias("deleted"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+            ))
+            terms = spark.createDataFrame(
+                [(10001, "spark"), (10001, "window"),
+                 (10002, "merge"), (10002, "rows")],
+                "query_id long, term string",
+            )
+            vqueries = e.filter(
+                F.col("vec_id").isin(100, 200)
+            ).select(
+                F.when(F.col("vec_id") == 100, F.lit(10001))
+                .otherwise(F.lit(10002)).cast("long").alias("vec_id"),
+                "embedding",
+            )
+            cands = e.filter(F.col("label") == 3).select(
+                F.col("vec_id").cast("long").alias("doc_id")
+            )
+            return hybrid_topk_live(
+                spark, sidx, vidx, terms, vqueries,
+                k=10, depth=15, nprobe=4, candidates=cands,
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def x_vector_filtered(spark, sf_dir):
         # r11: metadata-FILTERED ANN over the live index — "nearest
         # neighbors whose label is 3" (vector_topk_live(candidates=…):
@@ -4206,7 +4292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # named next (x_fingerprint x_hash_split x_lang_id x_mixture
         # x_salted_agg x_tfidf), then the r03 cohort balance in
         # below-fold order (x_target_mix.. e13..e25, j02, j16..j32).
-        # Next in line for r13: j33_small_quantity_revenue,
+        # Next in line for r13: j32_top_supplier (displaced by
+        # x_hybrid_filtered mid-r12), j33_small_quantity_revenue,
         # j34_sole_returning_supplier, x_approx_quantiles,
         # x_approx_topk, x_bigram_score, x_cap_per_source, x_chunk,
         # x_cross_dedup, x_decontaminate, x_dedup_minhash_km, ... ---
@@ -4216,6 +4303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_vector_balance": x_vector_balance,
         "x_vector_filtered": x_vector_filtered,
         "x_hybrid_live": x_hybrid_live,
+        "x_hybrid_filtered": x_hybrid_filtered,
         "x_compact_incremental": x_compact_incremental,
         "x_bm25_lsm": x_bm25_lsm,
         "x_bm25_incremental": x_bm25_incremental,
@@ -4259,13 +4347,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j29_profit_by_nation_year": j29_profit_by_nation_year,
         "j30_top_returned_customers": j30_top_returned_customers,
         "j31_order_count_distribution": j31_order_count_distribution,
-        "j32_top_supplier": j32_top_supplier,
         # --- below the driver budget: every key here is driver-
         # green from r01-r11 (or rows-only by declared necessity:
         # x_compression [zlib], x_quality_classifier [LBFGS] are
         # deliberately kept out of the checked window and pinned by
         # pytest instead). Keys keep their prior relative order so
         # each round's rotation picks up where the last stopped. ---
+        "j32_top_supplier": j32_top_supplier,
         "x_phrase_indexed": x_phrase_indexed,
         "x_proximity_indexed": x_proximity_indexed,
         "x_decontaminate_indexed": x_decontaminate_indexed,
@@ -9272,6 +9360,173 @@ def oracle_sql() -> dict[str, str]:
         ),
         live_vecs AS (
             SELECT vec_id, v FROM vecs WHERE vec_id % 9 <> 4
+        ),
+        anchors AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                   v AS av
+            FROM vecs WHERE vec_id < 8
+        ),
+        csims AS (
+            SELECT e.vec_id, a.cell,
+                   round(list_dot_product(e.v, a.av)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(a.av, a.av))), 4)
+                       + 0.0 AS c
+            FROM live_vecs e, anchors a
+        ),
+        cranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, cell) AS rnk
+            FROM csims
+        ),
+        corpus_cells AS (
+            SELECT vec_id, cell FROM cranked WHERE rnk = 1
+        ),
+        qv AS (
+            SELECT CAST(10001 AS BIGINT) AS query_id, v
+            FROM vecs WHERE vec_id = 100
+            UNION ALL
+            SELECT CAST(10002 AS BIGINT), v FROM vecs WHERE vec_id = 200
+        ),
+        qsims AS (
+            SELECT e.query_id, a.cell,
+                   round(list_dot_product(e.v, a.av)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(a.av, a.av))), 4)
+                       + 0.0 AS c
+            FROM qv e, anchors a
+        ),
+        qranked AS (
+            SELECT query_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, cell) AS rnk
+            FROM qsims
+        ),
+        q_cells AS (SELECT query_id, cell FROM qranked WHERE rnk <= 4),
+        sem_sims AS (
+            SELECT DISTINCT q.query_id, c.vec_id AS doc_id,
+                   round(list_dot_product(qvv.v, cv.v)
+                         / (sqrt(list_dot_product(qvv.v, qvv.v))
+                          * sqrt(list_dot_product(cv.v, cv.v))), 4)
+                       AS cosine_r
+            FROM q_cells q
+            JOIN corpus_cells c ON q.cell = c.cell
+            JOIN qv qvv ON qvv.query_id = q.query_id
+            JOIN live_vecs cv ON cv.vec_id = c.vec_id
+        ),
+        sem_ranked AS (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_r DESC,
+                                               doc_id) AS rank
+            FROM sem_sims
+        ),
+        contrib_all AS (
+            SELECT query_id, doc_id,
+                   CAST(round(1.0 / (60 + rank), 9)
+                        AS DECIMAL(18,9)) AS c
+            FROM lex_ranked WHERE rank <= 15
+            UNION ALL
+            SELECT query_id, doc_id,
+                   CAST(round(1.0 / (60 + rank), 9)
+                        AS DECIMAL(18,9)) AS c
+            FROM sem_ranked WHERE rank <= 15
+        ),
+        fused AS (
+            SELECT query_id, doc_id,
+                   CAST(round(sum(c), 6) AS DOUBLE) AS rrf_score
+            FROM contrib_all GROUP BY query_id, doc_id
+        ),
+        fused_ranked AS (
+            SELECT query_id, doc_id, rrf_score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_score DESC,
+                                               doc_id) AS rank
+            FROM fused
+        )
+        SELECT query_id, doc_id, rrf_score, rank
+        FROM fused_ranked WHERE rank <= 10
+    """
+    # r12: same twin state/churn as x_hybrid_live; ONLY the candidate
+    # predicate (embeddings.label = 3) differs — applied to the lexical
+    # leg's scored docs (stats stay corpus-global: doclen/stats/dft CTEs
+    # untouched) and to the semantic leg's live set (post-filter IVF,
+    # mirrored by filtering before assignment — a vector's cell is
+    # intrinsic, so filter placement does not change it)
+    oracles["x_hybrid_filtered"] = """
+        WITH cands AS (
+            SELECT vec_id AS doc_id FROM embeddings WHERE label = 3
+        ),
+        final AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 3
+                        THEN text || ' spark merge window'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 10 <> 7
+        ),
+        words AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM final
+        ),
+        qterms(query_id, token) AS (
+            VALUES (10001, 'spark'), (10001, 'window'),
+                   (10002, 'merge'), (10002, 'rows')
+        ),
+        doclen AS (
+            SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM words
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+            FROM doclen
+        ),
+        tok AS (
+            SELECT doc_id, w.word AS token
+            FROM words, UNNEST(ws) AS w(word)
+            WHERE w.word IN (SELECT DISTINCT token FROM qterms)
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        dft AS (
+            SELECT token, CAST(count(*) AS DOUBLE) AS dft
+            FROM tf GROUP BY token
+        ),
+        contrib AS (
+            SELECT q.query_id, t.doc_id,
+                   CAST(round(
+                       ln((s.n - d.dft + 0.5) / (d.dft + 0.5) + 1.0)
+                       * (t.tf * 2.2
+                          / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))),
+                       6) AS DECIMAL(18,6)) AS c
+            FROM tf t
+            JOIN dft d USING (token)
+            JOIN doclen l USING (doc_id)
+            JOIN qterms q ON q.token = t.token
+            CROSS JOIN stats s
+        ),
+        lex_scored AS (
+            SELECT query_id, doc_id,
+                   CAST(round(sum(c), 4) AS DOUBLE) AS score
+            FROM contrib WHERE doc_id IN (SELECT doc_id FROM cands)
+            GROUP BY query_id, doc_id
+        ),
+        lex_ranked AS (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM lex_scored
+        ),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        live_vecs AS (
+            SELECT vec_id, v FROM vecs
+            WHERE vec_id % 9 <> 4
+              AND vec_id IN (SELECT doc_id FROM cands)
         ),
         anchors AS (
             SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,

@@ -157,9 +157,21 @@ def hybrid_topk_live(
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     weights: list[float] | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Fused top-k over the LIVE corpus: BM25 from the maintained LSM
     index + ANN from the maintained vector index, RRF-combined.
+
+    ``candidates`` (optional, a one-column ``<id_col>`` frame in the
+    twins' shared id space) restricts BOTH legs to the given doc set —
+    metadata-filtered hybrid retrieval ("fused top-k among docs with
+    lang=en"): the lexical leg semi-joins its query-hit slice, the
+    vector leg its probed slice, so the filter pays slice cost on each
+    side and never corpus cost. Scoring stats stay corpus-global on
+    the lexical side and the vector side keeps post-filter IVF
+    semantics (raise ``nprobe``/``depth`` for selective filters — a
+    filter that empties a leg's top-``depth`` simply contributes
+    nothing for those queries, the standard RRF absence rule).
 
     ``term_queries`` holds (query_id, term) rows; ``vector_queries``
     holds (<vec_id_col>, embedding) rows whose ids ARE the query ids
@@ -198,7 +210,8 @@ def hybrid_topk_live(
 
     def _lex() -> tuple:
         df = bm25_topk_from_index(
-            spark, search_index_path, term_queries, k=depth, id_col=id_col
+            spark, search_index_path, term_queries, k=depth,
+            id_col=id_col, candidates=candidates,
         ).select("query_id", id_col, "rank")
         return df.schema, df.collect()
 
@@ -206,6 +219,11 @@ def hybrid_topk_live(
         df = vector_topk_live(
             spark, vector_index_path, vector_queries, k=depth,
             nprobe=nprobe, id_col=vec_id_col,
+            candidates=(
+                candidates.select(F.col(id_col).alias(vec_id_col))
+                if candidates is not None
+                else None
+            ),
         ).select(
             F.col("query_id"),
             F.col("neighbor_id").alias(id_col),

@@ -94,10 +94,17 @@ def bm25_topk_batch(
     query_id_col: str = "query_id",
     term_col: str = "term",
     max_df_frac: float | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 for a whole QUERY TABLE at once — the eval-set retrieval
     shape (thousands of benchmark questions against a 100 TB corpus in
     one plan) instead of one driver round-trip per query.
+
+    ``candidates`` (optional, an id frame) restricts RANKED documents
+    to the given set while scoring stats (N, avgdl, df) stay
+    corpus-global — the same filtered-retrieval contract as
+    ``bm25_topk_from_index(candidates=…)``; pre-filtering ``df``
+    instead would silently change idf.
 
     ``queries`` holds (query_id, term) rows; it is small by construction
     (collected once so the distinct-term set prunes the corpus token
@@ -147,8 +154,15 @@ def bm25_topk_batch(
         dft = dft.crossJoin(F.broadcast(stats)).filter(
             F.col("dft") <= F.lit(max_df_frac) * F.col("n")
         ).select("token", "dft")
+    # candidate restriction after the df aggregate (corpus-global
+    # stats), before scoring — hit-slice cost only
+    tf_scored = (
+        tf.join(candidates.select(id_col).distinct(), id_col, "left_semi")
+        if candidates is not None
+        else tf
+    )
     out = bm25_rank_components(
-        tf, doclen, stats, dft, queries,
+        tf_scored, doclen, stats, dft, queries,
         k=k, k1=k1, b=b, id_col=id_col,
         query_id_col=query_id_col, term_col=term_col,
     )

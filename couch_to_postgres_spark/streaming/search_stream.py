@@ -592,6 +592,7 @@ def bm25_topk_from_index(
     query_id_col: str = "query_id",
     term_col: str = "term",
     max_df_frac: float | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k answered from the maintained index — the corpus text is
     never read. Same (query_id, id, score, rank) contract, same numbers
@@ -599,7 +600,17 @@ def bm25_topk_from_index(
     corpus snapshot (shared scoring stage; equivalence pinned by tests
     and the ``x_bm25_incremental`` oracle). ``max_df_frac`` mirrors the
     batch path's df cap: terms present in more than that fraction of
-    live docs are dropped from scoring."""
+    live docs are dropped from scoring.
+
+    ``candidates`` (optional, an id frame) restricts RANKED documents
+    to the given set — metadata-filtered retrieval ("top BM25 hits
+    among docs with lang=en"), the lexical mirror of
+    ``vector_topk_live(candidates=…)``. The semi-join applies to the
+    query-hit slice, so the filter pays hit cost, never corpus cost;
+    scoring stats (N, avgdl, df) stay CORPUS-global — idf is a corpus
+    property, the standard filtered-retrieval semantics (filtering the
+    stats too would re-weight terms by how the filter correlates with
+    them)."""
     terms = sorted(
         r["token"]
         for r in queries.select(
@@ -726,8 +737,18 @@ def bm25_topk_from_index(
         dft = dft.crossJoin(F.broadcast(stats)).filter(
             F.col("dft") <= F.lit(max_df_frac) * F.col("n")
         ).select("token", "dft")
+    # candidate restriction AFTER the df aggregate (stats stay
+    # corpus-global by contract) and BEFORE scoring (the ranking window
+    # and the dl join shrink with the filter)
+    tf_scored = (
+        tf_live.join(
+            candidates.select(id_col).distinct(), id_col, "left_semi"
+        )
+        if candidates is not None
+        else tf_live
+    )
     out = bm25_rank_components(
-        tf_live, live.select(id_col, "dl"), stats, dft, queries,
+        tf_scored, live.select(id_col, "dl"), stats, dft, queries,
         k=k, k1=k1, b=b, id_col=id_col,
         query_id_col=query_id_col, term_col=term_col,
     )

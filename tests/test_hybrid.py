@@ -239,3 +239,32 @@ def test_local_fusion_bit_exact_with_spark_rrf(spark):
         _rrf_fuse_local(rankings, k=10, k_rrf=60, weights=weights)
     )
     assert got == want
+
+
+def test_filtered_hybrid_restricts_both_legs(spark, twin_indexes):
+    """candidates= restricts BOTH legs: the fused result is a subset of
+    the candidate set, the top doc outside it disappears even though it
+    wins both modalities unfiltered, and scores for surviving docs are
+    UNCHANGED (corpus-global lexical stats; the RRF re-ranks within the
+    filtered lists)."""
+    sidx, vidx = twin_indexes
+    terms, vecs = _queries(spark)
+    unfiltered = {
+        r["doc_id"] for r in hybrid_topk_live(
+            spark, sidx, vidx, terms, vecs, k=5, depth=5,
+            nprobe=len(ANCHORS),
+        ).collect()
+    }
+    assert 1 in unfiltered
+    cands = spark.createDataFrame([(2,), (3,), (4,)], "doc_id long")
+    got = hybrid_topk_live(
+        spark, sidx, vidx, terms, vecs, k=5, depth=5,
+        nprobe=len(ANCHORS), candidates=cands,
+    ).collect()
+    ids = {r["doc_id"] for r in got}
+    assert ids and ids <= {2, 3, 4}
+    assert 1 not in ids
+    # rank 1 within the filtered set is doc 3 (the only candidate with
+    # a query term AND a semantic hit)
+    by_rank = {r["rank"]: r["doc_id"] for r in got}
+    assert by_rank[1] == 3

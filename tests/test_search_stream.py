@@ -587,3 +587,77 @@ def test_search_index_fsck(spark, index, tmp_path):
     _sh.rmtree(victim)
     bad = search_index_fsck(spark, index, sample_pairs=10_000)
     assert not bad["ok"] and bad["dfs_mismatch_tokens"] > 0
+
+
+def test_from_index_candidates_filter_keeps_corpus_stats(spark, tmp_path):
+    """bm25_topk_from_index(candidates=…): the filtered ranking is
+    EXACTLY the unfiltered ranking restricted to the candidate set with
+    ranks recomputed — scores unchanged because N/avgdl/df stay
+    corpus-global by contract (a per-doc BM25 score does not depend on
+    which other docs are ranked)."""
+    idx = str(tmp_path / "cand_idx")
+    docs = [
+        (1, "spark rows merge window"),
+        (2, "spark window"),
+        (3, "merge rows stream"),
+        (4, "spark spark spark window"),
+        (5, "filler text entirely"),
+    ]
+    search_index_batch(spark, idx, spark.createDataFrame(
+        [(i, i, False, t) for i, t in docs],
+        "seq long, doc_id long, deleted boolean, text string",
+    ))
+    queries = spark.createDataFrame(
+        [(1, "spark"), (1, "window")], "query_id long, term string"
+    )
+    full = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_from_index(spark, idx, queries, k=5).collect()
+    }
+    cands = spark.createDataFrame([(2,), (4,), (5,)], "doc_id long")
+    got = bm25_topk_from_index(
+        spark, idx, queries, k=5, candidates=cands
+    ).collect()
+    assert {r["doc_id"] for r in got} == {2, 4}  # 5 matches no term
+    for r in got:
+        assert r["score"] == full[r["doc_id"]]
+    ranks = {r["doc_id"]: r["rank"] for r in got}
+    # rank order preserved among survivors, ranks densely recomputed
+    assert sorted(ranks.values()) == [1, 2]
+    assert (ranks[4] < ranks[2]) == (full[4] > full[2])
+
+
+def test_batch_candidates_filter_matches_from_index(spark, tmp_path):
+    """The batch path's candidates= obeys the same contract (shared
+    scoring stage): filtered batch == filtered from-index over the
+    equivalent corpus snapshot."""
+    from couch_to_postgres_spark.extensions.search import bm25_topk_batch
+
+    idx = str(tmp_path / "cand_idx2")
+    docs = [
+        (1, "spark rows merge window"),
+        (2, "spark window"),
+        (3, "merge rows stream"),
+        (4, "spark spark spark window"),
+        (5, "filler text entirely"),
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    search_index_batch(spark, idx, spark.createDataFrame(
+        [(i, i, False, t) for i, t in docs],
+        "seq long, doc_id long, deleted boolean, text string",
+    ))
+    queries = spark.createDataFrame(
+        [(1, "spark"), (1, "window")], "query_id long, term string"
+    )
+    cands = spark.createDataFrame([(1,), (2,), (4,)], "doc_id long")
+    a = sorted(
+        tuple(r) for r in bm25_topk_batch(
+            corpus, queries, k=5, candidates=cands
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in bm25_topk_from_index(
+            spark, idx, queries, k=5, candidates=cands
+        ).collect()
+    )
+    assert a == b and a

@@ -936,3 +936,37 @@ def test_never_indexed_tombstones_rewrite_nothing(spark, index):
     assert st2["affected_cells"] == 1
     assert len(st2["affected_id_buckets"]) == 1
     _check(spark, index, model)
+
+
+def test_rebuild_repairs_torn_state(spark, index):
+    """Recovery path for a detected tear: re-running
+    rebuild_vector_quantizer from the torn state (base one epoch ahead
+    of the quantizer) retrains/re-assigns from the base's live rows —
+    which never depended on the stale centroids — and re-stamps both
+    sides to one epoch: fsck green, results equal brute force."""
+    from couch_to_postgres_spark.streaming.meta_io import write_meta_rows
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+        rebuild_vector_quantizer,
+        vector_index_fsck,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    compact_vector_index_incremental(spark, index)
+    rebuild_vector_quantizer(spark, index, centroids=ANCHORS)
+    write_meta_rows(
+        spark, os.path.join(index, "quantizer"),
+        [("hof", len(ANCHORS), len(ANCHORS), 0)],
+        "assigner string, n_cells int, configured_cells int, "
+        "layout_epoch long",
+    )
+    assert not vector_index_fsck(spark, index)["ok"]
+    st = rebuild_vector_quantizer(spark, index, centroids=ANCHORS)
+    assert st["mode"] == "rebuild" and st["n_live"] == len(V0)
+    good = vector_index_fsck(spark, index)
+    assert good["ok"] and good["epoch_ok"]
+    assert good["layout_epoch_base"] == good["layout_epoch_quantizer"] == 1
+    _check(spark, index, V0)
