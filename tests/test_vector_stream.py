@@ -970,3 +970,50 @@ def test_rebuild_repairs_torn_state(spark, index):
     assert good["ok"] and good["epoch_ok"]
     assert good["layout_epoch_base"] == good["layout_epoch_quantizer"] == 1
     _check(spark, index, V0)
+
+
+def test_scoped_liveness_sees_unprobed_supersession(spark, index):
+    """The sharpest scoped-liveness pin (r12): a probed doc's
+    superseding version can live in an UNPROBED cell (update moved it)
+    or be a tombstone — the 1-probe read must still exclude the stale
+    probed version, while reading base/ids only from the sliced ids'
+    buckets (asserted via inputFiles)."""
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        DEFAULT_ID_BUCKETS,
+        compact_vector_index_incremental,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    compact_vector_index_incremental(spark, index)  # bucketed sidecar
+    # churn ON TOP of the base: doc 1 moves +x -> +y (its live version
+    # now sits in a cell the query below never probes); doc 2 deleted
+    vector_index_batch(spark, index, _changes(spark, [
+        (10, 1, False, [0.05, 0.95]),
+        (11, 2, True, None),
+    ]))
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.05])], "vec_id long, embedding array<double>"
+    )
+    out = vector_topk_live(spark, index, q, k=4, nprobe=1)
+    got = {r["neighbor_id"] for r in out.collect()}
+    # +x cell held {1, 2, 6}: 1 superseded into +y, 2 tombstoned
+    assert got == {6}
+    # the base/ids sidecar was opened only for the sliced ids' buckets
+    sliced_ids = [1, 2, 6]
+    want_buckets = {
+        r["b"]
+        for r in spark.createDataFrame(
+            [(i,) for i in sliced_ids], "vec_id long"
+        ).select(
+            F.pmod(F.hash("vec_id"), F.lit(DEFAULT_ID_BUCKETS)).alias("b")
+        ).collect()
+    }
+    ids_files = [f for f in out.inputFiles() if "/base/ids/" in f]
+    assert ids_files, "scoped path should read the bucketed sidecar"
+    got_buckets = {
+        int(f.split("id_bucket=")[1].split("/")[0]) for f in ids_files
+    }
+    assert got_buckets <= want_buckets

@@ -555,7 +555,7 @@ def main() -> None:
     # state where the full rewrite hurts the most).
     if not only_early or only_early & {
         "q_vector_compact_full", "q_vector_compact_incr",
-        "q_vector_query", "q_hybrid_fused",
+        "q_vector_query", "q_vector_query_churn", "q_hybrid_fused",
     }:
         from couch_to_postgres_spark.streaming.vector_stream import (
             compact_vector_index as _cvf,
@@ -955,6 +955,35 @@ def main() -> None:
                 ).collect()
 
             q["q_vector_query"] = _vector_query
+
+            # r12: the BETWEEN-FOLDS read shape — a churn batch lands
+            # (tail + non-fast path) and the query pays replay dedup +
+            # the seq-wins liveness join. With r12's scoped liveness
+            # the whole read is slice-proportional (base placements
+            # from the sliced ids' id_bucket dirs opened by name); the
+            # prior global live-set join re-read the corpus-skinny
+            # sidecar per query and would grow with the corpus.
+            def _vector_query_churn():
+                t["vec_seq"][0] += 1_000_000
+                vseq0 = t["vec_seq"][0]
+                _vib_q(
+                    spark,
+                    t["vec_idx"],
+                    t["vec_churn"].select(
+                        (
+                            F.lit(vseq0)
+                            + F.pmod(F.col("vec_id"), F.lit(1_000_000))
+                        ).alias("seq"),
+                        "vec_id",
+                        F.lit(False).alias("deleted"),
+                        "embedding",
+                    ),
+                )
+                _vtl_q(
+                    spark, t["vec_idx"], vq, k=10, nprobe=4
+                ).collect()
+
+            q["q_vector_query_churn"] = _vector_query_churn
 
         # r12 (VERDICT r11 #1): the fused hybrid read at scale — the
         # BM25 probe (token buckets by name, fast path) and the ANN
