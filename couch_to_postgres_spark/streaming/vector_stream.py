@@ -929,41 +929,41 @@ def compact_vector_index_incremental(
             .persist()
         )
         _mark("churned_discovery")
-        # affected cells: old ∪ new — both churn-sized aggregates
-        aff_cells = sorted(
-            r["cell"]
-            for r in base_ids_churned.select("cell")
-            .unionByName(tail_skinny.select("cell"))
-            .filter(F.col("cell").isNotNull())
-            .distinct()
-            .collect()
-        )  # driver-bounded: <= n_cells ints
-        cell_dirs = [f"cell={c}" for c in aff_cells]
-        # EFFECTIVE churn: churned ids the index actually HOLDS (a base
-        # sidecar row or a tail upsert). A mostly-plain feed tombstones
-        # every field-less upsert (pipeline's old-vector-must-die rule),
-        # so feed churn can dwarf embedded churn — never-indexed
-        # tombstones kill nothing, leave zero trace after the fold
-        # (tombstones retire wholesale below), and must not drag their
-        # id buckets into the REWRITE set (ADVICE r11: sidecar rewrites
-        # otherwise scale with the whole feed's update rate). The full
-        # churn set still drives the pruned *read* — that's how "never
-        # held" is learned — but reads are skinny and listing-free;
-        # only writes are the scale hazard.
-        eff_bucket_counts = (
-            base_ids_churned.select(id_col)
-            .unionByName(tail_skinny.select(id_col))
-            .distinct()
+        # ONE churn-sized aggregate yields the whole rewrite plan:
+        # affected cells (old ∪ new) AND the EFFECTIVE churn buckets.
+        # Effective churn = churned ids the index actually HOLDS (a
+        # base sidecar row or a tail upsert). A mostly-plain feed
+        # tombstones every field-less upsert (pipeline's
+        # old-vector-must-die rule), so feed churn can dwarf embedded
+        # churn — never-indexed tombstones kill nothing, leave zero
+        # trace after the fold (tombstones retire wholesale below),
+        # and must not drag their id buckets into the REWRITE set
+        # (ADVICE r11: sidecar rewrites otherwise scale with the whole
+        # feed's update rate). The full churn set still drives the
+        # pruned *read* above — that's how "never held" is learned —
+        # but reads are skinny and listing-free; only writes are the
+        # scale hazard. Output is driver-bounded: <= id_buckets rows,
+        # each with a <= n_cells cell set.
+        discovery = (
+            base_ids_churned.select(id_col, "cell")
+            .unionByName(tail_skinny.select(id_col, "cell"))
             .groupBy(
                 F.pmod(F.hash(F.col(id_col)), F.lit(n_id_buckets)).alias(
                     "b"
                 )
             )
-            .count()
+            .agg(
+                F.countDistinct(F.col(id_col)).alias("n"),
+                F.collect_set("cell").alias("cells"),
+            )
             .collect()
         )
-        n_eff_churned = sum(int(r["count"]) for r in eff_bucket_counts)
-        eff_id_buckets = sorted(r["b"] for r in eff_bucket_counts)
+        eff_id_buckets = sorted(r["b"] for r in discovery)
+        n_eff_churned = sum(int(r["n"]) for r in discovery)
+        aff_cells = sorted(
+            {c for r in discovery for c in r["cells"] if c is not None}
+        )  # collect_set drops the legacy no-cell tail's NULLs itself
+        cell_dirs = [f"cell={c}" for c in aff_cells]
 
         _mark("affected_cells")
         # churn-scoped liveness: max-seq over (old base version ∪ tail
