@@ -638,12 +638,25 @@ def bm25_topk_from_index(
     doclen_path, _, tomb_path = _paths(index_path)
     base_doclen_path, _, meta_path = _base_paths(index_path)
     meta_rows = read_meta_rows(spark, meta_path)
+    has_stats = bool(meta_rows) and "n_live" in meta_rows[0]
     fast = (
-        bool(meta_rows)
-        and "n_live" in meta_rows[0]
+        has_stats
         and _try(doclen_path) is None
         and _try(tomb_path) is None
     )
+    # NOTE (r12 measured negative, kept for the record): a
+    # slice-scoped variant of this read was built and A/B'd — stats
+    # EXACT from meta ± a churned-docs delta, per-candidate doclen from
+    # the hit ids' id_bucket dirs opened by name, df-routed by a dfs
+    # hit-fraction estimate. GLOBAL won at 600k AND 6M docs (selective
+    # 2-term query, warm medians: scoped 5.5-5.8 s vs global 3.2-3.8 s
+    # at both scales) because hit/churn ids hash across every bucket
+    # (no read pruning), the corpus-skinny doclen merge is one
+    # partial-aggregated columnar pass Spark parallelizes perfectly,
+    # and the scoped plan pays ~6 extra driver actions of pure job
+    # latency. Bucket-name pruning pays for REWRITES (the incremental
+    # fold) and for point discovery (phrase probes), not for per-query
+    # liveness reads.
     if fast:
         m = meta_rows[0]
         n_live = float(m["n_live"])

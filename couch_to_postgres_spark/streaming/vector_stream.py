@@ -499,84 +499,6 @@ def _try(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
-def _live_ids_scoped(
-    spark: SparkSession,
-    index_path: str,
-    slice_df: DataFrame,
-    meta_rows: list[dict],
-    id_col: str,
-) -> DataFrame:
-    """(id, seq) of the LIVE versions of the ids present in
-    ``slice_df`` — the probed read's liveness set, computed from
-    slice-proportional reads only (r12).
-
-    Seq-wins liveness needs every version of an id, and a superseding
-    version can sit in an UNPROBED cell — but it cannot escape the
-    id's ``id_bucket=H`` sidecar dir, so the base side prunes to the
-    sliced ids' buckets, opened by name exactly like the incremental
-    fold's churn discovery. The tail and tombstones are
-    update-rate-sized reads regardless. One driver-bounded collect
-    (≤ id_buckets rows) buys the by-name opens. Falls back to the
-    global :func:`live_vector_ids` when the base predates the
-    bucketed-sidecar layout (no meta ``id_buckets`` / flat ids dir) —
-    the one case the pruned open cannot serve."""
-    base_ids_path, _, _ = _base_paths(index_path)
-    if (
-        not meta_rows
-        or "id_buckets" not in meta_rows[0]
-        or not _has_partition_prefix(base_ids_path, "id_bucket=")
-    ):
-        return live_vector_ids(spark, index_path, id_col)
-    n_buckets = int(meta_rows[0]["id_buckets"])
-    # lazy anchor, deliberately NOT persisted: the same pruned-scan
-    # lineage feeds scoring anyway, identical subtrees reuse their
-    # exchange, and a cached block would outlive the query in a
-    # long-running daemon (the q_cells lesson, ADVICE r10)
-    ids = slice_df.select(id_col).distinct()
-    buckets = sorted(
-        r["b"]
-        for r in ids.select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("b")
-        )
-        .distinct()
-        .collect()
-    )  # driver-bounded: <= id_buckets ints
-    id_t = dict(slice_df.dtypes)[id_col]
-    base_slice = _open_partition_dirs(
-        spark, base_ids_path, [f"id_bucket={b}" for b in buckets]
-    )
-    base_versions = (
-        base_slice.join(ids, on=id_col, how="left_semi").select(
-            id_col, "seq"
-        )
-        if base_slice is not None
-        else spark.createDataFrame([], f"{id_col} {id_t}, seq long")
-    )
-    cells_path, tomb_path = _paths(index_path)
-    schema = f"{id_col} {id_t}, seq long"
-    tail, tomb = _read_components(
-        spark, [(cells_path, schema), (tomb_path, schema)], id_col
-    )
-    latest = (
-        tail.select(id_col, "seq")
-        .join(ids, on=id_col, how="left_semi")
-        .unionByName(base_versions)
-        .groupBy(id_col)
-        .agg(F.max("seq").alias("seq"))
-    )
-    tmax = (
-        tomb.select(id_col, "seq")
-        .join(ids, on=id_col, how="left_semi")
-        .groupBy(id_col)
-        .agg(F.max("seq").alias("_t"))
-    )
-    return (
-        latest.join(tmax, id_col, "left")
-        .filter(F.col("_t").isNull() | (F.col("_t") < F.col("seq")))
-        .select(id_col, "seq")
-    )
-
-
 def vector_topk_live(
     spark: SparkSession,
     index_path: str,
@@ -597,11 +519,7 @@ def vector_topk_live(
     (update-rate-sized since the last compaction). On a compacted
     churn-free index (stats-bearing meta, no tail, no tombstones) the
     slice is live and unique by the compaction invariant — no dedup, no
-    liveness join. Between folds the liveness set is SCOPED to the
-    slice's ids (:func:`_live_ids_scoped`, r12) — base placements from
-    the ids' ``id_bucket=H`` dirs opened by name — so the whole query
-    is slice-proportional; nothing in the read touches the corpus at
-    large. The query-side assignment runs twice (once for the
+    liveness join. The query-side assignment runs twice (once for the
     probed-cell list, once inside scoring) rather than persisting
     q_cells: a query-sized Arrow pass repeated is cheaper than a cached
     block a long-running daemon leaks until session GC (ADVICE r10).
@@ -658,21 +576,18 @@ def vector_topk_live(
     if not fast:
         # replay dedup on the probed slice (a version lands in exactly
         # one cell, so (id, seq) identifies it), then the seq-wins
-        # liveness semi-join. Liveness is SCOPED to the slice's ids
-        # (r12): a probed doc's superseding version can live in an
-        # UNPROBED cell, so liveness must see every version of the
-        # sliced ids — but only of those ids. Their base placements
-        # come from the id-bucketed sidecar opened BY BUCKET NAME (the
-        # fold's discovery path), the tail/tombstones are
-        # update-rate-sized, so the whole query stays
-        # slice-proportional; the prior global live_vector_ids join
-        # re-read the corpus-skinny sidecar on every between-folds
-        # query. Legacy bases without the bucketed sidecar fall back
-        # to the global set.
+        # liveness semi-join against the skinny global live set.
+        # DELIBERATELY global (r12 measured negative): a slice-scoped
+        # variant (base placements from the sliced ids' id_bucket dirs
+        # opened by name) was built and A/B'd at 600k AND 6M vectors —
+        # global won both (6M: 1.97 s vs 2.26 s) because the slice's
+        # ids hash across every bucket (no read pruning) while the
+        # global merge is one partial-aggregated columnar pass, and the
+        # scoped plan pays ~4 extra driver actions of pure job latency.
+        # Bucket-name pruning pays for REWRITES (the incremental fold),
+        # not for per-query reads.
         slice_df = slice_df.dropDuplicates([id_col, "seq"]).join(
-            _live_ids_scoped(
-                spark, index_path, slice_df, meta_rows, id_col
-            ),
+            live_vector_ids(spark, index_path, id_col),
             on=[id_col, "seq"],
             how="left_semi",
         )

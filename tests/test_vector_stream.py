@@ -972,14 +972,13 @@ def test_rebuild_repairs_torn_state(spark, index):
     _check(spark, index, V0)
 
 
-def test_scoped_liveness_sees_unprobed_supersession(spark, index):
-    """The sharpest scoped-liveness pin (r12): a probed doc's
-    superseding version can live in an UNPROBED cell (update moved it)
-    or be a tombstone — the 1-probe read must still exclude the stale
-    probed version, while reading base/ids only from the sliced ids'
-    buckets (asserted via inputFiles)."""
+def test_unprobed_supersession_excluded(spark, index):
+    """The sharpest liveness pin: a probed doc's superseding version
+    can live in an UNPROBED cell (update moved it) or be a tombstone —
+    the 1-probe read must still exclude the stale probed version (why
+    liveness must see every version of a sliced id, not just the
+    probed cell's rows)."""
     from couch_to_postgres_spark.streaming.vector_stream import (
-        DEFAULT_ID_BUCKETS,
         compact_vector_index_incremental,
     )
 
@@ -987,7 +986,7 @@ def test_scoped_liveness_sees_unprobed_supersession(spark, index):
         spark, index,
         _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
     )
-    compact_vector_index_incremental(spark, index)  # bucketed sidecar
+    compact_vector_index_incremental(spark, index)
     # churn ON TOP of the base: doc 1 moves +x -> +y (its live version
     # now sits in a cell the query below never probes); doc 2 deleted
     vector_index_batch(spark, index, _changes(spark, [
@@ -1001,19 +1000,3 @@ def test_scoped_liveness_sees_unprobed_supersession(spark, index):
     got = {r["neighbor_id"] for r in out.collect()}
     # +x cell held {1, 2, 6}: 1 superseded into +y, 2 tombstoned
     assert got == {6}
-    # the base/ids sidecar was opened only for the sliced ids' buckets
-    sliced_ids = [1, 2, 6]
-    want_buckets = {
-        r["b"]
-        for r in spark.createDataFrame(
-            [(i,) for i in sliced_ids], "vec_id long"
-        ).select(
-            F.pmod(F.hash("vec_id"), F.lit(DEFAULT_ID_BUCKETS)).alias("b")
-        ).collect()
-    }
-    ids_files = [f for f in out.inputFiles() if "/base/ids/" in f]
-    assert ids_files, "scoped path should read the bucketed sidecar"
-    got_buckets = {
-        int(f.split("id_bucket=")[1].split("/")[0]) for f in ids_files
-    }
-    assert got_buckets <= want_buckets

@@ -705,7 +705,10 @@ def main() -> None:
                         "text"
                     ),
                 ),
-                ["RAIL", "TRUCK", "AIR"],
+                # r12 fidelity fix: real doc-token vocabulary (the
+                # synthetic lineitem has no l_shipmode, so the old
+                # RAIL/TRUCK/AIR terms matched nothing)
+                ["R", "42.0", "0.05"],
                 k=20,
                 id_col="id",
             ).count(),
