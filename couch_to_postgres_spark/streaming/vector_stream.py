@@ -143,6 +143,47 @@ def _layout_epoch(spark: SparkSession, index_path: str) -> int:
     got = q[0].get("layout_epoch")
     return int(got) if got is not None else 0
 
+
+class TornVectorIndexError(RuntimeError):
+    """A fold found ``base/meta`` and the quantizer marker at different
+    layout epochs — the torn :func:`rebuild_vector_quantizer` state
+    :func:`vector_index_fsck` exists to catch. Folding here would be
+    doubly wrong: the staged meta would re-stamp the quantizer's epoch
+    (greening the fsck cross-check while the base stays assigned under
+    the other layout), and tail rows assigned under one centroid set
+    would be merged into a base assigned under the other. Repair by
+    re-running :func:`rebuild_vector_quantizer` (idempotent), then
+    fold."""
+
+
+def _fold_epoch(
+    spark: SparkSession, index_path: str, base_meta_rows
+) -> int:
+    """The epoch a FOLD must stamp on its staged ``base/meta``: the
+    base's OWN epoch, carried forward. A fold preserves the layout, so
+    it must never re-derive the epoch from the quantizer (ADVICE r12:
+    in the torn-rebuild state — base at N+1, quantizer still at N — a
+    routine watchdog fold that read the quantizer would rewrite the
+    base back to N, permanently masking exactly the corruption the
+    epoch cross-check was added for). When the two sides already
+    disagree the fold refuses (:class:`TornVectorIndexError`); a base
+    with no meta / a pre-epoch meta inherits the quantizer's epoch
+    (its rows' cells were assigned under the current quantizer)."""
+    q_epoch = _layout_epoch(spark, index_path)
+    base_epoch = (
+        base_meta_rows[0].get("layout_epoch") if base_meta_rows else None
+    )
+    if base_epoch is None:
+        return q_epoch
+    if int(base_epoch) != q_epoch:
+        raise TornVectorIndexError(
+            f"layout-epoch tear at {index_path}: base/meta epoch "
+            f"{int(base_epoch)} != quantizer epoch {q_epoch}; refusing "
+            "to fold — re-run rebuild_vector_quantizer to repair, or "
+            "see vector_index_fsck"
+        )
+    return int(base_epoch)
+
 #: ``base/ids`` partition fan-out — the unit the incremental compactor
 #: rewrites per churned id bucket. Fixed like the search index's 64
 #: token buckets: the sidecar is SKINNY (id, seq, cell), so a bucket
@@ -626,6 +667,11 @@ def compact_vector_index(
     cells_path, tomb_path = _paths(index_path)
     base_ids_path, base_cells_path, meta_path = _base_paths(index_path)
     with _path_lock(index_path):
+        # epoch to carry forward — checked FIRST so a torn rebuild is
+        # refused before any work (and never masked, ADVICE r12)
+        fold_epoch = _fold_epoch(
+            spark, index_path, read_meta_rows(spark, meta_path)
+        )
         live = live_vector_ids(spark, index_path, id_col).persist()
         frames = [
             f
@@ -672,10 +718,7 @@ def compact_vector_index(
         write_meta_rows(
             spark,
             staged_meta,
-            [(
-                int(n_cells), n_live, int(id_buckets),
-                _layout_epoch(spark, index_path),
-            )],
+            [(int(n_cells), n_live, int(id_buckets), fold_epoch)],
             _BASE_META_SCHEMA,
         )
         live.unpersist()
@@ -781,6 +824,9 @@ def compact_vector_index_incremental(
             return {**done, "mode": "full"}
         n_id_buckets = int(meta_rows[0]["id_buckets"])
         n_cells = int(meta_rows[0]["n_cells"])
+        # epoch to carry forward — checked FIRST so a torn rebuild is
+        # refused before any work (and never masked, ADVICE r12)
+        fold_epoch = _fold_epoch(spark, index_path, meta_rows)
 
         schema = f"{id_col} long, seq long"
         tail, tomb = _read_components(
@@ -1000,10 +1046,7 @@ def compact_vector_index_incremental(
         write_meta_rows(
             spark,
             staged_meta,
-            [(
-                n_cells, n_live, n_id_buckets,
-                _layout_epoch(spark, index_path),
-            )],
+            [(n_cells, n_live, n_id_buckets, fold_epoch)],
             _BASE_META_SCHEMA,
         )
         _mark("meta_delta")
@@ -1437,10 +1480,13 @@ def vector_index_fsck(
     base_epoch = (
         meta_rows[0].get("layout_epoch") if meta_rows else None
     )
-    epoch_ok = (
-        q_epoch is None
-        or base_epoch is None
-        or int(q_epoch) == int(base_epoch)
+    # asymmetric vacuity (ADVICE r12): a base WITHOUT the column is a
+    # pre-epoch index (skip), but a base WITH the column next to a
+    # quantizer without it is the first rebuild of a pre-epoch index
+    # crashed mid-swap — _layout_epoch treats the missing marker as 0
+    # and rebuild stamped the base 1, so compare against 0, don't skip
+    epoch_ok = base_epoch is None or int(base_epoch) == (
+        int(q_epoch) if q_epoch is not None else 0
     )
     n_live_actual = live_vector_ids(spark, index_path, id_col).count()
     tail_rows = _read_or_empty(

@@ -972,6 +972,95 @@ def test_rebuild_repairs_torn_state(spark, index):
     _check(spark, index, V0)
 
 
+def test_fold_refuses_and_never_masks_torn_epoch(spark, index):
+    """ADVICE r12 (medium): both fold shapes stamp the staged base/meta
+    with the base's OWN carried-forward epoch, never the quantizer's —
+    and in the torn state (base one epoch ahead) they must REFUSE
+    outright. Before the fix, a routine watchdog fold in that state
+    rewrote base/meta back to the quantizer's epoch, permanently
+    GREENING fsck's cross-check while probes kept running old centroids
+    over the new-layout base (and folding tail rows assigned under the
+    old centroids into it)."""
+    from couch_to_postgres_spark.streaming.meta_io import write_meta_rows
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        TornVectorIndexError,
+        compact_vector_index_incremental,
+        rebuild_vector_quantizer,
+        vector_index_fsck,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    compact_vector_index_incremental(spark, index)
+    rebuild_vector_quantizer(spark, index, centroids=ANCHORS)
+    # tear: quantizer rolled back one epoch (crash-mid-swap shape)
+    write_meta_rows(
+        spark, os.path.join(index, "quantizer"),
+        [("hof", len(ANCHORS), len(ANCHORS), 0)],
+        "assigner string, n_cells int, configured_cells int, "
+        "layout_epoch long",
+    )
+    # churn so a fold would actually have work to do
+    vector_index_batch(
+        spark, index, _changes(spark, [(50, 1, False, [0.85, 0.2])])
+    )
+    with pytest.raises(TornVectorIndexError):
+        compact_vector_index_incremental(spark, index)
+    with pytest.raises(TornVectorIndexError):
+        compact_vector_index(spark, index)
+    # the tear is still visible — neither refused fold masked it
+    bad = vector_index_fsck(spark, index)
+    assert not bad["epoch_ok"]
+    assert bad["layout_epoch_base"] == 1
+    assert bad["layout_epoch_quantizer"] == 0
+    # repair, then folds run again and CARRY the epoch forward
+    rebuild_vector_quantizer(spark, index, centroids=ANCHORS)
+    vector_index_batch(
+        spark, index, _changes(spark, [(51, 2, False, [0.7, 0.4])])
+    )
+    st = compact_vector_index_incremental(spark, index)
+    assert st["mode"] == "incremental"
+    good = vector_index_fsck(spark, index)
+    assert good["ok"]
+    assert good["layout_epoch_base"] == good["layout_epoch_quantizer"] == 1
+    _check(spark, index, {**V0, 1: [0.85, 0.2], 2: [0.7, 0.4]})
+
+
+def test_fsck_flags_pre_epoch_quantizer_behind_epoch_base(spark, index):
+    """ADVICE r12 (low): the one-time upgrade path — the FIRST rebuild
+    of a pre-epoch index crashes mid-swap, leaving base epoch 1 next to
+    a quantizer marker that lacks the column entirely. _layout_epoch
+    treats that marker as epoch 0, so fsck must compare 1 != 0 and
+    flag, not skip vacuously; a base WITHOUT the column stays the
+    vacuous pre-epoch skip."""
+    from couch_to_postgres_spark.streaming.meta_io import write_meta_rows
+    from couch_to_postgres_spark.streaming.vector_stream import (
+        compact_vector_index_incremental,
+        rebuild_vector_quantizer,
+        vector_index_fsck,
+    )
+
+    vector_index_batch(
+        spark, index,
+        _changes(spark, [(i, i, False, v) for i, v in V0.items()]),
+    )
+    compact_vector_index_incremental(spark, index)
+    rebuild_vector_quantizer(spark, index, centroids=ANCHORS)
+    # crash-mid-upgrade shape: quantizer written back with the PRE-r12
+    # 3-column schema (no layout_epoch), base/meta still at epoch 1
+    write_meta_rows(
+        spark, os.path.join(index, "quantizer"),
+        [("hof", len(ANCHORS), len(ANCHORS))],
+        "assigner string, n_cells int, configured_cells int",
+    )
+    bad = vector_index_fsck(spark, index)
+    assert not bad["ok"] and not bad["epoch_ok"]
+    assert bad["layout_epoch_base"] == 1
+    assert bad["layout_epoch_quantizer"] is None
+
+
 def test_unprobed_supersession_excluded(spark, index):
     """The sharpest liveness pin: a probed doc's superseding version
     can live in an UNPROBED cell (update moved it) or be a tombstone —

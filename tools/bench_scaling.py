@@ -961,11 +961,15 @@ def main() -> None:
 
             # r12: the BETWEEN-FOLDS read shape — a churn batch lands
             # (tail + non-fast path) and the query pays replay dedup +
-            # the seq-wins liveness join. With r12's scoped liveness
-            # the whole read is slice-proportional (base placements
-            # from the sliced ids' id_bucket dirs opened by name); the
-            # prior global live-set join re-read the corpus-skinny
-            # sidecar per query and would grow with the corpus.
+            # the seq-wins liveness join against the GLOBAL skinny
+            # sidecar merge (one partial-aggregated columnar pass). A
+            # slice-scoped per-query liveness read (base placements
+            # opened by id_bucket dir name for just the probed slice)
+            # was built and A/B'd at 600k AND 6M rows in r12 and LOST
+            # every cell — hashed ids defeat bucket-level pruning past
+            # ~the bucket count, and the scoped path added 4-6 driver
+            # actions per query; it was reverted with the evidence in
+            # SCALING.md r12 ("scoped-read negative").
             def _vector_query_churn():
                 t["vec_seq"][0] += 1_000_000
                 vseq0 = t["vec_seq"][0]
