@@ -66,7 +66,7 @@ import os
 from dataclasses import dataclass
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -520,6 +520,43 @@ def base_is_live(spark: SparkSession, index_path: str) -> bool:
     )
 
 
+#: BM25 parameters the compacted base's impact bounds are STAMPED with
+#: (the library-wide defaults). The MaxScore pruned read requires the
+#: query's (k1, b) to equal the stamp — any other pair falls back to the
+#: exact full path, so non-default calls stay correct, just unpruned.
+IMPACT_K1 = 1.2
+IMPACT_B = 0.75
+
+#: per-(token_bucket, id_sub, token) top-impact array length stored in
+#: ``base/dfs``. Partials are doc-disjoint, so merging a token's partial
+#: arrays yields the EXACT global top-G impacts; a query's k must be
+#: <= G for the threshold seed to be provable (k above G falls back).
+IMPACT_TOP_G = 32
+
+#: safety slack subtracted from the MaxScore threshold, covering every
+#: rounding step between the stored raw impacts and the scorer's final
+#: numbers: bm25_rank_components rounds each contribution to 6 decimals
+#: (±5e-7 per term, summed exactly as decimal) and the final score to 4
+#: (±5e-5) — 2e-3 dominates both for any query up to ~1000 terms, and
+#: costs nothing against score gaps at 1e-1 scale.
+IMPACT_EPS = 2e-3
+
+
+def _impact0_expr(k1: float, b: float, avgdl: float):
+    """The idf-free BM25 term of one posting under the stamped
+    parameters: ``tf / (tf + k1*(1 - b + b*dl/avgdl))`` ∈ (0, 1],
+    computed from the row's ``tf`` and denormalized ``dl``. Monotone in
+    the true contribution given fixed corpus stats; under avgdl drift
+    (incremental folds) the true current value is bracketed by
+    ``impact0 * [min(1, avgdl/avgdl0), max(1, avgdl/avgdl0)]`` — the
+    correction factors the pruned read derives from meta's
+    ``impact_avgdl_min/max``."""
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    return (F.col("tf") / denom).alias("impact0")
+
+
 def query_postings(
     spark: SparkSession,
     index_path: str,
@@ -581,6 +618,250 @@ def query_postings(
     return base.unionByName(tail)
 
 
+def _bm25_pruned_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    m: dict,
+    terms: list[str],
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    query_id_col: str,
+    term_col: str,
+    max_df_frac: float | None,
+    diag: dict | None,
+) -> DataFrame | None:
+    """MaxScore / block-max top-k over the compacted base — EXACT BM25
+    top-k at sub-df-proportional cost (Turtle & Flood 1995 MaxScore;
+    Ding & Suel 2011 block-max — public knowledge, re-expressed on
+    columnar statistics instead of postings cursors). Returns ``None``
+    whenever any precondition fails, and the caller runs the exact
+    full path — the pruned read is an optimization gate, never a
+    semantics fork.
+
+    Exact BM25 scores every posting of every query term, so a 33%-df
+    term at 100 TB scores a third of the corpus's postings per query
+    (VERDICT r12 #1). This read instead:
+
+    1. **plans driver-side from dfs bounds** — per query it derives a
+       provable lower bound θ of the k-th best final score (the k-th
+       highest stored impact of any one query term: one posting per
+       (doc, token) means those k impacts belong to k distinct docs,
+       each of whose final scores is at least its own impact), then
+       per-term MaxScore cuts over the ub-ascending term order:
+       ``cut_{t_j} = (θ − Σ_{i<j} ub_{t_i}) / scale_{t_j}`` — a doc
+       whose every present term's posting falls below its cut has, at
+       its HIGHEST-ranked present term t_j, contribution < θ −
+       prefix_j, hence score < θ strictly: it cannot enter (or tie
+       into) the top-k;
+    2. **phase B (candidates)**: scans only postings with
+       ``token = t AND impact0 ≥ cut_t`` — pushed predicates over the
+       (token, impact0 desc)-sorted base, so parquet row-group/page
+       statistics skip the provably-losing blocks at the storage layer;
+    3. **phase C (exact rescore)**: re-reads the query terms' postings
+       semi-joined to the candidate ids and scores them through the
+       SHARED :func:`bm25_rank_components` — numerically identical to
+       the full path, so the two can never drift.
+
+    Safety under avgdl drift (incremental folds stamp rows under
+    different corpus averages): all bounds are corrected by
+    ``r_max = max(1, avgdl/impact_avgdl_min)`` (upper) and
+    ``s_min = min(1, avgdl/impact_avgdl_max)`` (lower) from meta's
+    stamp bracket, and θ carries :data:`IMPACT_EPS` slack dominating
+    the scorer's 6/4-decimal rounding — pruning only ever removes docs
+    strictly below the k-th best ROUNDED score, so ties at the boundary
+    always survive.
+
+    Gates (→ ``None``): stamped (k1, b) differ from the query's, k >
+    stored top-G, legacy base without the impact layer, no positive
+    cut anywhere (pruning would read everything the full path reads),
+    or an empty live corpus. ``candidates=`` filtering is gated by the
+    CALLER: θ bounds the k-th best index-wide score, which is not a
+    bound for the k-th best within an arbitrary candidate subset."""
+    if m.get("impact_k1") is None or m.get("impact_topg") is None:
+        return None
+    if float(m["impact_k1"]) != float(k1) or float(m["impact_b"]) != float(b):
+        return None
+    if int(k) > int(m["impact_topg"]):
+        return None
+    n_live = int(m["n_live"])
+    if n_live <= 0:
+        return None
+    dfs_root = os.path.join(index_path, "base", "dfs")
+    _, base_postings_path, _ = _base_paths(index_path)
+    if not _has_partition_prefix(dfs_root, "token_bucket="):
+        return None
+    if not _has_partition_prefix(base_postings_path, "token_bucket="):
+        return None
+    import math
+
+    n_buckets = int(m["token_buckets"])
+    n = float(n_live)
+    avgdl = (float(m["sum_dl"]) / n_live) if n_live else 0.0
+    lo = float(m["impact_avgdl_min"] or 0.0)
+    hi = float(m["impact_avgdl_max"] or 0.0)
+    if lo <= 0.0 or hi <= 0.0:
+        return None
+    r_max = max(1.0, avgdl / lo)
+    s_min = min(1.0, avgdl / hi)
+    bucket_dirs = [
+        f"token_bucket={tb}" for tb in _term_buckets(spark, terms, n_buckets)
+    ]
+    dfs_df = _open_partition_dirs(spark, dfs_root, bucket_dirs)
+    try:
+        rows = (
+            dfs_df.filter(F.col("token").isin(terms))
+            .select("token", "dft", "max_impact0", "top_impacts")
+            .collect()
+            if dfs_df is not None
+            else []
+        )
+    except AnalysisException:
+        return None  # dfs partials predate the impact layer
+    # merge partials per term: dft sums exactly (integral doubles),
+    # partial maxes max, partial top arrays concatenate+sort to the
+    # exact global top list (partials are doc-disjoint)
+    agg: dict[str, list] = {}
+    for r in rows:
+        dft_p, max_p, tops_p = (
+            float(r["dft"]),
+            r["max_impact0"],
+            r["top_impacts"] or [],
+        )
+        if max_p is None:
+            return None
+        got = agg.setdefault(r["token"], [0.0, 0.0, []])
+        got[0] += dft_p
+        got[1] = max(got[1], float(max_p))
+        got[2].extend(float(x) for x in tops_p)
+    scale = 1.0 + float(k1)
+    term_stats: dict[str, dict] = {}
+    for t, (dft_t, max0_t, tops) in agg.items():
+        if max_df_frac is not None and not (dft_t <= max_df_frac * n):
+            continue  # df-capped out of scoring, exactly like the dft filter
+        idf_t = math.log((n - dft_t + 0.5) / (dft_t + 0.5) + 1.0)
+        tops.sort(reverse=True)
+        term_stats[t] = {
+            "dft": dft_t,
+            "ub": idf_t * scale * max0_t * r_max,
+            "seed": (
+                idf_t * scale * tops[k - 1] * s_min
+                if len(tops) >= k
+                else None
+            ),
+            "denorm": idf_t * scale * r_max,
+            "max0": max0_t,
+        }
+    # per-query term sets: the query table is caller-built and tiny —
+    # collecting it is plan-time work, not a data collect
+    q_terms: dict = {}
+    for r in (
+        queries.select(query_id_col, F.col(term_col).alias("t"))
+        .distinct()
+        .collect()
+    ):
+        if r["t"] in term_stats:
+            q_terms.setdefault(r[query_id_col], set()).add(r["t"])
+    cuts: dict[str, float] = {}
+    for tq in q_terms.values():
+        seeds = [term_stats[t]["seed"] for t in tq]
+        seeds = [s for s in seeds if s is not None]
+        theta = (max(seeds) - IMPACT_EPS) if seeds else 0.0
+        # MaxScore's essential-suffix structure, per term: sort the
+        # query's terms by upper bound ASCENDING; a doc's score is at
+        # most (its contribution from its highest-ranked present term
+        # t_j) + (the prefix sum of bounds strictly below t_j), so
+        # every top-k doc passes t_j's cut = (θ − prefix_j)/scale_j and
+        # the union of per-term filtered postings is a provable
+        # candidate superset. (The naive "θ − Σ of ALL other bounds"
+        # cut is valid too but never fires when one rare high-idf term
+        # rides along with a common one — the exact query shape this
+        # path exists for.)
+        ordered = sorted(tq, key=lambda t: (term_stats[t]["ub"], t))
+        prefix = 0.0
+        for t in ordered:
+            cut_qt = (
+                (theta - prefix) / term_stats[t]["denorm"]
+                if theta > 0.0
+                else 0.0
+            )
+            cuts[t] = min(cuts.get(t, float("inf")), max(0.0, cut_qt))
+            prefix += term_stats[t]["ub"]
+    if not cuts or all(c <= 0.0 for c in cuts.values()):
+        return None  # no provable skipping anywhere — full path is optimal
+    # phase B: the candidate scan. Terms whose cut exceeds their max
+    # stored impact cannot seed a candidate — skipped entirely (their
+    # postings still return in phase C for candidates found elsewhere).
+    base = _open_partition_dirs(spark, base_postings_path, bucket_dirs)
+    if base is None:
+        return None
+    phase_b_preds = [
+        (F.col("token") == F.lit(t)) & (F.col("impact0") >= F.lit(c))
+        for t, c in cuts.items()
+        if c <= term_stats[t]["max0"]
+    ]
+    if not phase_b_preds:
+        # every query provably has fewer than k docs above θ only via
+        # terms it seeded from — cannot happen (the seed's own k docs
+        # always pass); defensively fall back
+        return None
+    pred = phase_b_preds[0]
+    for p in phase_b_preds[1:]:
+        pred = pred | p
+    cand = (
+        base.filter(pred).select(id_col).distinct().persist()
+    )
+    # phase C: exact rescore of the candidates over ALL scored terms,
+    # through the shared scoring stage — candidate docs found for one
+    # query may also be scored for another; harmless, because any doc
+    # below a query's θ ranks strictly under its true top-k and the
+    # rank <= k filter drops it (pinned by the equivalence tests)
+    scored_terms = sorted(term_stats)
+    tf_cand = (
+        base.filter(F.col("token").isin(scored_terms))
+        .select(id_col, "token", "tf", "dl")
+        .join(cand, on=id_col, how="left_semi")
+    )
+    stats = spark.createDataFrame(
+        [(n, avgdl)], "n double, avgdl double"
+    )
+    dft_frame = spark.createDataFrame(
+        [(t, term_stats[t]["dft"]) for t in scored_terms],
+        "token string, dft double",
+    )
+    out = bm25_rank_components(
+        tf_cand.select(id_col, "token", "tf"),
+        tf_cand.select(id_col, "dl").distinct(),
+        stats,
+        dft_frame,
+        queries,
+        k=k,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        term_col=term_col,
+    )
+    if diag is not None:
+        diag.update(
+            pruned=True,
+            cuts={t: round(c, 6) for t, c in cuts.items()},
+            candidates=cand.count(),
+            r_max=r_max,
+            s_min=s_min,
+            # the executed phase-B plan — tests pin that the impact
+            # cut reaches the parquet scan as a pushed filter (the
+            # block-skipping contract)
+            phase_b_plan=(
+                cand._jdf.queryExecution().executedPlan().toString()
+            ),
+        )
+    cand.unpersist()
+    return out
+
+
 def bm25_topk_from_index(
     spark: SparkSession,
     index_path: str,
@@ -593,6 +874,7 @@ def bm25_topk_from_index(
     term_col: str = "term",
     max_df_frac: float | None = None,
     candidates: DataFrame | None = None,
+    diag: dict | None = None,
 ) -> DataFrame:
     """BM25 top-k answered from the maintained index — the corpus text is
     never read. Same (query_id, id, score, rank) contract, same numbers
@@ -644,6 +926,21 @@ def bm25_topk_from_index(
         and _try(doclen_path) is None
         and _try(tomb_path) is None
     )
+    # MaxScore / block-max early termination (VERDICT r12 #1): on the
+    # read-mostly base with the impact layer present, answer from the
+    # provably-sufficient posting blocks instead of scoring every
+    # posting of every term — exact top-k, sub-df-proportional reads.
+    # The candidate-filtered call stays on the full path: θ bounds the
+    # index-wide k-th best, not the k-th best within a candidate set.
+    if fast and candidates is None:
+        got = _bm25_pruned_topk(
+            spark, index_path, queries, meta_rows[0], terms,
+            k, k1, b, id_col, query_id_col, term_col, max_df_frac, diag,
+        )
+        if got is not None:
+            return got
+    if diag is not None:
+        diag["pruned"] = False
     # NOTE (r12 measured negative, kept for the record): a
     # slice-scoped variant of this read was built and A/B'd — stats
     # EXACT from meta ± a churned-docs delta, per-candidate doclen from
@@ -796,6 +1093,48 @@ def _auto_id_subbuckets(n_live: int) -> int:
     return min(256, 2 ** round(math.log2(raw)))
 
 
+def _dfs_rows(staged_po: DataFrame) -> DataFrame:
+    """Per-(token_bucket, id_sub, token) dfs partials derived from
+    just-written base postings: the document-frequency partial plus the
+    impact-bound columns the MaxScore pruned read plans with — the
+    partial ``max_impact0`` and the EXACT top-G impacts (partials are
+    doc-disjoint, so merging a token's partial arrays yields the exact
+    global top-G). The row_number pre-pass bounds per-group state at G
+    doubles no matter how many postings a Zipf-head token puts in one
+    pair — a bare collect_list would grow with bucket_rows/n_sub, which
+    rises ~×2.5 per ×10 docs under the auto fan-out."""
+    w = Window.partitionBy("token_bucket", "id_sub", "token").orderBy(
+        F.desc("impact0")
+    )
+    return (
+        staged_po.withColumn("_rn", F.row_number().over(w))
+        .groupBy("token_bucket", "id_sub", "token")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("dft"),
+            F.max("impact0").alias("max_impact0"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= IMPACT_TOP_G, F.col("impact0"))
+                ),
+                asc=False,
+            ).alias("top_impacts"),
+        )
+    )
+
+
+#: base/meta schema for a compacted search index. The ``impact_*``
+#: columns stamp the bound layer: the (k1, b) the stored impacts were
+#: computed under, the avgdl-stamp bracket across live base partitions
+#: (full compaction resets both ends to the current avgdl; each
+#: incremental fold widens them with its own stamp), and the stored
+#: top-array length.
+_SEARCH_META_SCHEMA = (
+    "token_buckets int, id_subbuckets int, n_live long, sum_dl double, "
+    "impact_k1 double, impact_b double, impact_avgdl_min double, "
+    "impact_avgdl_max double, impact_topg int"
+)
+
+
 def compact_index(
     spark: SparkSession,
     index_path: str,
@@ -853,22 +1192,42 @@ def compact_index(
     bucket instead of one per task."""
     base_doclen_path, base_postings_path, meta_path = _base_paths(out_path)
     live = live_doclen(spark, index_path, id_col).persist()
-    n_live_now = live.count()
+    # corpus stats up front: n_live sizes the id_sub fan-out and avgdl
+    # stamps the per-posting impact bounds written below
+    st = live.agg(
+        F.count(F.lit(1)).alias("n_live"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_live_now = int(st["n_live"])
+    sum_dl_now = float(st["sum_dl"] or 0.0)
+    avgdl_now = (sum_dl_now / n_live_now) if n_live_now else 1.0
     if id_subbuckets is None:
         id_subbuckets = _auto_id_subbuckets(n_live_now)
     postings = _full_postings(spark, index_path, id_col)
+    # the inner join against live (id, seq) both restricts to live
+    # versions and DENORMALIZES dl onto every posting row — the read
+    # path then never joins doclen for per-doc length, and the stored
+    # ``impact0`` (idf-free BM25 term under the stamped k1/b/avgdl)
+    # gives the MaxScore pruned read its block-skippable bound column.
+    # Rows sort (token, impact0 desc) within each partition dir so
+    # parquet row-group/page statistics carry tight (token, impact0)
+    # ranges — a pushed ``token = t AND impact0 >= cut`` predicate
+    # skips the provably-losing blocks at the storage layer (block-max
+    # pruning, Ding & Suel 2011 / Turtle & Flood 1995 — public
+    # knowledge, re-expressed as columnar statistics).
     (
-        postings.join(
-            live.select(id_col, "seq"), on=[id_col, "seq"], how="left_semi"
-        )
-        .dropDuplicates([id_col, "token", "seq"])
+        postings.dropDuplicates([id_col, "token", "seq"])
+        .join(live.select(id_col, "seq", "dl"), on=[id_col, "seq"])
         .withColumn(
             "token_bucket", F.pmod(F.hash("token"), F.lit(token_buckets))
         )
         .withColumn(
             "id_sub", F.pmod(F.hash(F.col(id_col)), F.lit(id_subbuckets))
         )
+        .withColumn("impact0", _impact0_expr(IMPACT_K1, IMPACT_B, avgdl_now))
         .repartition(F.col("token_bucket"), F.col("id_sub"))
+        .sortWithinPartitions(
+            "token_bucket", "id_sub", "token", F.desc("impact0")
+        )
         .write.mode("overwrite")
         .partitionBy("token_bucket", "id_sub")
         .parquet(base_postings_path)
@@ -882,8 +1241,7 @@ def compact_index(
     # selection, never used for correctness.
     written = spark.read.parquet(base_postings_path)
     (
-        written.groupBy("token_bucket", "id_sub", "token")
-        .agg(F.count(F.lit(1)).cast("double").alias("dft"))
+        _dfs_rows(written)
         .repartition(F.col("token_bucket"), F.col("id_sub"))
         .write.mode("overwrite")
         .partitionBy("token_bucket", "id_sub")
@@ -942,13 +1300,13 @@ def compact_index(
             .partitionBy("id_bucket")
             .parquet(os.path.join(out_path, "base", "attrs"))
         )
-    # corpus stats ride the meta file: with no tail yet, a query takes
-    # N/avgdl from here and skips the per-query corpus-wide doclen
-    # aggregate entirely — the read-mostly fast path
-    st = live.agg(
-        F.count(F.lit(1)).alias("n_live"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
     live.unpersist()
+    # corpus stats ride the meta file (computed up front, before the
+    # postings write needed avgdl): with no tail yet, a query takes
+    # N/avgdl from here and skips the per-query corpus-wide doclen
+    # aggregate entirely — the read-mostly fast path. A full compaction
+    # stamps every partition with TODAY's avgdl, so the impact bracket
+    # collapses to a point (r_max = s_min = 1 until the first fold).
     # 1-row meta parquet (not a driver-side json write): same directory
     # layout on whatever filesystem the index lives on — pyarrow-direct
     # on a local path, Spark job elsewhere (meta_io)
@@ -958,10 +1316,15 @@ def compact_index(
         [(
             int(token_buckets),
             int(id_subbuckets),
-            int(st["n_live"]),
-            float(st["sum_dl"] or 0.0),
+            n_live_now,
+            sum_dl_now,
+            float(IMPACT_K1),
+            float(IMPACT_B),
+            avgdl_now,
+            avgdl_now,
+            int(IMPACT_TOP_G),
         )],
-        "token_buckets int, id_subbuckets int, n_live long, sum_dl double",
+        _SEARCH_META_SCHEMA,
     )
 
 
@@ -1146,15 +1509,31 @@ def compact_index_incremental(
         # layout check WITHOUT a full dataset listing: the current base
         # writes id_bucket=/token_bucket= partition dirs and records
         # id_subbuckets in meta; anything else is a legacy or
-        # half-written base → one full rewrite upgrades it.
+        # half-written base → one full rewrite upgrades it. A base
+        # whose meta predates the impact-bound layer (no ``impact_k1``)
+        # upgrades the same way — folding new impact-bearing rows into
+        # impact-less dirs would leave the base schema-mixed, and the
+        # pruned read must be all-or-nothing per index. An EMPTY base
+        # (n_live 0) also takes the full path: there is no prior avgdl
+        # to stamp fold rows with, and the rewrite is tail-sized anyway.
         if (
             n_sub is None
+            or "impact_k1" not in meta_rows[0]
+            or int(meta_rows[0]["n_live"]) == 0
             or not _has_partition_prefix(base_doclen_path, "id_bucket=")
             or not _has_partition_prefix(base_postings_path, "token_bucket=")
         ):
             compact_index_inplace(spark, index_path, id_col=id_col)
             return {"mode": "full"}
         n_sub = int(n_sub)
+        # the avgdl this fold stamps its rewritten rows with (the
+        # PRE-fold corpus average — known without any job; post-fold
+        # meta widens the [impact_avgdl_min, impact_avgdl_max] bracket
+        # to include it, keeping every stored impact0 provably
+        # correctable at read time)
+        avgdl_stamp = float(meta_rows[0]["sum_dl"] or 0.0) / int(
+            meta_rows[0]["n_live"]
+        )
 
         def _pruned_read(root, rel_dirs, schema):
             """:func:`_open_partition_dirs` with an empty-frame fallback
@@ -1248,18 +1627,30 @@ def compact_index_incremental(
             base_postings_path,
             pair_dirs,
             f"{id_col} {id_t}, token string, tf double, seq long, "
-            "token_bucket int, id_sub int",
-        ).select(id_col, "token", "tf", "seq")
+            "dl double, impact0 double, token_bucket int, id_sub int",
+        ).select(id_col, "token", "tf", "seq", "dl", "impact0")
+        # keep side passes through with its STORED dl/impact0 — those
+        # rows were stamped under some earlier fold/compaction's avgdl,
+        # which the meta bracket already covers; re-stamping them would
+        # turn the pass-through into a recompute
         keep = base_aff.join(churned, on=id_col, how="left_anti")
+        # churn side: live versions only, then the inner join against
+        # churned_live's (id, seq) both enforces liveness and carries
+        # the live dl onto every surviving posting row (tail rows have
+        # no stored dl); impact0 is stamped fresh under avgdl_stamp
         churn_rows = (
-            base_aff.join(churned, on=id_col, how="left_semi")
+            base_aff.select(id_col, "token", "tf", "seq")
             .unionByName(tail_po.select(id_col, "token", "tf", "seq"))
+            .join(churned, on=id_col, how="left_semi")
             .dropDuplicates([id_col, "token", "seq"])
             .join(
-                churned_live.select(id_col, "seq"),
+                churned_live.select(id_col, "seq", "dl"),
                 on=[id_col, "seq"],
-                how="left_semi",
             )
+            .withColumn(
+                "impact0", _impact0_expr(IMPACT_K1, IMPACT_B, avgdl_stamp)
+            )
+            .select(id_col, "token", "tf", "seq", "dl", "impact0")
         )
         merged = (
             keep.unionByName(churn_rows)
@@ -1278,7 +1669,13 @@ def compact_index_incremental(
         # never lost. The churn slice's rows fan a handful of extra
         # small files across its pairs — rewritten away by the next fold
         # that touches those dirs, never accumulated.
-        merged.write.mode("overwrite").partitionBy(
+        # sortWithinPartitions (no shuffle — the keep side's dir
+        # clustering survives): each written file holds (token, impact0
+        # desc) runs, so parquet row-group/page statistics stay tight
+        # for the pruned read's pushed (token, impact0) predicates
+        merged.sortWithinPartitions(
+            "token_bucket", "id_sub", "token", F.desc("impact0")
+        ).write.mode("overwrite").partitionBy(
             "token_bucket", "id_sub"
         ).parquet(staged_postings)
         # empty-read fallback schema carries the tail's ACTUAL id type
@@ -1289,7 +1686,7 @@ def compact_index_incremental(
             spark,
             staged_postings,
             f"{id_col} {id_t}, token string, tf double, seq long, "
-            "token_bucket int, id_sub int",
+            "dl double, impact0 double, token_bucket int, id_sub int",
         )
         _mark("staged_postings")
         # dfs + doclen are INDEPENDENT derivations of the staged
@@ -1304,11 +1701,11 @@ def compact_index_incremental(
 
         def _write_dfs() -> None:
             # recount ONLY the affected pairs from the staged postings
-            # (partial per-pair counts — readers sum a token's
-            # partials); unaffected dfs pair dirs are never touched
+            # (partial per-pair counts + impact bounds — readers sum a
+            # token's dft partials and merge its top-impact arrays);
+            # unaffected dfs pair dirs are never touched
             (
-                staged_po.groupBy("token_bucket", "id_sub", "token")
-                .agg(F.count(F.lit(1)).cast("double").alias("dft"))
+                _dfs_rows(staged_po)
                 .repartition(F.col("token_bucket"), F.col("id_sub"))
                 .write.mode("overwrite")
                 .partitionBy("token_bucket", "id_sub")
@@ -1388,11 +1785,26 @@ def compact_index_incremental(
         n_live = int(meta_rows[0]["n_live"]) + int(delta["dn"])
         sum_dl = float(meta_rows[0]["sum_dl"] or 0.0) + float(delta["ds"])
         staged_meta = os.path.join(staging, "meta")
+        # widen the impact avgdl bracket with THIS fold's stamp; the
+        # impact params and top-G carry forward unchanged (the gate
+        # above guarantees they exist). The bracket only ever widens
+        # between full compactions — each full rewrite re-stamps every
+        # row and collapses it back to a point.
         write_meta_rows(
             spark,
             staged_meta,
-            [(n_buckets, n_sub, n_live, sum_dl)],
-            "token_buckets int, id_subbuckets int, n_live long, sum_dl double",
+            [(
+                n_buckets,
+                n_sub,
+                n_live,
+                sum_dl,
+                float(meta_rows[0]["impact_k1"]),
+                float(meta_rows[0]["impact_b"]),
+                min(float(meta_rows[0]["impact_avgdl_min"]), avgdl_stamp),
+                max(float(meta_rows[0]["impact_avgdl_max"]), avgdl_stamp),
+                int(meta_rows[0]["impact_topg"]),
+            )],
+            _SEARCH_META_SCHEMA,
         )
         _mark("meta_delta")
         # attrs (if present): latest per live doc. Since r10 the base

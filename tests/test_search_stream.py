@@ -661,3 +661,219 @@ def test_batch_candidates_filter_matches_from_index(spark, tmp_path):
         ).collect()
     )
     assert a == b and a
+
+
+# --- MaxScore / block-max pruned read (VERDICT r12 #1) -----------------
+
+def _synth_corpus(n=160, seed=13):
+    """A Zipf-ish corpus: 'common' in every doc with varying tf, 'needle'
+    in exactly 3 docs, fillers varying dl — the shape where exact BM25
+    is df-proportional and MaxScore has something to skip."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "filler1", "filler2"]
+    docs = []
+    for d in range(1, n + 1):
+        words = ["common"] * rng.randint(1, 4)
+        words += [rng.choice(vocab) for _ in range(rng.randint(3, 14))]
+        if d in (7, 70, 133):
+            words.append("needle")
+        rng.shuffle(words)
+        docs.append((d, " ".join(words)))
+    return docs
+
+
+def _compacted(spark, tmp_path, docs, name="pruned_idx"):
+    raw = str(tmp_path / f"{name}_raw")
+    idx = str(tmp_path / name)
+    search_index_batch(spark, raw, _changes(
+        spark, [(i, d, False, t) for i, (d, t) in enumerate(docs, start=1)]
+    ))
+    compact_index(spark, raw, idx, token_buckets=8)
+    return idx
+
+
+def test_maxscore_pruned_read_exact_and_engaged(spark, tmp_path):
+    """The pruned read must return EXACTLY the fresh batch build's
+    top-k (the strongest oracle in this file) while actually engaging:
+    positive cuts, candidate count below the hit count, and the impact
+    cut pushed into the parquet scan (the block-skipping contract)."""
+    docs = _synth_corpus()
+    idx = _compacted(spark, tmp_path, docs)
+    qtab = spark.createDataFrame(
+        [(1, "common"), (2, "common"), (2, "needle"), (3, "needle")],
+        "query_id int, term string",
+    )
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=10, diag=diag)
+    want = _fresh(spark, docs, qtab, k=10)
+    assert _rows(got) == _rows(want)
+    assert diag["pruned"] is True
+    # the common term's cut is positive (its df=160 >> k=10) and the
+    # candidate set is far below its df — the df-proportionality break
+    assert diag["cuts"]["common"] > 0.0
+    assert diag["candidates"] < len(docs)
+    assert "impact0" in diag["phase_b_plan"]
+    assert "GreaterThanOrEqual(impact0" in diag["phase_b_plan"]
+
+
+def test_maxscore_keeps_boundary_ties(spark, tmp_path):
+    """Every doc identical -> every score identical -> the k-th place is
+    an all-way tie broken by id. Pruning may only drop docs STRICTLY
+    below the k-th best score, so all docs stay candidates and the
+    ranking equals the batch build's tie-break exactly."""
+    docs = [(d, "alpha beta") for d in range(1, 41)]
+    idx = _compacted(spark, tmp_path, docs, "ties_idx")
+    qtab = spark.createDataFrame([(1, "alpha")], "query_id int, term string")
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=7, diag=diag)
+    want = _fresh(spark, docs, qtab, k=7)
+    assert _rows(got) == _rows(want)
+    assert diag["pruned"] is True
+    assert diag["candidates"] == 40  # ties at theta all survive
+
+
+def test_maxscore_exact_after_avgdl_drift_folds(spark, tmp_path):
+    """Incremental folds stamp rewritten rows under a DIFFERENT corpus
+    avgdl than the full compaction stamped the keep rows with; the
+    meta bracket (impact_avgdl_min/max) plus the r_max/s_min correction
+    must keep pruning provably safe — results equal the fresh build
+    over the post-churn live corpus, with pruning still engaged."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index_incremental,
+    )
+
+    docs = _synth_corpus(n=120)
+    idx = _compacted(spark, tmp_path, docs, "drift_idx")
+    # churn: 10 docs rewritten MUCH longer, 15 new long docs -> avgdl
+    # rises materially between folds
+    long_tail = " ".join(["pad"] * 60) + " common common"
+    updates = [(1000 + d, d, False, f"{long_tail} upd{d}") for d in range(1, 11)]
+    inserts = [
+        (2000 + d, 120 + d, False, f"{long_tail} ins{d}") for d in range(1, 16)
+    ]
+    search_index_batch(spark, idx, _changes(spark, updates + inserts))
+    st = compact_index_incremental(spark, idx)
+    assert st["mode"] == "incremental"
+    live_docs = (
+        [(d, t) for d, t in docs if d > 10]
+        + [(d, f"{long_tail} upd{d}") for d in range(1, 11)]
+        + [(120 + d, f"{long_tail} ins{d}") for d in range(1, 16)]
+    )
+    qtab = spark.createDataFrame(
+        [(1, "common"), (2, "common"), (2, "pad")], "query_id int, term string"
+    )
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=8, diag=diag)
+    want = _fresh(spark, live_docs, qtab, k=8)
+    assert _rows(got) == _rows(want)
+    assert diag["pruned"] is True
+    # the bracket actually widened (drift happened) and was applied
+    assert diag["r_max"] > 1.0 or diag["s_min"] < 1.0
+
+
+def test_maxscore_gates_fall_back_exactly(spark, tmp_path):
+    """Every gate must fall back to the exact full path, never fork
+    semantics: non-stamped (k1, b), k above the stored top-G, a
+    candidates= filter, and a legacy meta without the impact layer."""
+    docs = _synth_corpus(n=80)
+    idx = _compacted(spark, tmp_path, docs, "gates_idx")
+    qtab = spark.createDataFrame(
+        [(1, "common"), (1, "alpha")], "query_id int, term string"
+    )
+    # non-default k1 -> fall back, still exact vs batch at that k1
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=5, k1=1.6, diag=diag)
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    want = bm25_topk_batch(corpus, qtab, k=5, k1=1.6)
+    assert diag["pruned"] is False
+    assert _rows(got) == _rows(want)
+    # k above the stored top-G -> fall back
+    from couch_to_postgres_spark.streaming.search_stream import IMPACT_TOP_G
+
+    diag = {}
+    got = bm25_topk_from_index(
+        spark, idx, qtab, k=IMPACT_TOP_G + 1, diag=diag
+    )
+    want = _fresh(spark, docs, qtab, k=IMPACT_TOP_G + 1)
+    assert diag["pruned"] is False
+    assert _rows(got) == _rows(want)
+    # candidates= -> fall back (theta bounds the index-wide k-th best,
+    # not the in-set one)
+    cands = spark.createDataFrame([(d,) for d in range(1, 31)], "doc_id long")
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=5, candidates=cands, diag=diag)
+    assert diag["pruned"] is False
+    assert {r["doc_id"] for r in got.collect()} <= set(range(1, 31))
+
+
+def test_maxscore_legacy_meta_falls_back_then_fold_upgrades(spark, tmp_path):
+    """A pre-impact-layer base (meta without impact_k1) must (a) read
+    via the exact full path and (b) be upgraded by the next incremental
+    fold via one full rewrite — after which the pruned read engages."""
+    from couch_to_postgres_spark.streaming.meta_io import (
+        read_meta_rows,
+        write_meta_rows,
+    )
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index_incremental,
+    )
+
+    docs = _synth_corpus(n=60)
+    idx = _compacted(spark, tmp_path, docs, "legacy_idx")
+    meta_path = os.path.join(idx, "base", "meta")
+    row = read_meta_rows(spark, meta_path)[0]
+    write_meta_rows(
+        spark, meta_path,
+        [(int(row["token_buckets"]), int(row["id_subbuckets"]),
+          int(row["n_live"]), float(row["sum_dl"]))],
+        "token_buckets int, id_subbuckets int, n_live long, sum_dl double",
+    )
+    qtab = spark.createDataFrame([(1, "common")], "query_id int, term string")
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=5, diag=diag)
+    assert diag["pruned"] is False
+    assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=5))
+    # churn + fold: the legacy gate takes the full-upgrade path
+    search_index_batch(spark, idx, _changes(
+        spark, [(9001, 1, False, "common rewritten text")]
+    ))
+    st = compact_index_incremental(spark, idx)
+    assert st["mode"] == "full"
+    live_docs = [(1, "common rewritten text")] + [
+        (d, t) for d, t in docs if d != 1
+    ]
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=5, diag=diag)
+    assert diag["pruned"] is True
+    assert _rows(got) == _rows(_fresh(spark, live_docs, qtab, k=5))
+
+
+def test_maxscore_randomized_equivalence(spark, tmp_path):
+    """Seeded randomized pin over a small dense vocabulary (many equal
+    tf/dl pairs -> frequent score ties): pruned-or-not, every query's
+    top-k equals the fresh batch build bit-for-bit."""
+    import random
+
+    rng = random.Random(99)
+    vocab = ["w0", "w1", "w2", "w3", "w4", "w5"]
+    docs = [
+        (
+            d,
+            " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(2, 9))
+            ),
+        )
+        for d in range(1, 91)
+    ]
+    idx = _compacted(spark, tmp_path, docs, "rand_idx")
+    qrows = []
+    for qid in range(6):
+        for t in rng.sample(vocab, rng.randint(1, 3)):
+            qrows.append((qid, t))
+    qtab = spark.createDataFrame(qrows, "query_id int, term string")
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=4, diag=diag)
+    want = _fresh(spark, docs, qtab, k=4)
+    assert _rows(got) == _rows(want)
