@@ -158,6 +158,9 @@ def hybrid_topk_live(
     vec_id_col: str = "vec_id",
     weights: list[float] | None = None,
     candidates: DataFrame | None = None,
+    diag: dict | None = None,
+    auto_escalate: bool = False,
+    escalate_factor: int = 4,
 ) -> DataFrame:
     """Fused top-k over the LIVE corpus: BM25 from the maintained LSM
     index + ANN from the maintained vector index, RRF-combined.
@@ -180,6 +183,24 @@ def hybrid_topk_live(
     from its own pruned index read; docs carried by only one modality
     contribute only that source's reciprocal rank. Emits
     (query_id, <id_col>, rrf_score, rank).
+
+    **Underfill observability** (r13, VERDICT r12 #4): a selective
+    ``candidates`` set can leave a leg's top-``depth`` with fewer than
+    ``k`` in-set docs, silently degrading the fusion (the doc pool that
+    source can vote on is thinner than the contract assumes). The
+    failure mode is now OBSERVABLE: pass ``diag`` (a dict) to receive
+    per-query ``lex_in_set_depth`` / ``sem_in_set_depth`` (rows each
+    leg actually returned) and ``underfilled`` (query ids where a leg
+    returned < k rows while a candidate filter was active — "< k rows"
+    can also mean the filter genuinely matches fewer docs, which is
+    why this is a signal, not an error). With ``auto_escalate=True``
+    an underfilled leg is deterministically re-probed ONCE at
+    ``depth×escalate_factor`` (the vector leg also at
+    ``nprobe×escalate_factor``) and the deeper list replaces it —
+    a pure function of the inputs, so value oracles stay replayable;
+    escalation is opt-in because a deeper list adds contributions for
+    docs the other leg ranked, changing fused scores by design.
+    ``diag['escalated']`` records which legs re-probed.
 
     Query ids must be type-compatible with the corpus ids AND disjoint
     from them: the vector reader's self-exclusion filter
@@ -208,17 +229,17 @@ def hybrid_topk_live(
         vector_topk_live,
     )
 
-    def _lex() -> tuple:
+    def _lex(leg_depth: int) -> tuple:
         df = bm25_topk_from_index(
-            spark, search_index_path, term_queries, k=depth,
+            spark, search_index_path, term_queries, k=leg_depth,
             id_col=id_col, candidates=candidates,
         ).select("query_id", id_col, "rank")
         return df.schema, df.collect()
 
-    def _sem() -> tuple:
+    def _sem(leg_depth: int, leg_nprobe: int) -> tuple:
         df = vector_topk_live(
-            spark, vector_index_path, vector_queries, k=depth,
-            nprobe=nprobe, id_col=vec_id_col,
+            spark, vector_index_path, vector_queries, k=leg_depth,
+            nprobe=leg_nprobe, id_col=vec_id_col,
             candidates=(
                 candidates.select(F.col(id_col).alias(vec_id_col))
                 if candidates is not None
@@ -232,9 +253,59 @@ def hybrid_topk_live(
         return df.schema, df.collect()
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        lex_f = pool.submit(_lex)
-        sem_schema, sem_rows = _sem()
+        lex_f = pool.submit(_lex, depth)
+        sem_schema, sem_rows = _sem(depth, nprobe)
         lex_schema, lex_rows = lex_f.result()
+    # per-query in-set depth: how many rows each leg ACTUALLY returned —
+    # the underfill signal for filtered retrieval. Computed only when
+    # observability or escalation asked for it: the two query-table
+    # collects are tiny but they are JOBS, and the fused read is
+    # job-latency-bound by design (the r12 ≈max(leg) work).
+    under_lex: list = []
+    under_sem: list = []
+    escalated: list = []
+    if diag is not None or (auto_escalate and candidates is not None):
+        qids = {
+            r[0]
+            for r in term_queries.select("query_id").distinct().collect()
+        } | {
+            r[0]
+            for r in vector_queries.select(vec_id_col).distinct().collect()
+        }
+        lex_n = {q: 0 for q in qids}
+        sem_n = {q: 0 for q in qids}
+        for r in lex_rows:
+            lex_n[r[0]] = lex_n.get(r[0], 0) + 1
+        for r in sem_rows:
+            sem_n[r[0]] = sem_n.get(r[0], 0) + 1
+        if candidates is not None:
+            under_lex = sorted((q for q, n in lex_n.items() if n < k), key=str)
+            under_sem = sorted((q for q, n in sem_n.items() if n < k), key=str)
+    if auto_escalate and (under_lex or under_sem):
+        # one deterministic re-probe of the underfilled leg(s) at
+        # escalated depth/nprobe; the deeper list REPLACES the leg (a
+        # pure function of the inputs — value oracles stay replayable)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            lex_f = (
+                pool.submit(_lex, depth * escalate_factor)
+                if under_lex
+                else None
+            )
+            if under_sem:
+                sem_schema, sem_rows = _sem(
+                    depth * escalate_factor, nprobe * escalate_factor
+                )
+                escalated.append("semantic")
+            if lex_f is not None:
+                lex_schema, lex_rows = lex_f.result()
+                escalated.append("lexical")
+    if diag is not None:
+        diag.update(
+            lex_in_set_depth=dict(lex_n),
+            sem_in_set_depth=dict(sem_n),
+            underfilled={"lexical": under_lex, "semantic": under_sem},
+            escalated=sorted(escalated),
+        )
     if weights is None:
         weights = [1.0, 1.0]
     if len(weights) != 2:

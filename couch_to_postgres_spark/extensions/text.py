@@ -1516,3 +1516,33 @@ def hapax_from_group_counts(
             F.round(F.col("n_hapax") / F.col("n_types"), 4).alias("hapax_rate"),
         )
     )
+
+
+def compression_band_select(
+    df: DataFrame,
+    ratios: DataFrame,
+    lo: float = 0.25,
+    hi: float = 0.95,
+    id_col: str = "doc_id",
+    ratio_col: str = "compression_ratio",
+) -> DataFrame:
+    """Quality SELECTION over precomputed per-doc compression ratios:
+    keep docs whose ratio lies inside ``[lo, hi]`` — below it is
+    degenerate repetition/boilerplate, above it near-random noise (the
+    classic band rule downstream of :func:`compression_ratio`). Split
+    out from the codec so the DECISION leg is value-oracle-able
+    (VERDICT r12 #5): any ratio column replays in SQL; only zlib itself
+    cannot. Emits the FULL decision table ``(id, ratio, kept)`` — both
+    sides of the band, not just survivors — so an oracle checks the
+    boundary behavior, and a missing ratio row (never scored) is
+    ``kept = false``, the conservative default for selection."""
+    r = ratios.select(F.col(id_col), F.col(ratio_col))
+    return df.select(F.col(id_col)).join(r, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col(ratio_col),
+        (
+            F.col(ratio_col).isNotNull()
+            & (F.col(ratio_col) >= F.lit(float(lo)))
+            & (F.col(ratio_col) <= F.lit(float(hi)))
+        ).alias("kept"),
+    )

@@ -875,6 +875,7 @@ def bm25_topk_from_index(
     max_df_frac: float | None = None,
     candidates: DataFrame | None = None,
     diag: dict | None = None,
+    pruned: bool = True,
 ) -> DataFrame:
     """BM25 top-k answered from the maintained index — the corpus text is
     never read. Same (query_id, id, score, rank) contract, same numbers
@@ -892,7 +893,14 @@ def bm25_topk_from_index(
     scoring stats (N, avgdl, df) stay CORPUS-global — idf is a corpus
     property, the standard filtered-retrieval semantics (filtering the
     stats too would re-weight terms by how the filter correlates with
-    them)."""
+    them).
+
+    On a read-mostly compacted base the read takes the MaxScore /
+    block-max pruned path (:func:`_bm25_pruned_topk` — exact top-k from
+    provably-sufficient posting blocks; VERDICT r12 #1) whenever its
+    gates hold; ``pruned=False`` forces the exact full path. ``diag``
+    (optional dict) receives ``pruned`` plus, when pruning engaged, the
+    per-term cuts / candidate count / avgdl-drift factors."""
     terms = sorted(
         r["token"]
         for r in queries.select(
@@ -932,7 +940,9 @@ def bm25_topk_from_index(
     # posting of every term — exact top-k, sub-df-proportional reads.
     # The candidate-filtered call stays on the full path: θ bounds the
     # index-wide k-th best, not the k-th best within a candidate set.
-    if fast and candidates is None:
+    # ``pruned=False`` forces the full path — an operator escape hatch
+    # and the A/B comparator the scaling harness measures against.
+    if pruned and fast and candidates is None:
         got = _bm25_pruned_topk(
             spark, index_path, queries, meta_rows[0], terms,
             k, k1, b, id_col, query_id_col, term_col, max_df_frac, diag,

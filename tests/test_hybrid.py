@@ -268,3 +268,54 @@ def test_filtered_hybrid_restricts_both_legs(spark, twin_indexes):
     # a query term AND a semantic hit)
     by_rank = {r["rank"]: r["doc_id"] for r in got}
     assert by_rank[1] == 3
+
+
+def test_underfill_signal_and_deterministic_escalation(spark, twin_indexes):
+    """r13 (VERDICT r12 #4): a selective candidates= set that empties a
+    leg's top-depth must be OBSERVABLE (per-query in-set depth +
+    underfilled query ids in diag), and auto_escalate=True must
+    deterministically re-probe the underfilled leg once at escalated
+    nprobe/depth — here the semantic leg, whose nprobe=1 probe misses
+    both candidates' cells until the escalation widens it."""
+    sidx, vidx = twin_indexes
+    terms, vecs = _queries(spark)
+    # candidates live in the -x / -y cells; nprobe=1 probes only +x
+    cands = spark.createDataFrame([(4,), (5,)], "doc_id long")
+    diag = {}
+    got = hybrid_topk_live(
+        spark, sidx, vidx, terms, vecs, k=2, depth=3, nprobe=1,
+        candidates=cands, diag=diag,
+    )
+    rows = {r["doc_id"] for r in got.collect()}
+    # unescalated: the semantic leg returned nothing in-set; the
+    # lexical leg is ALSO underfilled (neither candidate carries a
+    # query term) — both signals surface
+    assert diag["sem_in_set_depth"][1001] == 0
+    assert diag["underfilled"]["semantic"] == [1001]
+    assert diag["underfilled"]["lexical"] == [1001]
+    assert diag["escalated"] == []
+    assert 5 not in rows  # doc 5 is term-less AND semantically unprobed
+    # escalation: nprobe 1 -> 4 reaches the candidates' cells; the
+    # result is a pure function of the inputs (re-run -> identical)
+    runs = []
+    for _ in range(2):
+        d2 = {}
+        out = hybrid_topk_live(
+            spark, sidx, vidx, terms, vecs, k=2, depth=3, nprobe=1,
+            candidates=cands, diag=d2, auto_escalate=True,
+        )
+        runs.append(sorted(tuple(r) for r in out.collect()))
+        # both legs underfilled -> both re-probe; only the semantic one
+        # can actually fill (the candidates are term-less)
+        assert d2["escalated"] == ["lexical", "semantic"]
+        assert d2["underfilled"]["semantic"] == [1001]
+    assert runs[0] == runs[1]
+    ids = {t[1] for t in runs[0]}
+    assert 5 in ids  # the escalated probe found the -y candidate
+    # no-filter calls keep the old contract: no underfill bookkeeping
+    d3 = {}
+    hybrid_topk_live(
+        spark, sidx, vidx, terms, vecs, k=2, depth=3, nprobe=1, diag=d3
+    ).collect()
+    assert d3["underfilled"] == {"lexical": [], "semantic": []}
+    assert d3["escalated"] == []

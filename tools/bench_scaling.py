@@ -65,6 +65,34 @@ from couch_to_postgres_spark.streaming.windows import (  # noqa: E402
 REPLICAS = 10
 
 
+def _bm25_from_idx(spark, idx, pruned):
+    """The r13 MaxScore A/B leg body: a 20-query batch over the bench's
+    real high-df vocabulary, answered from the compacted index. A
+    single query at these corpus sizes is job-latency-bound on this
+    box (both paths ≈3 s, ratio ≈1.4 at 10×) and cannot separate the
+    cost shapes; a batch makes the unpruned path's (query, doc) pair
+    space df-proportional — the regime the pruned path exists for."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        bm25_topk_from_index,
+    )
+
+    vocab = [
+        "F", "O", "N", "R", "A", "0.01", "0.03", "0.05", "0.07", "0.09",
+        "42.0", "22.0", "9.0", "45.0", "12.0",
+    ]
+    qtab = spark.createDataFrame(
+        [
+            (qid, vocab[(qid + j) % len(vocab)])
+            for qid in range(20)
+            for j in range(3)
+        ],
+        "query_id int, term string",
+    )
+    rows = bm25_topk_from_index(spark, idx, qtab, k=20, pruned=pruned).collect()
+    assert rows, "bm25 scaling leg matched nothing — vocabulary drifted?"
+    return len(rows)
+
+
 def replicate(df, tag_fn):
     out = None
     for i in range(REPLICAS):
@@ -220,6 +248,8 @@ def main() -> None:
         "q_contam_long_scan", "q_contam_long_indexed",
         "q_phrase_long_scan", "q_phrase_long_indexed",
         "q_compact_full_512", "q_compact_incr_batch",
+        # r13: the MaxScore A/B reads the same compacted phrase_idx
+        "q_bm25_read_unpruned", "q_bm25_read_pruned",
     }:
         from couch_to_postgres_spark.streaming.search_stream import (
             compact_index,
@@ -712,6 +742,22 @@ def main() -> None:
                 k=20,
                 id_col="id",
             ).count(),
+            # r13 (VERDICT r12 #1): the from-index read's
+            # df-proportionality, measured head-to-head at 1x/10x over
+            # the compacted phrase_idx (same corpus, same high-df term
+            # mix as q_bm25). The UNPRUNED full path scores every
+            # posting of every term — its work tracks df (~10x). The
+            # MaxScore pruned path skips the 33%-df term's postings
+            # outright and rescores ~rare-df candidates — the claim is
+            # a ratio materially below the unpruned leg's. Results are
+            # bit-identical by construction (exactness pinned in
+            # test_search_stream's maxscore suite).
+            "q_bm25_read_unpruned": lambda: _bm25_from_idx(
+                spark, t["phrase_idx"], pruned=False
+            ),
+            "q_bm25_read_pruned": lambda: _bm25_from_idx(
+                spark, t["phrase_idx"], pruned=True
+            ),
             "q_cdc_chunks": lambda: X_text.cdc_chunk_documents(docs).count(),
             "q_entropy": lambda: X_text.unigram_entropy(docs).count(),
             # r04: QA-suite heavy hitters (VERDICT #5) — each shuffles a
