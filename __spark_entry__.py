@@ -3575,8 +3575,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 [(1, "spark"), (1, "window"), (2, "merge"), (2, "rows")],
                 "query_id int, term string",
             )
+            # pruned="force": pin the PRUNED PLAN's exactness against
+            # the oracle regardless of the r13 cost gate's verdict —
+            # at 500 docs the histogram estimate rightly refuses
+            # (nothing is worth pruning at this size); the gate's own
+            # decisions are pytest-pinned (test_maxscore_cost_gate_*)
             diag = {}
-            out = bm25_topk_from_index(spark, work, qtab, k=15, diag=diag)
+            out = bm25_topk_from_index(
+                spark, work, qtab, k=15, diag=diag, pruned="force"
+            )
             assert diag.get("pruned") is True, diag
             return out
         finally:

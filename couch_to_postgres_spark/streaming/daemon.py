@@ -105,6 +105,7 @@ class Daemon:
         data_root: str,
         search_compaction_debt: float = 0.1,
         pending_flush_ticks: int = 3,
+        maintenance_workers: int = 4,
     ):
         self.spark = spark
         self.registry_path = registry_path
@@ -129,6 +130,18 @@ class Daemon:
         #: bounded by the update rate, and this bounds the update rate
         #: a read must absorb
         self.search_compaction_debt = search_compaction_debt
+        #: watchdog maintenance concurrency (r13, VERDICT r12 #3): one
+        #: pass used to run mirror compaction + search/shingle/vector
+        #: folds SERIALLY across all feeds, so a tick's wall time was
+        #: the SUM of every triggered fold and supervision of feed N
+        #: waited behind feed 1's maintenance. The units touch disjoint
+        #: index roots (per-feed, per-twin paths; the per-path locks
+        #: already serialize same-path safety) and Spark schedules
+        #: concurrent driver-thread actions natively — the same
+        #: discipline as the fold's own staged-write overlap and the
+        #: hybrid read's two-leg probe. Supervision (stop/restart/
+        #: start) always completes BEFORE any maintenance unit starts.
+        self.maintenance_workers = int(maintenance_workers)
         #: last watchdog-triggered index compaction per feed+twin
         #: (VERDICT r09 #5): operators should see maintenance cost —
         #: mode, affected pairs, churned docs, phase timings — on
@@ -251,73 +264,60 @@ class Daemon:
                 del self.queries[name]
                 restarted.append(name)
         started = self.find_feeds(trigger=trigger)
-        compacted = {}
-        for fc in registry.values():
+        # ---- maintenance, AFTER supervision (r13, VERDICT r12 #3):
+        # every unit below (debt check + fold, per feed per twin)
+        # touches a DISJOINT index root, so the pass runs them on a
+        # small driver-thread pool — wall time ≈ the longest fold, not
+        # the sum across feeds — and a long fold can no longer delay
+        # stop/restart/start, which completed above. Same-path safety
+        # is the per-path locks', exactly as in the serial version;
+        # telemetry/bookkeeping is merged on the main thread.
+        def _mirror_unit(fc):
             mp = self.mirror_path(fc)
-            if fc.enabled and read_meta(mp) is not None:
-                done = compact_mirror(self.spark, mp)
-                if done:
-                    compacted[fc.name] = done
-        # compaction POLICY for the searchable twin, not just the
-        # mechanism: when a search-flagged feed's index has accumulated
-        # more churn than the threshold (tail+tombstone rows per live
-        # doc — what every from-index read must merge), rewrite the
-        # base in place. Serialized against in-flight index appends by
-        # the shared per-path lock.
-        search_compacted: dict = {}
-        shingle_compacted: dict = {}
-        for fc in registry.values():
-            for sip, twin, bucket in (
-                (self.search_index_path(fc), "search", search_compacted),
-                (self.shingle_index_path(fc), "shingle", shingle_compacted),
-            ):
-                if sip is None or not fc.enabled:
-                    continue
-                from couch_to_postgres_spark.streaming.search_stream import (
-                    compact_index_incremental,
-                    index_status,
-                )
+            if read_meta(mp) is None:
+                return None
+            return compact_mirror(self.spark, mp) or None
 
-                debt = index_status(self.spark, sip).get("compaction_debt")
-                if debt is not None and debt > self.search_compaction_debt:
-                    # bucket-scoped compaction (VERDICT r08 #2): folds
-                    # the tail into only the token buckets it touched;
-                    # the first compaction of a fresh index falls back
-                    # to the full rewrite internally. The telemetry the
-                    # fold already computes (VERDICT r09 #5) rides the
-                    # watchdog result and the feed's `/_status` row.
-                    diag: dict = {}
-                    done = compact_index_incremental(
-                        self.spark, sip, diag=diag
-                    )
-                    telemetry = {
-                        "debt": debt,
-                        "mode": done.get("mode"),
-                        "affected_pairs": done.get("affected_pairs"),
-                        "affected_buckets": done.get("affected_buckets"),
-                        "total_buckets": done.get("total_buckets"),
-                        "churned_docs": done.get("churned_docs"),
-                        "phase_timings": diag or None,
-                    }
-                    bucket[fc.name] = telemetry
-                    self._last_maintenance.setdefault(fc.name, {})[
-                        twin
-                    ] = telemetry
-        # the VECTOR twin gets the same debt-triggered policy AND the
-        # same churn-proportional mechanism (r11): fold tail +
-        # tombstones into only the affected cell/id-bucket dirs when
-        # churn per live vector crosses the threshold — the first
-        # compaction of a fresh index falls back to the full rewrite
-        # internally, exactly like the search twin. The watchdog also
-        # force-flushes a pre-init bootstrap buffer: a trickle feed
-        # that never reached vector_cells upserts gets its quantizer
-        # trained on whatever accumulated (trained < configured is
-        # surfaced as quantizer_degraded in `/_status`).
-        vector_compacted: dict = {}
-        for fc in registry.values():
-            vip = self.vector_index_path(fc)
-            if vip is None or not fc.enabled:
-                continue
+        def _lsm_unit(fc, sip):
+            # compaction POLICY for the searchable twin, not just the
+            # mechanism: when a search-flagged feed's index has
+            # accumulated more churn than the threshold (tail+tombstone
+            # rows per live doc — what every from-index read must
+            # merge), fold the tail into only the buckets it touched
+            # (VERDICT r08 #2); the first compaction of a fresh index
+            # falls back to the full rewrite internally. The telemetry
+            # the fold already computes (VERDICT r09 #5) rides the
+            # watchdog result and the feed's `/_status` row.
+            from couch_to_postgres_spark.streaming.search_stream import (
+                compact_index_incremental,
+                index_status,
+            )
+
+            debt = index_status(self.spark, sip).get("compaction_debt")
+            if debt is None or debt <= self.search_compaction_debt:
+                return None
+            diag: dict = {}
+            done = compact_index_incremental(self.spark, sip, diag=diag)
+            return {
+                "debt": debt,
+                "mode": done.get("mode"),
+                "affected_pairs": done.get("affected_pairs"),
+                "affected_buckets": done.get("affected_buckets"),
+                "total_buckets": done.get("total_buckets"),
+                "churned_docs": done.get("churned_docs"),
+                "phase_timings": diag or None,
+            }
+
+        def _vector_unit(fc, vip):
+            # the VECTOR twin gets the same debt-triggered policy AND
+            # the same churn-proportional mechanism (r11). The watchdog
+            # also force-flushes a pre-init bootstrap buffer under the
+            # aging gate (ADVICE r11): only a buffer that survived
+            # pending_flush_ticks passes is flushed — a feed still
+            # ramping gets to reach vector_cells upserts and train
+            # full-width; only a genuinely stalled trickle feed pays
+            # the degraded fit. (_pending_ticks is touched by exactly
+            # one unit per feed — no cross-thread contention.)
             from couch_to_postgres_spark.streaming.vector_stream import (
                 compact_vector_index_incremental,
                 flush_pending,
@@ -326,11 +326,6 @@ class Daemon:
 
             vst = vector_index_status(self.spark, vip)
             if vst["n_cells"] is None and vst["pending_upserts"]:
-                # aging gate (ADVICE r11): only force-flush a bootstrap
-                # buffer that has survived pending_flush_ticks passes —
-                # a feed still ramping gets to reach vector_cells
-                # upserts and train full-width; only a genuinely
-                # stalled trickle feed pays the degraded fit
                 ticks = self._pending_ticks.get(fc.name, 0) + 1
                 if ticks >= self.pending_flush_ticks:
                     flush_pending(self.spark, vip, n_cells=fc.vector_cells)
@@ -341,24 +336,68 @@ class Daemon:
             else:
                 self._pending_ticks.pop(fc.name, None)
             debt = vst.get("compaction_debt")
-            if debt is not None and debt > self.search_compaction_debt:
-                diag: dict = {}
-                done = compact_vector_index_incremental(
-                    self.spark, vip, diag=diag
+            if debt is None or debt <= self.search_compaction_debt:
+                return None
+            diag: dict = {}
+            done = compact_vector_index_incremental(
+                self.spark, vip, diag=diag
+            )
+            return {
+                "debt": debt,
+                "mode": done.get("mode"),
+                "n_live": done.get("n_live"),
+                "churned_docs": done.get("churned_docs"),
+                "affected_cells": done.get("affected_cells"),
+                "total_cells": done.get("total_cells"),
+                "phase_timings": diag or None,
+            }
+
+        units: list = []  # (bucket_key, feed, twin_or_None, thunk)
+        for fc in registry.values():
+            if not fc.enabled:
+                continue
+            units.append(
+                ("compacted", fc, None, lambda fc=fc: _mirror_unit(fc))
+            )
+            for sip, twin, key in (
+                (self.search_index_path(fc), "search", "search_compacted"),
+                (self.shingle_index_path(fc), "shingle", "shingle_compacted"),
+            ):
+                if sip is not None:
+                    units.append(
+                        (key, fc, twin,
+                         lambda fc=fc, sip=sip: _lsm_unit(fc, sip))
+                    )
+            vip = self.vector_index_path(fc)
+            if vip is not None:
+                units.append(
+                    ("vector_compacted", fc, "vector",
+                     lambda fc=fc, vip=vip: _vector_unit(fc, vip))
                 )
-                telemetry = {
-                    "debt": debt,
-                    "mode": done.get("mode"),
-                    "n_live": done.get("n_live"),
-                    "churned_docs": done.get("churned_docs"),
-                    "affected_cells": done.get("affected_cells"),
-                    "total_cells": done.get("total_cells"),
-                    "phase_timings": diag or None,
-                }
-                vector_compacted[fc.name] = telemetry
-                self._last_maintenance.setdefault(fc.name, {})[
-                    "vector"
-                ] = telemetry
+        buckets: dict[str, dict] = {
+            "compacted": {},
+            "search_compacted": {},
+            "shingle_compacted": {},
+            "vector_compacted": {},
+        }
+        if units:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = max(1, min(self.maintenance_workers, len(units)))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(lambda u: u[3](), units))
+            for (key, fc, twin, _), res in zip(units, results):
+                if res is None:
+                    continue
+                buckets[key][fc.name] = res
+                if twin is not None:
+                    self._last_maintenance.setdefault(fc.name, {})[
+                        twin
+                    ] = res
+        compacted = buckets["compacted"]
+        search_compacted = buckets["search_compacted"]
+        shingle_compacted = buckets["shingle_compacted"]
+        vector_compacted = buckets["vector_compacted"]
         return {
             "stopped": stopped,
             "restarted": restarted,

@@ -541,6 +541,28 @@ IMPACT_TOP_G = 32
 #: costs nothing against score gaps at 1e-1 scale.
 IMPACT_EPS = 2e-3
 
+#: bin count of the per-(token_bucket, id_sub, token) stored-impact
+#: histogram in ``base/dfs`` (equi-width over impact0's (0, 1] range;
+#: partial counts sum exactly across a token's doc-disjoint partials).
+#: The histogram exists for the pruned read's COST GATE, never for
+#: correctness: it estimates how many postings a term's cut actually
+#: skips, so the planner can refuse pruning in the regime where it
+#: provably reads ~everything anyway (all-common-term queries — the
+#: known WAND/MaxScore degenerate case, where phase B + the rescore
+#: would COST more than the exact full path; measured r13: a 20-query
+#: all-common batch ran 18.3 s pruned vs 12.3 s full at 6M docs).
+IMPACT_HIST_BINS = 16
+
+#: cost-gate threshold: a query engages the pruned path only when its
+#: estimated pruned work (phase-B rows + rescore rows, both from the
+#: stored histograms) is below this fraction of its full-path work
+#: (Σ dft over its terms). 0.5 demands a ~2× provable row reduction
+#: before paying the pruned plan's extra driver actions and its
+#: candidate semi-join; queries that fail ride the full path — in a
+#: batch, PER QUERY, so one stop-word query never drags a rare-term
+#: query off its fast plan (or vice versa).
+IMPACT_GATE_ALPHA = 0.5
+
 
 def _impact0_expr(k1: float, b: float, avgdl: float):
     """The idf-free BM25 term of one posting under the stamped
@@ -632,7 +654,8 @@ def _bm25_pruned_topk(
     term_col: str,
     max_df_frac: float | None,
     diag: dict | None,
-) -> DataFrame | None:
+    force: bool = False,
+) -> tuple[DataFrame, DataFrame | None] | None:
     """MaxScore / block-max top-k over the compacted base — EXACT BM25
     top-k at sub-df-proportional cost (Turtle & Flood 1995 MaxScore;
     Ding & Suel 2011 block-max — public knowledge, re-expressed on
@@ -674,12 +697,34 @@ def _bm25_pruned_topk(
     strictly below the k-th best ROUNDED score, so ties at the boundary
     always survive.
 
-    Gates (→ ``None``): stamped (k1, b) differ from the query's, k >
-    stored top-G, legacy base without the impact layer, no positive
-    cut anywhere (pruning would read everything the full path reads),
-    or an empty live corpus. ``candidates=`` filtering is gated by the
-    CALLER: θ bounds the k-th best index-wide score, which is not a
-    bound for the k-th best within an arbitrary candidate subset."""
+    **Per-query cost gate** (r13): MaxScore's known degenerate regime
+    is the all-common-term query — similar per-term upper bounds leave
+    every term but one with cut 0, phase B reads ~everything, and the
+    pruned plan COSTS more than the exact full path (measured: a
+    20-query all-common batch 18.3 s pruned vs 12.3 s full at 6M
+    docs). Each query is therefore gated on its OWN estimated win,
+    from the stored per-term impact histograms: est(phase-B rows +
+    rescore rows) must fall below :data:`IMPACT_GATE_ALPHA` × (Σ dft
+    over its terms). Engaged queries run here (their cuts min-merged
+    over the engaged set only — a refused stop-word query can no
+    longer zero a shared term's cut); refused queries return to the
+    caller, which runs them through the exact full path and unions.
+    ``force=True`` (the ``pruned="force"`` escape hatch) skips the
+    estimate and engages every query with any positive cut —
+    the exactness-pinning tests' mode, never the planner's.
+
+    Returns ``None`` when NO query engages (or a structural gate
+    fails), else ``(topk_df, remaining_queries_df | None)`` where the
+    second element carries the refused queries (``None`` when all
+    engaged).
+
+    Structural gates (→ ``None``): stamped (k1, b) differ from the
+    query's, k > stored top-G, legacy base without the impact layer or
+    histograms, no positive cut anywhere (pruning would read
+    everything the full path reads), or an empty live corpus.
+    ``candidates=`` filtering is gated by the CALLER: θ bounds the
+    k-th best index-wide score, which is not a bound for the k-th best
+    within an arbitrary candidate subset."""
     if m.get("impact_k1") is None or m.get("impact_topg") is None:
         return None
     if float(m["impact_k1"]) != float(k1) or float(m["impact_b"]) != float(b):
@@ -713,32 +758,40 @@ def _bm25_pruned_topk(
     try:
         rows = (
             dfs_df.filter(F.col("token").isin(terms))
-            .select("token", "dft", "max_impact0", "top_impacts")
+            .select(
+                "token", "dft", "max_impact0", "top_impacts", "impact_hist"
+            )
             .collect()
             if dfs_df is not None
             else []
         )
     except AnalysisException:
-        return None  # dfs partials predate the impact layer
+        return None  # dfs partials predate the impact layer / histograms
     # merge partials per term: dft sums exactly (integral doubles),
     # partial maxes max, partial top arrays concatenate+sort to the
-    # exact global top list (partials are doc-disjoint)
+    # exact global top list, histogram bins sum elementwise (partials
+    # are doc-disjoint)
     agg: dict[str, list] = {}
     for r in rows:
-        dft_p, max_p, tops_p = (
+        dft_p, max_p, tops_p, hist_p = (
             float(r["dft"]),
             r["max_impact0"],
             r["top_impacts"] or [],
+            r["impact_hist"],
         )
-        if max_p is None:
+        if max_p is None or hist_p is None:
             return None
-        got = agg.setdefault(r["token"], [0.0, 0.0, []])
+        got = agg.setdefault(
+            r["token"], [0.0, 0.0, [], [0] * IMPACT_HIST_BINS]
+        )
         got[0] += dft_p
         got[1] = max(got[1], float(max_p))
         got[2].extend(float(x) for x in tops_p)
+        for i, c in enumerate(hist_p):
+            got[3][i] += int(c)
     scale = 1.0 + float(k1)
     term_stats: dict[str, dict] = {}
-    for t, (dft_t, max0_t, tops) in agg.items():
+    for t, (dft_t, max0_t, tops, hist) in agg.items():
         if max_df_frac is not None and not (dft_t <= max_df_frac * n):
             continue  # df-capped out of scoring, exactly like the dft filter
         idf_t = math.log((n - dft_t + 0.5) / (dft_t + 0.5) + 1.0)
@@ -753,19 +806,39 @@ def _bm25_pruned_topk(
             ),
             "denorm": idf_t * scale * r_max,
             "max0": max0_t,
+            "hist": hist,
         }
+
+    def _est_above(t: str, cut: float) -> float:
+        """Estimated postings of ``t`` at stored impact ≥ cut, from the
+        merged histogram — the straddling bin counts FULLY (a
+        conservative over-estimate of the read, so the gate only ever
+        errs toward the exact full path)."""
+        if cut <= 0.0:
+            return term_stats[t]["dft"]
+        lo_bin = min(
+            IMPACT_HIST_BINS - 1, int(cut * IMPACT_HIST_BINS)
+        )
+        return float(sum(term_stats[t]["hist"][lo_bin:]))
+
     # per-query term sets: the query table is caller-built and tiny —
     # collecting it is plan-time work, not a data collect
     q_terms: dict = {}
+    all_qids: set = set()
     for r in (
         queries.select(query_id_col, F.col(term_col).alias("t"))
         .distinct()
         .collect()
     ):
+        all_qids.add(r[query_id_col])
         if r["t"] in term_stats:
             q_terms.setdefault(r[query_id_col], set()).add(r["t"])
+    # per-query MaxScore cuts + the cost-gate decision; merged cuts are
+    # min'd over ENGAGED queries only
     cuts: dict[str, float] = {}
-    for tq in q_terms.values():
+    engaged: set = set()
+    gate_diag: dict = {}
+    for qid, tq in q_terms.items():
         seeds = [term_stats[t]["seed"] for t in tq]
         seeds = [s for s in seeds if s is not None]
         theta = (max(seeds) - IMPACT_EPS) if seeds else 0.0
@@ -781,16 +854,52 @@ def _bm25_pruned_topk(
         # path exists for.)
         ordered = sorted(tq, key=lambda t: (term_stats[t]["ub"], t))
         prefix = 0.0
+        q_cuts: dict[str, float] = {}
         for t in ordered:
             cut_qt = (
                 (theta - prefix) / term_stats[t]["denorm"]
                 if theta > 0.0
                 else 0.0
             )
-            cuts[t] = min(cuts.get(t, float("inf")), max(0.0, cut_qt))
+            q_cuts[t] = max(0.0, cut_qt)
             prefix += term_stats[t]["ub"]
-    if not cuts or all(c <= 0.0 for c in cuts.values()):
-        return None  # no provable skipping anywhere — full path is optimal
+        if all(c <= 0.0 for c in q_cuts.values()):
+            continue  # nothing provably skippable — full path is optimal
+        # the cost gate, per query: phase-B rows (terms whose cut
+        # clears their max impact contribute nothing — they cannot
+        # seed a candidate) + the rescore's ranked rows (each term
+        # bounded by the candidate count), vs the full path's Σ dft
+        full_rows = sum(term_stats[t]["dft"] for t in tq)
+        b_rows = sum(
+            _est_above(t, c)
+            for t, c in q_cuts.items()
+            if c <= term_stats[t]["max0"]
+        )
+        c_rows = sum(
+            min(term_stats[t]["dft"], b_rows) for t in tq
+        )
+        ok = force or (
+            b_rows + c_rows <= IMPACT_GATE_ALPHA * full_rows
+        )
+        gate_diag[qid] = {
+            "full_rows": int(full_rows),
+            "phase_b_est": int(b_rows),
+            "rescore_est": int(c_rows),
+            "engaged": bool(ok),
+        }
+        if not ok:
+            continue
+        engaged.add(qid)
+        for t, c in q_cuts.items():
+            cuts[t] = min(cuts.get(t, float("inf")), c)
+    if diag is not None:
+        diag["gate"] = {
+            "alpha": IMPACT_GATE_ALPHA,
+            "forced": bool(force),
+            "queries": gate_diag,
+        }
+    if not engaged:
+        return None  # every query rides the exact full path
     # phase B: the candidate scan. Terms whose cut exceeds their max
     # stored impact cannot seed a candidate — skipped entirely (their
     # postings still return in phase C for candidates found elsewhere).
@@ -803,9 +912,9 @@ def _bm25_pruned_topk(
         if c <= term_stats[t]["max0"]
     ]
     if not phase_b_preds:
-        # every query provably has fewer than k docs above θ only via
-        # terms it seeded from — cannot happen (the seed's own k docs
-        # always pass); defensively fall back
+        # every engaged query provably has fewer than k docs above θ
+        # only via terms it seeded from — cannot happen (the seed's own
+        # k docs always pass); defensively fall back
         return None
     pred = phase_b_preds[0]
     for p in phase_b_preds[1:]:
@@ -813,12 +922,15 @@ def _bm25_pruned_topk(
     cand = (
         base.filter(pred).select(id_col).distinct().persist()
     )
-    # phase C: exact rescore of the candidates over ALL scored terms,
-    # through the shared scoring stage — candidate docs found for one
-    # query may also be scored for another; harmless, because any doc
-    # below a query's θ ranks strictly under its true top-k and the
-    # rank <= k filter drops it (pinned by the equivalence tests)
-    scored_terms = sorted(term_stats)
+    # phase C: exact rescore of the candidates over the ENGAGED
+    # queries' scored terms, through the shared scoring stage —
+    # candidate docs found for one query may also be scored for
+    # another; harmless, because any doc below a query's θ ranks
+    # strictly under its true top-k and the rank <= k filter drops it
+    # (pinned by the equivalence tests)
+    scored_terms = sorted(
+        {t for qid in engaged for t in q_terms[qid]}
+    )
     tf_cand = (
         base.filter(F.col("token").isin(scored_terms))
         .select(id_col, "token", "tf", "dl")
@@ -831,12 +943,15 @@ def _bm25_pruned_topk(
         [(t, term_stats[t]["dft"]) for t in scored_terms],
         "token string, dft double",
     )
+    engaged_queries = queries.filter(
+        F.col(query_id_col).isin(sorted(engaged, key=str))
+    )
     out = bm25_rank_components(
         tf_cand.select(id_col, "token", "tf"),
         tf_cand.select(id_col, "dl").distinct(),
         stats,
         dft_frame,
-        queries,
+        engaged_queries,
         k=k,
         k1=k1,
         b=b,
@@ -851,6 +966,8 @@ def _bm25_pruned_topk(
             candidates=cand.count(),
             r_max=r_max,
             s_min=s_min,
+            engaged_queries=len(engaged),
+            fallback_queries=len(all_qids) - len(engaged),
             # the executed phase-B plan — tests pin that the impact
             # cut reaches the parquet scan as a pushed filter (the
             # block-skipping contract)
@@ -859,7 +976,13 @@ def _bm25_pruned_topk(
             ),
         )
     cand.unpersist()
-    return out
+    rest = all_qids - engaged
+    remaining = (
+        queries.filter(F.col(query_id_col).isin(sorted(rest, key=str)))
+        if rest
+        else None
+    )
+    return out, remaining
 
 
 def bm25_topk_from_index(
@@ -875,7 +998,7 @@ def bm25_topk_from_index(
     max_df_frac: float | None = None,
     candidates: DataFrame | None = None,
     diag: dict | None = None,
-    pruned: bool = True,
+    pruned: bool | str = True,
 ) -> DataFrame:
     """BM25 top-k answered from the maintained index — the corpus text is
     never read. Same (query_id, id, score, rank) contract, same numbers
@@ -897,10 +1020,19 @@ def bm25_topk_from_index(
 
     On a read-mostly compacted base the read takes the MaxScore /
     block-max pruned path (:func:`_bm25_pruned_topk` — exact top-k from
-    provably-sufficient posting blocks; VERDICT r12 #1) whenever its
-    gates hold; ``pruned=False`` forces the exact full path. ``diag``
-    (optional dict) receives ``pruned`` plus, when pruning engaged, the
-    per-term cuts / candidate count / avgdl-drift factors."""
+    provably-sufficient posting blocks; VERDICT r12 #1) for each query
+    whose histogram-estimated win clears the cost gate; gate-refused
+    queries (the all-common-term shape, where pruning provably reads
+    ~everything and the pruned plan is a measured LOSS) ride the exact
+    full path, and a mixed batch unions the two — per query, so one
+    stop-word query never drags a rare-term query off its fast plan.
+    ``pruned=False`` forces the exact full path for everything;
+    ``pruned="force"`` skips the cost estimate and engages every query
+    with a positive cut (the exactness-pinning tests' mode). ``diag``
+    (optional dict) receives ``pruned`` (True iff ANY query engaged),
+    ``gate`` (per-query row estimates + decisions) plus, when pruning
+    engaged, the per-term cuts / candidate count / engaged & fallback
+    query counts / avgdl-drift factors."""
     terms = sorted(
         r["token"]
         for r in queries.select(
@@ -942,14 +1074,29 @@ def bm25_topk_from_index(
     # index-wide k-th best, not the k-th best within a candidate set.
     # ``pruned=False`` forces the full path — an operator escape hatch
     # and the A/B comparator the scaling harness measures against.
+    pruned_out = None
     if pruned and fast and candidates is None:
         got = _bm25_pruned_topk(
             spark, index_path, queries, meta_rows[0], terms,
             k, k1, b, id_col, query_id_col, term_col, max_df_frac, diag,
+            force=(pruned == "force"),
         )
         if got is not None:
-            return got
-    if diag is not None:
+            pruned_out, remaining = got
+            if remaining is None:
+                return pruned_out
+            # partial engagement: the cost-gate-refused queries ride
+            # the exact full path below, scoped to THEIR terms only;
+            # results union at the end (both paths emit the same
+            # (query_id, id, score, rank) contract)
+            queries = remaining
+            terms = sorted(
+                r["token"]
+                for r in queries.select(
+                    F.col(term_col).alias("token")
+                ).distinct().collect()
+            )
+    if diag is not None and pruned_out is None:
         diag["pruned"] = False
     # NOTE (r12 measured negative, kept for the record): a
     # slice-scoped variant of this read was built and A/B'd — stats
@@ -1074,7 +1221,7 @@ def bm25_topk_from_index(
     )
     live.unpersist()
     tf_live.unpersist()
-    return out
+    return out if pruned_out is None else out.unionByName(pruned_out)
 
 
 def _auto_id_subbuckets(n_live: int) -> int:
@@ -1116,8 +1263,17 @@ def _dfs_rows(staged_po: DataFrame) -> DataFrame:
     w = Window.partitionBy("token_bucket", "id_sub", "token").orderBy(
         F.desc("impact0")
     )
+    # equi-width stored-impact histogram bin (impact0 ∈ (0, 1], so
+    # impact0 == 1.0 clamps into the top bin) — the pruned read's cost
+    # gate sums a token's partial histograms to estimate how many
+    # postings a cut skips
+    hist_bin = F.least(
+        F.lit(IMPACT_HIST_BINS - 1),
+        F.floor(F.col("impact0") * IMPACT_HIST_BINS).cast("int"),
+    )
     return (
         staged_po.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_ib", hist_bin)
         .groupBy("token_bucket", "id_sub", "token")
         .agg(
             F.count(F.lit(1)).cast("double").alias("dft"),
@@ -1128,6 +1284,16 @@ def _dfs_rows(staged_po: DataFrame) -> DataFrame:
                 ),
                 asc=False,
             ).alias("top_impacts"),
+            F.array(
+                *[
+                    F.sum(
+                        F.when(F.col("_ib") == i, F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    for i in range(IMPACT_HIST_BINS)
+                ]
+            ).alias("impact_hist"),
         )
     )
 
@@ -1141,7 +1307,7 @@ def _dfs_rows(staged_po: DataFrame) -> DataFrame:
 _SEARCH_META_SCHEMA = (
     "token_buckets int, id_subbuckets int, n_live long, sum_dl double, "
     "impact_k1 double, impact_b double, impact_avgdl_min double, "
-    "impact_avgdl_max double, impact_topg int"
+    "impact_avgdl_max double, impact_topg int, impact_hist_bins int"
 )
 
 
@@ -1333,6 +1499,7 @@ def compact_index(
             avgdl_now,
             avgdl_now,
             int(IMPACT_TOP_G),
+            int(IMPACT_HIST_BINS),
         )],
         _SEARCH_META_SCHEMA,
     )
@@ -1529,6 +1696,7 @@ def compact_index_incremental(
         if (
             n_sub is None
             or "impact_k1" not in meta_rows[0]
+            or "impact_hist_bins" not in meta_rows[0]
             or int(meta_rows[0]["n_live"]) == 0
             or not _has_partition_prefix(base_doclen_path, "id_bucket=")
             or not _has_partition_prefix(base_postings_path, "token_bucket=")
@@ -1813,6 +1981,7 @@ def compact_index_incremental(
                 min(float(meta_rows[0]["impact_avgdl_min"]), avgdl_stamp),
                 max(float(meta_rows[0]["impact_avgdl_max"]), avgdl_stamp),
                 int(meta_rows[0]["impact_topg"]),
+                int(meta_rows[0]["impact_hist_bins"]),
             )],
             _SEARCH_META_SCHEMA,
         )

@@ -698,7 +698,12 @@ def test_maxscore_pruned_read_exact_and_engaged(spark, tmp_path):
     """The pruned read must return EXACTLY the fresh batch build's
     top-k (the strongest oracle in this file) while actually engaging:
     positive cuts, candidate count below the hit count, and the impact
-    cut pushed into the parquet scan (the block-skipping contract)."""
+    cut pushed into the parquet scan (the block-skipping contract).
+    ``pruned="force"`` pins the PRUNED PLAN's exactness regardless of
+    the cost gate's verdict — at this corpus size the histogram
+    estimate rightly says pruning can't pay (nothing can, at 160
+    docs); the gate's own decisions are pinned separately in
+    test_maxscore_cost_gate_*."""
     docs = _synth_corpus()
     idx = _compacted(spark, tmp_path, docs)
     qtab = spark.createDataFrame(
@@ -706,10 +711,18 @@ def test_maxscore_pruned_read_exact_and_engaged(spark, tmp_path):
         "query_id int, term string",
     )
     diag = {}
-    got = bm25_topk_from_index(spark, idx, qtab, k=10, diag=diag)
+    got = bm25_topk_from_index(
+        spark, idx, qtab, k=10, diag=diag, pruned="force"
+    )
     want = _fresh(spark, docs, qtab, k=10)
     assert _rows(got) == _rows(want)
     assert diag["pruned"] is True
+    # the needle-only query CANNOT prune even under force — df(needle)
+    # = 3 < k means no provable θ seed exists — so it rides the full
+    # path (which reads its 3 postings; nothing to skip), and the
+    # batch unions the two paths
+    assert diag["engaged_queries"] == 2
+    assert diag["fallback_queries"] == 1
     # the common term's cut is positive (its df=160 >> k=10) and the
     # candidate set is far below its df — the df-proportionality break
     assert diag["cuts"]["common"] > 0.0
@@ -727,7 +740,9 @@ def test_maxscore_keeps_boundary_ties(spark, tmp_path):
     idx = _compacted(spark, tmp_path, docs, "ties_idx")
     qtab = spark.createDataFrame([(1, "alpha")], "query_id int, term string")
     diag = {}
-    got = bm25_topk_from_index(spark, idx, qtab, k=7, diag=diag)
+    got = bm25_topk_from_index(
+        spark, idx, qtab, k=7, diag=diag, pruned="force"
+    )
     want = _fresh(spark, docs, qtab, k=7)
     assert _rows(got) == _rows(want)
     assert diag["pruned"] is True
@@ -765,7 +780,9 @@ def test_maxscore_exact_after_avgdl_drift_folds(spark, tmp_path):
         [(1, "common"), (2, "common"), (2, "pad")], "query_id int, term string"
     )
     diag = {}
-    got = bm25_topk_from_index(spark, idx, qtab, k=8, diag=diag)
+    got = bm25_topk_from_index(
+        spark, idx, qtab, k=8, diag=diag, pruned="force"
+    )
     want = _fresh(spark, live_docs, qtab, k=8)
     assert _rows(got) == _rows(want)
     assert diag["pruned"] is True
@@ -845,7 +862,9 @@ def test_maxscore_legacy_meta_falls_back_then_fold_upgrades(spark, tmp_path):
         (d, t) for d, t in docs if d != 1
     ]
     diag = {}
-    got = bm25_topk_from_index(spark, idx, qtab, k=5, diag=diag)
+    got = bm25_topk_from_index(
+        spark, idx, qtab, k=5, diag=diag, pruned="force"
+    )
     assert diag["pruned"] is True
     assert _rows(got) == _rows(_fresh(spark, live_docs, qtab, k=5))
 
@@ -873,7 +892,91 @@ def test_maxscore_randomized_equivalence(spark, tmp_path):
         for t in rng.sample(vocab, rng.randint(1, 3)):
             qrows.append((qid, t))
     qtab = spark.createDataFrame(qrows, "query_id int, term string")
-    diag = {}
-    got = bm25_topk_from_index(spark, idx, qtab, k=4, diag=diag)
     want = _fresh(spark, docs, qtab, k=4)
-    assert _rows(got) == _rows(want)
+    # cost-gated default AND forced-pruning both bit-equal the fresh
+    # build — the force leg exercises the pruned plan (plus any
+    # partial union) even where the gate would rightly refuse
+    for mode in (True, "force"):
+        got = bm25_topk_from_index(spark, idx, qtab, k=4, pruned=mode)
+        assert _rows(got) == _rows(want)
+
+
+# --- the pruned read's COST GATE (r13) ---------------------------------
+#
+# MaxScore's degenerate regime is the all-common-term query: similar
+# per-term bounds leave ~nothing provably skippable, phase B reads
+# ~everything, and the pruned plan COSTS more than the exact full path
+# (measured r13: a 20-query all-common batch 18.3 s pruned vs 12.3 s
+# full at 6M docs). The per-query gate estimates the win from the
+# stored impact histograms and refuses exactly that shape.
+
+
+def test_maxscore_cost_gate_refuses_all_common(spark, tmp_path):
+    """Every 'hot' posting carries the SAME stored impact (equal tf,
+    equal dl), so a cut just under it skips nothing — the histogram
+    proves it, the gate refuses, and the query rides the exact full
+    path."""
+    docs = [
+        (d, "hot filler pad" if d % 2 == 0 else "cold filler pad")
+        for d in range(1, 301)
+    ]
+    idx = _compacted(spark, tmp_path, docs, "gate_common_idx")
+    qtab = spark.createDataFrame([(1, "hot")], "query_id int, term string")
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=5, diag=diag)
+    assert diag["pruned"] is False
+    g = diag["gate"]["queries"][1]
+    assert g["engaged"] is False
+    # the estimate saw the truth: the cut skips (essentially) nothing
+    assert g["phase_b_est"] >= 0.9 * g["full_rows"]
+    assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=5))
+
+
+def _skewed_corpus():
+    """50 short 'hot' docs (high stored impact), 700 long 'hot' docs
+    (low impact), 1250 'cold' docs of one equal shape — 'hot' queries
+    have a provably skippable low-impact cohort; 'cold' queries have
+    nothing skippable."""
+    filler = " ".join(f"f{i}" for i in range(31))
+    return (
+        [(d, "hot x") for d in range(1, 51)]
+        + [(d, f"hot {filler}") for d in range(51, 751)]
+        + [(d, "cold y z") for d in range(751, 2001)]
+    )
+
+
+def test_maxscore_cost_gate_engages_when_pruning_pays(spark, tmp_path):
+    """With k inside the short-doc cohort, θ lands among the high
+    impacts, the histogram shows the 700-doc long cohort below the
+    cut, and the gate engages — exact result, candidates ≪ df."""
+    docs = _skewed_corpus()
+    idx = _compacted(spark, tmp_path, docs, "gate_skew_idx")
+    qtab = spark.createDataFrame([(1, "hot")], "query_id int, term string")
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=10, diag=diag)
+    assert diag["pruned"] is True
+    assert diag["gate"]["queries"][1]["engaged"] is True
+    assert diag["fallback_queries"] == 0
+    # the df-proportionality break: 750 hot postings, ~50 candidates
+    assert diag["candidates"] < 200
+    assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=10))
+
+
+def test_maxscore_batch_splits_per_query(spark, tmp_path):
+    """A mixed batch: the skewed-impact query engages, the all-equal
+    query is refused, and the unioned result equals the fresh build
+    for BOTH — one stop-word query must never drag a prunable query
+    off its fast plan (or corrupt its answer)."""
+    docs = _skewed_corpus()
+    idx = _compacted(spark, tmp_path, docs, "gate_split_idx")
+    qtab = spark.createDataFrame(
+        [(1, "hot"), (2, "cold")], "query_id int, term string"
+    )
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=10, diag=diag)
+    assert diag["pruned"] is True
+    assert diag["engaged_queries"] == 1
+    assert diag["fallback_queries"] == 1
+    assert diag["gate"]["queries"][1]["engaged"] is True
+    assert diag["gate"]["queries"][2]["engaged"] is False
+    assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=10))

@@ -67,11 +67,18 @@ REPLICAS = 10
 
 def _bm25_from_idx(spark, idx, pruned):
     """The r13 MaxScore A/B leg body: a 20-query batch over the bench's
-    real high-df vocabulary, answered from the compacted index. A
-    single query at these corpus sizes is job-latency-bound on this
-    box (both paths ≈3 s, ratio ≈1.4 at 10×) and cannot separate the
-    cost shapes; a batch makes the unpruned path's (query, doc) pair
-    space df-proportional — the regime the pruned path exists for."""
+    real vocabulary (returnflag/status letters at ~33-50% df, discount/
+    tax values at ~9-22%, quantity values at ~2%), answered from the
+    compacted index. A single query at these corpus sizes is
+    job-latency-bound on this box (both paths ≈3 s, ratio ≈1.4 at 10×)
+    and cannot separate the cost shapes; a batch makes the unpruned
+    path's (query, doc) pair space df-proportional — the regime the
+    pruned path exists for. The pruned leg runs the r13 PER-QUERY cost
+    gate: rare/skewed-term queries engage MaxScore, all-common queries
+    ride the full path (a first ungated cut measured the all-engaged
+    plan LOSING 18.3 vs 12.3 s at 6M docs — global min-merged cuts
+    zeroed by the common queries made phase B a full scan; the gate +
+    per-engaged-query cut merging is the fix)."""
     from couch_to_postgres_spark.streaming.search_stream import (
         bm25_topk_from_index,
     )
@@ -744,12 +751,14 @@ def main() -> None:
             ).count(),
             # r13 (VERDICT r12 #1): the from-index read's
             # df-proportionality, measured head-to-head at 1x/10x over
-            # the compacted phrase_idx (same corpus, same high-df term
-            # mix as q_bm25). The UNPRUNED full path scores every
-            # posting of every term — its work tracks df (~10x). The
-            # MaxScore pruned path skips the 33%-df term's postings
-            # outright and rescores ~rare-df candidates — the claim is
-            # a ratio materially below the unpruned leg's. Results are
+            # the compacted phrase_idx (same corpus, mixed-df batch).
+            # The UNPRUNED full path ranks every (query, posting) pair
+            # — its work tracks Σ_q Σ_t df. The PRUNED leg runs the
+            # per-query cost gate: queries with a provably skippable
+            # cohort engage MaxScore (phase B reads ~candidates,
+            # rescore ranks ~candidates), the rest ride the full path
+            # — the claim is pruned ≤ unpruned everywhere and
+            # materially below on the engaged share. Results are
             # bit-identical by construction (exactness pinned in
             # test_search_stream's maxscore suite).
             "q_bm25_read_unpruned": lambda: _bm25_from_idx(
