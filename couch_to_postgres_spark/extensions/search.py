@@ -183,6 +183,7 @@ def bm25_rank_components(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     term_col: str = "term",
+    candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The BM25 scoring + ranking stage over pre-computed components —
     shared by the fresh-build path (:func:`bm25_topk_batch`) and the
@@ -195,7 +196,16 @@ def bm25_rank_components(
     frame, ``dft`` (token, dft), ``queries`` (query_id, term). Emits
     ``(query_id, id, score, rank)`` with decimal-summed contributions
     and rounded-score ranking (engine- and partitioning-stable), eagerly
-    materialized so callers can release upstream caches immediately."""
+    materialized so callers can release upstream caches immediately.
+
+    ``candidate_pairs`` (optional, (query_id, id)): restrict scoring to
+    exactly these per-query candidates BEFORE the aggregate — the
+    MaxScore pruned read's per-query candidate theorem (every true
+    top-k doc of query q passes a cut of one of q's OWN terms), which
+    keeps the expensive groupBy/window shuffles candidate-proportional
+    instead of letting a batch's shared common terms multiply the pair
+    space. Scoring semantics are unchanged for the surviving pairs —
+    callers guarantee the restriction is a provable top-k superset."""
     idf = F.log(
         (F.col("n") - F.col("dft") + F.lit(0.5))
         / (F.col("dft") + F.lit(0.5))
@@ -214,13 +224,23 @@ def bm25_rank_components(
     q = queries.select(
         F.col(query_id_col), F.col(term_col).alias("token")
     ).distinct()
-    scored = (
+    paired = (
         tf.join(F.broadcast(dft), "token")
         .join(doclen, id_col)
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(q), "token")
-        .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum(contrib_dec), 4).cast("double").alias("score"))
+    )
+    if candidate_pairs is not None:
+        # hint-free semi join: the pair table is query×candidate-bounded
+        # and AQE broadcasts it at typical sizes; at corpus-scale
+        # candidate sets a shuffle semi join is the right plan anyway
+        paired = paired.join(
+            candidate_pairs.select(query_id_col, id_col).distinct(),
+            on=[query_id_col, id_col],
+            how="left_semi",
+        )
+    scored = paired.groupBy(query_id_col, id_col).agg(
+        F.round(F.sum(contrib_dec), 4).cast("double").alias("score")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col)

@@ -553,15 +553,28 @@ IMPACT_EPS = 2e-3
 #: all-common batch ran 18.3 s pruned vs 12.3 s full at 6M docs).
 IMPACT_HIST_BINS = 16
 
-#: cost-gate threshold: a query engages the pruned path only when its
-#: estimated pruned work (phase-B rows + rescore rows, both from the
-#: stored histograms) is below this fraction of its full-path work
-#: (Σ dft over its terms). 0.5 demands a ~2× provable row reduction
-#: before paying the pruned plan's extra driver actions and its
-#: candidate semi-join; queries that fail ride the full path — in a
-#: batch, PER QUERY, so one stop-word query never drags a rare-term
-#: query off its fast plan (or vice versa).
+#: cost-gate PER-QUERY screen: a query is an engagement candidate only
+#: when its estimated pruned work (phase-B rows + per-query rescore
+#: rows, both from the stored histograms) is below this fraction of its
+#: full-path pair count (Σ dft over its terms). Queries that fail ride
+#: the full path — in a batch, PER QUERY, so one stop-word query never
+#: drags a rare-term query off its fast plan (or vice versa).
 IMPACT_GATE_ALPHA = 0.5
+
+#: cost-gate GLOBAL floor, in estimated ranked-pair rows: the screened
+#: candidate set actually engages only when its predicted net pair
+#: savings ALSO clear (phase-C's duplicate scan rows + this floor).
+#: The floor prices the pruned plan's FIXED costs — ~4 extra driver
+#: actions (dfs-stats collect, phase-B scan, candidate materialization,
+#: the pair semi-join) ≈ 1.5-2 s of pure job latency on this class of
+#: box, which the measured ~1.5-2M-pairs/s ranking throughput equates
+#: to ~3M pairs. Calibration is empirical and regression-averse (r13
+#: diag: engaging 2 queries with ~0.6M net-pair savings measured a
+#: ~3 s LOSS; the same batch unpruned was optimal): below the floor the
+#: full path is the measured winner, and at the corpus sizes MaxScore
+#: exists for (100 TB: net savings in the billions of pairs) the floor
+#: is noise. Tests that pin engagement mechanics monkeypatch this to 0.
+IMPACT_GATE_FLOOR_ROWS = 3_000_000
 
 
 def _impact0_expr(k1: float, b: float, avgdl: float):
@@ -697,21 +710,35 @@ def _bm25_pruned_topk(
     strictly below the k-th best ROUNDED score, so ties at the boundary
     always survive.
 
-    **Per-query cost gate** (r13): MaxScore's known degenerate regime
-    is the all-common-term query — similar per-term upper bounds leave
-    every term but one with cut 0, phase B reads ~everything, and the
-    pruned plan COSTS more than the exact full path (measured: a
-    20-query all-common batch 18.3 s pruned vs 12.3 s full at 6M
-    docs). Each query is therefore gated on its OWN estimated win,
-    from the stored per-term impact histograms: est(phase-B rows +
-    rescore rows) must fall below :data:`IMPACT_GATE_ALPHA` × (Σ dft
-    over its terms). Engaged queries run here (their cuts min-merged
-    over the engaged set only — a refused stop-word query can no
-    longer zero a shared term's cut); refused queries return to the
+    **Cost gate** (r13): MaxScore's known degenerate regime is the
+    all-common-term query — similar per-term upper bounds leave every
+    term but one with cut 0, phase B reads ~everything, and the pruned
+    plan COSTS more than the exact full path (measured: a 20-query
+    all-common batch 18.3 s pruned vs 12.3 s full at 6M docs). Two
+    levels, both planned from the stored per-term impact histograms:
+
+    * **per-query screen**: est(phase-B rows + per-query rescore rows)
+      must fall below :data:`IMPACT_GATE_ALPHA` × (Σ dft over the
+      query's terms);
+    * **global decision**: the screened set engages only when its net
+      predicted pair savings also cover phase C's duplicate scans
+      (engaged terms a refused query's full path scans anyway) plus
+      :data:`IMPACT_GATE_FLOOR_ROWS` — the fixed driver actions the
+      pruned plan costs regardless of size. In a columnar engine the
+      rescore cannot avoid re-reading the engaged terms' postings, so
+      pruning pays exactly when the RANKED-PAIR reduction (the per-
+      query shuffle/window work a batch multiplies) dominates that
+      scan — the 100 TB regime; at small corpora the gate correctly
+      leaves everything on the full path (measured optimal).
+
+    Engaged queries run here with cuts min-merged over the engaged set
+    only (a refused stop-word query can no longer zero a shared term's
+    cut) and the rescore restricted to each query's OWN candidates
+    (the MaxScore theorem is per query); refused queries return to the
     caller, which runs them through the exact full path and unions.
-    ``force=True`` (the ``pruned="force"`` escape hatch) skips the
-    estimate and engages every query with any positive cut —
-    the exactness-pinning tests' mode, never the planner's.
+    ``force=True`` (the ``pruned="force"`` escape hatch) skips both
+    estimates and engages every query with any positive cut — the
+    exactness-pinning tests' mode, never the planner's.
 
     Returns ``None`` when NO query engages (or a structural gate
     fails), else ``(topk_df, remaining_queries_df | None)`` where the
@@ -833,10 +860,11 @@ def _bm25_pruned_topk(
         all_qids.add(r[query_id_col])
         if r["t"] in term_stats:
             q_terms.setdefault(r[query_id_col], set()).add(r["t"])
-    # per-query MaxScore cuts + the cost-gate decision; merged cuts are
-    # min'd over ENGAGED queries only
-    cuts: dict[str, float] = {}
-    engaged: set = set()
+    # per-query MaxScore cuts + the cost-gate PER-QUERY screen; the
+    # candidates then face the GLOBAL decision below, and merged cuts
+    # are min'd over the finally-ENGAGED queries only
+    candidate_cuts: dict = {}  # qid -> per-query cuts
+    candidate_est: dict = {}  # qid -> (full_rows, b_rows, c_rows)
     gate_diag: dict = {}
     for qid, tq in q_terms.items():
         seeds = [term_stats[t]["seed"] for t in tq]
@@ -865,10 +893,13 @@ def _bm25_pruned_topk(
             prefix += term_stats[t]["ub"]
         if all(c <= 0.0 for c in q_cuts.values()):
             continue  # nothing provably skippable — full path is optimal
-        # the cost gate, per query: phase-B rows (terms whose cut
-        # clears their max impact contribute nothing — they cannot
-        # seed a candidate) + the rescore's ranked rows (each term
-        # bounded by the candidate count), vs the full path's Σ dft
+        # the per-query screen: phase-B rows (terms whose cut clears
+        # their max impact contribute nothing — they cannot seed a
+        # candidate) + the per-query rescore's ranked rows (each term
+        # bounded by THIS query's candidate count — the rescore is
+        # candidate_pairs-restricted, so a batch's shared common terms
+        # never multiply another query's candidates), vs the full
+        # path's Σ dft pair count
         full_rows = sum(term_stats[t]["dft"] for t in tq)
         b_rows = sum(
             _est_above(t, c)
@@ -889,17 +920,53 @@ def _bm25_pruned_topk(
         }
         if not ok:
             continue
-        engaged.add(qid)
-        for t, c in q_cuts.items():
-            cuts[t] = min(cuts.get(t, float("inf")), c)
+        candidate_cuts[qid] = q_cuts
+        candidate_est[qid] = (full_rows, b_rows, c_rows)
+    # the GLOBAL decision: screened candidates engage only when their
+    # net predicted pair savings also pay for what engagement COSTS the
+    # whole batch — phase C re-scans the engaged terms' postings (a
+    # duplicate read wherever a refused query's full path scans the
+    # same term anyway) and the pruned plan's fixed driver actions
+    # (priced by IMPACT_GATE_FLOOR_ROWS). This is what the per-query
+    # screen alone missed (r13 diag: two honestly-screened queries
+    # still measured a ~3 s loss — their savings couldn't cover the
+    # duplicate F/O scans + the fixed jobs).
+    engaged: set = set(candidate_cuts)
+    global_info = None
+    if engaged and not force:
+        t_engaged = {t for qid in engaged for t in q_terms[qid]}
+        t_rest = {
+            t
+            for qid, tq in q_terms.items()
+            if qid not in engaged
+            for t in tq
+        }
+        net_pairs = sum(f - b - c for f, b, c in candidate_est.values())
+        extra_scan = sum(b for _, b, _ in candidate_est.values()) + sum(
+            term_stats[t]["dft"] for t in t_engaged & t_rest
+        )
+        global_ok = net_pairs >= extra_scan + IMPACT_GATE_FLOOR_ROWS
+        global_info = {
+            "net_pairs": int(net_pairs),
+            "extra_scan": int(extra_scan),
+            "floor": int(IMPACT_GATE_FLOOR_ROWS),
+            "engaged": bool(global_ok),
+        }
+        if not global_ok:
+            engaged = set()
     if diag is not None:
         diag["gate"] = {
             "alpha": IMPACT_GATE_ALPHA,
             "forced": bool(force),
             "queries": gate_diag,
+            "global": global_info,
         }
     if not engaged:
         return None  # every query rides the exact full path
+    cuts: dict[str, float] = {}
+    for qid in engaged:
+        for t, c in candidate_cuts[qid].items():
+            cuts[t] = min(cuts.get(t, float("inf")), c)
     # phase B: the candidate scan. Terms whose cut exceeds their max
     # stored impact cannot seed a candidate — skipped entirely (their
     # postings still return in phase C for candidates found elsewhere).
@@ -919,14 +986,30 @@ def _bm25_pruned_topk(
     pred = phase_b_preds[0]
     for p in phase_b_preds[1:]:
         pred = pred | p
-    cand = (
-        base.filter(pred).select(id_col).distinct().persist()
+    bscan = base.filter(pred).select("token", id_col).persist()
+    cand = bscan.select(id_col).distinct().persist()
+    # PER-QUERY candidate pairs — the MaxScore theorem is per query
+    # (every true top-k doc of q passes a cut of one of q's OWN terms),
+    # so a doc seeded by term t is a candidate only for the engaged
+    # queries CONTAINING t. Scoring the global candidate union against
+    # every query (the first r13 cut) let a batch's shared common
+    # terms multiply the rescore's pair space by the whole union —
+    # candidates × queries — instead of Σ_q (q's own candidates).
+    q_token_rows = [
+        (qid, t) for qid in sorted(engaged, key=str) for t in q_terms[qid]
+    ]
+    qid_t = dict(queries.dtypes)[query_id_col]  # never-cast-ids rule
+    q_tokens = spark.createDataFrame(
+        q_token_rows, f"{query_id_col} {qid_t}, token string"
     )
-    # phase C: exact rescore of the candidates over the ENGAGED
-    # queries' scored terms, through the shared scoring stage —
-    # candidate docs found for one query may also be scored for
-    # another; harmless, because any doc below a query's θ ranks
-    # strictly under its true top-k and the rank <= k filter drops it
+    cand_pairs = (
+        bscan.join(F.broadcast(q_tokens), on="token")
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    # phase C: exact rescore over the ENGAGED queries' scored terms,
+    # through the shared scoring stage, restricted to each query's own
+    # candidate pairs — numerically identical for the surviving pairs
     # (pinned by the equivalence tests)
     scored_terms = sorted(
         {t for qid in engaged for t in q_terms[qid]}
@@ -958,6 +1041,7 @@ def _bm25_pruned_topk(
         id_col=id_col,
         query_id_col=query_id_col,
         term_col=term_col,
+        candidate_pairs=cand_pairs,
     )
     if diag is not None:
         diag.update(
@@ -976,6 +1060,7 @@ def _bm25_pruned_topk(
             ),
         )
     cand.unpersist()
+    bscan.unpersist()
     rest = all_qids - engaged
     remaining = (
         queries.filter(F.col(query_id_col).isin(sorted(rest, key=str)))

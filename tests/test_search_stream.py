@@ -945,10 +945,18 @@ def _skewed_corpus():
     )
 
 
-def test_maxscore_cost_gate_engages_when_pruning_pays(spark, tmp_path):
+def test_maxscore_cost_gate_engages_when_pruning_pays(
+    spark, tmp_path, monkeypatch
+):
     """With k inside the short-doc cohort, θ lands among the high
     impacts, the histogram shows the 700-doc long cohort below the
-    cut, and the gate engages — exact result, candidates ≪ df."""
+    cut, and the gate engages — exact result, candidates ≪ df. The
+    global fixed-cost floor is zeroed: at 2000 docs NOTHING clears the
+    real ~3M-pair floor (that refusal is pinned separately below);
+    this test pins the screen + engagement MECHANICS."""
+    from couch_to_postgres_spark.streaming import search_stream as ss
+
+    monkeypatch.setattr(ss, "IMPACT_GATE_FLOOR_ROWS", 0)
     docs = _skewed_corpus()
     idx = _compacted(spark, tmp_path, docs, "gate_skew_idx")
     qtab = spark.createDataFrame([(1, "hot")], "query_id int, term string")
@@ -956,17 +964,44 @@ def test_maxscore_cost_gate_engages_when_pruning_pays(spark, tmp_path):
     got = bm25_topk_from_index(spark, idx, qtab, k=10, diag=diag)
     assert diag["pruned"] is True
     assert diag["gate"]["queries"][1]["engaged"] is True
+    assert diag["gate"]["global"]["engaged"] is True
     assert diag["fallback_queries"] == 0
     # the df-proportionality break: 750 hot postings, ~50 candidates
     assert diag["candidates"] < 200
     assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=10))
 
 
-def test_maxscore_batch_splits_per_query(spark, tmp_path):
+def test_maxscore_cost_gate_global_floor_refuses_small_wins(
+    spark, tmp_path
+):
+    """The same skewed shape WITHOUT zeroing the floor: the per-query
+    screen passes (pruning would read ~50 of 750 postings) but the
+    predicted net savings (~hundreds of pairs) cannot cover the pruned
+    plan's fixed driver actions — the global decision refuses and the
+    query rides the measured-optimal full path. This is the r13
+    calibration finding: engagement must pay for its own jobs, not
+    just its rows."""
+    docs = _skewed_corpus()
+    idx = _compacted(spark, tmp_path, docs, "gate_floor_idx")
+    qtab = spark.createDataFrame([(1, "hot")], "query_id int, term string")
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=10, diag=diag)
+    assert diag["pruned"] is False
+    assert diag["gate"]["queries"][1]["engaged"] is True  # screen ok
+    g = diag["gate"]["global"]
+    assert g["engaged"] is False
+    assert g["net_pairs"] < g["floor"] + g["extra_scan"]
+    assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=10))
+
+
+def test_maxscore_batch_splits_per_query(spark, tmp_path, monkeypatch):
     """A mixed batch: the skewed-impact query engages, the all-equal
     query is refused, and the unioned result equals the fresh build
     for BOTH — one stop-word query must never drag a prunable query
     off its fast plan (or corrupt its answer)."""
+    from couch_to_postgres_spark.streaming import search_stream as ss
+
+    monkeypatch.setattr(ss, "IMPACT_GATE_FLOOR_ROWS", 0)
     docs = _skewed_corpus()
     idx = _compacted(spark, tmp_path, docs, "gate_split_idx")
     qtab = spark.createDataFrame(

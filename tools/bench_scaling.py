@@ -100,6 +100,39 @@ def _bm25_from_idx(spark, idx, pruned):
     return len(rows)
 
 
+def _bm25_sel_batch(spark, idx, pruned):
+    """The ENGAGEMENT-regime A/B leg (r13): 20 queries of (two common
+    terms + one DISTINCT ~2%-df quantity term each) — every query
+    carries a high-idf seed whose θ prices F/O out of phase B, so the
+    whole batch clears both gate levels (measured sf0.1: net_pairs
+    8.6M ≥ extra_scan 0.18M + floor 3M; AUTO 6.0 s vs UNPRUNED 9.9 s).
+    This is the regime MaxScore exists for: the unpruned path's
+    ranked-pair space multiplies the shared common terms across all 20
+    queries, the pruned path ranks each query's own ~2%-candidate set.
+    The rotating-vocab leg above stays as the NO-REGRESSION control
+    (its mostly-common batch is gate-refused; pruned ≈ unpruned)."""
+    from couch_to_postgres_spark.streaming.search_stream import (
+        bm25_topk_from_index,
+    )
+
+    qtab = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid in range(20)
+            for t in ("F", "O", f"{qid + 1}.0")
+        ],
+        "query_id int, term string",
+    )
+    diag = {}
+    rows = bm25_topk_from_index(
+        spark, idx, qtab, k=20, pruned=pruned, diag=diag
+    ).collect()
+    assert rows, "bm25 sel-batch leg matched nothing — vocabulary drifted?"
+    if pruned:
+        assert diag.get("pruned") is True, diag.get("gate")
+    return len(rows)
+
+
 def replicate(df, tag_fn):
     out = None
     for i in range(REPLICAS):
@@ -257,6 +290,7 @@ def main() -> None:
         "q_compact_full_512", "q_compact_incr_batch",
         # r13: the MaxScore A/B reads the same compacted phrase_idx
         "q_bm25_read_unpruned", "q_bm25_read_pruned",
+        "q_bm25_sel_batch_unpruned", "q_bm25_sel_batch_pruned",
     }:
         from couch_to_postgres_spark.streaming.search_stream import (
             compact_index,
@@ -765,6 +799,12 @@ def main() -> None:
                 spark, t["phrase_idx"], pruned=False
             ),
             "q_bm25_read_pruned": lambda: _bm25_from_idx(
+                spark, t["phrase_idx"], pruned=True
+            ),
+            "q_bm25_sel_batch_unpruned": lambda: _bm25_sel_batch(
+                spark, t["phrase_idx"], pruned=False
+            ),
+            "q_bm25_sel_batch_pruned": lambda: _bm25_sel_batch(
                 spark, t["phrase_idx"], pruned=True
             ),
             "q_cdc_chunks": lambda: X_text.cdc_chunk_documents(docs).count(),
