@@ -576,6 +576,23 @@ IMPACT_GATE_ALPHA = 0.5
 #: is noise. Tests that pin engagement mechanics monkeypatch this to 0.
 IMPACT_GATE_FLOOR_ROWS = 3_000_000
 
+#: cost-gate candidate cap: the engaged plan's candidate structures
+#: (phase-B rows → the global id set and the per-query pair table)
+#: must stay in the broadcast/map-side-join regime, because every one
+#: of its extra joins (the tf-cand semi join, the per-query pair
+#: restriction, the pair-table distinct) shuffles rows AT candidate
+#: scale — beyond a few hundred thousand rows those shuffles rival the
+#: full path's single partial-aggregated pass and the plan loses even
+#: with millions of ranked pairs provably saved (measured r13: a
+#: 20-query batch seeded by ~2%-df terms WON 2× at 600k docs with a
+#: 240k-candidate union but LOST at 6M docs where the same fractional
+#: selectivity meant 2.4M candidates — 15.4 s vs 13.2 s unpruned).
+#: "Selective" must be ABSOLUTE, not fractional: real rare-term
+#: queries keep bounded candidate sets at any corpus size, which is
+#: exactly the workload MaxScore exists for. Calibrated on local[32];
+#: a cluster deployment would scale it with executor broadcast budget.
+IMPACT_GATE_MAX_CANDIDATES = 500_000
+
 
 def _impact0_expr(k1: float, b: float, avgdl: float):
     """The idf-free BM25 term of one posting under the stamped
@@ -942,14 +959,20 @@ def _bm25_pruned_topk(
             for t in tq
         }
         net_pairs = sum(f - b - c for f, b, c in candidate_est.values())
-        extra_scan = sum(b for _, b, _ in candidate_est.values()) + sum(
+        b_total = sum(b for _, b, _ in candidate_est.values())
+        extra_scan = b_total + sum(
             term_stats[t]["dft"] for t in t_engaged & t_rest
         )
-        global_ok = net_pairs >= extra_scan + IMPACT_GATE_FLOOR_ROWS
+        global_ok = (
+            net_pairs >= extra_scan + IMPACT_GATE_FLOOR_ROWS
+            and b_total <= IMPACT_GATE_MAX_CANDIDATES
+        )
         global_info = {
             "net_pairs": int(net_pairs),
             "extra_scan": int(extra_scan),
             "floor": int(IMPACT_GATE_FLOOR_ROWS),
+            "b_total": int(b_total),
+            "cap": int(IMPACT_GATE_MAX_CANDIDATES),
             "engaged": bool(global_ok),
         }
         if not global_ok:

@@ -994,6 +994,29 @@ def test_maxscore_cost_gate_global_floor_refuses_small_wins(
     assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=10))
 
 
+def test_maxscore_cost_gate_candidate_cap(spark, tmp_path, monkeypatch):
+    """Absolute-selectivity cap (r13 measured: fractionally-selective
+    seeds WON at 600k docs but LOST at 6M — the candidate machinery's
+    shuffles grow with the candidate count and outrun the pair savings
+    past the broadcast regime): with the floor zeroed but the cap
+    below the candidate estimate, the global decision refuses and the
+    result rides the exact full path."""
+    from couch_to_postgres_spark.streaming import search_stream as ss
+
+    monkeypatch.setattr(ss, "IMPACT_GATE_FLOOR_ROWS", 0)
+    monkeypatch.setattr(ss, "IMPACT_GATE_MAX_CANDIDATES", 10)
+    docs = _skewed_corpus()
+    idx = _compacted(spark, tmp_path, docs, "gate_cap_idx")
+    qtab = spark.createDataFrame([(1, "hot")], "query_id int, term string")
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=10, diag=diag)
+    assert diag["pruned"] is False
+    g = diag["gate"]["global"]
+    assert g["engaged"] is False
+    assert g["b_total"] > g["cap"]
+    assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=10))
+
+
 def test_maxscore_batch_splits_per_query(spark, tmp_path, monkeypatch):
     """A mixed batch: the skewed-impact query engages, the all-equal
     query is refused, and the unioned result equals the fresh build

@@ -102,15 +102,20 @@ def _bm25_from_idx(spark, idx, pruned):
 
 def _bm25_sel_batch(spark, idx, pruned):
     """The ENGAGEMENT-regime A/B leg (r13): 20 queries of (two common
-    terms + one DISTINCT ~2%-df quantity term each) — every query
-    carries a high-idf seed whose θ prices F/O out of phase B, so the
-    whole batch clears both gate levels (measured sf0.1: net_pairs
-    8.6M ≥ extra_scan 0.18M + floor 3M; AUTO 6.0 s vs UNPRUNED 9.9 s).
-    This is the regime MaxScore exists for: the unpruned path's
-    ranked-pair space multiplies the shared common terms across all 20
-    queries, the pruned path ranks each query's own ~2%-candidate set.
-    The rotating-vocab leg above stays as the NO-REGRESSION control
-    (its mostly-common batch is gate-refused; pruned ≈ unpruned)."""
+    terms + one DISTINCT ABSOLUTELY-rare integer term each, df ≈ 650
+    at sf0.1 / 6.5k at 10×) — every query carries a high-idf seed
+    whose θ prices F/O out of phase B, the candidate union stays far
+    inside the gate's broadcast-regime cap at BOTH scales, and the
+    whole batch clears every gate level. This is the regime MaxScore
+    exists for: the unpruned path's ranked-pair space multiplies the
+    shared common terms across all 20 queries, the pruned path ranks
+    each query's own bounded candidate set. A first cut seeded with
+    ~2%-df quantity terms measured the boundary the cap now encodes:
+    2× WIN at 600k docs (240k candidates) but a LOSS at 6M (2.4M
+    candidates — the plan's own shuffles outgrew the pair savings);
+    fractional selectivity is not selectivity. The rotating-vocab leg
+    above stays as the NO-REGRESSION control (its mostly-common batch
+    is gate-refused; pruned ≈ unpruned)."""
     from couch_to_postgres_spark.streaming.search_stream import (
         bm25_topk_from_index,
     )
@@ -119,7 +124,7 @@ def _bm25_sel_batch(spark, idx, pruned):
         [
             (qid, t)
             for qid in range(20)
-            for t in ("F", "O", f"{qid + 1}.0")
+            for t in ("F", "O", str(101 + qid))
         ],
         "query_id int, term string",
     )
