@@ -24,6 +24,7 @@ EXAMPLES = [
     ("examples/phrase_and_reservoir.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
     ("examples/indexed_search_operations.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
     ("examples/live_vector_search.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
+    ("examples/cost_gated_search.py", [], {"SPARK_GRAFT_SF_DIR": SF}),
 ]
 
 
