@@ -278,7 +278,7 @@ class Daemon:
                 return None
             return compact_mirror(self.spark, mp) or None
 
-        def _lsm_unit(fc, sip):
+        def _lsm_unit(fc, sip, twin):
             # compaction POLICY for the searchable twin, not just the
             # mechanism: when a search-flagged feed's index has
             # accumulated more churn than the threshold (tail+tombstone
@@ -287,7 +287,12 @@ class Daemon:
             # (VERDICT r08 #2); the first compaction of a fresh index
             # falls back to the full rewrite internally. The telemetry
             # the fold already computes (VERDICT r09 #5) rides the
-            # watchdog result and the feed's `/_status` row.
+            # watchdog result and the feed's `/_status` row. The
+            # SHINGLE twin compacts WITHOUT the MaxScore impact layer
+            # (r13): its md5 fingerprint tokens are probed by equality,
+            # never BM25-ranked, and the bound layer (per-pair impact
+            # sort + top-G arrays + histograms) is the dominant write
+            # cost of a fold — pure overhead there.
             from couch_to_postgres_spark.streaming.search_stream import (
                 compact_index_incremental,
                 index_status,
@@ -297,7 +302,10 @@ class Daemon:
             if debt is None or debt <= self.search_compaction_debt:
                 return None
             diag: dict = {}
-            done = compact_index_incremental(self.spark, sip, diag=diag)
+            done = compact_index_incremental(
+                self.spark, sip, diag=diag,
+                impacts_default=(twin == "search"),
+            )
             return {
                 "debt": debt,
                 "mode": done.get("mode"),
@@ -366,7 +374,9 @@ class Daemon:
                 if sip is not None:
                     units.append(
                         (key, fc, twin,
-                         lambda fc=fc, sip=sip: _lsm_unit(fc, sip))
+                         lambda fc=fc, sip=sip, twin=twin: _lsm_unit(
+                             fc, sip, twin
+                         ))
                     )
             vip = self.vector_index_path(fc)
             if vip is not None:

@@ -1358,16 +1358,28 @@ def _auto_id_subbuckets(n_live: int) -> int:
     return min(256, 2 ** round(math.log2(raw)))
 
 
-def _dfs_rows(staged_po: DataFrame) -> DataFrame:
+def _dfs_rows(staged_po: DataFrame, impacts: bool = True) -> DataFrame:
     """Per-(token_bucket, id_sub, token) dfs partials derived from
-    just-written base postings: the document-frequency partial plus the
-    impact-bound columns the MaxScore pruned read plans with — the
-    partial ``max_impact0`` and the EXACT top-G impacts (partials are
-    doc-disjoint, so merging a token's partial arrays yields the exact
-    global top-G). The row_number pre-pass bounds per-group state at G
-    doubles no matter how many postings a Zipf-head token puts in one
-    pair — a bare collect_list would grow with bucket_rows/n_sub, which
-    rises ~×2.5 per ×10 docs under the auto fan-out."""
+    just-written base postings: the document-frequency partial plus
+    (``impacts=True``) the impact-bound columns the MaxScore pruned
+    read plans with — the partial ``max_impact0`` and the EXACT top-G
+    impacts (partials are doc-disjoint, so merging a token's partial
+    arrays yields the exact global top-G). The row_number pre-pass
+    bounds per-group state at G doubles no matter how many postings a
+    Zipf-head token puts in one pair — a bare collect_list would grow
+    with bucket_rows/n_sub, which rises ~×2.5 per ×10 docs under the
+    auto fan-out.
+
+    ``impacts=False`` (fingerprint-token indexes — the shingle/stats
+    twin, whose md5 "tokens" are only ever probed by equality, never
+    BM25-ranked) writes the plain df partial and SKIPS the whole bound
+    layer: the per-pair sort the window needs is the dominant write
+    cost of the r13 impact layer, and for an index nothing will ever
+    rank it is pure overhead."""
+    if not impacts:
+        return staged_po.groupBy("token_bucket", "id_sub", "token").agg(
+            F.count(F.lit(1)).cast("double").alias("dft"),
+        )
     w = Window.partitionBy("token_bucket", "id_sub", "token").orderBy(
         F.desc("impact0")
     )
@@ -1426,6 +1438,7 @@ def compact_index(
     id_col: str = "doc_id",
     token_buckets: int = 64,
     id_subbuckets: int | None = None,
+    impacts: bool = True,
 ) -> None:
     """Rewrite the index keeping only LIVE rows, into ``out_path/base``:
     ``base/doclen`` (live rows only), ``base/postings`` laid out in
@@ -1473,7 +1486,18 @@ def compact_index(
     first: without the repartition every shuffle task writes a file
     into every bucket dir (tasks × buckets tiny files — measured 7×
     slower at 512 buckets), and bucket-pruned reads open ~1 file per
-    bucket instead of one per task."""
+    bucket instead of one per task.
+
+    ``impacts=False`` (r13) skips the MaxScore bound layer — the
+    denormalized dl/impact0 posting columns, the per-pair impact sort,
+    the top-G arrays and histograms — and stamps the meta's impact
+    columns ``NULL`` as an explicit "disabled by choice" sentinel (a
+    LEGACY base, whose meta predates the columns entirely, still
+    upgrades via one full rewrite). Use it for fingerprint-token
+    indexes (the shingle/decontamination twin): their md5 tokens are
+    probed by equality, never BM25-ranked, so the bound layer is pure
+    write cost in the steady-state fold; every ranked read gates off
+    the sentinel and takes the exact full path."""
     base_doclen_path, base_postings_path, meta_path = _base_paths(out_path)
     live = live_doclen(spark, index_path, id_col).persist()
     # corpus stats up front: n_live sizes the id_sub fan-out and avgdl
@@ -1498,7 +1522,7 @@ def compact_index(
     # skips the provably-losing blocks at the storage layer (block-max
     # pruning, Ding & Suel 2011 / Turtle & Flood 1995 — public
     # knowledge, re-expressed as columnar statistics).
-    (
+    staged = (
         postings.dropDuplicates([id_col, "token", "seq"])
         .join(live.select(id_col, "seq", "dl"), on=[id_col, "seq"])
         .withColumn(
@@ -1507,12 +1531,23 @@ def compact_index(
         .withColumn(
             "id_sub", F.pmod(F.hash(F.col(id_col)), F.lit(id_subbuckets))
         )
-        .withColumn("impact0", _impact0_expr(IMPACT_K1, IMPACT_B, avgdl_now))
-        .repartition(F.col("token_bucket"), F.col("id_sub"))
-        .sortWithinPartitions(
+    )
+    if impacts:
+        staged = staged.withColumn(
+            "impact0", _impact0_expr(IMPACT_K1, IMPACT_B, avgdl_now)
+        ).repartition(
+            F.col("token_bucket"), F.col("id_sub")
+        ).sortWithinPartitions(
             "token_bucket", "id_sub", "token", F.desc("impact0")
         )
-        .write.mode("overwrite")
+    else:
+        # no bound layer: skinny rows (no dl/impact0), no impact sort —
+        # the per-pair ordering only exists for block-max skipping
+        staged = staged.drop("dl").repartition(
+            F.col("token_bucket"), F.col("id_sub")
+        ).sortWithinPartitions("token_bucket", "id_sub", "token")
+    (
+        staged.write.mode("overwrite")
         .partitionBy("token_bucket", "id_sub")
         .parquet(base_postings_path)
     )
@@ -1525,7 +1560,7 @@ def compact_index(
     # selection, never used for correctness.
     written = spark.read.parquet(base_postings_path)
     (
-        _dfs_rows(written)
+        _dfs_rows(written, impacts=impacts)
         .repartition(F.col("token_bucket"), F.col("id_sub"))
         .write.mode("overwrite")
         .partitionBy("token_bucket", "id_sub")
@@ -1602,12 +1637,12 @@ def compact_index(
             int(id_subbuckets),
             n_live_now,
             sum_dl_now,
-            float(IMPACT_K1),
-            float(IMPACT_B),
-            avgdl_now,
-            avgdl_now,
-            int(IMPACT_TOP_G),
-            int(IMPACT_HIST_BINS),
+            float(IMPACT_K1) if impacts else None,
+            float(IMPACT_B) if impacts else None,
+            avgdl_now if impacts else None,
+            avgdl_now if impacts else None,
+            int(IMPACT_TOP_G) if impacts else None,
+            int(IMPACT_HIST_BINS) if impacts else None,
         )],
         _SEARCH_META_SCHEMA,
     )
@@ -1619,6 +1654,7 @@ def compact_index_inplace(
     id_col: str = "doc_id",
     token_buckets: int | None = None,
     id_subbuckets: int | None = None,
+    impacts: bool | None = None,
 ) -> None:
     """Compact an LSM search index IN PLACE — the daemon watchdog's
     maintenance step when ``compaction_debt`` crosses its threshold:
@@ -1662,17 +1698,27 @@ def compact_index_inplace(
     )
 
     with _path_lock(index_path):
+        _, _, meta_path = _base_paths(index_path)
+        meta_rows = read_meta_rows(spark, meta_path)
         if token_buckets is None:
-            _, _, meta_path = _base_paths(index_path)
-            meta_rows = read_meta_rows(spark, meta_path)
             token_buckets = (
                 int(meta_rows[0]["token_buckets"]) if meta_rows else 64
+            )
+        if impacts is None:
+            # mode continuity: an index compacted without the impact
+            # layer (the explicit NULL sentinel) stays that way across
+            # rewrites; a legacy or fresh index defaults to impacts
+            impacts = not (
+                meta_rows
+                and "impact_hist_bins" in meta_rows[0]
+                and meta_rows[0]["impact_hist_bins"] is None
             )
         staging = index_path.rstrip("/") + ".compacting"
         shutil.rmtree(staging, ignore_errors=True)
         compact_index(
             spark, index_path, staging, id_col=id_col,
             token_buckets=token_buckets, id_subbuckets=id_subbuckets,
+            impacts=impacts,
         )
         # component-level swap under the live root: retire old pieces
         # into .trash (grace-window recovery, never instant delete),
@@ -1691,6 +1737,7 @@ def compact_index_incremental(
     index_path: str,
     id_col: str = "doc_id",
     diag: dict | None = None,
+    impacts_default: bool = True,
 ) -> dict:
     """Fold the append tail into ONLY the partition directories it
     touches — the maintenance step that keeps recurring compaction cost
@@ -1773,7 +1820,13 @@ def compact_index_incremental(
         )
         meta_rows = read_meta_rows(spark, meta_path)
         if not meta_rows:
-            compact_index_inplace(spark, index_path, id_col=id_col)
+            # first compaction of a fresh index: ``impacts_default``
+            # picks the mode (the daemon passes False for the
+            # fingerprint-token shingle twin); thereafter the meta
+            # sentinel carries it
+            compact_index_inplace(
+                spark, index_path, id_col=id_col, impacts=impacts_default
+            )
             return {"mode": "full"}
         n_buckets = int(meta_rows[0]["token_buckets"])
         n_sub = meta_rows[0].get("id_subbuckets")
@@ -1809,16 +1862,28 @@ def compact_index_incremental(
             or not _has_partition_prefix(base_doclen_path, "id_bucket=")
             or not _has_partition_prefix(base_postings_path, "token_bucket=")
         ):
-            compact_index_inplace(spark, index_path, id_col=id_col)
+            compact_index_inplace(
+                spark, index_path, id_col=id_col, impacts=impacts_default
+            )
             return {"mode": "full"}
         n_sub = int(n_sub)
+        # the explicit-NULL sentinel (r13): an index compacted with
+        # ``impacts=False`` (the shingle/fingerprint twin) carries the
+        # impact meta columns as NULL — its folds stay impact-less
+        # forever (no bound columns, no per-pair impact sort, plain df
+        # partials), which is the whole point: the bound layer is the
+        # dominant write cost and nothing ever BM25-ranks those tokens
+        has_impacts = meta_rows[0]["impact_hist_bins"] is not None
         # the avgdl this fold stamps its rewritten rows with (the
         # PRE-fold corpus average — known without any job; post-fold
         # meta widens the [impact_avgdl_min, impact_avgdl_max] bracket
         # to include it, keeping every stored impact0 provably
         # correctable at read time)
-        avgdl_stamp = float(meta_rows[0]["sum_dl"] or 0.0) / int(
-            meta_rows[0]["n_live"]
+        avgdl_stamp = (
+            float(meta_rows[0]["sum_dl"] or 0.0)
+            / int(meta_rows[0]["n_live"])
+            if has_impacts
+            else None
         )
 
         def _pruned_read(root, rel_dirs, schema):
@@ -1909,35 +1974,47 @@ def compact_index_incremental(
         # and pass through with no join and no dedup; only churned-doc
         # rows (old base slice ∪ the whole tail, both churn-proportional)
         # pay the replay dedup and the live-version filter.
-        base_aff = _pruned_read(
-            base_postings_path,
-            pair_dirs,
+        impact_cols = ["dl", "impact0"] if has_impacts else []
+        base_schema_po = (
             f"{id_col} {id_t}, token string, tf double, seq long, "
-            "dl double, impact0 double, token_bucket int, id_sub int",
-        ).select(id_col, "token", "tf", "seq", "dl", "impact0")
+            + ("dl double, impact0 double, " if has_impacts else "")
+            + "token_bucket int, id_sub int"
+        )
+        base_aff = _pruned_read(
+            base_postings_path, pair_dirs, base_schema_po
+        ).select(id_col, "token", "tf", "seq", *impact_cols)
         # keep side passes through with its STORED dl/impact0 — those
         # rows were stamped under some earlier fold/compaction's avgdl,
         # which the meta bracket already covers; re-stamping them would
         # turn the pass-through into a recompute
         keep = base_aff.join(churned, on=id_col, how="left_anti")
         # churn side: live versions only, then the inner join against
-        # churned_live's (id, seq) both enforces liveness and carries
-        # the live dl onto every surviving posting row (tail rows have
-        # no stored dl); impact0 is stamped fresh under avgdl_stamp
+        # churned_live's (id, seq) both enforces liveness and (impact
+        # mode) carries the live dl onto every surviving posting row
+        # (tail rows have no stored dl); impact0 is stamped fresh under
+        # avgdl_stamp
         churn_rows = (
             base_aff.select(id_col, "token", "tf", "seq")
             .unionByName(tail_po.select(id_col, "token", "tf", "seq"))
             .join(churned, on=id_col, how="left_semi")
             .dropDuplicates([id_col, "token", "seq"])
-            .join(
-                churned_live.select(id_col, "seq", "dl"),
-                on=[id_col, "seq"],
-            )
-            .withColumn(
-                "impact0", _impact0_expr(IMPACT_K1, IMPACT_B, avgdl_stamp)
-            )
-            .select(id_col, "token", "tf", "seq", "dl", "impact0")
         )
+        if has_impacts:
+            churn_rows = (
+                churn_rows.join(
+                    churned_live.select(id_col, "seq", "dl"),
+                    on=[id_col, "seq"],
+                )
+                .withColumn(
+                    "impact0",
+                    _impact0_expr(IMPACT_K1, IMPACT_B, avgdl_stamp),
+                )
+                .select(id_col, "token", "tf", "seq", "dl", "impact0")
+            )
+        else:
+            churn_rows = churn_rows.join(
+                churned_live.select(id_col, "seq"), on=[id_col, "seq"]
+            ).select(id_col, "token", "tf", "seq")
         merged = (
             keep.unionByName(churn_rows)
             .withColumn(
@@ -1959,21 +2036,17 @@ def compact_index_incremental(
         # clustering survives): each written file holds (token, impact0
         # desc) runs, so parquet row-group/page statistics stay tight
         # for the pruned read's pushed (token, impact0) predicates
-        merged.sortWithinPartitions(
-            "token_bucket", "id_sub", "token", F.desc("impact0")
-        ).write.mode("overwrite").partitionBy(
-            "token_bucket", "id_sub"
-        ).parquet(staged_postings)
+        sort_keys = ["token_bucket", "id_sub", "token"] + (
+            [F.desc("impact0")] if has_impacts else []
+        )
+        merged.sortWithinPartitions(*sort_keys).write.mode(
+            "overwrite"
+        ).partitionBy("token_bucket", "id_sub").parquet(staged_postings)
         # empty-read fallback schema carries the tail's ACTUAL id type
         # (never-cast-ids rule): if churn deleted every live row in the
         # affected pairs, a hardcoded bigint empty frame joining
         # string-id `churned` would ANSI-cast-throw mid-compaction
-        staged_po = _read_or_empty(
-            spark,
-            staged_postings,
-            f"{id_col} {id_t}, token string, tf double, seq long, "
-            "dl double, impact0 double, token_bucket int, id_sub int",
-        )
+        staged_po = _read_or_empty(spark, staged_postings, base_schema_po)
         _mark("staged_postings")
         # dfs + doclen are INDEPENDENT derivations of the staged
         # postings (both read the files just written, never each
@@ -1991,7 +2064,7 @@ def compact_index_incremental(
             # token's dft partials and merge its top-impact arrays);
             # unaffected dfs pair dirs are never touched
             (
-                _dfs_rows(staged_po)
+                _dfs_rows(staged_po, impacts=has_impacts)
                 .repartition(F.col("token_bucket"), F.col("id_sub"))
                 .write.mode("overwrite")
                 .partitionBy("token_bucket", "id_sub")
@@ -2084,12 +2157,18 @@ def compact_index_incremental(
                 n_sub,
                 n_live,
                 sum_dl,
-                float(meta_rows[0]["impact_k1"]),
-                float(meta_rows[0]["impact_b"]),
-                min(float(meta_rows[0]["impact_avgdl_min"]), avgdl_stamp),
-                max(float(meta_rows[0]["impact_avgdl_max"]), avgdl_stamp),
-                int(meta_rows[0]["impact_topg"]),
-                int(meta_rows[0]["impact_hist_bins"]),
+                float(meta_rows[0]["impact_k1"]) if has_impacts else None,
+                float(meta_rows[0]["impact_b"]) if has_impacts else None,
+                min(float(meta_rows[0]["impact_avgdl_min"]), avgdl_stamp)
+                if has_impacts
+                else None,
+                max(float(meta_rows[0]["impact_avgdl_max"]), avgdl_stamp)
+                if has_impacts
+                else None,
+                int(meta_rows[0]["impact_topg"]) if has_impacts else None,
+                int(meta_rows[0]["impact_hist_bins"])
+                if has_impacts
+                else None,
             )],
             _SEARCH_META_SCHEMA,
         )

@@ -1038,3 +1038,64 @@ def test_maxscore_batch_splits_per_query(spark, tmp_path, monkeypatch):
     assert diag["gate"]["queries"][1]["engaged"] is True
     assert diag["gate"]["queries"][2]["engaged"] is False
     assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=10))
+
+
+def test_impactless_mode_for_fingerprint_indexes(spark, tmp_path):
+    """r13: ``compact_index(impacts=False)`` — the shingle/fingerprint
+    twin's mode. The base carries no bound layer (skinny postings, no
+    per-pair impact sort; dfs = plain df partials), meta stamps the
+    impact columns NULL as an EXPLICIT sentinel (distinct from the
+    legacy missing-column state, which still upgrades), ranked reads
+    gate off it onto the exact full path, and — the point — the
+    incremental fold stays incremental AND impact-less forever, never
+    burning repeated full upgrades or the bound layer's write cost on
+    an index nothing will ever BM25-rank."""
+    from couch_to_postgres_spark.streaming.meta_io import read_meta_rows
+    from couch_to_postgres_spark.streaming.search_stream import (
+        compact_index_incremental,
+        compact_index_inplace,
+    )
+
+    docs = _synth_corpus(n=80)
+    raw = str(tmp_path / "nolayer_raw")
+    idx = str(tmp_path / "nolayer")
+    search_index_batch(spark, raw, _changes(
+        spark, [(i, d, False, t) for i, (d, t) in enumerate(docs, start=1)]
+    ))
+    compact_index(spark, raw, idx, token_buckets=8, impacts=False)
+    meta = read_meta_rows(spark, os.path.join(idx, "base", "meta"))
+    assert "impact_k1" in meta[0] and meta[0]["impact_k1"] is None
+    assert meta[0]["impact_hist_bins"] is None
+    po = spark.read.parquet(os.path.join(idx, "base", "postings"))
+    assert "impact0" not in po.columns and "dl" not in po.columns
+    dfs = spark.read.parquet(os.path.join(idx, "base", "dfs"))
+    assert "top_impacts" not in dfs.columns
+    assert "impact_hist" not in dfs.columns
+    # ranked reads still work, exactly, via the full path
+    qtab = spark.createDataFrame(
+        [(1, "common"), (1, "needle")], "query_id int, term string"
+    )
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=5, diag=diag)
+    assert diag["pruned"] is False
+    assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=5))
+    # churn + fold: INCREMENTAL (the sentinel is not the legacy state)
+    # and still impact-less
+    search_index_batch(spark, idx, _changes(
+        spark, [(9001, 1, False, "common rewritten text")]
+    ))
+    st = compact_index_incremental(spark, idx)
+    assert st["mode"] == "incremental"
+    meta2 = read_meta_rows(spark, os.path.join(idx, "base", "meta"))
+    assert meta2[0]["impact_hist_bins"] is None
+    po2 = spark.read.parquet(os.path.join(idx, "base", "postings"))
+    assert "impact0" not in po2.columns
+    live_docs = [(1, "common rewritten text")] + [
+        (d, t) for d, t in docs if d != 1
+    ]
+    got2 = bm25_topk_from_index(spark, idx, qtab, k=5)
+    assert _rows(got2) == _rows(_fresh(spark, live_docs, qtab, k=5))
+    # a full in-place rewrite PRESERVES the mode (continuity, not reset)
+    compact_index_inplace(spark, idx)
+    meta3 = read_meta_rows(spark, os.path.join(idx, "base", "meta"))
+    assert meta3[0]["impact_hist_bins"] is None

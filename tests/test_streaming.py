@@ -694,6 +694,16 @@ def test_daemon_feed_shingle_index(spark, sf_dir, tmp):
         for r in contamination_from_index(spark, shidx, eval_df).collect()
     )
     assert got2 == want
+    # r13: the shingle twin compacts WITHOUT the MaxScore impact layer
+    # (md5 fingerprints are probed by equality, never BM25-ranked) —
+    # meta carries the explicit NULL sentinel, postings stay skinny
+    from couch_to_postgres_spark.streaming.meta_io import read_meta_rows
+
+    smeta = read_meta_rows(spark, _os.path.join(shidx, "base", "meta"))
+    assert "impact_hist_bins" in smeta[0]
+    assert smeta[0]["impact_hist_bins"] is None
+    shpo = spark.read.parquet(_os.path.join(shidx, "base", "postings"))
+    assert "impact0" not in shpo.columns
     d.stop_all()
 
 
@@ -1218,7 +1228,7 @@ def test_watchdog_overlaps_maintenance_units(spark, tmp, monkeypatch):
     def fake_status(spark_, sip):
         return {"compaction_debt": 1.0}
 
-    def fake_fold(spark_, sip, id_col="doc_id", diag=None):
+    def fake_fold(spark_, sip, id_col="doc_id", diag=None, **kwargs):
         t0 = time.monotonic()
         time.sleep(0.8)
         with lock:
