@@ -685,6 +685,7 @@ def _bm25_pruned_topk(
     max_df_frac: float | None,
     diag: dict | None,
     force: bool = False,
+    dft_out: dict | None = None,
 ) -> tuple[DataFrame, DataFrame | None] | None:
     """MaxScore / block-max top-k over the compacted base — EXACT BM25
     top-k at sub-df-proportional cost (Turtle & Flood 1995 MaxScore;
@@ -833,6 +834,17 @@ def _bm25_pruned_topk(
         got[2].extend(float(x) for x in tops_p)
         for i, c in enumerate(hist_p):
             got[3][i] += int(c)
+    if dft_out is not None:
+        # the collect above IS the full path's dft aggregate (same dfs
+        # slice, same token filter; integral-double partials sum
+        # exactly in any order). Export it — populated only once the
+        # WHOLE slice merged cleanly — so a gate-refused query's exact
+        # full path reuses it instead of re-scanning the dfs dirs
+        # inside its main job (the gate's planning collect otherwise
+        # duplicates that subtree on every refused read).
+        dft_out["__collected__"] = True
+        for t, (dft_t, _m, _tops, _h) in agg.items():
+            dft_out[t] = dft_t
     scale = 1.0 + float(k1)
     term_stats: dict[str, dict] = {}
     for t, (dft_t, max0_t, tops, hist) in agg.items():
@@ -1183,11 +1195,12 @@ def bm25_topk_from_index(
     # ``pruned=False`` forces the full path — an operator escape hatch
     # and the A/B comparator the scaling harness measures against.
     pruned_out = None
+    dft_reuse: dict = {}
     if pruned and fast and candidates is None:
         got = _bm25_pruned_topk(
             spark, index_path, queries, meta_rows[0], terms,
             k, k1, b, id_col, query_id_col, term_col, max_df_frac, diag,
-            force=(pruned == "force"),
+            force=(pruned == "force"), dft_out=dft_reuse,
         )
         if got is not None:
             pruned_out, remaining = got
@@ -1270,7 +1283,18 @@ def bm25_topk_from_index(
     # compaction falls back to the exact aggregate.
     dfs_root = os.path.join(index_path, "base", "dfs")
     dfs_df = None
-    if fast:
+    dft_local = None
+    if fast and dft_reuse.pop("__collected__", False):
+        # the cost gate already collected and merged exactly this dfs
+        # slice driver-side (same token filter, integral-double partial
+        # sums — order-independent); build dft locally instead of
+        # re-scanning the dfs dirs in the main job. Terms absent from
+        # the slice have no dfs row on either route.
+        dft_local = spark.createDataFrame(
+            [(t, float(dft_reuse[t])) for t in terms if t in dft_reuse],
+            "token string, dft double",
+        )
+    elif fast:
         if _has_partition_prefix(dfs_root, "token_bucket="):
             # bucketed dfs layout: open ONLY the query terms' bucket
             # dirs by name (r10, VERDICT r09 #6 — a whole-root reader
@@ -1292,7 +1316,9 @@ def bm25_topk_from_index(
                 dfs_df = spark.createDataFrame([], "token string, dft double")
         else:
             dfs_df = _try(dfs_root)  # legacy flat dfs
-    if dfs_df is not None:
+    if dft_local is not None:
+        dft = dft_local
+    elif dfs_df is not None:
         # two-level layout stores per-(bucket, id_sub) PARTIAL counts;
         # summing is also correct (a no-op) on a single-row-per-token dfs
         dft = (
@@ -1540,6 +1566,23 @@ def compact_index(
         ).sortWithinPartitions(
             "token_bucket", "id_sub", "token", F.desc("impact0")
         )
+        # r13 optimization round: persist the staged (exchanged +
+        # impact-sorted) postings so the two derivations below consume
+        # the SAME partitioning and sort instead of re-reading the
+        # written files. The dfs window requires clustering by
+        # (token_bucket, id_sub, token) and ordering by (…, impact0
+        # desc) — exactly what the cache carries, so its Exchange AND
+        # Sort vanish (plan: Window directly over InMemoryTableScan;
+        # phase-profiled at sf0.1: dfs_write 8.1 → 3.8 s, whole
+        # compaction ~26 → ~20 s). MEMORY_AND_DISK: a corpus-scale
+        # full rewrite spills the cache to local disk, which replaces
+        # the two read-backs it previously paid — bounded trade at any
+        # scale. The impacts=False path keeps the read-back: its dfs
+        # is a plain partial-aggregated count with no window, so the
+        # cache would buy nothing.
+        from pyspark.storagelevel import StorageLevel
+
+        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         # no bound layer: skinny rows (no dl/impact0), no impact sort —
         # the per-pair ordering only exists for block-max skipping
@@ -1554,11 +1597,12 @@ def compact_index(
     # per-token document frequencies over the compacted base — the
     # probe-planning statistic (rarest-term selection in
     # phrase_candidate_ids; the read-mostly BM25 df fast path). Derived
-    # FROM the base postings just written so it is exactly consistent
-    # with them; tail appends after this compaction are simply unknown
+    # from the staged rows just written (the persisted frame IS the
+    # written content, row for row) so it is exactly consistent with
+    # them; tail appends after this compaction are simply unknown
     # to it, which only ever makes a term LOOK rarer — safe for probe
     # selection, never used for correctness.
-    written = spark.read.parquet(base_postings_path)
+    written = staged if impacts else spark.read.parquet(base_postings_path)
     (
         _dfs_rows(written, impacts=impacts)
         .repartition(F.col("token_bucket"), F.col("id_sub"))
@@ -1620,6 +1664,8 @@ def compact_index(
             .parquet(os.path.join(out_path, "base", "attrs"))
         )
     live.unpersist()
+    if impacts:
+        staged.unpersist()
     # corpus stats ride the meta file (computed up front, before the
     # postings write needed avgdl): with no tail yet, a query takes
     # N/avgdl from here and skips the per-query corpus-wide doclen

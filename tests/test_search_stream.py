@@ -1099,3 +1099,44 @@ def test_impactless_mode_for_fingerprint_indexes(spark, tmp_path):
     compact_index_inplace(spark, idx)
     meta3 = read_meta_rows(spark, os.path.join(idx, "base", "meta"))
     assert meta3[0]["impact_hist_bins"] is None
+
+
+def test_compaction_dfs_consistent_with_written_postings(spark, index):
+    """r13 optimization pin: compact_index (impacts mode) derives the
+    dfs bound layer from the PERSISTED staged frame instead of
+    re-reading the written base postings (the cache reuses the staged
+    exchange+sort, dropping the dfs window's Exchange and Sort). The
+    load-bearing invariant is that the cache IS the written content:
+    recomputing the dfs rows from the base postings files must
+    reproduce the stored dfs exactly — dft, max_impact0, the exact
+    top-G arrays, and the histogram bins."""
+    import os as _os
+
+    from couch_to_postgres_spark.streaming.search_stream import _dfs_rows
+
+    search_index_batch(
+        spark, index, _changes(spark, [(s, d, False, t) for s, (d, t) in
+                                       enumerate(DOCS, start=1)])
+    )
+    out = index + ".compacted"
+    compact_index(spark, index, out, token_buckets=8)
+    stored = spark.read.parquet(_os.path.join(out, "base", "dfs"))
+    recomputed = _dfs_rows(
+        spark.read.parquet(_os.path.join(out, "base", "postings")),
+        impacts=True,
+    )
+    key = ["token_bucket", "id_sub", "token"]
+
+    def _canon(df):
+        return sorted(
+            (
+                r["token_bucket"], r["id_sub"], r["token"], r["dft"],
+                r["max_impact0"], tuple(r["top_impacts"]),
+                tuple(r["impact_hist"]),
+            )
+            for r in df.select(
+                *key, "dft", "max_impact0", "top_impacts", "impact_hist"
+            ).collect()
+        )
+
+    assert _canon(stored) == _canon(recomputed)

@@ -1,0 +1,79 @@
+"""Capture `.explain("formatted")` for declared __spark_entry__ queries.
+
+Usage: python tools/dump_plans.py <out_dir> <suffix> [sf_dir] [query ...]
+
+Writes <out_dir>/<query>_<suffix>.txt for each requested query (all
+queries when none named). The driver cannot run Spark, so these files
+are the committed evidence for every plan claim in OPTIMIZATION_*.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from couch_to_postgres_spark.session import get_spark  # noqa: E402
+
+
+def explain_formatted(df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return qe.explainString(mode.fromString("formatted"))
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--no-local-checkpoint"]
+    if "--no-local-checkpoint" in sys.argv:
+        # several query paths eagerly localCheckpoint their (tiny)
+        # result so upstream caches release immediately — correct for
+        # execution, but it truncates the captured plan to a bare
+        # `Scan ExistingRDD`. For plan evidence, make localCheckpoint
+        # a no-op so the full lazy plan survives to explain().
+        from pyspark.sql import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self
+        try:
+            # Spark 4: pyspark.sql.DataFrame is the abstract base; the
+            # concrete class defines its own localCheckpoint
+            from pyspark.sql.classic.dataframe import (
+                DataFrame as ClassicDataFrame,
+            )
+
+            ClassicDataFrame.localCheckpoint = (
+                lambda self, eager=True: self
+            )
+        except ImportError:
+            pass
+    out_dir = args[0]
+    suffix = args[1]
+    sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
+    only = set(args[3:])
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(cpus="8", shuffle_partitions=8)
+    failures = []
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            text = explain_formatted(df)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            continue
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(text)
+        print(f"OK   {name} -> {path}")
+    spark.stop()
+    if failures:
+        print(f"{len(failures)} failures: {failures}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
