@@ -109,15 +109,15 @@ def main() -> None:
         timings[name] = round(sorted(reps)[n // 2], 3)
 
     # BASELINE.md comparables on the big mirror (reference: 63k docs)
-    bench(
+    bench_median(
         "q_group_count",
         lambda: Q.group_count(big_mirror, "l_returnflag").collect(),
     )
-    bench(
+    bench_median(
         "q_key_expansion",
         lambda: Q.key_expansion(big_mirror, "l_returnflag").collect(),
     )
-    bench("q_flagship", lambda: Q.flagship(docs_mirror(spark, sf_dir)).collect())
+    bench_median("q_flagship", lambda: Q.flagship(docs_mirror(spark, sf_dir)).collect())
 
     # variant-stored mirror: parse-once layout (the jsonb analog)
     from couch_to_postgres_spark.operators.variant import (
@@ -133,7 +133,7 @@ def main() -> None:
         "q_group_count_variant",
         lambda: group_count_variant(vmirror, "l_returnflag").collect(),
     )
-    bench(
+    bench_median(
         "q_key_expansion_variant",
         lambda: key_expansion_variant(vmirror, "l_returnflag").collect(),
     )
@@ -150,7 +150,7 @@ def main() -> None:
         )
         apply_changes(mirror, changes, broadcast_changes=False).count()
 
-    bench("q_cdc_apply", cdc_apply)
+    bench_median("q_cdc_apply", cdc_apply)
 
     def cdc_incremental(mode: str = "auto") -> None:
         """Steady-state micro-batch: 1000 updates against the stored 600k
@@ -260,7 +260,7 @@ def main() -> None:
         q.awaitTermination(300)
 
     bench("q_stream_catchup", stream_catchup)
-    bench(
+    bench_median(
         "q_dedup_minhash",
         lambda: X_dedup.minhash_candidate_pairs(docs, num_bands=4).count(),
     )
@@ -314,7 +314,7 @@ def main() -> None:
         F.lit(False).alias("deleted"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     ))
-    bench(
+    bench_median(
         "q_vector_topk_live",
         lambda: vector_topk_live(
             spark, vlive_path,
@@ -377,7 +377,7 @@ def main() -> None:
         .otherwise(F.lit(10_000_002)).cast("long").alias("vec_id"),
         "embedding",
     )
-    bench(
+    bench_median(
         "q_hybrid_topk",
         lambda: hybrid_topk_live(
             spark, hsidx, vlive_path, hterms, hvecs,
@@ -413,13 +413,13 @@ def main() -> None:
     # default: S-curve midpoint 0.35, measured identical verified-pair set
     # to the loose (b=4, r=1) setting at 32× fewer candidates, and one md5
     # per shingle instead of k (see near_dedup / km_minhash_signatures)
-    bench(
+    bench_median(
         "q_near_dedup_e2e",
         lambda: X_dedup.near_dedup(
             docs, num_bands=8, rows_per_band=2, hash_family="km"
         ).count(),
     )
-    bench(
+    bench_median(
         "q_semantic_dedup_e2e",
         # vectorized = the production in-cell scorer (numpy GEMM per
         # Arrow batch); the HOF scorer is the oracle-parity variant and
@@ -431,7 +431,7 @@ def main() -> None:
     # span-level dedup: winnowing fingerprint buckets shared by >1 doc
     # (the substring complement to whole-document minhash; one doc-keyed
     # shuffle + one fingerprint-keyed agg)
-    bench(
+    bench_median(
         "q_winnow_spans",
         lambda: X_dedup.shared_span_buckets(docs).count(),
     )
@@ -461,7 +461,7 @@ def main() -> None:
     # MATERIALIZED mirror: the prefix scan's jobs then scan cheap columnar
     # parquet instead of re-serializing to_json per job (measured ~2x).
     id_parts = F.split(F.col("id"), "-")
-    bench(
+    bench_median(
         "q_pack",
         lambda: X_text.pack_documents(
             big_mirror.select(
@@ -581,7 +581,7 @@ def main() -> None:
     lsm_dir = os.path.join(lsm_root, "idx")
     compact_index(spark, idx_dir, lsm_dir, token_buckets=64)
     _shutil.rmtree(idx_dir, ignore_errors=True)
-    bench(
+    bench_median(
         "q_bm25_from_index",
         lambda: _nonempty(
             bm25_topk_from_index(spark, lsm_dir, idx_qtab, k=20).collect()
@@ -614,13 +614,13 @@ def main() -> None:
         search_index_batch(spark, lsm_dir, ch, id_col="doc_id")
 
     bench("q_bm25_lsm_ingest", lambda: churn_batch(0))
-    bench(
+    bench_median(
         "q_bm25_from_index_tail_small",  # tail = 1 micro-batch (~1k docs)
         lambda: bm25_topk_from_index(spark, lsm_dir, idx_qtab, k=20).collect(),
     )
     for b in range(1, 6):
         churn_batch(b)
-    bench(
+    bench_median(
         "q_bm25_from_index_tail_large",  # tail = 6 micro-batches (~6k docs)
         lambda: bm25_topk_from_index(spark, lsm_dir, idx_qtab, k=20).collect(),
     )
@@ -636,7 +636,7 @@ def main() -> None:
     sel_qtab = spark.createDataFrame(
         [(1, str(sel_price)), (1, "42.0")], "query_id int, term string"
     )
-    bench(
+    bench_median(
         "q_bm25_from_index_selective",
         lambda: _nonempty(
             bm25_topk_from_index(spark, lsm_dir, sel_qtab, k=20).collect()
@@ -647,7 +647,7 @@ def main() -> None:
         "q_bm25_lsm_compact",
         lambda: compact_index(spark, lsm_dir, lsm_dir2, token_buckets=64),
     )
-    bench(
+    bench_median(
         "q_bm25_from_index_recompacted",  # compaction restores the fast path
         lambda: bm25_topk_from_index(spark, lsm_dir2, idx_qtab, k=20).collect(),
     )
@@ -685,6 +685,73 @@ def main() -> None:
     # bucket-count tell the story)
     incr_stats.pop("affected_dirs", None)
     extras["compact_incr"] = incr_stats
+
+    # r14 (VERDICT r13 #3): the MaxScore ENGAGEMENT regime, in the
+    # driver's bench — 20 queries of (two common terms + one distinct
+    # mid-rare term each) against the post-fold read-mostly index. The
+    # single 3-term q_bm25_from_index leg is correctly gate-REFUSED at
+    # 600k docs (its net pair savings can't cover the pruned plan's
+    # fixed jobs), so the bench had been showing only the impact
+    # layer's write costs and none of its read win (previously only in
+    # scaling_out_r13.json: pruned 3.82 s vs 7.82 s at 600k). The
+    # rare seeds come from the index's own dfs table (untimed setup):
+    # 20 lowest tokens with df in [50, 2000] — every query then
+    # carries a high-idf seed whose θ prices the common terms out of
+    # phase B, and the batch clears every gate level; the _unpruned
+    # twin is the same batch forced onto the exact full path, whose
+    # ranked-pair space multiplies the shared common terms across all
+    # 20 queries. Asserted: engagement actually happens (the leg must
+    # measure the pruned plan, not a silent refusal) and both paths
+    # return rows.
+    rare_seeds = [
+        r["token"]
+        for r in spark.read.parquet(os.path.join(lsm_dir2, "base", "dfs"))
+        .groupBy("token")
+        .agg(F.sum("dft").alias("dft"))
+        .filter((F.col("dft") >= 50) & (F.col("dft") <= 2000))
+        .orderBy("token")
+        .limit(20)
+        .collect()
+    ]
+    assert len(rare_seeds) == 20, f"rare-seed vocab drifted: {rare_seeds}"
+    batch20_qtab = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, rare in enumerate(rare_seeds)
+            for t in ("F", "O", rare)
+        ],
+        "query_id int, term string",
+    )
+
+    def bm25_batch20(pruned: bool) -> None:
+        diag: dict = {}
+        rows = bm25_topk_from_index(
+            spark, lsm_dir2, batch20_qtab, k=10, pruned=pruned, diag=diag
+        ).collect()
+        _nonempty(rows)
+        if pruned:
+            # engagement is the leg's point at the driver's sf0.1
+            # scale (600k docs: 60 pairs x 600k live = 36M-pair bound,
+            # far over the gate floor, and the rare seeds clear every
+            # gate level). At the tiny correctness SFs (<=60k rows)
+            # the SAME shape is provably under the floor and the gate's
+            # meta-only short-circuit refuses with zero extra jobs —
+            # the correct decision there, accepted explicitly so the
+            # leg still runs end-to-end at those SFs; any OTHER
+            # refusal (an estimate-level gate change at sf0.1) fails
+            # loudly rather than silently measuring the wrong path.
+            gate = diag.get("gate") or {}
+            assert diag.get("pruned") is True or (
+                gate.get("short_circuit") is True
+                and gate["bound_pairs"] < gate["floor"]
+            ), gate
+
+    bench_median(
+        "q_bm25_from_index_batch20", lambda: bm25_batch20(True)
+    )
+    bench_median(
+        "q_bm25_from_index_batch20_unpruned", lambda: bm25_batch20(False)
+    )
 
     # r08 (VERDICT r07 #3): index-assisted phrase search on a RARE
     # phrase — a specific key-value word sequence ('l_extendedprice
@@ -724,13 +791,13 @@ def main() -> None:
     compact_index(spark, phrase_idx_raw, phrase_idx, token_buckets=64)
     rare_price = li.select("l_extendedprice").first()[0]
     rare_phrase = f"l_extendedprice {rare_price}"
-    bench(
+    bench_median(
         "q_phrase_scan",
         lambda: phrase_hits(
             phrase_corpus, rare_phrase, id_col="id"
         ).count(),
     )
-    bench(
+    bench_median(
         "q_phrase_indexed",
         lambda: phrase_hits_indexed(
             spark, phrase_idx, phrase_corpus, rare_phrase,
@@ -759,7 +826,7 @@ def main() -> None:
             d, {"hot": 0.5, "cold": 0.5}, group_col="grp", id_col="id"
         ).count()
 
-    bench("q_target_mix", target_mix_bench)
+    bench_median("q_target_mix", target_mix_bench)
 
     # r06 session-2 families at sf0.1: the Gopher table is a pure map +
     # one doc-key aggregate; the KMV sketch moves only k-length arrays
@@ -771,7 +838,7 @@ def main() -> None:
     from couch_to_postgres_spark.operators.mirror import content_diff
 
     bench("q_gopher_rules", lambda: gopher_rules(docs).count())
-    bench(
+    bench_median(
         "q_bottomk_sketch",
         lambda: bottomk_sketch(
             docs.select(
@@ -782,7 +849,7 @@ def main() -> None:
             k=64,
         ).count(),
     )
-    bench(
+    bench_median(
         "q_content_diff",  # 600k-row mirror vs a damaged copy
         lambda: content_diff(
             big_mirror,
@@ -816,7 +883,7 @@ def main() -> None:
     ).persist()
     relined.count()
     bench("q_c4_clean", lambda: c4_line_clean(relined).count())
-    bench("q_line_lm_clean", lambda: line_lm_clean(relined).count())
+    bench_median("q_line_lm_clean", lambda: line_lm_clean(relined).count())
     relined.unpersist()
 
     # DSIR at a corpus-fraction k, DECOMPOSED (VERDICT r07 #1): the r07
@@ -840,7 +907,7 @@ def main() -> None:
 
     dsir_docs = docs.select("doc_id", "source", "text")
     dsir_target = dsir_docs.filter(F.col("source") == "src0")
-    bench(
+    bench_median(
         "q_dsir_score_bigk",
         lambda: dsir_importance(dsir_docs, dsir_target).count(),
     )
@@ -913,7 +980,7 @@ def main() -> None:
         # one-time) are warmed before any timer starts. Matches BASELINE.md,
         # whose reference numbers come from a long-running daemon and an
         # OS-cached Postgres table, not a cold process.
-        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; partitioned-write benches (q_cdc_incremental*, *_rewrite) report MEDIAN of 3 reps (OS-writeback noise); matches BASELINE's long-running-daemon measurement. Shared-host caveat: single-shot timings on this box vary up to 2x run-to-run on the heavy queries (observed same-code spread e.g. q_winnow_spans 3.7-13.6 s) - compare trends/geomean across rounds, not single numbers. Since r06 a SECOND same-round run is committed as bench_out_rep2.json so per-round spread is separable from code movement. r08 note: r07's combined q_dsir_select_bigk leg (3.9 s vs 30.3 s reps, 7.8x) was host contention on a multi-second leg, not cache reuse - quiet-box reruns of the identical r07 code measured 2.7-4.7 s over 3 in-process reps; the leg is now DECOMPOSED into q_dsir_score_bigk (scoring alone) and q_dsir_cut_bigk (threshold cut + payload join over parquet-materialized scores, untimed setup) so each number is single-purpose. r09 note: q_bm25_lsm_compact now builds the two-level (token_bucket x id_sub) base with the per-doc buckets column and partial-dfs (+~60% vs r08's flat layout, mostly 1024-dir write overhead at this scale) - that machinery is what makes the NEW q_bm25_lsm_compact_incr leg churn-proportional (flat 1.2x at 10x data, SCALING.md r09), and steady-state maintenance runs the incremental leg, not the full rewrite. r10 note: the id_sub fan-out is now corpus-adaptive (_auto_id_subbuckets: 4 at 600k docs vs r09's fixed 16), recovering most of the r09 compact-leg regression while keeping the incremental fold's rewrite unit bounded (sf0.1 sweep: full 18.6s@4 vs 29.1s@16, fold 12.2s@4 vs 14.6s@1); both compact legs' layouts therefore changed meaning again in r10 - compare against the r10 sweep, not r08's flat numbers. r10 second wave (bench_out_rep2.json refreshed to this code): 1-row meta tables moved off Spark jobs onto driver-side pyarrow (meta_io), micro-batch stats folded into single aggregates (write-time Observations were tried and reverted: runtime-empty CollectMetrics elimination corrupts the session), the fold's staged dfs/doclen writes overlapped on two driver threads, and the from-index read-mostly path dropped its two provable-no-op shuffles - quiet-box effects: compact_incr 10.8->5.4s, lsm_compact 21->12.6s, from_index 2.9->2.2s, stream catchup ~61k changes/s. r12 note: the two r11 both-rep drifts were A/B-exonerated in one interleaved session (r10 code vs r12 HEAD, 3 rounds each, fresh process per run): q_cdc_apply r10 1.37/1.45/1.46s vs HEAD 1.33/1.33/1.57s (cdc_docs_per_sec 411-439k vs 381-452k) and q_bm25_batch100 r10 6.92/7.24/7.36s vs HEAD 7.09/7.29/7.53s - version-independent, host-state only; neither touches a code path changed since r10. r12 FIDELITY note: the q_bm25* legs' query terms (RAIL/TRUCK/AIR, TPC-H ship modes) had matched NOTHING since r03 - the synthetic lineitem has no l_shipmode column - so those legs ranked an empty hit set and their history measured tokenize/stats work only. Terms now come from the real doc-token vocabulary (asserted non-empty); q_bm25/q_bm25_batch100/q_bm25_from_index* numbers are NOT comparable across the r11->r12 boundary. New leg q_bm25_from_index_selective times a selective (rare-price) between-folds read next to the broad 3-term legs. A slice-scoped liveness variant (meta+churn-delta stats, hit-bucket doclen opens) was built and A/B'd this round at 600k AND 6M docs on both index twins and REVERTED: the global corpus-skinny partial-aggregate merge won every cell (bm25 selective 3.2-3.8s global vs 5.5-5.8s scoped; vector 1.97s vs 2.26s at 6M vectors) - hashed ids defeat bucket-level read pruning and the scoped plans pay constant extra driver-action latency. Negative result recorded in the module notes. r13 note: q_bm25_from_index now reads the COMPACTED index (the daemon's steady state - a bulk build is 100% debt and the first watchdog pass compacts it, pinned by x_compact_auto) instead of the raw never-compacted transient r03-r12 measured; NOT comparable across the r12->r13 boundary for that leg (the raw base+tail merge shape is still measured by tail_small/tail_large). On the compacted base a TWO-LEVEL cost gate (16-bin impact histograms stored in dfs) decides between the MaxScore/block-max pruned path (VERDICT r12 #1: exact top-k, per-query-candidate-restricted rescoring) and the exact full path: a per-query screen (est phase-B + rescore rows <= 0.5x full pairs) plus a global floor (net pair savings must cover phase C's duplicate scans + ~3M pairs of fixed driver actions). a per-query screen (est phase-B + rescore rows <= 0.5x full pairs), a global floor (net pair savings must cover phase C's duplicate scans + ~3M pairs of fixed driver actions), and an ABSOLUTE candidate cap (500k - the broadcast/map-side regime). All three are calibration responses to measured losses (SCALING.md r13): ungated all-engaged lost 18.3 vs 12.3 s at 6M docs; honestly-screened small wins lost ~3 s to fixed jobs; fractionally-selective (2%-df) seeds won at 600k but lost 15.4 vs 13.2 s at 6M. Final quiet-box A/B (scaling_out_r13.json): refused regime pruned ~= unpruned at both scales (no regression); engagement regime (20 queries x 2 common + 1 absolutely-rare term) pruned 3.82 vs 7.82 s at 600k and 9.38 vs 14.93 s at 6M. q_bm25_from_index itself is gate-refused at 600k docs (net 0.3M pairs < the floor) and rides the compacted fast path. Both compact legs got slower (~11->20s full): compaction now denormalizes dl, stores sorted per-posting impact bounds, per-pair top-G impact arrays and 16-bin impact histograms - the write-side cost the pruned read and its gate are bought with; steady-state maintenance remains the incremental fold",
+        "methodology": "warm-process: JVM/page-cache/streaming-planner warmed before timers; partitioned-write benches (q_cdc_incremental*, *_rewrite) report MEDIAN of 3 reps (OS-writeback noise); matches BASELINE's long-running-daemon measurement. Shared-host caveat: single-shot timings on this box vary up to 2x run-to-run on the heavy queries (observed same-code spread e.g. q_winnow_spans 3.7-13.6 s) - compare trends/geomean across rounds, not single numbers. Since r06 a SECOND same-round run is committed as bench_out_rep2.json so per-round spread is separable from code movement. r08 note: r07's combined q_dsir_select_bigk leg (3.9 s vs 30.3 s reps, 7.8x) was host contention on a multi-second leg, not cache reuse - quiet-box reruns of the identical r07 code measured 2.7-4.7 s over 3 in-process reps; the leg is now DECOMPOSED into q_dsir_score_bigk (scoring alone) and q_dsir_cut_bigk (threshold cut + payload join over parquet-materialized scores, untimed setup) so each number is single-purpose. r09 note: q_bm25_lsm_compact now builds the two-level (token_bucket x id_sub) base with the per-doc buckets column and partial-dfs (+~60% vs r08's flat layout, mostly 1024-dir write overhead at this scale) - that machinery is what makes the NEW q_bm25_lsm_compact_incr leg churn-proportional (flat 1.2x at 10x data, SCALING.md r09), and steady-state maintenance runs the incremental leg, not the full rewrite. r10 note: the id_sub fan-out is now corpus-adaptive (_auto_id_subbuckets: 4 at 600k docs vs r09's fixed 16), recovering most of the r09 compact-leg regression while keeping the incremental fold's rewrite unit bounded (sf0.1 sweep: full 18.6s@4 vs 29.1s@16, fold 12.2s@4 vs 14.6s@1); both compact legs' layouts therefore changed meaning again in r10 - compare against the r10 sweep, not r08's flat numbers. r10 second wave (bench_out_rep2.json refreshed to this code): 1-row meta tables moved off Spark jobs onto driver-side pyarrow (meta_io), micro-batch stats folded into single aggregates (write-time Observations were tried and reverted: runtime-empty CollectMetrics elimination corrupts the session), the fold's staged dfs/doclen writes overlapped on two driver threads, and the from-index read-mostly path dropped its two provable-no-op shuffles - quiet-box effects: compact_incr 10.8->5.4s, lsm_compact 21->12.6s, from_index 2.9->2.2s, stream catchup ~61k changes/s. r12 note: the two r11 both-rep drifts were A/B-exonerated in one interleaved session (r10 code vs r12 HEAD, 3 rounds each, fresh process per run): q_cdc_apply r10 1.37/1.45/1.46s vs HEAD 1.33/1.33/1.57s (cdc_docs_per_sec 411-439k vs 381-452k) and q_bm25_batch100 r10 6.92/7.24/7.36s vs HEAD 7.09/7.29/7.53s - version-independent, host-state only; neither touches a code path changed since r10. r12 FIDELITY note: the q_bm25* legs' query terms (RAIL/TRUCK/AIR, TPC-H ship modes) had matched NOTHING since r03 - the synthetic lineitem has no l_shipmode column - so those legs ranked an empty hit set and their history measured tokenize/stats work only. Terms now come from the real doc-token vocabulary (asserted non-empty); q_bm25/q_bm25_batch100/q_bm25_from_index* numbers are NOT comparable across the r11->r12 boundary. New leg q_bm25_from_index_selective times a selective (rare-price) between-folds read next to the broad 3-term legs. A slice-scoped liveness variant (meta+churn-delta stats, hit-bucket doclen opens) was built and A/B'd this round at 600k AND 6M docs on both index twins and REVERTED: the global corpus-skinny partial-aggregate merge won every cell (bm25 selective 3.2-3.8s global vs 5.5-5.8s scoped; vector 1.97s vs 2.26s at 6M vectors) - hashed ids defeat bucket-level read pruning and the scoped plans pay constant extra driver-action latency. Negative result recorded in the module notes. r13 note: q_bm25_from_index now reads the COMPACTED index (the daemon's steady state - a bulk build is 100% debt and the first watchdog pass compacts it, pinned by x_compact_auto) instead of the raw never-compacted transient r03-r12 measured; NOT comparable across the r12->r13 boundary for that leg (the raw base+tail merge shape is still measured by tail_small/tail_large). On the compacted base a TWO-LEVEL cost gate (16-bin impact histograms stored in dfs) decides between the MaxScore/block-max pruned path (VERDICT r12 #1: exact top-k, per-query-candidate-restricted rescoring) and the exact full path: a per-query screen (est phase-B + rescore rows <= 0.5x full pairs), a global floor (net pair savings must cover phase C's duplicate scans + ~3M pairs of fixed driver actions), and an ABSOLUTE candidate cap (500k - the broadcast/map-side regime). All three are calibration responses to measured losses (SCALING.md r13): ungated all-engaged lost 18.3 vs 12.3 s at 6M docs; honestly-screened small wins lost ~3 s to fixed jobs; fractionally-selective (2%-df) seeds won at 600k but lost 15.4 vs 13.2 s at 6M. Final quiet-box A/B (scaling_out_r13.json): refused regime pruned ~= unpruned at both scales (no regression); engagement regime (20 queries x 2 common + 1 absolutely-rare term) pruned 3.82 vs 7.82 s at 600k and 9.38 vs 14.93 s at 6M. q_bm25_from_index itself is gate-refused at 600k docs (net 0.3M pairs < the floor) and rides the compacted fast path. Both compact legs got slower (~11->20s full): compaction now denormalizes dl, stores sorted per-posting impact bounds, per-pair top-G impact arrays and 16-bin impact histograms - the write-side cost the pruned read and its gate are bought with; steady-state maintenance remains the incremental fold",
         "ivf_recall_at_5": ivf_recall,
         "ivf_recall_at_5_nprobe8": ivf_recall_8,
         "docs": n_docs,

@@ -98,6 +98,22 @@ def rrf_fuse(
 _NINE = Decimal("1e-9")
 _SIX = Decimal("1e-6")
 
+#: plan-capture hook (r14, VERDICT r13 #7): the fused read materializes
+#: each leg to the driver, so an explain() of the RESULT is a
+#: `Scan ExistingRDD` stub. Evidence tooling (tools/dump_plans.py) sets
+#: this to a dict before invoking the operator and receives each leg's
+#: formatted PRE-COLLECT plan keyed by leg name. None (the default)
+#: costs one falsy check per leg — no production effect.
+_PLAN_CAPTURE: dict | None = None
+
+
+def _capture_plan(name: str, df: DataFrame) -> None:
+    if _PLAN_CAPTURE is None:
+        return
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    _PLAN_CAPTURE[name] = qe.explainString(mode.fromString("formatted"))
+
 
 def _rrf_fuse_local(
     rankings: list[list],
@@ -234,6 +250,7 @@ def hybrid_topk_live(
             spark, search_index_path, term_queries, k=leg_depth,
             id_col=id_col, candidates=candidates,
         ).select("query_id", id_col, "rank")
+        _capture_plan(f"lexical_depth{leg_depth}", df)
         return df.schema, df.collect()
 
     def _sem(leg_depth: int, leg_nprobe: int) -> tuple:
@@ -250,6 +267,7 @@ def hybrid_topk_live(
             F.col("neighbor_id").alias(id_col),
             F.col("rank"),
         )
+        _capture_plan(f"semantic_depth{leg_depth}", df)
         return df.schema, df.collect()
 
     with ThreadPoolExecutor(max_workers=2) as pool:

@@ -686,6 +686,7 @@ def _bm25_pruned_topk(
     diag: dict | None,
     force: bool = False,
     dft_out: dict | None = None,
+    q_pairs: list[tuple] | None = None,
 ) -> tuple[DataFrame, DataFrame | None] | None:
     """MaxScore / block-max top-k over the compacted base — EXACT BM25
     top-k at sub-df-proportional cost (Turtle & Flood 1995 MaxScore;
@@ -778,6 +779,35 @@ def _bm25_pruned_topk(
         return None
     n_live = int(m["n_live"])
     if n_live <= 0:
+        return None
+    if q_pairs is None:
+        # direct callers without the caller-collected pairs: one
+        # collect of the tiny query table (the caller path shares its
+        # first collect instead)
+        q_pairs = [
+            (r[query_id_col], r["t"])
+            for r in queries.select(
+                query_id_col, F.col(term_col).alias("t")
+            ).distinct().collect()
+        ]
+    # META-ONLY refusal short-circuit (r14, VERDICT r13 #4): the global
+    # decision needs net predicted pair savings ≥ extra_scan + FLOOR,
+    # and net_pairs ≤ Σ_q Σ_{t∈q} dft_t ≤ |(query, term) pairs| ×
+    # n_live (df of any term is at most the live doc count) while
+    # extra_scan ≥ 0 — so when that bound is already under the floor,
+    # refusal is PROVABLE from meta alone and the planning collect
+    # over the dfs dirs (a full Spark action the r13 bench paid on
+    # every refused read: recompacted leg 2.5 → 3.5 s) never runs.
+    # The caller's exact full path then reads dfs inside its main job,
+    # exactly the pre-gate r12 plan. Same decision, zero extra jobs;
+    # ``force`` (the exactness-test mode) skips every gate as before.
+    if not force and len(q_pairs) * n_live < IMPACT_GATE_FLOOR_ROWS:
+        if diag is not None:
+            diag["gate"] = {
+                "short_circuit": True,
+                "bound_pairs": int(len(q_pairs) * n_live),
+                "floor": int(IMPACT_GATE_FLOOR_ROWS),
+            }
         return None
     dfs_root = os.path.join(index_path, "base", "dfs")
     _, base_postings_path, _ = _base_paths(index_path)
@@ -877,18 +907,14 @@ def _bm25_pruned_topk(
         )
         return float(sum(term_stats[t]["hist"][lo_bin:]))
 
-    # per-query term sets: the query table is caller-built and tiny —
-    # collecting it is plan-time work, not a data collect
+    # per-query term sets from the caller-collected (query, term)
+    # pairs — plan-time driver data, no second collect
     q_terms: dict = {}
     all_qids: set = set()
-    for r in (
-        queries.select(query_id_col, F.col(term_col).alias("t"))
-        .distinct()
-        .collect()
-    ):
-        all_qids.add(r[query_id_col])
-        if r["t"] in term_stats:
-            q_terms.setdefault(r[query_id_col], set()).add(r["t"])
+    for qid, t in q_pairs:
+        all_qids.add(qid)
+        if t in term_stats:
+            q_terms.setdefault(qid, set()).add(t)
     # per-query MaxScore cuts + the cost-gate PER-QUERY screen; the
     # candidates then face the GLOBAL decision below, and merged cuts
     # are min'd over the finally-ENGAGED queries only
@@ -1153,12 +1179,18 @@ def bm25_topk_from_index(
     ``gate`` (per-query row estimates + decisions) plus, when pruning
     engaged, the per-term cuts / candidate count / engaged & fallback
     query counts / avgdl-drift factors."""
-    terms = sorted(
-        r["token"]
+    # one collect of the tiny caller-built query table yields BOTH the
+    # distinct term set (prunes every postings scan) and the
+    # (query, term) pairs the pruned path's gate plans from — the gate
+    # then needs no second collect, and its meta-only refusal
+    # short-circuit (see _bm25_pruned_topk) costs zero Spark jobs
+    q_pairs = [
+        (r[query_id_col], r["token"])
         for r in queries.select(
-            F.col(term_col).alias("token")
+            query_id_col, F.col(term_col).alias("token")
         ).distinct().collect()
-    )
+    ]
+    terms = sorted({t for _, t in q_pairs})
     if not terms:
         raise ValueError("bm25_topk_from_index: queries must be non-empty")
 
@@ -1201,6 +1233,7 @@ def bm25_topk_from_index(
             spark, index_path, queries, meta_rows[0], terms,
             k, k1, b, id_col, query_id_col, term_col, max_df_frac, diag,
             force=(pruned == "force"), dft_out=dft_reuse,
+            q_pairs=q_pairs,
         )
         if got is not None:
             pruned_out, remaining = got
@@ -1289,7 +1322,11 @@ def bm25_topk_from_index(
         # slice driver-side (same token filter, integral-double partial
         # sums — order-independent); build dft locally instead of
         # re-scanning the dfs dirs in the main job. Terms absent from
-        # the slice have no dfs row on either route.
+        # the slice have no dfs row on either route. The dft snapshot
+        # is GATE-time: on the unlocked-daemon race (compaction swap
+        # between the gate collect and the main job) it can be one
+        # snapshot older than the postings scanned below — covered by
+        # the compact_index_inplace swap-race recovery-window contract.
         dft_local = spark.createDataFrame(
             [(t, float(dft_reuse[t])) for t in terms if t in dft_reuse],
             "token string, dft double",
@@ -1444,6 +1481,133 @@ def _dfs_rows(staged_po: DataFrame, impacts: bool = True) -> DataFrame:
     )
 
 
+def _dfs_rows_arrow(staged_po: DataFrame) -> DataFrame:
+    """Arrow-native impacts-mode dfs derivation (r14, guide §4): the
+    same rows as :func:`_dfs_rows(impacts=True)` — bit-exact, pinned by
+    ``test_dfs_rows_arrow_equals_window`` — computed WITHOUT pushing
+    every posting row through an Exchange + Sort + window.
+
+    The window formulation needs ClusteredDistribution on
+    (token_bucket, id_sub, token) plus an impact0-desc sort, which on
+    the incremental fold's dir-clustered staged postings (never
+    hash-exchanged — the keep side deliberately preserves its read
+    clustering) costs a full shuffle and sort of every affected-pair
+    row, and the top-G/histogram aggregate rides ObjectHashAggregate.
+    Every statistic here is MERGEABLE though: counts and histogram bins
+    sum, maxes max, and the union of partial top-Gs contains the global
+    top-G. So stage 1 computes per-Arrow-batch partials with vectorized
+    numpy (lexsort + run boundaries — no Python loop over groups) and
+    stage 2 merges them with a vocab-sized SQL aggregate: the exchange
+    carries ~one skinny partial row per (pair, token, batch) instead of
+    every posting row, and the posting-scale sort disappears entirely.
+    (The all-SQL two-phase variant was measured 2× SLOWER in r13 — its
+    per-partition ``collect_list`` partials push posting-scale state
+    through ObjectHashAggregate twice; the numpy partials are exactly
+    what that shape was missing.)
+
+    Input may be any frame with (token_bucket, id_sub, token, impact0)
+    — extra columns are pruned here, keeping the Python boundary to the
+    four columns the statistics need (guide §4.1)."""
+    topg = IMPACT_TOP_G
+    bins = IMPACT_HIST_BINS
+    part_schema = (
+        "token_bucket int, id_sub int, token string, cnt long, "
+        "mx double, topg array<double>, hist array<long>"
+    )
+
+    def _partials(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            tb = batch.column(0).to_numpy(zero_copy_only=False)
+            sb = batch.column(1).to_numpy(zero_copy_only=False)
+            tok = batch.column(2)
+            x = batch.column(3).to_numpy(zero_copy_only=False)
+            codes = (
+                pc.dictionary_encode(tok)
+                .indices.to_numpy(zero_copy_only=False)
+            )
+            # one vectorized grouping pass: order rows by (tb, sb,
+            # token-code, impact desc), find run boundaries
+            order = np.lexsort((-x, codes, sb, tb))
+            ts, ssb, cs = tb[order], sb[order], codes[order]
+            xs = x[order]
+            newg = np.empty(n, dtype=bool)
+            newg[0] = True
+            newg[1:] = (
+                (ts[1:] != ts[:-1])
+                | (ssb[1:] != ssb[:-1])
+                | (cs[1:] != cs[:-1])
+            )
+            starts = np.flatnonzero(newg)
+            ng = len(starts)
+            gidx = np.cumsum(newg) - 1
+            counts = np.diff(np.append(starts, n))
+            # impacts are desc within each run, so the run head is the
+            # max and the first min(count, G) elements are the top-G
+            mx = xs[starts]
+            rank = np.arange(n) - starts[gidx]
+            topg_vals = xs[rank < topg]
+            topg_counts = np.minimum(counts, topg)
+            topg_offsets = np.zeros(ng + 1, dtype=np.int32)
+            np.cumsum(topg_counts, out=topg_offsets[1:])
+            # equi-width histogram — same double arithmetic as the SQL
+            # expression (floor(impact0*BINS) clamped into the top bin)
+            hbin = np.minimum(
+                bins - 1, np.floor(xs * bins).astype(np.int64)
+            )
+            hist_flat = np.bincount(
+                gidx * bins + hbin, minlength=ng * bins
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ts[starts].astype("int32"), type=pa.int32()),
+                    pa.array(ssb[starts].astype("int32"), type=pa.int32()),
+                    tok.take(pa.array(order[starts])),
+                    pa.array(counts.astype("int64"), type=pa.int64()),
+                    pa.array(mx, type=pa.float64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(topg_offsets, type=pa.int32()),
+                        pa.array(topg_vals, type=pa.float64()),
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(
+                            np.arange(ng + 1, dtype=np.int32) * bins,
+                            type=pa.int32(),
+                        ),
+                        pa.array(hist_flat, type=pa.int64()),
+                    ),
+                ],
+                names=[
+                    "token_bucket", "id_sub", "token",
+                    "cnt", "mx", "topg", "hist",
+                ],
+            )
+
+    partials = staged_po.select(
+        "token_bucket", "id_sub", "token", "impact0"
+    ).mapInArrow(_partials, part_schema)
+    return partials.groupBy("token_bucket", "id_sub", "token").agg(
+        F.sum("cnt").cast("double").alias("dft"),
+        F.max("mx").alias("max_impact0"),
+        # each partial carries its own top-G; the global top-G is the
+        # top-G of their union (doc-disjoint [split-disjoint] partials)
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("topg")), asc=False),
+            1,
+            topg,
+        ).alias("top_impacts"),
+        F.array(
+            *[F.sum(F.element_at("hist", i + 1)) for i in range(bins)]
+        ).alias("impact_hist"),
+    )
+
+
 #: base/meta schema for a compacted search index. The ``impact_*``
 #: columns stamp the bound layer: the (k1, b) the stored impacts were
 #: computed under, the avgdl-stamp bracket across live base partitions
@@ -1455,6 +1619,16 @@ _SEARCH_META_SCHEMA = (
     "impact_k1 double, impact_b double, impact_avgdl_min double, "
     "impact_avgdl_max double, impact_topg int, impact_hist_bins int"
 )
+
+
+#: full-compaction dfs engine (r14 A/B knob): "arrow_readback" (the
+#: measured winner — no staged persist, dfs from the Arrow
+#: partial-merge aggregator over a pruned read-back of the written
+#: base) vs "window_cache" (the r13 shape: persist the staged
+#: exchange+sort, window over the cache). Kept as a knob so the
+#: interleaved A/B in plans/r14 is reproducible; production default is
+#: the winner.
+_FULL_COMPACT_DFS = "arrow_readback"
 
 
 def compact_index(
@@ -1523,7 +1697,16 @@ def compact_index(
     indexes (the shingle/decontamination twin): their md5 tokens are
     probed by equality, never BM25-ranked, so the bound layer is pure
     write cost in the steady-state fold; every ranked read gates off
-    the sentinel and takes the exact full path."""
+    the sentinel and takes the exact full path.
+
+    ``out_path`` must not share component directories with
+    ``index_path``: the dfs/doclen derivations read back files this
+    function has already written under ``out_path`` (and the r13
+    ``window_cache`` A/B shape can lazily recompute its staged cache
+    through lineage that re-reads ``index_path``), so an overlapping
+    target would mix half-written state into its own inputs.
+    :func:`compact_index_inplace` (staging sibling + atomic swap) is
+    the supported same-path flow and guarantees this."""
     base_doclen_path, base_postings_path, meta_path = _base_paths(out_path)
     live = live_doclen(spark, index_path, id_col).persist()
     # corpus stats up front: n_live sizes the id_sub fan-out and avgdl
@@ -1558,7 +1741,7 @@ def compact_index(
             "id_sub", F.pmod(F.hash(F.col(id_col)), F.lit(id_subbuckets))
         )
     )
-    if impacts:
+    if impacts and _FULL_COMPACT_DFS == "window_cache":
         staged = staged.withColumn(
             "impact0", _impact0_expr(IMPACT_K1, IMPACT_B, avgdl_now)
         ).repartition(
@@ -1566,23 +1749,31 @@ def compact_index(
         ).sortWithinPartitions(
             "token_bucket", "id_sub", "token", F.desc("impact0")
         )
-        # r13 optimization round: persist the staged (exchanged +
-        # impact-sorted) postings so the two derivations below consume
-        # the SAME partitioning and sort instead of re-reading the
-        # written files. The dfs window requires clustering by
-        # (token_bucket, id_sub, token) and ordering by (…, impact0
-        # desc) — exactly what the cache carries, so its Exchange AND
-        # Sort vanish (plan: Window directly over InMemoryTableScan;
-        # phase-profiled at sf0.1: dfs_write 8.1 → 3.8 s, whole
-        # compaction ~26 → ~20 s). MEMORY_AND_DISK: a corpus-scale
-        # full rewrite spills the cache to local disk, which replaces
-        # the two read-backs it previously paid — bounded trade at any
-        # scale. The impacts=False path keeps the read-back: its dfs
-        # is a plain partial-aggregated count with no window, so the
-        # cache would buy nothing.
+        # r13 shape (kept as the A/B comparator during the r14
+        # optimization round): persist the staged (exchanged +
+        # impact-sorted) postings so the dfs window and doc_buckets
+        # consume the cache instead of re-reading the written files.
         from pyspark.storagelevel import StorageLevel
 
         staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+    elif impacts:
+        # r14: no persist — dfs comes from the Arrow partial-merge
+        # aggregator over a column-pruned read-back of the files just
+        # written (see ``written`` below), which needs no clustering
+        # and no sort, so there is nothing for a cache to save. The
+        # cache build (serializing EVERY staged column during the
+        # postings write) was the r13 shape's remaining overhead, and
+        # deriving from the WRITTEN files also removes the r13 ADVICE
+        # hazard: a lost cache block recomputed through the
+        # dropDuplicates+join lineage against source dirs the caller
+        # may already have swapped away.
+        staged = staged.withColumn(
+            "impact0", _impact0_expr(IMPACT_K1, IMPACT_B, avgdl_now)
+        ).repartition(
+            F.col("token_bucket"), F.col("id_sub")
+        ).sortWithinPartitions(
+            "token_bucket", "id_sub", "token", F.desc("impact0")
+        )
     else:
         # no bound layer: skinny rows (no dl/impact0), no impact sort —
         # the per-pair ordering only exists for block-max skipping
@@ -1597,14 +1788,25 @@ def compact_index(
     # per-token document frequencies over the compacted base — the
     # probe-planning statistic (rarest-term selection in
     # phrase_candidate_ids; the read-mostly BM25 df fast path). Derived
-    # from the staged rows just written (the persisted frame IS the
-    # written content, row for row) so it is exactly consistent with
-    # them; tail appends after this compaction are simply unknown
+    # from the base postings just written (read back page-cache-hot and
+    # column-pruned — the impacts-mode Arrow aggregator ships only
+    # (token, impact0) file bytes plus the two dir-name partition
+    # columns across the Python boundary) so it is exactly consistent
+    # with them; tail appends after this compaction are simply unknown
     # to it, which only ever makes a term LOOK rarer — safe for probe
     # selection, never used for correctness.
-    written = staged if impacts else spark.read.parquet(base_postings_path)
+    if impacts and _FULL_COMPACT_DFS == "window_cache":
+        written = staged
+        dfs_frame = _dfs_rows(written, impacts=True)
+    else:
+        written = spark.read.parquet(base_postings_path)
+        dfs_frame = (
+            _dfs_rows_arrow(written)
+            if impacts
+            else _dfs_rows(written, impacts=False)
+        )
     (
-        _dfs_rows(written, impacts=impacts)
+        dfs_frame
         .repartition(F.col("token_bucket"), F.col("id_sub"))
         .write.mode("overwrite")
         .partitionBy("token_bucket", "id_sub")
@@ -1664,7 +1866,7 @@ def compact_index(
             .parquet(os.path.join(out_path, "base", "attrs"))
         )
     live.unpersist()
-    if impacts:
+    if impacts and _FULL_COMPACT_DFS == "window_cache":
         staged.unpersist()
     # corpus stats ride the meta file (computed up front, before the
     # postings write needed avgdl): with no tail yet, a query takes
@@ -2108,9 +2310,19 @@ def compact_index_incremental(
             # recount ONLY the affected pairs from the staged postings
             # (partial per-pair counts + impact bounds — readers sum a
             # token's dft partials and merge its top-impact arrays);
-            # unaffected dfs pair dirs are never touched
+            # unaffected dfs pair dirs are never touched. Impacts mode
+            # uses the Arrow partial-merge aggregator (r14): the staged
+            # files are dir-clustered, never hash-exchanged, so the
+            # window formulation paid a full Exchange + Sort of every
+            # affected-pair row here — the fold's dominant write cost;
+            # the aggregator's exchange carries only vocab-sized
+            # partials and reads just (token, impact0) file bytes.
             (
-                _dfs_rows(staged_po, impacts=has_impacts)
+                (
+                    _dfs_rows_arrow(staged_po)
+                    if has_impacts
+                    else _dfs_rows(staged_po, impacts=False)
+                )
                 .repartition(F.col("token_bucket"), F.col("id_sub"))
                 .write.mode("overwrite")
                 .partitionBy("token_bucket", "id_sub")

@@ -911,11 +911,16 @@ def test_maxscore_randomized_equivalence(spark, tmp_path):
 # stored impact histograms and refuses exactly that shape.
 
 
-def test_maxscore_cost_gate_refuses_all_common(spark, tmp_path):
+def test_maxscore_cost_gate_refuses_all_common(spark, tmp_path, monkeypatch):
     """Every 'hot' posting carries the SAME stored impact (equal tf,
     equal dl), so a cut just under it skips nothing — the histogram
     proves it, the gate refuses, and the query rides the exact full
-    path."""
+    path. (Floor zeroed so the SCREEN mechanics run: with the real
+    ~3M-pair floor this tiny corpus is refused by the r14 meta-only
+    short-circuit before any estimate — pinned separately below.)"""
+    from couch_to_postgres_spark.streaming import search_stream as ss
+
+    monkeypatch.setattr(ss, "IMPACT_GATE_FLOOR_ROWS", 0)
     docs = [
         (d, "hot filler pad" if d % 2 == 0 else "cold filler pad")
         for d in range(1, 301)
@@ -972,15 +977,19 @@ def test_maxscore_cost_gate_engages_when_pruning_pays(
 
 
 def test_maxscore_cost_gate_global_floor_refuses_small_wins(
-    spark, tmp_path
+    spark, tmp_path, monkeypatch
 ):
-    """The same skewed shape WITHOUT zeroing the floor: the per-query
-    screen passes (pruning would read ~50 of 750 postings) but the
-    predicted net savings (~hundreds of pairs) cannot cover the pruned
-    plan's fixed driver actions — the global decision refuses and the
-    query rides the measured-optimal full path. This is the r13
-    calibration finding: engagement must pay for its own jobs, not
-    just its rows."""
+    """The same skewed shape with a floor the corpus CAN reach (1000 <
+    the 2000-pair meta bound, so the r14 short-circuit stands aside and
+    the histogram estimates run): the per-query screen passes (pruning
+    would read ~50 of 750 postings) but the predicted net savings
+    (~hundreds of pairs) cannot cover the pruned plan's fixed driver
+    actions — the global decision refuses and the query rides the
+    measured-optimal full path. This is the r13 calibration finding:
+    engagement must pay for its own jobs, not just its rows."""
+    from couch_to_postgres_spark.streaming import search_stream as ss
+
+    monkeypatch.setattr(ss, "IMPACT_GATE_FLOOR_ROWS", 1000)
     docs = _skewed_corpus()
     idx = _compacted(spark, tmp_path, docs, "gate_floor_idx")
     qtab = spark.createDataFrame([(1, "hot")], "query_id int, term string")
@@ -992,6 +1001,69 @@ def test_maxscore_cost_gate_global_floor_refuses_small_wins(
     assert g["engaged"] is False
     assert g["net_pairs"] < g["floor"] + g["extra_scan"]
     assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=10))
+
+
+def test_maxscore_gate_short_circuits_from_meta(spark, tmp_path):
+    """r14 (VERDICT r13 #4): with the REAL floor, a query whose
+    (query, term)-pair count × n_live cannot reach it is refused from
+    meta alone — no dfs planning collect, no estimates (the refused
+    read's fixed gate cost on the bench's recompacted/selective legs).
+    The refusal decision is provably identical: net savings ≤ pairs ×
+    n_live < floor ≤ floor + extra_scan. Results still equal the fresh
+    build via the exact full path."""
+    docs = _skewed_corpus()
+    idx = _compacted(spark, tmp_path, docs, "gate_sc_idx")
+    qtab = spark.createDataFrame([(1, "hot")], "query_id int, term string")
+    diag = {}
+    got = bm25_topk_from_index(spark, idx, qtab, k=10, diag=diag)
+    assert diag["pruned"] is False
+    assert diag["gate"]["short_circuit"] is True
+    assert "queries" not in diag["gate"]  # estimates never ran
+    assert diag["gate"]["bound_pairs"] < diag["gate"]["floor"]
+    assert _rows(got) == _rows(_fresh(spark, docs, qtab, k=10))
+
+
+def test_dfs_rows_arrow_equals_window(spark):
+    """r14 pin for the Arrow partial-merge dfs aggregator: bit-exact
+    equality with the window formulation (dft, max_impact0, the exact
+    top-G arrays, histogram bins) on a corpus with ties, the
+    impact0 == 1.0 top-bin clamp, and groups larger than G — across
+    multiple partitions so cross-batch partial merging is exercised."""
+    import random
+
+    from couch_to_postgres_spark.streaming.search_stream import (
+        _dfs_rows,
+        _dfs_rows_arrow,
+    )
+
+    random.seed(7)
+    rows = [
+        (
+            random.randint(0, 7),
+            random.randint(0, 3),
+            f"t{random.randint(0, 200)}",
+            round(random.random(), 6) or 0.5,
+        )
+        for _ in range(8000)
+    ]
+    rows += [(0, 0, "edge", 1.0)] * 40 + [(0, 0, "edge", 0.5)] * 40
+    df = spark.createDataFrame(
+        rows, "token_bucket int, id_sub int, token string, impact0 double"
+    ).repartition(5)
+
+    def _canon(d):
+        return sorted(
+            (
+                r["token_bucket"], r["id_sub"], r["token"], r["dft"],
+                r["max_impact0"], tuple(r["top_impacts"]),
+                tuple(r["impact_hist"]),
+            )
+            for r in d.collect()
+        )
+
+    assert _canon(_dfs_rows_arrow(df)) == _canon(
+        _dfs_rows(df, impacts=True)
+    )
 
 
 def test_maxscore_cost_gate_candidate_cap(spark, tmp_path, monkeypatch):

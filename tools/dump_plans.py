@@ -1,10 +1,20 @@
 """Capture `.explain("formatted")` for declared __spark_entry__ queries.
 
-Usage: python tools/dump_plans.py <out_dir> <suffix> [sf_dir] [query ...]
+Usage: python tools/dump_plans.py [--no-local-checkpoint] <out_dir> <suffix> [sf_dir] [query ...]
 
 Writes <out_dir>/<query>_<suffix>.txt for each requested query (all
 queries when none named). The driver cannot run Spark, so these files
 are the committed evidence for every plan claim in OPTIMIZATION_*.md.
+
+--no-local-checkpoint: make localCheckpoint a no-op so eagerly-
+materialized results keep their full lazy plan (otherwise they explain
+as a bare `Scan ExistingRDD`).
+
+Driver-side fusion paths (hybrid RRF) materialize each leg and fuse on
+the driver, so even their lazy "plan" is a createDataFrame stub; for
+those, the legs' pre-collect plans are captured via
+extensions.hybrid._PLAN_CAPTURE and appended to the same output file
+(r14, VERDICT r13 #7).
 """
 
 from __future__ import annotations
@@ -47,6 +57,9 @@ def main() -> int:
             )
         except ImportError:
             pass
+    if len(args) < 2:
+        print(__doc__)
+        return 2
     out_dir = args[0]
     suffix = args[1]
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
@@ -54,9 +67,12 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(cpus="8", shuffle_partitions=8)
     failures = []
+    from couch_to_postgres_spark.extensions import hybrid as hybridmod
+
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
+        hybridmod._PLAN_CAPTURE = {}
         try:
             df = fn(spark, sf_dir)
             text = explain_formatted(df)
@@ -64,6 +80,15 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             continue
+        finally:
+            legs, hybridmod._PLAN_CAPTURE = hybridmod._PLAN_CAPTURE, None
+        for leg, leg_text in sorted(legs.items()):
+            text += (
+                f"\n\n== Pre-collect leg plan: {leg} =="
+                f" (driver-side fusion materializes each leg;"
+                f" the result plan above is a local-relation stub)\n"
+                + leg_text
+            )
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(text)
