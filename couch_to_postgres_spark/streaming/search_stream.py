@@ -1621,14 +1621,23 @@ _SEARCH_META_SCHEMA = (
 )
 
 
-#: full-compaction dfs engine (r14 A/B knob): "arrow_readback" (the
-#: measured winner — no staged persist, dfs from the Arrow
-#: partial-merge aggregator over a pruned read-back of the written
-#: base) vs "window_cache" (the r13 shape: persist the staged
-#: exchange+sort, window over the cache). Kept as a knob so the
-#: interleaved A/B in plans/r14 is reproducible; production default is
-#: the winner.
-_FULL_COMPACT_DFS = "arrow_readback"
+#: full-compaction dfs engine (r14 A/B knob): "window_cache" (the r13
+#: shape: persist the staged exchange+sort, window over the cache) vs
+#: "arrow_readback" (no staged persist; dfs from the Arrow
+#: partial-merge aggregator over a column-pruned read-back of the
+#: written base). MEASURED (interleaved fresh-process pairs, sf0.1,
+#: r14): window_cache wins the FULL rewrite both pairs (28.8/33.7 s vs
+#: arrow 33.4/36.1 s) while arrow wins the INCREMENTAL fold both pairs
+#: (11.1/13.0 s vs window 12.8/13.6 s) — structurally consistent: the
+#: full rewrite must exchange+sort staged postings anyway for the
+#: impact-ordered partitioned write, so its dfs window rides that cache
+#: nearly free and the arrow read-back adds a whole extra scan +
+#: Python boundary; the fold's staged postings are dir-clustered with
+#: NO exchange, so there the window ADDS a posting-scale Exchange+Sort
+#: that the arrow partials avoid. Production default: the measured
+#: winner per path (this knob for the full rewrite; the fold always
+#: uses the arrow aggregator).
+_FULL_COMPACT_DFS = "window_cache"
 
 
 def compact_index(
@@ -1749,24 +1758,27 @@ def compact_index(
         ).sortWithinPartitions(
             "token_bucket", "id_sub", "token", F.desc("impact0")
         )
-        # r13 shape (kept as the A/B comparator during the r14
-        # optimization round): persist the staged (exchanged +
-        # impact-sorted) postings so the dfs window and doc_buckets
-        # consume the cache instead of re-reading the written files.
+        # Production default (r13 shape, re-measured the winner in the
+        # r14 A/B — see _FULL_COMPACT_DFS): persist the staged
+        # (exchanged + impact-sorted) postings so the dfs window and
+        # doc_buckets consume the cache instead of re-reading the
+        # written files. The exchange+sort is paid anyway for the
+        # impact-ordered partitioned write, so the window rides it
+        # nearly free.
         from pyspark.storagelevel import StorageLevel
 
         staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
     elif impacts:
-        # r14: no persist — dfs comes from the Arrow partial-merge
-        # aggregator over a column-pruned read-back of the files just
-        # written (see ``written`` below), which needs no clustering
-        # and no sort, so there is nothing for a cache to save. The
-        # cache build (serializing EVERY staged column during the
-        # postings write) was the r13 shape's remaining overhead, and
-        # deriving from the WRITTEN files also removes the r13 ADVICE
-        # hazard: a lost cache block recomputed through the
-        # dropDuplicates+join lineage against source dirs the caller
-        # may already have swapped away.
+        # A/B comparator arm: no persist — dfs comes from the Arrow
+        # partial-merge aggregator over a column-pruned read-back of
+        # the files just written (see ``written`` below). Measured
+        # ~10-15% SLOWER than window_cache for the full rewrite (the
+        # read-back + Python boundary costs more than the cache saves
+        # when the exchange+sort exists anyway); kept so the r14
+        # interleaved A/B stays reproducible. NOTE the fold
+        # (compact_index_incremental) is the opposite regime — its
+        # staged rows are dir-clustered with no exchange — and always
+        # uses the arrow aggregator, where it measured the winner.
         staged = staged.withColumn(
             "impact0", _impact0_expr(IMPACT_K1, IMPACT_B, avgdl_now)
         ).repartition(
