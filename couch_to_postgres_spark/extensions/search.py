@@ -130,18 +130,28 @@ def bm25_topk_batch(
     if not terms:
         raise ValueError("bm25_topk_batch: queries must be non-empty")
     words = _words(text_col)
-    # per-doc length (ALL words, not just matches — BM25's length norm);
-    # persisted: feeds both the avgdl aggregate and the scoring join
-    doclen = df.select(
-        F.col(id_col), F.size(words).cast("double").alias("dl")
+    # ONE tokenization pass (r14, guide §2.4): dl (ALL words — BM25's
+    # length norm) and the query-term-filtered hits come from the same
+    # `words` evaluation, persisted skinny (id, dl, hits — the hits
+    # arrays are query-hit-proportional). The previous shape persisted
+    # doclen and tf separately, which materialized TWO full corpus
+    # tokenizations run serially (stage forensics in plans/r14 /
+    # OPTIMIZATION_r14.md §3: 8.6 s tf scan THEN 6.5 s doclen scan on a
+    # 17.5 s leg — also why the leg showed no 8→32-core scaling).
+    comb = df.select(
+        F.col(id_col),
+        F.size(words).cast("double").alias("dl"),
+        F.filter(words, lambda w: w.isin(terms)).alias("hits"),
     ).persist()
+    # per-doc length; derives from the cache, feeds both the avgdl
+    # aggregate and the scoring join
+    doclen = comb.select(id_col, "dl")
     stats = doclen.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
     )
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.filter(words, lambda w: w.isin(terms))).alias("token"),
+    tok = comb.select(
+        F.col(id_col), F.explode("hits").alias("token")
     )
     # query-hit-proportional (tiny); feeds both df(t) and the scoring join
     tf = tok.groupBy(id_col, "token").agg(
@@ -166,7 +176,7 @@ def bm25_topk_batch(
         k=k, k1=k1, b=b, id_col=id_col,
         query_id_col=query_id_col, term_col=term_col,
     )
-    doclen.unpersist()
+    comb.unpersist()
     tf.unpersist()
     return out
 

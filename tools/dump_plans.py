@@ -1,6 +1,6 @@
 """Capture `.explain("formatted")` for declared __spark_entry__ queries.
 
-Usage: python tools/dump_plans.py [--no-local-checkpoint] <out_dir> <suffix> [sf_dir] [query ...]
+Usage: python tools/dump_plans.py [--no-local-checkpoint] [--no-unpersist] <out_dir> <suffix> [sf_dir] [query ...]
 
 Writes <out_dir>/<query>_<suffix>.txt for each requested query (all
 queries when none named). The driver cannot run Spark, so these files
@@ -35,7 +35,27 @@ def explain_formatted(df) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--no-local-checkpoint"]
+    flags = {"--no-local-checkpoint", "--no-unpersist"}
+    args = [a for a in sys.argv[1:] if a not in flags]
+    if "--no-unpersist" in sys.argv:
+        # operators that persist a shared intermediate (e.g.
+        # bm25_topk_batch's one-scan (id, dl, hits) frame) unpersist it
+        # before returning, so the returned LAZY plan is algebraically
+        # identical to the unpersisted program and the cache-sharing
+        # claim is invisible to a plain dump. No-op unpersist keeps the
+        # InMemoryRelation nodes in the captured plan so the evidence
+        # shows which subtrees consume the shared cache.
+        from pyspark.sql import DataFrame
+
+        DataFrame.unpersist = lambda self, blocking=False: self
+        try:
+            from pyspark.sql.classic.dataframe import (
+                DataFrame as ClassicDataFrame,
+            )
+
+            ClassicDataFrame.unpersist = lambda self, blocking=False: self
+        except ImportError:
+            pass
     if "--no-local-checkpoint" in sys.argv:
         # several query paths eagerly localCheckpoint their (tiny)
         # result so upstream caches release immediately — correct for
