@@ -52,6 +52,23 @@ from pyspark.sql import functions as F
 
 from couch_to_postgres_spark.extensions.text import _words
 
+#: r14 A/B knob — SCAN-path dl-carry: carry the per-doc length ``dl``
+#: on the tf rows into scoring (min(dl) inside the (id, token)
+#: aggregate — exact: dl is functionally dependent on id) instead of
+#: joining the corpus doclen frame back by id. MEASURED NEGATIVE at
+#: sf0.1 and kept OFF: the in-process alternating A/B (both pair
+#: orders, 9 + 5 pairs) showed the 100-query batch shape losing every
+#: old-first pair by ~12% (e.g. 19.3/22.1, 19.6/22.3, 17.4/19.6 s) and
+#: the 3-term scan shape ~neutral — the min(dl) aggregate state rides
+#: EVERY exploded hit row (hit-token-proportional, ~5M rows for the
+#: 15-term batch), which costs more than the join it saves (the plan
+#: shows doclen joins as one BroadcastHashJoin of the corpus-skinny
+#: (id, dl) cache — /tmp-era dumps committed as
+#: plans/r14/scan_scoring_{join,dlcarry}.txt). The INDEX-side carry is
+#: the opposite regime (stored dl read back from parquet, zero
+#: aggregate cost) and is ON — see search_stream._DL_CARRY_INDEX.
+_DL_CARRY = False
+
 
 def bm25_topk(
     df: DataFrame,
@@ -150,12 +167,19 @@ def bm25_topk_batch(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
     )
+    # dl rides the hit explode when carrying (it is functionally
+    # dependent on id, so min() inside the same aggregate attaches the
+    # exact value the old doclen join produced — one column instead of
+    # a corpus-scale join downstream)
     tok = comb.select(
-        F.col(id_col), F.explode("hits").alias("token")
+        F.col(id_col),
+        *(["dl"] if _DL_CARRY else []),
+        F.explode("hits").alias("token"),
     )
     # query-hit-proportional (tiny); feeds both df(t) and the scoring join
     tf = tok.groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        *([F.min("dl").alias("dl")] if _DL_CARRY else []),
     ).persist()
     dft = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("dft")
@@ -183,7 +207,7 @@ def bm25_topk_batch(
 
 def bm25_rank_components(
     tf: DataFrame,
-    doclen: DataFrame,
+    doclen: DataFrame | None,
     stats: DataFrame,
     dft: DataFrame,
     queries: DataFrame,
@@ -203,7 +227,11 @@ def bm25_rank_components(
 
     Inputs: ``tf`` (id, token, tf) restricted to query-term hits,
     ``doclen`` (id, dl) for ALL live docs, ``stats`` a 1-row (n, avgdl)
-    frame, ``dft`` (token, dft), ``queries`` (query_id, term). Emits
+    frame, ``dft`` (token, dft), ``queries`` (query_id, term). When
+    ``tf`` already carries a ``dl`` column (the r14 dl-carry shape —
+    the value is functionally dependent on id, so it is exactly what
+    the join would attach), the ``doclen`` join is skipped outright
+    and callers may pass ``doclen=None``. Emits
     ``(query_id, id, score, rank)`` with decimal-summed contributions
     and rounded-score ranking (engine- and partitioning-stable), eagerly
     materialized so callers can release upstream caches immediately.
@@ -234,11 +262,11 @@ def bm25_rank_components(
     q = queries.select(
         F.col(query_id_col), F.col(term_col).alias("token")
     ).distinct()
-    paired = (
-        tf.join(F.broadcast(dft), "token")
-        .join(doclen, id_col)
-        .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(q), "token")
+    paired = tf.join(F.broadcast(dft), "token")
+    if "dl" not in tf.columns:
+        paired = paired.join(doclen, id_col)
+    paired = paired.crossJoin(F.broadcast(stats)).join(
+        F.broadcast(q), "token"
     )
     if candidate_pairs is not None:
         # hint-free semi join: the pair table is query×candidate-bounded

@@ -272,7 +272,28 @@ def _search_index_batch_locked(
             ).alias("c"),
             F.count(F.lit(1)).alias("_n_changes"),
         )
-        .select(id_col, "c.seq", "c.deleted", "c.text", "_n_changes")
+        # tokenize ONCE, into the cache (r14, guide §2.4/§1.2): the
+        # stats aggregate, the doclen rows and the postings explode all
+        # consumed `_words(text)` from the cached TEXT, so a bulk build
+        # ran the tokenizer over the whole batch three times (three
+        # jobs over the persisted frame, each re-splitting every doc).
+        # Caching the token array instead runs it once at cache
+        # materialization; deleted/NULL-text rows hold NULL (the
+        # downstream coalesce/greatest guards are unchanged).
+        # `_TOKENIZE_ONCE` is the r14 A/B knob (False = cache text).
+        .select(
+            id_col,
+            "c.seq",
+            "c.deleted",
+            "_n_changes",
+            (
+                F.when(~F.col("c.deleted"), _words(F.col("c.text"))).alias(
+                    "toks"
+                )
+                if _TOKENIZE_ONCE
+                else F.col("c.text")
+            ),
+        )
         .persist()
     )
     # ONE job yields every batch stat — including the postings count,
@@ -285,7 +306,7 @@ def _search_index_batch_locked(
     # gets its CollectMetrics optimizer-eliminated and the dangling
     # observation corrupts the session for later RDD-closure jobs;
     # found by test_quality_classifier after the delete-all-churn test.)
-    words = _words("text")
+    words = F.col("toks") if _TOKENIZE_ONCE else _words("text")
     counts = latest.agg(
         F.coalesce(F.sum("_n_changes"), F.lit(0)).alias("arrived"),
         F.coalesce(
@@ -614,6 +635,7 @@ def query_postings(
     index_path: str,
     terms: list[str],
     id_col: str = "doc_id",
+    with_dl: bool = False,
 ) -> DataFrame:
     """(id, token, tf, seq) rows matching the query terms: compacted
     base ∪ append tail. The term filter pushes into both parquet scans;
@@ -624,7 +646,17 @@ def query_postings(
     execution would prune, so the probe's planning cost now scales with
     the term set, not the directory count. An un-compacted-since append
     tail is the only unpruned bytes — bounded by the update rate
-    between compactions, not corpus size."""
+    between compactions, not corpus size.
+
+    ``with_dl=True`` additionally returns the base's DENORMALIZED
+    per-doc length column (written by impacts-mode compaction) so the
+    scoring stage can skip its doclen join (r14 dl-carry) — honored
+    only when the base actually carries ``dl`` AND no tail exists
+    (tail rows have no stored dl); otherwise the column is silently
+    omitted and callers fall back to the join by checking
+    ``"dl" in result.columns``. A tail append racing the caller's
+    no-tail probe therefore degrades to the join shape, never to NULL
+    lengths."""
     _, postings_path, _ = _paths(index_path)
     _, base_postings_path, meta_path = _base_paths(index_path)
     schema = f"{id_col} long, token string, tf double, seq long"
@@ -657,16 +689,23 @@ def query_postings(
     if like is not None and id_col in dict(like.dtypes):
         id_t = dict(like.dtypes)[id_col]
         schema = f"{id_col} {id_t}, token string, tf double, seq long"
+    # dl passthrough contract (see docstring): base must carry the
+    # denormalized column and there must be no tail rows to merge
+    want_dl = (
+        with_dl
+        and tail is None
+        and base is not None
+        and "dl" in dict(base.dtypes)
+    )
+    if want_dl:
+        schema += ", dl double"
+    sel = [id_col, "token", "tf", "seq"] + (["dl"] if want_dl else [])
     if base is None:
         base = spark.createDataFrame([], schema)
     if tail is None:
         tail = spark.createDataFrame([], schema)
-    tail = tail.filter(F.col("token").isin(terms)).select(
-        id_col, "token", "tf", "seq"
-    )
-    base = base.filter(F.col("token").isin(terms)).select(
-        id_col, "token", "tf", "seq"
-    )
+    tail = tail.filter(F.col("token").isin(terms)).select(*sel)
+    base = base.filter(F.col("token").isin(terms)).select(*sel)
     return base.unionByName(tail)
 
 
@@ -1090,9 +1129,16 @@ def _bm25_pruned_topk(
     engaged_queries = queries.filter(
         F.col(query_id_col).isin(sorted(engaged, key=str))
     )
+    # r14 dl-carry: tf_cand already holds the stored denormalized dl —
+    # pass it through instead of reconstructing a doclen frame with a
+    # distinct() and joining it back (two shuffles of the rescore slice)
     out = bm25_rank_components(
-        tf_cand.select(id_col, "token", "tf"),
-        tf_cand.select(id_col, "dl").distinct(),
+        tf_cand
+        if _DL_CARRY_INDEX
+        else tf_cand.select(id_col, "token", "tf"),
+        None
+        if _DL_CARRY_INDEX
+        else tf_cand.select(id_col, "dl").distinct(),
         stats,
         dft_frame,
         engaged_queries,
@@ -1285,7 +1331,22 @@ def bm25_topk_from_index(
     # token IN (...) reaches the parquet scans as pushed filters (plus
     # token_bucket partition pruning on the compacted base); the
     # surviving slice is query-hit-proportional.
-    hit = query_postings(spark, index_path, terms, id_col)
+    hit = query_postings(
+        spark,
+        index_path,
+        terms,
+        id_col,
+        # r14 dl-carry: on an impacts-mode compacted base (meta stamps
+        # impact_k1) with no tail, the postings' denormalized dl IS the
+        # live per-doc length — ride it into scoring and skip the
+        # doclen join there (query_postings silently omits the column
+        # if a tail append raced the fast probe, degrading to the join)
+        with_dl=(
+            _DL_CARRY_INDEX
+            and fast
+            and meta_rows[0].get("impact_k1") is not None
+        ),
+    )
     if fast:
         # base-is-live invariant: every base postings row is live and
         # unique (compaction dropped dead versions and deduplicated
@@ -1293,7 +1354,10 @@ def bm25_topk_from_index(
         # doclen-before-postings write-order invariant) — the replay
         # dedup and the live-version join are provable no-ops here, so
         # skip their two shuffles outright.
-        tf_live = hit.select(id_col, "token", "tf")
+        tf_live = hit.select(
+            id_col, "token", "tf",
+            *(["dl"] if "dl" in hit.columns else []),
+        )
     else:
         # dropDuplicates absorbs at-least-once replay copies
         # (byte-identical rows) on the hit slice, never corpus-wide.
@@ -1639,6 +1703,38 @@ _SEARCH_META_SCHEMA = (
 #: uses the arrow aggregator).
 _FULL_COMPACT_DFS = "window_cache"
 
+#: r14 knob — INDEX-side dl-carry: on an impacts-mode compacted base
+#: with no tail, ride the postings' stored DENORMALIZED ``dl`` column
+#: into scoring instead of scanning base/doclen and joining it back by
+#: id (full fast path), and pass the pruned rescore's ``tf_cand.dl``
+#: through instead of reconstructing a doclen frame with distinct()+
+#: join (MaxScore path). Unlike the scan-path carry (measured negative,
+#: see extensions.search._DL_CARRY), the stored dl costs NO aggregate
+#: state — it is parquet column bytes on rows the scan already reads —
+#: and the avoided work is a corpus-skinny doclen scan + join per
+#: query. MEASURED: in-process alternating A/B at sf0.1 won all 4
+#: pairs on q_bm25_from_index (2.57/3.45, 3.63/4.46, 3.38/3.70,
+#: 3.02/3.26 s carry/join). Exactness pinned by
+#: test_bm25_dl_carry_equals_doclen_join.
+_DL_CARRY_INDEX = True
+
+#: r14 A/B knob — order of the full rewrite's replay dedup relative to
+#: the live join. True (default): join first, dedup second — the dedup
+#: aggregate's ClusteredDistribution on (id, token, seq) is satisfied
+#: by the join's HashPartitioning on the subset (id, seq), so the
+#: dedup rides the join exchange instead of paying its own
+#: posting-scale Exchange, and it deduplicates the post-join LIVE rows
+#: only. False = the r03-r13 dedup-first order. Exactly commutative
+#: (replay copies byte-identical; live is 1 row per (id, seq)); see
+#: OPTIMIZATION_r14.md for the measurement.
+_DEDUP_AFTER_JOIN = True
+
+#: r14 A/B knob — tokenize each micro-batch ONCE into the persisted
+#: `latest` cache (token arrays) instead of caching text and letting
+#: the stats job, the doclen write and the postings write each re-run
+#: `_words(text)` over the cache. False = the r03-r13 cache-text shape.
+_TOKENIZE_ONCE = True
+
 
 def compact_index(
     spark: SparkSession,
@@ -1740,9 +1836,28 @@ def compact_index(
     # skips the provably-losing blocks at the storage layer (block-max
     # pruning, Ding & Suel 2011 / Turtle & Flood 1995 — public
     # knowledge, re-expressed as columnar statistics).
+    # replay dedup AFTER the live join (r14, guide §2.4): the join
+    # already hash-exchanges postings by (id, seq), and HashPartitioning
+    # on a SUBSET of the dedup keys satisfies the dedup aggregate's
+    # ClusteredDistribution on (id, token, seq) — so ordered this way
+    # the dedup rides the join's exchange instead of paying its own
+    # full posting-scale Exchange (3 → 2 posting-scale exchanges in the
+    # full rewrite), and it runs on the post-join LIVE rows (dead
+    # versions already dropped) instead of every replay/dead row.
+    # Semantics are unchanged: replay copies are byte-identical, live
+    # has exactly one row per (id, seq), and the inner join is 1:1 —
+    # dedup before or after commutes exactly. `_DEDUP_AFTER_JOIN` is
+    # the r14 A/B knob (False = the r03-r13 dedup-first order).
+    joined = (
+        postings.join(live.select(id_col, "seq", "dl"), on=[id_col, "seq"])
+        .dropDuplicates([id_col, "token", "seq"])
+        if _DEDUP_AFTER_JOIN
+        else postings.dropDuplicates([id_col, "token", "seq"]).join(
+            live.select(id_col, "seq", "dl"), on=[id_col, "seq"]
+        )
+    )
     staged = (
-        postings.dropDuplicates([id_col, "token", "seq"])
-        .join(live.select(id_col, "seq", "dl"), on=[id_col, "seq"])
+        joined
         .withColumn(
             "token_bucket", F.pmod(F.hash("token"), F.lit(token_buckets))
         )
