@@ -1733,6 +1733,16 @@ _DEDUP_AFTER_JOIN = True
 #: `latest` cache (token arrays) instead of caching text and letting
 #: the stats job, the doclen write and the postings write each re-run
 #: `_words(text)` over the cache. False = the r03-r13 cache-text shape.
+#: MEASURED scale trade (in-process alternating A/Bs, both pair
+#: orders): at the bench's 600k-doc bulk build tokenize-once won all 4
+#: pairs (~−15%: 6.1–6.7 vs 7.0–8.6 s); at a 6M-doc bulk build it LOST
+#: (~+25%: mirrored pairs 50.0/57.5, 37.4/46.4, 35.3/48.9 s old/new) —
+#: columnar-caching array<string> rows costs more than the two saved
+#: tokenizer passes once the cache outgrows memory-friendly sizes. The
+#: daemon's steady state is trickle micro-batches (both arms trivial),
+#: so the default serves the common regimes; flip to False for a
+#: giant single-batch backfill (or shard it, which the feed reader
+#: does anyway). Numbers in OPTIMIZATION_r14.md §6 / SCALING.md r14.
 _TOKENIZE_ONCE = True
 
 
