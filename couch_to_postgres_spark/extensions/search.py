@@ -69,6 +69,24 @@ from couch_to_postgres_spark.extensions.text import _words
 #: aggregate cost) and is ON — see search_stream._DL_CARRY_INDEX.
 _DL_CARRY = False
 
+#: r14 — batch query-set dedup: queries whose (distinct) term sets are
+#: EQUAL provably produce identical (id, score, rank) rows — score is a
+#: sum over the query's distinct terms of per-(doc, term) contributions
+#: and the ranking window orders by (score, id) only — so the batch
+#: scores ONE representative per distinct term set and expands the
+#: tiny ranked result to the duplicate query_ids with a broadcast map
+#: join at the end (common-subexpression elimination across the batch:
+#: eval-set retrieval batches routinely repeat questions). Every
+#: downstream cost is cut by the duplication factor: the per-(doc,
+#: token) hit rows fan out to distinct SETS wanting the token instead
+#: of every query, shrinking the scoring join, the (query, doc)
+#: aggregate's exchange and the per-query ranking window alike. Costs
+#: nothing when all sets are distinct: the mapping is derived from the
+#: (query_id, term) collect the function already does for the map-side
+#: term prune, and the expansion join is skipped outright.
+#: Exactness pinned by test_bm25_batch_query_set_dedup_exact.
+_DEDUP_QUERY_SETS = True
+
 
 def bm25_topk(
     df: DataFrame,
@@ -136,16 +154,31 @@ def bm25_topk_batch(
     documents are dropped from SCORING (their near-zero contribution is
     the justification), which also shrinks every downstream join and
     the ranking window. ``None`` scores every term exactly."""
-    # query tables are small by contract — collecting the distinct terms
-    # enables the literal array-filter prune before the explode
-    terms = sorted(
-        r["token"]
-        for r in queries.select(
-            F.col(term_col).alias("token")
-        ).distinct().collect()
-    )
+    # query tables are small by contract — collecting the (query, term)
+    # rows enables the literal array-filter prune before the explode
+    # AND the duplicate-term-set elimination below, from ONE action
+    qrows_local = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(term_col).alias("token")
+    ).collect()
+    qsets: dict = {}
+    for r in qrows_local:
+        qsets.setdefault(r["qid"], set()).add(r["token"])
+    terms = sorted(set().union(*qsets.values())) if qsets else []
     if not terms:
         raise ValueError("bm25_topk_batch: queries must be non-empty")
+    # group query_ids by their distinct-term signature; queries is
+    # replaced by one representative per signature when any collide
+    # (identical term sets => identical scores and ranks; see
+    # _DEDUP_QUERY_SETS)
+    rep_of_sig: dict = {}
+    expand_rows = []
+    for qid in sorted(qsets, key=repr):
+        r0 = rep_of_sig.setdefault(frozenset(qsets[qid]), qid)
+        expand_rows.append((r0, qid))
+    dedup = _DEDUP_QUERY_SETS and len(rep_of_sig) < len(qsets)
+    if dedup:
+        rep_ids = sorted(rep_of_sig.values(), key=repr)
+        queries = queries.filter(F.col(query_id_col).isin(rep_ids))
     words = _words(text_col)
     # ONE tokenization pass (r14, guide §2.4): dl (ALL words — BM25's
     # length norm) and the query-term-filtered hits come from the same
@@ -202,6 +235,20 @@ def bm25_topk_batch(
     )
     comb.unpersist()
     tf.unpersist()
+    if dedup:
+        # expand the (set-representative)-keyed ranked rows back to
+        # every query_id sharing the set — a broadcast join of two tiny
+        # frames (k rows per set x one row per query) on top of the
+        # already-materialized checkpoint
+        qtype = dict(queries.dtypes)[query_id_col]
+        mapping = queries.sparkSession.createDataFrame(
+            expand_rows, f"__rep_qid {qtype}, {query_id_col} {qtype}"
+        )
+        out = (
+            out.withColumnRenamed(query_id_col, "__rep_qid")
+            .join(F.broadcast(mapping), "__rep_qid")
+            .select(query_id_col, id_col, "score", "rank")
+        )
     return out
 
 

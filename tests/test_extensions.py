@@ -2226,6 +2226,50 @@ def test_bm25_batch_matches_single_query_form(spark):
     assert batch == singles
 
 
+def test_bm25_batch_query_set_dedup_exact(spark, monkeypatch):
+    # r14: queries with EQUAL distinct-term sets are scored once per
+    # set and the ranked rows expanded back — bit-identical to scoring
+    # every query (permuted term order, within-query duplicate terms,
+    # and a max_df_frac that empties a whole set are all covered; the
+    # candidates restriction is query-independent so it composes).
+    from couch_to_postgres_spark.extensions import search
+
+    rows = [
+        (i, f"alpha beta w{i} w{i+1} " + ("gamma " if i % 3 == 0 else "delta "))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    qtab = spark.createDataFrame(
+        [
+            (1, "alpha"), (1, "gamma"),
+            (2, "gamma"), (2, "alpha"),          # permuted duplicate of 1
+            (3, "alpha"), (3, "gamma"), (3, "alpha"),  # term-dup duplicate
+            (4, "delta"),                         # unique set
+            (5, "alpha"),                         # subset of 1 — NOT a dup
+            (6, "zz_nowhere"),                    # no hits at all
+            (7, "zz_nowhere"),                    # dup of the no-hit set
+        ],
+        "query_id int, term string",
+    )
+    cands = df.select("doc_id").filter("doc_id % 2 = 0")
+
+    def run(**kw):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in search.bm25_topk_batch(df, qtab, k=7, **kw).collect()
+        )
+
+    for kw in ({}, {"max_df_frac": 0.5}, {"candidates": cands}):
+        monkeypatch.setattr(search, "_DEDUP_QUERY_SETS", True)
+        deduped = run(**kw)
+        monkeypatch.setattr(search, "_DEDUP_QUERY_SETS", False)
+        plain = run(**kw)
+        assert deduped == plain, kw
+    # the duplicate sets really produce rows for every member query_id
+    got_qids = {t[0] for t in deduped}
+    assert {1, 2, 3, 4, 5} <= got_qids and 6 not in got_qids
+
+
 def test_bm25_max_df_cap_drops_stopword_like_terms(spark):
     from couch_to_postgres_spark.extensions.search import bm25_topk_batch
 
