@@ -57,9 +57,30 @@ def main() -> None:
     # default 128 MB maxPartitionBytes would scan it with 2-3 tasks and idle
     # 29 of 32 cores. 8 MB splits ≈ cores×(a few) tasks here, and is the
     # same knob a 1000-executor cluster tunes against its scan volume.
+    # Late-r14 completion of this note (guide §6): the 8 MB READ splits
+    # only materialize if the WRITE side emits row groups that small — a
+    # parquet split is served by the task whose range holds the row
+    # group's midpoint, so one jumbo row group is unsplittable no matter
+    # the split size. The prep previously wrote the mirror as ONE
+    # 600k-row row group (single upstream task × default 128 MB
+    # parquet.block.size), which serialized EVERY corpus scan onto one
+    # core — stage forensics (plans/r14/q_bm25_stage_forensics_*.json)
+    # show the 8.6 s tokenize stage with task cpu ≈ stage wall at both 8
+    # and 32 cores, i.e. one worker and 10 no-op tasks, the true cause
+    # of q_bm25's 8↔32-core flatness. The mirror (and the variant/CDC
+    # mirrors derived from it) is now written with parquet.block.size =
+    # the session's maxPartitionBytes so stored state is as splittable
+    # as the scans assume — one knob, both sides; production keeps both
+    # at 128 MB+ where file COUNT supplies the parallelism. This changes
+    # the stored-state layout every mirror-scanning leg reads, so their
+    # numbers step-change at the r14 boundary (disclosed in the
+    # methodology note); the timed regions are untouched.
+    mirror_block_size = 8 << 20
     spark = get_spark(
         app_name="bench",
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 << 20)},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(mirror_block_size),
+        },
     )
     # warm the JVM + parquet footers so timings measure the queries
     docs = load_table(spark, sf_dir, "documents")
@@ -71,7 +92,9 @@ def main() -> None:
     # on-the-fly doc serialization).
     tmp = tempfile.mkdtemp(prefix="bench_mirror_")
     mirror_path = os.path.join(tmp, "lineitem_mirror.parquet")
-    lineitem_mirror(spark, sf_dir).write.mode("overwrite").parquet(mirror_path)
+    lineitem_mirror(spark, sf_dir).write.mode("overwrite").option(
+        "parquet.block.size", mirror_block_size
+    ).parquet(mirror_path)
     big_mirror = spark.read.parquet(mirror_path)
     # touch the freshly-written mirror so the first TIMED query doesn't pay
     # the cold page-cache read (measured: first query on a cold mirror is
