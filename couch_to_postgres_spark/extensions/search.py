@@ -24,25 +24,23 @@ Plan shape at 100 TB (the reason this looks the way it does):
 * shared subtrees (doc lengths, term frequencies) are persisted, the
   tiny top-k result is materialized eagerly, and the caches release
   before returning — the near_dedup lifecycle discipline;
-* the doclen pass and the term-filtered tf pass are DELIBERATELY two
-  independent corpus scans, not one fused pass: they are independent
-  shuffle-map stages of one job, so the scheduler runs them
-  CONCURRENTLY — wall ≈ max(pass), not sum. Three fused single-scan
-  shapes were measured against this in r11 (cache (id, dl, hits);
-  carry dl through the hit explode + drop the doclen join;
-  explode-all + conditional agg) and every one was 5-60% SLOWER at
-  600 k docs (interleaved same-session A/B: two-pass 6.06-6.77 s,
-  best fusion 6.51-7.10 s) because fusing serializes the work behind
-  one cache/Generate chain. The r10 bench drift on q_bm25_batch100
-  (+10%) did not reproduce under that A/B — environmental, watch only.
-  Re-confirmed r12 (VERDICT r11 #2, second interleaved same-session
-  A/B, r10 code vs HEAD, 3 rounds each): q_bm25_batch100 medians
-  r10 6.92/7.24/7.36 s vs HEAD 7.09/7.29/7.53 s and q_cdc_apply
-  r10 1.37/1.45/1.46 s vs HEAD 1.33/1.33/1.57 s — both
-  version-independent; the twice-missed "≤7.0 s both reps" line is a
-  host-condition number for this deliberate full-scan comparator
-  (the index path it exists to contrast reads 2.4-2.5 s), not a
-  regression to fix.
+* doclen and the term-filtered tf derive from ONE persisted
+  tokenization pass — a skinny (id, dl, hits) cache where the hits
+  arrays are query-hit-proportional (r14; the history matters: r11
+  measured three fused single-scan shapes AGAINST the then-two-pass
+  form and all lost 5-60% at 600 k docs, because on the r11 corpus
+  terms the hit filter matched NOTHING — the r12 fidelity fix later
+  revealed those legs had ranked an empty hit set — so the fusion's
+  cache carried pure overhead. With real matching terms the two
+  "concurrent" scans in fact ran SERIALLY — the second scan's stage
+  depended on the first's persist materialization point, stage
+  forensics in plans/r14 — and the r14 interleaved A/B reversed the
+  r11 verdict: one-scan won every pair, 19.9/16.7 → 14.9/14.0 s on
+  the 3-term shape; checksums identical). The r12 A/B-exoneration of
+  the r10 bench drift (q_bm25_batch100, q_cdc_apply — both
+  version-independent host noise) still stands; this full-scan
+  comparator exists to contrast the index path, which answers the
+  same query from stored postings without touching the corpus.
 """
 
 from __future__ import annotations
